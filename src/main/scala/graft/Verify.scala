@@ -12,13 +12,25 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // micros (not INT96) so the dumped timestamps carry the same
+      // logical type/resolution as the DuckDB oracle's output
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        var df = fn(spark, sfDir)
+        // Dump instant timestamps as NTZ: session TZ is UTC so values
+        // are unchanged, and the parquet logical type then matches the
+        // DuckDB oracle's naive TIMESTAMP (isAdjustedToUTC=false).
+        df.schema.fields.foreach { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            df = df.withColumn(f.name,
+              df.col(f.name).cast(org.apache.spark.sql.types.TimestampNTZType))
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

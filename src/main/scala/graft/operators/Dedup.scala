@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.TextFuncs
+
+/** Near-duplicate detection over a text corpus: MinHash+LSH, exact
+  * n-gram Jaccard, SimHash.
+  *
+  * Hash family: md5 hex strings under lexicographic MIN. md5 is bit-exact
+  * across engines (so every stage is oracle-verifiable in DuckDB) and
+  * seeding via prefix (`md5(seed || '|' || shingle)`) yields independent
+  * permutation surrogates. All stages are hash-shuffle aggregations —
+  * no global sorts, no driver collects; at 100 TB the band join is the
+  * only pairwise step, and it only pairs docs sharing a bucket.
+  */
+object Dedup {
+
+  /** Distinct k-shingles, long form: (doc_id, shingle). */
+  def shingleSets(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(TextFuncs.shingles(col("text"), k)))
+          .as("shingle"))
+
+  /** MinHash signature: one row per doc, `numHashes` columns mh0..mhN.
+    * One shuffle (groupBy doc_id) computing all mins in a single pass. */
+  def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map { h =>
+      min(md5(concat_ws("|", lit(h.toString), col("shingle"))))
+        .as(s"mh$h")
+    }
+    shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH band keys: `bands` rows per doc, key = md5 of the band's
+    * concatenated minhash rows. */
+  def bandKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("bkey"))
+    }
+    sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+  }
+
+  /** Candidate near-dup pairs (share ≥1 LSH band) with the estimated
+    * Jaccard = fraction of agreeing minhash positions. */
+  def minHashLsh(
+      docs: DataFrame, k: Int, numHashes: Int, bands: Int): DataFrame = {
+    val sig = minHashSignatures(shingleSets(docs, k), numHashes)
+    val bk = bandKeys(sig, numHashes, bands)
+    val pairs = bk.as("a")
+      .join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (agree.cast(DoubleType) / lit(numHashes.toDouble))
+          .as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard for every pair sharing ≥1 shingle.
+    * Inverted-index self-join on the shingle key: cost is Σ f(s)² over
+    * shingle frequencies, not N² — the standard scalable exact check
+    * run after (or instead of) LSH candidate generation. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int): DataFrame = {
+    val sh = shingleSets(docs, k)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na")),
+        Seq("doc_a"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType))
+          .as("jaccard"))
+  }
+
+  /** SimHash signature of `nBits` bits (nBits/4 hex chars of each
+    * token's md5): bit j of the signature is the sign of the sum over
+    * tokens of (2·bit_j(md5(token)) − 1). Output per doc: bitstring.
+    * Engine-parity: hex-digit value via position in a hex alphabet,
+    * bit extract via integer div/mod — all ANSI-expressible. */
+  def simHash(docs: DataFrame, nBits: Int): DataFrame = {
+    require(nBits % 4 == 0)
+    val hexChars = nBits / 4
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+    val bitSums = (0 until hexChars).flatMap { p =>
+      val hv = expr(
+        s"instr('0123456789abcdef', substring(h, ${p + 1}, 1)) - 1")
+      (0 until 4).map { j =>
+        val bit = floor(hv / lit(math.pow(2, 3 - j))) % 2
+        sum(bit * 2 - 1).as(s"s${p * 4 + j}")
+      }
+    }
+    val agg = tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val bits = (0 until nBits).map(i =>
+      when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
+    agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+}

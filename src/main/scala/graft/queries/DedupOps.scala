@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Near-dup detection operators over `documents`: MinHash+LSH, exact
+  * n-gram Jaccard, SimHash. The md5-based hash family makes every stage
+  * reproducible in ANSI SQL, so even the LSH pipeline is oracle-checked
+  * end-to-end (shingle → minhash → band → bucket-join → estimate).
+  */
+object DedupOps {
+
+  private val K = 3          // words per shingle
+  private val NumHashes = 8  // minhash signature length
+  private val Bands = 4      // LSH bands (2 rows per band)
+
+  /** DuckDB CTE mirroring Dedup.shingleSets (distinct word 3-shingles). */
+  private val shingleCte =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS ws
+         FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i))"""
+
+  private val minhashOracle: String = {
+    val mhCols = (0 until NumHashes)
+      .map(h => s"min(md5('$h' || '|' || shingle)) AS mh$h").mkString(", ")
+    val bandRows = (0 until Bands).map { b =>
+      val r0 = b * (NumHashes / Bands)
+      val r1 = r0 + 1
+      s"SELECT doc_id, $b AS band, md5(mh$r0 || mh$r1) AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until NumHashes)
+      .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $shingleCte,
+      sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY 1),
+      bands AS ($bandRows),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+        CAST($agree AS DOUBLE) / ${NumHashes}.0 AS est_jaccard
+      FROM pairs
+      JOIN sig sa ON doc_a = sa.doc_id
+      JOIN sig sb ON doc_b = sb.doc_id
+      ORDER BY doc_a, doc_b"""
+  }
+
+  private val simhashBits = 32
+  private val simhashOracle: String = {
+    val sums = (0 until simhashBits / 4).flatMap { p =>
+      (0 until 4).map { j =>
+        val div = math.pow(2, 3 - j)
+        s"""sum((floor((strpos('0123456789abcdef',
+            substr(md5(w), ${p + 1}, 1)) - 1) / $div) % 2) * 2 - 1)
+          AS s${p * 4 + j}"""
+      }
+    }.mkString(", ")
+    val bits = (0 until simhashBits)
+      .map(i => s"(CASE WHEN s$i > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      agg AS (SELECT doc_id, $sums FROM toks GROUP BY 1)
+      SELECT doc_id, $bits AS simhash FROM agg ORDER BY doc_id"""
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // MinHash + LSH banding: candidate near-dup pairs with estimated
+    // Jaccard (the standard web-scale near-dedup pipeline).
+    Q("q24_minhash_lsh",
+      (s, dir) => {
+        Dedup.minHashLsh(Tables.load(s, dir, "documents"),
+            K, NumHashes, Bands)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(minhashOracle)),
+
+    // Exact n-gram Jaccard via inverted-index self-join.
+    Q("q25_ngram_jaccard",
+      (s, dir) => {
+        Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), K)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $shingleCte,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE)
+            AS jaccard
+        FROM inter
+        JOIN sizes na ON doc_a = na.doc_id
+        JOIN sizes nb ON doc_b = nb.doc_id
+        ORDER BY doc_a, doc_b""")),
+
+    // SimHash signatures (32-bit, token-level).
+    Q("q26_simhash",
+      (s, dir) => {
+        Dedup.simHash(Tables.load(s, dir, "documents"), simhashBits)
+          .orderBy("doc_id")
+      },
+      Some(simhashOracle))
+  )
+}

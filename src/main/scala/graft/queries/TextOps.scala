@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import graft.functions.TextFuncs._
+
+/** Text-analysis operators over the `documents` corpus: token counting,
+  * quality scoring, language ID, exact dedup, fingerprinting. These are
+  * the training-data-pipeline primitives (BASELINE.json north star); all
+  * are single-pass, codegen'd column expressions — at 100 TB each is one
+  * scan with no shuffle except the dedup's hash aggregation.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "les", "est", "une", "dans"),
+    "en" -> Seq("the", "a", "of", "and", "is"))
+
+  val qs: Seq[Q] = Seq(
+
+    // Token counting + length stats per document.
+    Q("q18_text_stats",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            tokenCount(col("text")).cast("long").as("n_tokens"),
+            length(col("text")).cast("long").as("len_chars"),
+            avgWordLen(col("text")).as("avg_word_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+          length(text) AS len_chars,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+            AS avg_word_len
+        FROM documents ORDER BY doc_id""")),
+
+    // Quality scoring: stopword ratio + length gates → keep flag
+    // (standard corpus-filter heuristics).
+    Q("q19_text_quality",
+      (s, dir) => {
+        val ratio = stopwordRatio(col("text"), stopwords)
+        val nTok = tokenCount(col("text"))
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"), col("lang"),
+            ratio.as("stop_ratio"),
+            (nTok >= 20 && nTok <= 95 && ratio < lit(0.5)).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang,
+          CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")})))
+            AS DOUBLE)
+            / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+            AS stop_ratio,
+          (len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 20 AND 95)
+            AND (CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")})))
+              AS DOUBLE)
+              / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+              < 0.5) AS keep
+        FROM documents ORDER BY doc_id""")),
+
+    // Marker-word language ID (n-gram heuristic). Accuracy on synthetic
+    // word-salad text is incidental — the operator and its determinism
+    // are what the oracle checks.
+    Q("q20_lang_id",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"), col("lang"),
+            langId(col("text"), langMarkers).as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val padded = "' ' || text || ' '"
+        def score(ws: Seq[String]) = ws.map(w =>
+          s"(CASE WHEN position(' $w ' IN $padded) > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val scores = langMarkers.map { case (l, ws) => l -> score(ws) }
+        val best = "GREATEST(" + scores.map(_._2).mkString(", ") + ")"
+        val cases = scores.map { case (l, sc) =>
+          s"WHEN ($sc) = _best AND _best > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT doc_id, lang,
+            CASE $cases ELSE 'und' END AS pred_lang
+          FROM (SELECT doc_id, lang, text, $best AS _best FROM documents)
+          ORDER BY doc_id"""
+      }),
+
+    // Exact dedup: md5 content hash + duplicate-group size per doc.
+    // Distributed hash-groupBy — at 100 TB this is one shuffle keyed on
+    // a 128-bit hash, never a global sort.
+    Q("q21_dedup_exact",
+      (s, dir) => {
+        val w = Window.partitionBy(col("fp"))
+        Tables.load(s, dir, "documents")
+          .withColumn("fp", md5(col("text")))
+          .withColumn("dup_cnt", count(lit(1)).over(w))
+          .withColumn("keeper", min(col("doc_id")).over(w))
+          .select("doc_id", "fp", "dup_cnt", "keeper")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, fp, dup_cnt, keeper FROM (
+          SELECT doc_id, md5(text) AS fp,
+            count(*) OVER (PARTITION BY md5(text)) AS dup_cnt,
+            min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+          FROM documents) ORDER BY doc_id""")),
+
+    // Normalized fingerprint (case/punctuation-insensitive near-exact
+    // dedup key).
+    Q("q22_fingerprint",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), fingerprint(col("text")).as("norm_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS norm_fp
+        FROM documents ORDER BY doc_id"""))
+  )
+}

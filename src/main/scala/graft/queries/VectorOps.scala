@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * FLOAT[64], label). Exact brute-force cosine is the baseline; the LSH
+  * bucketing is the 100 TB path (oracle-less — buckets are an internal
+  * pruning artifact, verified by ScalaTest recall checks instead).
+  */
+object VectorOps {
+
+  private val Dim = 64
+
+  /** Shared oracle prelude: long-form embeddings + exact decimal
+    * partials, mirroring Similarity.explodeVecs/norms. */
+  private val exCte =
+    """ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+         generate_subscripts(embedding, 1) AS i FROM embeddings),
+       nrm AS (SELECT vec_id,
+         CAST(sum(CAST(e * e AS DECIMAL(18,9))) AS DOUBLE) AS nn
+         FROM ex GROUP BY 1)"""
+
+  val qs: Seq[Q] = Seq(
+
+    // Brute-force cosine top-k: 5 nearest neighbors for each of the 10
+    // lowest-id query vectors.
+    Q("q23_ann_cosine_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val ex = Similarity.explodeVecs(emb, "vec_id", "embedding")
+        Similarity.bruteForceTopK(
+            ex.filter(col("vec_id") < 10), ex, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $exCte,
+        dots AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+            CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i
+          WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT query_id, cand_id,
+            dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+          FROM dots
+          JOIN nrm na ON na.vec_id = query_id
+          JOIN nrm nb ON nb.vec_id = cand_id)
+        SELECT query_id, cand_id, rank, cosine FROM (
+          SELECT query_id, cand_id, cosine,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // Embedding near-duplicate pairs: exact all-pairs cosine ≥ 0.35.
+    Q("q27_embedding_neardup",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val ex = Similarity.explodeVecs(emb, "vec_id", "embedding")
+        Similarity.cosinePairsAbove(ex, 0.35)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $exCte,
+        dots AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+        FROM dots
+        JOIN nrm na ON na.vec_id = id_a
+        JOIN nrm nb ON nb.vec_id = id_b
+        WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.35
+        ORDER BY id_a, id_b""")),
+
+    // LSH-bucketed ANN (scale path): bucket signature per vector —
+    // rows-only gate here; ScalaTest checks bucket-mate recall.
+    Q("q28_ann_lsh_buckets",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.lshBuckets(emb, "vec_id", "embedding",
+            nBits = 8, dim = Dim)
+          .orderBy("vec_id")
+      },
+      None)
+  )
+}
