@@ -1,0 +1,76 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native cosine similarity over two `array<float>` columns.
+  *
+  * A custom Catalyst expression (SURVEY.md §7 preference order (b)):
+  * `doGenCode` emits a primitive float loop that runs inside
+  * whole-stage codegen — no boxing, no UDF serialization, no
+  * higher-order-function interpretation. This is the hot inner kernel
+  * of the similarity-search operators: at 100 TB it executes once per
+  * candidate pair, so it must be a tight fused loop.
+  *
+  * Double accumulation in index order; for oracle-exact results the
+  * caller rescores survivors with decimal partials
+  * (Similarity.exactCosine) — this expression is the pruning kernel.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = (double) $a.getFloat($i);
+          double $yi = (double) $b.getFloat($i);
+          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Column-level API. */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSimilarity(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+}

@@ -1,84 +1,100 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
+import graft.expressions.CosineSimilarity.cosine
+
 /** Embedding similarity search over an `Array[Float]` column.
   *
-  * Exact brute-force cosine is the correctness baseline; partial scores
-  * are computed in fixed-scale DECIMAL so results are associative —
-  * deterministic under any partitioning (and bit-identical to the DuckDB
-  * oracle). The LSH path (random-hyperplane bucketing) is the 100 TB
-  * scale route: it turns the O(Q·N) cross product into a bucket-local
-  * join.
+  * Two-phase design:
+  *   1. **Prune** with the native codegen'd [[graft.expressions.CosineSimilarity]]
+  *      kernel evaluated inside a broadcast nested-loop join — the
+  *      double-precision cosine runs fused in the join loop, so only
+  *      surviving pairs ever materialize.
+  *   2. **Rescore** survivors with fixed-scale DECIMAL partial sums —
+  *      associative, so bit-identical under any partitioning and equal
+  *      to the DuckDB oracle.
+  * The prune threshold sits 1e-6 below the exact threshold; the double
+  * kernel's error is ~1e-12, so phase 1 never drops a true survivor.
+  *
+  * At 100 TB the same shape holds: broadcast the (always small) query
+  * side, or pre-bucket both sides with [[lshBuckets]] and run the
+  * nested-loop within buckets only.
   */
 object Similarity {
 
-  private val dec = DecimalType(18, 9)
+  private val termDec = DecimalType(18, 9)
+  private val accDec = DecimalType(28, 9)
 
-  /** Long form: one row per (vec_id, i, e) with doubles. Map-side only. */
-  def explodeVecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "e")))
-      .select(col(idCol), col("i"), col("e").cast(DoubleType).as("e"))
+  /** Oracle-exact dot product of two float-array columns: per-term
+    * double products quantized to DECIMAL(18,9), summed exactly. */
+  def exactDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(termDec)),
+      lit(java.math.BigDecimal.ZERO).cast(accDec),
+      (acc, v) => (acc + v).cast(accDec))
+      .cast(DoubleType)
 
-  /** Squared norms per vector, exact (decimal partials). */
-  def norms(ex: DataFrame, idCol: String): DataFrame =
-    ex.groupBy(idCol)
-      .agg(sum((col("e") * col("e")).cast(dec)).cast(DoubleType).as("nn"))
+  /** Oracle-exact cosine (decimal dot and norms, double combine). */
+  def exactCosine(a: Column, b: Column): Column =
+    exactDot(a, b) / (sqrt(exactDot(a, a)) * sqrt(exactDot(b, b)))
+
+  /** Bit-exact identity (`x + 0.0·id = x` for all finite x ≥ 0) that is
+    * nondeterministic to the optimizer, pinning the expression where it
+    * is written: downstream filters on it cannot be pushed below this
+    * point. Used to keep a cheap prune phase and an expensive exact
+    * phase in their intended order. */
+  private def asNondetBarrier(c: Column): Column =
+    c + monotonically_increasing_id() * lit(0.0)
 
   /** Exact top-k cosine neighbors for every query vector.
-    *
-    * queries/candidates are long-form frames from [[explodeVecs]]. The
-    * dot products reduce by (query, candidate) with map-side partial
-    * aggregation; for a bounded query set the query side is broadcast so
-    * the candidate scan parallelizes without a shuffle of the big side.
-    */
+    * `queries`/`candidates`: (vec_id, embedding) frames. The query side
+    * is broadcast; candidates stream through the fused kernel. */
   def bruteForceTopK(
       queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val qx = queries.select(
-      col("vec_id").as("query_id"), col("i"), col("e").as("qe"))
-    val cx = candidates.select(
-      col("vec_id").as("cand_id"), col("i"), col("e").as("ce"))
-    val dots = cx.join(broadcast(qx), Seq("i"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .groupBy("query_id", "cand_id")
-      .agg(sum((col("qe") * col("ce")).cast(dec)).cast(DoubleType).as("dot"))
-    val nq = norms(queries, "vec_id")
-      .withColumnsRenamed(Map("vec_id" -> "query_id", "nn" -> "qnn"))
-    val nc = norms(candidates, "vec_id")
-      .withColumnsRenamed(Map("vec_id" -> "cand_id", "nn" -> "cnn"))
-    val scored = dots
-      .join(broadcast(nq), Seq("query_id"))
-      .join(nc, Seq("cand_id"))
-      .withColumn("cosine",
-        col("dot") / (sqrt(col("qnn")) * sqrt(col("cnn"))))
-    val w = Window.partitionBy("query_id")
+    val parallelism = candidates.sparkSession.sparkContext.defaultParallelism
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = candidates.select(
+      col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      .repartition(parallelism)
+    val fast = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos_fast", cosine(col("qe"), col("ce")))
+    // keep a small buffer beyond k, then rescore exactly and re-rank —
+    // absorbs any double-vs-decimal ordering jitter at the k boundary
+    val wFast = Window.partitionBy("query_id")
+      .orderBy(col("cos_fast").desc, col("cand_id"))
+    val wExact = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast(LongType))
+    fast
+      .withColumn("_rf", row_number().over(wFast))
+      .filter(col("_rf") <= k + 3)
+      .withColumn("cosine", exactCosine(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(wExact).cast(LongType))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "rank", "cosine")
   }
 
-  /** All pairs with cosine ≥ threshold (embedding near-dup detection).
-    * Exact; the LSH variant prunes the same computation by bucket. */
-  def cosinePairsAbove(ex: DataFrame, threshold: Double): DataFrame = {
-    val a = ex.select(col("vec_id").as("id_a"), col("i"), col("e").as("ea"))
-    val b = ex.select(col("vec_id").as("id_b"), col("i"), col("e").as("eb"))
-    val dots = a.join(b, Seq("i"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(sum((col("ea") * col("eb")).cast(dec)).cast(DoubleType).as("dot"))
-    val nn = norms(ex, "vec_id")
-    dots
-      .join(nn.withColumnsRenamed(Map("vec_id" -> "id_a", "nn" -> "nna")),
-        Seq("id_a"))
-      .join(nn.withColumnsRenamed(Map("vec_id" -> "id_b", "nn" -> "nnb")),
-        Seq("id_b"))
+  /** All pairs with exact cosine ≥ threshold (embedding near-dup
+    * detection). The kernel runs inside the join condition, so the
+    * quadratic phase emits only survivors. */
+  def cosinePairsAbove(emb: DataFrame, threshold: Double): DataFrame = {
+    val parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .repartition(parallelism)
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(broadcast(b),
+        col("id_a") < col("id_b") &&
+          cosine(col("ea"), col("eb")) >= threshold - 1e-6)
+      // asNondetBarrier: without it Catalyst pushes the exact-cosine
+      // filter into the join condition and the expensive decimal rescore
+      // runs on all N² pairs instead of the kernel-pruned survivors
       .withColumn("cosine",
-        col("dot") / (sqrt(col("nna")) * sqrt(col("nnb"))))
+        asNondetBarrier(exactCosine(col("ea"), col("eb"))))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -30,9 +30,8 @@ object VectorOps {
     Q("q23_ann_cosine_topk",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val ex = Similarity.explodeVecs(emb, "vec_id", "embedding")
         Similarity.bruteForceTopK(
-            ex.filter(col("vec_id") < 10), ex, k = 5)
+            emb.filter(col("vec_id") < 10), emb, k = 5)
           .orderBy("query_id", "rank")
       },
       Some(s"""WITH $exCte,
@@ -59,8 +58,7 @@ object VectorOps {
     Q("q27_embedding_neardup",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val ex = Similarity.explodeVecs(emb, "vec_id", "embedding")
-        Similarity.cosinePairsAbove(ex, 0.35)
+        Similarity.cosinePairsAbove(emb, 0.35)
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH $exCte,
