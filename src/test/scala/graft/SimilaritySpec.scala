@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.CosineSimilarity
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / (na * nb)
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)))
+
+  test("CosineSimilarity expression matches reference computation") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        CosineSimilarity.cosine($"a.embedding", $"b.embedding").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for {
+      (ia, va) <- vecs
+      (ib, vb) <- vecs
+    } assert(math.abs(pairs((ia, ib)) - cos(va, vb)) < 1e-12,
+      s"pair ($ia,$ib)")
+  }
+
+  test("CosineSimilarity interpreted eval matches codegen result") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val lit1 = Literal.create(
+      ArrayData.toArrayData(Array(0.3f, -0.4f, 0.5f)),
+      ArrayType(FloatType))
+    val lit2 = Literal.create(
+      ArrayData.toArrayData(Array(0.1f, 0.2f, 0.9f)),
+      ArrayType(FloatType))
+    val interpreted = graft.expressions.CosineSimilarity(lit1, lit2)
+      .eval(null).asInstanceOf[Double]
+    val expected = cos(Array(0.3f, -0.4f, 0.5f), Array(0.1f, 0.2f, 0.9f))
+    assert(math.abs(interpreted - expected) < 1e-12)
+  }
+
+  test("exactCosine agrees with kernel cosine to float-sum precision") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(50)
+    val diffs = emb.as("a").crossJoin(emb.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select(abs(
+        Similarity.exactCosine($"a.embedding", $"b.embedding") -
+          CosineSimilarity.cosine($"a.embedding", $"b.embedding"))
+        .as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(diffs < 1e-7)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors, rank 1 is the max") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val top = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" === 0), emb, 5).orderBy("rank").collect()
+    assert(top.length == 5)
+    assert(top.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val cosines = top.map(_.getDouble(3))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("cosinePairsAbove finds exactly the pairs over threshold") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(100)
+    val got = Similarity.cosinePairsAbove(emb, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: exact pairwise via collect
+    val local = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val want = (for {
+      (ia, va) <- local; (ib, vb) <- local
+      if ia < ib && cos(va, vb) >= 0.3
+    } yield (ia, ib)).toSet
+    assert(got == want)
+  }
+
+  test("lshBuckets: deterministic signatures, buckets nonempty") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val b1 = Similarity.lshBuckets(emb, "vec_id", "embedding", 8, 64)
+      .orderBy("vec_id").collect().map(_.getString(1)).toSeq
+    val b2 = Similarity.lshBuckets(emb.repartition(7), "vec_id",
+      "embedding", 8, 64).orderBy("vec_id").collect()
+      .map(_.getString(1)).toSeq
+    assert(b1 == b2)
+    assert(b1.forall(_.length == 8))
+    assert(b1.distinct.size > 1)
+  }
+}
