@@ -1,0 +1,136 @@
+package graft.ingest
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Schema-per-dataset ingest namespace over partitioned parquet — the
+  * Spark analog of the reference's per-crawler Postgres schema +
+  * hypertable layout (`common/base_crawler.py:20-22`,
+  * `create_hypertable` sites, SURVEY.md §1.1).
+  *
+  * Layout: `<warehouse>/<schemaName>/<table>/[date=YYYY-MM-DD/]*.parquet`
+  * Time-partitioned tables derive a `date` partition column from their
+  * time column at write, so Catalyst partition pruning replaces
+  * TimescaleDB chunk exclusion. At 100 TB each daily partition is
+  * written once and appended-to idempotently; no operation here ever
+  * rewrites more than the touched partitions except the explicitly
+  * schema-evolving path.
+  */
+final class IngestDataset(
+    val spark: SparkSession, warehouse: String, schemaName: String) {
+
+  def tablePath(table: String): String = s"$warehouse/$schemaName/$table"
+
+  def tableExists(table: String): Boolean = {
+    val p = new Path(tablePath(table))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p)
+  }
+
+  def read(table: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(tablePath(table))
+
+  /** K1 — plain transactional-ish append. `pk` dedups the incoming
+    * batch (reference declares PKs and drops dups ingest-side,
+    * SURVEY.md §1.3); `antiJoinExisting` additionally drops rows whose
+    * key already exists (smard.py:169-171 keep-first semantics). */
+  def append(
+      table: String, df: DataFrame, partitionTs: Option[String] = None,
+      pk: Seq[String] = Nil, antiJoinExisting: Boolean = false): Unit = {
+    var batch = if (pk.nonEmpty) df.dropDuplicates(pk) else df
+    if (antiJoinExisting && pk.nonEmpty && tableExists(table))
+      batch = batch.join(read(table).select(pk.map(col): _*).distinct(),
+        pk, "left_anti")
+    write(batch, table, SaveMode.Append, partitionTs)
+  }
+
+  /** K2 — full replace (dimension/static tables). */
+  def overwrite(table: String, df: DataFrame,
+      partitionTs: Option[String] = None): Unit = {
+    if (tableExists(table)) rewriteAtomically(table, df, partitionTs)
+    else write(df, table, SaveMode.Overwrite, partitionTs)
+  }
+
+  /** K3 — schema-evolving append: if the new batch's columns differ
+    * from the stored schema, fall back to union-by-name + rewrite
+    * (exactly the reference's concat-replace path,
+    * `entsoe_crawler.py:196-209`); otherwise a plain append. */
+  def appendEvolve(table: String, df: DataFrame,
+      partitionTs: Option[String] = None): Unit = {
+    if (!tableExists(table)) { write(df, table, SaveMode.Append, partitionTs); return }
+    val existing = read(table)
+    val existingCols = existing.columns.map(_.toLowerCase).toSet
+    val newCols = df.columns.map(_.toLowerCase).toSet
+    val dropPart = partitionTs.map(_ => Set("date")).getOrElse(Set.empty)
+    if (newCols == existingCols -- dropPart) {
+      write(df, table, SaveMode.Append, partitionTs)
+    } else {
+      val merged = existing.drop(dropPart.toSeq: _*)
+        .unionByName(df, allowMissingColumns = true)
+      rewriteAtomically(table, merged, partitionTs)
+    }
+  }
+
+  /** I5 — revision-window overwrite (Delta `replaceWhere` analog on
+    * parquet): replaces exactly the partitions intersecting
+    * [from, until) with (existing-outside-window ∪ batch), leaving all
+    * other partitions untouched. This is how mutable upstream windows
+    * (re-crawl from last Sunday, 30-day quality lag) are re-ingested
+    * without duplicating rows. */
+  def replaceWindow(table: String, batch: DataFrame, tsCol: String,
+      from: java.sql.Timestamp, until: java.sql.Timestamp): Unit = {
+    require(tableExists(table), s"$table must exist for replaceWindow")
+    val existing = read(table)
+    val touched = existing
+      .filter(col("date") >= to_date(lit(from)) &&
+        col("date") <= to_date(lit(until)))
+      .filter(!(col(tsCol) >= lit(from) && col(tsCol) < lit(until)))
+      .drop("date")
+    val replacement = touched.unionByName(
+      batch.filter(col(tsCol) >= lit(from) && col(tsCol) < lit(until)),
+      allowMissingColumns = false)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      replacement
+        .withColumn("date", to_date(col(tsCol)))
+        .write.mode(SaveMode.Overwrite).partitionBy("date")
+        .parquet(tablePath(table))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  private def write(df: DataFrame, table: String, mode: SaveMode,
+      partitionTs: Option[String]): Unit =
+    partitionTs match {
+      case Some(ts) =>
+        df.withColumn("date", to_date(col(ts)))
+          .write.mode(mode).partitionBy("date").parquet(tablePath(table))
+      case None =>
+        df.write.mode(mode).parquet(tablePath(table))
+    }
+
+  /** Stage-swap rewrite: the source of a full-table rewrite is the
+    * table itself, so write to a staging dir and swap directories —
+    * never overwrite a path that is being read lazily. */
+  private def rewriteAtomically(table: String, df: DataFrame,
+      partitionTs: Option[String]): Unit = {
+    val path = new Path(tablePath(table))
+    val staging = new Path(
+      s"$warehouse/$schemaName/.staging-$table-${UUID.randomUUID()}")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = partitionTs match {
+      case Some(ts) => df.withColumn("date", to_date(col(ts)))
+        .write.partitionBy("date")
+      case None => df.write
+    }
+    staged.parquet(staging.toString)
+    fs.delete(path, true)
+    fs.rename(staging, path)
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{IngestDataset, MetadataCatalog, MetadataRow, Watermark}
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDs(schema: String = "testschema") =
+    new IngestDataset(spark,
+      Files.createTempDirectory("ingest-spec").toString, schema)
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("append + read round-trips; pk dedups the batch") {
+    val ds = freshDs()
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (2L, ts("2024-01-02 00:00:00"), 2.0)).toDF("id", "t", "v")
+    ds.append("t1", df, partitionTs = Some("t"), pk = Seq("id", "t"))
+    assert(ds.read("t1").count() == 2)
+  }
+
+  test("antiJoinExisting keeps first-written rows (keep-first dedup)") {
+    val ds = freshDs()
+    val b1 = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("id", "t", "v")
+    val b2 = Seq((1L, ts("2024-01-01 00:00:00"), 99.0),
+      (2L, ts("2024-01-02 00:00:00"), 2.0)).toDF("id", "t", "v")
+    ds.append("t1", b1, Some("t"), pk = Seq("id", "t"))
+    ds.append("t1", b2, Some("t"), pk = Seq("id", "t"),
+      antiJoinExisting = true)
+    val rows = ds.read("t1").orderBy("id").collect()
+    assert(rows.length == 2 && rows(0).getAs[Double]("v") == 1.0)
+  }
+
+  test("overwrite replaces content including when source is the table") {
+    val ds = freshDs()
+    ds.overwrite("dim", Seq((1, "a")).toDF("k", "x"))
+    ds.overwrite("dim", Seq((2, "b"), (3, "c")).toDF("k", "x"))
+    assert(ds.read("dim").count() == 2)
+    // rewrite reading from itself (the concat-replace shape)
+    val evolved = ds.read("dim").withColumn("y", lit(1))
+    ds.overwrite("dim", evolved)
+    assert(ds.read("dim").columns.toSet == Set("k", "x", "y"))
+  }
+
+  test("appendEvolve widens schema with null-fill both directions") {
+    val ds = freshDs()
+    ds.appendEvolve("t", Seq((1L, 1.0)).toDF("id", "a"))
+    ds.appendEvolve("t", Seq((2L, "x")).toDF("id", "b"))
+    val out = ds.read("t").orderBy("id").collect()
+    assert(ds.read("t").columns.toSet == Set("id", "a", "b"))
+    assert(out(0).isNullAt(2) && out(1).isNullAt(1))
+  }
+
+  test("replaceWindow swaps exactly the window, preserves the rest") {
+    val ds = freshDs()
+    val init = Seq(
+      (1L, ts("2024-01-01 06:00:00"), 1.0),
+      (2L, ts("2024-01-02 06:00:00"), -99.0), // to be revised
+      (3L, ts("2024-01-02 18:00:00"), -99.0), // to be revised
+      (4L, ts("2024-01-03 06:00:00"), 4.0)).toDF("id", "t", "v")
+    ds.append("t", init, Some("t"))
+    val revised = Seq(
+      (2L, ts("2024-01-02 06:00:00"), 2.0),
+      (3L, ts("2024-01-02 18:00:00"), 3.0)).toDF("id", "t", "v")
+    ds.replaceWindow("t", revised, "t",
+      ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00"))
+    val out = ds.read("t").orderBy("id").select("v").as[Double]
+      .collect().toSeq
+    assert(out == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("watermark: None on missing table, max after append, per-key") {
+    val ds = freshDs()
+    assert(Watermark.maxTs(ds, "t", "t").isEmpty)
+    val df = Seq(("a", ts("2024-01-01 00:00:00")),
+      ("a", ts("2024-01-05 00:00:00")),
+      ("b", ts("2024-01-03 00:00:00"))).toDF("k", "t")
+    ds.append("t", df, Some("t"))
+    assert(Watermark.maxTs(ds, "t", "t").contains(ts("2024-01-05 00:00:00")))
+    val perKey = Watermark.maxTsPerKey(ds, "t", "t", Seq("k"))
+    assert(perKey(Seq("a")) == ts("2024-01-05 00:00:00"))
+    assert(perKey(Seq("b")) == ts("2024-01-03 00:00:00"))
+  }
+
+  test("forward/backward chunk work-lists cover the range exactly") {
+    val day = 86400000L
+    val fwd = Watermark.forwardChunks(
+      ts("2024-01-01 00:00:00"), ts("2024-01-03 12:00:00"), day)
+    assert(fwd.length == 3)
+    assert(fwd.head._1 == ts("2024-01-01 00:00:00"))
+    assert(fwd.last._2 == ts("2024-01-03 12:00:00"))
+    val back = Watermark.backwardChunks(
+      ts("2024-01-03 00:00:00"), ts("2024-01-01 00:00:00"), day)
+    assert(back.length == 2 && back.head._2 == ts("2024-01-03 00:00:00"))
+  }
+
+  test("metadata upsert is keyed MERGE; stats count tables") {
+    val wh = Files.createTempDirectory("ingest-spec").toString
+    val cat = new MetadataCatalog(spark, wh)
+    val ds = new IngestDataset(spark, wh, "demo")
+    ds.append("t1", Seq((1, 2)).toDF("a", "b"))
+    val (nt, sz) = cat.stats("demo")
+    assert(nt == 1 && sz > 0)
+    val row = MetadataRow("demo", Date.valueOf("2026-08-12"),
+      Date.valueOf("2026-08-12"), "src", "MIT", "d", "c", nt, sz)
+    cat.upsert(row)
+    cat.upsert(row.copy(tables = 5))
+    val out = cat.read().collect()
+    assert(out.length == 1 && out(0).getAs[Int]("tables") == 5)
+  }
+}
