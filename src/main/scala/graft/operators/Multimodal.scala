@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: media as
+  * opaque `binary` payloads with typed metadata, decoded / featurized /
+  * frame-sampled in partition-local batches.
+  *
+  * The *decoders are stubs* — this container has no image/audio codecs,
+  * so decode produces a deterministic fake derived from the bytes
+  * (clearly marked below). Everything around the stub is the real
+  * production shape: schema, encoders, mapPartitions batch iteration
+  * (the JVM analog of `mapInPandas` batches), partition-local state,
+  * and explode semantics for frame sampling. Swapping the stub body for
+  * a real codec changes no plumbing.
+  *
+  * 100 TB posture: payloads never pass through a shuffle — decode and
+  * featurize are map-side `mapPartitions`; only compact features and
+  * metadata flow downstream.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int)
+
+  final case class DecodedRow(
+      media_id: Long, kind: String, n_bytes: Int, checksum: Long,
+      width: Int, height: Int)
+
+  final case class FeatureRow(media_id: Long, feature: Array[Float])
+
+  final case class FrameRow(
+      media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Ingest-adapter analog: derive a deterministic media table from any
+    * (id, text) corpus — payload bytes stand in for encoded media. */
+  def packMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("doc_id") % 640 + 64).cast("int").as("width"),
+        (col("doc_id") % 480 + 48).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  /** Decode: partition-local batch loop over payloads.
+    * STUB — a real implementation calls an image/audio decoder here;
+    * the fake emits byte count + rolling checksum so tests can assert
+    * determinism end-to-end. */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      // per-partition setup happens once (decoder init in production)
+      batch.map { m =>
+        var sum = 1469598103934665603L // FNV-1a offset basis
+        var i = 0
+        while (i < m.payload.length) {
+          sum = (sum ^ (m.payload(i) & 0xff)) * 1099511628211L
+          i += 1
+        }
+        DecodedRow(m.media_id, m.kind, m.payload.length, sum,
+          m.width, m.height)
+      }
+    }
+  }
+
+  /** Feature extraction: payload → fixed-dim Float vector.
+    * STUB — production would run a vision/audio encoder per batch; the
+    * fake projects byte n-grams into `dim` buckets, which preserves the
+    * real signature (binary → Array[Float]) and batch shape. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int)
+      : Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < m.payload.length) {
+          val bucket = ((m.payload(i) & 0xff) * 31 + i) % dim
+          acc(bucket) += 1.0f
+          i += 1
+        }
+        val norm = math.sqrt(acc.map(x => x * x.toDouble).sum).toFloat
+        FeatureRow(m.media_id,
+          if (norm == 0f) acc else acc.map(_ / norm))
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th fixed-size
+    * block becomes a frame row (explode semantics — one input row, many
+    * frame rows, still map-side). */
+  def sampleFrames(media: Dataset[MediaRow], blockSize: Int, stride: Int)
+      : Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video").flatMap { m =>
+      val nBlocks = math.max(m.payload.length / blockSize, 0)
+      (0 until nBlocks by stride).iterator.map { b =>
+        FrameRow(m.media_id, b,
+          java.util.Arrays.copyOfRange(
+            m.payload, b * blockSize,
+            math.min((b + 1) * blockSize, m.payload.length)))
+      }
+    }
+  }
+
+  /** Resize: pure metadata transform (the real op also re-encodes the
+    * payload — stubbed to keep bytes unchanged). */
+  def resizeMeta(media: Dataset[MediaRow], maxW: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      if (m.width <= maxW) m
+      else {
+        val scale = maxW.toDouble / m.width
+        m.copy(width = maxW,
+          height = math.max((m.height * scale).toInt, 1))
+      }
+    }
+  }
+}

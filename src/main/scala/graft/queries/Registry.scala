@@ -15,7 +15,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     CoreTemplates.qs ++ ReshapeOps.qs ++ TextOps.qs ++ DedupOps.qs ++
-      VectorOps.qs ++ GeoOps.qs ++ IngestOps.qs
+      VectorOps.qs ++ GeoOps.qs ++ IngestOps.qs ++ MultimodalOps.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
