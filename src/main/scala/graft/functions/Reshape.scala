@@ -83,4 +83,31 @@ object Reshape {
     * fallback. */
   def unionEvolve(old: DataFrame, fresh: DataFrame): DataFrame =
     old.unionByName(fresh, allowMissingColumns = true)
+
+  /** J6 — horizontal concat on an index column (`pd.concat(axis=1)`,
+    * reference: windmodel.py:97, entsoe_crawler.py:354-371): aligns a
+    * list of per-series frames by full-outer joining on the index. */
+  def concatOnIndex(dfs: Seq[DataFrame], indexCol: String): DataFrame =
+    dfs.reduce((l, r) => l.join(r, Seq(indexCol), "full_outer"))
+
+  /** A12 — schema-introspected column-pair arithmetic (reference:
+    * entsoe_crawler.py:80-117 net generation = `X_actual_aggregated −
+    * X_actual_consumption` per technology, with null→0 fallback and
+    * agg-only passthrough). For every base name with an `aggSuffix`
+    * column, emits `net_<base>`; a missing consumption side counts
+    * as 0. */
+  def pairDiff(df: DataFrame, keys: Seq[String],
+      aggSuffix: String, consSuffix: String): DataFrame = {
+    val bases = df.columns.filter(_.endsWith(aggSuffix))
+      .map(_.stripSuffix(aggSuffix))
+    val nets = bases.map { b =>
+      val agg = coalesce(col(b + aggSuffix), lit(0.0))
+      val cons =
+        if (df.columns.contains(b + consSuffix))
+          coalesce(col(b + consSuffix), lit(0.0))
+        else lit(0.0)
+      (agg - cons).as(s"net_$b")
+    }
+    df.select(keys.map(col) ++ nets: _*)
+  }
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PostgREST URL algebra → DataFrame plan (reference read surface #2,
+  * SURVEY.md §3.3 / §2.10 Q9: `GET /consumption?select=DateTime,
+  * power.sum()&DateTime=gte.'2012-01-01'&limit=10`).
+  *
+  * Supported (the subset the reference's docs/dashboards actually use):
+  *   select=col, col.sum()/avg()/min()/max()/count()
+  *   <col>=eq./gt./gte./lt./lte./neq./like.<value>
+  *   order=col[.desc], limit=N
+  * Aggregate selects imply grouping by the plain selected columns —
+  * PostgREST's aggregate semantics (PGRST_DB_AGGREGATES_ENABLED).
+  */
+object RestQuery {
+
+  private val AggRe = "^([A-Za-z_][A-Za-z0-9_]*)\\.(sum|avg|min|max|count)\\(\\)$".r
+
+  def apply(table: DataFrame, queryString: String): DataFrame = {
+    val params = queryString.split("&").filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toSeq
+
+    var df = table
+
+    // predicates (any param that is not select/order/limit)
+    params.foreach {
+      case ("select" | "order" | "limit", _) => ()
+      case (col0, v) =>
+        val dot = v.indexOf('.')
+        val (op, rawValue) =
+          if (dot >= 0) (v.substring(0, dot), v.substring(dot + 1))
+          else ("eq", v)
+        val value = rawValue.stripPrefix("'").stripSuffix("'")
+        val c = col(col0)
+        df = df.filter(op match {
+          case "eq" => c === value
+          case "neq" => c =!= value
+          case "gt" => c > value
+          case "gte" => c >= value
+          case "lt" => c < value
+          case "lte" => c <= value
+          case "like" => c.like(value.replace("*", "%"))
+          case other => throw new IllegalArgumentException(
+            s"unsupported operator: $other")
+        })
+    }
+
+    // projection / aggregation
+    params.collectFirst { case ("select", s) => s }.foreach { sel =>
+      val items = sel.split(",").map(_.trim)
+      val aggs = items.collect { case AggRe(c, f) => (c, f) }
+      val plain = items.filter(i => AggRe.findFirstIn(i).isEmpty)
+      if (aggs.nonEmpty) {
+        val aggCols: Seq[Column] = aggs.map {
+          case (c, "sum") => sum(col(c)).as(s"${c}_sum")
+          case (c, "avg") => avg(col(c)).as(s"${c}_avg")
+          case (c, "min") => min(col(c)).as(s"${c}_min")
+          case (c, "max") => max(col(c)).as(s"${c}_max")
+          case (c, "count") => count(col(c)).as(s"${c}_count")
+          case (c, f) => throw new IllegalArgumentException(s"$f($c)")
+        }
+        df = df.groupBy(plain.map(col).toSeq: _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      } else df = df.select(plain.map(col).toSeq: _*)
+    }
+
+    params.collectFirst { case ("order", o) => o }.foreach { o =>
+      val cols = o.split(",").map(_.trim).map {
+        case s if s.endsWith(".desc") => col(s.stripSuffix(".desc")).desc
+        case s => col(s.stripSuffix(".asc")).asc
+      }
+      df = df.orderBy(cols.toSeq: _*)
+    }
+
+    params.collectFirst { case ("limit", n) => n }.foreach { n =>
+      df = df.limit(n.toInt)
+    }
+    df
+  }
+}

@@ -15,7 +15,8 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     CoreTemplates.qs ++ ReshapeOps.qs ++ TextOps.qs ++ DedupOps.qs ++
-      VectorOps.qs ++ GeoOps.qs ++ IngestOps.qs ++ MultimodalOps.qs
+      VectorOps.qs ++ GeoOps.qs ++ IngestOps.qs ++ MultimodalOps.qs ++
+      ScalarOps.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ExactAgg._
+import graft.functions.{LocaleFuncs, Reshape, TimeFuncs}
+import graft.operators.RestQuery
+
+/** Scalar-function families and remaining aggregate patterns from
+  * SURVEY.md §2.5/§2.8, plus the SQL and PostgREST read surfaces. Each
+  * locale/format parser is validated by a round-trip: the query
+  * *constructs* the dialect string from clean source values, parses it
+  * back, and the oracle derives the expected result from the source
+  * directly — lossless round-trip ⟺ parser correct.
+  */
+object ScalarOps {
+
+  val qs: Seq[Q] = Seq(
+
+    // F2 — German decimal parsing with source null markers
+    // (netztransparenz/ladesaeulenregister dialect).
+    Q("q35_locale_parse",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val german = when(col("event_id") % 50 === 0, lit("n.a."))
+          .otherwise(regexp_replace(col("value").cast("string"), "\\.", ","))
+        ev.select(col("event_id"),
+            LocaleFuncs.germanDouble(german).as("parsed"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+          CASE WHEN event_id % 50 = 0 THEN NULL ELSE value END AS parsed
+        FROM events ORDER BY event_id""")),
+
+    // F3 — date+time+zone-label composition to UTC across the DST
+    // boundary (netztransparenz.py:97-106).
+    Q("q36_compose_timestamp",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val zone = when(month(col("o_orderdate")).between(4, 9), "CEST")
+          .otherwise("CET")
+        o.select(col("o_orderkey"),
+            LocaleFuncs.composeUtcTimestamp(
+              date_format(col("o_orderdate"), "dd.MM.yyyy"),
+              lit("12:30"), zone).as("utc_ts"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          o_orderdate + INTERVAL 12 HOUR + INTERVAL 30 MINUTE
+            - (CASE WHEN month(o_orderdate) BETWEEN 4 AND 9
+               THEN INTERVAL 2 HOUR ELSE INTERVAL 1 HOUR END) AS utc_ts
+        FROM orders ORDER BY o_orderkey""")),
+
+    // A9 — calendar resample + gap fill: daily grid per entity from its
+    // own span (sequence+explode), missing days forward-filled
+    // (instrat_pl.py:53-65 resample().bfill().ffill()).
+    Q("q37_resample_ffill",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("user_id") < 15)
+        val daily = ev
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(dsum(col("value")).as("day_sum"))
+        val cal = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"),
+              expr("interval 1 day"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+        cal.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("filled", Reshape.ffill(col("day_sum"), w))
+          .select("user_id", "day", "filled")
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (
+          SELECT user_id, date_trunc('day', ts) AS day,
+            CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS day_sum
+          FROM events WHERE user_id < 15 GROUP BY 1, 2),
+        spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+          FROM daily GROUP BY 1),
+        cal AS (SELECT user_id,
+            unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+          FROM spans)
+        SELECT c.user_id, c.day,
+          last_value(d.day_sum IGNORE NULLS) OVER (
+            PARTITION BY c.user_id ORDER BY c.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM cal c LEFT JOIN daily d
+          ON c.user_id = d.user_id AND c.day = d.day
+        ORDER BY 1, 2""")),
+
+    // A12 — schema-introspected column-pair algebra (net generation
+    // shape, entsoe_crawler.py:80-117): pivot wide, then
+    // `net_X = X_agg − X_cons` discovered from column names.
+    Q("q38_column_pair_algebra",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .withColumn("day", date_trunc("day", col("ts")))
+        val wide = Reshape.pivotWide(ev, Seq("day"), "event_type",
+            dsum(col("value")),
+            Seq("click", "view", "purchase", "signup"))
+          .withColumnsRenamed(Map(
+            "click" -> "eng_actual_aggregated",
+            "view" -> "eng_actual_consumption",
+            "purchase" -> "rev_actual_aggregated",
+            "signup" -> "rev_actual_consumption"))
+        Reshape.pairDiff(wide, Seq("day"),
+            "_actual_aggregated", "_actual_consumption")
+          .orderBy("day")
+      },
+      Some("""SELECT date_trunc('day', ts) AS day,
+          coalesce(CAST(sum(CASE WHEN event_type = 'click'
+              THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE), 0.0)
+            - coalesce(CAST(sum(CASE WHEN event_type = 'view'
+              THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE), 0.0)
+            AS net_eng,
+          coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE), 0.0)
+            - coalesce(CAST(sum(CASE WHEN event_type = 'signup'
+              THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE), 0.0)
+            AS net_rev
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // J6 — horizontal concat on index: per-series daily means aligned
+    // by full-outer join reduce (pd.concat(axis=1) shape).
+    Q("q39_horizontal_concat",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .withColumn("day", date_trunc("day", col("ts")))
+        val series = Seq("click", "view", "purchase").map { t =>
+          ev.filter(col("event_type") === t)
+            .groupBy("day").agg(davg(col("value")).as(s"${t}_avg"))
+        }
+        Reshape.concatOnIndex(series, "day").orderBy("day")
+      },
+      Some("""SELECT date_trunc('day', ts) AS day,
+          CASE WHEN count(CASE WHEN event_type = 'click' THEN value END) > 0
+            THEN CAST(sum(CASE WHEN event_type = 'click'
+              THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE)
+              / CAST(count(CASE WHEN event_type = 'click' THEN value END) AS DOUBLE)
+            END AS click_avg,
+          CASE WHEN count(CASE WHEN event_type = 'view' THEN value END) > 0
+            THEN CAST(sum(CASE WHEN event_type = 'view'
+              THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE)
+              / CAST(count(CASE WHEN event_type = 'view' THEN value END) AS DOUBLE)
+            END AS view_avg,
+          CASE WHEN count(CASE WHEN event_type = 'purchase' THEN value END) > 0
+            THEN CAST(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE)
+              / CAST(count(CASE WHEN event_type = 'purchase' THEN value END) AS DOUBLE)
+            END AS purchase_avg
+        FROM events
+        GROUP BY 1
+        HAVING count(CASE WHEN event_type IN ('click','view','purchase')
+          THEN 1 END) > 0
+        ORDER BY 1""")),
+
+    // SQL read surface: a dashboard-shaped query through spark.sql with
+    // the registered time_bucket helper (Grafana/psql surface parity).
+    Q("q40_sql_surface",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TimeFuncs.register(s)
+        s.sql("""SELECT time_bucket_s(3600, ts) AS bucket, event_type,
+            count(*) AS n
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS bucket, event_type,
+          count(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Q9 — PostgREST URL algebra translated to a DataFrame plan
+    // (http_export_examples.md:17-24 shape).
+    Q("q41_rest_algebra",
+      (s, dir) => {
+        RestQuery(Tables.load(s, dir, "events"),
+          "select=event_type,event_id.count(),value.max()" +
+            "&ts=gte.2024-01-15 00:00:00&order=event_type&limit=3")
+      },
+      Some("""SELECT event_type, count(event_id) AS event_id_count,
+          max(value) AS value_max
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1 ORDER BY 1 LIMIT 3"""))
+  )
+}
