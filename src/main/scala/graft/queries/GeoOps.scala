@@ -89,6 +89,23 @@ object GeoOps {
               .as("geojson"))
           .orderBy("zone")
       },
+      None),
+
+    // A11 — bounding-geometry aggregate (metadata concave-hull analog):
+    // convex hull WKT of each segment's synthetic point cloud via the
+    // custom bounded-state Aggregator (rows-only; hull WKT isn't
+    // ANSI-SQL — HullInterpSpec checks correctness + partition
+    // invariance).
+    Q("q43_hull_aggregate",
+      (s, dir) => {
+        val pts = Tables.load(s, dir, "customer")
+          .select(col("c_mktsegment"),
+            expr(lonExpr).as("lon"), expr(latExpr).as("lat"))
+        pts.groupBy("c_mktsegment")
+          .agg(graft.expressions.HullAggregate
+            .hullWkt(col("lon"), col("lat")).as("hull_wkt"))
+          .orderBy("c_mktsegment")
+      },
       None)
   )
 }

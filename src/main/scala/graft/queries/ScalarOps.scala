@@ -182,6 +182,42 @@ object ScalarOps {
       Some("""SELECT event_type, count(event_id) AS event_id_count,
           max(value) AS value_max
         FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
-        GROUP BY 1 ORDER BY 1 LIMIT 3"""))
+        GROUP BY 1 ORDER BY 1 LIMIT 3""")),
+
+    // F6 — JSON navigation: extract typed fields from a JSON payload
+    // column (reference: smard/e2watch/gie series parsing, SURVEY.md
+    // §2.8 F6) and aggregate on them.
+    Q("q42_json_extract",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy((col("k") % 10).as("k_bucket"))
+          .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+          .orderBy("k_bucket")
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+            AS k_bucket,
+          count(*) AS n,
+          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // W5 — per-group cubic spline interpolation onto a regular grid
+    // (windmodel turbine-curve shape; rows-only — spline math isn't
+    // ANSI-SQL, HullInterpSpec pins the numerics).
+    Q("q44_spline_grid",
+      (s, dir) => {
+        val sup = Tables.load(s, dir, "supplier")
+        val curves = sup
+          .withColumn("x", (col("s_suppkey") % 10).cast("double"))
+          .groupBy(col("s_nationkey").cast("string").as("nation"),
+            col("x"))
+          .agg(davg(col("s_acctbal")).as("y"))
+        graft.functions.Interpolation.splineOnGrid(
+            curves, "nation", "x", "y",
+            (0 to 18).map(_ * 0.5))
+          .orderBy("group", "x")
+      },
+      None)
   )
 }

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.LocaleFuncs
+import graft.sources.{CsvDialects, JsonFlatten, XmlSource}
+
+/** Raw-input dialect fixtures from FIXTURES.md §C, generated
+  * deterministically in a temp dir and driven through the source
+  * adapters end-to-end. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpFile(name: String, content: String,
+      charset: java.nio.charset.Charset = StandardCharsets.UTF_8): Path = {
+    val dir = Files.createTempDirectory("sources-spec")
+    val f = dir.resolve(name)
+    Files.write(f, content.getBytes(charset))
+    f
+  }
+
+  test("germanCsv + LocaleFuncs: dialect parse incl. DST fold and N.A.") {
+    val csv =
+      """Datum;von;Zeitzone von;50hertz_mw
+        |26.10.2024;02:30;CEST;1.234,56
+        |27.10.2024;02:30;CEST;N.A.
+        |27.10.2024;02:30;CET;7,5
+        |""".stripMargin
+    val f = tmpFile("german.csv", csv)
+    val df = CsvDialects.germanCsv(spark, f.toString)
+      .withColumn("mw", LocaleFuncs.germanDouble(col("50hertz_mw")))
+      .withColumn("utc", LocaleFuncs.composeUtcTimestamp(
+        col("Datum"), col("von"), col("Zeitzone von")))
+    val rows = df.orderBy("utc").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Double]("mw") == 1234.56)
+    // DST fold: the duplicated local 02:30 maps to two distinct instants
+    assert(rows(1).getAs[Timestamp]("utc") ==
+      Timestamp.valueOf("2024-10-27 00:30:00")) // CEST = UTC+2
+    assert(rows(2).getAs[Timestamp]("utc") ==
+      Timestamp.valueOf("2024-10-27 01:30:00")) // CET = UTC+1
+    assert(rows(1).isNullAt(rows(1).fieldIndex("mw")))
+  }
+
+  test("preambleCsv skips junk lines and trailing blanks") {
+    val csv = (1 to 4).map(i => s"junk line $i").mkString("\n") +
+      "\ncode,power\nA,1\nB,2\n\n\n"
+    val f = tmpFile("preamble.csv", csv)
+    val df = CsvDialects.preambleCsv(spark, f.toString, skipLines = 4)
+    assert(df.columns.toSeq == Seq("code", "power"))
+    assert(df.count() == 2)
+  }
+
+  test("headerlessCsv names positional columns, drops extras") {
+    val f = tmpFile("freq.csv",
+      "2019-01-01,00:00:01,50.01,junk\n2019-01-01,00:00:02,49.99,junk\n")
+    val df = CsvDialects.headerlessCsv(spark, f.toString,
+      Seq("date", "time", "hz"))
+    assert(df.columns.toSeq == Seq("date", "time", "hz"))
+    assert(df.count() == 2)
+  }
+
+  test("multiRecord splits interleaved typed lines into tables") {
+    val f = tmpFile("eex.csv",
+      """# ST;name;value
+        |# PR;product;price;unit
+        |ST;base;100
+        |PR;f1;42.5;EUR
+        |ST;peak;200
+        |PR;f2;43.5;EUR
+        |""".stripMargin)
+    val tables = CsvDialects.multiRecord(spark, f.toString,
+      Map("ST" -> Seq("name", "value"),
+        "PR" -> Seq("product", "price", "unit")))
+    assert(tables("ST").count() == 2)
+    assert(tables("PR").select("product").as[String].collect().toSet ==
+      Set("f1", "f2"))
+  }
+
+  test("flattenThreeLevels: gie-style children descent with parent") {
+    val json =
+      """[{"name":"DE","code":"de","value":1.0,"children":[
+           {"name":"CompA","code":"","value":2.0,"children":[
+             {"name":"Loc1","code":"l1","value":3.0,"children":[]}]}]},
+          {"name":"FR","code":"fr","value":4.0,"children":[]}]"""
+        .replaceAll("\n\\s*", "")
+    val df = Seq(json).toDF("payload")
+    val (l1, l2, l3) = JsonFlatten.flattenThreeLevels(spark, df, "payload")
+    assert(l1.count() == 2)
+    val compA = l2.head()
+    assert(compA.getAs[String]("parent") == "DE")
+    assert(compA.isNullAt(compA.fieldIndex("code"))) // "" -> null
+    val loc = l3.head()
+    assert(loc.getAs[String]("name") == "Loc1" &&
+      loc.getAs[String]("parent") == "CompA")
+  }
+
+  test("readFlatXml parses utf-16le registry part-files via StAX") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-16LE"?>
+        |<EinheitenWind>
+        |<Wind><EinheitMastrNummer>W1</EinheitMastrNummer>
+        |<Bruttoleistung>3200.5</Bruttoleistung>
+        |<Gemeinde>Aachen</Gemeinde></Wind>
+        |<Wind><EinheitMastrNummer>W2</EinheitMastrNummer>
+        |<Bruttoleistung>2000</Bruttoleistung></Wind>
+        |</EinheitenWind>
+        |""".stripMargin
+    val f = tmpFile("wind.xml", xml, StandardCharsets.UTF_16LE)
+    val df = XmlSource.readFlatXml(spark, f.toString, "Wind",
+      Seq("EinheitMastrNummer", "Bruttoleistung", "Gemeinde"))
+    val rows = df.orderBy("EinheitMastrNummer").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "W1" && rows(0).getString(2) == "Aachen")
+    assert(rows(1).getString(1) == "2000" && rows(1).isNullAt(2))
+  }
+}
