@@ -51,7 +51,10 @@ object Dedup {
     * Jaccard = fraction of agreeing minhash positions. */
   def minHashLsh(
       docs: DataFrame, k: Int, numHashes: Int, bands: Int): DataFrame = {
-    val sig = minHashSignatures(shingleSets(docs, k), numHashes)
+    // the signature frame feeds three consumers (bands + both sides of
+    // the estimate join); without persist the whole shingle+md5
+    // pipeline runs three times. One row per doc — cheap to hold.
+    val sig = minHashSignatures(shingleSets(docs, k), numHashes).persist()
     val bk = bandKeys(sig, numHashes, bands)
     val pairs = bk.as("a")
       .join(bk.as("b"),
@@ -75,8 +78,9 @@ object Dedup {
     * shingle frequencies, not N² — the standard scalable exact check
     * run after (or instead of) LSH candidate generation. */
   def ngramJaccardPairs(docs: DataFrame, k: Int): DataFrame = {
-    val sh = shingleSets(docs, k)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // reused by both join sides and the size table — persist once
+    val sh = shingleSets(docs, k).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n")).persist()
     val inter = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
