@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.CosineSimilarity
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions in the SQL function registry so they are usable
+  * from `spark.sql` text exactly like built-ins (including inside the
+  * dashboard-SQL surface).
+  *
+  * Activate with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.cosineSimilarityDesc)
+  }
+}
+
+object GraftExtensions {
+
+  private[graft] val cosineSimilarityDesc
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        "cosine_similarity"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "cosine_similarity(arrayA, arrayB) takes 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      })
+
+  /** Register on an already-built session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = cosineSimilarityDesc
+    spark.sessionState.functionRegistry
+      .registerFunction(id, info, builder)
+  }
+}

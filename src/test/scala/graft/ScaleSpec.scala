@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Reshape
+import graft.operators.{CoLocate, SkewJoin}
+
+/** Scale-posture checks: salting, bucketed co-location, wide-melt
+  * codegen safety, SQL registration of custom expressions. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals plain join results (inner + left)") {
+    val left = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "v")
+    val right = Seq((1, "X"), (2, "Y")).toDF("k", "w")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").collect()
+        .map(r => (r.getInt(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(norm(SkewJoin.saltedJoin(left, right, Seq("k"), 4)) ==
+      norm(left.join(right, Seq("k"))))
+    assert(norm(SkewJoin.saltedJoin(left, right, Seq("k"), 4, "left")) ==
+      norm(left.join(right, Seq("k"), "left")))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val o = Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    val l = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    CoLocate.writeBucketed(o, "b_orders", "o_orderkey", 4)
+    CoLocate.writeBucketed(
+      l.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+      "o_orderkey", 4)
+    val joined = CoLocate.read(spark, "b_orders")
+      .join(CoLocate.read(spark, "b_lineitem"), "o_orderkey")
+    assert(!CoLocate.hasShuffle(joined),
+      "bucketed join must not shuffle")
+    // sanity: un-bucketed twin DOES shuffle (broadcast disabled so the
+    // tiny test tables can't sidestep the exchange)
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thr)
+    spark.conf.set(thr, "-1")
+    try {
+      val plain = o.join(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+      assert(CoLocate.hasShuffle(plain))
+      assert(joined.count() == plain.count())
+    } finally spark.conf.set(thr, prev)
+  }
+
+  test("melt survives thousands of value columns (codegen-safe path)") {
+    val width = 3000
+    val cols = (0 until width).map(i => lit(i.toDouble).as(s"t$i"))
+    val wide = spark.range(4).select(col("id") +: cols: _*)
+    val melted = Reshape.melt(wide, Seq("id"),
+      (0 until width).map(i => s"t$i"))
+    assert(melted.count() == 4L * width)
+    assert(melted.filter($"variable" === "t2999").count() == 4)
+  }
+
+  test("cosine_similarity callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(
+           CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+           CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c""")
+      .as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+}
