@@ -104,14 +104,21 @@ object Similarity {
     * index — no RNG state to ship to executors). Vectors that share a
     * bucket signature are candidate neighbors; at scale the exact
     * scoring then runs per-bucket instead of all-pairs. */
+  /** Hyperplane weight (h, i): fixed pseudo-random constants — computed
+    * at plan-build time so the identical literals can be embedded in an
+    * oracle query. */
+  def lshWeight(h: Int, dim: Int, i: Int): Double =
+    math.sin((h * dim + i + 1).toDouble)
+
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
       nBits: Int, dim: Int): DataFrame = {
-    // hyperplane h, component i = sin(h * dim + i) — fixed, cheap,
-    // full-rank in practice; evaluated inside codegen.
+    // left-associated sum of (component × constant) terms — the same
+    // association order an infix SQL expression parses to, so the
+    // doubles (and the sign bits) match the oracle exactly
     val bits = (0 until nBits).map { h =>
       val dot = (0 until dim).map { i =>
         element_at(col(vecCol), i + 1).cast(DoubleType) *
-          sin(lit((h * dim + i + 1).toDouble))
+          lit(lshWeight(h, dim, i))
       }.reduce(_ + _)
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }

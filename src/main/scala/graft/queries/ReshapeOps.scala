@@ -110,18 +110,12 @@ object ReshapeOps {
       (s, dir) => {
         val ev = Tables.load(s, dir, "events")
         val clicks = ev.filter(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), col("ts"),
-            lit(0).as("_is_ref"), lit(null).cast(DoubleType).as("_ref_value"))
+          .select("event_id", "user_id", "ts")
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(lit(null).cast("long").as("event_id"), col("user_id"),
-            col("ts"), lit(1).as("_is_ref"), col("value").as("_ref_value"))
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts"), col("_is_ref").desc)
-        clicks.unionByName(purchases)
-          .withColumn("last_purchase_value",
-            Reshape.ffill(col("_ref_value"), w))
-          .filter(col("_is_ref") === 0)
-          .select("event_id", "user_id", "ts", "last_purchase_value")
+          .select("user_id", "ts", "value")
+        graft.operators.AsOfJoin.asOf(clicks, purchases,
+            Seq("user_id"), "ts", "ts", Seq("value"))
+          .withColumnRenamed("asof_value", "last_purchase_value")
           .orderBy("event_id")
       },
       Some("""SELECT c.event_id, c.user_id, c.ts,

@@ -74,8 +74,10 @@ object VectorOps {
         WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.35
         ORDER BY id_a, id_b""")),
 
-    // LSH-bucketed ANN (scale path): bucket signature per vector —
-    // rows-only gate here; ScalaTest checks bucket-mate recall.
+    // LSH-bucketed ANN (scale path): bucket signature per vector. The
+    // hyperplane weights are plan-time constants, so the oracle embeds
+    // the identical double literals and left-associated sums — the sign
+    // bits match exactly.
     Q("q28_ann_lsh_buckets",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -83,6 +85,15 @@ object VectorOps {
             nBits = 8, dim = Dim)
           .orderBy("vec_id")
       },
-      None)
+      Some {
+        val bits = (0 until 8).map { h =>
+          val terms = (0 until Dim).map { i =>
+            s"CAST(embedding[${i + 1}] AS DOUBLE) * " +
+              s"(${Similarity.lshWeight(h, Dim, i)})"
+          }.mkString(" + ")
+          s"(CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"SELECT vec_id, $bits AS bucket FROM embeddings ORDER BY vec_id"
+      })
   )
 }

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.{LocaleFuncs, Reshape}
+
+/** Property-based checks of the locale/reshape hard parts (SURVEY.md
+  * §7.2): German-number round-trips, DST-safe timestamp composition,
+  * melt row accounting. Data-plane properties run through real Spark
+  * plans on generated local frames. */
+class PropertySpec extends SparkSpec {
+
+  /** Plain ScalaCheck sampling (the scalatest bridge artifact isn't on
+    * the offline classpath): evaluate the property on `n` generated
+    * cases with a fixed seed path via Gen.listOfN sampling. */
+  private def forAllSampled[A](gen: Gen[A], n: Int = 40)(body: A => Unit)
+      : Unit =
+    Gen.listOfN(n, gen).sample.getOrElse(Nil).foreach(body)
+  import spark.implicits._
+
+  test("germanDouble round-trips any 2-decimal value incl. thousands") {
+    forAllSampled(Gen.chooseNum(-999999L, 999999L)) { cents =>
+      val v = cents / 100.0
+      // build "1.234,56"-style German representation
+      val neg = v < 0
+      val abs = math.abs(v)
+      val intPart = abs.toLong
+      val frac = math.round((abs - intPart) * 100)
+      val grouped = f"$intPart%,d".replace(",", ".")
+      val german = (if (neg) "-" else "") + grouped + f",$frac%02d"
+      val got = Seq(german).toDF("s")
+        .select(LocaleFuncs.germanDouble($"s")).as[Double].head()
+      assert(math.abs(got - v) < 1e-9, s"$german -> $got != $v")
+    }
+  }
+
+  test("germanDouble maps every null marker to null") {
+    LocaleFuncs.NullMarkers.foreach { m =>
+      val r = Seq(m).toDF("s")
+        .select(LocaleFuncs.germanDouble($"s")).head()
+      assert(r.isNullAt(0), s"marker '$m'")
+    }
+  }
+
+  test("composeUtcTimestamp: CET/CEST offsets hold for arbitrary dates") {
+    val gen = for {
+      day <- Gen.chooseNum(1, 28)
+      month <- Gen.chooseNum(1, 12)
+      year <- Gen.chooseNum(2015, 2030)
+      hour <- Gen.chooseNum(0, 23)
+      cest <- Gen.oneOf(true, false)
+    } yield (day, month, year, hour, cest)
+    forAllSampled(gen) { case (day, month, year, hour, cest) =>
+      val zone = if (cest) "CEST" else "CET"
+      val offset = if (cest) 2 else 1
+      val got = Seq((f"$day%02d.$month%02d.$year", f"$hour%02d:00", zone))
+        .toDF("d", "t", "z")
+        .select(LocaleFuncs.composeUtcTimestamp($"d", $"t", $"z"))
+        .as[Timestamp].head()
+      val local = java.time.LocalDateTime.of(year, month, day, hour, 0)
+      val want = Timestamp.valueOf(local.minusHours(offset.toLong))
+      assert(got == want, s"$day.$month.$year $hour:00 $zone")
+    }
+  }
+
+  test("melt conserves rows and values for random widths") {
+    forAllSampled(Gen.zip(Gen.chooseNum(1, 12), Gen.chooseNum(1, 30)),
+      n = 8) { case (width, rows) =>
+        val cols = (0 until width).map(i => s"c$i")
+        val df = spark.range(rows.toLong).select(
+          col("id") +: cols.map(c => (col("id") * 10 + lit(c.drop(1).toInt))
+            .cast("double").as(c)): _*)
+        val melted = Reshape.melt(df, Seq("id"), cols)
+        assert(melted.count() == rows.toLong * width)
+        val sumWide = df.select(cols.map(c => sum(col(c))): _*)
+          .collect()(0).toSeq.map(_.asInstanceOf[Double]).sum
+        val sumLong = melted.agg(sum("value")).as[Double].head()
+        assert(math.abs(sumWide - sumLong) < 1e-6)
+    }
+  }
+}
