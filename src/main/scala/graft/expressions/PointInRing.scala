@@ -1,0 +1,87 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** Native ray-casting point-in-polygon test over pre-parsed ring
+  * coordinates (`xs`, `ys` as `array<double>` columns).
+  *
+  * The spatial-join hot path (SURVEY.md J4) evaluates this once per
+  * (point × bbox-surviving polygon); parsing WKT per evaluation would
+  * dominate, so the polygon dimension is pre-parsed once at broadcast
+  * time and this expression runs a pure primitive loop inside
+  * whole-stage codegen — the (b)-tier custom-Expression design over
+  * the v0 string-parsing UDF.
+  */
+case class PointInRing(
+    xs: Expression, ys: Expression, px: Expression, py: Expression)
+    extends QuaternaryExpression {
+
+  override def first: Expression = xs
+  override def second: Expression = ys
+  override def third: Expression = px
+  override def fourth: Expression = py
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = {
+    val rx = a.asInstanceOf[ArrayData]
+    val ry = b.asInstanceOf[ArrayData]
+    val x = c.asInstanceOf[Double]
+    val y = d.asInstanceOf[Double]
+    val n = math.min(rx.numElements(), ry.numElements())
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = rx.getDouble(i); val yi = ry.getDouble(i)
+      val xj = rx.getDouble(j); val yj = ry.getDouble(j)
+      if ((yi > y) != (yj > y) &&
+          x < (xj - xi) * (y - yi) / (yj - yi) + xi) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (rx, ry, x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val xj = ctx.freshName("xj"); val yj = ctx.freshName("yj")
+      val inside = ctx.freshName("inside")
+      s"""
+        int $n = java.lang.Math.min($rx.numElements(), $ry.numElements());
+        boolean $inside = false;
+        int $j = $n - 1;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $rx.getDouble($i); double $yi = $ry.getDouble($i);
+          double $xj = $rx.getDouble($j); double $yj = $ry.getDouble($j);
+          if ((($yi > $y) != ($yj > $y)) &&
+              $x < ($xj - $xi) * ($y - $yi) / ($yj - $yi) + $xi) {
+            $inside = !$inside;
+          }
+          $j = $i;
+        }
+        ${ev.value} = $inside;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression)
+      : PointInRing = copy(xs = a, ys = b, px = c, py = d)
+}
+
+object PointInRing {
+  def pointInRing(xs: Column, ys: Column, px: Column, py: Column): Column =
+    ColumnBridge.column(PointInRing(
+      ColumnBridge.expression(xs), ColumnBridge.expression(ys),
+      ColumnBridge.expression(px), ColumnBridge.expression(py)))
+}

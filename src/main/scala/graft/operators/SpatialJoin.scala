@@ -17,30 +17,39 @@ import graft.functions.GeoFuncs
   */
 object SpatialJoin {
 
-  /** Attach min/max bbox columns to a polygon dimension. */
-  def withBbox(polygons: DataFrame, wktCol: String): DataFrame = {
-    val minX = udf((w: String) => GeoFuncs.bbox(GeoFuncs.parsePolygon(w))._1)
-    val minY = udf((w: String) => GeoFuncs.bbox(GeoFuncs.parsePolygon(w))._2)
-    val maxX = udf((w: String) => GeoFuncs.bbox(GeoFuncs.parsePolygon(w))._3)
-    val maxY = udf((w: String) => GeoFuncs.bbox(GeoFuncs.parsePolygon(w))._4)
+  /** Pre-parse the WKT ring ONCE into coordinate arrays + bbox columns
+    * — the parse cost is paid per polygon at broadcast time, never per
+    * (point × polygon) evaluation. */
+  def withParsedRing(polygons: DataFrame, wktCol: String): DataFrame = {
+    val ringX = udf((w: String) => GeoFuncs.parsePolygon(w).map(_._1))
+    val ringY = udf((w: String) => GeoFuncs.parsePolygon(w).map(_._2))
     polygons
-      .withColumn("_bb_minx", minX(col(wktCol)))
-      .withColumn("_bb_miny", minY(col(wktCol)))
-      .withColumn("_bb_maxx", maxX(col(wktCol)))
-      .withColumn("_bb_maxy", maxY(col(wktCol)))
+      .withColumn("_ring_x", ringX(col(wktCol)))
+      .withColumn("_ring_y", ringY(col(wktCol)))
+      .withColumn("_bb_minx", array_min(col("_ring_x")))
+      .withColumn("_bb_miny", array_min(col("_ring_y")))
+      .withColumn("_bb_maxx", array_max(col("_ring_x")))
+      .withColumn("_bb_maxy", array_max(col("_ring_y")))
   }
 
+  private val helperCols = Seq(
+    "_ring_x", "_ring_y", "_bb_minx", "_bb_miny", "_bb_maxx", "_bb_maxy")
+
   /** Left join `points` (with lon/lat columns) to the containing polygon
-    * row. Polygons are broadcast; bbox prunes; ray-cast decides. */
+    * row. Polygons are broadcast with pre-parsed rings; the cheap bbox
+    * range predicate prunes, then the native codegen'd
+    * [[graft.expressions.PointInRing]] ray-cast decides — no WKT
+    * parsing and no UDF in the per-pair loop. */
   def pointInPolygon(
       points: DataFrame, lonCol: String, latCol: String,
       polygons: DataFrame, wktCol: String): DataFrame = {
-    val polys = withBbox(polygons, wktCol)
+    val polys = withParsedRing(polygons, wktCol)
     val cond =
       col(lonCol) >= col("_bb_minx") && col(lonCol) <= col("_bb_maxx") &&
         col(latCol) >= col("_bb_miny") && col(latCol) <= col("_bb_maxy") &&
-        GeoFuncs.stContains(col(wktCol), col(lonCol), col(latCol))
+        graft.expressions.PointInRing.pointInRing(
+          col("_ring_x"), col("_ring_y"), col(lonCol), col(latCol))
     points.join(broadcast(polys), cond, "left")
-      .drop("_bb_minx", "_bb_miny", "_bb_maxx", "_bb_maxy")
+      .drop(helperCols: _*)
   }
 }

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.Tables
+import graft.functions.ExactAgg._
+
+/** Advanced window compositions common to analytics and training-data
+  * pipelines: top-N per group, running totals, gap-based
+  * sessionization, vocabulary extraction. All oracle-checked.
+  */
+object WindowOps {
+
+  private val dec = DecimalType(28, 2)
+
+  val qs: Seq[Q] = Seq(
+
+    // Top-N per group over a join: 3 highest-revenue customers per
+    // nation (rank + dim join + exact aggregation).
+    Q("q45_topn_per_group",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val cust = Tables.load(s, dir, "customer")
+        val nation = Tables.load(s, dir, "nation")
+        val rev = orders
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("c_custkey"))
+          .agg(dsum(col("o_totalprice")).as("revenue"))
+        val w = Window.partitionBy("n_name")
+          .orderBy(col("revenue").desc, col("c_custkey"))
+        rev.withColumn("rk", row_number().over(w).cast(LongType))
+          .filter(col("rk") <= 3)
+          .select("n_name", "rk", "c_custkey", "revenue")
+          .orderBy("n_name", "rk")
+      },
+      Some("""SELECT n_name, rk, c_custkey, revenue FROM (
+          SELECT n_name, c_custkey, revenue,
+            row_number() OVER (PARTITION BY n_name
+              ORDER BY revenue DESC, c_custkey) AS rk
+          FROM (
+            SELECT n_name, c_custkey,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2))
+        WHERE rk <= 3 ORDER BY n_name, rk""")),
+
+    // Running cumulative total per user (frame-spec window; decimal
+    // partials keep the running values engine-exact).
+    Q("q46_running_sum",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("user_id") < 25)
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("running_value",
+            sum(col("value").cast(dec)).over(w).cast(DoubleType))
+          .select("user_id", "event_id", "ts", "running_value")
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""SELECT user_id, event_id, ts,
+          CAST(sum(CAST(value AS DECIMAL(28,2))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS running_value
+        FROM events WHERE user_id < 25
+        ORDER BY user_id, ts, event_id""")),
+
+    // Gap-based sessionization: a >30-minute silence starts a new
+    // session; emit per-session stats. The classic two-window
+    // composition (lag → boundary flag → cumulative sum → group).
+    Q("q47_sessionize",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val wOrder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val flagged = ev.withColumn("prev_ts",
+            lag(col("ts"), 1).over(wOrder))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+                > 1800, 1).otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              wOrder.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)))
+        flagged.groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            dsum(col("value")).as("session_value"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+            CASE WHEN lag(ts, 1) OVER w IS NULL
+              OR CAST(floor(epoch(ts)) AS BIGINT)
+                - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, ts, value,
+            CAST(sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, count(*) AS n_events,
+          min(ts) AS session_start, max(ts) AS session_end,
+          CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+            AS session_value
+        FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Vocabulary extraction with n-gram counts (tokenizer prep for BPE
+    // training): unigram + bigram frequencies, top 20 by count.
+    Q("q48_vocab_ngrams",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val words = docs.select(
+          explode(split(col("text"), " ")).as("gram"))
+        val bigrams = docs.select(explode(
+          graft.functions.TextFuncs.shingles(col("text"), 2)).as("gram"))
+        words.withColumn("n_gram", lit(1))
+          .unionByName(bigrams.withColumn("n_gram", lit(2)))
+          .groupBy("n_gram", "gram")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("n_gram")
+              .orderBy(col("cnt").desc, col("gram"))).cast(LongType))
+          .filter(col("rk") <= 20)
+          .select("n_gram", "rk", "gram", "cnt")
+          .orderBy("n_gram", "rk")
+      },
+      Some("""WITH words AS (
+          SELECT 1 AS n_gram, unnest(string_split(text, ' ')) AS gram
+          FROM documents),
+        bg AS (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents),
+        bigrams AS (
+          SELECT 2 AS n_gram, ws[i] || ' ' || ws[i+1] AS gram
+          FROM bg, UNNEST(range(1, len(ws))) AS t(i)),
+        counts AS (
+          SELECT n_gram, gram, count(*) AS cnt
+          FROM (SELECT * FROM words UNION ALL SELECT * FROM bigrams)
+          GROUP BY 1, 2)
+        SELECT n_gram, rk, gram, cnt FROM (
+          SELECT n_gram, gram, cnt,
+            row_number() OVER (PARTITION BY n_gram
+              ORDER BY cnt DESC, gram) AS rk
+          FROM counts)
+        WHERE rk <= 20 ORDER BY n_gram, rk"""))
+  )
+}
