@@ -37,13 +37,21 @@ final class IngestDataset(
     * batch (reference declares PKs and drops dups ingest-side,
     * SURVEY.md §1.3); `antiJoinExisting` additionally drops rows whose
     * key already exists (smard.py:169-171 keep-first semantics). */
+  /** `clusterBy` — K9 analog of the reference's composite b-tree
+    * indexes: sortWithinPartitions before write, so parquet row-group
+    * min/max statistics become selective on those columns and point/
+    * range reads skip row groups (no extra shuffle — sorting is
+    * partition-local). */
   def append(
       table: String, df: DataFrame, partitionTs: Option[String] = None,
-      pk: Seq[String] = Nil, antiJoinExisting: Boolean = false): Unit = {
+      pk: Seq[String] = Nil, antiJoinExisting: Boolean = false,
+      clusterBy: Seq[String] = Nil): Unit = {
     var batch = if (pk.nonEmpty) df.dropDuplicates(pk) else df
     if (antiJoinExisting && pk.nonEmpty && tableExists(table))
       batch = batch.join(read(table).select(pk.map(col): _*).distinct(),
         pk, "left_anti")
+    if (clusterBy.nonEmpty)
+      batch = batch.sortWithinPartitions(clusterBy.map(col): _*)
     write(batch, table, SaveMode.Append, partitionTs)
   }
 

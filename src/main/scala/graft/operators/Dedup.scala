@@ -78,8 +78,13 @@ object Dedup {
     * shingle frequencies, not N² — the standard scalable exact check
     * run after (or instead of) LSH candidate generation. */
   def ngramJaccardPairs(docs: DataFrame, k: Int): DataFrame = {
-    // reused by both join sides and the size table — persist once
-    val sh = shingleSets(docs, k).persist()
+    // reused by both join sides and the size table — persist once.
+    // The join/aggregate key is the 64-bit hash of the shingle, not the
+    // string: same pair set (collision odds ~|shingles|²/2⁶⁵), half the
+    // shuffle bytes.
+    val sh = shingleSets(docs, k)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n")).persist()
     val inter = sh.as("a")
       .join(sh.as("b"),
