@@ -25,11 +25,17 @@ object Dedup {
           .as("shingle"))
 
   /** MinHash signature: one row per doc, `numHashes` columns mh0..mhN.
-    * One shuffle (groupBy doc_id) computing all mins in a single pass. */
+    * One shuffle (groupBy doc_id) computing all mins in a single pass.
+    * Hash family: 8-hex-char (32-bit) slices of seeded md5 digests —
+    * 4 independent minhashes per md5 call, so the signature costs
+    * ⌈numHashes/4⌉ digests per shingle instead of numHashes. */
   def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map { h =>
-      min(md5(concat_ws("|", lit(h.toString), col("shingle"))))
-        .as(s"mh$h")
+      val seed = h / 4
+      val slice = h % 4
+      min(substring(
+        md5(concat_ws("|", lit(seed.toString), col("shingle"))),
+        slice * 8 + 1, 8)).as(s"mh$h")
     }
     shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }

@@ -24,7 +24,8 @@ object DedupOps {
 
   private val minhashOracle: String = {
     val mhCols = (0 until NumHashes)
-      .map(h => s"min(md5('$h' || '|' || shingle)) AS mh$h").mkString(", ")
+      .map(h => s"min(substr(md5('${h / 4}' || '|' || shingle), " +
+        s"${h % 4 * 8 + 1}, 8)) AS mh$h").mkString(", ")
     val bandRows = (0 until Bands).map { b =>
       val r0 = b * (NumHashes / Bands)
       val r1 = r0 + 1
