@@ -63,6 +63,25 @@ final class MetadataCatalog(spark: SparkSession, warehouse: String) {
     fs.rename(staging, p)
   }
 
+  /** Temporal + spatial extent of a fact table for the catalog row
+    * (reference `base_crawler.py` records temporal_start/temporal_end;
+    * `metadata_sql_helpers.sql:84-98` the bounding hull). One scan:
+    * min/max timestamps and the bounded-state hull aggregate together. */
+  def describeExtent(ds: IngestDataset, table: String, tsCol: String,
+      lonCol: Option[String] = None, latCol: Option[String] = None)
+      : (Option[Timestamp], Option[Timestamp], Option[String]) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val df = ds.read(table)
+    val aggs =
+      Seq(min(col(tsCol)).as("t0"), max(col(tsCol)).as("t1")) ++
+        (for { lon <- lonCol; lat <- latCol } yield
+          graft.expressions.HullAggregate
+            .hullWkt(col(lon), col(lat)).as("hull"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    (Option(row.getTimestamp(0)), Option(row.getTimestamp(1)),
+      if (row.length > 2) Option(row.getString(2)) else None)
+  }
+
   /** K11 — stats refresh: table count + byte size of a dataset dir
     * (reference reads pg_class; here the filesystem is the catalog). */
   def stats(schemaName: String): (Int, Long) = {
