@@ -79,11 +79,15 @@ object Dedup {
           .as("est_jaccard"))
   }
 
-  /** Exact n-gram Jaccard for every pair sharing ≥1 shingle.
-    * Inverted-index self-join on the shingle key: cost is Σ f(s)² over
-    * shingle frequencies, not N² — the standard scalable exact check
-    * run after (or instead of) LSH candidate generation. */
-  def ngramJaccardPairs(docs: DataFrame, k: Int): DataFrame = {
+  /** Exact n-gram Jaccard for every pair sharing ≥1 shingle, kept when
+    * jaccard ≥ `minJaccard`. Inverted-index self-join on the shingle
+    * key: cost is Σ f(s)² over shingle frequencies, not N² — the
+    * standard scalable exact check run after (or instead of) LSH
+    * candidate generation. The threshold bounds the output (and its
+    * sort) to actual near-dup candidates instead of every pair that
+    * shares one shingle. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int,
+      minJaccard: Double = 0.0): DataFrame = {
     // reused by both join sides and the size table — persist once.
     // The join/aggregate key is the 64-bit hash of the shingle, not the
     // string: same pair set (collision odds ~|shingles|²/2⁶⁵), half the
@@ -107,6 +111,7 @@ object Dedup {
         (col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter")).cast(DoubleType))
           .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** SimHash signature of `nBits` bits (nBits/4 hex chars of each

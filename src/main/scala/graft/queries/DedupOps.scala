@@ -79,10 +79,12 @@ object DedupOps {
       },
       Some(minhashOracle)),
 
-    // Exact n-gram Jaccard via inverted-index self-join.
+    // Exact n-gram Jaccard via inverted-index self-join, thresholded
+    // to near-dup candidates.
     Q("q25_ngram_jaccard",
       (s, dir) => {
-        Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), K)
+        Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), K,
+            minJaccard = 0.03)
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $shingleCte,
@@ -98,6 +100,8 @@ object DedupOps {
         FROM inter
         JOIN sizes na ON doc_a = na.doc_id
         JOIN sizes nb ON doc_b = nb.doc_id
+        WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE)
+          >= 0.03
         ORDER BY doc_a, doc_b""")),
 
     // SimHash signatures (32-bit, token-level).

@@ -202,6 +202,37 @@ object ScalarOps {
           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // Q4 through the SQL-text surface: Catalyst scalar subquery
+    // (weather.json:189 latest-snapshot shape as raw SQL).
+    Q("q50_sql_scalar_subquery",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT event_id, user_id, value FROM events
+          WHERE ts = (SELECT max(ts) FROM events) ORDER BY event_id""")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+        WHERE ts = (SELECT max(ts) FROM events) ORDER BY event_id""")),
+
+    // O1 — null-ordering sort expression (reference:
+    // metadata_sql_helpers.sql:173-175 `ORDER BY nuts_id IS NULL, …`).
+    Q("q51_null_ordering",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        o.withColumn("prio",
+            when(col("o_orderpriority") === "3-MEDIUM",
+              lit(null).cast("string"))
+              .otherwise(col("o_orderpriority")))
+          .orderBy(col("prio").isNull, col("prio"), col("o_orderkey"))
+          .select("o_orderkey", "prio")
+          .limit(50)
+      },
+      Some("""SELECT o_orderkey, prio FROM (
+          SELECT o_orderkey,
+            CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+              ELSE o_orderpriority END AS prio
+          FROM orders)
+        ORDER BY (prio IS NULL), prio, o_orderkey LIMIT 50""")),
+
     // W5 — per-group cubic spline interpolation onto a regular grid
     // (windmodel turbine-curve shape; rows-only — spline math isn't
     // ANSI-SQL, HullInterpSpec pins the numerics).

@@ -100,6 +100,20 @@ class IngestSpec extends SparkSpec {
     assert(back.length == 2 && back.head._2 == ts("2024-01-03 00:00:00"))
   }
 
+  test("date-partitioned reads prune to the requested partitions") {
+    val ds = freshDs()
+    val df = (1 to 10).map(d =>
+      (d.toLong, ts(f"2024-01-$d%02d 06:00:00"), d.toDouble))
+      .toDF("id", "t", "v")
+    ds.append("t", df, Some("t"))
+    val oneDay = ds.read("t").filter(col("date") === "2024-01-03")
+    assert(oneDay.count() == 1)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("2024-01-03"),
+      s"expected partition pruning in plan:\n$plan")
+  }
+
   test("metadata upsert is keyed MERGE; stats count tables") {
     val wh = Files.createTempDirectory("ingest-spec").toString
     val cat = new MetadataCatalog(spark, wh)
