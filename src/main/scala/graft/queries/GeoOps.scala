@@ -75,8 +75,10 @@ object GeoOps {
           FROM hits GROUP BY zone ORDER BY zone NULLS FIRST"""
       }),
 
-    // F7 — geo scalar functions: centroid + GeoJSON of the polygon dim
-    // (rows-only; string formatting of doubles is engine-specific).
+    // F7 — geo scalar functions: centroid + GeoJSON of the polygon dim.
+    // The dimension is a frozen literal, so the oracle pins the exact
+    // expected outputs (golden VALUES) — shortest-round-trip double
+    // literals parse back bit-identical.
     Q("q30_geo_scalars",
       (s, dir) => {
         val polys = s.createDataFrame(zones).toDF("zone", "geometry")
@@ -89,7 +91,18 @@ object GeoOps {
               .as("geojson"))
           .orderBy("zone")
       },
-      None),
+      Some("""SELECT zone, CAST(cx AS DOUBLE) AS cx,
+          CAST(cy AS DOUBLE) AS cy, geojson
+        FROM (VALUES
+          ('rect_a', '-105.00509999999998', '-35.00509999999999',
+           '{"type":"Polygon","coordinates":[[[-150.0051,-60.0051],[-60.0051,-60.0051],[-60.0051,-10.0051],[-150.0051,-10.0051],[-150.0051,-60.0051]]]}'),
+          ('rect_b', '0.0', '-50.005100000000006',
+           '{"type":"Polygon","coordinates":[[[-40.0051,-80.0051],[40.0051,-80.0051],[40.0051,-20.0051],[-40.0051,-20.0051],[-40.0051,-80.0051]]]}'),
+          ('rect_c', '115.00509999999997', '45.00509999999999',
+           '{"type":"Polygon","coordinates":[[[60.0051,10.0051],[170.0051,10.0051],[170.0051,80.0051],[60.0051,80.0051],[60.0051,10.0051]]]}'),
+          ('tri_d', '40.0051', '26.67176666666666',
+           '{"type":"Polygon","coordinates":[[[0.0051,0.0051],[120.0051,0.0051],[0.0051,80.0051],[0.0051,0.0051]]]}'))
+        AS t(zone, cx, cy, geojson) ORDER BY zone""")),
 
     // A11 — bounding-geometry aggregate (metadata concave-hull analog):
     // convex hull WKT of each segment's synthetic point cloud via the
