@@ -153,6 +153,38 @@ object WindowOps {
             row_number() OVER (PARTITION BY n_gram
               ORDER BY cnt DESC, gram) AS rk
           FROM counts)
-        WHERE rk <= 20 ORDER BY n_gram, rk"""))
+        WHERE rk <= 20 ORDER BY n_gram, rk""")),
+
+    // Exact rank-based quantiles per group (deterministic alternative
+    // to interpolated percentiles — engine-portable by construction:
+    // the quantile is an actual data element selected by rank).
+    Q("q52_exact_quantiles",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val wOrd = Window.partitionBy("event_type")
+          .orderBy("value", "event_id")
+        val wAll = Window.partitionBy("event_type")
+        val ranked = ev
+          .withColumn("rn", row_number().over(wOrd).cast(LongType))
+          .withColumn("n", count(lit(1)).over(wAll))
+        def at(q: Double, label: String) = ranked
+          .filter(col("rn") === ceil(col("n") * q).cast(LongType))
+          .select(col("event_type"), lit(label).as("q"),
+            col("value").as("quantile_value"))
+        at(0.5, "p50").unionByName(at(0.9, "p90"))
+          .orderBy("event_type", "q")
+      },
+      Some("""WITH ranked AS (
+          SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY value, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM events)
+        SELECT event_type, 'p50' AS q, value AS quantile_value
+          FROM ranked WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
+        UNION ALL
+        SELECT event_type, 'p90' AS q, value AS quantile_value
+          FROM ranked WHERE rn = CAST(ceil(n * 0.9) AS BIGINT)
+        ORDER BY event_type, q"""))
   )
 }
