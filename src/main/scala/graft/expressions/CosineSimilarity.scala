@@ -2,10 +2,11 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native cosine similarity over two `array<float>` columns.
   *
@@ -22,6 +23,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // The kernel reads 4-byte float slots via ArrayData.getFloat; an
+  // array<double> input (the default SQL array-literal type) would
+  // silently read garbage, so reject anything but array<float> at
+  // analysis time.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity requires two array<float> arguments, got " +
+          s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
 
   override def dataType: DataType = DoubleType
 

@@ -2,10 +2,11 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType}
 
 /** Native ray-casting point-in-polygon test over pre-parsed ring
   * coordinates (`xs`, `ys` as `array<double>` columns).
@@ -20,6 +21,19 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
 case class PointInRing(
     xs: Expression, ys: Expression, px: Expression, py: Expression)
     extends QuaternaryExpression {
+
+  // getDouble over the ring arrays requires 8-byte slots; checking the
+  // types makes a float-array or mistyped literal fail analysis instead
+  // of reading garbage.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (xs.dataType, ys.dataType, px.dataType, py.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _),
+          DoubleType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"point_in_ring requires (array<double>, array<double>, double, " +
+          s"double), got $other")
+    }
 
   override def first: Expression = xs
   override def second: Expression = ys

@@ -22,9 +22,7 @@ object TextFuncs {
   /** Ratio of tokens that are common function words of `lang`'s stopword
     * list — a standard quality / fluency signal. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val set = stopwords.map(w => s"'$w'").mkString(", ")
-    val hits = expr(
-      s"size(filter(split(text, ' '), w -> w IN ($set)))")
+    val hits = size(filter(words(text), w => w.isInCollection(stopwords)))
     hits.cast(DoubleType) / tokenCount(text).cast(DoubleType)
   }
 

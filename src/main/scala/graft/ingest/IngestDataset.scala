@@ -92,6 +92,16 @@ final class IngestDataset(
       from: java.sql.Timestamp, until: java.sql.Timestamp): Unit = {
     require(tableExists(table), s"$table must exist for replaceWindow")
     val existing = read(table)
+    // Enumerate the touched date partitions up front: dynamic partition
+    // overwrite only rewrites partitions that receive replacement rows,
+    // so a touched partition whose rows all fell inside [from, until)
+    // and got nothing back from the batch must be deleted explicitly or
+    // its stale rows would survive the re-ingest.
+    val touchedDates = existing
+      .filter(col("date") >= to_date(lit(from)) &&
+        col("date") <= to_date(lit(until)))
+      .select("date").distinct().collect()
+      .map(_.getDate(0).toString).toSet
     val touched = existing
       .filter(col("date") >= to_date(lit(from)) &&
         col("date") <= to_date(lit(until)))
@@ -100,16 +110,26 @@ final class IngestDataset(
     val replacement = touched.unionByName(
       batch.filter(col(tsCol) >= lit(from) && col(tsCol) < lit(until)),
       allowMissingColumns = false)
+      .withColumn("date", to_date(col(tsCol)))
+      // the plan reads the table it overwrites — materialize first
+      .localCheckpoint(eager = true)
+    val replacedDates = replacement
+      .select("date").distinct().collect()
+      .map(_.getDate(0).toString).toSet
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       replacement
-        .withColumn("date", to_date(col(tsCol)))
         .write.mode(SaveMode.Overwrite).partitionBy("date")
         .parquet(tablePath(table))
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val tableDir = new Path(tablePath(table))
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    (touchedDates -- replacedDates).foreach { d =>
+      fs.delete(new Path(tableDir, s"date=$d"), true)
     }
   }
 

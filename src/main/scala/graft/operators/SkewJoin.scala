@@ -19,9 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types for which right-side replication is semantics-preserving:
+    * every left row carries exactly one salt, so a (key, salt) match
+    * exists iff a key match exists — inner/left-outer/semi/anti are all
+    * correct. Right/full-outer are NOT: an unmatched right row would be
+    * emitted once per salt copy. */
+  private val supportedJoinTypes = Set(
+    "inner", "left", "leftouter", "left_outer",
+    "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti")
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    require(supportedJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left-outer/semi/anti joins only; " +
+        s"'$joinType' would duplicate unmatched right rows (use AQE " +
+        s"skew handling for right/full outer)")
     val leftSalted = left.withColumn("_salt",
       pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor))
         .cast("int"))

@@ -25,11 +25,16 @@ object StreamOps {
     spark.readStream.schema(schema).parquet(dir)
 
   /** I5 — late/revised data handling: event-time watermark bounds
-    * state, dropDuplicates on the primary key suppresses re-crawled
-    * rows (the streaming form of the reference's PK-dedup on append). */
+    * state, dropDuplicatesWithinWatermark on the primary key suppresses
+    * re-crawled rows (the streaming form of the reference's PK-dedup on
+    * append). Plain dropDuplicates(pk) would never evict state unless
+    * the event-time column were part of pk; the within-watermark variant
+    * expires each key's dedup state once the watermark passes it, so
+    * state stays bounded on a long-running stream. */
   def dedupRevisions(events: DataFrame, tsCol: String, delay: String,
       pk: Seq[String]): DataFrame =
-    events.withWatermark(tsCol, delay).dropDuplicates(pk)
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(pk)
 
   /** A2/Q1 — continuously maintained time-bucketed aggregate: the
     * streaming twin of the dominant dashboard query. */

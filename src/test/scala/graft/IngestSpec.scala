@@ -75,6 +75,23 @@ class IngestSpec extends SparkSpec {
     assert(out == Seq(1.0, 2.0, 3.0, 4.0))
   }
 
+  test("replaceWindow deletes partitions whose rows all vanish upstream") {
+    val ds = freshDs()
+    val init = Seq(
+      (1L, ts("2024-01-01 06:00:00"), 1.0),
+      (2L, ts("2024-01-02 06:00:00"), -99.0), // upstream deleted this day
+      (3L, ts("2024-01-03 06:00:00"), 3.0)).toDF("id", "t", "v")
+    ds.append("t", init, Some("t"))
+    // re-crawl of Jan-02..Jan-03 returns nothing for Jan-02
+    val revised = spark.emptyDataset[(Long, Timestamp, Double)]
+      .toDF("id", "t", "v")
+    ds.replaceWindow("t", revised, "t",
+      ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00"))
+    val out = ds.read("t").orderBy("id").select("id").as[Long]
+      .collect().toSeq
+    assert(out == Seq(1L, 3L), "stale Jan-02 partition must be deleted")
+  }
+
   test("watermark: None on missing table, max after append, per-key") {
     val ds = freshDs()
     assert(Watermark.maxTs(ds, "t", "t").isEmpty)

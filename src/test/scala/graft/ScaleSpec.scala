@@ -22,6 +22,20 @@ class ScaleSpec extends SparkSpec {
       norm(left.join(right, Seq("k"), "left")))
   }
 
+  test("saltedJoin rejects join types that would duplicate right rows") {
+    val left = Seq((1, "a")).toDF("k", "v")
+    val right = Seq((1, "X")).toDF("k", "w")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer"))
+      intercept[IllegalArgumentException] {
+        SkewJoin.saltedJoin(left, right, Seq("k"), 4, jt)
+      }
+    // semi/anti stay supported: one salt per left row, replicated right
+    assert(SkewJoin.saltedJoin(left, right, Seq("k"), 4, "left_semi")
+      .count() == 1)
+    assert(SkewJoin.saltedJoin(left, right, Seq("k"), 4, "left_anti")
+      .count() == 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     val l = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
@@ -64,5 +78,14 @@ class ScaleSpec extends SparkSpec {
            CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c""")
       .as[Double].head()
     assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("cosine_similarity rejects array<double> at analysis time") {
+    GraftExtensions.register(spark)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+        .collect()
+    }
   }
 }
