@@ -55,6 +55,21 @@ object TextFuncs {
     }
   }
 
+  /** BPE-style pre-tokenizer (GPT-2 pattern family, restricted to the
+    * RE2-compatible subset so the same pattern runs in any engine):
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual whitespace. No lookarounds — the
+    * `\\s+(?!\\S)` tail of the original pattern is dropped, which only
+    * changes how trailing whitespace groups, not token counts on
+    * normalized text. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Token array under [[bpePattern]] — the standard proxy for "how many
+    * BPE tokens will this document cost" in corpus budgeting. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
   /** Word k-shingles as an array column: slides a k-window over the
     * word array with Catalyst `transform` over an index sequence —
     * map-side only, no UDF. */

@@ -124,4 +124,82 @@ object Similarity {
     }
     emb.select(col(idCol), concat(bits: _*).as("bucket"))
   }
+
+  /** Banded-LSH-pruned near-duplicate pairs: candidates share at least
+    * one band of `bandBits` consecutive sign bits (OR-amplification over
+    * `nBits / bandBits` bands), then survivors are exactly rescored with
+    * the decimal cosine and kept at ≥ `threshold`.
+    *
+    * This is the 100 TB replacement for [[cosinePairsAbove]]'s quadratic
+    * broadcast loop: the band join is an equi-join keyed on (band,
+    * signature) — it shuffles, it never crosses buckets, and its cost is
+    * Σ bucket² instead of N². Recall is the standard
+    * 1 − (1 − p^r)^b curve (p = 1 − θ/π); at near-dup thresholds
+    * (cos ≥ 0.9) it is ≈ 1. Returned pairs are always a subset of the
+    * brute-force result (the rescore is exact). */
+  def cosinePairsAboveLsh(emb: DataFrame, threshold: Double,
+      nBits: Int, dim: Int, bandBits: Int): DataFrame = {
+    require(nBits % bandBits == 0)
+    val nBands = nBits / bandBits
+    val sig = lshBuckets(emb, "vec_id", "embedding", nBits, dim)
+    val bands = sig.select(col("vec_id"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            substring(col("bucket"), b * bandBits + 1, bandBits).as("key"))
+        }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    pairs.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("cosine", exactCosine(col("ea"), col("eb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** IVF (inverted-file) cell-probe ANN: vectors are assigned to their
+    * nearest coarse-quantizer centroid once; a query scores only the
+    * vectors in its `nProbe` nearest cells instead of the whole
+    * collection.
+    *
+    * `centroids` is the coarse quantizer — any small (vec_id, embedding)
+    * frame; a k-means fit in production, a deterministic data sample
+    * here. Both assignment and scoring use the oracle-exact decimal
+    * cosine so the whole index is DuckDB-checkable; at 100 TB the
+    * assignment would use the codegen'd [[graft.expressions.CosineSimilarity]]
+    * kernel and the structure is unchanged: centroids broadcast, one
+    * shuffle keyed on cell id, per-cell scan instead of full scan. */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val cent = centroids.select(
+      col("vec_id").as("cid"), col("embedding").as("cemb"))
+    def nearestCells(side: DataFrame, id: String, vec: String, n: Int) = {
+      val w = Window.partitionBy(id)
+        .orderBy(col("_ccos").desc, col("cid"))
+      side.join(broadcast(cent))
+        .withColumn("_ccos", exactCosine(col(vec), col("cemb")))
+        .withColumn("_crn", row_number().over(w))
+        .filter(col("_crn") <= n)
+        .drop("_ccos", "_crn", "cemb")
+    }
+    val assigned = nearestCells(
+      emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
+      "cand_id", "ce", 1)
+    val probes = nearestCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      "query_id", "qe", nProbe)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    probes.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", exactCosine(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(wExact).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cosine")
+  }
 }

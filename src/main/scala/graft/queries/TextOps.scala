@@ -117,6 +117,28 @@ object TextOps {
             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
           FROM documents) ORDER BY doc_id""")),
 
+    // BPE-style token accounting: tokens under the GPT-2-family
+    // pre-tokenizer regex (RE2-compatible subset — identical pattern on
+    // both engines), total + distinct counts per document. The
+    // per-document token cost is the budgeting primitive of every
+    // training-data pipeline.
+    Q("q54_token_regex",
+      (s, dir) => {
+        val toks = bpeTokens(col("text"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_bpe"),
+            size(array_distinct(toks)).cast("long").as("n_uniq"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val pat = bpePattern.replace("'", "''")
+        s"""SELECT doc_id,
+          len(regexp_extract_all(text, '$pat')) AS n_bpe,
+          len(list_distinct(regexp_extract_all(text, '$pat'))) AS n_uniq
+        FROM documents ORDER BY doc_id"""
+      }),
+
     // Normalized fingerprint (case/punctuation-insensitive near-exact
     // dedup key).
     Q("q22_fingerprint",

@@ -14,6 +14,18 @@ object VectorOps {
 
   private val Dim = 64
 
+  /** SQL bit-string expression mirroring Similarity.lshBuckets: the
+    * identical double literals in the identical left-associated order,
+    * so the sign bits agree exactly. */
+  private def bitsSql(nBits: Int): String =
+    (0 until nBits).map { h =>
+      val terms = (0 until Dim).map { i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * " +
+          s"(${Similarity.lshWeight(h, Dim, i)})"
+      }.mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
   /** Shared oracle prelude: long-form embeddings + exact decimal
     * partials, mirroring Similarity.explodeVecs/norms. */
   private val exCte =
@@ -94,6 +106,88 @@ object VectorOps {
           s"(CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END)"
         }.mkString(" || ")
         s"SELECT vec_id, $bits AS bucket FROM embeddings ORDER BY vec_id"
-      })
+      }),
+
+    // IVF cell-probe ANN: data-seeded coarse quantizer (16 lowest-id
+    // vectors), nProbe=4 probed cells, exact rescore within cells. The
+    // whole index — assignment, probing, scoring — is decimal-exact, so
+    // it hash-matches DuckDB end-to-end.
+    Q("q55_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.ivfTopK(
+            emb, emb.filter(col("vec_id") < 10),
+            emb.filter(col("vec_id") < 16), k = 5, nProbe = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $exCte,
+        cd AS (SELECT a.vec_id AS vid, b.vec_id AS cid,
+            CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i
+          WHERE b.vec_id < 16 GROUP BY 1, 2),
+        cc AS (SELECT vid, cid, dot / (sqrt(nv.nn) * sqrt(nc.nn)) AS ccos
+          FROM cd
+          JOIN nrm nv ON nv.vec_id = vid
+          JOIN nrm nc ON nc.vec_id = cid),
+        assign AS (SELECT vid AS cand_id, cid FROM (
+            SELECT vid, cid, row_number() OVER (PARTITION BY vid
+              ORDER BY ccos DESC, cid) AS rn FROM cc) WHERE rn = 1),
+        probes AS (SELECT vid AS query_id, cid FROM (
+            SELECT vid, cid, row_number() OVER (PARTITION BY vid
+              ORDER BY ccos DESC, cid) AS rn FROM cc WHERE vid < 10)
+          WHERE rn <= 4),
+        cand AS (SELECT query_id, cand_id
+          FROM probes JOIN assign USING (cid)
+          WHERE query_id <> cand_id),
+        dots2 AS (SELECT c.query_id, c.cand_id,
+            CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+          FROM cand c
+          JOIN ex a ON a.vec_id = c.query_id
+          JOIN ex b ON b.vec_id = c.cand_id AND a.i = b.i
+          GROUP BY 1, 2),
+        scored AS (SELECT query_id, cand_id,
+            dot / (sqrt(nq.nn) * sqrt(nc.nn)) AS cosine
+          FROM dots2
+          JOIN nrm nq ON nq.vec_id = query_id
+          JOIN nrm nc ON nc.vec_id = cand_id)
+        SELECT query_id, cand_id, rank, cosine FROM (
+          SELECT query_id, cand_id, cosine,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // Banded-LSH-pruned near-dup: candidates share ≥1 of 4 four-bit
+    // sign bands, survivors exactly rescored at ≥ 0.35. The equi-join on
+    // (band, signature) replaces q27's quadratic loop at scale; both
+    // engines prune identically (the sign bits are oracle-exact per
+    // q28), so even the pruned pipeline hash-matches.
+    Q("q56_neardup_lsh_pruned",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.cosinePairsAboveLsh(emb, 0.35,
+            nBits = 16, dim = Dim, bandBits = 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $exCte,
+        sig AS (SELECT vec_id, ${bitsSql(16)} AS bucket FROM embeddings),
+        bands AS (SELECT vec_id, t.band,
+            substr(bucket, t.band * 4 + 1, 4) AS key
+          FROM sig, (VALUES (0), (1), (2), (3)) AS t(band)),
+        pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+        dots AS (SELECT p.id_a, p.id_b,
+            CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+          FROM pairs p
+          JOIN ex a ON a.vec_id = p.id_a
+          JOIN ex b ON b.vec_id = p.id_b AND a.i = b.i
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+        FROM dots
+        JOIN nrm na ON na.vec_id = id_a
+        JOIN nrm nb ON nb.vec_id = id_b
+        WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.35
+        ORDER BY id_a, id_b"""))
   )
 }

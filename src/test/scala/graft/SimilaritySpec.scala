@@ -87,6 +87,56 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("cosinePairsAboveLsh: subset of brute force, exact scores, " +
+      "full recall on planted near-dups") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(100)
+    val brute = Similarity.cosinePairsAbove(emb, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Similarity.cosinePairsAboveLsh(emb, 0.35,
+        nBits = 16, dim = 64, bandBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact rescore ⇒ precision 1.0: every returned pair is a true pair
+    assert(pruned.subsetOf(brute))
+    // planted near-identical vectors (the actual near-dup regime,
+    // cos ≈ 1): band collision probability ≈ 1, recall must be total
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val planted = Seq(
+      (1000L, base),
+      (1001L, base.map(x => x * 1.001f + 1e-4f)),
+      (1002L, base.map(x => x * 0.999f - 1e-4f))).toDF(
+      "vec_id", "embedding").select(col("vec_id"), col("embedding"),
+      lit(999).as("label"))
+    val withDups = emb.unionByName(planted)
+    val prunedDups = Similarity.cosinePairsAboveLsh(withDups, 0.99,
+        nBits = 16, dim = 64, bandBits = 4)
+      .filter($"id_a" >= 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prunedDups == Set((1000L, 1001L), (1000L, 1002L),
+      (1001L, 1002L)))
+  }
+
+  test("ivfTopK: probed-cell top-k matches brute force within cells") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val cent = emb.filter($"vec_id" < 16)
+    val got = Similarity.ivfTopK(emb, queries, cent, k = 5, nProbe = 4)
+      .orderBy("query_id", "rank").collect()
+    assert(got.length == 50)
+    // ranks are 1..5 per query, cosines descending
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // with nProbe = all cells, IVF degrades to exact brute force
+    val full = Similarity.ivfTopK(emb, queries, cent, k = 5, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+    assert(full == brute)
+  }
+
   test("lshBuckets: deterministic signatures, buckets nonempty") {
     val emb = Tables.load(spark, sf, "embeddings")
     val b1 = Similarity.lshBuckets(emb, "vec_id", "embedding", 8, 64)

@@ -51,4 +51,19 @@ class TextFuncsSpec extends SparkSpec {
       .as[Double].head()
     assert(math.abs(r - 1.0 / 3.0) < 1e-12)
   }
+
+  test("stopwordRatio scores the passed column, not a column named text") {
+    val df = Seq(("the cat sat", "unrelated")).toDF("body", "text")
+    val r = df.select(TextFuncs.stopwordRatio($"body", Seq("the")))
+      .as[Double].head()
+    assert(math.abs(r - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("bpeTokens splits contractions, words, numbers, punctuation") {
+    val df = Seq("I'll pay $42, won't I?").toDF("text")
+    val toks = df.select(TextFuncs.bpeTokens($"text")).as[Seq[String]]
+      .head()
+    assert(toks == Seq("I", "'ll", " pay", " $", "42", ",", " won",
+      "'t", " I", "?"))
+  }
 }
