@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -54,29 +55,43 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs (share ≥1 LSH band) with the estimated
-    * Jaccard = fraction of agreeing minhash positions. */
+    * Jaccard = fraction of agreeing minhash positions.
+    *
+    * The band rows CARRY the full signature through the bucket join, so
+    * the estimate is computed in the join output and the multi-band
+    * dedup is the same aggregation that produces the pair — one shuffle
+    * keyed on (band, bkey) plus one on the pair, instead of the naive
+    * distinct-then-rejoin-signatures plan (three extra shuffles and two
+    * more scans of the signature table). The carried payload is
+    * numHashes 8-char slices per row — at 100 TB that trade
+    * (bands × signature bytes of extra shuffle I/O vs two join shuffles
+    * of the full N-row signature table) is the standard one. */
   def minHashLsh(
       docs: DataFrame, k: Int, numHashes: Int, bands: Int): DataFrame = {
-    // the signature frame feeds three consumers (bands + both sides of
-    // the estimate join); without persist the whole shingle+md5
-    // pipeline runs three times. One row per doc — cheap to hold.
-    val sig = minHashSignatures(shingleSets(docs, k), numHashes).persist()
-    val bk = bandKeys(sig, numHashes, bands)
-    val pairs = bk.as("a")
+    val sig = minHashSignatures(shingleSets(docs, k), numHashes)
+    val rows = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("bkey"))
+    }
+    // both join sides are the identical subplan → Spark reuses the
+    // shuffle exchange; no persist needed
+    val bk = sig.select(col("doc_id") +:
+      (0 until numHashes).map(i => col(s"mh$i")) :+
+      explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(col("doc_id") +: col("bk.band") +: col("bk.bkey") +:
+        (0 until numHashes).map(i => col(s"mh$i")): _*)
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    bk.as("a")
       .join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val agree = (0 until numHashes).map(i =>
-      when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs
-      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (agree.cast(DoubleType) / lit(numHashes.toDouble))
-          .as("est_jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (agree.cast(DoubleType) / lit(numHashes.toDouble)).as("est"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("est")).as("est_jaccard"))
   }
 
   /** Exact n-gram Jaccard for every pair sharing ≥1 shingle, kept when
@@ -88,25 +103,24 @@ object Dedup {
     * shares one shingle. */
   def ngramJaccardPairs(docs: DataFrame, k: Int,
       minJaccard: Double = 0.0): DataFrame = {
-    // reused by both join sides and the size table — persist once.
     // The join/aggregate key is the 64-bit hash of the shingle, not the
     // string: same pair set (collision odds ~|shingles|²/2⁶⁵), half the
-    // shuffle bytes.
+    // shuffle bytes. Each side CARRIES its doc's shingle count (one
+    // window over the doc_id partitioning) so the union size falls out
+    // of the pair aggregation directly — no separate size table and no
+    // post-aggregation rejoins. Both join sides are the identical
+    // subplan, so the doc_id shuffle is computed once and reused.
     val sh = shingleSets(docs, k)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n")).persist()
-    val inter = sh.as("a")
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
+    sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na")),
-        Seq("doc_a"))
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb")),
-        Seq("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter")).cast(DoubleType))

@@ -156,8 +156,13 @@ object Similarity {
       .distinct()
     val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    // candidate volume can be large when bands are coarse — prune with
+    // the codegen'd kernel first, pay the decimal rescore only on
+    // survivors (same two-phase shape as cosinePairsAbove)
     pairs.join(ea, "id_a").join(eb, "id_b")
-      .withColumn("cosine", exactCosine(col("ea"), col("eb")))
+      .filter(cosine(col("ea"), col("eb")) >= threshold - 1e-6)
+      .withColumn("cosine",
+        asNondetBarrier(exactCosine(col("ea"), col("eb"))))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -178,14 +183,25 @@ object Similarity {
       k: Int, nProbe: Int): DataFrame = {
     val cent = centroids.select(
       col("vec_id").as("cid"), col("embedding").as("cemb"))
+    // nearest cells via the two-phase pattern of bruteForceTopK: fast
+    // codegen'd kernel ranks all centroids, only the top n+3 pay the
+    // decimal rescore — the +3 buffer absorbs the ~1e-7 kernel-vs-
+    // decimal jitter at the rank boundary, keeping the final ranking
+    // oracle-exact.
     def nearestCells(side: DataFrame, id: String, vec: String, n: Int) = {
-      val w = Window.partitionBy(id)
+      val wFast = Window.partitionBy(id)
+        .orderBy(col("_cfast").desc, col("cid"))
+      val wExact = Window.partitionBy(id)
         .orderBy(col("_ccos").desc, col("cid"))
       side.join(broadcast(cent))
-        .withColumn("_ccos", exactCosine(col(vec), col("cemb")))
-        .withColumn("_crn", row_number().over(w))
+        .withColumn("_cfast", cosine(col(vec), col("cemb")))
+        .withColumn("_cfrn", row_number().over(wFast))
+        .filter(col("_cfrn") <= n + 3)
+        .withColumn("_ccos",
+          asNondetBarrier(exactCosine(col(vec), col("cemb"))))
+        .withColumn("_crn", row_number().over(wExact))
         .filter(col("_crn") <= n)
-        .drop("_ccos", "_crn", "cemb")
+        .drop("_cfast", "_cfrn", "_ccos", "_crn", "cemb")
     }
     val assigned = nearestCells(
       emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
@@ -193,11 +209,17 @@ object Similarity {
     val probes = nearestCells(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
       "query_id", "qe", nProbe)
+    val wFast = Window.partitionBy("query_id")
+      .orderBy(col("_fast").desc, col("cand_id"))
     val wExact = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("cand_id"))
     probes.join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", exactCosine(col("qe"), col("ce")))
+      .withColumn("_fast", cosine(col("qe"), col("ce")))
+      .withColumn("_frn", row_number().over(wFast))
+      .filter(col("_frn") <= k + 3)
+      .withColumn("cosine",
+        asNondetBarrier(exactCosine(col("qe"), col("ce"))))
       .withColumn("rank", row_number().over(wExact).cast(LongType))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "rank", "cosine")

@@ -52,4 +52,38 @@ object SpatialJoin {
     points.join(broadcast(polys), cond, "left")
       .drop(helperCols: _*)
   }
+
+  /** Grid-partitioned spatial join — the scale path when the polygon
+    * side is itself large (parcel/building layers, not a 2k-row NUTS
+    * dimension) and a broadcast nested loop is impossible. Each polygon
+    * is replicated to every `cellDeg`-degree grid cell its bbox covers;
+    * each point hashes to exactly one cell; the join becomes an
+    * EQUI-join on the cell id with the bbox + ray-cast predicate as a
+    * residual filter. A (point, polygon) pair can only meet in the
+    * point's single cell, so no post-join dedup is needed, and left
+    * semantics fall out of the outer join directly. Shuffles both
+    * sides once on the cell key — Σ cell² work instead of points ×
+    * polygons. */
+  def gridJoin(
+      points: DataFrame, lonCol: String, latCol: String,
+      polygons: DataFrame, wktCol: String, cellDeg: Double): DataFrame = {
+    val polys = withParsedRing(polygons, wktCol)
+      .withColumn("_cx", explode(sequence(
+        floor(col("_bb_minx") / cellDeg).cast("long"),
+        floor(col("_bb_maxx") / cellDeg).cast("long"))))
+      .withColumn("_cy", explode(sequence(
+        floor(col("_bb_miny") / cellDeg).cast("long"),
+        floor(col("_bb_maxy") / cellDeg).cast("long"))))
+    val pts = points
+      .withColumn("_px", floor(col(lonCol) / cellDeg).cast("long"))
+      .withColumn("_py", floor(col(latCol) / cellDeg).cast("long"))
+    val cond =
+      col("_px") === col("_cx") && col("_py") === col("_cy") &&
+        col(lonCol) >= col("_bb_minx") && col(lonCol) <= col("_bb_maxx") &&
+        col(latCol) >= col("_bb_miny") && col(latCol) <= col("_bb_maxy") &&
+        graft.expressions.PointInRing.pointInRing(
+          col("_ring_x"), col("_ring_y"), col(lonCol), col(latCol))
+    pts.join(polys, cond, "left")
+      .drop(helperCols :+ "_cx" :+ "_cy" :+ "_px" :+ "_py": _*)
+  }
 }

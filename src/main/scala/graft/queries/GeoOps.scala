@@ -104,11 +104,44 @@ object GeoOps {
            '{"type":"Polygon","coordinates":[[[0.0051,0.0051],[120.0051,0.0051],[0.0051,80.0051],[0.0051,0.0051]]]}'))
         AS t(zone, cx, cy, geojson) ORDER BY zone""")),
 
+    // J4 scale path — grid-partitioned spatial join: polygons
+    // replicated to covering 30°-grid cells, points hashed to their
+    // cell, EQUI-join on cell id + residual bbox/ray-cast — the shape
+    // that holds when the polygon side is too big to broadcast. Same
+    // semantics as q29, so it shares q29's half-plane oracle.
+    Q("q57_spatial_grid_join",
+      (s, dir) => {
+        val pts = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"),
+            expr(lonExpr).as("lon"), expr(latExpr).as("lat"))
+        val polys = s.createDataFrame(zones).toDF("zone", "geometry")
+        SpatialJoin.gridJoin(pts, "lon", "lat", polys, "geometry", 30.0)
+          .groupBy("zone")
+          .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("keysum"))
+          .orderBy(asc_nulls_first("zone"))
+      },
+      Some {
+        val hits = zoneSqlConds.map { case (z, cond) =>
+          s"SELECT '$z' AS zone, c_custkey FROM pts WHERE $cond"
+        }.mkString(" UNION ALL ")
+        val none = zoneSqlConds.map(_._2).mkString(" OR ")
+        s"""WITH pts AS (SELECT c_custkey, $lonExpr AS lon, $latExpr AS lat
+            FROM customer),
+          hits AS ($hits
+            UNION ALL
+            SELECT CAST(NULL AS VARCHAR) AS zone, c_custkey FROM pts
+            WHERE NOT ($none))
+          SELECT zone, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS keysum
+          FROM hits GROUP BY zone ORDER BY zone NULLS FIRST"""
+      }),
+
     // A11 — bounding-geometry aggregate (metadata concave-hull analog):
     // convex hull WKT of each segment's synthetic point cloud via the
-    // custom bounded-state Aggregator (rows-only; hull WKT isn't
-    // ANSI-SQL — HullInterpSpec checks correctness + partition
-    // invariance).
+    // custom bounded-state Aggregator. Hull WKT isn't ANSI-SQL, so the
+    // oracle is a golden-VALUES snapshot pinned to the driver's verify
+    // scale (sf0.01), independently validated against a monotone-chain
+    // hull of the same synthetic points; HullInterpSpec additionally
+    // checks correctness + partition invariance at any SF.
     Q("q43_hull_aggregate",
       (s, dir) => {
         val pts = Tables.load(s, dir, "customer")
@@ -119,6 +152,12 @@ object GeoOps {
             .hullWkt(col("lon"), col("lat")).as("hull_wkt"))
           .orderBy("c_mktsegment")
       },
-      None)
+      Some("""SELECT c_mktsegment, hull_wkt FROM (VALUES
+          ('AUTOMOBILE', 'POLYGON ((-179.92 49.28, -177.42 -53.22, -166.92 -87.72, -144.55 -89.05, 119.97000000000003 -89.73, 133.05 -87.45, 165.20999999999998 -76.89, 169.0 -71.0, 175.5 -49.5, 178.5 43.5, 164.20999999999998 72.11000000000001, 142.33999999999997 88.94, -66.57 89.13, -159.84 88.56, -172.92 86.28, -179.92 49.28))'),
+          ('BUILDING', 'POLYGON ((-179.21 2.8900000000000006, -176.21 -84.11, -88.94 -89.54, 62.150000000000006 -89.35, 157.63 -88.67, 178.29000000000002 -74.61, 179.5 74.5, 160.92000000000002 81.72, 13.620000000000005 87.41999999999999, -115.1 85.9, -143.47 81.22999999999999, -157.05 63.44999999999999, -178.21 33.89, -179.21 2.8900000000000006))'),
+          ('FURNITURE', 'POLYGON ((-179.71 -12.61, -178.42 -84.22, -156.05 -85.55, -31.120000000000005 -89.92, 168.5 -86.5, 179.29000000000002 -43.61, 179.79000000000002 -28.11, 179.57999999999998 33.78, 179.0 59.0, 136.33999999999997 82.94, 106.88999999999999 87.99000000000001, 26.69999999999999 89.69999999999999, -137.47 87.22999999999999, -178.92 80.28, -179.42 64.78, -179.71 -12.61))'),
+          ('HOUSEHOLD', 'POLYGON ((-180.0 -90.0, -86.73 -89.43, 99.81 -88.29, 159.20999999999998 -82.89, 178.79000000000002 -59.11, 177.29000000000002 74.38999999999999, 170.20999999999998 78.11000000000001, 116.18 84.38, -8.75 88.75, -124.39 89.50999999999999, -165.84 82.56, -167.42 76.78, -170.13 61.16999999999999, -176.42 -22.22, -180.0 -90.0))'),
+          ('MACHINERY', 'POLYGON ((-177.71 49.389999999999986, -176.92 -37.72, -175.21 -53.11, -165.34 -81.94, -153.84 -85.44, -133.68 -86.88, -28.909999999999997 -89.81, 122.18 -89.62, 155.42000000000002 -88.78, 170.70999999999998 -86.39, 174.5 -80.5, 177.79000000000002 89.88999999999999, 84.51999999999998 89.32, -102.02 88.18, -163.63 82.66999999999999, -176.71 80.38999999999999, -177.71 49.389999999999986))'))
+        AS t(c_mktsegment, hull_wkt) ORDER BY c_mktsegment"""))
   )
 }

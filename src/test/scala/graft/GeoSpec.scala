@@ -48,6 +48,30 @@ class GeoSpec extends SparkSpec {
       Seq(Some("sq"), Some("sq"), None))
   }
 
+  test("gridJoin matches the broadcast pointInPolygon result") {
+    // synthetic points spanning multiple grid cells, polygons straddling
+    // cell boundaries (the square crosses the 0° cell edge when
+    // cellDeg=4, so replication across cells is exercised)
+    val pts = (0 until 200).map { i =>
+      (i.toLong, (i * 7 % 60) - 30.0 + 0.5, (i * 13 % 40) - 20.0 + 0.5)
+    }.toDF("id", "lon", "lat")
+    val polys = Seq(
+      ("sq", square),
+      ("tri", triangle),
+      ("west", "POLYGON ((-25 -15, -5 -15, -5 15, -25 15, -25 -15))"))
+      .toDF("zone", "geometry")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "zone").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString)))
+        .toSeq.sorted
+    val broadcastJoin = SpatialJoin.pointInPolygon(
+      pts, "lon", "lat", polys, "geometry")
+    val grid = SpatialJoin.gridJoin(
+      pts, "lon", "lat", polys, "geometry", 4.0)
+    assert(norm(grid) == norm(broadcastJoin))
+    assert(grid.columns.toSet == broadcastJoin.columns.toSet)
+  }
+
   test("stAsGeoJson encodes points and polygons") {
     val df = Seq("POINT (1.5 2.5)").toDF("g")
     val js = df.select(GeoFuncs.stAsGeoJson($"g")).as[String].head()
