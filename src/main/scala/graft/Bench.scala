@@ -38,21 +38,29 @@ object Bench {
     // pipeline rather than reading a leaked cache.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // a failed run records +Inf so min() only ever reports the time
+        // of a SUCCESSFUL execution; a query failing on every run
+        // surfaces as "failed" in the JSON instead of a bogus fast time
         val times = (0 until 2).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Double.PositiveInfinity
           }
-          (System.nanoTime() - t0) / 1e9
         }
         name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val failed = results.collect { case (k, v) if v.isInfinite => k }
+    val ok = results.filter(!_._2.isInfinite)
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

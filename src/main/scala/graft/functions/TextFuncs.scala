@@ -61,9 +61,13 @@ object TextFuncs {
     * punctuation runs, residual whitespace. No lookarounds — the
     * `\\s+(?!\\S)` tail of the original pattern is dropped, which only
     * changes how trailing whitespace groups, not token counts on
-    * normalized text. */
+    * normalized text. Whitespace is spelled as an explicit class
+    * rather than `\\s` because the two engines' `\\s` sets differ
+    * (Java's non-Unicode `\\s` includes vertical tab, RE2's does not) —
+    * an explicit class means both engines tokenize identical character
+    * sets. */
   val bpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+"
 
   /** Token array under [[bpePattern]] — the standard proxy for "how many
     * BPE tokens will this document cost" in corpus budgeting. */

@@ -97,11 +97,15 @@ final class IngestDataset(
     // so a touched partition whose rows all fell inside [from, until)
     // and got nothing back from the batch must be deleted explicitly or
     // its stale rows would survive the re-ingest.
+    // Partition dir names are derived with Spark's own date rendering
+    // (date_format on the partition column, session TZ) so the
+    // "date=<v>" strings below match whatever the writer emitted —
+    // no coupling to java.sql.Date.toString.
     val touchedDates = existing
       .filter(col("date") >= to_date(lit(from)) &&
         col("date") <= to_date(lit(until)))
-      .select("date").distinct().collect()
-      .map(_.getDate(0).toString).toSet
+      .select(date_format(col("date"), "yyyy-MM-dd")).distinct().collect()
+      .map(_.getString(0)).toSet
     val touched = existing
       .filter(col("date") >= to_date(lit(from)) &&
         col("date") <= to_date(lit(until)))
@@ -114,8 +118,21 @@ final class IngestDataset(
       // the plan reads the table it overwrites — materialize first
       .localCheckpoint(eager = true)
     val replacedDates = replacement
-      .select("date").distinct().collect()
-      .map(_.getDate(0).toString).toSet
+      .select(date_format(col("date"), "yyyy-MM-dd")).distinct().collect()
+      .map(_.getString(0)).toSet
+    // Touched partitions that receive NO replacement rows have "empty"
+    // as their correct end state — delete them BEFORE the overwrite
+    // commit. Each single-partition delete is itself a correct final
+    // state, so a crash anywhere in this loop (or between it and the
+    // write below) never resurrects stale rows; the only remaining
+    // non-atomicity is the dynamic overwrite's own per-partition
+    // commit, which is inherent to plain parquet (Delta/Iceberg would
+    // make the multi-partition commit atomic).
+    val tableDir = new Path(tablePath(table))
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    (touchedDates -- replacedDates).foreach { d =>
+      fs.delete(new Path(tableDir, s"date=$d"), true)
+    }
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -125,11 +142,6 @@ final class IngestDataset(
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    val tableDir = new Path(tablePath(table))
-    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
-    (touchedDates -- replacedDates).foreach { d =>
-      fs.delete(new Path(tableDir, s"date=$d"), true)
     }
   }
 

@@ -27,10 +27,16 @@ object StreamQueries {
         // The file stream source consumes a directory, so the events
         // table is landed into a temp landing zone first — exactly the
         // crawler-drops-files-in shape StreamOps.landingZone models.
+        // One FIXED landing dir per dataset, written only when absent:
+        // repeated invocations (bench runs each query twice) reuse it
+        // instead of growing /tmp by a full events copy per run.
         val ev = Tables.load(s, dir, "events")
-        val landing = java.nio.file.Files
-          .createTempDirectory("q53-landing").toString
-        ev.write.mode("overwrite").parquet(landing)
+        val landingDir = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-q53-landing-" + Integer.toHexString(dir.hashCode))
+        val landing = landingDir.toString
+        if (!new java.io.File(landingDir, "_SUCCESS").exists())
+          ev.write.mode("overwrite").parquet(landing)
         val stream = StreamOps.landingZone(s, landing, ev.schema)
         val agg = stream.withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 day"), col("event_type"))

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.CosineSimilarity
@@ -135,6 +136,29 @@ class SimilaritySpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(queries, emb, 5)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
     assert(full == brute)
+  }
+
+  test("ivfTopK: fast-kernel and exact-decimal cell assignment agree") {
+    // ivfTopK prunes centroid candidates with the double kernel (top
+    // n+3) before the exact decimal rescore picks the cell; the oracle
+    // ranks by exact cosine only. Guard against drift: for every vector
+    // the double-kernel argmax centroid must equal the exact-cosine
+    // argmax, so the +3 buffer is never what saves the assignment.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cent = emb.filter($"vec_id" < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val wFast = Window.partitionBy("vec_id")
+      .orderBy(col("_fast").desc, col("cid"))
+    val wExact = Window.partitionBy("vec_id")
+      .orderBy(col("_exact").desc, col("cid"))
+    val mismatch = emb.join(broadcast(cent))
+      .withColumn("_fast", CosineSimilarity.cosine($"embedding", $"cemb"))
+      .withColumn("_exact", Similarity.exactCosine($"embedding", $"cemb"))
+      .withColumn("_rf", row_number().over(wFast))
+      .withColumn("_re", row_number().over(wExact))
+      .filter(($"_rf" === 1 || $"_re" === 1) && $"_rf" =!= $"_re")
+      .count()
+    assert(mismatch == 0L)
   }
 
   test("lshBuckets: deterministic signatures, buckets nonempty") {
