@@ -36,7 +36,15 @@ object Bench {
     // the operator itself. Caches persisted inside a query function are
     // dropped between runs so the second run re-executes the full
     // pipeline rather than reading a leaked cache.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // SPARK_GRAFT_ONLY=q24_minhash_lsh,q25_ngram_jaccard — optional
+    // comma-separated filter for iterating on individual queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         // a failed run records +Inf so min() only ever reports the time
         // of a SUCCESSFUL execution; a query failing on every run

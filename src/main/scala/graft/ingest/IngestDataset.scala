@@ -50,9 +50,7 @@ final class IngestDataset(
     if (antiJoinExisting && pk.nonEmpty && tableExists(table))
       batch = batch.join(read(table).select(pk.map(col): _*).distinct(),
         pk, "left_anti")
-    if (clusterBy.nonEmpty)
-      batch = batch.sortWithinPartitions(clusterBy.map(col): _*)
-    write(batch, table, SaveMode.Append, partitionTs)
+    write(batch, table, SaveMode.Append, partitionTs, clusterBy)
   }
 
   /** K2 — full replace (dimension/static tables). */
@@ -137,6 +135,7 @@ final class IngestDataset(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       replacement
+        .hint("rebalance", col("date"))
         .write.mode(SaveMode.Overwrite).partitionBy("date")
         .parquet(tablePath(table))
     } finally prev match {
@@ -145,14 +144,29 @@ final class IngestDataset(
     }
   }
 
+  /** Date-partitioned writes REBALANCE on the partition column first:
+    * without it every task writes a file into every date dir it sees
+    * (tasks × dates small files — the classic partitioned-write
+    * explosion); with it each date's rows co-locate into few
+    * right-sized output files. The REBALANCE hint (vs a plain
+    * `repartition(date)`) lets AQE split a skewed date across several
+    * tasks, so one hot day can't serialize the write. `clusterBy` sorts
+    * within the rebalanced partitions (K9 index analog) — it must run
+    * after the shuffle or the sort order would be destroyed. */
   private def write(df: DataFrame, table: String, mode: SaveMode,
-      partitionTs: Option[String]): Unit =
+      partitionTs: Option[String], clusterBy: Seq[String] = Nil): Unit =
     partitionTs match {
       case Some(ts) =>
-        df.withColumn("date", to_date(col(ts)))
-          .write.mode(mode).partitionBy("date").parquet(tablePath(table))
+        var out = df.withColumn("date", to_date(col(ts)))
+          .hint("rebalance", col("date"))
+        if (clusterBy.nonEmpty)
+          out = out.sortWithinPartitions(clusterBy.map(col): _*)
+        out.write.mode(mode).partitionBy("date").parquet(tablePath(table))
       case None =>
-        df.write.mode(mode).parquet(tablePath(table))
+        var out = df
+        if (clusterBy.nonEmpty)
+          out = out.sortWithinPartitions(clusterBy.map(col): _*)
+        out.write.mode(mode).parquet(tablePath(table))
     }
 
   /** Stage-swap rewrite: the source of a full-table rewrite is the
@@ -166,6 +180,7 @@ final class IngestDataset(
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val staged = partitionTs match {
       case Some(ts) => df.withColumn("date", to_date(col(ts)))
+        .hint("rebalance", col("date"))
         .write.partitionBy("date")
       case None => df.write
     }

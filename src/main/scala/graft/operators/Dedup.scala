@@ -105,22 +105,27 @@ object Dedup {
       minJaccard: Double = 0.0): DataFrame = {
     // The join/aggregate key is the 64-bit hash of the shingle, not the
     // string: same pair set (collision odds ~|shingles|²/2⁶⁵), half the
-    // shuffle bytes. Each side CARRIES its doc's shingle count (one
-    // window over the doc_id partitioning) so the union size falls out
-    // of the pair aggregation directly — no separate size table and no
-    // post-aggregation rejoins. Both join sides are the identical
-    // subplan, so the doc_id shuffle is computed once and reused.
+    // shuffle bytes. The inverted-index self-join runs as a shuffle
+    // HASH join (hint) — sorting 2×|shingles| rows buys nothing when
+    // the probe side streams straight into the pair aggregation — and
+    // both sides are the identical subplan, so the shingle shuffle is
+    // computed once and reused. Per-doc shingle counts are a separate
+    // |docs|-row aggregate joined AFTER the pair aggregation: two
+    // broadcast hash joins on the (already reduced) pair set instead of
+    // a Window sort over the full shingle table before the join.
     val sh = shingleSets(docs, k)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .withColumn("n",
-        count(lit(1)).over(Window.partitionBy("doc_id")))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a")
-      .join(sh.as("b"),
+      .join(sh.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"),
-        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
+        col("n").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
+        col("n").as("nb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter")).cast(DoubleType))

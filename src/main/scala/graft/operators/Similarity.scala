@@ -112,14 +112,14 @@ object Similarity {
 
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
       nBits: Int, dim: Int): DataFrame = {
-    // left-associated sum of (component × constant) terms — the same
-    // association order an infix SQL expression parses to, so the
-    // doubles (and the sign bits) match the oracle exactly
+    // One native [[graft.expressions.DotProduct]] kernel per hyperplane:
+    // a left-to-right double sum, the same association order the infix
+    // SQL oracle parses to, so the sign bits match exactly. (The
+    // expression-tree alternative — dim × nBits element_at terms — blows
+    // codegen method sizes at 64 dims × 16 bits.)
     val bits = (0 until nBits).map { h =>
-      val dot = (0 until dim).map { i =>
-        element_at(col(vecCol), i + 1).cast(DoubleType) *
-          lit(lshWeight(h, dim, i))
-      }.reduce(_ + _)
+      val w = Array.tabulate(dim)(i => lshWeight(h, dim, i))
+      val dot = graft.expressions.DotProduct.dot(col(vecCol), lit(w))
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
     emb.select(col(idCol), concat(bits: _*).as("bucket"))
