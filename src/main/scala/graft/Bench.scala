@@ -41,9 +41,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"[bench] SPARK_GRAFT_ONLY names match no query: ${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    if (selected.isEmpty)
+      System.err.println("[bench] no queries selected — emitting empty run")
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         // a failed run records +Inf so min() only ever reports the time
@@ -68,7 +75,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // failed_count rides next to value so a partial total (failures
+    // excluded from the sum) can't be mistaken for a comparable full run
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,6 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * bit-identical to the left-associated infix sum the DuckDB oracle
   * parses (`(((t0+t1)+t2)+…)`; the leading `0.0 + t0 = t0` is exact),
   * so LSH sign bits derived from it remain oracle-exact.
+  *
+  * A length mismatch between the vector and the weights throws (a
+  * wrong `dim` argument must fail, not silently truncate the dot
+  * product). Null ELEMENTS inside either array are not checked in the
+  * hot loop — same contract as [[CosineSimilarity]]: embedding vectors
+  * are dense; a null slot reads an undefined value.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,7 +50,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw DotProduct.lengthMismatch(n, y.numElements())
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -61,7 +68,10 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          throw graft.expressions.DotProduct.lengthMismatch($n, $b.numElements());
+        }
         double $dot = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           $dot += (double) $a.getFloat($i) * $b.getDouble($i);
@@ -76,6 +86,13 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
+  /** Shared by interpreted eval and generated code (must be public and
+    * return the exception so codegen can `throw` it in one statement). */
+  def lengthMismatch(nVec: Int, nWeights: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"vector_dot length mismatch: vector has $nVec elements, " +
+        s"weights has $nWeights")
+
   /** Column-level API. */
   def dot(vec: Column, weights: Column): Column =
     ColumnBridge.column(

@@ -11,6 +11,14 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType}
 /** Native ray-casting point-in-polygon test over pre-parsed ring
   * coordinates (`xs`, `ys` as `array<double>` columns).
   *
+  * Multi-ring geometry (interior rings / MULTIPOLYGON parts — real NUTS
+  * regions, `nuts_mapper.py:29-47`) is encoded as ONE flat coordinate
+  * array per axis with a `NaN` sentinel between rings (no real
+  * coordinate is NaN). Containment is even-odd across rings: each
+  * ring's ray-cast XORs into the result, so a hole ring flips a point
+  * back to outside and disjoint parts compose. A plain single-ring
+  * array (no NaN) behaves exactly as before.
+  *
   * The spatial-join hot path (SURVEY.md J4) evaluates this once per
   * (point × bbox-surviving polygon); parsing WKT per evaluation would
   * dominate, so the polygon dimension is pre-parsed once at broadcast
@@ -49,15 +57,22 @@ case class PointInRing(
     val y = d.asInstanceOf[Double]
     val n = math.min(rx.numElements(), ry.numElements())
     var inside = false
-    var i = 0
-    var j = n - 1
-    while (i < n) {
-      val xi = rx.getDouble(i); val yi = ry.getDouble(i)
-      val xj = rx.getDouble(j); val yj = ry.getDouble(j)
-      if ((yi > y) != (yj > y) &&
-          x < (xj - xi) * (y - yi) / (yj - yi) + xi) inside = !inside
-      j = i
-      i += 1
+    var s = 0
+    while (s < n) {
+      var e = s
+      while (e < n && !java.lang.Double.isNaN(rx.getDouble(e))) e += 1
+      // ring is [s, e); e == n or points at a NaN separator
+      var i = s
+      var j = e - 1
+      while (i < e) {
+        val xi = rx.getDouble(i); val yi = ry.getDouble(i)
+        val xj = rx.getDouble(j); val yj = ry.getDouble(j)
+        if ((yi > y) != (yj > y) &&
+            x < (xj - xi) * (y - yi) / (yj - yi) + xi) inside = !inside
+        j = i
+        i += 1
+      }
+      s = e + 1
     }
     inside
   }
@@ -66,6 +81,8 @@ case class PointInRing(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (rx, ry, x, y) => {
       val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val e = ctx.freshName("e")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
@@ -74,15 +91,21 @@ case class PointInRing(
       s"""
         int $n = java.lang.Math.min($rx.numElements(), $ry.numElements());
         boolean $inside = false;
-        int $j = $n - 1;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = $rx.getDouble($i); double $yi = $ry.getDouble($i);
-          double $xj = $rx.getDouble($j); double $yj = $ry.getDouble($j);
-          if ((($yi > $y) != ($yj > $y)) &&
-              $x < ($xj - $xi) * ($y - $yi) / ($yj - $yi) + $xi) {
-            $inside = !$inside;
+        int $s = 0;
+        while ($s < $n) {
+          int $e = $s;
+          while ($e < $n && !java.lang.Double.isNaN($rx.getDouble($e))) $e++;
+          int $j = $e - 1;
+          for (int $i = $s; $i < $e; $i++) {
+            double $xi = $rx.getDouble($i); double $yi = $ry.getDouble($i);
+            double $xj = $rx.getDouble($j); double $yj = $ry.getDouble($j);
+            if ((($yi > $y) != ($yj > $y)) &&
+                $x < ($xj - $xi) * ($y - $yi) / ($yj - $yi) + $xi) {
+              $inside = !$inside;
+            }
+            $j = $i;
           }
-          $j = $i;
+          $s = $e + 1;
         }
         ${ev.value} = $inside;
       """

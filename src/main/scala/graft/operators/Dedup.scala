@@ -110,9 +110,10 @@ object Dedup {
     // the probe side streams straight into the pair aggregation — and
     // both sides are the identical subplan, so the shingle shuffle is
     // computed once and reused. Per-doc shingle counts are a separate
-    // |docs|-row aggregate joined AFTER the pair aggregation: two
-    // broadcast hash joins on the (already reduced) pair set instead of
-    // a Window sort over the full shingle table before the join.
+    // |docs|-row aggregate joined AFTER the pair aggregation; no
+    // broadcast hint — the sizes table is |docs| rows (unbounded at
+    // corpus scale), so AQE picks broadcast when it fits and falls back
+    // to a shuffled join when it doesn't.
     val sh = shingleSets(docs, k)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -122,10 +123,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
-        col("n").as("na"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
-        col("n").as("nb"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter")).cast(DoubleType))

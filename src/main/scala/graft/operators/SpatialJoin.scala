@@ -17,19 +17,39 @@ import graft.functions.GeoFuncs
   */
 object SpatialJoin {
 
-  /** Pre-parse the WKT ring ONCE into coordinate arrays + bbox columns
-    * — the parse cost is paid per polygon at broadcast time, never per
-    * (point × polygon) evaluation. */
+  /** Pre-parse the WKT geometry ONCE into NaN-separated flat coordinate
+    * arrays (one slot per vertex, `NaN` between rings — the encoding
+    * [[graft.expressions.PointInRing]] ray-casts even-odd over) plus
+    * bbox columns over ALL rings. The parse cost is paid per polygon at
+    * broadcast time, never per (point × polygon) evaluation. Handles
+    * POLYGON with holes and MULTIPOLYGON; unknown geometry types throw
+    * at parse time. The bbox is computed here rather than via
+    * `array_min`/`array_max` because Spark orders NaN above every
+    * double, which would poison the max. */
   def withParsedRing(polygons: DataFrame, wktCol: String): DataFrame = {
-    val ringX = udf((w: String) => GeoFuncs.parsePolygon(w).map(_._1))
-    val ringY = udf((w: String) => GeoFuncs.parsePolygon(w).map(_._2))
+    val parse = udf { (w: String) =>
+      val rings = GeoFuncs.allRings(w)
+      val nVerts = rings.map(_.length).sum
+      val n = nVerts + rings.length - 1
+      val xs = new Array[Double](n)
+      val ys = new Array[Double](n)
+      var o = 0
+      rings.zipWithIndex.foreach { case (ring, r) =>
+        if (r > 0) { xs(o) = Double.NaN; ys(o) = Double.NaN; o += 1 }
+        ring.foreach { case (x, y) => xs(o) = x; ys(o) = y; o += 1 }
+      }
+      val (minx, miny, maxx, maxy) = GeoFuncs.bboxGeom(GeoFuncs.parseGeometry(w))
+      (xs, ys, minx, miny, maxx, maxy)
+    }
     polygons
-      .withColumn("_ring_x", ringX(col(wktCol)))
-      .withColumn("_ring_y", ringY(col(wktCol)))
-      .withColumn("_bb_minx", array_min(col("_ring_x")))
-      .withColumn("_bb_miny", array_min(col("_ring_y")))
-      .withColumn("_bb_maxx", array_max(col("_ring_x")))
-      .withColumn("_bb_maxy", array_max(col("_ring_y")))
+      .withColumn("_g", parse(col(wktCol)))
+      .withColumn("_ring_x", col("_g._1"))
+      .withColumn("_ring_y", col("_g._2"))
+      .withColumn("_bb_minx", col("_g._3"))
+      .withColumn("_bb_miny", col("_g._4"))
+      .withColumn("_bb_maxx", col("_g._5"))
+      .withColumn("_bb_maxy", col("_g._6"))
+      .drop("_g")
   }
 
   private val helperCols = Seq(

@@ -45,7 +45,66 @@ object GeoOps {
       ("(lat > 0.0051 AND lon > 0.0051 AND " +
         "((0.0051 - 120.0051) * (lat - 0.0051) - (80.0051 - 0.0051) * (lon - 120.0051)) > 0)"))
 
+  // Real-world NUTS geometries are MULTIPOLYGONs with islands and holes
+  // (`nuts_mapper.py:29-47`, `ecmwf.py:188-199`). These fixtures carry
+  // an interior ring, a two-part multipolygon, and a part-with-hole +
+  // plain-part combination; the oracle re-expresses even-odd
+  // containment as half-plane algebra (outer AND NOT hole; part OR
+  // part), so hole exclusion is hash-checked, not just spec-asserted.
+  private val zones58 = Seq(
+    ("holed_a",
+      "POLYGON ((-150.0051 -60.0051, -60.0051 -60.0051, -60.0051 -10.0051, -150.0051 -10.0051, -150.0051 -60.0051), " +
+        "(-120.0051 -45.0051, -90.0051 -45.0051, -90.0051 -25.0051, -120.0051 -25.0051, -120.0051 -45.0051))"),
+    ("multi_b",
+      "MULTIPOLYGON (((-40.0051 -80.0051, 0.0051 -80.0051, 0.0051 -50.0051, -40.0051 -50.0051, -40.0051 -80.0051)), " +
+        "((10.0051 -40.0051, 40.0051 -40.0051, 40.0051 -20.0051, 10.0051 -20.0051, 10.0051 -40.0051)))"),
+    ("multi_holed_c",
+      "MULTIPOLYGON (((60.0051 10.0051, 170.0051 10.0051, 170.0051 80.0051, 60.0051 80.0051, 60.0051 10.0051), " +
+        "(100.0051 30.0051, 130.0051 30.0051, 130.0051 60.0051, 100.0051 60.0051, 100.0051 30.0051)), " +
+        "((60.0051 -80.0051, 170.0051 -80.0051, 170.0051 -30.0051, 60.0051 -30.0051, 60.0051 -80.0051)))"))
+
+  private val zone58SqlConds = Seq(
+    "holed_a" ->
+      ("((lon > -150.0051 AND lon < -60.0051 AND lat > -60.0051 AND lat < -10.0051) AND NOT " +
+        "(lon > -120.0051 AND lon < -90.0051 AND lat > -45.0051 AND lat < -25.0051))"),
+    "multi_b" ->
+      ("((lon > -40.0051 AND lon < 0.0051 AND lat > -80.0051 AND lat < -50.0051) OR " +
+        "(lon > 10.0051 AND lon < 40.0051 AND lat > -40.0051 AND lat < -20.0051))"),
+    "multi_holed_c" ->
+      ("(((lon > 60.0051 AND lon < 170.0051 AND lat > 10.0051 AND lat < 80.0051) AND NOT " +
+        "(lon > 100.0051 AND lon < 130.0051 AND lat > 30.0051 AND lat < 60.0051)) OR " +
+        "(lon > 60.0051 AND lon < 170.0051 AND lat > -80.0051 AND lat < -30.0051))"))
+
   val qs: Seq[Q] = Seq(
+
+    // J4 on real-geometry shapes — MULTIPOLYGON parts and interior
+    // rings through the same broadcast bbox + even-odd ray-cast path as
+    // q29. A point inside a hole must fall out to the NULL zone.
+    Q("q58_multipolygon_join",
+      (s, dir) => {
+        val pts = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"),
+            expr(lonExpr).as("lon"), expr(latExpr).as("lat"))
+        val polys = s.createDataFrame(zones58).toDF("zone", "geometry")
+        SpatialJoin.pointInPolygon(pts, "lon", "lat", polys, "geometry")
+          .groupBy("zone")
+          .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("keysum"))
+          .orderBy(asc_nulls_first("zone"))
+      },
+      Some {
+        val hits = zone58SqlConds.map { case (z, cond) =>
+          s"SELECT '$z' AS zone, c_custkey FROM pts WHERE $cond"
+        }.mkString(" UNION ALL ")
+        val none = zone58SqlConds.map(_._2).mkString(" OR ")
+        s"""WITH pts AS (SELECT c_custkey, $lonExpr AS lon, $latExpr AS lat
+            FROM customer),
+          hits AS ($hits
+            UNION ALL
+            SELECT CAST(NULL AS VARCHAR) AS zone, c_custkey FROM pts
+            WHERE NOT ($none))
+          SELECT zone, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS keysum
+          FROM hits GROUP BY zone ORDER BY zone NULLS FIRST"""
+      }),
 
     // J4 + Q5 — point-in-polygon broadcast join then group-by-zone
     // aggregate (the ecmwf_eu NUTS-enrichment shape).

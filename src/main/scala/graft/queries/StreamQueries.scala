@@ -27,13 +27,25 @@ object StreamQueries {
         // The file stream source consumes a directory, so the events
         // table is landed into a temp landing zone first — exactly the
         // crawler-drops-files-in shape StreamOps.landingZone models.
-        // One FIXED landing dir per dataset, written only when absent:
-        // repeated invocations (bench runs each query twice) reuse it
-        // instead of growing /tmp by a full events copy per run.
+        // One FIXED landing dir per dataset STATE, written only when
+        // absent: repeated invocations (bench runs each query twice)
+        // reuse it instead of growing /tmp by a full events copy per
+        // run. Keyed by the sanitized full source path PLUS a content
+        // fingerprint (file count + max mtime + total bytes of the
+        // source parquet) so a dataset regenerated in place lands
+        // fresh instead of silently reusing a stale copy, and two
+        // distinct dirs can never collide into one landing zone.
         val ev = Tables.load(s, dir, "events")
+        val srcFiles = Option(
+          new java.io.File(dir, "events.parquet").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.isFile)
+        val fingerprint =
+          s"${srcFiles.length}-${srcFiles.map(_.lastModified).foldLeft(0L)(math.max)}-${srcFiles.map(_.length).sum}"
+        val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val landingDir = new java.io.File(
           sys.props("java.io.tmpdir"),
-          "graft-q53-landing-" + Integer.toHexString(dir.hashCode))
+          s"graft-q53-landing-$sanitized-$fingerprint")
         val landing = landingDir.toString
         if (!new java.io.File(landingDir, "_SUCCESS").exists())
           ev.write.mode("overwrite").parquet(landing)

@@ -77,4 +77,84 @@ class GeoSpec extends SparkSpec {
     val js = df.select(GeoFuncs.stAsGeoJson($"g")).as[String].head()
     assert(js == """{"type":"Point","coordinates":[1.5,2.5]}""")
   }
+
+  // ---- multipart / holed geometry (real NUTS shapes) ----
+
+  private val holed =
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+  private val multi =
+    "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), ((20 20, 30 20, 30 30, 20 30, 20 20)))"
+  private val multiHoled =
+    "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3)), " +
+      "((20 20, 30 20, 30 30, 20 30, 20 20)))"
+
+  test("parseGeometry: ring structure; unsupported types throw") {
+    val g = GeoFuncs.parseGeometry(multiHoled)
+    assert(g.length == 2 && g(0).length == 2 && g(1).length == 1)
+    assert(GeoFuncs.parseGeometry("SRID=4326;" + holed)(0).length == 2)
+    intercept[IllegalArgumentException] {
+      GeoFuncs.parseGeometry("LINESTRING (0 0, 1 1)")
+    }
+    intercept[IllegalArgumentException] {
+      GeoFuncs.parsePolygon(multi) // multipart via the single-ring API
+    }
+  }
+
+  test("even-odd containment: holes excluded, all parts included") {
+    val g = GeoFuncs.parseGeometry(multiHoled)
+    assert(GeoFuncs.containsPointGeom(g, 1.0, 1.0))   // in part 1, off hole
+    assert(!GeoFuncs.containsPointGeom(g, 5.0, 5.0))  // inside the hole
+    assert(GeoFuncs.containsPointGeom(g, 25.0, 25.0)) // in part 2
+    assert(!GeoFuncs.containsPointGeom(g, 15.0, 15.0)) // between parts
+  }
+
+  test("pointInPolygon honors holes and multipolygon parts") {
+    val pts = Seq(
+      (1L, 1.0, 1.0),   // part 1, outside hole -> hit
+      (2L, 5.0, 5.0),   // inside hole -> miss
+      (3L, 25.0, 25.0), // part 2 -> hit
+      (4L, 15.0, 15.0)) // between parts -> miss
+      .toDF("id", "lon", "lat")
+    val polys = Seq(("mh", multiHoled)).toDF("zone", "geometry")
+    val out = SpatialJoin.pointInPolygon(pts, "lon", "lat",
+      polys, "geometry").orderBy("id")
+      .select("id", "zone").collect()
+    assert(out.map(r => Option(r.get(1))).toSeq ==
+      Seq(Some("mh"), None, Some("mh"), None))
+  }
+
+  test("gridJoin matches broadcast join on multipart/holed geometry") {
+    val pts = (0 until 300).map { i =>
+      (i.toLong, (i * 7 % 70) - 5.0 + 0.5, (i * 13 % 70) - 5.0 + 0.5)
+    }.toDF("id", "lon", "lat")
+    val polys = Seq(("h", holed), ("m", multi)).toDF("zone", "geometry")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "zone").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString)))
+        .toSeq.sorted
+    assert(
+      norm(SpatialJoin.gridJoin(pts, "lon", "lat", polys, "geometry", 4.0)) ==
+        norm(SpatialJoin.pointInPolygon(pts, "lon", "lat", polys, "geometry")))
+  }
+
+  test("centroid of holed/multi geometry is area-weighted") {
+    // symmetric hole -> centroid stays at the center
+    val (hx, hy) = GeoFuncs.centroidGeom(GeoFuncs.parseGeometry(holed))
+    assert(math.abs(hx - 5.0) < 1e-12 && math.abs(hy - 5.0) < 1e-12)
+    // two equal squares -> midpoint of their centers
+    val (mx, my) = GeoFuncs.centroidGeom(GeoFuncs.parseGeometry(multi))
+    assert(math.abs(mx - 15.0) < 1e-12 && math.abs(my - 15.0) < 1e-12)
+    // asymmetric hole pulls the centroid away from it: hole in the +x
+    // half pulls centroid to -x
+    val asym =
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (6 4, 9 4, 9 7, 6 7, 6 4))"
+    val (ax, _) = GeoFuncs.centroidGeom(GeoFuncs.parseGeometry(asym))
+    assert(ax < 5.0)
+  }
+
+  test("stAsGeoJson encodes holes and MultiPolygon") {
+    assert(GeoFuncs.toGeoJson(holed) ==
+      """{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]],[[3.0,3.0],[7.0,3.0],[7.0,7.0],[3.0,7.0],[3.0,3.0]]]}""")
+    assert(GeoFuncs.toGeoJson(multi).startsWith("""{"type":"MultiPolygon","coordinates":[[["""))
+  }
 }
