@@ -66,8 +66,17 @@ object Dedup {
     * numHashes 8-char slices per row — at 100 TB that trade
     * (bands × signature bytes of extra shuffle I/O vs two join shuffles
     * of the full N-row signature table) is the standard one. */
+  /** `maxBucketWidth` guards the quadratic step at corpus scale: a
+    * degenerate band bucket of width w (boilerplate pages, empty docs,
+    * a template shared by millions) creates w² candidate pairs on ONE
+    * reducer. Buckets wider than the cap are dropped before pairing —
+    * standard LSH-dedup practice; a pair is only lost if EVERY band
+    * bucket it shares is oversized, i.e. it sits inside a
+    * larger-than-cap near-identical cluster (which needs cluster-level
+    * handling anyway, not pairwise output). `Int.MaxValue` = off. */
   def minHashLsh(
-      docs: DataFrame, k: Int, numHashes: Int, bands: Int): DataFrame = {
+      docs: DataFrame, k: Int, numHashes: Int, bands: Int,
+      maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     val sig = minHashSignatures(shingleSets(docs, k), numHashes)
     val rows = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
@@ -76,11 +85,21 @@ object Dedup {
     }
     // both join sides are the identical subplan → Spark reuses the
     // shuffle exchange; no persist needed
-    val bk = sig.select(col("doc_id") +:
+    val bkAll = sig.select(col("doc_id") +:
       (0 until numHashes).map(i => col(s"mh$i")) :+
       explode(array(bandStructs: _*)).as("bk"): _*)
       .select(col("doc_id") +: col("bk.band") +: col("bk.bkey") +:
         (0 until numHashes).map(i => col(s"mh$i")): _*)
+    // bucket-width prune as a count window over the same (band, bkey)
+    // partitioning the join shuffles on — no extra shuffle, and both
+    // self-join sides stay the identical subplan (exchange reuse)
+    val bk =
+      if (maxBucketWidth == Int.MaxValue) bkAll
+      else bkAll
+        .withColumn("_w",
+          count(lit(1)).over(Window.partitionBy("band", "bkey")))
+        .filter(col("_w") <= maxBucketWidth)
+        .drop("_w")
     val agree = (0 until numHashes).map(i =>
       when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -101,8 +120,18 @@ object Dedup {
     * candidate generation. The threshold bounds the output (and its
     * sort) to actual near-dup candidates instead of every pair that
     * shares one shingle. */
+  /** `maxDocFreq` is the document-frequency cap on shingles: a
+    * stopword-like shingle present in f documents contributes f²
+    * candidate pairs to ONE reducer, so at corpus scale an un-capped
+    * hot shingle is the job-killing skew. Shingles with df > cap are
+    * dropped from the pair universe AND from the per-doc sizes, i.e.
+    * the jaccard is computed over the capped shingle universe —
+    * standard MinHash/dedup practice; semantics change only for pairs
+    * whose sole overlap is ultra-common boilerplate (which are not
+    * near-dups). `Int.MaxValue` = off. */
   def ngramJaccardPairs(docs: DataFrame, k: Int,
-      minJaccard: Double = 0.0): DataFrame = {
+      minJaccard: Double = 0.0,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // The join/aggregate key is the 64-bit hash of the shingle, not the
     // string: same pair set (collision odds ~|shingles|²/2⁶⁵), half the
     // shuffle bytes. The inverted-index self-join runs as a shuffle
@@ -114,8 +143,19 @@ object Dedup {
     // broadcast hint — the sizes table is |docs| rows (unbounded at
     // corpus scale), so AQE picks broadcast when it fits and falls back
     // to a shuffled join when it doesn't.
-    val sh = shingleSets(docs, k)
+    val shAll = shingleSets(docs, k)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val sh =
+      if (maxDocFreq == Int.MaxValue) shAll
+      else {
+        // the hot-shingle list is tiny by construction (only keys with
+        // df > cap) → AQE broadcasts the anti-join, no extra shuffle
+        // of the main table
+        val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDocFreq)
+          .select("shingle")
+        shAll.join(hot, Seq("shingle"), "left_anti")
+      }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a")
       .join(sh.as("b").hint("shuffle_hash"),

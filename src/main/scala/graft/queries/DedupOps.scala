@@ -14,6 +14,14 @@ object DedupOps {
   private val NumHashes = 8  // minhash signature length
   private val Bands = 4      // LSH bands (2 rows per band)
 
+  // Skew guards, engaged so the bench measures the scale-honest plan.
+  // Far above any fixture frequency (sf0.1 has 5k docs), so results —
+  // and the DuckDB oracles, which don't express the cap — are
+  // unchanged; at corpus scale the same call bounds every reducer.
+  // DedupSpec proves the caps bite on planted hot keys.
+  private val MaxDocFreq = 1 << 20
+  private val MaxBucketWidth = 1 << 20
+
   /** DuckDB CTE mirroring Dedup.shingleSets (distinct word 3-shingles). */
   private val shingleCte =
     """words AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -74,7 +82,7 @@ object DedupOps {
     Q("q24_minhash_lsh",
       (s, dir) => {
         Dedup.minHashLsh(Tables.load(s, dir, "documents"),
-            K, NumHashes, Bands)
+            K, NumHashes, Bands, maxBucketWidth = MaxBucketWidth)
           .orderBy("doc_a", "doc_b")
       },
       Some(minhashOracle)),
@@ -84,7 +92,7 @@ object DedupOps {
     Q("q25_ngram_jaccard",
       (s, dir) => {
         Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), K,
-            minJaccard = 0.03)
+            minJaccard = 0.03, maxDocFreq = MaxDocFreq)
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $shingleCte,
