@@ -35,6 +35,26 @@ object Tables {
     }
   }
 
+  /** Incremental read of `events` with the time bound applied to the
+    * RAW nanosecond long, BEFORE the timestamp conversion.
+    *
+    * The safe path made easy: filtering on the converted ts column
+    * cannot reach the parquet scan (the `timestamp_micros(ts div 1000)`
+    * projection is a pushdown barrier — PLANS.md), so a naive
+    * incremental reader re-scans the full table every run. Filtering on
+    * the raw long lands in `PushedFilters` and prunes row groups via
+    * parquet min/max stats — at 100 TB that is the difference between
+    * reading a day and reading the archive. ScaleSpec asserts the
+    * pushdown stays in the plan. */
+  def loadEventsSince(spark: SparkSession, dir: String,
+      sinceMicros: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.filter(org.apache.spark.sql.functions.col("ts") >= sinceMicros * 1000L)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Register every table as a temp view so `spark.sql` can be used with
     * the same table names the DuckDB oracle sees. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,80 @@
+package graft.functions
+
+/** Grafana/Postgres dashboard-macro expansion → Spark SQL text, so the
+  * reference's provisioned dashboard queries run VERBATIM through
+  * `spark.sql` (reference: `entsoe.json` rawSql panels use
+  * `$__timeGroupAlias(index,$__interval)`, `$__timeFilter(index)`,
+  * `$__interval_ms`; `refit.json`, gas dashboards likewise).
+  *
+  * Expansion targets the engine's registered SQL surface:
+  * `$__timeGroup[Alias]` → [[TimeFuncs]]' `time_bucket_s` (call
+  * `TimeFuncs.register(spark)` first). Postgres double-quoted
+  * identifiers — which the dashboards use for aliases and odd column
+  * names like `"fossil_brown_coal/lignite"` — are rewritten to Spark
+  * backticks; single-quoted strings are left untouched.
+  */
+object GrafanaMacros {
+
+  /** Grafana interval literal → seconds ("500ms" floors to 1s, the
+    * engine's minimum bucket). */
+  def intervalSeconds(interval: String): Long = {
+    val m = "^(\\d+)(ms|s|m|h|d)$".r.findFirstMatchIn(interval.trim)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unparseable Grafana interval: '$interval'"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "ms" => math.max(1L, n / 1000)
+      case "s" => n
+      case "m" => n * 60
+      case "h" => n * 3600
+      case "d" => n * 86400
+    }
+  }
+
+  private val TimeGroupAlias =
+    "\\$__timeGroupAlias\\(([^,)]+),\\s*([^)]+)\\)".r
+  private val TimeGroup =
+    "\\$__timeGroup\\(([^,)]+),\\s*([^)]+)\\)".r
+  private val TimeFilter = "\\$__timeFilter\\(([^)]+)\\)".r
+  private val UnixEpochFilter = "\\$__unixEpochFilter\\(([^)]+)\\)".r
+  private val QuotedIdent = "\"([^\"]*)\"".r
+
+  /** Expand every macro the reference's dashboards use. `from`/`to` are
+    * naive UTC timestamps ('yyyy-MM-dd HH:mm:ss'), `interval` a Grafana
+    * literal like "1h" (the dashboard's resolved `$__interval`). */
+  def expand(sql: String, from: String, to: String, interval: String)
+      : String = {
+    val sec = intervalSeconds(interval)
+
+    def bucketSec(arg: String): Long =
+      if (arg.trim == "$__interval") sec else intervalSeconds(arg)
+
+    var s = sql
+    s = s.replace("$__interval_ms", (sec * 1000).toString)
+    s = TimeGroupAlias.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"time_bucket_s(${bucketSec(m.group(2))}, ${m.group(1)}) AS \"time\""))
+    s = TimeGroup.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"time_bucket_s(${bucketSec(m.group(2))}, ${m.group(1)})"))
+    s = TimeFilter.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} BETWEEN TIMESTAMP '$from' AND TIMESTAMP '$to'"))
+    s = UnixEpochFilter.replaceAllIn(s, m => {
+      val c = m.group(1)
+      val f = java.time.LocalDateTime.parse(from.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      val t = java.time.LocalDateTime.parse(to.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      java.util.regex.Matcher.quoteReplacement(s"$c >= $f AND $c <= $t")
+    })
+    s = s.replace("$__timeFrom()", s"TIMESTAMP '$from'")
+    s = s.replace("$__timeTo()", s"TIMESTAMP '$to'")
+    s = s.replace("$__interval", interval)
+    // postgres "identifier" quoting → Spark backticks (dashboards never
+    // use double quotes for string literals)
+    s = QuotedIdent.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(s"`${m.group(1)}`"))
+    s
+  }
+}

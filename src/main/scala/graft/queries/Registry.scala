@@ -16,7 +16,8 @@ object Registry {
   def all: Seq[Q] =
     CoreTemplates.qs ++ ReshapeOps.qs ++ TextOps.qs ++ DedupOps.qs ++
       VectorOps.qs ++ GeoOps.qs ++ IngestOps.qs ++ MultimodalOps.qs ++
-      ScalarOps.qs ++ WindowOps.qs ++ PipelineOps.qs ++ StreamQueries.qs
+      ScalarOps.qs ++ WindowOps.qs ++ PipelineOps.qs ++ StreamQueries.qs ++
+      SourceOps.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

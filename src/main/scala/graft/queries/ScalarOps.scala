@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.ExactAgg._
-import graft.functions.{LocaleFuncs, Reshape, TimeFuncs}
-import graft.operators.RestQuery
+import graft.functions.{GrafanaMacros, LocaleFuncs, Reshape, TimeFuncs}
+import graft.operators.{RestQuery, RpcRegistry}
 
 /** Scalar-function families and remaining aggregate patterns from
   * SURVEY.md §2.5/§2.8, plus the SQL and PostgREST read surfaces. Each
@@ -171,6 +171,39 @@ object ScalarOps {
           count(*) AS n
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Grafana dashboard surface: the reference's provisioned rawSql
+    // panel shape (`entsoe.json` load panel: $__timeGroupAlias +
+    // $__interval_ms unit-scaling + $__timeFilter + quoted aliases)
+    // runs VERBATIM through GrafanaMacros.expand → spark.sql. max()
+    // instead of sum() keeps the aggregate order-independent (double
+    // sums aren't; the division itself is per-row bit-exact).
+    Q("q61_grafana_dashboard_sql",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TimeFuncs.register(s)
+        val rawSql = """SELECT
+  $__timeGroupAlias(ts,$__interval),
+  max(value/($__interval_ms/1000/3600)) AS "peak_load",
+  count(*) AS "n"
+FROM events
+WHERE
+  $__timeFilter(ts) AND
+  event_type IN ('click','view')
+GROUP BY 1
+ORDER BY 1"""
+        s.sql(GrafanaMacros.expand(rawSql,
+          from = "2024-01-05 00:00:00", to = "2024-01-20 00:00:00",
+          interval = "1h"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS "time",
+          max(value/(3600000/1000/3600)) AS "peak_load",
+          count(*) AS "n"
+        FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+          AND TIMESTAMP '2024-01-20 00:00:00'
+          AND event_type IN ('click','view')
+        GROUP BY 1 ORDER BY 1""")),
+
     // Q9 — PostgREST URL algebra translated to a DataFrame plan
     // (http_export_examples.md:17-24 shape).
     Q("q41_rest_algebra",
@@ -183,6 +216,36 @@ object ScalarOps {
           max(value) AS value_max
         FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
         GROUP BY 1 ORDER BY 1 LIMIT 3""")),
+
+    // Q9 second half — PostgREST stored-procedure surface
+    // (`postgrest_stored_procedure.sql:5-33`): a registered named
+    // procedure (the reference's year/country/technology/SUM shape over
+    // orders), dispatched from the verbatim `/rpc/<name>` URL with a
+    // plain function ARGUMENT (min_total) plus PostgREST FILTERS
+    // (yr=gte., order, limit) composed onto the result via RestQuery.
+    Q("q60_rpc_procedure",
+      (s, dir) => {
+        RpcRegistry.register("generation_by_year_status",
+          (sp, args) => {
+            val minTotal = args.getOrElse("min_total", "0").toDouble
+            Tables.load(sp, dir, "orders")
+              .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+                col("o_orderstatus").as("status"),
+                col("o_orderpriority").as("priority"))
+              .agg(dsum(col("o_totalprice")).as("total_production"))
+              .filter(col("total_production") >= minTotal)
+          })
+        RpcRegistry.dispatch(s,
+          "/rpc/generation_by_year_status?min_total=100000" +
+            "&yr=gte.1995&order=yr,status,priority&limit=60")
+      },
+      Some(s"""SELECT * FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+            o_orderstatus AS status, o_orderpriority AS priority,
+            ${sqlSum("o_totalprice")} AS total_production
+          FROM orders GROUP BY 1, 2, 3
+          HAVING ${sqlSum("o_totalprice")} >= 100000) t
+        WHERE yr >= 1995 ORDER BY yr, status, priority LIMIT 60""")),
 
     // F6 — JSON navigation: extract typed fields from a JSON payload
     // column (reference: smard/e2watch/gie series parsing, SURVEY.md

@@ -60,6 +60,29 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set(thr, prev)
   }
 
+  test("loadEventsSince pushes the time bound into the parquet scan") {
+    // bound chosen inside the fixture's time range so both paths return
+    // a proper subset
+    val since = java.time.Instant.parse("2024-01-10T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val fast = Tables.loadEventsSince(spark, sf, since)
+    val plan = fast.queryExecution.executedPlan.toString
+    // the raw-long predicate must reach the scan's pushed filters...
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"raw-nanos bound not pushed to parquet:\n$plan")
+    // ...whereas filtering the CONVERTED column is a pushdown barrier
+    // (the trap this helper exists to avoid)
+    val naive = Tables.load(spark, sf, "events")
+      .filter(col("ts") >= expr(s"timestamp_micros($since)"))
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(!naivePlan.contains("GreaterThanOrEqual(ts"),
+      "expected the converted-ts filter NOT to push down (barrier)")
+    // same rows either way, and a real subset of the table
+    assert(fast.count() == naive.count())
+    assert(fast.count() > 0 &&
+      fast.count() < Tables.load(spark, sf, "events").count())
+  }
+
   test("melt survives thousands of value columns (codegen-safe path)") {
     val width = 3000
     val cols = (0 until width).map(i => lit(i.toDouble).as(s"t$i"))

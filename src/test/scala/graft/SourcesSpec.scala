@@ -7,7 +7,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.functions.LocaleFuncs
-import graft.sources.{CsvDialects, JsonFlatten, XmlSource}
+import graft.sources.{CsvDialects, JsonFlatten, XlsxSource, XmlSource}
 
 /** Raw-input dialect fixtures from FIXTURES.md §C, generated
   * deterministically in a temp dir and driven through the source
@@ -117,5 +117,53 @@ class SourcesSpec extends SparkSpec {
     assert(rows.length == 2)
     assert(rows(0).getString(0) == "W1" && rows(0).getString(2) == "Aachen")
     assert(rows(1).getString(1) == "2000" && rows(1).isNullAt(2))
+  }
+
+  // ---- S3: native xlsx (zip-of-XML, no POI) ----
+
+  test("xlsx round-trip: shared strings, numbers, gaps, na_values") {
+    val dir = Files.createTempDirectory("graft-xlsx").toString
+    val path = s"$dir/book.xlsx"
+    XlsxSource.writeXlsx(path, Seq(
+      ("data", Seq(
+        Seq[Any]("plant", "mw", "note"),
+        Seq[Any]("Windpark Nord", 3200.5, "ok"),
+        Seq[Any]("Solar <Süd> & Co", 150L, "NA"),   // xml-escaping + na
+        Seq[Any]("Biogas", null, null),             // empty cells
+        Seq[Any]("Kohle", 800L, "-")))))
+    val df = XlsxSource.readSheet(spark, path, "data",
+      naValues = Set("", "NA", "-"))
+    assert(df.columns.toSeq == Seq("plant", "mw", "note"))
+    val rows = df.orderBy("plant").collect()
+    assert(rows.length == 4)
+    val byPlant = rows.map(r =>
+      r.getString(0) -> (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(byPlant("Windpark Nord") == ((Some("3200.5"), Some("ok"))))
+    assert(byPlant("Solar <Süd> & Co") == ((Some("150"), None))) // NA -> null
+    assert(byPlant("Biogas") == ((None, None)))
+    assert(byPlant("Kohle") == ((Some("800"), None))) // "-" -> null
+  }
+
+  test("xlsx multi-sheet: sheetNames + per-sheet reads + missing sheet") {
+    val dir = Files.createTempDirectory("graft-xlsx").toString
+    val path = s"$dir/multi.xlsx"
+    XlsxSource.writeXlsx(path, Seq(
+      ("alpha", Seq(Seq[Any]("a"), Seq[Any](1L), Seq[Any](2L))),
+      ("beta", Seq(Seq[Any]("b"), Seq[Any]("x")))))
+    assert(XlsxSource.sheetNames(spark, path) == Seq("alpha", "beta"))
+    assert(XlsxSource.readSheet(spark, path, "alpha").count() == 2)
+    assert(XlsxSource.readSheet(spark, path, "beta")
+      .collect().map(_.getString(0)).toSeq == Seq("x"))
+    val err = intercept[Exception] {
+      XlsxSource.readSheet(spark, path, "gamma").count()
+    }
+    assert(err.getMessage.contains("gamma"))
+  }
+
+  test("xlsx colIndex decodes A, Z, AA, BC") {
+    assert(XlsxSource.colIndex("A1") == 0)
+    assert(XlsxSource.colIndex("Z9") == 25)
+    assert(XlsxSource.colIndex("AA12") == 26)
+    assert(XlsxSource.colIndex("BC3") == 54)
   }
 }
