@@ -27,7 +27,7 @@ object Multimodal {
 
   final case class DecodedRow(
       media_id: Long, kind: String, n_bytes: Int, checksum: Long,
-      width: Int, height: Int)
+      width: Int, height: Int, checksum_md5: String)
 
   final case class FeatureRow(media_id: Long, feature: Array[Float])
 
@@ -52,12 +52,15 @@ object Multimodal {
 
   /** Decode: partition-local batch loop over payloads.
     * STUB — a real implementation calls an image/audio decoder here;
-    * the fake emits byte count + rolling checksum so tests can assert
-    * determinism end-to-end. */
+    * the fake emits byte count + rolling FNV checksum + a content md5
+    * so tests AND the DuckDB oracle can assert determinism end-to-end
+    * (md5 is bit-exact across engines; the FNV isn't SQL-expressible
+    * but stays for the spec's cheap determinism probes). */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       // per-partition setup happens once (decoder init in production)
+      val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { m =>
         var sum = 1469598103934665603L // FNV-1a offset basis
         var i = 0
@@ -65,8 +68,11 @@ object Multimodal {
           sum = (sum ^ (m.payload(i) & 0xff)) * 1099511628211L
           i += 1
         }
+        md.reset()
+        val hex = md.digest(m.payload)
+          .map(b => f"${b & 0xff}%02x").mkString
         DecodedRow(m.media_id, m.kind, m.payload.length, sum,
-          m.width, m.height)
+          m.width, m.height, hex)
       }
     }
   }

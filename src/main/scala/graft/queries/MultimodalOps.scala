@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Multimodal
 
-/** Multimodal pipeline surface (rows-only gate — payload bytes aren't
-  * ANSI-SQL territory; MultimodalSpec asserts determinism and batch
-  * shape instead). */
+/** Multimodal pipeline surface. The decode/featurize stages run for
+  * real (mapPartitions batches over binary payloads); the PROJECTION is
+  * metadata-plus-md5 so DuckDB can hash-verify the whole pipeline —
+  * payload byte counts, the content checksum, kind routing and the
+  * feature-vector shape are all oracle-checked, while the float feature
+  * VALUES (not SQL territory) stay covered by MultimodalSpec. */
 object MultimodalOps {
 
   val qs: Seq[Q] = Seq(
@@ -17,9 +20,24 @@ object MultimodalOps {
         val decoded = Multimodal.decode(media).toDF()
         val feats = Multimodal.extractFeatures(media, 32).toDF()
         decoded.join(feats, "media_id")
-          .select(col("media_id"), col("kind"), col("n_bytes"),
-            col("checksum"), element_at(col("feature"), 1).as("f0"))
+          .select(col("media_id"), col("kind"),
+            col("n_bytes").cast("long").as("n_bytes"),
+            col("checksum_md5"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            size(col("feature")).cast("long").as("fdim"))
           .orderBy("media_id")
       },
-      None))
+      // packMedia's derivations are pure SQL over documents; md5 of the
+      // UTF-8 payload is bit-exact in both engines; strlen counts bytes
+      Some("""SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+          CAST(strlen(text) AS BIGINT) AS n_bytes,
+          md5(text) AS checksum_md5,
+          CAST(doc_id % 640 + 64 AS BIGINT) AS width,
+          CAST(doc_id % 480 + 48 AS BIGINT) AS height,
+          CAST(32 AS BIGINT) AS fdim
+        FROM documents ORDER BY media_id""")))
 }

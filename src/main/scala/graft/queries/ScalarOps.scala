@@ -297,8 +297,13 @@ ORDER BY 1"""
         ORDER BY (prio IS NULL), prio, o_orderkey LIMIT 50""")),
 
     // W5 — per-group cubic spline interpolation onto a regular grid
-    // (windmodel turbine-curve shape; rows-only — spline math isn't
-    // ANSI-SQL, HullInterpSpec pins the numerics).
+    // (windmodel turbine-curve shape). The oracle re-derives the
+    // natural-spline second derivatives with a recursive-CTE Thomas
+    // algorithm mirroring Interpolation.secondDerivatives OP FOR OP
+    // (same divisions, same association), so the piecewise cubic
+    // evaluates bit-identically in DuckDB — flipping this entry from
+    // rows-only to a full hash check. HullInterpSpec still pins the
+    // numerics independently.
     Q("q44_spline_grid",
       (s, dir) => {
         val sup = Tables.load(s, dir, "supplier")
@@ -312,6 +317,81 @@ ORDER BY 1"""
             (0 to 18).map(_ * 0.5))
           .orderBy("group", "x")
       },
-      None)
+      Some(s"""WITH RECURSIVE
+        pts AS (
+          SELECT CAST(s_nationkey AS VARCHAR) AS nation,
+            CAST(s_suppkey % 10 AS DOUBLE) AS x,
+            ${sqlAvg("s_acctbal")} AS y
+          FROM supplier GROUP BY 1, 2),
+        curves AS (
+          SELECT nation, x, y,
+            CAST(row_number() OVER (PARTITION BY nation ORDER BY x) - 1
+              AS INT) AS i,
+            CAST(count(*) OVER (PARTITION BY nation) AS INT) AS n
+          FROM pts),
+        -- tridiagonal rows: a=h0, b=2(h0+h1), c=h1, d=6*(slope diff)
+        -- interior; b=1, a=c=d=0 at the natural-boundary rows (exactly
+        -- the arrays secondDerivatives builds)
+        coef AS (
+          SELECT c.nation, c.i, c.n,
+            CASE WHEN c.i >= 1 AND c.i <= c.n - 2
+              THEN c.x - xp.x ELSE 0.0 END AS a,
+            CASE WHEN c.i = 0 OR c.i = c.n - 1 THEN 1.0
+              ELSE 2 * ((c.x - xp.x) + (xn.x - c.x)) END AS b,
+            CASE WHEN c.i >= 1 AND c.i <= c.n - 2
+              THEN xn.x - c.x ELSE 0.0 END AS cc,
+            CASE WHEN c.i >= 1 AND c.i <= c.n - 2
+              THEN 6 * ((xn.y - c.y) / (xn.x - c.x)
+                - (c.y - xp.y) / (c.x - xp.x))
+              ELSE 0.0 END AS d
+          FROM curves c
+          LEFT JOIN curves xp ON xp.nation = c.nation AND xp.i = c.i - 1
+          LEFT JOIN curves xn ON xn.nation = c.nation AND xn.i = c.i + 1),
+        -- Thomas forward sweep: w=a(i)/b'(i-1); b'=b-w*c(i-1); d'=d-w*d'(i-1)
+        fwd AS (
+          SELECT nation, i, n, b AS bp, d AS dp, cc FROM coef WHERE i = 0
+          UNION ALL
+          SELECT c.nation, c.i, c.n,
+            c.b - (c.a / f.bp) * f.cc,
+            c.d - (c.a / f.bp) * f.dp,
+            c.cc
+          FROM fwd f JOIN coef c ON c.nation = f.nation AND c.i = f.i + 1),
+        -- back substitution: m(last)=d'/b'; m(i)=(d'(i)-c(i)*m(i+1))/b'(i)
+        bwd AS (
+          SELECT nation, i, dp / bp AS m FROM fwd WHERE i = n - 1
+          UNION ALL
+          SELECT f.nation, f.i, (f.dp - f.cc * b.m) / f.bp
+          FROM bwd b JOIN fwd f ON f.nation = b.nation AND f.i = b.i - 1),
+        stats AS (
+          SELECT c.nation, max(c.n) AS n, min(c.x) AS xmin, max(c.x) AS xmax,
+            max(CASE WHEN c.i = 0 THEN c.y END) AS y_first,
+            max(CASE WHEN c.i = c.n - 1 THEN c.y END) AS y_last
+          FROM curves c GROUP BY 1),
+        gq AS (
+          SELECT st.nation, t.k * 0.5 AS q FROM stats st, range(0, 19) t(k)),
+        -- left knot of q's interval (only needed strictly inside the range)
+        k0 AS (
+          SELECT gq.nation, gq.q, max(c.i) AS i
+          FROM gq JOIN curves c ON c.nation = gq.nation AND c.x <= gq.q
+          GROUP BY 1, 2)
+        SELECT gq.nation AS "group", gq.q AS x,
+          CASE
+            WHEN st.n = 1 OR gq.q <= st.xmin THEN st.y_first
+            WHEN gq.q >= st.xmax THEN st.y_last
+            ELSE kl.y
+              + (gq.q - kl.x) * ((kr.y - kl.y) / (kr.x - kl.x)
+                - (kr.x - kl.x) / 6 * (2 * ml.m + mr.m))
+              + (gq.q - kl.x) * (gq.q - kl.x) * ml.m / 2
+              + (gq.q - kl.x) * (gq.q - kl.x) * (gq.q - kl.x)
+                * (mr.m - ml.m) / (6 * (kr.x - kl.x))
+          END AS y
+        FROM gq
+        JOIN stats st ON st.nation = gq.nation
+        LEFT JOIN k0 ON k0.nation = gq.nation AND k0.q = gq.q
+        LEFT JOIN curves kl ON kl.nation = gq.nation AND kl.i = k0.i
+        LEFT JOIN curves kr ON kr.nation = gq.nation AND kr.i = k0.i + 1
+        LEFT JOIN bwd ml ON ml.nation = gq.nation AND ml.i = k0.i
+        LEFT JOIN bwd mr ON mr.nation = gq.nation AND mr.i = k0.i + 1
+        ORDER BY "group", x"""))
   )
 }

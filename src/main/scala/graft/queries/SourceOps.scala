@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.sources.XlsxSource
+import graft.functions.ExactAgg
+import graft.sources.{SqliteSource, XlsxSource}
 
 /** Source-format round-trips surfaced as oracle-checked queries: the
   * workbook is LANDED from the parquet tables at runtime (deterministic
@@ -67,6 +68,40 @@ object SourceOps {
           CAST(sum(CASE WHEN n_nationkey % 2 = 0 THEN 0 ELSE 1 END)
             AS BIGINT) AS n_notes
         FROM nation JOIN region ON n_regionkey = r_regionkey
-        GROUP BY r_name ORDER BY r_name"""))
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // S8 — native SQLite scan (`opsd.py:49-51`): the committed sample
+    // database (page_size=512 → multi-level B-tree + overflow chains,
+    // INTEGER PRIMARY KEY rowid aliasing, NULLs) is parsed by the
+    // pure-Scala format reader and aggregated; the oracle pins the
+    // golden group aggregates (independently computed by sqlite3
+    // itself at fixture-generation time).
+    Q("q62_sqlite_scan",
+      (s, dir) => {
+        val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft-opsd-sample.sqlite")
+        if (!tmp.exists()) {
+          val in = getClass.getResourceAsStream("/graft/opsd_sample.sqlite")
+          try java.nio.file.Files.copy(in, tmp.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+        }
+        SqliteSource.readTable(s, tmp.toString, "plants")
+          .groupBy(col("technology"))
+          .agg(count(lit(1)).as("n"),
+            ExactAgg.dsum(col("capacity_mw").cast("double")).as("total_mw"),
+            count(col("notes")).as("with_notes"))
+          .orderBy("technology")
+      },
+      Some("""SELECT technology, CAST(n AS BIGINT) AS n,
+          CAST(total_mw AS DOUBLE) AS total_mw,
+          CAST(with_notes AS BIGINT) AS with_notes
+        FROM (VALUES
+          ('biomass', 500, 625000.0, 429),
+          ('gas', 500, 625625.0, 428),
+          ('solar', 500, 624375.0, 429),
+          ('wind', 500, 626250.0, 429))
+        AS t(technology, n, total_mw, with_notes)
+        ORDER BY technology"""))
   )
 }

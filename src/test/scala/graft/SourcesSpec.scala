@@ -7,7 +7,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.functions.LocaleFuncs
-import graft.sources.{CsvDialects, JsonFlatten, XlsxSource, XmlSource}
+import graft.sources.{CsvDialects, JsonFlatten, SqliteSource, XlsxSource, XmlSource}
 
 /** Raw-input dialect fixtures from FIXTURES.md §C, generated
   * deterministically in a temp dir and driven through the source
@@ -165,5 +165,61 @@ class SourcesSpec extends SparkSpec {
     assert(XlsxSource.colIndex("Z9") == 25)
     assert(XlsxSource.colIndex("AA12") == 26)
     assert(XlsxSource.colIndex("BC3") == 54)
+  }
+
+  // ---- S8: native SQLite scan (opsd.py:49-51; no JDBC offline) ----
+  // Fixture: committed sqlite db, page_size=512 → multi-level table
+  // B-tree (2000 rows) and payload overflow chains (900-char notes).
+
+  private val sqliteFixture =
+    getClass.getResource("/graft/opsd_sample.sqlite").getPath
+
+  test("sqlite: table names from sqlite_schema") {
+    assert(SqliteSource.tableNames(spark, sqliteFixture) ==
+      Seq("plants", "meta"))
+  }
+
+  test("sqlite: full scan across interior pages, rowid alias, nulls") {
+    val df = SqliteSource.readTable(spark, sqliteFixture, "plants")
+    assert(df.columns.toSeq == Seq("id", "name", "technology",
+      "capacity_mw", "commissioned", "notes"))
+    assert(df.count() == 2000)
+    val agg = df.selectExpr(
+      "sum(CAST(capacity_mw AS DOUBLE)) AS cap",
+      "count(notes) AS with_notes",
+      "min(CAST(id AS BIGINT)) AS min_id",
+      "max(CAST(id AS BIGINT)) AS max_id").head()
+    assert(agg.getDouble(0) == 2501250.0) // matches sqlite3's own sum
+    // notes: null every 7th row -> 2000 - 285 non-null
+    assert(agg.getLong(1) == 2000 - 285)
+    assert(agg.getLong(2) == 1L && agg.getLong(3) == 2000L)
+    // overflow payloads (rows 500/1000/1500/2000 carry 900-char notes)
+    val long = df.filter(length(col("notes")) === 900)
+      .select("id").collect().map(_.getString(0).toLong).sorted
+    assert(long.toSeq == Seq(500L, 1000L, 1500L, 2000L))
+    // spot row: typed values decoded exactly
+    val r42 = df.filter(col("id") === "42").head()
+    assert(r42.getString(1) == "Plant 42" &&
+      r42.getString(2) == "biomass" &&
+      r42.getString(3).toDouble == 52.5 &&
+      r42.getString(4) == "2002")
+  }
+
+  test("sqlite: small rowid table + unknown table error") {
+    val meta = SqliteSource.readTable(spark, sqliteFixture, "meta")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(meta == Map("source" -> "opsd-sample", "version" -> "2024-01"))
+    val err = intercept[IllegalArgumentException] {
+      SqliteSource.readTable(spark, sqliteFixture, "nope")
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
+  test("sqlite parseCreate: quoting, nested parens, constraints, alias") {
+    val (cols, alias) = SqliteSource.parseCreate(
+      """CREATE TABLE t ("a b" INTEGER PRIMARY KEY, `c` DECIMAL(10,2),
+         [d] TEXT, e, PRIMARY KEY (c, d), FOREIGN KEY (e) REFERENCES x(y))""")
+    assert(cols == Seq("a b", "c", "d", "e"))
+    assert(alias == 0)
   }
 }
