@@ -147,15 +147,15 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sh =
       if (maxDocFreq == Int.MaxValue) shAll
-      else {
-        // the hot-shingle list is tiny by construction (only keys with
-        // df > cap) → AQE broadcasts the anti-join, no extra shuffle
-        // of the main table
-        val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") > maxDocFreq)
-          .select("shingle")
-        shAll.join(hot, Seq("shingle"), "left_anti")
-      }
+      else
+        // df as a count window over the same shingle-hash partitioning
+        // the self-join shuffles on — a local sort, no extra
+        // shuffle/aggregation pass (same trick as the LSH bucket cap)
+        shAll
+          .withColumn("_df",
+            count(lit(1)).over(Window.partitionBy("shingle")))
+          .filter(col("_df") <= maxDocFreq)
+          .drop("_df")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a")
       .join(sh.as("b").hint("shuffle_hash"),
