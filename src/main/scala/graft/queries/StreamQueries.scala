@@ -18,38 +18,43 @@ import graft.streaming.StreamOps
   */
 object StreamQueries {
 
+  /** Land the events table into a fixed temp dir and open it as a file
+    * stream. The file stream source consumes a directory — exactly the
+    * crawler-drops-files-in shape StreamOps.landingZone models. One
+    * FIXED landing dir per dataset STATE, written only when absent:
+    * repeated invocations (bench runs each query twice) reuse it
+    * instead of growing /tmp by a full events copy per run. Keyed by
+    * the sanitized full source path PLUS a content fingerprint (file
+    * count + max mtime + total bytes of the source parquet) so a
+    * dataset regenerated in place lands fresh instead of silently
+    * reusing a stale copy, and two distinct dirs can never collide
+    * into one landing zone. */
+  private def eventsStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val srcFiles = Option(
+      new java.io.File(dir, "events.parquet").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.isFile)
+    val fingerprint =
+      s"${srcFiles.length}-${srcFiles.map(_.lastModified).foldLeft(0L)(math.max)}-${srcFiles.map(_.length).sum}"
+    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val landingDir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-q53-landing-$sanitized-$fingerprint")
+    val landing = landingDir.toString
+    if (!new java.io.File(landingDir, "_SUCCESS").exists())
+      ev.write.mode("overwrite").parquet(landing)
+    StreamOps.landingZone(s, landing, ev.schema)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // A2/I5 streaming twin of q1: daily windowed aggregate over the
     // events stream with a 1-hour watermark, append-mode emission.
     Q("q53_stream_bucket_agg",
       (s, dir) => {
-        // The file stream source consumes a directory, so the events
-        // table is landed into a temp landing zone first — exactly the
-        // crawler-drops-files-in shape StreamOps.landingZone models.
-        // One FIXED landing dir per dataset STATE, written only when
-        // absent: repeated invocations (bench runs each query twice)
-        // reuse it instead of growing /tmp by a full events copy per
-        // run. Keyed by the sanitized full source path PLUS a content
-        // fingerprint (file count + max mtime + total bytes of the
-        // source parquet) so a dataset regenerated in place lands
-        // fresh instead of silently reusing a stale copy, and two
-        // distinct dirs can never collide into one landing zone.
-        val ev = Tables.load(s, dir, "events")
-        val srcFiles = Option(
-          new java.io.File(dir, "events.parquet").listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .filter(_.isFile)
-        val fingerprint =
-          s"${srcFiles.length}-${srcFiles.map(_.lastModified).foldLeft(0L)(math.max)}-${srcFiles.map(_.length).sum}"
-        val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-        val landingDir = new java.io.File(
-          sys.props("java.io.tmpdir"),
-          s"graft-q53-landing-$sanitized-$fingerprint")
-        val landing = landingDir.toString
-        if (!new java.io.File(landingDir, "_SUCCESS").exists())
-          ev.write.mode("overwrite").parquet(landing)
-        val stream = StreamOps.landingZone(s, landing, ev.schema)
+        val stream = eventsStream(s, dir)
         val agg = stream.withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -68,6 +73,53 @@ object StreamQueries {
         wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
         SELECT bucket_start, event_type, n, total FROM agg, wm
         WHERE bucket_start + INTERVAL 1 DAY <= w
-        ORDER BY bucket_start, event_type"""))
+        ORDER BY bucket_start, event_type""")),
+
+    // W-custom-state streaming twin of q47: sessionization via
+    // flatMapGroupsWithState + EVENT-TIME TIMEOUT. Sessions closed by
+    // a following row emit in the data batch; each user's final open
+    // session emits when the watermark passes last+gap (strict ms
+    // comparison — mirrored in the oracle), so even the timeout rule
+    // is hash-checked. The oracle is the batch sessionization minus
+    // exactly the final-per-user sessions the watermark hasn't
+    // released.
+    Q("q63_stream_sessionize",
+      (s, dir) => {
+        val out = StreamOps.sessionizeStream(
+          s, eventsStream(s, dir), gapSeconds = 1800, delay = "1 hour")
+        s.catalog.dropTempView("q63_sink")
+        StreamOps.drainToMemory(out, "q63_sink", OutputMode.Append())
+        s.table("q63_sink").orderBy("user_id", "session_id")
+      },
+      Some("""WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+            CASE WHEN lag(ts, 1) OVER w IS NULL
+              OR CAST(floor(epoch(ts)) AS BIGINT)
+                - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, ts, value,
+            CAST(sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+          FROM flagged),
+        agg AS (
+          SELECT user_id, session_id, count(*) AS n_events,
+            min(ts) AS session_start, max(ts) AS session_end,
+            CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+              AS session_value
+          FROM sessions GROUP BY 1, 2),
+        wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS w FROM events),
+        lastsess AS (
+          SELECT user_id, max(session_id) AS last_id FROM agg GROUP BY 1)
+        SELECT a.user_id, a.session_id, a.n_events, a.session_start,
+          a.session_end, a.session_value
+        FROM agg a JOIN lastsess l ON a.user_id = l.user_id, wm
+        WHERE a.session_id < l.last_id
+           OR epoch_ms(a.session_end) + 1800000 < wm.w
+        ORDER BY a.user_id, a.session_id"""))
   )
 }

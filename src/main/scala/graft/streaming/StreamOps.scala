@@ -71,6 +71,73 @@ object StreamOps {
       .toDF("user_id", "max_ts_s", "n")
   }
 
+  /** Open-session state for [[sessionizeStream]]: value is accumulated
+    * in integer cents so the sum is exact and arrival-order-free (the
+    * DuckDB oracle's DECIMAL(28,2) sum rounds identically). */
+  final case class SessionState(
+      seq: Long, startUs: Long, lastUs: Long, n: Long, cents: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState + event-time
+    * timeout — the custom-state streaming operator the batch q47 twin
+    * mirrors. Sessions split on a gap of more than `gapSeconds`
+    * (floor-second arithmetic, same as the batch oracle); a session
+    * closed by a newer row emits immediately, and each key's final
+    * open session emits when the watermark passes `last + gap` (the
+    * event-time timeout), which keeps state bounded on an unbounded
+    * stream. Emitted rows: (user_id, session_id, n_events,
+    * session_start, session_end, session_value). */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long, delay: String): DataFrame = {
+    import spark.implicits._
+    val sessions = events.withWatermark("ts", delay)
+      .selectExpr("user_id", "ts", "event_id", "value")
+      .as[(Long, java.time.Instant, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.time.Instant, Long, Double)],
+            state: GroupState[SessionState]) =>
+          def micros(i: java.time.Instant): Long =
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Double)]
+          def emit(st: SessionState): Unit =
+            out += ((uid, st.seq, st.n, st.startUs, st.lastUs,
+              st.cents / 100.0))
+          if (!rows.hasNext) {
+            // event-time timeout: watermark passed last + gap
+            state.getOption.foreach(emit)
+            state.remove()
+          } else {
+            // same total order as the batch twin: (ts, event_id)
+            val sorted = rows.toArray.sortBy(r => (micros(r._2), r._3))
+            var st = state.getOption.orNull
+            for (r <- sorted) {
+              val tUs = micros(r._2)
+              val cents = math.round(r._4 * 100)
+              if (st == null) {
+                st = SessionState(1, tUs, tUs, 1, cents)
+              } else if (tUs / 1000000L - st.lastUs / 1000000L > gapSeconds) {
+                emit(st)
+                st = SessionState(st.seq + 1, tUs, tUs, 1, cents)
+              } else {
+                st = st.copy(lastUs = tUs, n = st.n + 1,
+                  cents = st.cents + cents)
+              }
+            }
+            state.update(st)
+            // fires strictly after watermark > deadline (ms precision)
+            state.setTimeoutTimestamp(st.lastUs / 1000L + gapSeconds * 1000L)
+          }
+          out.result().iterator
+      }
+      .toDF("user_id", "session_id", "n_events", "start_us", "end_us",
+        "session_value")
+    sessions.select(col("user_id"), col("session_id"), col("n_events"),
+      expr("timestamp_micros(start_us)").as("session_start"),
+      expr("timestamp_micros(end_us)").as("session_end"),
+      col("session_value"))
+  }
+
   /** Drain helper for tests/batch parity: runs the streaming query on
     * everything currently in the source and stops (AvailableNow). */
   def drainToMemory(df: DataFrame, name: String,

@@ -62,4 +62,39 @@ class StreamingSpec extends SparkSpec {
       .filter(col("max_ts_s") =!= col("want_ts"))
     assert(bad.count() == 0)
   }
+
+  test("sessionizeStream: gap closes emit in-batch, timeout releases tail") {
+    import spark.implicits._
+    val dir = landing()
+    // user 1: two sessions split by a >30min gap; the second session's
+    // last event sits >1h+gap before the stream max, so its timeout
+    // fires. user 2: one session ending AT the stream max -> its
+    // deadline is above the final watermark -> held in state, NOT
+    // emitted. A third user (99) supplies the max event time.
+    def t(min: Long) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-06-01T00:00:00Z").plusSeconds(min * 60))
+    val rows = Seq(
+      (1L, t(0), 10L, 1.25),   // s1
+      (1L, t(10), 11L, 2.50),  // s1 (10min gap)
+      (1L, t(50), 12L, 4.00),  // s2 (40min gap)
+      (2L, t(600), 20L, 8.00), // held: deadline past final watermark
+      (99L, t(630), 90L, 0.5)) // max event time anchor
+      .toDF("user_id", "ts", "event_id", "value")
+    rows.write.mode("overwrite").parquet(dir)
+    val out = StreamOps.sessionizeStream(spark,
+      StreamOps.landingZone(spark, dir, rows.schema),
+      gapSeconds = 1800, delay = "1 hour")
+    StreamOps.drainToMemory(out, "sess_sink", OutputMode.Append())
+    val got = spark.table("sess_sink")
+      .select("user_id", "session_id", "n_events", "session_value")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // watermark = t(630) - 60min = t(570).
+    // user1 s1 closed by the 40-min gap (in-batch emit), s2 deadline
+    // t(50)+30min = t(80) < t(570) -> timeout emit. user2 deadline
+    // t(600)+30 = t(630) >= t(570)? 630 > 570 -> NOT emitted.
+    assert(got == Set((1L, 1L, 2L, 3.75), (1L, 2L, 1L, 4.00)))
+    // user 99's own session also stays open: deadline t(660) > wm
+    assert(!got.exists(_._1 == 2L) && !got.exists(_._1 == 99L))
+  }
 }
