@@ -224,4 +224,63 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "rank", "cosine")
   }
+
+  /** Product-quantization ANN with asymmetric-distance scoring
+    * (IVF-PQ's compression half): each vector is encoded as `m`
+    * sub-codes — the nearest codeword per subspace under squared-L2 —
+    * and a query scores a candidate as the sum of its per-subspace
+    * query→codeword distances (ADC): m table lookups instead of a
+    * `dim`-long scan per pair, and the collection stores m bytes per
+    * vector instead of 4·dim.
+    *
+    * `codebookSrc` is the codebook seed — any small (vec_id, embedding)
+    * frame whose sub-vectors become the codewords (k-means-trained in
+    * production, a deterministic data sample here; same convention as
+    * [[ivfTopK]]'s coarse quantizer). All distances are decimal-exact
+    * (per-term double product, DECIMAL partial sums; ADC terms rounded
+    * to DECIMAL(28,12) before the final sum so the total is
+    * order-free), making encode, lookup tables and ranking
+    * DuckDB-checkable end-to-end. At 100 TB the encode step would use a
+    * codegen'd kernel; the structure — codebook broadcast, one
+    * shuffle on (vec, sub) for encode, lookup-table join on (sub,
+    * code) — is unchanged. */
+  def pqTopK(emb: DataFrame, queries: DataFrame, codebookSrc: DataFrame,
+      m: Int, dim: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    // long form with 0-based subspace id
+    def explodeSub(df: DataFrame, id: String, e: String) =
+      df.select(col("vec_id").as(id),
+          posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select(col(id), col("pos"),
+          col("val").cast("double").as(e),
+          floor(col("pos") / subDim).cast("int").as("sub"))
+    // pos determines the subspace, so the codeword side drops its copy
+    val cw = explodeSub(codebookSrc, "cid", "ce").drop("sub")
+    // squared-L2 to every codeword, per (vector, subspace): position
+    // equality implies subspace equality, so the join key is pos alone
+    def subDistances(side: DataFrame, id: String): DataFrame =
+      explodeSub(side, id, "e")
+        .join(broadcast(cw), Seq("pos"))
+        .groupBy(col(id), col("sub"), col("cid"))
+        .agg(sum(((col("e") - col("ce")) * (col("e") - col("ce")))
+          .cast(DecimalType(18, 9))).cast(DoubleType).as("d"))
+    val wCode = Window.partitionBy("cand_id", "sub")
+      .orderBy(col("d"), col("cid"))
+    val codes = subDistances(emb, "cand_id")
+      .withColumn("_rn", row_number().over(wCode))
+      .filter(col("_rn") === 1)
+      .select("cand_id", "sub", "cid")
+    val qd = subDistances(queries, "query_id")
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("cand_id"))
+    codes.join(qd, Seq("sub", "cid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("d").cast(DecimalType(28, 12)))
+        .cast(DoubleType).as("adc_dist"))
+      .withColumn("rank", row_number().over(wRank).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "adc_dist")
+  }
 }

@@ -157,6 +157,48 @@ object VectorOps {
           FROM scored)
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // Product-quantization ADC top-k (IVF-PQ's compression half):
+    // 8 subspaces × 16 data-seeded codewords, squared-L2 encode,
+    // asymmetric-distance ranking. Every stage is decimal-exact, so
+    // codes, lookup tables and the final ranking all hash-match DuckDB.
+    Q("q64_ann_pq_adc",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.pqTopK(
+            emb, emb.filter(col("vec_id") < 10),
+            emb.filter(col("vec_id") < 16), m = 8, dim = Dim, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ex AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+        sub AS (SELECT vec_id, e, i,
+            CAST((i - 1) // ${Dim / 8} AS INT) AS sub FROM ex),
+        cw AS (SELECT vec_id AS cid, e AS ce, i, sub
+          FROM sub WHERE vec_id < 16),
+        cdist AS (SELECT a.vec_id AS vid, c.cid, a.sub,
+            CAST(sum(CAST((a.e - c.ce) * (a.e - c.ce) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM sub a JOIN cw c ON a.i = c.i
+          GROUP BY 1, 2, 3),
+        codes AS (SELECT vid AS cand_id, sub, cid FROM (
+            SELECT vid, sub, cid, row_number() OVER (PARTITION BY vid, sub
+              ORDER BY d, cid) AS rn
+            FROM cdist) WHERE rn = 1),
+        qd AS (SELECT vid AS query_id, sub, cid, d
+          FROM cdist WHERE vid < 10),
+        adc AS (SELECT q.query_id, c.cand_id,
+            CAST(sum(CAST(q.d AS DECIMAL(28,12))) AS DOUBLE) AS adc_dist
+          FROM codes c JOIN qd q ON q.sub = c.sub AND q.cid = c.cid
+          WHERE q.query_id <> c.cand_id
+          GROUP BY 1, 2)
+        SELECT query_id, cand_id, rank, adc_dist FROM (
+          SELECT query_id, cand_id, adc_dist,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist, cand_id) AS rank
+          FROM adc)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // Banded-LSH-pruned near-dup: candidates share ≥1 of 4 four-bit
     // sign bands, survivors exactly rescored at ≥ 0.35. The equi-join on
     // (band, signature) replaces q27's quadratic loop at scale; both

