@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.ExactAgg
-import graft.sources.{SqliteSource, XlsxSource}
+import graft.sources.{ArchiveSource, SqliteSource, XlsxSource, XmlSource}
 
 /** Source-format round-trips surfaced as oracle-checked queries: the
   * workbook is LANDED from the parquet tables at runtime (deterministic
@@ -102,6 +102,88 @@ object SourceOps {
           ('solar', 500, 624375.0, 429),
           ('wind', 500, 626250.0, 429))
         AS t(technology, n, total_mw, with_notes)
-        ORDER BY technology"""))
+        ORDER BY technology""")),
+
+    // S5 — archive expansion: the customer table landed as a
+    // two-member zip (csv per region-parity, the frequency.py zip-of-
+    // csv shape), expanded executor-side, member-tagged, parsed as
+    // headered CSV, aggregated. Oracle recomputes from parquet.
+    Q("q65_zip_csv_roundtrip",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+          .selectExpr("CAST(c_custkey AS LONG) AS k", "c_mktsegment",
+            "CAST(c_acctbal AS DOUBLE) AS bal")
+          .orderBy("k").collect()
+        val path = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft-q65-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+            ".zip").toString
+        val zout = new java.util.zip.ZipOutputStream(
+          new java.io.FileOutputStream(path))
+        for (parity <- Seq(0, 1)) {
+          zout.putNextEntry(new java.util.zip.ZipEntry(s"part$parity.csv"))
+          val lines = "c_custkey,c_mktsegment,c_acctbal\n" +
+            cust.filter(_.getLong(0) % 2 == parity).map(r =>
+              s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+              .mkString("\n")
+          zout.write(lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          zout.closeEntry()
+        }
+        zout.close()
+        val a = ArchiveSource.zipMemberCsv(s, path, "part0.csv")
+        val b = ArchiveSource.zipMemberCsv(s, path, "part1.csv")
+        a.unionByName(b)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            ExactAgg.dsum(col("c_acctbal").cast("double")).as("total_bal"),
+            max(col("c_custkey").cast("long")).as("max_key"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n,
+          ${ExactAgg.sqlSum("c_acctbal")} AS total_bal,
+          CAST(max(c_custkey) AS BIGINT) AS max_key
+        FROM customer GROUP BY 1 ORDER BY 1""")),
+
+    // S4 — XML registry: the supplier table landed as a MaStR-style
+    // utf-16le flat-row XML part-file, StAX-parsed on executors,
+    // aggregated. Oracle recomputes from parquet. Missing optional
+    // elements (phone for even keys) exercise the null path.
+    Q("q66_xml_roundtrip",
+      (s, dir) => {
+        val sup = Tables.load(s, dir, "supplier")
+          .selectExpr("CAST(s_suppkey AS LONG) AS k",
+            "CAST(s_nationkey AS LONG) AS nk",
+            "CAST(s_acctbal AS DOUBLE) AS bal")
+          .orderBy("k").collect()
+        val sb = new StringBuilder
+        sb.append("<?xml version=\"1.0\" encoding=\"UTF-16LE\"?>\n")
+        sb.append("<EinheitenLieferant>\n")
+        sup.foreach { r =>
+          sb.append("<Lieferant><SuppKey>").append(r.getLong(0))
+            .append("</SuppKey><NationKey>").append(r.getLong(1))
+            .append("</NationKey><Saldo>").append(r.getDouble(2))
+            .append("</Saldo>")
+          if (r.getLong(0) % 2 == 1)
+            sb.append("<Telefon>+49-").append(r.getLong(0)).append("</Telefon>")
+          sb.append("</Lieferant>\n")
+        }
+        sb.append("</EinheitenLieferant>\n")
+        val path = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft-q66-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + ".xml")
+        java.nio.file.Files.write(path.toPath,
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+        XmlSource.readFlatXml(s, path.toString, "Lieferant",
+            Seq("SuppKey", "NationKey", "Saldo", "Telefon"))
+          .groupBy(col("NationKey").cast("long").as("nation_key"))
+          .agg(count(lit(1)).as("n"),
+            ExactAgg.dsum(col("Saldo").cast("double")).as("total_bal"),
+            count(col("Telefon")).as("with_phone"))
+          .orderBy("nation_key")
+      },
+      Some(s"""SELECT CAST(s_nationkey AS BIGINT) AS nation_key,
+          count(*) AS n,
+          ${ExactAgg.sqlSum("s_acctbal")} AS total_bal,
+          CAST(sum(CASE WHEN s_suppkey % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS with_phone
+        FROM supplier GROUP BY 1 ORDER BY 1"""))
   )
 }
