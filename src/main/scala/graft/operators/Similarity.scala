@@ -265,16 +265,19 @@ object Similarity {
         .groupBy(col(id), col("sub"), col("cid"))
         .agg(sum(((col("e") - col("ce")) * (col("e") - col("ce")))
           .cast(DecimalType(18, 9))).cast(DoubleType).as("d"))
-    val wCode = Window.partitionBy("cand_id", "sub")
-      .orderBy(col("d"), col("cid"))
+    // argmin as a lexicographic struct-min — an aggregate with map-side
+    // partials instead of a second sort+exchange for a row_number
+    // window; (d asc, cid asc) tie-break is identical
     val codes = subDistances(emb, "cand_id")
-      .withColumn("_rn", row_number().over(wCode))
-      .filter(col("_rn") === 1)
-      .select("cand_id", "sub", "cid")
+      .groupBy("cand_id", "sub")
+      .agg(min(struct(col("d"), col("cid"))).as("_m"))
+      .select(col("cand_id"), col("sub"), col("_m.cid").as("cid"))
+    // |queries|×m×|codebook| rows — a probe set by construction, so the
+    // lookup table broadcasts; the collection-sized codes never shuffle
     val qd = subDistances(queries, "query_id")
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("adc_dist"), col("cand_id"))
-    codes.join(qd, Seq("sub", "cid"))
+    codes.join(broadcast(qd), Seq("sub", "cid"))
       .filter(col("query_id") =!= col("cand_id"))
       .groupBy("query_id", "cand_id")
       .agg(sum(col("d").cast(DecimalType(28, 12)))
