@@ -22,6 +22,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
 
     // warmup: touch the parquet reader, shuffle machinery and the noop
     // sink once so the first measured query doesn't pay init costs

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarityDesc)
+    ext.injectOptimizerRule(_ => graft.plans.PushTimestampConversionBounds)
   }
 }
 
@@ -36,10 +37,20 @@ object GraftExtensions {
         CosineSimilarity(children.head, children(1))
       })
 
-  /** Register on an already-built session (tests, REPL). */
+  /** Register on an already-built session (tests, REPL): SQL functions
+    * plus the timestamp-conversion pushdown rule (idempotent). The rule
+    * goes through `experimental.extraOptimizations`, which run after
+    * the main optimizer — by then predicate pushdown has inlined
+    * Project aliases, so the conversion pattern sits in Filters
+    * directly above relations and the conjuncts this rule adds are
+    * collected into the scan during physical planning. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val (id, info, builder) = cosineSimilarityDesc
     spark.sessionState.functionRegistry
       .registerFunction(id, info, builder)
+    val rule = graft.plans.PushTimestampConversionBounds
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
   }
 }

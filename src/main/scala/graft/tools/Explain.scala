@@ -20,6 +20,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.register(spark)
     val df = Registry.queries(name)(spark, sfDir)
     df.explain("formatted")
     (1 to 2).foreach { round =>

@@ -70,13 +70,15 @@ class ScaleSpec extends SparkSpec {
     // the raw-long predicate must reach the scan's pushed filters...
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
       s"raw-nanos bound not pushed to parquet:\n$plan")
-    // ...whereas filtering the CONVERTED column is a pushdown barrier
-    // (the trap this helper exists to avoid)
+    // ...and filtering the CONVERTED column — a pushdown barrier for
+    // stock Catalyst — is rescued by PushTimestampConversionBounds
+    // (installed by GraftExtensions.register in SparkSpec): the rule
+    // conjoins an implied raw-long bound that lands in PushedFilters
     val naive = Tables.load(spark, sf, "events")
       .filter(col("ts") >= expr(s"timestamp_micros($since)"))
     val naivePlan = naive.queryExecution.executedPlan.toString
-    assert(!naivePlan.contains("GreaterThanOrEqual(ts"),
-      "expected the converted-ts filter NOT to push down (barrier)")
+    assert(naivePlan.contains("GreaterThanOrEqual(ts"),
+      s"optimizer rule failed to derive the raw bound:\n$naivePlan")
     // same rows either way, and a real subset of the table
     assert(fast.count() == naive.count())
     assert(fast.count() > 0 &&
