@@ -50,9 +50,17 @@ object Tables {
       sinceMicros: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.filter(org.apache.spark.sql.functions.col("ts") >= sinceMicros * 1000L)
+    // The scan-pruning raw bound is widened 999 ns so it is sound for
+    // truncating division too (pre-epoch rows: `-10500 div 1000` is
+    // -10, which a naive `raw >= since*1000` would wrongly drop); the
+    // exact predicate re-applies on the converted column post-scan.
+    raw.filter(org.apache.spark.sql.functions.col("ts")
+        >= sinceMicros * 1000L - 999L)
       .withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .filter(org.apache.spark.sql.functions.col("ts")
+        >= org.apache.spark.sql.functions.expr(
+          s"timestamp_micros(${sinceMicros}L)"))
   }
 
   /** Register every table as a temp view so `spark.sql` can be used with

@@ -16,9 +16,12 @@ package graft.functions
 object GrafanaMacros {
 
   /** Grafana interval literal → seconds ("500ms" floors to 1s, the
-    * engine's minimum bucket). */
+    * engine's minimum bucket). Dashboards quote the argument form
+    * ($__timeGroup(col,'1h')), so surrounding single quotes are
+    * accepted. */
   def intervalSeconds(interval: String): Long = {
-    val m = "^(\\d+)(ms|s|m|h|d)$".r.findFirstMatchIn(interval.trim)
+    val bare = interval.trim.stripPrefix("'").stripSuffix("'").trim
+    val m = "^(\\d+)(ms|s|m|h|d)$".r.findFirstMatchIn(bare)
       .getOrElse(throw new IllegalArgumentException(
         s"unparseable Grafana interval: '$interval'"))
     val n = m.group(1).toLong
@@ -37,7 +40,33 @@ object GrafanaMacros {
     "\\$__timeGroup\\(([^,)]+),\\s*([^)]+)\\)".r
   private val TimeFilter = "\\$__timeFilter\\(([^)]+)\\)".r
   private val UnixEpochFilter = "\\$__unixEpochFilter\\(([^)]+)\\)".r
-  private val QuotedIdent = "\"([^\"]*)\"".r
+
+  /** Rewrite postgres `"identifier"` quoting to Spark backticks while
+    * leaving single-quoted string literals untouched — a literal like
+    * `'say "hi"'` must not be rewritten, so this is a scanner, not a
+    * regex (`''` is the literal-escape for a quote inside a string). */
+  private def rewriteQuotedIdents(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            out.append('\''); i += 1 // escaped '' stays inside
+          } else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true; out.append(c)
+        case '"' => out.append('`')
+        case other => out.append(other)
+      }
+      i += 1
+    }
+    out.toString
+  }
 
   /** Expand every macro the reference's dashboards use. `from`/`to` are
     * naive UTC timestamps ('yyyy-MM-dd HH:mm:ss'), `interval` a Grafana
@@ -71,10 +100,8 @@ object GrafanaMacros {
     s = s.replace("$__timeFrom()", s"TIMESTAMP '$from'")
     s = s.replace("$__timeTo()", s"TIMESTAMP '$to'")
     s = s.replace("$__interval", interval)
-    // postgres "identifier" quoting → Spark backticks (dashboards never
-    // use double quotes for string literals)
-    s = QuotedIdent.replaceAllIn(s, m =>
-      java.util.regex.Matcher.quoteReplacement(s"`${m.group(1)}`"))
-    s
+    // postgres "identifier" quoting → Spark backticks, string literals
+    // preserved
+    rewriteQuotedIdents(s)
   }
 }

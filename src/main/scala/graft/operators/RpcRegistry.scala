@@ -39,17 +39,23 @@ object RpcRegistry {
     val params =
       if (qIdx < 0) Array.empty[String]
       else url.substring(qIdx + 1).split("&").filter(_.nonEmpty)
-    val (rest, args) = params.partition { kv =>
+    def split(kv: String): (String, String) = {
       val i = kv.indexOf('=')
-      val k = if (i < 0) kv else kv.substring(0, i)
-      val v = if (i < 0) "" else kv.substring(i + 1)
+      if (i < 0) (kv, "") else (kv.substring(0, i), kv.substring(i + 1))
+    }
+    val (rest, args) = params.partition { kv =>
+      val (k, v) = split(kv)
       val dot = v.indexOf('.')
       RestKeys.contains(k) ||
         (dot > 0 && FilterOps.contains(v.substring(0, dot)))
     }
+    // function args are percent-decoded (PostgREST clients encode
+    // them); a valueless param arrives as "". REST filter params pass
+    // through verbatim — RestQuery owns their grammar.
     val argMap = args.map { kv =>
-      val i = kv.indexOf('=')
-      kv.substring(0, i) -> kv.substring(i + 1)
+      val (k, v) = split(kv)
+      java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(v, "UTF-8")
     }.toMap
     val base = proc(spark, argMap)
     if (rest.isEmpty) base else RestQuery(base, rest.mkString("&"))

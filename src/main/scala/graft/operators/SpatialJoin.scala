@@ -28,7 +28,8 @@ object SpatialJoin {
     * double, which would poison the max. */
   def withParsedRing(polygons: DataFrame, wktCol: String): DataFrame = {
     val parse = udf { (w: String) =>
-      val rings = GeoFuncs.allRings(w)
+      val geom = GeoFuncs.parseGeometry(w)
+      val rings = geom.flatten
       val nVerts = rings.map(_.length).sum
       val n = nVerts + rings.length - 1
       val xs = new Array[Double](n)
@@ -38,7 +39,7 @@ object SpatialJoin {
         if (r > 0) { xs(o) = Double.NaN; ys(o) = Double.NaN; o += 1 }
         ring.foreach { case (x, y) => xs(o) = x; ys(o) = y; o += 1 }
       }
-      val (minx, miny, maxx, maxy) = GeoFuncs.bboxGeom(GeoFuncs.parseGeometry(w))
+      val (minx, miny, maxx, maxy) = GeoFuncs.bboxGeom(geom)
       (xs, ys, minx, miny, maxx, maxy)
     }
     polygons

@@ -70,16 +70,23 @@ object PushTimestampConversionBounds extends Rule[LogicalPlan]
       asConv(c).toSeq.flatMap(raw => Seq(
         GreaterThanOrEqual(raw, Literal(t * 1000L - 999L)),
         LessThanOrEqual(raw, Literal(t * 1000L + 999L))))
-    // literal-on-the-left orientations
-    case LessThanOrEqual(l @ Literal(_: Long, TimestampType), c) =>
+    // literal-on-the-left orientations; the non-literal guard on the
+    // other side prevents literal⋈literal predicates from bouncing
+    // between the mirrored cases forever
+    case LessThanOrEqual(l @ Literal(_: Long, TimestampType), c)
+        if !c.isInstanceOf[Literal] =>
       derived(GreaterThanOrEqual(c, l))
-    case LessThan(l @ Literal(_: Long, TimestampType), c) =>
+    case LessThan(l @ Literal(_: Long, TimestampType), c)
+        if !c.isInstanceOf[Literal] =>
       derived(GreaterThan(c, l))
-    case GreaterThanOrEqual(l @ Literal(_: Long, TimestampType), c) =>
+    case GreaterThanOrEqual(l @ Literal(_: Long, TimestampType), c)
+        if !c.isInstanceOf[Literal] =>
       derived(LessThanOrEqual(c, l))
-    case GreaterThan(l @ Literal(_: Long, TimestampType), c) =>
+    case GreaterThan(l @ Literal(_: Long, TimestampType), c)
+        if !c.isInstanceOf[Literal] =>
       derived(LessThan(c, l))
-    case EqualTo(l @ Literal(_: Long, TimestampType), c) =>
+    case EqualTo(l @ Literal(_: Long, TimestampType), c)
+        if !c.isInstanceOf[Literal] =>
       derived(EqualTo(c, l))
     case _ => Nil
   }

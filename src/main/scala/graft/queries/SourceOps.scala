@@ -78,13 +78,27 @@ object SourceOps {
     // itself at fixture-generation time).
     Q("q62_sqlite_scan",
       (s, dir) => {
-        val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft-opsd-sample.sqlite")
-        if (!tmp.exists()) {
+        // landing path is keyed by the resource's content md5 (a
+        // regenerated fixture can't silently reuse a stale copy) and
+        // written via temp-file + atomic move (a concurrent JVM never
+        // observes a half-written database)
+        val bytes = {
           val in = getClass.getResourceAsStream("/graft/opsd_sample.sqlite")
-          try java.nio.file.Files.copy(in, tmp.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          finally in.close()
+          try in.readAllBytes() finally in.close()
+        }
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map(b => f"${b & 0xff}%02x").mkString
+        val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-opsd-sample-$md5.sqlite")
+        if (!tmp.exists()) {
+          val staging = java.nio.file.Files.createTempFile(
+            tmp.getParentFile.toPath, "graft-opsd-", ".tmp")
+          java.nio.file.Files.write(staging, bytes)
+          try java.nio.file.Files.move(staging, tmp.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            java.nio.file.Files.deleteIfExists(staging) // lost the race
+          }
         }
         SqliteSource.readTable(s, tmp.toString, "plants")
           .groupBy(col("technology"))

@@ -197,10 +197,10 @@ object SqliteSource {
     parts += body.substring(start)
     val constraint =
       "(?i)^\\s*(PRIMARY\\s+KEY|UNIQUE|CHECK|FOREIGN\\s+KEY|CONSTRAINT)\\b".r
-    val defs = parts.result().map(_.trim).filter(_.nonEmpty)
-      .filterNot(d => constraint.findFirstIn(d).isDefined)
-    val names = defs.map { d =>
-      val t = d.trim
+    val all = parts.result().map(_.trim).filter(_.nonEmpty)
+    val (constraints, defs) =
+      all.partition(d => constraint.findFirstIn(d).isDefined)
+    def ident(t: String): String =
       t.charAt(0) match {
         // quoted identifiers may contain whitespace
         case '"' => t.substring(1, t.indexOf('"', 1))
@@ -208,9 +208,27 @@ object SqliteSource {
         case '[' => t.substring(1, t.indexOf(']'))
         case _ => t.split("\\s+")(0)
       }
-    }
-    val alias = defs.indexWhere(d =>
+    val names = defs.map(ident)
+    // rowid aliasing: either the column-def form `id INTEGER PRIMARY
+    // KEY` or the table-constraint form `..., PRIMARY KEY (id)` over a
+    // single INTEGER-typed column — both store NULL in the record and
+    // mean rowid (sqlite docs §rowid); missing the latter would read
+    // the PK back as all NULLs.
+    val colFormAlias = defs.indexWhere(d =>
       "(?i)\\bINTEGER\\s+PRIMARY\\s+KEY\\b".r.findFirstIn(d).isDefined)
+    val alias =
+      if (colFormAlias >= 0) colFormAlias
+      else constraints.collectFirst {
+        case c if "(?i)^PRIMARY\\s+KEY\\s*\\(([^,)]+)\\)\\s*$".r
+            .findFirstMatchIn(c).isDefined =>
+          val inner = "(?i)^PRIMARY\\s+KEY\\s*\\(([^,)]+)\\)\\s*$".r
+            .findFirstMatchIn(c).get.group(1).trim
+          val name = ident(inner)
+          defs.indexWhere { d =>
+            ident(d) == name &&
+              "(?i)\\bINTEGER\\b".r.findFirstIn(d).isDefined
+          }
+      }.getOrElse(-1)
     (names, alias)
   }
 

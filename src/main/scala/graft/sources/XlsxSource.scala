@@ -176,7 +176,10 @@ object XlsxSource {
             case "c" if cellCol >= 0 =>
               val raw = sb.toString
               val value = cellType match {
-                case "s" => shared(raw.trim.toInt)
+                // style-only blank cells can carry t="s" with no <v>:
+                // treat as a gap, not an index-parse failure
+                case "s" if raw.trim.nonEmpty => shared(raw.trim.toInt)
+                case "s" => ""
                 case _ => raw
               }
               if (value.nonEmpty || cellType == "s" || cellType == "inlineStr")

@@ -73,7 +73,12 @@ object StreamOps {
 
   /** Open-session state for [[sessionizeStream]]: value is accumulated
     * in integer cents so the sum is exact and arrival-order-free (the
-    * DuckDB oracle's DECIMAL(28,2) sum rounds identically). */
+    * DuckDB oracle's DECIMAL(28,2) sum rounds identically). `n == 0`
+    * marks a closed-session tombstone that only preserves the per-user
+    * session counter, so session_id stays unique across an
+    * idle-timeout + reactivation cycle (a removed state would restart
+    * numbering at 1). Tombstones make state ∝ distinct users — the
+    * same bound as any per-key aggregation. */
   final case class SessionState(
       seq: Long, startUs: Long, lastUs: Long, n: Long, cents: Long)
 
@@ -104,9 +109,14 @@ object StreamOps {
             out += ((uid, st.seq, st.n, st.startUs, st.lastUs,
               st.cents / 100.0))
           if (!rows.hasNext) {
-            // event-time timeout: watermark passed last + gap
-            state.getOption.foreach(emit)
-            state.remove()
+            // event-time timeout: watermark passed last + gap. Emit the
+            // open session but keep a counter tombstone (no new timeout
+            // is set, so it never fires again) — removing state would
+            // restart session_id at 1 when the user reactivates.
+            state.getOption.filter(_.n > 0).foreach { st =>
+              emit(st)
+              state.update(SessionState(st.seq, 0L, 0L, 0L, 0L))
+            }
           } else {
             // same total order as the batch twin: (ts, event_id)
             val sorted = rows.toArray.sortBy(r => (micros(r._2), r._3))
@@ -114,8 +124,9 @@ object StreamOps {
             for (r <- sorted) {
               val tUs = micros(r._2)
               val cents = math.round(r._4 * 100)
-              if (st == null) {
-                st = SessionState(1, tUs, tUs, 1, cents)
+              if (st == null || st.n == 0) {
+                val seq = if (st == null) 1L else st.seq + 1
+                st = SessionState(seq, tUs, tUs, 1, cents)
               } else if (tUs / 1000000L - st.lastUs / 1000000L > gapSeconds) {
                 emit(st)
                 st = SessionState(st.seq + 1, tUs, tUs, 1, cents)

@@ -36,6 +36,23 @@ class GrafanaMacrosSpec extends AnyFunSuite {
       """SELECT "fossil_brown_coal/lignite" FROM g WHERE c = 'a"b'""",
       "2024-01-01 00:00:00", "2024-01-02 00:00:00", "5m")
     assert(out.contains("`fossil_brown_coal/lignite`"))
+    assert(out.contains("'a\"b'"), "quote inside string literal must survive")
+    // a PAIR of double quotes inside a string literal must not be
+    // rewritten either (the regex formulation corrupted this case)
+    val lit = GrafanaMacros.expand(
+      """SELECT "col" FROM g WHERE note = 'say "hi" now' AND e = 'it''s "x"'""",
+      "2024-01-01 00:00:00", "2024-01-02 00:00:00", "5m")
+    assert(lit.contains("`col`"))
+    assert(lit.contains("'say \"hi\" now'"))
+    assert(lit.contains("'it''s \"x\"'"))
+  }
+
+  test("quoted interval argument form $__timeGroup(col,'1h')") {
+    assert(GrafanaMacros.intervalSeconds("'1h'") == 3600)
+    val out = GrafanaMacros.expand(
+      "SELECT $__timeGroupAlias(ts,'15m') FROM e",
+      "2024-01-01 00:00:00", "2024-01-02 00:00:00", "1h")
+    assert(out.contains("time_bucket_s(900, ts)"))
   }
 
   test("timeGroup (no alias), timeFrom/timeTo, unixEpochFilter, explicit interval") {

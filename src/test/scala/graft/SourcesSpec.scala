@@ -221,5 +221,17 @@ class SourcesSpec extends SparkSpec {
          [d] TEXT, e, PRIMARY KEY (c, d), FOREIGN KEY (e) REFERENCES x(y))""")
     assert(cols == Seq("a b", "c", "d", "e"))
     assert(alias == 0)
+    // table-constraint form over a single INTEGER column is a rowid
+    // alias too (the record stores NULL there); a composite or
+    // non-INTEGER constraint PK is NOT
+    val (_, a2) = SqliteSource.parseCreate(
+      "CREATE TABLE t (id INTEGER, x TEXT, PRIMARY KEY (id))")
+    assert(a2 == 0)
+    val (_, a3) = SqliteSource.parseCreate(
+      "CREATE TABLE t (id TEXT, x TEXT, PRIMARY KEY (id))")
+    assert(a3 == -1)
+    val (_, a4) = SqliteSource.parseCreate(
+      "CREATE TABLE t (a INTEGER, b INTEGER, PRIMARY KEY (a, b))")
+    assert(a4 == -1)
   }
 }

@@ -97,4 +97,48 @@ class StreamingSpec extends SparkSpec {
     // user 99's own session also stays open: deadline t(660) > wm
     assert(!got.exists(_._1 == 2L) && !got.exists(_._1 == 99L))
   }
+
+  test("sessionizeStream: session_id survives timeout + reactivation") {
+    import spark.implicits._
+    val dir = landing()
+    def t(min: Long) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-06-01T00:00:00Z").plusSeconds(min * 60))
+    def land(name: String, mtime: Long,
+        rows: Seq[(Long, java.sql.Timestamp, Long, Double)]): Unit = {
+      val stage = Files.createTempDirectory("sess-stage").toString
+      rows.toDF("user_id", "ts", "event_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    // batch 1: user 1's session + an anchor pushing the watermark past
+    // user 1's deadline. batch 2 (separate file, one file per trigger):
+    // the pending timeout fires, THEN user 1 reactivates — without the
+    // counter tombstone the new session would repeat session_id 1.
+    land("f1.parquet", 1000000L, Seq(
+      (1L, t(0), 10L, 1.0),
+      (99L, t(180), 90L, 0.5)))
+    land("f2.parquet", 2000000L, Seq(
+      (1L, t(240), 11L, 2.0),
+      (99L, t(600), 91L, 0.5)))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = StreamOps.sessionizeStream(spark, stream,
+      gapSeconds = 1800, delay = "1 hour")
+    spark.catalog.dropTempView("sess_react")
+    StreamOps.drainToMemory(out, "sess_react", OutputMode.Append())
+    val got = spark.table("sess_react")
+      .filter(col("user_id") === 1L)
+      .select("session_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // session 1 emitted via timeout after batch 1's watermark (t(180)
+    // − 1h = t(120) > deadline t(30)); session 2 emitted via timeout
+    // after batch 2's watermark (t(600) − 1h = t(540) > t(270))
+    assert(got == Set((1L, 1L), (2L, 1L)),
+      s"expected distinct session ids across reactivation, got $got")
+  }
 }
