@@ -144,6 +144,70 @@ final class IngestDataset(
     }
   }
 
+  /** K-ops maintenance — small-file compaction. Long-running
+    * incremental ingest (one file per chunked append per date) is THE
+    * small-file generator at 100 TB; this rewrites only the partitions
+    * whose file count exceeds `maxFilesPerPartition`, sizing output by
+    * `targetBytes` via AQE rebalance, and leaves healthy partitions
+    * physically untouched (their files keep their identity). Each
+    * compacted partition is staged fully, then swapped in with a
+    * delete+rename — a crash can lose at most the in-flight partition
+    * swap, never mix old and new files in one partition. Rows are
+    * byte-identical; only the file layout changes. For an
+    * unpartitioned table the whole-table stage-swap path runs instead.
+    * Returns the number of partitions rewritten. */
+  def compact(table: String, maxFilesPerPartition: Int = 8,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(tableExists(table), s"$table must exist for compact")
+    val tableDir = new Path(tablePath(table))
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val partDirs = fs.listStatus(tableDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+    if (partDirs.isEmpty) {
+      // unpartitioned: compact the whole table iff it is fragmented
+      val files = fs.listStatus(tableDir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (files.length <= maxFilesPerPartition) 0
+      else {
+        val n = math.max(1,
+          math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+        rewriteAtomically(table, read(table).repartition(n), None)
+        1
+      }
+    } else {
+      val fragmented = partDirs.filter { d =>
+        fs.listStatus(d.getPath)
+          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) >
+          maxFilesPerPartition
+      }
+      val prevAdvisory =
+        spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        targetBytes.toString)
+      try {
+        fragmented.foreach { d =>
+          val staging = new Path(tableDir.getParent,
+            s".compact-$table-${d.getPath.getName}-${UUID.randomUUID()}")
+          // read ONLY this partition; rebalance so AQE emits
+          // ~targetBytes output files; stage fully before the swap
+          spark.read.parquet(d.getPath.toString)
+            .hint("rebalance")
+            .write.parquet(staging.toString)
+          // drop the _SUCCESS marker etc. only the parquet files move
+          fs.delete(new Path(staging, "_SUCCESS"), false)
+          fs.delete(d.getPath, true)
+          fs.rename(staging, d.getPath)
+        }
+        fragmented.length
+      } finally prevAdvisory match {
+        case Some(v) => spark.conf
+          .set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
+        case None => spark.conf
+          .unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
+    }
+  }
+
   /** Date-partitioned writes REBALANCE on the partition column first:
     * without it every task writes a file into every date dir it sees
     * (tasks × dates small files — the classic partitioned-write

@@ -92,6 +92,50 @@ class IngestSpec extends SparkSpec {
     assert(out == Seq(1L, 3L), "stale Jan-02 partition must be deleted")
   }
 
+  test("compact merges fragmented partitions, leaves healthy ones untouched") {
+    val ds = freshDs()
+    // 6 chunked appends -> ≥6 files in the hot date partition
+    (0 until 6).foreach { i =>
+      val b = Seq((i.toLong, ts("2024-01-01 00:00:00"), i.toDouble))
+        .toDF("id", "t", "v")
+      ds.append("t1", b, partitionTs = Some("t"))
+    }
+    // one small append to a second date -> healthy partition
+    ds.append("t1",
+      Seq((100L, ts("2024-01-02 00:00:00"), 1.0)).toDF("id", "t", "v"),
+      partitionTs = Some("t"))
+    val before = ds.read("t1").orderBy("id").collect()
+    def files(date: String) = new java.io.File(
+      ds.tablePath("t1"), s"date=$date").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files("2024-01-01").length >= 6)
+    val healthyBefore = files("2024-01-02").map(_.getName).toSet
+    val rewritten = ds.compact("t1", maxFilesPerPartition = 3)
+    assert(rewritten == 1)
+    assert(files("2024-01-01").length <= 3,
+      s"expected compaction, got ${files("2024-01-01").length} files")
+    // healthy partition's files keep their identity
+    assert(files("2024-01-02").map(_.getName).toSet == healthyBefore)
+    // rows byte-identical
+    assert(ds.read("t1").orderBy("id").collect().toSeq == before.toSeq)
+    // idempotent: nothing left to compact
+    assert(ds.compact("t1", maxFilesPerPartition = 3) == 0)
+  }
+
+  test("compact on an unpartitioned fragmented table stage-swaps once") {
+    val ds = freshDs()
+    (0 until 10).foreach { i =>
+      ds.append("u1", Seq((i.toLong, i.toDouble)).toDF("id", "v"),
+        partitionTs = None)
+    }
+    val before = ds.read("u1").orderBy("id").collect()
+    assert(ds.compact("u1", maxFilesPerPartition = 4) == 1)
+    val files = new java.io.File(ds.tablePath("u1")).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length <= 4)
+    assert(ds.read("u1").orderBy("id").collect().toSeq == before.toSeq)
+  }
+
   test("watermark: None on missing table, max after append, per-key") {
     val ds = freshDs()
     assert(Watermark.maxTs(ds, "t", "t").isEmpty)
