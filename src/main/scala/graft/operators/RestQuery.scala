@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * SURVEY.md §3.3 / §2.10 Q9: `GET /consumption?select=DateTime,
   * power.sum()&DateTime=gte.'2012-01-01'&limit=10`).
   *
-  * Supported (the subset the reference's docs/dashboards actually use):
+  * Supported (the reference's documented usage plus the standard
+  * PostgREST operators around it):
   *   select=col, col.sum()/avg()/min()/max()/count()
-  *   <col>=eq./gt./gte./lt./lte./neq./like.<value>
-  *   order=col[.desc], limit=N
+  *   <col>=eq./gt./gte./lt./lte./neq./like./in.(a,b)/is.null
+  *   <col>=not.<op>.<value> negation
+  *   order=col[.asc|.desc][.nullsfirst|.nullslast], limit=N, offset=N
   * Aggregate selects imply grouping by the plain selected columns —
   * PostgREST's aggregate semantics (PGRST_DB_AGGREGATES_ENABLED).
   */
@@ -26,27 +28,34 @@ object RestQuery {
 
     var df = table
 
-    // predicates (any param that is not select/order/limit)
+    // predicates (any param that is not select/order/limit/offset)
+    def predicate(c: Column, v: String): Column = {
+      val dot = v.indexOf('.')
+      val (op, rawValue) =
+        if (dot >= 0) (v.substring(0, dot), v.substring(dot + 1))
+        else ("eq", v)
+      val value = rawValue.stripPrefix("'").stripSuffix("'")
+      op match {
+        case "not" => !predicate(c, rawValue)
+        case "eq" => c === value
+        case "neq" => c =!= value
+        case "gt" => c > value
+        case "gte" => c >= value
+        case "lt" => c < value
+        case "lte" => c <= value
+        case "like" => c.like(value.replace("*", "%"))
+        case "is" if value == "null" => c.isNull
+        case "in" =>
+          val items = rawValue.stripPrefix("(").stripSuffix(")")
+            .split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+          c.isin(items.toIndexedSeq: _*)
+        case other => throw new IllegalArgumentException(
+          s"unsupported operator: $other")
+      }
+    }
     params.foreach {
-      case ("select" | "order" | "limit", _) => ()
-      case (col0, v) =>
-        val dot = v.indexOf('.')
-        val (op, rawValue) =
-          if (dot >= 0) (v.substring(0, dot), v.substring(dot + 1))
-          else ("eq", v)
-        val value = rawValue.stripPrefix("'").stripSuffix("'")
-        val c = col(col0)
-        df = df.filter(op match {
-          case "eq" => c === value
-          case "neq" => c =!= value
-          case "gt" => c > value
-          case "gte" => c >= value
-          case "lt" => c < value
-          case "lte" => c <= value
-          case "like" => c.like(value.replace("*", "%"))
-          case other => throw new IllegalArgumentException(
-            s"unsupported operator: $other")
-        })
+      case ("select" | "order" | "limit" | "offset", _) => ()
+      case (col0, v) => df = df.filter(predicate(col(col0), v))
     }
 
     // projection / aggregation
@@ -69,13 +78,30 @@ object RestQuery {
     }
 
     params.collectFirst { case ("order", o) => o }.foreach { o =>
-      val cols = o.split(",").map(_.trim).map {
-        case s if s.endsWith(".desc") => col(s.stripSuffix(".desc")).desc
-        case s => col(s.stripSuffix(".asc")).asc
+      val cols = o.split(",").map(_.trim).map { item =>
+        // col[.asc|.desc][.nullsfirst|.nullslast] — PostgREST order
+        // grammar; defaults are asc + PostgreSQL's nulls-last-on-asc /
+        // nulls-first-on-desc
+        val parts = item.split("\\.")
+        val c = col(parts.head)
+        val desc = parts.contains("desc")
+        val nullsFirst =
+          if (parts.contains("nullsfirst")) true
+          else if (parts.contains("nullslast")) false
+          else desc // postgres default: NULLS FIRST iff DESC
+        (desc, nullsFirst) match {
+          case (false, false) => c.asc_nulls_last
+          case (false, true) => c.asc_nulls_first
+          case (true, false) => c.desc_nulls_last
+          case (true, true) => c.desc_nulls_first
+        }
       }
       df = df.orderBy(cols.toSeq: _*)
     }
 
+    params.collectFirst { case ("offset", n) => n }.foreach { n =>
+      df = df.offset(n.toInt)
+    }
     params.collectFirst { case ("limit", n) => n }.foreach { n =>
       df = df.limit(n.toInt)
     }
