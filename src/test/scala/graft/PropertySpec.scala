@@ -81,4 +81,43 @@ class PropertySpec extends SparkSpec {
         assert(math.abs(sumWide - sumLong) < 1e-6)
     }
   }
+
+  test("codegen PointInRing ≡ Scala containsPointGeom on random multi-ring WKT") {
+    import graft.functions.GeoFuncs
+    // random multipolygons: 1-3 parts, each an axis-aligned ring with
+    // an optional hole, over an integer grid (probe points offset by
+    // 0.5 so nothing sits on an edge)
+    val genPoly = for {
+      nParts <- Gen.chooseNum(1, 3)
+      parts <- Gen.listOfN(nParts, for {
+        x0 <- Gen.chooseNum(-20, 10); y0 <- Gen.chooseNum(-20, 10)
+        w <- Gen.chooseNum(4, 10); h <- Gen.chooseNum(4, 10)
+        hasHole <- Gen.oneOf(true, false)
+      } yield (x0, y0, w, h, hasHole))
+    } yield parts
+    def ring(x0: Int, y0: Int, x1: Int, y1: Int) =
+      s"($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0)"
+    forAllSampled(genPoly, n = 15) { parts =>
+      val wkt = "MULTIPOLYGON " + parts.map { case (x0, y0, w, h, hole) =>
+        val outer = ring(x0, y0, x0 + w, y0 + h)
+        val inner =
+          if (hole) ", " + ring(x0 + 1, y0 + 1, x0 + w - 1, y0 + h - 1)
+          else ""
+        s"($outer$inner)"
+      }.mkString("(", ", ", ")")
+      val geom = GeoFuncs.parseGeometry(wkt)
+      val pts = (for (px <- -21 to 21 by 3; py <- -21 to 21 by 3)
+        yield (px + 0.5, py + 0.5)).toSeq
+      val polys = Seq(("z", wkt)).toDF("zone", "geometry")
+      val joined = graft.operators.SpatialJoin.pointInPolygon(
+        pts.toDF("lon", "lat"), "lon", "lat", polys, "geometry")
+        .select("lon", "lat", "zone").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1)) -> (r.get(2) != null))
+        .toMap
+      pts.foreach { case (x, y) =>
+        assert(joined((x, y)) == GeoFuncs.containsPointGeom(geom, x, y),
+          s"kernel/Scala disagree at ($x,$y) for $wkt")
+      }
+    }
+  }
 }
