@@ -151,8 +151,9 @@ final class IngestDataset(
     * `targetBytes` via AQE rebalance, and leaves healthy partitions
     * physically untouched (their files keep their identity). Each
     * compacted partition is staged fully, then swapped in with a
-    * delete+rename — a crash can lose at most the in-flight partition
-    * swap, never mix old and new files in one partition. Rows are
+    * retire-then-promote rename pair — a crash anywhere leaves the
+    * partition either live or recoverable from the retired dir, and
+    * never mixes old and new files in one partition. Rows are
     * byte-identical; only the file layout changes. For an
     * unpartitioned table the whole-table stage-swap path runs instead.
     * Returns the number of partitions rewritten. */
@@ -186,17 +187,24 @@ final class IngestDataset(
         targetBytes.toString)
       try {
         fragmented.foreach { d =>
-          val staging = new Path(tableDir.getParent,
-            s".compact-$table-${d.getPath.getName}-${UUID.randomUUID()}")
+          val suffix = s"$table-${d.getPath.getName}-${UUID.randomUUID()}"
+          val staging = new Path(tableDir.getParent, s".compact-$suffix")
+          val retired = new Path(tableDir.getParent, s".retired-$suffix")
           // read ONLY this partition; rebalance so AQE emits
           // ~targetBytes output files; stage fully before the swap
           spark.read.parquet(d.getPath.toString)
             .hint("rebalance")
             .write.parquet(staging.toString)
-          // drop the _SUCCESS marker etc. only the parquet files move
+          // drop the _SUCCESS marker: only the parquet files move
           fs.delete(new Path(staging, "_SUCCESS"), false)
-          fs.delete(d.getPath, true)
+          // swap via retire-then-promote: the old files are renamed
+          // aside (not deleted) before the staging dir takes their
+          // place, so a crash at any point leaves the partition either
+          // live or recoverable from the .retired dir — never gone.
+          // The delete of retired data happens only after promotion.
+          fs.rename(d.getPath, retired)
           fs.rename(staging, d.getPath)
+          fs.delete(retired, true)
         }
         fragmented.length
       } finally prevAdvisory match {
