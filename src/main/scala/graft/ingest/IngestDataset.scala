@@ -153,7 +153,12 @@ final class IngestDataset(
     * compacted partition is staged fully, then swapped in with a
     * retire-then-promote rename pair — a crash anywhere leaves the
     * partition either live or recoverable from the retired dir, and
-    * never mixes old and new files in one partition. Rows are
+    * never mixes old and new files in one partition. CRASH-safe, not
+    * concurrent-READER-safe: a query overlapping the swap can see the
+    * partition absent for the instant between the renames, or lose
+    * retired file paths captured at planning time — inherent to plain
+    * parquet (a transactional table format makes the swap atomic); run
+    * compaction in a maintenance window. Rows are
     * byte-identical; only the file layout changes. For an
     * unpartitioned table the whole-table stage-swap path runs instead.
     * Returns the number of partitions rewritten. */
@@ -190,9 +195,14 @@ final class IngestDataset(
           val suffix = s"$table-${d.getPath.getName}-${UUID.randomUUID()}"
           val staging = new Path(tableDir.getParent, s".compact-$suffix")
           val retired = new Path(tableDir.getParent, s".retired-$suffix")
-          // read ONLY this partition; rebalance so AQE emits
-          // ~targetBytes output files; stage fully before the swap
-          spark.read.parquet(d.getPath.toString)
+          // read ONLY this partition — with mergeSchema, matching the
+          // dataset's read() contract: appendEvolve legally leaves
+          // heterogeneous file schemas in one partition, and a
+          // single-footer inference would silently drop the evolved
+          // columns from the rewrite. Rebalance so AQE emits
+          // ~targetBytes output files; stage fully before the swap.
+          spark.read.option("mergeSchema", "true")
+            .parquet(d.getPath.toString)
             .hint("rebalance")
             .write.parquet(staging.toString)
           // drop the _SUCCESS marker: only the parquet files move

@@ -20,12 +20,16 @@ object RestQuery {
 
   private val AggRe = "^([A-Za-z_][A-Za-z0-9_]*)\\.(sum|avg|min|max|count)\\(\\)$".r
 
-  def apply(table: DataFrame, queryString: String): DataFrame = {
-    val params = queryString.split("&").filter(_.nonEmpty).map { kv =>
+  def apply(table: DataFrame, queryString: String): DataFrame =
+    apply(table, queryString.split("&").filter(_.nonEmpty).toSeq.map { kv =>
       val i = kv.indexOf('=')
-      kv.substring(0, i) -> kv.substring(i + 1)
-    }.toSeq
+      if (i < 0) kv -> "" else kv.substring(0, i) -> kv.substring(i + 1)
+    })
 
+  /** Structured form: callers that percent-decode (RpcRegistry) pass
+    * key/value pairs directly, so decoded values containing `&`/`=`
+    * can't corrupt re-parsing. */
+  def apply(table: DataFrame, params: Seq[(String, String)]): DataFrame = {
     var df = table
 
     // predicates (any param that is not select/order/limit/offset)

@@ -24,8 +24,12 @@ object RpcRegistry {
 
   def procedures: Set[String] = procs.keySet.toSet
 
-  private val FilterOps = Set("eq", "neq", "gt", "gte", "lt", "lte", "like")
-  private val RestKeys = Set("select", "order", "limit")
+  // must track RestQuery's grammar: every operator prefix RestQuery
+  // understands, plus its non-filter keys — a miss here silently turns
+  // a filter into a function argument
+  private val FilterOps =
+    Set("eq", "neq", "gt", "gte", "lt", "lte", "like", "in", "is", "not")
+  private val RestKeys = Set("select", "order", "limit", "offset")
 
   /** Execute `/rpc/<name>?arg=v&col=op.v&select=...`. */
   def dispatch(spark: SparkSession, url: String): DataFrame = {
@@ -49,15 +53,19 @@ object RpcRegistry {
       RestKeys.contains(k) ||
         (dot > 0 && FilterOps.contains(v.substring(0, dot)))
     }
-    // function args are percent-decoded (PostgREST clients encode
-    // them); a valueless param arrives as "". REST filter params pass
-    // through verbatim — RestQuery owns their grammar.
+    // everything is percent-decoded — args and filters alike (a
+    // PostgREST client encodes both). Filters go to RestQuery as
+    // structured pairs, so decoded values containing '&'/'=' survive.
+    def decode(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
     val argMap = args.map { kv =>
       val (k, v) = split(kv)
-      java.net.URLDecoder.decode(k, "UTF-8") ->
-        java.net.URLDecoder.decode(v, "UTF-8")
+      decode(k) -> decode(v)
     }.toMap
     val base = proc(spark, argMap)
-    if (rest.isEmpty) base else RestQuery(base, rest.mkString("&"))
+    if (rest.isEmpty) base
+    else RestQuery(base, rest.toSeq.map { kv =>
+      val (k, v) = split(kv)
+      decode(k) -> decode(v)
+    })
   }
 }

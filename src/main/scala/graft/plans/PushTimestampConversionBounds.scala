@@ -49,7 +49,9 @@ object PushTimestampConversionBounds extends Rule[LogicalPlan]
   }
 
   private def safe(t: Long): Boolean =
-    math.abs(t) < (Long.MaxValue - 1000L) / 1000L
+    // Long.MinValue first: math.abs(Long.MinValue) is negative and
+    // would sneak past the magnitude check into an overflowing t*1000
+    t != Long.MinValue && math.abs(t) < (Long.MaxValue - 1000L) / 1000L
 
   /** Sound (floor- AND truncation-division) raw bounds implied by a
     * comparison of the converted value against micros literal `t`. */

@@ -16,6 +16,20 @@ import graft.sources.{ArchiveSource, SqliteSource, XlsxSource, XmlSource}
   */
 object SourceOps {
 
+  /** Land a fixture file via temp-file + atomic rename: a concurrent
+    * JVM reading the previous copy keeps its open inode, and nobody
+    * ever observes a half-written file at the target path. */
+  private def landAtomically(target: java.io.File)
+      (write: java.io.File => Unit): String = {
+    val staging = java.io.File.createTempFile(
+      target.getName + ".", ".tmp", target.getParentFile)
+    write(staging)
+    java.nio.file.Files.move(staging.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    target.toString
+  }
+
   val qs: Seq[Q] = Seq(
 
     // S3 — native xlsx: multi-sheet workbook (nation + region sheets,
@@ -33,9 +47,6 @@ object SourceOps {
         val region = Tables.load(s, dir, "region")
           .selectExpr("CAST(r_regionkey AS LONG) AS k", "r_name")
           .orderBy("k").collect()
-        val path = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft-q59-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-            ".xlsx").toString
         // `note` exercises na_values: the literal "NA" for even keys
         // must come back as null; odd keys carry a real note
         val natRows: Seq[Seq[Any]] = nation.toSeq.map { r =>
@@ -44,10 +55,14 @@ object SourceOps {
         }
         val regRows: Seq[Seq[Any]] =
           region.toSeq.map(r => Seq[Any](r.getLong(0), r.getString(1)))
-        XlsxSource.writeXlsx(path, Seq(
-          ("nation",
-            Seq[Any]("n_nationkey", "n_name", "n_regionkey", "note") +: natRows),
-          ("region", Seq[Any]("r_regionkey", "r_name") +: regRows)))
+        val path = landAtomically(new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-q59-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + ".xlsx")) {
+          f => XlsxSource.writeXlsx(f.toString, Seq(
+            ("nation",
+              Seq[Any]("n_nationkey", "n_name", "n_regionkey", "note") +: natRows),
+            ("region", Seq[Any]("r_regionkey", "r_name") +: regRows)))
+        }
         val nat = XlsxSource
           .readSheet(s, path, "nation", naValues = Set("", "NA"))
           .select(col("n_nationkey").cast("long").as("n_nationkey"),
@@ -128,21 +143,25 @@ object SourceOps {
           .selectExpr("CAST(c_custkey AS LONG) AS k", "c_mktsegment",
             "CAST(c_acctbal AS DOUBLE) AS bal")
           .orderBy("k").collect()
-        val path = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft-q65-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-            ".zip").toString
-        val zout = new java.util.zip.ZipOutputStream(
-          new java.io.FileOutputStream(path))
-        for (parity <- Seq(0, 1)) {
-          zout.putNextEntry(new java.util.zip.ZipEntry(s"part$parity.csv"))
-          val lines = "c_custkey,c_mktsegment,c_acctbal\n" +
-            cust.filter(_.getLong(0) % 2 == parity).map(r =>
-              s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
-              .mkString("\n")
-          zout.write(lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          zout.closeEntry()
+        val path = landAtomically(new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-q65-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + ".zip")) {
+          f =>
+            val zout = new java.util.zip.ZipOutputStream(
+              new java.io.FileOutputStream(f))
+            for (parity <- Seq(0, 1)) {
+              zout.putNextEntry(
+                new java.util.zip.ZipEntry(s"part$parity.csv"))
+              val lines = "c_custkey,c_mktsegment,c_acctbal\n" +
+                cust.filter(_.getLong(0) % 2 == parity).map(r =>
+                  s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+                  .mkString("\n")
+              zout.write(
+                lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              zout.closeEntry()
+            }
+            zout.close()
         }
-        zout.close()
         val a = ArchiveSource.zipMemberCsv(s, path, "part0.csv")
         val b = ArchiveSource.zipMemberCsv(s, path, "part1.csv")
         a.unionByName(b)
@@ -181,11 +200,13 @@ object SourceOps {
           sb.append("</Lieferant>\n")
         }
         sb.append("</EinheitenLieferant>\n")
-        val path = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft-q66-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + ".xml")
-        java.nio.file.Files.write(path.toPath,
-          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
-        XmlSource.readFlatXml(s, path.toString, "Lieferant",
+        val path = landAtomically(new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-q66-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + ".xml")) {
+          f => java.nio.file.Files.write(f.toPath,
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+        }
+        XmlSource.readFlatXml(s, path, "Lieferant",
             Seq("SuppKey", "NationKey", "Saldo", "Telefon"))
           .groupBy(col("NationKey").cast("long").as("nation_key"))
           .agg(count(lit(1)).as("n"),

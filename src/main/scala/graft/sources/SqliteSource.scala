@@ -219,9 +219,10 @@ object SqliteSource {
     val alias =
       if (colFormAlias >= 0) colFormAlias
       else constraints.collectFirst {
-        case c if "(?i)^PRIMARY\\s+KEY\\s*\\(([^,)]+)\\)\\s*$".r
+        // optionally named: `CONSTRAINT t_pk PRIMARY KEY (id)`
+        case c if "(?i)^(?:CONSTRAINT\\s+\\S+\\s+)?PRIMARY\\s+KEY\\s*\\(([^,)]+)\\)\\s*$".r
             .findFirstMatchIn(c).isDefined =>
-          val inner = "(?i)^PRIMARY\\s+KEY\\s*\\(([^,)]+)\\)\\s*$".r
+          val inner = "(?i)^(?:CONSTRAINT\\s+\\S+\\s+)?PRIMARY\\s+KEY\\s*\\(([^,)]+)\\)\\s*$".r
             .findFirstMatchIn(c).get.group(1).trim
           val name = ident(inner)
           defs.indexWhere { d =>

@@ -149,6 +149,7 @@ object XlsxSource {
     var cellCol = -1
     var cellType: String = null
     var inV = false; var inIsT = false
+    var sawValue = false // <v> or inline <t> present: style-only blanks have neither
     var nextCol = 0
     val sb = new StringBuilder
     while (r.hasNext) {
@@ -162,9 +163,11 @@ object XlsxSource {
               cellCol = if (ref != null) colIndex(ref) else nextCol
               nextCol = cellCol + 1
               cellType = r.getAttributeValue(null, "t")
+              sawValue = false
               sb.clear()
-            case "v" if cellCol >= 0 => inV = true
-            case "t" if cellCol >= 0 && cellType == "inlineStr" => inIsT = true
+            case "v" if cellCol >= 0 => inV = true; sawValue = true
+            case "t" if cellCol >= 0 && cellType == "inlineStr" =>
+              inIsT = true; sawValue = true
             case _ =>
           }
         case XMLStreamConstants.CHARACTERS if inV || inIsT =>
@@ -176,13 +179,15 @@ object XlsxSource {
             case "c" if cellCol >= 0 =>
               val raw = sb.toString
               val value = cellType match {
-                // style-only blank cells can carry t="s" with no <v>:
-                // treat as a gap, not an index-parse failure
-                case "s" if raw.trim.nonEmpty => shared(raw.trim.toInt)
-                case "s" => ""
+                case "s" if sawValue && raw.trim.nonEmpty =>
+                  shared(raw.trim.toInt)
                 case _ => raw
               }
-              if (value.nonEmpty || cellType == "s" || cellType == "inlineStr")
+              // a cell with no <v>/<is> at all (style-only blank, any
+              // t attribute) is a GAP — null, same as an absent cell;
+              // a present-but-empty string value stays ""
+              if (sawValue &&
+                  (value.nonEmpty || cellType == "s" || cellType == "inlineStr"))
                 cells += ((cellCol, value))
               cellCol = -1; cellType = null
             case "row" if cells != null =>

@@ -73,4 +73,26 @@ class RestQuerySpec extends SparkSpec {
     }
     assert(err.getMessage.contains("by_tech")) // lists registered procs
   }
+
+  test("rpc classification keeps pace with RestQuery's grammar") {
+    RpcRegistry.register("all_rows", (_, args) => {
+      // the proc must NOT receive filter-shaped params as args
+      assert(!args.contains("tech") && !args.contains("mw") &&
+        !args.contains("offset"), s"misclassified: $args")
+      t
+    })
+    // not./in./is. are REST filters, offset is a REST key — none of
+    // them may leak into the argument map, and all must take effect
+    assert(RpcRegistry.dispatch(spark,
+      "/rpc/all_rows?tech=not.eq.wind").count() == 3)
+    assert(RpcRegistry.dispatch(spark,
+      "/rpc/all_rows?tech=in.(wind,solar)").count() == 3)
+    assert(RpcRegistry.dispatch(spark,
+      "/rpc/all_rows?mw=is.null").count() == 1)
+    assert(RpcRegistry.dispatch(spark,
+      "/rpc/all_rows?order=id&offset=3&limit=5").count() == 2)
+    // filter VALUES are percent-decoded like args
+    assert(RpcRegistry.dispatch(spark,
+      "/rpc/all_rows?tech=in.(wind%2Csolar)").count() == 3)
+  }
 }
