@@ -174,6 +174,48 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** SimHash near-duplicate pairs: banded-LSH candidate generation
+    * over the bit signatures (a pair with hamming distance ≤ d must
+    * agree on ≥1 of `bands` bands when d < bands), then the exact
+    * hamming distance filters candidates to ≤ `maxHamming`. The band
+    * join is the same Σ bucket² (never N²) shape as [[minHashLsh]],
+    * with the same optional `maxBucketWidth` degenerate-cluster guard.
+    * Hamming is per-position bit comparison — ANSI-expressible, so the
+    * whole pipeline is oracle-checkable. */
+  def simHashNearDupPairs(docs: DataFrame, nBits: Int, bands: Int,
+      maxHamming: Int, maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    require(nBits % bands == 0)
+    val bandLen = nBits / bands
+    val sig = simHash(docs, nBits)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        substring(col("simhash"), b * bandLen + 1, bandLen).as("bkey"))
+    }
+    val bkAll = sig.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bkey"))
+    val bk =
+      if (maxBucketWidth == Int.MaxValue) bkAll
+      else bkAll
+        .withColumn("_w",
+          count(lit(1)).over(Window.partitionBy("band", "bkey")))
+        .filter(col("_w") <= maxBucketWidth)
+        .drop("_w")
+    val hamming = (1 to nBits).map(i =>
+      when(substring(col("a.simhash"), i, 1) =!=
+        substring(col("b.simhash"), i, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    bk.as("a")
+      .join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .groupBy("doc_a", "doc_b")
+      .agg(min(col("hamming")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash signature of `nBits` bits (nBits/4 hex chars of each
     * token's md5): bit j of the signature is the sign of the sum over
     * tokens of (2·bit_j(md5(token)) − 1). Output per doc: bitstring.

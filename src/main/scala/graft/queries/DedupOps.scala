@@ -57,7 +57,10 @@ object DedupOps {
   }
 
   private val simhashBits = 32
-  private val simhashOracle: String = {
+
+  /** (doc_id, simhash) subquery mirroring Dedup.simHash — shared by the
+    * signature oracle (q26) and the near-dup pairing oracle (q68). */
+  private val simhashSigSql: String = {
     val sums = (0 until simhashBits / 4).flatMap { p =>
       (0 until 4).map { j =>
         val div = math.pow(2, 3 - j)
@@ -69,11 +72,14 @@ object DedupOps {
     val bits = (0 until simhashBits)
       .map(i => s"(CASE WHEN s$i > 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        FROM documents),
-      agg AS (SELECT doc_id, $sums FROM toks GROUP BY 1)
-      SELECT doc_id, $bits AS simhash FROM agg ORDER BY doc_id"""
+    s"""SELECT doc_id, $bits AS simhash FROM (
+        SELECT doc_id, $sums FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents) GROUP BY 1)"""
   }
+
+  private val simhashOracle: String =
+    s"SELECT doc_id, simhash FROM ($simhashSigSql) ORDER BY doc_id"
 
   val qs: Seq[Q] = Seq(
 
@@ -118,6 +124,40 @@ object DedupOps {
         Dedup.simHash(Tables.load(s, dir, "documents"), simhashBits)
           .orderBy("doc_id")
       },
-      Some(simhashOracle))
+      Some(simhashOracle)),
+
+    // SimHash near-dup pairing — the second half of the SimHash
+    // pipeline: banded-LSH candidates over the bit signatures, exact
+    // hamming ≤ 4 filter, same bucket-width guard as q24.
+    Q("q68_simhash_neardup",
+      (s, dir) => {
+        Dedup.simHashNearDupPairs(Tables.load(s, dir, "documents"),
+            simhashBits, bands = 4, maxHamming = 4,
+            maxBucketWidth = MaxBucketWidth)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val bandLen = simhashBits / 4
+        val bandRows = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, " +
+            s"substr(simhash, ${b * bandLen + 1}, $bandLen) AS bkey FROM sig"
+        }.mkString(" UNION ALL ")
+        val hamming = (1 to simhashBits).map(i =>
+          s"(CASE WHEN substr(sa.simhash, $i, 1) <> " +
+            s"substr(sb.simhash, $i, 1) THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH sig AS ($simhashSigSql),
+          bands AS ($bandRows),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming
+          FROM pairs
+          JOIN sig sa ON doc_a = sa.doc_id
+          JOIN sig sb ON doc_b = sb.doc_id
+          WHERE $hamming <= 4
+          ORDER BY doc_a, doc_b"""
+      })
   )
 }

@@ -39,5 +39,29 @@ object MultimodalOps {
           CAST(doc_id % 640 + 64 AS BIGINT) AS width,
           CAST(doc_id % 480 + 48 AS BIGINT) AS height,
           CAST(32 AS BIGINT) AS fdim
-        FROM documents ORDER BY media_id""")))
+        FROM documents ORDER BY media_id""")),
+
+    // Frame sampling (video explode path): every stride-th fixed-size
+    // block of each video payload becomes a frame row, map-side. The
+    // oracle recomputes the sampling arithmetic from byte counts:
+    // frames exist at indices 0, stride, … below floor(bytes/block),
+    // every sampled frame is a full block by construction.
+    Q("q67_frame_sampling",
+      (s, dir) => {
+        val media = Multimodal.packMedia(Tables.load(s, dir, "documents"))
+        Multimodal.sampleFrames(media, blockSize = 16, stride = 4).toDF()
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            max(col("frame_idx")).cast("long").as("max_idx"),
+            sum(length(col("frame"))).as("frame_bytes"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST((nblocks - 1) // 4 + 1 AS BIGINT) AS n_frames,
+          CAST(((nblocks - 1) // 4) * 4 AS BIGINT) AS max_idx,
+          CAST(((nblocks - 1) // 4 + 1) * 16 AS BIGINT) AS frame_bytes
+        FROM (SELECT doc_id, strlen(text) // 16 AS nblocks
+          FROM documents WHERE doc_id % 3 = 2)
+        WHERE nblocks >= 1
+        ORDER BY media_id""")))
 }
