@@ -184,16 +184,16 @@ object Dedup {
     * whole pipeline is oracle-checkable. */
   def simHashNearDupPairs(docs: DataFrame, nBits: Int, bands: Int,
       maxHamming: Int, maxBucketWidth: Int = Int.MaxValue): DataFrame = {
-    require(nBits % bands == 0)
+    require(nBits % bands == 0 && nBits < 63)
     val bandLen = nBits / bands
     val sig = simHash(docs, nBits)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         substring(col("simhash"), b * bandLen + 1, bandLen).as("bkey"))
     }
-    val bkAll = sig.select(col("doc_id"), col("simhash"),
+    val bkAll = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bkey"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
     val bk =
       if (maxBucketWidth == Int.MaxValue) bkAll
       else bkAll
@@ -201,19 +201,27 @@ object Dedup {
           count(lit(1)).over(Window.partitionBy("band", "bkey")))
         .filter(col("_w") <= maxBucketWidth)
         .drop("_w")
-    val hamming = (1 to nBits).map(i =>
-      when(substring(col("a.simhash"), i, 1) =!=
-        substring(col("b.simhash"), i, 1), 1).otherwise(0))
-      .reduce(_ + _)
-    bk.as("a")
+    // candidate volume dominates here (short band keys collide a lot on
+    // a template-heavy corpus), so: dedup pairs FIRST, score once per
+    // distinct pair, and score with integer xor + bit_count instead of
+    // nBits substring comparisons — identical hamming values, ~nBits×
+    // less work per pair
+    val pairs = bk.as("a")
       .join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming.as("hamming"))
-      .groupBy("doc_a", "doc_b")
-      .agg(min(col("hamming")).cast("long").as("hamming"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ints = sig.select(col("doc_id"),
+      expr("CAST(conv(simhash, 2, 10) AS BIGINT)").as("sig_int"))
+    pairs
+      .join(ints.select(col("doc_id").as("doc_a"),
+        col("sig_int").as("_ia")), "doc_a")
+      .join(ints.select(col("doc_id").as("doc_b"),
+        col("sig_int").as("_ib")), "doc_b")
+      .withColumn("hamming", expr("CAST(bit_count(_ia ^ _ib) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
   }
 
   /** SimHash signature of `nBits` bits (nBits/4 hex chars of each
