@@ -149,6 +149,96 @@ object TextOps {
       },
       Some("""SELECT doc_id,
           md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS norm_fp
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // The END-TO-END training-corpus filter (C4-style): quality gate →
+    // language gate → exact dedup (keep lowest id per content hash) →
+    // MinHash-LSH near-dup removal (drop the greater id of every pair
+    // with estimated jaccard ≥ 0.75) → per-label survivor/token
+    // accounting. Every stage reuses an operator that is individually
+    // oracle-checked (q19/q20/q21/q24); this query hash-checks their
+    // COMPOSITION — the pipeline a 100 TB corpus actually runs, where
+    // each stage is one scan or one hash shuffle.
+    Q("q69_corpus_filter_pipeline",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val nTok = tokenCount(col("text"))
+        val filtered = docs
+          .withColumn("n_tokens", nTok.cast("long"))
+          .filter(col("n_tokens") >= 20 && col("n_tokens") <= 95 &&
+            stopwordRatio(col("text"), stopwords) < 0.5)
+          .filter(langId(col("text"), langMarkers) === "en")
+        val w = Window.partitionBy(md5(col("text")))
+        val keepers = filtered
+          .withColumn("_keeper", min(col("doc_id")).over(w))
+          .filter(col("doc_id") === col("_keeper"))
+          .drop("_keeper")
+        val nearDupLosers = graft.operators.Dedup
+          .minHashLsh(keepers.select("doc_id", "text"), 3, 8, 4,
+            maxBucketWidth = 1 << 20)
+          .filter(col("est_jaccard") >= 0.75)
+          .select(col("doc_b").as("doc_id")).distinct()
+        keepers.join(nearDupLosers, Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"))
+          .orderBy("lang")
+      },
+      Some {
+        val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+        val stopRatio =
+          s"""CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ($stopList))) AS DOUBLE)
+            / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)"""
+        val padded = "' ' || text || ' '"
+        def score(ws: Seq[String]) = ws.map(w =>
+          s"(CASE WHEN position(' $w ' IN $padded) > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val scores = langMarkers.map { case (l, ws) => l -> score(ws) }
+        val best = "GREATEST(" + scores.map(_._2).mkString(", ") + ")"
+        val langCases = scores.map { case (l, sc) =>
+          s"WHEN ($sc) = _best AND _best > 0 THEN '$l'"
+        }.mkString(" ")
+        val mhCols = (0 until 8)
+          .map(h => s"min(substr(md5('${h / 4}' || '|' || shingle), " +
+            s"${h % 4 * 8 + 1}, 8)) AS mh$h").mkString(", ")
+        val bandRows = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, md5(mh${b * 2} || mh${b * 2 + 1}) AS bkey FROM sig"
+        }.mkString(" UNION ALL ")
+        val agree = (0 until 8)
+          .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH gated AS (
+            SELECT doc_id, lang, text,
+              len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM (SELECT doc_id, lang, text, $best AS _best FROM documents)
+            WHERE len(regexp_split_to_array(trim(text), '\\s+'))
+                BETWEEN 20 AND 95
+              AND ($stopRatio) < 0.5
+              AND (CASE $langCases ELSE 'und' END) = 'en'),
+          kept AS (
+            SELECT doc_id, lang, text, n_tokens FROM (
+              SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS _k
+              FROM gated)
+            WHERE doc_id = _k),
+          words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+          sh AS (SELECT DISTINCT doc_id,
+              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+          sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY 1),
+          bands AS ($bandRows),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id),
+          losers AS (SELECT DISTINCT doc_b AS doc_id FROM cand
+            JOIN sig sa ON doc_a = sa.doc_id
+            JOIN sig sb ON doc_b = sb.doc_id
+            WHERE CAST($agree AS DOUBLE) / 8.0 >= 0.75)
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+          FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+          GROUP BY lang ORDER BY lang"""
+      })
   )
 }
