@@ -211,9 +211,20 @@ final class IngestDataset(
           // aside (not deleted) before the staging dir takes their
           // place, so a crash at any point leaves the partition either
           // live or recoverable from the .retired dir — never gone.
-          // The delete of retired data happens only after promotion.
-          fs.rename(d.getPath, retired)
-          fs.rename(staging, d.getPath)
+          // Hadoop rename reports failure by RETURNING FALSE, not
+          // throwing — every result is checked, and the retired copy
+          // is deleted only after a successful promote (an unchecked
+          // failed promote followed by the delete would destroy the
+          // only remaining copy).
+          if (!fs.rename(d.getPath, retired))
+            throw new java.io.IOException(
+              s"compact: failed to retire ${d.getPath}")
+          if (!fs.rename(staging, d.getPath)) {
+            fs.rename(retired, d.getPath) // roll back; best effort
+            throw new java.io.IOException(
+              s"compact: failed to promote $staging to ${d.getPath} " +
+                s"(old data restored from $retired if rollback succeeded)")
+          }
           fs.delete(retired, true)
         }
         fragmented.length

@@ -19,6 +19,20 @@ import graft.functions.TextFuncs
   */
 object Dedup {
 
+  /** Hot-key width cap: keep only rows whose key group (over
+    * `partCols`) has at most `cap` members, computed as a count window
+    * over the SAME partitioning the downstream join shuffles on — a
+    * local sort, never an extra shuffle or aggregation pass.
+    * `Int.MaxValue` = pass-through. */
+  private def capWidth(df: DataFrame, cap: Int, partCols: String*)
+      : DataFrame =
+    if (cap == Int.MaxValue) df
+    else df
+      .withColumn("_w",
+        count(lit(1)).over(Window.partitionBy(partCols.map(col): _*)))
+      .filter(col("_w") <= cap)
+      .drop("_w")
+
   /** Distinct k-shingles, long form: (doc_id, shingle). */
   def shingleSets(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
@@ -90,16 +104,10 @@ object Dedup {
       explode(array(bandStructs: _*)).as("bk"): _*)
       .select(col("doc_id") +: col("bk.band") +: col("bk.bkey") +:
         (0 until numHashes).map(i => col(s"mh$i")): _*)
-    // bucket-width prune as a count window over the same (band, bkey)
-    // partitioning the join shuffles on — no extra shuffle, and both
-    // self-join sides stay the identical subplan (exchange reuse)
-    val bk =
-      if (maxBucketWidth == Int.MaxValue) bkAll
-      else bkAll
-        .withColumn("_w",
-          count(lit(1)).over(Window.partitionBy("band", "bkey")))
-        .filter(col("_w") <= maxBucketWidth)
-        .drop("_w")
+    // bucket-width prune rides the join's own (band, bkey)
+    // partitioning; both self-join sides stay the identical subplan
+    // (exchange reuse)
+    val bk = capWidth(bkAll, maxBucketWidth, "band", "bkey")
     val agree = (0 until numHashes).map(i =>
       when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -145,17 +153,7 @@ object Dedup {
     // to a shuffled join when it doesn't.
     val shAll = shingleSets(docs, k)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val sh =
-      if (maxDocFreq == Int.MaxValue) shAll
-      else
-        // df as a count window over the same shingle-hash partitioning
-        // the self-join shuffles on — a local sort, no extra
-        // shuffle/aggregation pass (same trick as the LSH bucket cap)
-        shAll
-          .withColumn("_df",
-            count(lit(1)).over(Window.partitionBy("shingle")))
-          .filter(col("_df") <= maxDocFreq)
-          .drop("_df")
+    val sh = capWidth(shAll, maxDocFreq, "shingle")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a")
       .join(sh.as("b").hint("shuffle_hash"),
@@ -185,40 +183,36 @@ object Dedup {
   def simHashNearDupPairs(docs: DataFrame, nBits: Int, bands: Int,
       maxHamming: Int, maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     require(nBits % bands == 0 && nBits < 63)
+    // pigeonhole completeness: d differing bits can spoil at most d
+    // bands, so agreement on ≥1 band is guaranteed only for d < bands
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming >= bands=$bands would silently miss " +
+        "pairs that differ one bit per band (pigeonhole needs d < bands)")
     val bandLen = nBits / bands
     val sig = simHash(docs, nBits)
+      .withColumn("sig_int", expr("CAST(conv(simhash, 2, 10) AS BIGINT)"))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         substring(col("simhash"), b * bandLen + 1, bandLen).as("bkey"))
     }
-    val bkAll = sig.select(col("doc_id"),
+    // the 8-byte integer signature rides THROUGH the band join (same
+    // trade as minHashLsh carrying its signature: no second derivation
+    // of the sig subplan, no pairs-to-signatures re-join shuffles)
+    val bkAll = sig.select(col("doc_id"), col("sig_int"),
         explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
-    val bk =
-      if (maxBucketWidth == Int.MaxValue) bkAll
-      else bkAll
-        .withColumn("_w",
-          count(lit(1)).over(Window.partitionBy("band", "bkey")))
-        .filter(col("_w") <= maxBucketWidth)
-        .drop("_w")
-    // candidate volume dominates here (short band keys collide a lot on
-    // a template-heavy corpus), so: dedup pairs FIRST, score once per
-    // distinct pair, and score with integer xor + bit_count instead of
-    // nBits substring comparisons — identical hamming values, ~nBits×
-    // less work per pair
-    val pairs = bk.as("a")
+      .select(col("doc_id"), col("sig_int"), col("bk.band"), col("bk.bkey"))
+    val bk = capWidth(bkAll, maxBucketWidth, "band", "bkey")
+    // candidate volume dominates (short band keys collide a lot on a
+    // template-heavy corpus): dedup pairs before scoring, score once
+    // per distinct pair with integer xor + bit_count — identical
+    // hamming values, ~nBits× less work than per-bit string compares
+    bk.as("a")
       .join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig_int").as("_ia"), col("b.sig_int").as("_ib"))
       .distinct()
-    val ints = sig.select(col("doc_id"),
-      expr("CAST(conv(simhash, 2, 10) AS BIGINT)").as("sig_int"))
-    pairs
-      .join(ints.select(col("doc_id").as("doc_a"),
-        col("sig_int").as("_ia")), "doc_a")
-      .join(ints.select(col("doc_id").as("doc_b"),
-        col("sig_int").as("_ib")), "doc_b")
       .withColumn("hamming", expr("CAST(bit_count(_ia ^ _ib) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

@@ -20,6 +20,14 @@ object RestQuery {
 
   private val AggRe = "^([A-Za-z_][A-Za-z0-9_]*)\\.(sum|avg|min|max|count)\\(\\)$".r
 
+  /** The operator prefixes and reserved keys of the grammar above —
+    * THE single source of truth; RpcRegistry classifies URL params
+    * with these, so extending the grammar here extends dispatch
+    * classification automatically (a hand-kept copy drifted once). */
+  val FilterOps: Set[String] =
+    Set("eq", "neq", "gt", "gte", "lt", "lte", "like", "in", "is", "not")
+  val ReservedKeys: Set[String] = Set("select", "order", "limit", "offset")
+
   def apply(table: DataFrame, queryString: String): DataFrame =
     apply(table, queryString.split("&").filter(_.nonEmpty).toSeq.map { kv =>
       val i = kv.indexOf('=')
@@ -49,6 +57,8 @@ object RestQuery {
         case "lte" => c <= value
         case "like" => c.like(value.replace("*", "%"))
         case "is" if value == "null" => c.isNull
+        case "is" if value == "true" => c === lit(true)
+        case "is" if value == "false" => c === lit(false)
         case "in" =>
           val items = rawValue.stripPrefix("(").stripSuffix(")")
             .split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))

@@ -24,12 +24,15 @@ object RpcRegistry {
 
   def procedures: Set[String] = procs.keySet.toSet
 
-  // must track RestQuery's grammar: every operator prefix RestQuery
-  // understands, plus its non-filter keys — a miss here silently turns
-  // a filter into a function argument
-  private val FilterOps =
-    Set("eq", "neq", "gt", "gte", "lt", "lte", "like", "in", "is", "not")
-  private val RestKeys = Set("select", "order", "limit", "offset")
+  // RestQuery owns the grammar; referencing its sets means a new
+  // operator there extends dispatch classification automatically.
+  // Residual PostgREST ambiguity (shared with PostgREST itself): a
+  // function ARGUMENT whose value happens to start with an operator
+  // prefix ("status=in.progress") is classified as a filter; real
+  // PostgREST resolves this from the function signature, which a
+  // generic registry doesn't have.
+  private def FilterOps = RestQuery.FilterOps
+  private def RestKeys = RestQuery.ReservedKeys
 
   /** Execute `/rpc/<name>?arg=v&col=op.v&select=...`. */
   def dispatch(spark: SparkSession, url: String): DataFrame = {

@@ -128,11 +128,11 @@ object DedupOps {
 
     // SimHash near-dup pairing — the second half of the SimHash
     // pipeline: banded-LSH candidates over the bit signatures, exact
-    // hamming ≤ 4 filter, same bucket-width guard as q24.
+    // hamming ≤ 3 filter (3 < 4 bands — the pigeonhole bound that makes banded candidate generation complete), same bucket-width guard as q24.
     Q("q68_simhash_neardup",
       (s, dir) => {
         Dedup.simHashNearDupPairs(Tables.load(s, dir, "documents"),
-            simhashBits, bands = 4, maxHamming = 4,
+            simhashBits, bands = 4, maxHamming = 3,
             maxBucketWidth = MaxBucketWidth)
           .orderBy("doc_a", "doc_b")
       },
@@ -156,7 +156,7 @@ object DedupOps {
           FROM pairs
           JOIN sig sa ON doc_a = sa.doc_id
           JOIN sig sb ON doc_b = sb.doc_id
-          WHERE $hamming <= 4
+          WHERE $hamming <= 3
           ORDER BY doc_a, doc_b"""
       })
   )

@@ -23,10 +23,15 @@ object SourceOps {
       (write: java.io.File => Unit): String = {
     val staging = java.io.File.createTempFile(
       target.getName + ".", ".tmp", target.getParentFile)
-    write(staging)
-    java.nio.file.Files.move(staging.toPath, target.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      write(staging)
+      java.nio.file.Files.move(staging.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case e: Throwable =>
+      java.nio.file.Files.deleteIfExists(staging.toPath)
+      throw e
+    }
     target.toString
   }
 
@@ -149,18 +154,19 @@ object SourceOps {
           f =>
             val zout = new java.util.zip.ZipOutputStream(
               new java.io.FileOutputStream(f))
-            for (parity <- Seq(0, 1)) {
-              zout.putNextEntry(
-                new java.util.zip.ZipEntry(s"part$parity.csv"))
-              val lines = "c_custkey,c_mktsegment,c_acctbal\n" +
-                cust.filter(_.getLong(0) % 2 == parity).map(r =>
-                  s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
-                  .mkString("\n")
-              zout.write(
-                lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              zout.closeEntry()
-            }
-            zout.close()
+            try {
+              for (parity <- Seq(0, 1)) {
+                zout.putNextEntry(
+                  new java.util.zip.ZipEntry(s"part$parity.csv"))
+                val lines = "c_custkey,c_mktsegment,c_acctbal\n" +
+                  cust.filter(_.getLong(0) % 2 == parity).map(r =>
+                    s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+                    .mkString("\n")
+                zout.write(
+                  lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                zout.closeEntry()
+              }
+            } finally zout.close()
         }
         val a = ArchiveSource.zipMemberCsv(s, path, "part0.csv")
         val b = ArchiveSource.zipMemberCsv(s, path, "part1.csv")

@@ -218,18 +218,21 @@ object SqliteSource {
       "(?i)\\bINTEGER\\s+PRIMARY\\s+KEY\\b".r.findFirstIn(d).isDefined)
     val alias =
       if (colFormAlias >= 0) colFormAlias
-      else constraints.collectFirst {
-        // optionally named: `CONSTRAINT t_pk PRIMARY KEY (id)`
-        case c if "(?i)^(?:CONSTRAINT\\s+\\S+\\s+)?PRIMARY\\s+KEY\\s*\\(([^,)]+)\\)\\s*$".r
-            .findFirstMatchIn(c).isDefined =>
-          val inner = "(?i)^(?:CONSTRAINT\\s+\\S+\\s+)?PRIMARY\\s+KEY\\s*\\(([^,)]+)\\)\\s*$".r
-            .findFirstMatchIn(c).get.group(1).trim
-          val name = ident(inner)
-          defs.indexWhere { d =>
-            ident(d) == name &&
-              "(?i)\\bINTEGER\\b".r.findFirstIn(d).isDefined
-          }
-      }.getOrElse(-1)
+      else {
+        // optionally named: `CONSTRAINT t_pk PRIMARY KEY (id)`; the
+        // name may be a quoted identifier containing whitespace
+        val pkRe = ("(?i)^(?:CONSTRAINT\\s+(?:\"[^\"]*\"|`[^`]*`|" +
+          "\\[[^\\]]*\\]|\\S+)\\s+)?PRIMARY\\s+KEY\\s*\\(([^,)]+)\\)\\s*$").r
+        constraints.collectFirst {
+          case c if pkRe.findFirstMatchIn(c).isDefined =>
+            val inner = pkRe.findFirstMatchIn(c).get.group(1).trim
+            val name = ident(inner)
+            defs.indexWhere { d =>
+              ident(d) == name &&
+                "(?i)\\bINTEGER\\b".r.findFirstIn(d).isDefined
+            }
+        }.getOrElse(-1)
+      }
     (names, alias)
   }
 

@@ -21,11 +21,15 @@ class RestQuerySpec extends SparkSpec {
     assert(RestQuery(t, "tech=like.*io*").count() == 1)
   }
 
-  test("filters: in / is.null / not negation") {
+  test("filters: in / is.null / is.true / not negation") {
     assert(RestQuery(t, "tech=in.(wind,solar)").count() == 3)
     assert(RestQuery(t, "mw=is.null").count() == 1)
     assert(RestQuery(t, "tech=not.eq.wind").count() == 3)
     assert(RestQuery(t, "mw=not.is.null").count() == 4)
+    val flagged = t.withColumn("big",
+      org.apache.spark.sql.functions.col("mw") > 15)
+    assert(RestQuery(flagged, "big=is.true").count() == 2)
+    assert(RestQuery(flagged, "big=is.false").count() == 2) // null mw excluded
   }
 
   test("order grammar incl. null ordering; offset + limit page") {

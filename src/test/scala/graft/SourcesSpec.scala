@@ -233,9 +233,13 @@ class SourcesSpec extends SparkSpec {
     val (_, a4) = SqliteSource.parseCreate(
       "CREATE TABLE t (a INTEGER, b INTEGER, PRIMARY KEY (a, b))")
     assert(a4 == -1)
-    // named-constraint form is an alias too
+    // named-constraint form is an alias too — including a quoted
+    // constraint name containing whitespace
     val (_, a5) = SqliteSource.parseCreate(
       "CREATE TABLE t (id INTEGER, x TEXT, CONSTRAINT t_pk PRIMARY KEY (id))")
     assert(a5 == 0)
+    val (_, a6) = SqliteSource.parseCreate(
+      "CREATE TABLE t (id INTEGER, x TEXT, CONSTRAINT \"my pk\" PRIMARY KEY (id))")
+    assert(a6 == 0)
   }
 }
