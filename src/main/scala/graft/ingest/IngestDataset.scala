@@ -216,14 +216,18 @@ final class IngestDataset(
           // is deleted only after a successful promote (an unchecked
           // failed promote followed by the delete would destroy the
           // only remaining copy).
-          if (!fs.rename(d.getPath, retired))
+          if (!fs.rename(d.getPath, retired)) {
+            fs.delete(staging, true) // don't strand the staged copy
             throw new java.io.IOException(
               s"compact: failed to retire ${d.getPath}")
+          }
           if (!fs.rename(staging, d.getPath)) {
-            fs.rename(retired, d.getPath) // roll back; best effort
+            val rolledBack = fs.rename(retired, d.getPath) // roll back
+            fs.delete(staging, true)
             throw new java.io.IOException(
               s"compact: failed to promote $staging to ${d.getPath} " +
-                s"(old data restored from $retired if rollback succeeded)")
+                (if (rolledBack) "(old data restored)"
+                 else s"(ROLLBACK ALSO FAILED — data is at $retired)"))
           }
           fs.delete(retired, true)
         }

@@ -33,9 +33,16 @@ object Dedup {
       .filter(col("_w") <= cap)
       .drop("_w")
 
-  /** Distinct k-shingles, long form: (doc_id, shingle). */
+  /** Distinct k-shingles, long form: (doc_id, shingle). A doc with
+    * fewer than k space-separated words has NO k-shingles (and thus no
+    * signature) — `TextFuncs.shingles`' truncated-shingle convenience
+    * is for vocab n-grams, not dedup keys, and the SQL oracles'
+    * range-based shingling emits nothing for short docs; without this
+    * filter the two sides would diverge on sub-k-word documents. */
   def shingleSets(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"),
+    docs
+      .filter(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"),
         explode(array_distinct(TextFuncs.shingles(col("text"), k)))
           .as("shingle"))
 

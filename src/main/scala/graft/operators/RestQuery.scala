@@ -57,8 +57,11 @@ object RestQuery {
         case "lte" => c <= value
         case "like" => c.like(value.replace("*", "%"))
         case "is" if value == "null" => c.isNull
-        case "is" if value == "true" => c === lit(true)
-        case "is" if value == "false" => c === lit(false)
+        // null-safe equality: IS [NOT] TRUE must treat NULL as
+        // not-true (so not.is.true INCLUDES null rows, like postgres);
+        // plain === would make the negation drop them
+        case "is" if value == "true" => c <=> lit(true)
+        case "is" if value == "false" => c <=> lit(false)
         case "in" =>
           val items = rawValue.stripPrefix("(").stripSuffix(")")
             .split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
@@ -68,7 +71,7 @@ object RestQuery {
       }
     }
     params.foreach {
-      case ("select" | "order" | "limit" | "offset", _) => ()
+      case (k, _) if ReservedKeys.contains(k) => ()
       case (col0, v) => df = df.filter(predicate(col(col0), v))
     }
 

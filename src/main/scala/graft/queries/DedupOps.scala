@@ -22,15 +22,24 @@ object DedupOps {
   private val MaxDocFreq = 1 << 20
   private val MaxBucketWidth = 1 << 20
 
-  /** DuckDB CTE mirroring Dedup.shingleSets (distinct word 3-shingles). */
-  private val shingleCte =
-    """words AS (SELECT doc_id, string_split(text, ' ') AS ws
-         FROM documents),
+  /** DuckDB CTE chain mirroring Dedup.shingleSets (distinct word
+    * K-shingles) over an arbitrary source relation — THE single copy
+    * of the shingle SQL; q25's and q69's oracles both build on it so
+    * the shingling can't drift between hand-kept copies. */
+  private[queries] def shingleCtes(source: String): String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws
+         FROM $source),
        sh AS (SELECT DISTINCT doc_id,
            ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
          FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i))"""
 
-  private val minhashOracle: String = {
+  private val shingleCte = shingleCtes("documents")
+
+  /** CTE chain (shingles → minhash sig → bands → distinct candidate
+    * pairs) mirroring Dedup.minHashLsh over `source` — shared by q24's
+    * oracle and q69's composite so the hash family and banding exist
+    * in exactly one place. Yields CTEs `sig` and `cand`. */
+  private[queries] def lshCandidateCtes(source: String): String = {
     val mhCols = (0 until NumHashes)
       .map(h => s"min(substr(md5('${h / 4}' || '|' || shingle), " +
         s"${h % 4 * 8 + 1}, 8)) AS mh$h").mkString(", ")
@@ -39,22 +48,29 @@ object DedupOps {
       val r1 = r0 + 1
       s"SELECT doc_id, $b AS band, md5(mh$r0 || mh$r1) AS bkey FROM sig"
     }.mkString(" UNION ALL ")
-    val agree = (0 until NumHashes)
-      .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH $shingleCte,
+    s"""${shingleCtes(source)},
       sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY 1),
       bands AS ($bandRows),
-      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+  }
+
+  /** Minhash-position agreement count between `sa` and `sb` sig rows. */
+  private[queries] val lshAgreeSql: String = (0 until NumHashes)
+    .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
+  private[queries] val lshNumHashes: Int = NumHashes
+
+  private val minhashOracle: String =
+    s"""WITH ${lshCandidateCtes("documents")}
       SELECT doc_a, doc_b,
-        CAST($agree AS DOUBLE) / ${NumHashes}.0 AS est_jaccard
-      FROM pairs
+        CAST($lshAgreeSql AS DOUBLE) / ${NumHashes}.0 AS est_jaccard
+      FROM cand
       JOIN sig sa ON doc_a = sa.doc_id
       JOIN sig sb ON doc_b = sb.doc_id
       ORDER BY doc_a, doc_b"""
-  }
 
   private val simhashBits = 32
 

@@ -199,15 +199,6 @@ object TextOps {
         val langCases = scores.map { case (l, sc) =>
           s"WHEN ($sc) = _best AND _best > 0 THEN '$l'"
         }.mkString(" ")
-        val mhCols = (0 until 8)
-          .map(h => s"min(substr(md5('${h / 4}' || '|' || shingle), " +
-            s"${h % 4 * 8 + 1}, 8)) AS mh$h").mkString(", ")
-        val bandRows = (0 until 4).map { b =>
-          s"SELECT doc_id, $b AS band, md5(mh${b * 2} || mh${b * 2 + 1}) AS bkey FROM sig"
-        }.mkString(" UNION ALL ")
-        val agree = (0 until 8)
-          .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
-          .mkString(" + ")
         s"""WITH gated AS (
             SELECT doc_id, lang, text,
               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
@@ -221,20 +212,12 @@ object TextOps {
               SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS _k
               FROM gated)
             WHERE doc_id = _k),
-          words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
-          sh AS (SELECT DISTINCT doc_id,
-              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-            FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)),
-          sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY 1),
-          bands AS ($bandRows),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bkey = b.bkey
-                AND a.doc_id < b.doc_id),
+          ${DedupOps.lshCandidateCtes("kept")},
           losers AS (SELECT DISTINCT doc_b AS doc_id FROM cand
             JOIN sig sa ON doc_a = sa.doc_id
             JOIN sig sb ON doc_b = sb.doc_id
-            WHERE CAST($agree AS DOUBLE) / 8.0 >= 0.75)
+            WHERE CAST(${DedupOps.lshAgreeSql} AS DOUBLE)
+              / ${DedupOps.lshNumHashes}.0 >= 0.75)
           SELECT lang, count(*) AS n_docs,
             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
           FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)

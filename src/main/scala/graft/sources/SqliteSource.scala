@@ -224,9 +224,10 @@ object SqliteSource {
         val pkRe = ("(?i)^(?:CONSTRAINT\\s+(?:\"[^\"]*\"|`[^`]*`|" +
           "\\[[^\\]]*\\]|\\S+)\\s+)?PRIMARY\\s+KEY\\s*\\(([^,)]+)\\)\\s*$").r
         constraints.collectFirst {
-          case c if pkRe.findFirstMatchIn(c).isDefined =>
-            val inner = pkRe.findFirstMatchIn(c).get.group(1).trim
-            val name = ident(inner)
+          // Regex.unapplySeq anchors to the whole string — one
+          // evaluation, no .get
+          case pkRe(inner0) =>
+            val name = ident(inner0.trim)
             defs.indexWhere { d =>
               ident(d) == name &&
                 "(?i)\\bINTEGER\\b".r.findFirstIn(d).isDefined
