@@ -160,6 +160,17 @@ class SourcesSpec extends SparkSpec {
     assert(err.getMessage.contains("gamma"))
   }
 
+  test("xlsx glob: a directory of workbooks parses in parallel, one task each") {
+    val dir = Files.createTempDirectory("graft-xlsx-many").toString
+    for (i <- 0 until 3)
+      XlsxSource.writeXlsx(s"$dir/book$i.xlsx", Seq(
+        ("data", Seq(Seq[Any]("id", "src"),
+          Seq[Any](i.toLong * 10, s"w$i"), Seq[Any](i.toLong * 10 + 1, s"w$i")))))
+    val df = XlsxSource.readSheet(spark, s"$dir/*.xlsx", "data")
+    assert(df.count() == 6)
+    assert(df.select("src").distinct().count() == 3)
+  }
+
   test("xlsx colIndex decodes A, Z, AA, BC") {
     assert(XlsxSource.colIndex("A1") == 0)
     assert(XlsxSource.colIndex("Z9") == 25)
@@ -203,6 +214,15 @@ class SourcesSpec extends SparkSpec {
       r42.getString(2) == "biomass" &&
       r42.getString(3).toDouble == 52.5 &&
       r42.getString(4) == "2002")
+  }
+
+  test("sqlite glob: a directory of database dumps unions per-file") {
+    val dir = Files.createTempDirectory("graft-sqlite-many")
+    for (i <- 0 until 2)
+      Files.copy(java.nio.file.Paths.get(sqliteFixture),
+        dir.resolve(s"dump$i.sqlite"))
+    val df = SqliteSource.readTable(spark, s"$dir/*.sqlite", "plants")
+    assert(df.count() == 4000) // 2 files x 2000 rows
   }
 
   test("sqlite: small rowid table + unknown table error") {
