@@ -19,7 +19,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q70_dup_clusters — optional comma-separated
+    // filter for local iteration (driver runs unfiltered); the oracle
+    // dump is filtered too so scripts/check.py checks the same subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
+    SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
       try {
         var df = fn(spark, sfDir)
         // Dump instant timestamps as NTZ: session TZ is UTC so values
@@ -47,7 +53,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(o => keep(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed connected components over an undirected edge list —
+  * the clustering step of a dedup pipeline: near-dup PAIRS (from
+  * MinHash/LSH, SimHash or exact Jaccard) become duplicate CLUSTERS,
+  * from which one canonical document per cluster survives.
+  *
+  * Algorithm: alternating large-star / small-star rounds (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC 2014 — a
+  * public algorithm, independently implemented here). Each round is
+  * hash aggregations + co-partitioned joins on the node id; the edge
+  * set converges to stars centered at each component's minimum node id
+  * in O(log² n) rounds (2–5 in practice). Compare: naive label
+  * propagation needs O(graph diameter) rounds — a 10M-long path chain
+  * in a 100 TB corpus would never finish.
+  *
+  * Scale posture: no driver-side data beyond a per-round (count,
+  * checksum) scalar; per-round lineage is truncated with
+  * `localCheckpoint` so the plan doesn't grow with iteration count (on
+  * a real cluster with dynamic executors, swap for reliable
+  * `checkpoint` to a cluster-visible dir — same API shape). Hot nodes
+  * (a template page near-dup to millions) concentrate their adjacency
+  * on one reducer per round; the min-aggregate side is a plain
+  * map-side-combinable `groupBy.min`, so the wide row group streams
+  * rather than buffers.
+  *
+  * Reference behavior matched: the reference dedups via pairwise
+  * DELETE of revision overlaps (`common/base_crawler.py` replace
+  * semantics); cluster-level dedup is the corpus-scale generalization
+  * SURVEY §2.10 calls for.
+  */
+object ConnectedComponents {
+
+  /** (node, component) assignment for every node that appears in
+    * `edges` or in `nodes`; `component` is the minimum node id of the
+    * connected component (so `node === component` marks the canonical
+    * representative). Self-loops are dropped; edge direction and
+    * duplicates don't matter.
+    *
+    * @param edges two-column DataFrame of node-id pairs (any integral
+    *              type; cast to long)
+    * @param nodes optional single-column universe of node ids —
+    *              isolated nodes (no edges) come back as their own
+    *              singleton component
+    */
+  def components(edges: DataFrame, src: String, dst: String,
+      nodes: Option[DataFrame] = None, maxRounds: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+
+    // canonical (big, small) long pairs, no self-loops, no dups
+    var e = edges
+      .select(col(src).cast(LongType).as("u"), col(dst).cast(LongType).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // Convergence check: (count, Σ xxhash64(u,v) as decimal) — two
+    // scalars per round, never the edge data. A checksum collision
+    // between consecutive DIFFERENT edge sets needs equal counts AND an
+    // exact 64-bit sum collision (~2⁻⁶⁴) — accepted; the alternative
+    // (set-difference) is an extra shuffle per round.
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v"))
+          .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    // BigDecimal.equals is scale-sensitive; compare numerically
+    def same(a: (Long, java.math.BigDecimal),
+        b: (Long, java.math.BigDecimal)): Boolean =
+      a._1 == b._1 && a._2.compareTo(b._2) == 0
+
+    var prev = checksum(e)
+    var round = 0
+    var converged = prev._1 == 0L
+    while (!converged && round < maxRounds) {
+      // large-star: for every node u (over BOTH edge directions), link
+      // each larger neighbor v > u to m = min(N(u) ∪ {u}).
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+      // small-star: edges are now all (big, small); for every node u,
+      // link its smaller neighbors (and u itself) to the minimum.
+      val sMins = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(sMins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(sMins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+
+      val cur = checksum(ss)
+      converged = same(cur, prev)
+      prev = cur
+      e = ss
+      round += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxRounds rounds")
+
+    // At convergence e is a star set: (node, componentMin) for every
+    // non-root node. Union in the roots and any isolated nodes.
+    val universe = nodes match {
+      case Some(n) =>
+        n.select(n.columns.head).toDF("node")
+          .select(col("node").cast(LongType).as("node")).distinct()
+      case None =>
+        e.select(col("u").as("node"))
+          .union(e.select(col("v").as("node"))).distinct()
+    }
+    universe.join(e.withColumnRenamed("u", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("v"), col("node")).as("component"))
+  }
+}

@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
+
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{ConnectedComponents, Dedup}
 
 /** Near-dup detection operators over `documents`: MinHash+LSH, exact
   * n-gram Jaccard, SimHash. The md5-based hash family makes every stage
@@ -174,6 +176,45 @@ object DedupOps {
           JOIN sig sb ON doc_b = sb.doc_id
           WHERE $hamming <= 3
           ORDER BY doc_a, doc_b"""
-      })
+      }),
+
+    // Near-dup CLUSTERS: exact-Jaccard pairs (≥0.3) become undirected
+    // edges; large-star/small-star connected components assign every
+    // doc its cluster id (= min doc_id in the component, so
+    // doc_id = cluster_id marks the canonical survivor). The oracle
+    // recomputes the same clustering via a recursive CTE (min
+    // reachable label — fine at fixture scale; the Spark side is the
+    // O(log² n)-round algorithm that survives 100 TB).
+    Q("q70_dup_clusters",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, K,
+          minJaccard = 0.3, maxDocFreq = MaxDocFreq)
+        ConnectedComponents.components(pairs, "doc_a", "doc_b",
+            nodes = Some(docs.select(col("doc_id"))))
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b
+          FROM inter
+          JOIN sizes na ON doc_a = na.doc_id
+          JOIN sizes nb ON doc_b = nb.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE)
+            >= 0.3),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node)
+        SELECT node AS doc_id, min(lab) AS cluster_id
+        FROM reach GROUP BY 1 ORDER BY 1"""))
   )
 }
