@@ -46,6 +46,36 @@ object Dedup {
         explode(array_distinct(TextFuncs.shingles(col("text"), k)))
           .as("shingle"))
 
+  /** Benchmark decontamination report: for every doc in `train`, how
+    * many of its distinct k-shingles appear in ANY `benchmark` doc
+    * (n_contaminated), the doc's shingle count, and the contamination
+    * rate. Downstream policy filters on the rate (drop, or strip) —
+    * the standard eval-set decontamination step of an LLM corpus
+    * pipeline.
+    *
+    * Shape at 100 TB: train shingles shuffle once on the 64-bit
+    * shingle hash; the benchmark side is the distinct shingle set of
+    * the EVAL suite — small by construction (benchmarks are thousands
+    * of docs, not billions), so AQE broadcasts it; no hint is forced,
+    * so a pathologically large benchmark degrades to a shuffled join
+    * instead of OOMing the driver. Docs with fewer than k words have
+    * no shingles and are absent from the report (same convention as
+    * [[shingleSets]] / the SQL oracles). */
+  def contaminationReport(train: DataFrame, benchmark: DataFrame,
+      k: Int): DataFrame = {
+    val t = shingleSets(train, k)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val b = shingleSets(benchmark, k)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+      .withColumn("hit", lit(1))
+    t.join(b, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast(DoubleType) / col("n_shingles"))
+  }
+
   /** MinHash signature: one row per doc, `numHashes` columns mh0..mhN.
     * One shuffle (groupBy doc_id) computing all mins in a single pass.
     * Hash family: 8-hex-char (32-bit) slices of seeded md5 digests —

@@ -215,6 +215,28 @@ object DedupOps {
           UNION
           SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node)
         SELECT node AS doc_id, min(lab) AS cluster_id
-        FROM reach GROUP BY 1 ORDER BY 1"""))
+        FROM reach GROUP BY 1 ORDER BY 1""")),
+
+    // Benchmark decontamination: training split = doc_id % 10 != 0,
+    // benchmark (eval) split = doc_id % 10 == 0; per training doc, how
+    // many of its distinct 3-shingles leak from the benchmark set.
+    Q("q71_decontaminate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.contaminationReport(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0), K)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleCte,
+        tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+        be AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+        SELECT tr.doc_id,
+          CAST(count(*) AS BIGINT) AS n_shingles,
+          CAST(count(be.shingle) AS BIGINT) AS n_contaminated,
+          CAST(count(be.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            AS contamination_rate
+        FROM tr LEFT JOIN be ON tr.shingle = be.shingle
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

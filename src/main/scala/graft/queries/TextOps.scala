@@ -222,6 +222,104 @@ object TextOps {
             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
           FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
           GROUP BY lang ORDER BY lang"""
-      })
+      }),
+
+    // Repetition-ratio quality stats (Gopher-style): duplicate-word
+    // fraction and most-frequent-bigram share per document, with a
+    // keep flag. Two hash aggregations over exploded tokens — no
+    // sorts, no windows; at 100 TB each agg map-side combines to one
+    // row per (doc, gram) then per doc. Thresholds tuned to the
+    // synthetic word-salad corpus (real Gopher cuts use 0.2–0.3 on
+    // natural text); the operator, not the constants, is the point.
+    Q("q72_repetition_quality",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val words = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        val ws = words.groupBy("doc_id").agg(
+          count(lit(1)).as("n_words"),
+          countDistinct(col("w")).as("n_distinct_words"))
+        val bs = docs.filter(size(split(col("text"), " ")) >= 2)
+          .select(col("doc_id"),
+            explode(shingles(col("text"), 2)).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(sum(col("c")).as("n_bigrams"),
+            max(col("c")).as("top_bigram_n"))
+        val dupFrac = (col("n_words") - col("n_distinct_words"))
+          .cast(DoubleType) / col("n_words").cast(DoubleType)
+        val topFrac = col("top_bigram_n").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType)
+        ws.join(bs, "doc_id")
+          .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+            col("n_bigrams"), col("top_bigram_n"),
+            dupFrac.as("dup_word_frac"), topFrac.as("top_bigram_frac"),
+            (dupFrac < 0.6 && topFrac < 0.05).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS w FROM documents),
+        ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+            CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words
+          FROM words GROUP BY 1),
+        bg AS (SELECT doc_id, wl[i] || ' ' || wl[i+1] AS bg
+          FROM (SELECT doc_id, string_split(text, ' ') AS wl
+            FROM documents),
+            UNNEST(range(1, len(wl))) AS t(i)),
+        bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+            CAST(max(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY 1)
+        SELECT ws.doc_id, n_words, n_distinct_words, n_bigrams,
+          top_bigram_n,
+          CAST(n_words - n_distinct_words AS DOUBLE)
+            / CAST(n_words AS DOUBLE) AS dup_word_frac,
+          CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+            AS top_bigram_frac,
+          (CAST(n_words - n_distinct_words AS DOUBLE)
+              / CAST(n_words AS DOUBLE) < 0.6
+            AND CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+              < 0.05) AS keep
+        FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+        ORDER BY ws.doc_id""")),
+
+    // Top-k salient terms per document, scored tf/df (df-normalized
+    // term frequency — the tf-idf family with a RATIONAL weight so the
+    // score is bit-exact across engines; ln-based idf differs in the
+    // last ulp between libm implementations, which a hash-compare
+    // oracle can't tolerate). Ranking: score desc, term asc tie-break.
+    // Two shuffles (doc,term) tf agg → term-keyed df join; the window
+    // partitions by doc — at 100 TB df is the vocab table, which
+    // shuffles fine and is NOT forced broadcast.
+    Q("q74_tfidf_topk",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tf = docs.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(df_, "term")
+          .withColumn("score",
+            col("tf").cast(DoubleType) / col("df").cast(DoubleType))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+            col("df"), col("score"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH tf AS (SELECT doc_id, w AS term,
+            CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents) GROUP BY 1, 2),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY 1),
+        scored AS (SELECT doc_id, term, tf.tf, df.df,
+            CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+          FROM tf JOIN df USING (term)),
+        ranked AS (SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC)
+          AS BIGINT) AS rank FROM scored)
+        SELECT doc_id, rank, term, tf, df, score FROM ranked
+        WHERE rank <= 5 ORDER BY doc_id, rank"""))
   )
 }
