@@ -120,6 +120,45 @@ object StreamQueries {
         FROM agg a JOIN lastsess l ON a.user_id = l.user_id, wm
         WHERE a.session_id < l.last_id
            OR epoch_ms(a.session_end) + 1800000 < wm.w
-        ORDER BY a.user_id, a.session_id"""))
+        ORDER BY a.user_id, a.session_id""")),
+
+    // Stream-stream INTERVAL JOIN: clicks joined to same-user
+    // purchases that land within the following hour, both sides
+    // watermarked (1 h) so the symmetric-hash-join state is evictable
+    // — the condition Spark needs to bound state at 100 TB/day; an
+    // un-watermarked stream join buffers forever. Inner-join emission
+    // is match-time, so the AvailableNow drain of a finite source
+    // yields exactly the batch interval join — which is the oracle.
+    Q("q73_stream_interval_join",
+      (s, dir) => {
+        val stream = eventsStream(s, dir)
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("click_ts", "1 hour")
+        val buys = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"),
+            col("value").as("purchase_value"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(buys,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("click_id"), col("click_ts"),
+            col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+        s.catalog.dropTempView("q73_sink")
+        StreamOps.drainToMemory(joined, "q73_sink", OutputMode.Append())
+        s.table("q73_sink")
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+          p.event_id AS purchase_id, p.ts AS purchase_ts,
+          p.value AS purchase_value
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ORDER BY c.user_id, click_id, purchase_id"""))
   )
 }
