@@ -320,6 +320,38 @@ object TextOps {
             PARTITION BY doc_id ORDER BY score DESC, term ASC)
           AS BIGINT) AS rank FROM scored)
         SELECT doc_id, rank, term, tf, df, score FROM ranked
-        WHERE rank <= 5 ORDER BY doc_id, rank"""))
+        WHERE rank <= 5 ORDER BY doc_id, rank""")),
+
+    // Deterministic hash split + stratified sampling: the md5 of the
+    // doc id is a uniform [0,1) surrogate, so fixed hex thresholds
+    // carve reproducible train/val/test splits (5%/5%/90%) and
+    // per-stratum sample rates (50% of en, 20% of the rest) — the
+    // reproducible-sampling primitive every corpus pipeline needs
+    // (rerunning on new data never reshuffles old assignments, unlike
+    // rand()). Pure map-side expression; zero shuffles at any scale.
+    Q("q76_hash_split",
+      (s, dir) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            h.as("hkey"),
+            when(h < "0ccccccc", "val")
+              .when(h < "19999999", "test")
+              .otherwise("train").as("split"),
+            (h < when(col("lang") === "en", "80000000")
+              .otherwise("33333333")).as("sampled"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hkey,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              < '0ccccccc' THEN 'val'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              < '19999999' THEN 'test'
+            ELSE 'train' END AS split,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            < (CASE WHEN lang = 'en' THEN '80000000'
+               ELSE '33333333' END) AS sampled
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{KMeans, Similarity}
 
 /** Similarity search over the `embeddings` table (vec_id, embedding
   * FLOAT[64], label). Exact brute-force cosine is the baseline; the LSH
@@ -230,6 +230,41 @@ object VectorOps {
         JOIN nrm na ON na.vec_id = id_a
         JOIN nrm nb ON nb.vec_id = id_b
         WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.35
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // K-means embedding clustering (2 Lloyd iterations from the 8
+    // lowest-id seeds): the semantic-dedup / diversity-sampling /
+    // IVF-quantizer-training primitive. Every stage — decimal-exact
+    // squared-L2, (d, cid) argmin, decimal-sum/double-divide centroid
+    // update — is mirrored op-for-op in the oracle, so the full
+    // iterative fit is hash-checked, not just the final shape.
+    Q("q75_kmeans",
+      (s, dir) => {
+        KMeans.fitAssign(Tables.load(s, dir, "embeddings"),
+            k = 8, iters = 2)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $exCte,
+        c0 AS (SELECT vec_id AS cid, i, e AS c FROM ex WHERE vec_id < 8),
+        d1 AS (SELECT ex.vec_id, cid,
+            CAST(sum(CAST((e - c) * (e - c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM ex JOIN c0 USING (i) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cid, d,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1),
+        c1 AS (SELECT cid, i,
+            CAST(sum(CAST(e AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c
+          FROM (SELECT vec_id, cid FROM a1 WHERE rn = 1) s
+          JOIN ex USING (vec_id) GROUP BY 1, 2),
+        d2 AS (SELECT ex.vec_id, cid,
+            CAST(sum(CAST((e - c) * (e - c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM ex JOIN c1 USING (i) GROUP BY 1, 2),
+        a2 AS (SELECT vec_id, cid, d,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d2)
+        SELECT vec_id, cid AS cluster, d AS dist
+        FROM a2 WHERE rn = 1 ORDER BY vec_id"""))
   )
 }
