@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ingest.{IngestDataset, Watermark}
+import graft.ingest.{IngestDataset, Scd2, Watermark}
 
 /** End-to-end ingest-framework exercises (SURVEY.md §2.9 I1/I5, §2.2
   * K1/K3/K8): each query drives a real multi-batch ingest into a
@@ -87,6 +87,94 @@ object IngestOps {
         ds.read("events").select(evCols.map(col): _*).orderBy("event_id")
       },
       Some(s"""SELECT event_id, ts, user_id, event_type, value, props
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // SCD2 history from a change log: per user, the runs of equal
+    // event_type values as validity intervals (valid_from/valid_to/
+    // is_current) — change-data-capture → dimension-history, one
+    // window shuffle on the key.
+    Q("q77_scd2_history",
+      (s, dir) => {
+        Scd2.historyFromLog(Tables.load(s, dir, "events"),
+            "user_id", "event_type", "ts", "event_id")
+          .orderBy("user_id", "valid_from", "state")
+      },
+      Some("""WITH chg AS (
+          SELECT user_id, event_type, ts, event_id FROM (
+            SELECT user_id, event_type, ts, event_id,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS pv
+            FROM events)
+          WHERE pv IS NULL OR pv <> event_type)
+        SELECT user_id, event_type AS state, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS valid_to,
+          lead(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) IS NULL AS is_current
+        FROM chg ORDER BY user_id, valid_from, state""")),
+
+    // SCD2 MERGE: the nightly dimension merge. History built from the
+    // pre-cut log, then ONE update batch (each user's first post-cut
+    // event) merged in: changed states close the current row at the
+    // update ts and open a new one, unchanged states no-op, unseen
+    // keys insert. The oracle recomposes the identical rule set.
+    Q("q78_scd2_merge",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val hist = Scd2.historyFromLog(
+          ev.filter(col("ts") < to_timestamp(lit(cut))),
+          "user_id", "event_type", "ts", "event_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val updates = ev.filter(col("ts") >= to_timestamp(lit(cut)))
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .select(col("user_id"), col("event_type").as("u_state"),
+            col("ts").as("u_ts"))
+        Scd2.merge(hist, updates, "user_id")
+          .orderBy("user_id", "valid_from", "state")
+      },
+      Some(s"""WITH pre AS (SELECT * FROM events
+            WHERE ts < TIMESTAMP '$cut'),
+        chg AS (
+          SELECT user_id, event_type, ts, event_id FROM (
+            SELECT user_id, event_type, ts, event_id,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS pv
+            FROM pre)
+          WHERE pv IS NULL OR pv <> event_type),
+        hist AS (
+          SELECT user_id, event_type AS state, ts AS valid_from,
+            lead(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS valid_to
+          FROM chg),
+        upd AS (
+          SELECT user_id, event_type AS u_state, ts AS u_ts FROM (
+            SELECT user_id, event_type, ts,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS rn
+            FROM events WHERE ts >= TIMESTAMP '$cut')
+          WHERE rn = 1),
+        cur AS (SELECT * FROM hist WHERE valid_to IS NULL),
+        closed AS (SELECT user_id, state, valid_from, valid_to,
+            FALSE AS is_current
+          FROM hist WHERE valid_to IS NOT NULL),
+        still AS (SELECT c.user_id, c.state, c.valid_from,
+            CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+          FROM cur c LEFT JOIN upd u ON c.user_id = u.user_id
+          WHERE u.u_state IS NULL OR u.u_state = c.state),
+        toclose AS (SELECT c.user_id, c.state, c.valid_from,
+            u.u_ts AS valid_to, FALSE AS is_current
+          FROM cur c JOIN upd u ON c.user_id = u.user_id
+          WHERE u.u_state <> c.state),
+        newrows AS (SELECT u.user_id, u.u_state AS state,
+            u.u_ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+            TRUE AS is_current
+          FROM upd u LEFT JOIN cur c ON u.user_id = c.user_id
+          WHERE c.state IS NULL OR c.state <> u.u_state)
+        SELECT * FROM (
+          SELECT * FROM closed UNION ALL SELECT * FROM still
+          UNION ALL SELECT * FROM toclose UNION ALL
+          SELECT * FROM newrows)
+        ORDER BY user_id, valid_from, state"""))
   )
 }
