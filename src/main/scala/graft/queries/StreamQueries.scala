@@ -29,22 +29,31 @@ object StreamQueries {
     * dataset regenerated in place lands fresh instead of silently
     * reusing a stale copy, and two distinct dirs can never collide
     * into one landing zone. */
+  /** `singleFile` lands the copy as ONE parquet file, pinning the
+    * AvailableNow drain to a single micro-batch — required when the
+    * query's batch-parity depends on no state expiring mid-drain
+    * (q79's dedup: a key re-arriving after its watermark-expired state
+    * would re-emit under multi-batch chunking). */
   private def eventsStream(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String, singleFile: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
     val ev = Tables.load(s, dir, "events")
     val srcFiles = Option(
       new java.io.File(dir, "events.parquet").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.isFile)
     val fingerprint =
-      s"${srcFiles.length}-${srcFiles.map(_.lastModified).foldLeft(0L)(math.max)}-${srcFiles.map(_.length).sum}"
+      s"${srcFiles.length}-${srcFiles.map(_.lastModified).foldLeft(0L)(math.max)}-${srcFiles.map(_.length).sum}" +
+        (if (singleFile) "-1f" else "")
     val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val landingDir = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft-q53-landing-$sanitized-$fingerprint")
     val landing = landingDir.toString
-    if (!new java.io.File(landingDir, "_SUCCESS").exists())
-      ev.write.mode("overwrite").parquet(landing)
+    if (!new java.io.File(landingDir, "_SUCCESS").exists()) {
+      val w = if (singleFile) ev.coalesce(1) else ev
+      w.write.mode("overwrite").parquet(landing)
+    }
     StreamOps.landingZone(s, landing, ev.schema)
   }
 
@@ -159,6 +168,25 @@ object StreamQueries {
           ON c.user_id = p.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-        ORDER BY c.user_id, click_id, purchase_id"""))
+        ORDER BY c.user_id, click_id, purchase_id""")),
+
+    // Streaming exact dedup with BOUNDED state: the within-watermark
+    // variant expires each key's dedup state once the watermark passes
+    // it — the only dedup that survives an unbounded stream. On the
+    // single-batch finite drain no state expires, so the emission
+    // equals batch DISTINCT, which is the oracle.
+    Q("q79_stream_dedup",
+      (s, dir) => {
+        val stream = eventsStream(s, dir, singleFile = true)
+        val dedup = StreamOps.dedupRevisions(
+            stream.select(col("user_id"), col("event_type"), col("ts")),
+            "ts", "1 hour", Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type"))
+        s.catalog.dropTempView("q79_sink")
+        StreamOps.drainToMemory(dedup, "q79_sink", OutputMode.Append())
+        s.table("q79_sink").orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type"""))
   )
 }
