@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 import graft.functions.TextFuncs._
+import graft.operators.PrefixSum
 
 /** Text-analysis operators over the `documents` corpus: token counting,
   * quality scoring, language ID, exact dedup, fingerprinting. These are
@@ -352,6 +353,42 @@ object TextOps {
           substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
             < (CASE WHEN lang = 'en' THEN '80000000'
                ELSE '33333333' END) AS sampled
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // LM sequence packing (concat-and-chunk): documents concatenated
+    // in doc_id order and cut every 512 tokens; each doc reports its
+    // global token offset, its pack id, and how many packs it spans.
+    // The global offset comes from PrefixSum.exclusiveCumsum — the
+    // two-phase parallel scan — NOT a partition-less window (which
+    // would funnel 100 TB through one task).
+    Q("q80_sequence_pack",
+      (s, dir) => {
+        val t = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            tokenCount(col("text")).cast("long").as("n_tokens"))
+        PrefixSum.exclusiveCumsum(t, col("doc_id"), col("n_tokens"),
+            "start_offset", bucketSize = 100L)
+          .withColumn("pack_id", expr("start_offset DIV 512"))
+          .withColumn("packs_spanned",
+            expr("(start_offset + n_tokens - 1) DIV 512") -
+              col("pack_id") + lit(1L))
+          .select("doc_id", "n_tokens", "start_offset", "pack_id",
+            "packs_spanned")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\s+'))
+              AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+            COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS start_offset
+          FROM t)
+        SELECT doc_id, n_tokens, start_offset,
+          start_offset // 512 AS pack_id,
+          (start_offset + n_tokens - 1) // 512
+            - start_offset // 512 + 1 AS packs_spanned
+        FROM c ORDER BY doc_id"""))
   )
 }

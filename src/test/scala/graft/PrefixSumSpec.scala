@@ -1,0 +1,36 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.PrefixSum
+
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches the single-partition global window on sparse keys") {
+    val rnd = new Random(7)
+    // sparse, shuffled order keys → empty buckets, bucket boundaries
+    // inside and between partitions
+    val rows = rnd.shuffle((0L until 400L).map(_ * 3 + 1))
+      .map(k => (k, rnd.nextInt(50).toLong))
+    val df = rows.toDF("k", "v").repartition(7)
+    val got = PrefixSum.exclusiveCumsum(df, col("k"), col("v"), "c",
+        bucketSize = 37L)
+      .orderBy("k").select("k", "c").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = df.withColumn("c",
+        coalesce(sum(col("v")).over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .orderBy("k").select("k", "c").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == naive.toSeq)
+  }
+
+  test("first row gets zero and totals telescope") {
+    val df = Seq((0L, 5L), (1L, 7L), (2L, 11L)).toDF("k", "v")
+    val got = PrefixSum.exclusiveCumsum(df, col("k"), col("v"), "c", 2L)
+      .orderBy("k").select("c").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 5L, 12L))
+  }
+}
