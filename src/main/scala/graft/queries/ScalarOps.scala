@@ -392,6 +392,51 @@ ORDER BY 1"""
         LEFT JOIN curves kr ON kr.nation = gq.nation AND kr.i = k0.i + 1
         LEFT JOIN bwd ml ON ml.nation = gq.nation AND ml.i = k0.i
         LEFT JOIN bwd mr ON mr.nation = gq.nation AND mr.i = k0.i + 1
-        ORDER BY "group", x"""))
+        ORDER BY "group", x""")),
+
+    // Per-group z-score outlier flagging (data-cleaning primitive:
+    // the statistical generalization of the reference's clamp ops).
+    // Group moments via fixed-scale DECIMAL sums — associative, so
+    // bit-identical under any partitioning and in the oracle; the
+    // per-row z itself is plain IEEE double arithmetic (deterministic
+    // on both engines). Stats broadcast back onto the fact rows.
+    Q("q82_zscore_outliers",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val stats = ev.groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types
+              .DecimalType(28, 2))).cast("double").as("s1"),
+            sum((col("value") * col("value"))
+              .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+              .cast("double").as("s2"))
+          .withColumn("mean", col("s1") / col("n"))
+          .withColumn("variance",
+            col("s2") / col("n") - col("mean") * col("mean"))
+          .filter(col("variance") > 0)
+          .withColumn("std", sqrt(col("variance")))
+          .select("event_type", "mean", "std")
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("zscore",
+            (col("value") - col("mean")) / col("std"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("zscore"), (abs(col("zscore")) > 3).as("is_outlier"))
+          .orderBy("event_id")
+      },
+      Some("""WITH stats AS (SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+            CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE)
+              AS s2
+          FROM events GROUP BY 1),
+        st2 AS (SELECT event_type, s1 / n AS mean,
+            s2 / n - (s1 / n) * (s1 / n) AS variance
+          FROM stats),
+        st3 AS (SELECT event_type, mean, sqrt(variance) AS std
+          FROM st2 WHERE variance > 0)
+        SELECT e.event_id, e.event_type, e.value,
+          (e.value - mean) / std AS zscore,
+          abs((e.value - mean) / std) > 3 AS is_outlier
+        FROM events e JOIN st3 USING (event_type)
+        ORDER BY event_id"""))
   )
 }

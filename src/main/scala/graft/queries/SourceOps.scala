@@ -225,6 +225,41 @@ object SourceOps {
           ${ExactAgg.sqlSum("s_acctbal")} AS total_bal,
           CAST(sum(CASE WHEN s_suppkey % 2 = 1 THEN 1 ELSE 0 END)
             AS BIGINT) AS with_phone
-        FROM supplier GROUP BY 1 ORDER BY 1"""))
+        FROM supplier GROUP BY 1 ORDER BY 1""")),
+
+    // ORC round-trip: lineitem landed as ORC (the other columnar
+    // format Spark ships a vectorized reader for), read back and
+    // aggregated; oracle recomputes from the parquet original. Landing
+    // is fingerprinted by the source files (count+mtime+bytes) so a
+    // regenerated dataset re-lands instead of reusing a stale copy.
+    Q("q81_orc_roundtrip",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val srcFiles = Option(
+          new java.io.File(dir, "lineitem.parquet").listFiles())
+          .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+        val fp = s"${srcFiles.length}-" +
+          s"${srcFiles.map(_.lastModified).foldLeft(0L)(math.max)}-" +
+          s"${srcFiles.map(_.length).sum}"
+        val landing = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft-q81-orc-" +
+            dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + fp)
+        if (!new java.io.File(landing, "_SUCCESS").exists())
+          li.select("l_orderkey", "l_returnflag", "l_quantity",
+              "l_extendedprice")
+            .write.mode("overwrite").orc(landing.toString)
+        s.read.orc(landing.toString)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            ExactAgg.dsum(col("l_quantity")).as("sum_qty"),
+            ExactAgg.dsum(col("l_extendedprice")).as("sum_price"),
+            max(col("l_orderkey")).as("max_key"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+          ${ExactAgg.sqlSum("l_quantity")} AS sum_qty,
+          ${ExactAgg.sqlSum("l_extendedprice")} AS sum_price,
+          CAST(max(l_orderkey) AS BIGINT) AS max_key
+        FROM lineitem GROUP BY 1 ORDER BY 1"""))
   )
 }
