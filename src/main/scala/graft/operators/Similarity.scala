@@ -265,10 +265,36 @@ object Similarity {
         .groupBy(col(id), col("sub"), col("cid"))
         .agg(sum(((col("e") - col("ce")) * (col("e") - col("ce")))
           .cast(DecimalType(18, 9))).cast(DoubleType).as("d"))
+    // Encode is the collection-sized stage, so it runs two-phase like
+    // bruteForceTopK: a plain double aggregation prunes each (vector,
+    // subspace) to the codewords within 1e-6 of the minimum — the
+    // double-vs-decimal divergence is ≤ subDim·5e-10 (per-term
+    // quantization) + O(1e-13) (summation order), so the decimal argmin
+    // winner always survives — then only survivors (≈1 codeword per
+    // group instead of all |codebook|) pay the BigDecimal-backed exact
+    // rescore that makes codes oracle-checkable.
+    val fastDist = explodeSub(emb, "cand_id", "e")
+      .join(broadcast(cw), Seq("pos"))
+      .groupBy(col("cand_id"), col("sub"), col("cid"))
+      .agg(sum((col("e") - col("ce")) * (col("e") - col("ce"))).as("_fd"))
+    val wMin = Window.partitionBy("cand_id", "sub")
+    val nearMin = fastDist
+      .withColumn("_fmin", min(col("_fd")).over(wMin))
+      .filter(col("_fd") <= col("_fmin") + 1e-6)
+      .select("cand_id", "sub", "cid")
+    val cwR = cw.select(col("pos").as("_cpos"), col("cid").as("_ccid"),
+      col("ce"))
+    val rescored = explodeSub(emb, "cand_id", "e")
+      .join(nearMin, Seq("cand_id", "sub"))
+      .join(broadcast(cwR),
+        col("pos") === col("_cpos") && col("cid") === col("_ccid"))
+      .groupBy(col("cand_id"), col("sub"), col("cid"))
+      .agg(sum(((col("e") - col("ce")) * (col("e") - col("ce")))
+        .cast(DecimalType(18, 9))).cast(DoubleType).as("d"))
     // argmin as a lexicographic struct-min — an aggregate with map-side
     // partials instead of a second sort+exchange for a row_number
     // window; (d asc, cid asc) tie-break is identical
-    val codes = subDistances(emb, "cand_id")
+    val codes = rescored
       .groupBy("cand_id", "sub")
       .agg(min(struct(col("d"), col("cid"))).as("_m"))
       .select(col("cand_id"), col("sub"), col("_m.cid").as("cid"))
