@@ -437,6 +437,36 @@ ORDER BY 1"""
           (e.value - mean) / std AS zscore,
           abs((e.value - mean) / std) > 3 AS is_outlier
         FROM events e JOIN st3 USING (event_type)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ROLLUP with grouping id: per-(flag, status) measures plus flag
+    // subtotals plus the grand total in ONE pass — Spark expands the
+    // grouping sets before the hash aggregation, so at 100 TB this is
+    // still a single shuffle (vs three scans + a union). The grouping
+    // bitmask (first column = MSB) matches DuckDB's GROUPING();
+    // subtotal rows carry NULL group keys, ordered NULLS FIRST
+    // explicitly on both sides (the engines' ASC defaults differ).
+    Q("q84_rollup_agg",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .select("gid", "l_returnflag", "l_linestatus", "n", "sum_qty",
+            "sum_price")
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some(s"""SELECT
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          l_returnflag, l_linestatus, count(*) AS n,
+          ${sqlSum("l_quantity")} AS sum_qty,
+          ${sqlSum("l_extendedprice")} AS sum_price
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag ASC NULLS FIRST,
+          l_linestatus ASC NULLS FIRST"""))
   )
 }

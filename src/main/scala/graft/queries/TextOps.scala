@@ -389,6 +389,200 @@ object TextOps {
           start_offset // 512 AS pack_id,
           (start_offset + n_tokens - 1) // 512
             - start_offset // 512 + 1 AS packs_spanned
-        FROM c ORDER BY doc_id"""))
+        FROM c ORDER BY doc_id""")),
+
+    // PII redaction: scrub emails / phone numbers / IPv4 addresses and
+    // count each kind — the privacy-scrubbing pass of a corpus
+    // pipeline. The PII-bearing text is synthesized deterministically
+    // from the customer table on BOTH sides (the corpus tables carry
+    // no PII), so the redaction itself — three chained
+    // replace-all passes + extract-all counts over RE2-compatible
+    // patterns — is what the hash check exercises. Pure map-side
+    // expression: one scan, zero shuffles at any scale.
+    Q("q83_pii_redaction",
+      (s, dir) => {
+        val ck = col("c_custkey")
+        val text = concat(
+          lit("Reach "), col("c_name"),
+          when(ck % 5 === 0, lit(" (no mail)"))
+            .otherwise(concat(lit(" at user"), ck.cast("string"),
+              lit("@corp.example.com"))),
+          lit(" or call "), (ck % 900 + 100).cast("string"),
+          lit("-555-"), ((ck * 7) % 9000 + 1000).cast("string"),
+          lit(" from 10.0."), (ck % 256).cast("string"), lit("."),
+          ((ck * 3) % 256).cast("string"),
+          when(ck % 3 === 0, lit(" backup 192.168.1.1")).otherwise(lit("")))
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b\\d{3}-555-\\d{4}\\b"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), text.as("text"))
+          .select(col("c_custkey"),
+            size(regexp_extract_all(col("text"), lit(email), lit(0)))
+              .cast("long").as("n_email"),
+            size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+              .cast("long").as("n_phone"),
+            size(regexp_extract_all(col("text"), lit(ip), lit(0)))
+              .cast("long").as("n_ip"),
+            regexp_replace(regexp_replace(regexp_replace(col("text"),
+              lit(email), lit("<EMAIL>")),
+              lit(phone), lit("<PHONE>")),
+              lit(ip), lit("<IP>")).as("redacted"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH t AS (SELECT c_custkey,
+            'Reach ' || c_name ||
+            (CASE WHEN c_custkey % 5 = 0 THEN ' (no mail)'
+              ELSE ' at user' || CAST(c_custkey AS VARCHAR)
+                || '@corp.example.com' END) ||
+            ' or call ' || CAST(c_custkey % 900 + 100 AS VARCHAR) ||
+            '-555-' || CAST((c_custkey * 7) % 9000 + 1000 AS VARCHAR) ||
+            ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+            CAST((c_custkey * 3) % 256 AS VARCHAR) ||
+            (CASE WHEN c_custkey % 3 = 0 THEN ' backup 192.168.1.1'
+              ELSE '' END) AS text
+          FROM customer)
+        SELECT c_custkey,
+          len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+          len(regexp_extract_all(text,
+            '\b\d{3}-555-\d{4}\b')) AS n_phone,
+          len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g'),
+            '\b\d{3}-555-\d{4}\b', '<PHONE>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+            AS redacted
+        FROM t ORDER BY c_custkey""")),
+
+    // BM25 ranking (k1=1.2, b=0.75) of documents against a fixed term
+    // set — the relevance primitive behind quality-biased corpus
+    // sampling and retrieval-based decontamination. The idf is
+    // quantized to DECIMAL(18,6): natural log is NOT bit-identical
+    // across engines (measured: ~1e-3 of values differ in the last
+    // ulp), and the quantization absorbs that while every other step
+    // is exactly-rounded rational double arithmetic mirrored
+    // shape-for-shape in the oracle. Per-term scores land in separate
+    // columns (one row per (doc, term) → conditional sum is exact) and
+    // combine left-associated, so the total is order-free.
+    Q("q85_bm25",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val terms = Seq("table", "spark", "query")
+        val dl = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
+        val stats = dl.agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("avgdl"))
+        val tf = docs.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val idf = df_.crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5)) + lit(1.0))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+              .cast(DoubleType))
+          .select("term", "idf")
+        val scored = tf.join(broadcast(idf), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats.select("avgdl")))
+          .withColumn("sc",
+            col("idf") * ((col("tf").cast(DoubleType) * lit(2.2)) /
+              (col("tf").cast(DoubleType) + lit(1.2) *
+                (lit(0.25) + lit(0.75) *
+                  (col("dl").cast(DoubleType) / col("avgdl"))))))
+        val perTerm = terms.map(t =>
+          sum(when(col("term") === t, col("sc"))).as(s"s_$t"))
+        scored.groupBy("doc_id")
+          .agg(perTerm.head, perTerm.tail: _*)
+          .select(col("doc_id") +: terms.map(t =>
+            coalesce(col(s"s_$t"), lit(0.0)).as(s"s_$t")) :+
+            terms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+              .reduce(_ + _).as("bm25"): _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH dl AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+          FROM documents),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM dl),
+        tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+          WHERE w IN ('table', 'spark', 'query') GROUP BY 1, 2),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY 1),
+        idf AS (SELECT term, CAST(CAST(
+            ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            AS DECIMAL(18,6)) AS DOUBLE) AS idf
+          FROM df, stats),
+        scored AS (SELECT doc_id, term,
+            idf * ((CAST(tf AS DOUBLE) * 2.2) /
+              (CAST(tf AS DOUBLE) + 1.2 *
+                (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS sc
+          FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats),
+        agg AS (SELECT doc_id,
+            sum(CASE WHEN term = 'table' THEN sc END) AS s_table,
+            sum(CASE WHEN term = 'spark' THEN sc END) AS s_spark,
+            sum(CASE WHEN term = 'query' THEN sc END) AS s_query
+          FROM scored GROUP BY 1)
+        SELECT doc_id,
+          COALESCE(s_table, 0.0) AS s_table,
+          COALESCE(s_spark, 0.0) AS s_spark,
+          COALESCE(s_query, 0.0) AS s_query,
+          COALESCE(s_table, 0.0) + COALESCE(s_spark, 0.0)
+            + COALESCE(s_query, 0.0) AS bm25
+        FROM agg ORDER BY doc_id""")),
+
+    // Per-source quota capping: keep the 15 lowest-id documents of
+    // each source — the per-domain cap every web-corpus pipeline
+    // applies so boilerplate-heavy domains can't dominate the mix. One
+    // hash shuffle on source + a within-partition sort; no global
+    // sort until the (already capped) output ordering.
+    Q("q86_source_quota",
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        Tables.load(s, dir, "documents")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 15)
+          .select("doc_id", "source", "rk")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, rk FROM (
+          SELECT doc_id, source, CAST(row_number() OVER (
+            PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rk
+          FROM documents)
+        WHERE rk <= 15 ORDER BY doc_id""")),
+
+    // Inverted index build: term → document frequency + the first 20
+    // postings (sorted doc ids). One explode + one hash aggregation;
+    // the postings list is capped so a stopword's row stays bounded at
+    // corpus scale (the df column still counts the full set — only
+    // the materialized list is truncated).
+    Q("q87_inverted_index",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("term"))
+          .groupBy("term")
+          .agg(count(lit(1)).as("df"),
+            array_join(
+              transform(slice(sort_array(collect_list(col("doc_id"))),
+                1, 20), _.cast("string")), ",").as("postings"))
+          .orderBy("term")
+      },
+      Some("""SELECT term, CAST(count(*) AS BIGINT) AS df,
+          array_to_string(list_slice(list_sort(list(doc_id)), 1, 20),
+            ',') AS postings
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+            AS term FROM documents)
+        GROUP BY term ORDER BY term"""))
   )
 }

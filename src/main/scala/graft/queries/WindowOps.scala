@@ -185,6 +185,31 @@ object WindowOps {
         UNION ALL
         SELECT event_type, 'p90' AS q, value AS quantile_value
           FROM ranked WHERE rn = CAST(ceil(n * 0.9) AS BIGINT)
-        ORDER BY event_type, q"""))
+        ORDER BY event_type, q""")),
+
+    // Distribution-rank window family: percent_rank, cume_dist and
+    // ntile(4) per event_type. The ordering key includes event_id so
+    // every rank is tie-free and both engines' standard definitions
+    // ((rank−1)/(n−1), rank/n, balanced buckets) agree bit-exactly —
+    // the divisions are single exactly-rounded double ops. One shuffle
+    // on event_type; all three functions share the same sort.
+    Q("q88_rank_functions",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).cast(LongType).as("quartile"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, value,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd,
+          CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        ORDER BY event_id"""))
   )
 }
