@@ -209,6 +209,39 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Shingle containment (|A∩B| / min(|A|,|B|)) for every pair sharing
+    * ≥1 shingle, kept when ≥ `minContainment` — the ASYMMETRIC near-dup
+    * test: a short document embedded verbatim inside a longer one scores
+    * containment ≈ 1 while its Jaccard stays low (the union is dominated
+    * by the long doc), so quote-heavy and template-wrapped duplicates
+    * that [[ngramJaccardPairs]] misses surface here. Same
+    * inverted-index Σ f(s)² join shape and `maxDocFreq` hot-shingle
+    * guard as the Jaccard variant. */
+  def containmentPairs(docs: DataFrame, k: Int,
+      minContainment: Double,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val shAll = shingleSets(docs, k)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val sh = capWidth(shAll, maxDocFreq, "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("na"), col("nb"),
+        (col("inter").cast(DoubleType) /
+          least(col("na"), col("nb")).cast(DoubleType))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** SimHash near-duplicate pairs: banded-LSH candidate generation
     * over the bit signatures (a pair with hamming distance ≤ d must
     * agree on ≥1 of `bands` bands when d < bands), then the exact

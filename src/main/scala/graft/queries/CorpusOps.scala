@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+import graft.functions.ExactAgg
+import graft.functions.TextFuncs
+import graft.operators.TextRank
+
+/** Corpus-pipeline operators, part 2: block-level dedup, TextRank
+  * keyword scoring, exact correlation matrices, CUBE aggregation,
+  * sliding event-time windows, and token-budget mixture selection.
+  * Every query is oracle-checked (the fixed-point PageRank runs in
+  * 64-bit integers precisely so that it CAN be).
+  */
+object CorpusOps {
+
+  private val BlockWords = 5    // words per dedup block (q89)
+  private val TokenBudget = 800 // per-source token budget (q95)
+
+  /** Pearson correlation from exact partial sums: every Σ is either a
+    * fixed-scale DECIMAL (value-derived terms — associative, engine
+    * exact) or a BIGINT (integer terms), cast to DOUBLE only once at
+    * the end; the closed-form combination is then plain IEEE double
+    * arithmetic, bit-identical across engines when written with the
+    * same association — which the oracle mirrors token-for-token. */
+  private def corrFromSums(n: Column, sx: Column, sy: Column,
+      sxy: Column, sxx: Column, syy: Column): Column =
+    (n * sxy - sx * sy) /
+      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+
+  /** DuckDB text of [[corrFromSums]] — kept adjacent so the two can't
+    * drift (double arithmetic must match op-for-op, not just in math). */
+  private def corrSql(n: String, sx: String, sy: String,
+      sxy: String, sxx: String, syy: String): String =
+    s"($n * $sxy - $sx * $sy) / " +
+      s"(sqrt($n * $sxx - $sx * $sx) * sqrt($n * $syy - $sy * $sy))"
+
+  /** The three fixed-point PageRank iteration CTE pairs of q90's
+    * oracle (contribution aggregate + damped update), mirroring
+    * [[TextRank.pageRank]] exactly: integer ops only, so each
+    * iteration is bit-exact. */
+  private def pageRankIterCtes(iterations: Int): String =
+    (1 to iterations).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+          CAST(sum((p.pr * e.c) // o.out_total) AS BIGINT) AS s
+        FROM e JOIN pr${i - 1} p ON e.src = p.node
+        JOIN o ON e.src = o.src GROUP BY 1),
+      pr$i AS (SELECT n.node,
+          CAST(150000 + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS pr
+        FROM nodes n LEFT JOIN c$i ON n.node = c$i.node)"""
+    }.mkString(",\n")
+
+  val qs: Seq[Q] = Seq(
+
+    // Block-level dedup (the line-level C4 pass, over fixed 5-word
+    // blocks since the corpus carries no line structure): every block
+    // is kept only at its FIRST global occurrence (lowest doc_id, then
+    // position), and documents are reassembled from their surviving
+    // blocks. One shuffle on the block text for the keep-first window,
+    // one on doc_id for reassembly — no pairwise step at all, which is
+    // why block dedup is the cheapest boilerplate killer at 100 TB.
+    // Docs whose every block occurred earlier elsewhere disappear
+    // (fully-duplicate documents), same as the oracle.
+    Q("q89_block_dedup",
+      (s, dir) => {
+        val bw = BlockWords
+        val blkArr = expr(
+          s"""transform(sequence(0, (size(split(text, ' ')) + ${bw - 1})
+                DIV $bw - 1),
+              i -> array_join(slice(split(text, ' '), i * $bw + 1, $bw),
+                ' '))""")
+        val blocks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), posexplode(blkArr).as(Seq("pos", "blk")))
+        val w = Window.partitionBy("blk").orderBy("doc_id", "pos")
+        blocks
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("blk")))),
+                x => x.getField("blk")), " ").as("text_dedup"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents),
+          blocks AS (SELECT doc_id, i AS pos,
+              array_to_string(list_slice(ws,
+                i * $BlockWords + 1, i * $BlockWords + $BlockWords),
+                ' ') AS blk
+            FROM w, UNNEST(range(0,
+              (len(ws) + ${BlockWords - 1}) // $BlockWords)) AS t(i)),
+          kept AS (SELECT doc_id, pos, blk, row_number() OVER (
+              PARTITION BY blk ORDER BY doc_id, pos) AS rk FROM blocks)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          string_agg(blk, ' ' ORDER BY pos) AS text_dedup
+        FROM kept WHERE rk = 1 GROUP BY doc_id ORDER BY doc_id""")),
+
+    // TextRank: PageRank over the word-adjacency graph (edge w1→w2 per
+    // consecutive token occurrence, weighted by count) — the classic
+    // graph-based keyword/salience scorer. Three fixed-point integer
+    // iterations (rank mass in millionths, damping 0.85); each
+    // iteration is one join-shuffle + one hash aggregation, the shape
+    // that survives a 100 TB corpus (the rank vector never leaves the
+    // cluster, edges are cached once with their out-degree).
+    Q("q90_textrank",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val wspec = Window.partitionBy("doc_id").orderBy("pos")
+        val edges = toks
+          .withColumn("dst", lead(col("w"), 1).over(wspec))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("w").as("src"), col("dst"))
+          .agg(count(lit(1)).as("c"))
+        val nodes = toks.select(col("w").as("node")).distinct()
+        TextRank.pageRank(edges, nodes, iterations = 3)
+          .orderBy(col("pr").desc, col("node"))
+          .limit(100)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+            generate_subscripts(l, 1) AS pos, unnest(l) AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS l
+            FROM documents)),
+        edges0 AS (SELECT w AS src,
+            lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+          FROM toks),
+        e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+          FROM edges0 WHERE dst IS NOT NULL GROUP BY 1, 2),
+        o AS (SELECT src, CAST(sum(c) AS BIGINT) AS out_total
+          FROM e GROUP BY 1),
+        nodes AS (SELECT DISTINCT w AS node FROM toks),
+        pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        ${pageRankIterCtes(3)}
+        SELECT node, pr FROM pr3
+        ORDER BY pr DESC, node LIMIT 100""")),
+
+    // Correlation matrix from one pass of exact partial sums: Pearson
+    // corr of (value, hour-of-day) and (value, minute) per event type.
+    // Single hash aggregation producing all nine Σ terms — the
+    // one-scan moment-matrix pattern that computes an arbitrary k×k
+    // correlation matrix at 100 TB with exactly one shuffle (vs one
+    // pass per pair for naive corr() calls).
+    Q("q91_corr_matrix",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("value"),
+            hour(col("ts")).cast("long").as("h"),
+            minute(col("ts")).cast("long").as("m"))
+        val agg = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(28, 2)))
+            .cast("double").as("sv"),
+          sum(col("h")).as("sh"),
+          sum(col("m")).as("sm"),
+          sum((col("value") * col("value")).cast(DecimalType(28, 4)))
+            .cast("double").as("svv"),
+          sum(col("h") * col("h")).as("shh"),
+          sum(col("m") * col("m")).as("smm"),
+          sum((col("value") * col("h").cast(DoubleType))
+            .cast(DecimalType(28, 4))).cast("double").as("svh"),
+          sum((col("value") * col("m").cast(DoubleType))
+            .cast(DecimalType(28, 4))).cast("double").as("svm"))
+        val n = col("n").cast(DoubleType)
+        agg.select(col("event_type"), col("n"),
+            corrFromSums(n, col("sv"), col("sh").cast(DoubleType),
+              col("svh"), col("svv"), col("shh").cast(DoubleType))
+              .as("corr_value_hour"),
+            corrFromSums(n, col("sv"), col("sm").cast(DoubleType),
+              col("svm"), col("svv"), col("smm").cast(DoubleType))
+              .as("corr_value_minute"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH t AS (SELECT event_type, value,
+            CAST(hour(ts) AS BIGINT) AS h,
+            CAST(minute(ts) AS BIGINT) AS m
+          FROM events),
+        agg AS (SELECT event_type,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sv,
+            CAST(sum(h) AS BIGINT) AS sh,
+            CAST(sum(m) AS BIGINT) AS sm,
+            CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE)
+              AS svv,
+            CAST(sum(h * h) AS BIGINT) AS shh,
+            CAST(sum(m * m) AS BIGINT) AS smm,
+            CAST(sum(CAST(value * CAST(h AS DOUBLE) AS DECIMAL(28,4)))
+              AS DOUBLE) AS svh,
+            CAST(sum(CAST(value * CAST(m AS DOUBLE) AS DECIMAL(28,4)))
+              AS DOUBLE) AS svm
+          FROM t GROUP BY 1)
+        SELECT event_type, n,
+          ${corrSql("CAST(n AS DOUBLE)", "sv", "CAST(sh AS DOUBLE)",
+            "svh", "svv", "CAST(shh AS DOUBLE)")} AS corr_value_hour,
+          ${corrSql("CAST(n AS DOUBLE)", "sv", "CAST(sm AS DOUBLE)",
+            "svm", "svv", "CAST(smm AS DOUBLE)")} AS corr_value_minute
+        FROM agg ORDER BY event_type""")),
+
+    // CUBE with grouping id: per-(status, priority) totals plus BOTH
+    // one-dimensional margins plus the grand total in one pass — like
+    // q84's ROLLUP, Spark expands the grouping sets before a single
+    // hash aggregation (one shuffle at any scale, vs four scans).
+    Q("q92_cube_agg",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            ExactAgg.dsum(col("o_totalprice")).as("sum_price"))
+          .select("gid", "o_orderstatus", "o_orderpriority", "n",
+            "sum_price")
+          .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+      },
+      Some(s"""SELECT
+          CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          o_orderstatus, o_orderpriority, count(*) AS n,
+          ${ExactAgg.sqlSum("o_totalprice")} AS sum_price
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+          o_orderpriority ASC NULLS FIRST""")),
+
+    // Sliding event-time windows (6 h windows every 3 h): each event
+    // lands in exactly two overlapping windows. Spark expands the
+    // window memberships map-side and hash-aggregates — one shuffle,
+    // same as a tumbling bucket, just 2× the rows; the oracle expands
+    // the same two epoch-aligned starts per event explicitly.
+    Q("q93_sliding_window",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "6 hours", "3 hours"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            ExactAgg.dsum(col("value")).as("total"))
+          .select(col("window.start").as("win_start"), col("event_type"),
+            col("n"), col("total"))
+          .orderBy("win_start", "event_type")
+      },
+      Some(s"""WITH e AS (SELECT event_type, value,
+            (CAST(floor(epoch(ts)) AS BIGINT) // 10800) * 10800 AS b
+          FROM events),
+        x AS (SELECT make_timestamp((b - k * 10800) * 1000000)
+              AS win_start, event_type, value
+          FROM e, UNNEST([0, 1]) AS t(k))
+        SELECT win_start, event_type, count(*) AS n,
+          ${ExactAgg.sqlSum("value")} AS total
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Token-budget mixture selection: within each source, take
+    // documents greedily (longest first — the usual quality proxy when
+    // scores tie) until the source's token budget is exhausted; every
+    // doc reports its running total and whether it made the cut. The
+    // cumulative sum is windowed WITHIN the source partition — scales
+    // as one hash shuffle, never a global sort.
+    Q("q95_token_budget",
+      (s, dir) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            TextFuncs.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("kept", col("cum_tokens") <= TokenBudget)
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, source, n_chars, n_tokens, cum_tokens,
+          cum_tokens <= $TokenBudget AS kept
+        FROM (SELECT doc_id, source, n_chars, n_tokens,
+            CAST(sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+          FROM (SELECT doc_id, source, n_chars,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                AS BIGINT) AS n_tokens
+            FROM documents))
+        ORDER BY doc_id"""))
+  )
+}

@@ -237,6 +237,34 @@ object DedupOps {
           CAST(count(be.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE)
             AS contamination_rate
         FROM tr LEFT JOIN be ON tr.shingle = be.shingle
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Shingle CONTAINMENT (|A∩B| / min(|A|,|B|)): the asymmetric
+    // near-dup test — a short doc quoted verbatim inside a long one
+    // scores ≈1 here while its Jaccard stays below any useful
+    // threshold. Same inverted-index join and skew cap as q25.
+    Q("q94_containment",
+      (s, dir) => {
+        Dedup.containmentPairs(Tables.load(s, dir, "documents"), K,
+            minContainment = 0.2, maxDocFreq = MaxDocFreq)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $shingleCte,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+          CAST(na.n AS BIGINT) AS na, CAST(nb.n AS BIGINT) AS nb,
+          CAST(inter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+            AS containment
+        FROM inter
+        JOIN sizes na ON doc_a = na.doc_id
+        JOIN sizes nb ON doc_b = nb.doc_id
+        WHERE CAST(inter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+          >= 0.2
+        ORDER BY doc_a, doc_b"""))
   )
 }
