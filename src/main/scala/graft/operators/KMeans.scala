@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -38,31 +38,62 @@ object KMeans {
         posexplode(col("embedding")).as(Seq("i", "xf")))
       .select(col(id), col("i"), col("xf").cast(DoubleType).as("x"))
 
+  /** Per-row distance+argmin kernel: `cents` is ONE broadcast row
+    * holding every centroid as (cid, carr); the squared L2 per
+    * centroid is an exact left-fold over DECIMAL(18,9) terms (decimal
+    * addition is associative, so the fold equals the shuffled sum the
+    * oracle computes in any order), and the (d, cid) struct-min picks
+    * the lexicographic argmin — all inside one Project, no shuffle. */
+  private def assignExpr: Column = expr(
+    """array_min(transform(cents, ct -> struct(
+         CAST(aggregate(
+           zip_with(embedding, ct.carr, (x, c) ->
+             CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+               AS DECIMAL(18,9))),
+           CAST(0 AS DECIMAL(28,9)),
+           (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE) AS d,
+         ct.cid AS cid)))""")
+
+  /** (cid, carr) array-form centroids from (cid, i, c) long form. */
+  private def toArrayForm(cent: DataFrame): DataFrame =
+    cent.groupBy("cid").agg(
+      transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        x => x.getField("c")).as("carr"))
+
   /** Run `iters` Lloyd iterations from the k lowest-id seeds and
     * return the final assignment: (vec_id, cluster, dist) where
     * cluster is the seed centroid's id slot and dist the exact squared
-    * L2 distance to the final centroid. */
+    * L2 distance to the final centroid.
+    *
+    * Each iteration's assignment is MAP-SIDE ONLY: the k centroid
+    * arrays collapse to a single broadcast row and every vector
+    * computes its k exact decimal distances + argmin inside one
+    * projection — no n×k×dim join rows, no assignment shuffle. Only
+    * the centroid update (k×dim output rows) shuffles, keyed on
+    * (cluster, dim). The exploded vector form that update needs is
+    * cached once rather than re-derived per iteration. */
   def fitAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1)
-    val ev = longForm(emb, "vec_id")
-    // (cid, i, c) — seed centroids are data points
-    var cent = longForm(emb.filter(col("vec_id") < k), "cid")
-      .select(col("cid"), col("i"), col("x").as("c"))
+    val ev = longForm(emb, "vec_id").cache()
+    // single-row broadcast side: [(cid, carr), ...]
+    def gather(centArr: DataFrame): DataFrame =
+      centArr.agg(collect_list(struct(col("cid"), col("carr")))
+        .as("cents"))
+    var cents = gather(toArrayForm(
+      longForm(emb.filter(col("vec_id") < k), "cid")
+        .select(col("cid"), col("i"), col("x").as("c"))))
     var assigned: DataFrame = null
     for (t <- 1 to iters) {
-      val dist = ev.join(broadcast(cent), Seq("i"))
-        .groupBy("vec_id", "cid")
-        .agg(sum(((col("x") - col("c")) * (col("x") - col("c")))
-          .cast(termDec)).cast(DoubleType).as("d"))
-      assigned = dist.groupBy("vec_id")
-        .agg(min(struct(col("d"), col("cid"))).as("_m"))
+      assigned = emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), assignExpr.as("_m"))
         .select(col("vec_id"), col("_m.cid").as("cluster"),
           col("_m.d").as("dist"))
       if (t < iters)
-        cent = assigned.join(ev, "vec_id")
+        cents = gather(toArrayForm(assigned.join(ev, "vec_id")
           .groupBy(col("cluster").as("cid"), col("i"))
           .agg((sum(col("x").cast(termDec)).cast(DoubleType) /
-            count(lit(1))).as("c"))
+            count(lit(1))).as("c"))))
     }
     assigned
   }

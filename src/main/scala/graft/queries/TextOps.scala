@@ -170,10 +170,15 @@ object TextOps {
             stopwordRatio(col("text"), stopwords) < 0.5)
           .filter(langId(col("text"), langMarkers) === "en")
         val w = Window.partitionBy(md5(col("text")))
+        // cached: the gate+dedup subplan (regex quality scores, langID,
+        // md5 window) otherwise re-executes for the LSH side AND the
+        // anti-join side — materializing the (much smaller) survivor
+        // set once is what a real corpus pipeline does between stages
         val keepers = filtered
           .withColumn("_keeper", min(col("doc_id")).over(w))
           .filter(col("doc_id") === col("_keeper"))
           .drop("_keeper")
+          .cache()
         val nearDupLosers = graft.operators.Dedup
           .minHashLsh(keepers.select("doc_id", "text"), 3, 8, 4,
             maxBucketWidth = 1 << 20)
