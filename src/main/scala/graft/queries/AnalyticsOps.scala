@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{ExactAgg, ZOrder}
+
+/** Analytics operators, part 2: Z-order layout keys, funnel analysis,
+  * per-group NTILE bucketing, the binned range join, epoch-weighted
+  * mixture expansion, and INTERSECT/EXCEPT set algebra. All
+  * oracle-checked.
+  */
+object AnalyticsOps {
+
+  val qs: Seq[Q] = Seq(
+
+    // Z-order (Morton) clustering key over (nation, balance bucket):
+    // sorting by the interleaved key co-locates rows close in BOTH
+    // dimensions, so parquet min/max footer stats prune 2-D predicates
+    // — the data-layout half of multi-dimensional data skipping (feed
+    // the key to IngestDataset's clusterBy at write time). The key is
+    // pure non-negative integer arithmetic, bit-exact in the oracle.
+    Q("q96_zorder_key",
+      (s, dir) => {
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"),
+            col("c_nationkey").cast("long").as("x"),
+            (floor(col("c_acctbal")).cast("long") + 1000L).as("y"))
+          .withColumn("zkey", ZOrder.interleave16("x", "y"))
+          .orderBy("zkey", "c_custkey")
+      },
+      Some(s"""SELECT c_custkey, x, y,
+          ${ZOrder.sqlText("x", "y")} AS zkey
+        FROM (SELECT c_custkey,
+            CAST(c_nationkey AS BIGINT) AS x,
+            CAST(floor(c_acctbal) AS BIGINT) + 1000 AS y
+          FROM customer)
+        ORDER BY zkey, c_custkey""")),
+
+    // Funnel analysis (view → click → purchase, strictly ordered in
+    // event time): per user, the first view, the first click AFTER
+    // that view, the first purchase AFTER that click, and how many
+    // stages were reached. Each stage is one filter + hash aggregation
+    // joined back on the user key — at 100 TB this is three shuffles
+    // on user_id (the per-stage aggregates are tiny), never a window
+    // over the raw event stream.
+    Q("q97_funnel",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click").as("e")
+          .join(s1.as("s1"),
+            col("e.user_id") === col("s1.user_id") &&
+              col("e.ts") > col("s1.t1"))
+          .groupBy(col("e.user_id").as("user_id"))
+          .agg(min(col("e.ts")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase").as("e")
+          .join(s2.as("s2"),
+            col("e.user_id") === col("s2.user_id") &&
+              col("e.ts") > col("s2.t2"))
+          .groupBy(col("e.user_id").as("user_id"))
+          .agg(min(col("e.ts")).as("t3"))
+        s1.join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+            (lit(1L) +
+              when(col("t2").isNotNull, 1L).otherwise(0L) +
+              when(col("t3").isNotNull, 1L).otherwise(0L)).as("stages"))
+          .orderBy("user_id")
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+          s3 AS (SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        SELECT s1.user_id, t1, t2, t3,
+          CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS stages
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        ORDER BY s1.user_id""")),
+
+    // Equal-frequency bucketing: NTILE quartiles of document length
+    // WITHIN each source (the context-length binning step before
+    // sequence packing). The window is partitioned on source — one
+    // hash shuffle, no global sort; a global NTILE would funnel the
+    // corpus through a single task, which is exactly what this shape
+    // avoids. Tie-broken on doc_id so the tiling is deterministic.
+    Q("q98_ntile_buckets",
+      (s, dir) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars"), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .withColumn("tile", ntile(4).over(w).cast("long"))
+          .groupBy("source", "tile")
+          .agg(count(lit(1)).as("n"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source", "tile")
+      },
+      Some("""SELECT source, CAST(tile AS BIGINT) AS tile,
+          count(*) AS n, min(n_chars) AS min_chars,
+          max(n_chars) AS max_chars,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM (SELECT source, n_chars, ntile(4) OVER (
+            PARTITION BY source ORDER BY n_chars, doc_id) AS tile
+          FROM documents)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Binned range join: events joined to time periods on
+    // containment (ts ∈ [start, end)). The periods are bucketed into
+    // fixed 12 h bins and the join runs as an EQUI-join on the bin id
+    // plus a residual range filter — the standard rewrite that turns
+    // Spark's fallback BroadcastNestedLoopJoin (per-row interval scan
+    // — quadratic, a non-starter at 100 TB) into one hash shuffle.
+    // The oracle states the naive BETWEEN semantics directly.
+    Q("q99_range_join_binned",
+      (s, dir) => {
+        val bin = 43200L // 12 h — divides the 36 h period length
+        val periods = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("period_id"))
+          .withColumn("pstart", expr(
+            "timestamp'2024-01-01 00:00:00' + " +
+              "make_dt_interval(0, CAST(36 * period_id AS INT), 0, 0)"))
+          .withColumn("pend", expr(
+            "timestamp'2024-01-01 00:00:00' + " +
+              "make_dt_interval(0, CAST(36 * (period_id + 1) AS INT), 0, 0)"))
+        val pBinned = periods.withColumn("bin", explode(sequence(
+          expr(s"CAST(pstart AS LONG) DIV $bin"),
+          expr(s"(CAST(pend AS LONG) - 1) DIV $bin"))))
+        val ev = Tables.load(s, dir, "events")
+          .withColumn("bin", expr(s"CAST(ts AS LONG) DIV $bin"))
+        ev.join(pBinned, Seq("bin"))
+          .filter(col("ts") >= col("pstart") && col("ts") < col("pend"))
+          .groupBy("period_id")
+          .agg(count(lit(1)).as("n"),
+            ExactAgg.dsum(col("value")).as("total"))
+          .orderBy("period_id")
+      },
+      Some(s"""WITH p AS (SELECT CAST(n_nationkey AS BIGINT) AS period_id,
+            TIMESTAMP '2024-01-01 00:00:00'
+              + INTERVAL 1 HOUR * (36 * n_nationkey) AS pstart,
+            TIMESTAMP '2024-01-01 00:00:00'
+              + INTERVAL 1 HOUR * (36 * (n_nationkey + 1)) AS pend
+          FROM nation)
+        SELECT period_id, count(*) AS n,
+          ${ExactAgg.sqlSum("value")} AS total
+        FROM events e JOIN p ON e.ts >= p.pstart AND e.ts < p.pend
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Epoch-weighted mixture expansion: each source gets 1-3 full
+    // epochs (repeats) plus, for every third source id, a
+    // deterministic half-epoch selected by hash split — the
+    // up/down-sampling step that turns a source-weight recipe into a
+    // physical training mix. Pure map-side explode; repeats are
+    // generated, never shuffled.
+    Q("q100_epoch_mixture",
+      (s, dir) => {
+        val sid = substring(col("source"), 4, 10).cast("int")
+        val inHalf = substring(md5(col("doc_id").cast("string")), 1, 8)
+          .lt("80000000")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            (lit(1) + sid % 3 +
+              when(sid % 3 === 0 && inHalf, 1).otherwise(0))
+              .cast("long").as("n_epochs"))
+          .withColumn("epoch", explode(sequence(lit(1L), col("n_epochs"))))
+          .select("doc_id", "source", "epoch")
+          .orderBy("doc_id", "epoch")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+            CAST(1 + (CAST(substr(source, 4) AS INT) % 3)
+              + (CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0
+                  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '80000000'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_epochs
+          FROM documents)
+        SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+        FROM t, UNNEST(range(1, n_epochs + 1)) AS g(epoch)
+        ORDER BY doc_id, epoch""")),
+
+    // INTERSECT / EXCEPT set algebra over two id-sliced corpus views:
+    // the (lang, source) combinations present in both slices, only the
+    // first, only the second — tagged and unioned. Spark plans set ops
+    // as hash aggregations + joins (distinct semantics), one shuffle
+    // each at any scale.
+    Q("q101_set_ops",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val a = docs.filter(col("doc_id") % 3 <= 1)
+          .select("lang", "source")
+        val b = docs.filter(col("doc_id") % 3 >= 1)
+          .select("lang", "source")
+        a.intersect(b).withColumn("tag", lit("both"))
+          .unionAll(a.except(b).withColumn("tag", lit("a_only")))
+          .unionAll(b.except(a).withColumn("tag", lit("b_only")))
+          .orderBy("tag", "lang", "source")
+      },
+      Some("""WITH a AS (SELECT lang, source FROM documents
+            WHERE doc_id % 3 <= 1),
+          b AS (SELECT lang, source FROM documents WHERE doc_id % 3 >= 1)
+        SELECT lang, source, 'both' AS tag
+          FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        UNION ALL
+        SELECT lang, source, 'a_only' AS tag
+          FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        UNION ALL
+        SELECT lang, source, 'b_only' AS tag
+          FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+        ORDER BY tag, lang, source"""))
+  )
+}
