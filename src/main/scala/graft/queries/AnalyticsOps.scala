@@ -215,6 +215,147 @@ object AnalyticsOps {
         UNION ALL
         SELECT lang, source, 'b_only' AS tag
           FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
-        ORDER BY tag, lang, source"""))
+        ORDER BY tag, lang, source""")),
+
+    // Cohort retention: users grouped by signup week, distinct-user
+    // counts per weeks-since-signup. Activity is reduced to distinct
+    // (user, week) BEFORE the cohort join — at 100 TB that single
+    // early aggregation shrinks the join input from every event to at
+    // most users × weeks rows; the week offset is exact integer
+    // arithmetic on week-aligned epochs.
+    Q("q102_cohort_retention",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val cohort = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(min(date_trunc("week", col("ts"))).as("cw"))
+        val act = ev
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+          .distinct()
+        act.join(cohort, "user_id")
+          .filter(col("w") >= col("cw"))
+          .withColumn("week_offset",
+            expr("(CAST(w AS LONG) - CAST(cw AS LONG)) DIV 604800"))
+          .groupBy(col("cw").as("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH cohort AS (SELECT user_id,
+            min(date_trunc('week', ts)) AS cw
+          FROM events WHERE event_type = 'signup' GROUP BY 1),
+        act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+          FROM events)
+        SELECT cw AS cohort_week,
+          (CAST(floor(epoch(w)) AS BIGINT)
+            - CAST(floor(epoch(cw)) AS BIGINT)) // 604800 AS week_offset,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM act JOIN cohort USING (user_id)
+        WHERE w >= cw
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Column profiling (the stats-refresh analog, reported long-form):
+    // row/null/distinct counts plus numeric min/max per column, ONE
+    // pass over the table — Spark plans the multi-distinct aggregate
+    // with a single EXPAND (n_cols× the rows through one shuffle)
+    // instead of one scan per column. String columns report null
+    // min/max (cross-engine float formatting makes stringified bounds
+    // unportable; numeric bounds are exact doubles).
+    Q("q103_profile",
+      (s, dir) => {
+        val cols = Seq(
+          ("c_custkey", true), ("c_name", false),
+          ("c_nationkey", true), ("c_acctbal", true))
+        val aggs = cols.flatMap { case (c, num) =>
+          Seq(count(col(c)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c")) ++
+            (if (num) Seq(min(col(c)).cast("double").as(s"mn_$c"),
+              max(col(c)).cast("double").as(s"mx_$c"))
+            else Seq.empty)
+        }
+        val one = Tables.load(s, dir, "customer")
+          .agg(count(lit(1)).as("n"), aggs: _*)
+        val rows = cols.map { case (c, num) =>
+          struct(lit(c).as("column_name"), col("n"),
+            (col("n") - col(s"nn_$c")).as("n_null"),
+            col(s"nd_$c").as("n_distinct"),
+            (if (num) col(s"mn_$c") else lit(null).cast("double"))
+              .as("min_v"),
+            (if (num) col(s"mx_$c") else lit(null).cast("double"))
+              .as("max_v"))
+        }
+        one.select(explode(array(rows: _*)).as("r"))
+          .select("r.*").orderBy("column_name")
+      },
+      Some("""WITH one AS (SELECT count(*) AS n,
+            count(c_custkey) AS nn_k, count(DISTINCT c_custkey) AS nd_k,
+            CAST(min(c_custkey) AS DOUBLE) AS mn_k,
+            CAST(max(c_custkey) AS DOUBLE) AS mx_k,
+            count(c_name) AS nn_nm, count(DISTINCT c_name) AS nd_nm,
+            count(c_nationkey) AS nn_nk,
+            count(DISTINCT c_nationkey) AS nd_nk,
+            CAST(min(c_nationkey) AS DOUBLE) AS mn_nk,
+            CAST(max(c_nationkey) AS DOUBLE) AS mx_nk,
+            count(c_acctbal) AS nn_ab, count(DISTINCT c_acctbal) AS nd_ab,
+            CAST(min(c_acctbal) AS DOUBLE) AS mn_ab,
+            CAST(max(c_acctbal) AS DOUBLE) AS mx_ab
+          FROM customer)
+        SELECT column_name, CAST(n AS BIGINT) AS n,
+          CAST(n_null AS BIGINT) AS n_null,
+          CAST(n_distinct AS BIGINT) AS n_distinct, min_v, max_v
+        FROM (
+          SELECT 'c_custkey' AS column_name, n, n - nn_k AS n_null,
+            nd_k AS n_distinct, mn_k AS min_v, mx_k AS max_v FROM one
+          UNION ALL SELECT 'c_name', n, n - nn_nm, nd_nm,
+            NULL, NULL FROM one
+          UNION ALL SELECT 'c_nationkey', n, n - nn_nk, nd_nk,
+            mn_nk, mx_nk FROM one
+          UNION ALL SELECT 'c_acctbal', n, n - nn_ab, nd_ab,
+            mn_ab, mx_ab FROM one)
+        ORDER BY column_name""")),
+
+    // Snapshot diff (batch CDC): two derived snapshots of `orders` —
+    // B drops every 11th key, uplifts every 7th key's price, and A is
+    // missing every 13th key (so B shows them as added) — full-outer
+    // joined on the primary key into an added/removed/changed report.
+    // One co-partitioned shuffle join at any scale; the comparison is
+    // per-row double arithmetic, deterministic on both engines.
+    Q("q104_snapshot_diff",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val a = orders.filter(col("o_orderkey") % 13 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price_a"))
+        val b = orders.filter(col("o_orderkey") % 11 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0,
+              col("o_totalprice") * 1.1)
+              .otherwise(col("o_totalprice")).as("price_b"))
+        a.join(b, Seq("o_orderkey"), "full_outer")
+          .withColumn("status",
+            when(col("price_a").isNull, "added")
+              .when(col("price_b").isNull, "removed")
+              .when(col("price_a") =!= col("price_b"), "changed")
+              .otherwise("unchanged"))
+          .filter(col("status") =!= "unchanged")
+          .select("o_orderkey", "status", "price_a", "price_b")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH a AS (SELECT o_orderkey, o_totalprice AS price_a
+            FROM orders WHERE o_orderkey % 13 <> 0),
+          b AS (SELECT o_orderkey,
+              CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS price_b
+            FROM orders WHERE o_orderkey % 11 <> 0)
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+          CASE WHEN price_a IS NULL THEN 'added'
+            WHEN price_b IS NULL THEN 'removed'
+            WHEN price_a <> price_b THEN 'changed'
+            ELSE 'unchanged' END AS status,
+          price_a, price_b
+        FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        WHERE (CASE WHEN price_a IS NULL THEN 'added'
+            WHEN price_b IS NULL THEN 'removed'
+            WHEN price_a <> price_b THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+        ORDER BY o_orderkey"""))
   )
 }
