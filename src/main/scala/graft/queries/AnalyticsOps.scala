@@ -356,6 +356,117 @@ object AnalyticsOps {
             WHEN price_b IS NULL THEN 'removed'
             WHEN price_a <> price_b THEN 'changed'
             ELSE 'unchanged' END) <> 'unchanged'
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // Triangle counting on the word co-occurrence graph, with DEGREE
+    // ORIENTATION — every undirected edge points from its
+    // lower-(degree, node) endpoint to the higher, so each triangle
+    // has exactly one "apex" with two out-edges and the wedge join
+    // cost is Σ outdeg² where every outdeg is bounded by √|E|-ish
+    // (the classic trick that makes triangle counting survive
+    // power-law graphs; unoriented, the same join explodes on hub
+    // nodes). Two equi-join shuffles, all-integer arithmetic.
+    Q("q105_triangles",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val wspec = Window.partitionBy("doc_id").orderBy("pos")
+        val und = toks
+          .withColumn("w2", lead(col("w"), 1).over(wspec))
+          .filter(col("w2").isNotNull && col("w") =!= col("w2"))
+          .select(least(col("w"), col("w2")).as("u"),
+            greatest(col("w"), col("w2")).as("v"))
+          .distinct()
+        val deg = und.select(col("u").as("node"))
+          .unionAll(und.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        // orient by (deg, node): src is the smaller endpoint
+        val oriented = und
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .select(
+            when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+              struct(col("u").as("s"), col("v").as("d")))
+              .otherwise(struct(col("v").as("s"), col("u").as("d")))
+              .as("e"))
+          .select(col("e.s").as("s"), col("e.d").as("d"))
+        val tri = oriented.as("e1")
+          .join(oriented.as("e2"),
+            col("e1.s") === col("e2.s") && col("e1.d") < col("e2.d"))
+          .join(oriented.as("e3"),
+            col("e1.d") === col("e3.s") && col("e2.d") === col("e3.d"))
+          .select(col("e1.s").as("a"), col("e1.d").as("b"),
+            col("e2.d").as("c"))
+        tri.select(col("a").as("node"))
+          .unionAll(tri.select(col("b").as("node")))
+          .unionAll(tri.select(col("c").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+          .orderBy(col("n_triangles").desc, col("node"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            generate_subscripts(l, 1) AS pos, unnest(l) AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS l
+            FROM documents)),
+        bi AS (SELECT w AS w1,
+            lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM toks),
+        und AS (SELECT DISTINCT least(w1, w2) AS u, greatest(w1, w2) AS v
+          FROM bi WHERE w2 IS NOT NULL AND w1 <> w2),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM und
+            UNION ALL SELECT v FROM und) GROUP BY 1),
+        oriented AS (SELECT
+            CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+              THEN und.u ELSE und.v END AS s,
+            CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+              THEN und.v ELSE und.u END AS d
+          FROM und
+          JOIN deg du ON und.u = du.node
+          JOIN deg dv ON und.v = dv.node),
+        tri AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c
+          FROM oriented e1
+          JOIN oriented e2 ON e1.s = e2.s AND e1.d < e2.d
+          JOIN oriented e3 ON e1.d = e3.s AND e2.d = e3.d)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        GROUP BY 1 ORDER BY n_triangles DESC, node""")),
+
+    // Incremental aggregate maintenance: the month's running stats are
+    // kept as MERGEABLE partial states (count, fixed-scale decimal
+    // sum, min/max) — a delta batch is aggregated alone and MERGED
+    // into the base state with a second small aggregation, never by
+    // re-scanning the base data. The oracle recomputes from scratch
+    // over everything; equality holds because every partial is
+    // associative (the property ExactAgg's decimal sums exist to
+    // provide). This is the algebraic core of materialized-view /
+    // streaming-state maintenance.
+    Q("q106_agg_merge",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(
+              org.apache.spark.sql.types.DecimalType(28, 2))).as("sv"),
+            min(col("ts")).as("mn"),
+            max(col("ts")).as("mx"))
+        val cut = "2024-01-16 00:00:00"
+        val base = partial(ev.filter(col("ts") < cut))
+        val delta = partial(ev.filter(col("ts") >= cut))
+        base.unionAll(delta)
+          .groupBy("event_type")
+          .agg(sum(col("n")).as("n"),
+            sum(col("sv")).cast("double").as("total"),
+            min(col("mn")).as("first_ts"),
+            max(col("mx")).as("last_ts"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, count(*) AS n,
+          ${ExactAgg.sqlSum("value")} AS total,
+          min(ts) AS first_ts, max(ts) AS last_ts
+        FROM events GROUP BY 1 ORDER BY 1"""))
   )
 }
