@@ -99,6 +99,31 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Cluster-scoped near-dup pairs (the SemDeDup shape): identical
+    * two-phase exact-cosine join to [[cosinePairsAbove]], but pairs
+    * only form INSIDE `scope` groups — an equi-join on the scope key,
+    * so the quadratic term drops from N² to Σ cluster² and the join
+    * SHUFFLES instead of broadcasting the candidate set (this is the
+    * 100 TB path; feed it [[KMeans.fitAssign]] clusters or
+    * [[lshBuckets]] signatures). Input: (vec_id, embedding, scope). */
+  def cosinePairsAboveWithin(emb: DataFrame, scope: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(scope), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val b = emb.select(col(scope), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    a.as("x")
+      .join(b.as("y"),
+        col(s"x.$scope") === col(s"y.$scope") &&
+          col("id_a") < col("id_b") &&
+          cosine(col("ea"), col("eb")) >= threshold - 1e-6)
+      .withColumn("cosine",
+        asNondetBarrier(exactCosine(col("ea"), col("eb"))))
+      .filter(col("cosine") >= threshold)
+      .select(col(s"x.$scope").as(scope), col("id_a"), col("id_b"),
+        col("cosine"))
+  }
+
   /** Random-hyperplane LSH bucketing: `nBits` sign bits from fixed
     * pseudo-random hyperplanes (deterministic, seeded by dimension
     * index — no RNG state to ship to executors). Vectors that share a

@@ -245,7 +245,64 @@ object VectorOps {
           .orderBy("vec_id")
       },
       Some(s"""WITH $exCte,
-        c0 AS (SELECT vec_id AS cid, i, e AS c FROM ex WHERE vec_id < 8),
+        $kmeansCtes
+        SELECT vec_id, cid AS cluster, d AS dist
+        FROM a2 WHERE rn = 1 ORDER BY vec_id""")),
+
+    // Semantic dedup (SemDeDup): k-means clusters scope the pairwise
+    // exact-cosine check, so the quadratic term is Σ cluster² — never
+    // N² — and the pair join is an equi-join on the cluster id (one
+    // shuffle, nothing broadcast). Every near-dup pair's greater id is
+    // dropped; the report counts survivors per cluster. The whole
+    // composite — iterative fit, cluster-scoped pairs, drop rule — is
+    // hash-checked.
+    Q("q107_semantic_dedup",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val assign = KMeans.fitAssign(emb, k = 8, iters = 2)
+          .select(col("vec_id"), col("cluster"))
+        val scoped = emb.join(assign, "vec_id")
+          .select(col("cluster"), col("vec_id"), col("embedding"))
+        val dropped = Similarity
+          .cosinePairsAboveWithin(scoped, "cluster", 0.35)
+          .select(col("id_b").as("vec_id")).distinct()
+          .withColumn("is_dropped", lit(1L))
+        assign.join(dropped, Seq("vec_id"), "left")
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_vectors"),
+            count(col("is_dropped")).as("n_dropped"),
+            (count(lit(1)) - count(col("is_dropped"))).as("n_kept"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH $exCte,
+        $kmeansCtes,
+        assign AS (SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1),
+        dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+          FROM ex a
+          JOIN assign aa ON a.vec_id = aa.vec_id
+          JOIN assign bb ON bb.cluster = aa.cluster
+          JOIN ex b ON b.vec_id = bb.vec_id AND b.i = a.i
+            AND a.vec_id < b.vec_id
+          GROUP BY 1, 2),
+        dropped AS (SELECT DISTINCT id_b AS vec_id FROM dots
+          JOIN nrm na ON na.vec_id = id_a
+          JOIN nrm nb ON nb.vec_id = id_b
+          WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.35)
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+          CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+          CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+        FROM assign aa LEFT JOIN dropped d ON aa.vec_id = d.vec_id
+        GROUP BY 1 ORDER BY 1"""))
+  )
+
+  /** Two Lloyd iterations from the 8 lowest-id seeds, mirrored CTE by
+    * CTE from KMeans.fitAssign (seeds → distances → argmin → centroid
+    * update → distances → argmin). Shared by q75's and q107's oracles
+    * so the fit exists in exactly one SQL copy. Yields `a2`; the
+    * assignment is `SELECT vec_id, cid FROM a2 WHERE rn = 1`. */
+  private lazy val kmeansCtes: String =
+    """c0 AS (SELECT vec_id AS cid, i, e AS c FROM ex WHERE vec_id < 8),
         d1 AS (SELECT ex.vec_id, cid,
             CAST(sum(CAST((e - c) * (e - c) AS DECIMAL(18,9)))
               AS DOUBLE) AS d
@@ -263,8 +320,5 @@ object VectorOps {
           FROM ex JOIN c1 USING (i) GROUP BY 1, 2),
         a2 AS (SELECT vec_id, cid, d,
             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-          FROM d2)
-        SELECT vec_id, cid AS cluster, d AS dist
-        FROM a2 WHERE rn = 1 ORDER BY vec_id"""))
-  )
+          FROM d2)"""
 }
