@@ -210,6 +210,34 @@ object WindowOps {
           CAST(ntile(4) OVER w AS BIGINT) AS quartile
         FROM events
         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        ORDER BY event_id""")),
+
+    // Rolling time-RANGE window: per event, the count and exact sum of
+    // the SAME TYPE's events in the trailing hour — a RANGE frame over
+    // floor-second event time (peers at the same second share a frame
+    // on both engines), partitioned on event_type so the sort never
+    // goes global. The decimal window sum is associative, so the
+    // sliding accumulation is bit-exact however the engine slides it.
+    Q("q108_rolling_range_window",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy(col("ts_s"))
+          .rangeBetween(-3600L, 0L)
+        Tables.load(s, dir, "events")
+          .withColumn("ts_s", col("ts").cast(LongType))
+          .select(col("event_id"), col("event_type"), col("ts"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("value").cast(DecimalType(28, 2))).over(w)
+              .cast(DoubleType).as("sum_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, ts,
+          CAST(count(*) OVER w AS BIGINT) AS n_1h,
+          CAST(sum(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE)
+            AS sum_1h
+        FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+          FROM events)
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts_s
+          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         ORDER BY event_id"""))
   )
 }
