@@ -378,6 +378,10 @@ object AnalyticsOps {
           .select(least(col("w"), col("w2")).as("u"),
             greatest(col("w"), col("w2")).as("v"))
           .distinct()
+          // consumed by the degree aggregate (twice) and the edge
+          // orientation — materialize instead of re-deriving the
+          // window+distinct subplan per consumer
+          .cache()
         val deg = und.select(col("u").as("node"))
           .unionAll(und.select(col("v").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -391,6 +395,8 @@ object AnalyticsOps {
               .otherwise(struct(col("v").as("s"), col("u").as("d")))
               .as("e"))
           .select(col("e.s").as("s"), col("e.d").as("d"))
+          // three self-join sides read this subplan
+          .cache()
         val tri = oriented.as("e1")
           .join(oriented.as("e2"),
             col("e1.s") === col("e2.s") && col("e1.d") < col("e2.d"))

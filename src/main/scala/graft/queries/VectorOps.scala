@@ -259,8 +259,12 @@ object VectorOps {
     Q("q107_semantic_dedup",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
+        // consumed twice (pair scoping + the survivor report): persist
+        // the assignment or the ENTIRE iterative fit re-executes per
+        // consumer
         val assign = KMeans.fitAssign(emb, k = 8, iters = 2)
           .select(col("vec_id"), col("cluster"))
+          .cache()
         val scoped = emb.join(assign, "vec_id")
           .select(col("cluster"), col("vec_id"), col("embedding"))
         val dropped = Similarity
