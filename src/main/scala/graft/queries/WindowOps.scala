@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables
+import graft.expressions.TopKAggregate
 import graft.functions.ExactAgg._
 
 /** Advanced window compositions common to analytics and training-data
@@ -238,6 +239,31 @@ object WindowOps {
           FROM events)
         WINDOW w AS (PARTITION BY event_type ORDER BY ts_s
           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // Top-k per group via the BOUNDED-STATE aggregate
+    // (expressions/TopKAggregate): state never exceeds 4k entries and
+    // partial-aggregates map-side — at 100 TB this replaces both the
+    // window row_number (sorts every row of every group to keep 3) and
+    // collect_list+slice (buffers whole groups). Truncation commutes
+    // with merge, so the result is deterministic under any
+    // partitioning — the oracle IS the window formulation.
+    Q("q109_topk_bounded_agg",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy("event_type")
+          .agg(TopKAggregate.topK(col("value"), col("event_id"), 3)
+            .as("top"))
+          .select(col("event_type"), posexplode(col("top")).as(Seq("p", "t")))
+          .select(col("event_type"), (col("p") + 1).cast(LongType).as("rank"),
+            col("t._1").as("value"), col("t._2").as("event_id"))
+          .orderBy("event_type", "rank")
+      },
+      Some("""SELECT event_type, rank, value, event_id FROM (
+          SELECT event_type, value, event_id,
+            CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY value DESC, event_id DESC) AS BIGINT) AS rank
+          FROM events)
+        WHERE rank <= 3 ORDER BY event_type, rank"""))
   )
 }

@@ -86,6 +86,29 @@ class CorpusAnalyticsSpec extends SparkSpec {
     pts.foreach { case (x, y) => assert(got((x, y)) == ref(x, y)) }
   }
 
+  test("TopKAggregate: truncation commutes with merge under any partitioning") {
+    import graft.expressions.TopKAggregate
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 500L).map(i =>
+      ("g" + (i % 3), rnd.nextInt(40).toDouble, i))
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3))
+        .sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering,
+          Ordering.Long).reverse).take(5)
+    }
+    for (parts <- Seq(1, 7, 64)) {
+      val got = rows.toDF("g", "value", "id").repartition(parts)
+        .groupBy("g")
+        .agg(TopKAggregate.topK(col("value"), col("id"), 5).as("top"))
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(t => (t.getDouble(0), t.getLong(1))))
+        .toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
   test("binned range join equals the naive theta join") {
     // periods [p*100, p*100+250) on an integer axis, bin width 50
     val periods = Seq(0L, 1L, 2L).toDF("pid")
