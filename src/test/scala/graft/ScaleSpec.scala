@@ -113,4 +113,30 @@ class ScaleSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("q99 range join plans as an equi-join, never a nested loop") {
+    val plan = graft.queries.Registry
+      .queries("q99_range_join_binned")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bin rewrite failed — BNLJ in plan:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no hash-based join found:\n$plan")
+  }
+
+  test("q107 pair join is keyed on the cluster id") {
+    // the plan legitimately contains 1-row BroadcastNestedLoopJoins
+    // (k-means broadcasts ALL centroids as one row per iteration);
+    // what must never appear is an UNKEYED pairwise join — the
+    // quadratic phase has to ride a hash/merge join on the cluster id
+    val plan = graft.queries.Registry
+      .queries("q107_semantic_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin [cluster") ||
+      plan.contains("ShuffledHashJoin [cluster") ||
+      plan.contains("BroadcastHashJoin [cluster"),
+      s"no cluster-keyed pair join found:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unkeyed cartesian pair join:\n$plan")
+  }
 }
