@@ -282,6 +282,107 @@ object CorpusOps {
               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
                 AS BIGINT) AS n_tokens
             FROM documents))
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // The round-6 composite: block-level dedup → benchmark
+    // decontamination → length gate → per-source quota → sequence
+    // packing, chained as ONE oracle-checked query over stages that
+    // are each individually verified (q89/q71/q86/q80). Shape at
+    // 100 TB: two shuffles for the dedup, one shingle shuffle for the
+    // decontamination (the benchmark side broadcasts), one per-source
+    // window, and the two-phase distributed prefix sum for packing —
+    // no global sorts over fact data anywhere.
+    Q("q110_training_mix_pipeline",
+      (s, dir) => {
+        val bw = BlockWords
+        val docs = Tables.load(s, dir, "documents")
+        val blkArr = expr(
+          s"""transform(sequence(0, (size(split(text, ' ')) + ${bw - 1})
+                DIV $bw - 1),
+              i -> array_join(slice(split(text, ' '), i * $bw + 1, $bw),
+                ' '))""")
+        val blocks = docs.select(col("doc_id"), col("source"),
+          posexplode(blkArr).as(Seq("pos", "blk")))
+        val w = Window.partitionBy("blk").orderBy("doc_id", "pos")
+        // consumed by the contamination report AND the final pipeline
+        val ded = blocks
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .groupBy("doc_id", "source")
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("blk")))),
+              x => x.getField("blk")), " ").as("text"))
+          .cache()
+        val train = ded.filter(col("doc_id") % 10 =!= 0)
+        val bench = docs.filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "text")
+        val contam = graft.operators.Dedup
+          .contaminationReport(train.select("doc_id", "text"), bench, 3)
+          .select(col("doc_id"), col("contamination_rate"))
+        // sub-3-word docs have no shingles, hence no report row: kept
+        val clean = train.join(contam, Seq("doc_id"), "left")
+          .filter(col("contamination_rate").isNull ||
+            col("contamination_rate") <= 0.5)
+        val toks = clean.select(col("doc_id"), col("source"),
+            TextFuncs.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .filter(col("n_tokens") >= 10)
+        val wq = Window.partitionBy("source").orderBy("doc_id")
+        val quota = toks
+          .withColumn("rq", row_number().over(wq))
+          .filter(col("rq") <= 40)
+          .drop("rq")
+        graft.operators.PrefixSum.exclusiveCumsum(quota, col("doc_id"),
+            col("n_tokens"), "start_offset", bucketSize = 100L)
+          .withColumn("pack_id", expr("start_offset DIV 512"))
+          .select("doc_id", "source", "n_tokens", "start_offset",
+            "pack_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, source,
+            string_split(text, ' ') AS ws FROM documents),
+          blocks AS (SELECT doc_id, source, i AS pos,
+              array_to_string(list_slice(ws,
+                i * $BlockWords + 1, i * $BlockWords + $BlockWords),
+                ' ') AS blk
+            FROM w, UNNEST(range(0,
+              (len(ws) + ${BlockWords - 1}) // $BlockWords)) AS t(i)),
+          kept AS (SELECT doc_id, source, pos, blk, row_number() OVER (
+              PARTITION BY blk ORDER BY doc_id, pos) AS rk FROM blocks),
+          ded AS (SELECT doc_id, source,
+              string_agg(blk, ' ' ORDER BY pos) AS text
+            FROM kept WHERE rk = 1 GROUP BY doc_id, source),
+          ${DedupOps.shingleCtes(
+            "(SELECT doc_id, text FROM ded WHERE doc_id % 10 <> 0)", "t")},
+          ${DedupOps.shingleCtes(
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)",
+            "b")},
+          contam AS (SELECT tsh.doc_id,
+              CAST(count(b.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS rate
+            FROM tsh LEFT JOIN (SELECT DISTINCT shingle FROM bsh) b
+              ON tsh.shingle = b.shingle
+            GROUP BY 1),
+          clean AS (SELECT d.doc_id, d.source, d.text
+            FROM ded d LEFT JOIN contam c ON d.doc_id = c.doc_id
+            WHERE d.doc_id % 10 <> 0
+              AND (c.rate IS NULL OR c.rate <= 0.5)),
+          toks AS (SELECT doc_id, source,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                AS BIGINT) AS n_tokens
+            FROM clean
+            WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 10),
+          quota AS (SELECT doc_id, source, n_tokens FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY doc_id) AS rq FROM toks)
+            WHERE rq <= 40),
+          packed AS (SELECT doc_id, source, n_tokens,
+              COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS start_offset
+            FROM quota)
+        SELECT doc_id, source, n_tokens, start_offset,
+          start_offset // 512 AS pack_id
+        FROM packed ORDER BY doc_id"""))
   )
 }

@@ -26,14 +26,17 @@ object DedupOps {
 
   /** DuckDB CTE chain mirroring Dedup.shingleSets (distinct word
     * K-shingles) over an arbitrary source relation — THE single copy
-    * of the shingle SQL; q25's and q69's oracles both build on it so
-    * the shingling can't drift between hand-kept copies. */
-  private[queries] def shingleCtes(source: String): String =
-    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws
+    * of the shingle SQL; q25's, q69's and q110's oracles all build on
+    * it so the shingling can't drift between hand-kept copies.
+    * `prefix` disambiguates the CTE names when one query shingles two
+    * relations (q110: deduped train text vs raw benchmark text). */
+  private[queries] def shingleCtes(source: String,
+      prefix: String = ""): String =
+    s"""${prefix}words AS (SELECT doc_id, string_split(text, ' ') AS ws
          FROM $source),
-       sh AS (SELECT DISTINCT doc_id,
+       ${prefix}sh AS (SELECT DISTINCT doc_id,
            ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-         FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i))"""
+         FROM ${prefix}words, UNNEST(range(1, len(ws) - 1)) AS t(i))"""
 
   private val shingleCte = shingleCtes("documents")
 
