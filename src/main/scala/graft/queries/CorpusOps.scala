@@ -60,11 +60,16 @@ object CorpusOps {
     // blocks since the corpus carries no line structure): every block
     // is kept only at its FIRST global occurrence (lowest doc_id, then
     // position), and documents are reassembled from their surviving
-    // blocks. One shuffle on the block text for the keep-first window,
-    // one on doc_id for reassembly — no pairwise step at all, which is
-    // why block dedup is the cheapest boilerplate killer at 100 TB.
-    // Docs whose every block occurred earlier elsewhere disappear
-    // (fully-duplicate documents), same as the oracle.
+    // blocks. The keep-first rule is a struct-MIN AGGREGATE on the
+    // block text — map-side combinable, so a boilerplate block
+    // repeated millions of times reduces to one row per input
+    // partition before the shuffle (a row_number window would instead
+    // SORT every occurrence on one reducer — the hot-block skew
+    // killer); the winner row IS the kept row, so there is no join
+    // back. One skew-proof shuffle for the dedup, one on doc_id for
+    // reassembly; no pairwise step anywhere. Docs whose every block
+    // occurred earlier elsewhere disappear (fully-duplicate
+    // documents), same as the oracle.
     Q("q89_block_dedup",
       (s, dir) => {
         val bw = BlockWords
@@ -73,12 +78,12 @@ object CorpusOps {
                 DIV $bw - 1),
               i -> array_join(slice(split(text, ' '), i * $bw + 1, $bw),
                 ' '))""")
-        val blocks = Tables.load(s, dir, "documents")
+        Tables.load(s, dir, "documents")
           .select(col("doc_id"), posexplode(blkArr).as(Seq("pos", "blk")))
-        val w = Window.partitionBy("blk").orderBy("doc_id", "pos")
-        blocks
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
+          .groupBy("blk")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+          .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"),
+            col("blk"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_kept"),
             array_join(
@@ -301,13 +306,18 @@ object CorpusOps {
                 DIV $bw - 1),
               i -> array_join(slice(split(text, ' '), i * $bw + 1, $bw),
                 ' '))""")
-        val blocks = docs.select(col("doc_id"), col("source"),
-          posexplode(blkArr).as(Seq("pos", "blk")))
-        val w = Window.partitionBy("blk").orderBy("doc_id", "pos")
-        // consumed by the contamination report AND the final pipeline
-        val ded = blocks
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
+        // keep-first as a map-side-combinable struct-min aggregate —
+        // same skew-proof shape as q89 (source rides inside the
+        // winning struct); consumed by the contamination report AND
+        // the final pipeline, hence cached
+        val ded = docs
+          .select(col("doc_id"), col("source"),
+            posexplode(blkArr).as(Seq("pos", "blk")))
+          .groupBy("blk")
+          .agg(min(struct(col("doc_id"), col("pos"), col("source")))
+            .as("w"))
+          .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"),
+            col("w.source").as("source"), col("blk"))
           .groupBy("doc_id", "source")
           .agg(array_join(
             transform(
