@@ -25,13 +25,15 @@ object TopKAggregate {
 
   private val CompressFactor = 4
 
-  /** The k largest (value, id) pairs under (value, id) lexicographic
-    * descending order, as an Aggregator over (value, id) tuples. */
-  def topKAgg(k: Int): Aggregator[(Double, Long),
+  /** The k largest (default) or k smallest (value, id) pairs under
+    * (value, id) lexicographic order, as an Aggregator over
+    * (value, id) tuples. */
+  def topKAgg(k: Int, largest: Boolean = true): Aggregator[(Double, Long),
       ArrayBuffer[(Double, Long)], Seq[(Double, Long)]] = {
     require(k >= 1)
-    val ord =
-      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long).reverse
+    val asc =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    val ord = if (largest) asc.reverse else asc
     new Aggregator[(Double, Long), ArrayBuffer[(Double, Long)],
         Seq[(Double, Long)]] {
       private def compress(b: ArrayBuffer[(Double, Long)])
@@ -63,6 +65,17 @@ object TopKAggregate {
   def topK(value: Column, id: Column, k: Int): Column = {
     import org.apache.spark.sql.functions.udaf
     udaf(topKAgg(k),
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      .apply(value, id)
+  }
+
+  /** The k SMALLEST, ascending — bounded-state replacement for
+    * `slice(sort_array(collect_list(...)), 1, k)`, which buffers the
+    * whole group before truncating (a stopword's postings list at
+    * corpus scale). */
+  def bottomK(value: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.udaf
+    udaf(topKAgg(k, largest = false),
         Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
       .apply(value, id)
   }

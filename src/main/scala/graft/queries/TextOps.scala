@@ -568,9 +568,12 @@ object TextOps {
 
     // Inverted index build: term → document frequency + the first 20
     // postings (sorted doc ids). One explode + one hash aggregation;
-    // the postings list is capped so a stopword's row stays bounded at
-    // corpus scale (the df column still counts the full set — only
-    // the materialized list is truncated).
+    // the postings list is the BOUNDED bottom-k aggregate
+    // (expressions/TopKAggregate) rather than collect_list+slice, so a
+    // stopword's aggregation state holds ≤ 4×20 entries instead of its
+    // entire posting set before truncation — the difference between a
+    // capped row and an OOM at corpus scale (the df column still
+    // counts the full set).
     Q("q87_inverted_index",
       (s, dir) => {
         Tables.load(s, dir, "documents")
@@ -579,8 +582,10 @@ object TextOps {
           .groupBy("term")
           .agg(count(lit(1)).as("df"),
             array_join(
-              transform(slice(sort_array(collect_list(col("doc_id"))),
-                1, 20), _.cast("string")), ",").as("postings"))
+              transform(
+                graft.expressions.TopKAggregate.bottomK(
+                  col("doc_id").cast(DoubleType), col("doc_id"), 20),
+                t => t.getField("_2").cast("string")), ",").as("postings"))
           .orderBy("term")
       },
       Some("""SELECT term, CAST(count(*) AS BIGINT) AS df,
