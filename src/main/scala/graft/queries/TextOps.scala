@@ -169,15 +169,21 @@ object TextOps {
           .filter(col("n_tokens") >= 20 && col("n_tokens") <= 95 &&
             stopwordRatio(col("text"), stopwords) < 0.5)
           .filter(langId(col("text"), langMarkers) === "en")
-        val w = Window.partitionBy(md5(col("text")))
-        // cached: the gate+dedup subplan (regex quality scores, langID,
-        // md5 window) otherwise re-executes for the LSH side AND the
-        // anti-join side — materializing the (much smaller) survivor
-        // set once is what a real corpus pipeline does between stages
+        // keep-first per content hash as a struct-MIN aggregate —
+        // map-side combinable, so a boilerplate page duplicated
+        // millions of times collapses to one candidate per input
+        // partition before the shuffle (the window formulation buffers
+        // the whole duplicate group on one reducer); the winning
+        // struct carries every downstream column, so no join back.
+        // Cached: the gate+dedup subplan (regex quality scores,
+        // langID) otherwise re-executes for the LSH side AND the
+        // anti-join side.
         val keepers = filtered
-          .withColumn("_keeper", min(col("doc_id")).over(w))
-          .filter(col("doc_id") === col("_keeper"))
-          .drop("_keeper")
+          .groupBy(md5(col("text")).as("_fp"))
+          .agg(min(struct(col("doc_id"), col("lang"), col("text"),
+            col("n_tokens"))).as("_w"))
+          .select(col("_w.doc_id").as("doc_id"), col("_w.lang").as("lang"),
+            col("_w.text").as("text"), col("_w.n_tokens").as("n_tokens"))
           .cache()
         val nearDupLosers = graft.operators.Dedup
           .minHashLsh(keepers.select("doc_id", "text"), 3, 8, 4,
