@@ -473,6 +473,32 @@ object AnalyticsOps {
       Some(s"""SELECT event_type, count(*) AS n,
           ${ExactAgg.sqlSum("value")} AS total,
           min(ts) AS first_ts, max(ts) AS last_ts
-        FROM events GROUP BY 1 ORDER BY 1"""))
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Hot-key dimension enrichment through the SALTED join: the fact
+    // side's join key is deliberately skewed (87% of events collapse
+    // onto one key), and the join runs through SkewJoin.saltedJoin —
+    // each hot key spreads across 8 (key, salt) reducers instead of
+    // putting one reducer on the critical path. Salting is
+    // semantics-free, so the oracle is the plain join; SkewJoinSpec
+    // proves the partition bound separately.
+    Q("q111_salted_hot_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(least(col("user_id"), lit(20L)).as("hk"), col("value"))
+        val dim = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("hk"), col("c_nationkey"))
+        graft.operators.SkewJoin
+          .saltedJoin(ev, dim, Seq("hk"), saltFactor = 8)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            ExactAgg.dsum(col("value")).as("total"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""SELECT c_nationkey, count(*) AS n,
+          ${ExactAgg.sqlSum("value")} AS total
+        FROM (SELECT least(user_id, 20) AS hk, value FROM events) e
+        JOIN customer c ON e.hk = c.c_custkey
+        GROUP BY 1 ORDER BY 1"""))
   )
 }
