@@ -187,6 +187,29 @@ object StreamQueries {
         s.table("q79_sink").orderBy("user_id", "event_type")
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
-        ORDER BY user_id, event_type"""))
+        ORDER BY user_id, event_type""")),
+
+    // Stream-STATIC join: the streaming fact joined to a batch
+    // dimension table — Structured Streaming's third join machinery
+    // (no state store at all: the static side broadcasts into every
+    // micro-batch, so this is the one join that needs no watermark to
+    // stay bounded). Inner emission is match-time, so the AvailableNow
+    // drain equals the batch join — the oracle.
+    Q("q112_stream_static_join",
+      (s, dir) => {
+        val stream = eventsStream(s, dir)
+        val dim = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+        val joined = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("value"))
+          .join(dim, "user_id")
+        s.catalog.dropTempView("q112_sink")
+        StreamOps.drainToMemory(joined, "q112_sink", OutputMode.Append())
+        s.table("q112_sink").orderBy("event_id")
+      },
+      Some("""SELECT e.user_id, e.event_id, e.value, c.c_nationkey
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'purchase'
+        ORDER BY e.event_id"""))
   )
 }
