@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.expressions.TopKAggregate
+
+/** Statistical / linkage operators, round 6: blocked fuzzy record
+  * linkage, KMV distinct-count sketching, deterministic stratified
+  * sampling, exact truncated EWMA, percentile winsorization, and a
+  * window-based 2-D skyline. All oracle-checked.
+  *
+  * Reference motivation: the crawler normalizes vendor entity names
+  * before joining (MaStR unit names, `mastr.py`-family cleaning), and
+  * its Grafana layer needs distribution summaries per series; the
+  * LLM-pipeline side needs sampling and per-source distinct counts at
+  * corpus scale, where exact distincts are a full shuffle but a KMV
+  * sketch is a bounded-state aggregate.
+  */
+object StatsOps {
+
+  /** Odd multiplier → the map user_id → (user_id * A) mod 2^32 is a
+    * bijection below 2^32, so hash distinctness equals key
+    * distinctness and every query stays oracle-exact (the arithmetic
+    * is plain BIGINT ops both engines evaluate identically). */
+  private val KnuthA = 2654435761L
+  private val SampleA = 2246822519L
+  private val M32 = 4294967296L
+
+  val qs: Seq[Q] = Seq(
+
+    // Blocked fuzzy join (record linkage): candidate entity pairs
+    // whose names agree on a cheap blocking key (last word) and sit
+    // within Levenshtein distance 3. The blocking key turns the N²
+    // all-pairs distance scan into an equi-join — Σ block² candidate
+    // pairs, the same shape as the LSH band join — and the distance
+    // runs as a codegen'd built-in inside the join condition, only on
+    // bucket-mates. Linkage runs on the DISTINCT name table (entity
+    // vocabulary), never the fact table.
+    Q("q113_fuzzy_block_join",
+      (s, dir) => {
+        val names = Tables.load(s, dir, "part")
+          .select(col("p_name").as("name")).distinct()
+          .withColumn("block", regexp_extract(col("name"), "[a-z]+$", 0))
+        names.as("a").join(names.as("b"),
+            col("a.block") === col("b.block") &&
+              col("a.name") < col("b.name") &&
+              levenshtein(col("a.name"), col("b.name")) <= 3)
+          .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+            levenshtein(col("a.name"), col("b.name")).cast(LongType)
+              .as("dist"))
+          .orderBy("name_a", "name_b")
+      },
+      Some("""WITH names AS (
+          SELECT DISTINCT p_name AS name,
+            regexp_extract(p_name, '[a-z]+$') AS block FROM part)
+        SELECT a.name AS name_a, b.name AS name_b,
+          CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        FROM names a JOIN names b
+          ON a.block = b.block AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 3
+        ORDER BY name_a, name_b""")),
+
+    // KMV (k minimum values) distinct-count sketch per event type:
+    // keep the k=8 smallest hashes of the key; the k-th smallest
+    // estimates the distinct count as (k-1)·2^32 / h_k. The sketch
+    // state is k values per group — mergeable, map-side partial — vs
+    // an exact COUNT(DISTINCT)'s full key shuffle; at 100 TB the
+    // sketch answers per-source cardinality questions in one narrow
+    // pass. The estimate itself is oracle-checked (identical integer
+    // hash + one double division on identical operands), alongside
+    // the exact count it approximates.
+    Q("q114_kmv_distinct",
+      (s, dir) => {
+        val k = 8
+        val hashed = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            ((col("user_id") * KnuthA) % M32).as("h"))
+          .distinct()
+        hashed.groupBy("event_type")
+          .agg(count(lit(1)).as("exact_distinct"),
+            TopKAggregate.bottomK(col("h").cast("double"), col("h"), k)
+              .as("mins"))
+          .select(col("event_type"), col("exact_distinct"),
+            element_at(col("mins"), k).getField("_2").as("kth_hash"),
+            (lit((k - 1) * M32).cast("double") /
+              element_at(col("mins"), k).getField("_2").cast("double"))
+              .as("est_distinct"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH h AS (
+          SELECT DISTINCT event_type,
+            (user_id * $KnuthA) % $M32 AS h FROM events),
+        r AS (SELECT event_type, h,
+            row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM h)
+        SELECT event_type, n AS exact_distinct, h AS kth_hash,
+          CAST(${7 * M32} AS DOUBLE) / CAST(h AS DOUBLE) AS est_distinct
+        FROM r WHERE rn = 8 ORDER BY event_type""")),
+
+    // Deterministic stratified sampling: up to 3 documents per
+    // (lang, source) stratum, chosen by smallest multiplicative hash
+    // of doc_id — a fixed-size per-stratum sample that is reproducible
+    // across runs and engines (the property a training-mix sampler
+    // needs). Runs as ONE bounded-state hash aggregate (TopKAggregate,
+    // state ≤ 3 per stratum) — no per-stratum sort, no window over the
+    // corpus; strata smaller than the quota yield what they have.
+    Q("q115_stratified_sample",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("lang"), col("source"), col("doc_id"),
+            ((col("doc_id") * SampleA) % M32).as("h"))
+          .groupBy("lang", "source")
+          .agg(TopKAggregate.bottomK(col("h").cast("double"),
+            col("doc_id"), 3).as("picks"))
+          .select(col("lang"), col("source"),
+            posexplode(col("picks")).as(Seq("p", "t")))
+          .select(col("lang"), col("source"),
+            (col("p") + 1).cast(LongType).as("rank"),
+            col("t._2").as("doc_id"))
+          .orderBy("lang", "source", "rank")
+      },
+      Some(s"""SELECT lang, source, rank, doc_id FROM (
+          SELECT lang, source, doc_id,
+            CAST(row_number() OVER (PARTITION BY lang, source
+              ORDER BY (doc_id * $SampleA) % $M32) AS BIGINT) AS rank
+          FROM documents)
+        WHERE rank <= 3 ORDER BY lang, source, rank""")),
+
+    // Truncated EWMA (α=1/2, window 16) per user over event values in
+    // integer cents: num = Σ_j cents_{t-j}·2^(15-j), den = Σ_j 2^(15-j)
+    // — exact BIGINT accumulation, so the smoothed value
+    // num/den/100 is ONE double division on identical operands in both
+    // engines. The untruncated recursive EWMA needs either a serial
+    // scan or float pow() chains (order-dependent, unverifiable);
+    // truncating at 16 taps bounds the error at 2^-16 of the oldest
+    // weight AND makes the whole thing a partition-local window of 16
+    // lags — no self-join, no state beyond the frame.
+    Q("q116_ewma",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val withC = Tables.load(s, dir, "events")
+          .withColumn("cents",
+            floor(col("value") * 100d + 0.5d).cast(LongType))
+          .withColumn("rn", row_number().over(w))
+        val num = (0 until 16).map { j =>
+          val wt = 1L << (15 - j)
+          val v = if (j == 0) col("cents") else lag(col("cents"), j).over(w)
+          when(col("rn") > j, v * wt).otherwise(0L)
+        }.reduce(_ + _)
+        val den = (0 until 16).map { j =>
+          when(col("rn") > j, lit(1L << (15 - j))).otherwise(0L)
+        }.reduce(_ + _)
+        withC.withColumn("num", num).withColumn("den", den)
+          .select(col("event_id"), col("user_id"),
+            col("num"), col("den"),
+            (col("num").cast("double") / col("den").cast("double") /
+              lit(100).cast("double")).as("ewma"))
+          .orderBy("event_id")
+      },
+      Some {
+        val terms = (0 until 16).map { j =>
+          val wt = 1L << (15 - j)
+          val v = if (j == 0) "cents" else s"lag(cents, $j) OVER w"
+          s"CASE WHEN rn > $j THEN $v * $wt ELSE 0 END"
+        }.mkString(" + ")
+        val dens = (0 until 16).map { j =>
+          s"CASE WHEN rn > $j THEN ${1L << (15 - j)} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH c AS (
+            SELECT event_id, user_id, ts,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+              row_number() OVER w AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          e AS (
+            SELECT event_id, user_id,
+              $terms AS num, CAST($dens AS BIGINT) AS den
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          SELECT event_id, user_id, num, den,
+            CAST(num AS DOUBLE) / CAST(den AS DOUBLE) /
+              CAST(100 AS DOUBLE) AS ewma
+          FROM e ORDER BY event_id"""
+      }),
+
+    // Winsorization: clamp each value to its group's [p5, p95]. The
+    // percentile ranks are pure INTEGER arithmetic (ceil(n/20) =
+    // (n+19) div 20), so the bounds are exact order statistics — no
+    // float quantile interpolation to disagree on — and the clamped
+    // output reuses the input doubles verbatim. Two shuffles: the
+    // rank window and the (tiny) bounds join back to the facts.
+    Q("q117_winsorize",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val wOrd = Window.partitionBy("event_type")
+          .orderBy("value", "event_id")
+        val wAll = Window.partitionBy("event_type")
+        val ranked = ev
+          .withColumn("rn", row_number().over(wOrd).cast(LongType))
+          .withColumn("n", count(lit(1)).over(wAll))
+        val bounds = ranked
+          .filter(col("rn") === expr("(n + 19) div 20") ||
+            col("rn") === expr("(n * 19 + 19) div 20"))
+          .groupBy("event_type")
+          .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        ev.join(bounds, Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("lo"), col("hi"),
+            greatest(col("lo"), least(col("value"), col("hi")))
+              .as("clamped"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ranked AS (
+          SELECT event_type, value, event_id,
+            CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY value, event_id) AS BIGINT) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM events),
+        bounds AS (
+          SELECT event_type, min(value) AS lo, max(value) AS hi
+          FROM ranked
+          WHERE rn = (n + 19) // 20 OR rn = (n * 19 + 19) // 20
+          GROUP BY event_type)
+        SELECT event_id, e.event_type, value, lo, hi,
+          greatest(lo, least(value, hi)) AS clamped
+        FROM events e JOIN bounds b ON e.event_type = b.event_type
+        ORDER BY event_id""")),
+
+    // 2-D skyline (Pareto frontier) of (quantity, price): points not
+    // dominated in BOTH dimensions. One hash aggregate collapses the
+    // fact table to max(price) per quantity, then a prefix-max over
+    // quantity descending marks the frontier — O(n) + a scan of the
+    // reduced table, vs the textbook quadratic NOT EXISTS self-join
+    // (which is the oracle). The prefix scan runs over the PER-KEY
+    // AGGREGATE (|distinct x| rows); for a continuous x, bucket
+    // first — the frontier of bucket maxima contains the true one.
+    Q("q118_skyline",
+      (s, dir) => {
+        val g = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_quantity").as("x"))
+          .agg(max(col("l_extendedprice")).as("y"))
+        val wPrev = Window.orderBy(col("x").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("m", max(col("y")).over(wPrev))
+          .filter(col("m").isNull || col("y") > col("m"))
+          .select(col("x"), col("y"))
+          .orderBy("x")
+      },
+      Some("""WITH g AS (
+          SELECT l_quantity AS x, max(l_extendedprice) AS y
+          FROM lineitem GROUP BY 1)
+        SELECT x, y FROM g a
+        WHERE NOT EXISTS (SELECT 1 FROM g b
+          WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
+        ORDER BY x"""))
+  )
+}
