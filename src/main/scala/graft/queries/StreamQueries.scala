@@ -34,21 +34,30 @@ object StreamQueries {
     * query's batch-parity depends on no state expiring mid-drain
     * (q79's dedup: a key re-arriving after its watermark-expired state
     * would re-emit under multi-batch chunking). */
-  private def eventsStream(s: org.apache.spark.sql.SparkSession,
-      dir: String, singleFile: Boolean = false)
-      : org.apache.spark.sql.DataFrame = {
-    val ev = Tables.load(s, dir, "events")
+  /** Sanitized source path + content fingerprint (file count, max
+    * mtime, total bytes of the source parquet): the key under which a
+    * dataset STATE gets its landing/state/checkpoint dirs — a dataset
+    * regenerated in place keys fresh instead of reusing stale copies,
+    * and two distinct dirs can never collide. */
+  private def datasetKey(dir: String): String = {
     val srcFiles = Option(
       new java.io.File(dir, "events.parquet").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.isFile)
     val fingerprint =
-      s"${srcFiles.length}-${srcFiles.map(_.lastModified).foldLeft(0L)(math.max)}-${srcFiles.map(_.length).sum}" +
-        (if (singleFile) "-1f" else "")
+      s"${srcFiles.length}-${srcFiles.map(_.lastModified).foldLeft(0L)(math.max)}-${srcFiles.map(_.length).sum}"
     val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"$sanitized-$fingerprint"
+  }
+
+  private def eventsStream(s: org.apache.spark.sql.SparkSession,
+      dir: String, singleFile: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val ev = Tables.load(s, dir, "events")
     val landingDir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft-q53-landing-$sanitized-$fingerprint")
+      s"graft-q53-landing-${datasetKey(dir)}" +
+        (if (singleFile) "-1f" else ""))
     val landing = landingDir.toString
     if (!new java.io.File(landingDir, "_SUCCESS").exists()) {
       val w = if (singleFile) ev.coalesce(1) else ev
@@ -210,6 +219,33 @@ object StreamQueries {
       Some("""SELECT e.user_id, e.event_id, e.value, c.c_nationkey
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         WHERE e.event_type = 'purchase'
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    // K6 streaming twin — foreachBatch MERGE sink: the stream upserts
+    // "latest row per user" into a parquet state table
+    // (StreamOps.mergeLatestSink). Batch chunking is invisible because
+    // per-batch reduce and state merge are the same arg-max, so the
+    // final state table hash-matches the batch latest-per-key oracle;
+    // the checkpoint makes a second invocation a zero-batch no-op that
+    // leaves the state untouched (idempotent resume). State/checkpoint
+    // dirs are keyed by source path + content fingerprint, like the
+    // landing zone.
+    Q("q121_stream_merge_sink",
+      (s, dir) => {
+        val stream = eventsStream(s, dir)
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-q121-${datasetKey(dir)}")
+        StreamOps.mergeLatestSink(s, stream,
+          new java.io.File(base, "state").toString,
+          new java.io.File(base, "checkpoint").toString)
+        s.read.parquet(new java.io.File(base, "state").toString)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, ts, event_id, value FROM (
+          SELECT user_id, ts, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 ORDER BY user_id"""))
   )
 }

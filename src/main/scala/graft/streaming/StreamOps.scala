@@ -160,4 +160,49 @@ object StreamOps {
       .start()
     q.awaitTermination()
   }
+
+  /** K6 streaming form — a `foreachBatch` MERGE sink: each micro-batch
+    * upserts "latest row per key" into a parquet state table. The
+    * per-batch reduction and the merge are the same struct-max
+    * aggregate, so the final state is the global arg-max per key no
+    * matter how the stream was chunked into batches — which is what
+    * makes the sink batch-oracle-checkable. The state table is
+    * rewritten via stage-and-swap (never read and overwritten in one
+    * plan); on a real deployment the state table would be a
+    * transactional format and this becomes its MERGE INTO. State size
+    * is |keys|, not |events|; each batch costs one shuffle of the
+    * batch plus a scan of the state table. The checkpoint makes
+    * re-runs incremental: an already-drained source adds zero batches
+    * and the sink is untouched (idempotent resume, I7). */
+  def mergeLatestSink(spark: SparkSession, stream: DataFrame,
+      stateDir: String, checkpointDir: String): Unit = {
+    def latestPerKey(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value")))
+          .as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_id").as("event_id"), col("m.value").as("value"))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val cur = new java.io.File(stateDir, "_SUCCESS").exists()
+        val merged =
+          if (cur) latestPerKey(
+            s.read.parquet(stateDir).unionByName(latestPerKey(batch)))
+          else latestPerKey(batch)
+        val staging = stateDir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(staging),
+          new org.apache.hadoop.fs.Path(stateDir))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

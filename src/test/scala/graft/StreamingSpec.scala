@@ -141,4 +141,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 1L), (2L, 1L)),
       s"expected distinct session ids across reactivation, got $got")
   }
+
+  test("mergeLatestSink state is invariant to micro-batch chunking") {
+    val ev = Tables.load(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "value")
+    val expected = ev
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("user_id").collect().toSeq
+    for (files <- Seq(1, 5)) {
+      val dir = landing()
+      ev.repartition(files).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val base = Files.createTempDirectory(s"merge-sink-$files")
+      StreamOps.mergeLatestSink(spark, stream,
+        base.resolve("state").toString, base.resolve("ckpt").toString)
+      val got = spark.read.parquet(base.resolve("state").toString)
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy("user_id").collect().toSeq
+      assert(got == expected, s"chunking into $files files diverged")
+    }
+  }
 }
