@@ -256,6 +256,57 @@ object StatsOps {
         SELECT x, y FROM g a
         WHERE NOT EXISTS (SELECT 1 FROM g b
           WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
-        ORDER BY x"""))
+        ORDER BY x""")),
+
+    // Mode (most frequent value) per group as TWO hash aggregates:
+    // count per (key, value), then a struct-max arg-max per key —
+    // both map-side-partial, no window over the counts and no sort.
+    // Tie-break is deterministic (higher count, then lexicographically
+    // larger value — struct comparison order), mirrored in the
+    // oracle's ORDER BY ... DESC rank.
+    Q("q119_mode_per_group",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+          .groupBy("user_id")
+          .agg(max(struct(col("cnt"), col("event_type"))).as("m"))
+          .select(col("user_id"), col("m.event_type").as("mode_type"),
+            col("m.cnt").as("cnt"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT user_id, event_type, cnt,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY cnt DESC, event_type DESC) AS rn
+          FROM c)
+        SELECT user_id, event_type AS mode_type, cnt FROM r
+        WHERE rn = 1 ORDER BY user_id""")),
+
+    // Ordered string aggregation (DuckDB string_agg ... ORDER BY /
+    // Postgres string_agg): the line numbers of an order concatenated
+    // in line order. collect_list is order-nondeterministic under
+    // partitioning, so the deterministic form sorts INSIDE the
+    // aggregate state (array_sort over (linenumber, partkey) structs)
+    // — group state is bounded by lines-per-order, and the aggregate
+    // stays map-side-partial; no window, no global sort before the
+    // group.
+    Q("q120_ordered_string_agg",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  struct(col("l_linenumber"), col("l_partkey")))),
+                x => x.getField("l_partkey").cast("string")),
+              ",").as("parts"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_lines,
+          string_agg(CAST(l_partkey AS VARCHAR), ','
+            ORDER BY l_linenumber, l_partkey) AS parts
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
   )
 }
