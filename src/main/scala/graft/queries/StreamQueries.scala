@@ -246,6 +246,69 @@ object StreamQueries {
             row_number() OVER (PARTITION BY user_id
               ORDER BY ts DESC, event_id DESC) AS rn
           FROM events)
-        WHERE rn = 1 ORDER BY user_id"""))
+        WHERE rn = 1 ORDER BY user_id""")),
+
+    // Stream-stream LEFT OUTER interval join: matched rows emit at
+    // match time (as q73), and an unmatched click emits null-extended
+    // only once the watermark proves no purchase can still arrive for
+    // it. Two subtleties, both hash-checked in the oracle: (1) each
+    // side's watermark tracks ITS OWN max event time (post-filter), and
+    // the global watermark is the MIN of the two — so the cutoff keys
+    // off min(max click_ts, max purchase_ts), not the table max;
+    // (2) the click's state evicts when its join-window END passes
+    // that watermark, i.e. click_ms + 2 h < min_max_ms (1 h watermark
+    // delay + 1 h interval, strict, in Spark's millisecond event-time
+    // domain). Clicks whose window the watermark hasn't closed stay in
+    // state and correctly do NOT emit.
+    Q("q122_stream_outer_interval_join",
+      (s, dir) => {
+        val stream = eventsStream(s, dir)
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("click_ts", "1 hour")
+        val buys = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"),
+            col("value").as("purchase_value"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(buys,
+            col("user_id") === col("p_user") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+            "leftOuter")
+          .select(col("user_id"), col("click_id"), col("click_ts"),
+            col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+        s.catalog.dropTempView("q122_sink")
+        StreamOps.drainToMemory(joined, "q122_sink", OutputMode.Append())
+        s.table("q122_sink")
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      Some("""WITH c AS (SELECT user_id, ts AS click_ts,
+            event_id AS click_id FROM events WHERE event_type = 'click'),
+          p AS (SELECT user_id AS p_user, ts AS purchase_ts,
+            event_id AS purchase_id, value AS purchase_value
+            FROM events WHERE event_type = 'purchase'),
+          wm AS (SELECT least(
+              (SELECT max(ts) FROM events WHERE event_type = 'click'),
+              (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+            AS m),
+          matched AS (SELECT c.user_id, c.click_id, c.click_ts,
+              p.purchase_id, p.purchase_ts, p.purchase_value
+            FROM c JOIN p ON c.user_id = p.p_user
+              AND p.purchase_ts >= c.click_ts
+              AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR),
+          unmatched AS (SELECT c.user_id, c.click_id, c.click_ts,
+              CAST(NULL AS BIGINT) AS purchase_id,
+              CAST(NULL AS TIMESTAMP) AS purchase_ts,
+              CAST(NULL AS DOUBLE) AS purchase_value
+            FROM c, wm
+            WHERE NOT EXISTS (SELECT 1 FROM p
+                WHERE p.p_user = c.user_id
+                  AND p.purchase_ts >= c.click_ts
+                  AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+              AND epoch_ms(c.click_ts) + 7200000 < epoch_ms(wm.m))
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        ORDER BY user_id, click_id, purchase_id"""))
   )
 }
