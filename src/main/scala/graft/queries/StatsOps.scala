@@ -307,6 +307,94 @@ object StatsOps {
       Some("""SELECT l_orderkey, count(*) AS n_lines,
           string_agg(CAST(l_partkey AS VARCHAR), ','
             ORDER BY l_linenumber, l_partkey) AS parts
-        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // KMV sketch ALGEBRA: union and intersection cardinality estimates
+    // between per-group sketches, without touching the raw keys again.
+    // The k-min sketch of A ∪ B is the k smallest of the two sketches'
+    // union (computed with array ops on the 8-element sketches), and
+    // |A ∩ B| ≈ ρ·|A ∪ B|-est where ρ = fraction of the union sketch
+    // present in both sides — the standard KMV inclusion-exclusion.
+    // At 100 TB this answers every pairwise source-overlap question
+    // from one tiny sketch table (|groups|·k longs) instead of
+    // |pairs| self-joins of the fact table; the exact intersection
+    // rides along to show what the estimate approximates. Everything
+    // is integer hashes + one double division → oracle-exact.
+    Q("q123_kmv_intersect",
+      (s, dir) => {
+        val k = 8
+        val h = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            ((col("user_id") * KnuthA) % M32).as("h"))
+          .distinct()
+        val sk = h.groupBy("event_type")
+          .agg(transform(
+            TopKAggregate.bottomK(col("h").cast("double"), col("h"), k),
+            x => x.getField("_2")).as("sk"))
+        val pairs = sk.select(col("event_type").as("type_a"),
+            col("sk").as("ska"))
+          .join(sk.select(col("event_type").as("type_b"),
+            col("sk").as("skb")),
+            col("type_a") < col("type_b"))
+          .withColumn("merged",
+            slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+          .withColumn("hk", element_at(col("merged"), k))
+          .withColumn("in_both",
+            size(filter(col("merged"), x =>
+              array_contains(col("ska"), x) &&
+                array_contains(col("skb"), x))).cast(LongType))
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+        val exact = e.select(col("event_type").as("type_a"),
+            col("user_id"))
+          .join(e.select(col("event_type").as("type_b"), col("user_id")),
+            Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(count(lit(1)).as("exact_intersect"))
+        pairs.join(exact, Seq("type_a", "type_b"), "left")
+          .select(col("type_a"), col("type_b"),
+            coalesce(col("exact_intersect"), lit(0L))
+              .as("exact_intersect"),
+            col("in_both"), col("hk"),
+            (lit((k - 1) * M32).cast("double") /
+              col("hk").cast("double")).as("est_union"),
+            ((col("in_both") * lit((k - 1) * M32)).cast("double") /
+              (lit(k.toLong) * col("hk")).cast("double"))
+              .as("est_intersect"))
+          .orderBy("type_a", "type_b")
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT event_type,
+            (user_id * $KnuthA) % $M32 AS h FROM events),
+        r AS (SELECT event_type, h, row_number() OVER (
+            PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        sk AS (SELECT event_type, h FROM r WHERE rn <= 8),
+        pairs AS (SELECT DISTINCT a.event_type AS ta, b.event_type AS tb
+          FROM sk a, sk b WHERE a.event_type < b.event_type),
+        u AS (SELECT p.ta, p.tb, s.h,
+            max(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS ina,
+            max(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS inb
+          FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+          GROUP BY p.ta, p.tb, s.h),
+        ru AS (SELECT ta, tb, h, ina, inb, row_number() OVER (
+            PARTITION BY ta, tb ORDER BY h) AS rn FROM u),
+        m AS (SELECT ta, tb,
+            max(CASE WHEN rn = 8 THEN h END) AS hk,
+            CAST(sum(CASE WHEN rn <= 8 AND ina = 1 AND inb = 1
+              THEN 1 ELSE 0 END) AS BIGINT) AS in_both
+          FROM ru GROUP BY ta, tb),
+        e AS (SELECT DISTINCT event_type, user_id FROM events),
+        exact AS (SELECT x.event_type AS ta, y.event_type AS tb,
+            count(*) AS exact_intersect
+          FROM e x JOIN e y ON x.user_id = y.user_id
+            AND x.event_type < y.event_type
+          GROUP BY 1, 2)
+        SELECT m.ta AS type_a, m.tb AS type_b,
+          COALESCE(exact_intersect, 0) AS exact_intersect, in_both, hk,
+          CAST(${7 * M32} AS DOUBLE) / CAST(hk AS DOUBLE) AS est_union,
+          CAST(in_both * ${7 * M32} AS DOUBLE) /
+            CAST(8 * hk AS DOUBLE) AS est_intersect
+        FROM m LEFT JOIN exact ON m.ta = exact.ta AND m.tb = exact.tb
+        ORDER BY type_a, type_b"""))
   )
 }
