@@ -139,4 +139,34 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"unkeyed cartesian pair join:\n$plan")
   }
+
+  test("q113 fuzzy linkage rides the block equi-join, not a BNLJ") {
+    val plan = graft.queries.Registry
+      .queries("q113_fuzzy_block_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"blocking key not used as the join key:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no hash-based join found:\n$plan")
+  }
+
+  test("q116 EWMA is one partition-local window, no self-join") {
+    val plan = graft.queries.Registry
+      .queries("q116_ewma")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"EWMA must not self-join:\n$plan")
+    // exactly one logical window over (user_id): rn + 15 lags fuse
+    assert(plan.contains("Window"), s"expected a window:\n$plan")
+  }
+
+  test("q119 mode is two hash aggregates, no window over counts") {
+    val plan = graft.queries.Registry
+      .queries("q119_mode_per_group")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"mode must use the arg-max aggregate, not a rank window:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"expected hash aggregation:\n$plan")
+  }
 }
