@@ -81,7 +81,9 @@ object StreamQueries {
             col("event_type"), col("n"), col("total"))
         // re-runnable in one session (bench runs every query twice)
         s.catalog.dropTempView("q53_sink")
-        StreamOps.drainToMemory(agg, "q53_sink", OutputMode.Append())
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(agg, "q53_sink", OutputMode.Append())
+        }
         s.table("q53_sink").orderBy("bucket_start", "event_type")
       },
       Some(s"""WITH agg AS (
@@ -106,7 +108,9 @@ object StreamQueries {
         val out = StreamOps.sessionizeStream(
           s, eventsStream(s, dir), gapSeconds = 1800, delay = "1 hour")
         s.catalog.dropTempView("q63_sink")
-        StreamOps.drainToMemory(out, "q63_sink", OutputMode.Append())
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(out, "q63_sink", OutputMode.Append())
+        }
         s.table("q63_sink").orderBy("user_id", "session_id")
       },
       Some("""WITH flagged AS (
@@ -166,7 +170,9 @@ object StreamQueries {
           .select(col("user_id"), col("click_id"), col("click_ts"),
             col("purchase_id"), col("purchase_ts"), col("purchase_value"))
         s.catalog.dropTempView("q73_sink")
-        StreamOps.drainToMemory(joined, "q73_sink", OutputMode.Append())
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(joined, "q73_sink", OutputMode.Append())
+        }
         s.table("q73_sink")
           .orderBy("user_id", "click_id", "purchase_id")
       },
@@ -192,7 +198,9 @@ object StreamQueries {
             "ts", "1 hour", Seq("user_id", "event_type"))
           .select(col("user_id"), col("event_type"))
         s.catalog.dropTempView("q79_sink")
-        StreamOps.drainToMemory(dedup, "q79_sink", OutputMode.Append())
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(dedup, "q79_sink", OutputMode.Append())
+        }
         s.table("q79_sink").orderBy("user_id", "event_type")
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
@@ -280,7 +288,9 @@ object StreamQueries {
           .select(col("user_id"), col("click_id"), col("click_ts"),
             col("purchase_id"), col("purchase_ts"), col("purchase_value"))
         s.catalog.dropTempView("q122_sink")
-        StreamOps.drainToMemory(joined, "q122_sink", OutputMode.Append())
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(joined, "q122_sink", OutputMode.Append())
+        }
         s.table("q122_sink")
           .orderBy("user_id", "click_id", "purchase_id")
       },

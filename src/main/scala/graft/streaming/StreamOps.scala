@@ -149,6 +149,23 @@ object StreamOps {
       col("session_value"))
   }
 
+  /** Runs `f` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the previous value afterwards. Streaming state is
+    * partitioned by the shuffle-partition count IN EFFECT AT FIRST
+    * START and then pinned by the checkpoint — so a streaming job
+    * sizes it to its key cardinality and state volume up front rather
+    * than inheriting the batch default (each micro-batch pays a
+    * per-partition state-store open/commit regardless of data). Use
+    * around a whole drain (start + awaitTermination); only for
+    * fresh-checkpoint queries — an existing checkpoint's partitioning
+    * always wins and must not be contradicted. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Drain helper for tests/batch parity: runs the streaming query on
     * everything currently in the source and stops (AvailableNow). */
   def drainToMemory(df: DataFrame, name: String,
