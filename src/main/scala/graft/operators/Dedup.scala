@@ -190,6 +190,17 @@ object Dedup {
     // to a shuffled join when it doesn't.
     val shAll = shingleSets(docs, k)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    // Consumed by three subplans: both self-join sides (identical →
+    // exchange reuse covers them) and the per-doc size aggregate,
+    // which shuffles on doc_id — a DIFFERENT exchange, so without
+    // persisting, the shingle explode + df-cap window would run
+    // twice. Same diamond-reuse treatment as the MinHash signature
+    // frame; at cluster scale the equivalent is a staged write.
+    // (No cache here, deliberately — unlike containmentPairs below:
+    // measured at sf0.1, materializing the shingle frame costs MORE
+    // than the size aggregate's extra scan for this query, because the
+    // sizes join lands as a post-reduction broadcast and the pair join
+    // dominates; exchange reuse already covers both self-join sides.)
     val sh = capWidth(shAll, maxDocFreq, "shingle")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a")
@@ -222,7 +233,13 @@ object Dedup {
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val shAll = shingleSets(docs, k)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val sh = capWidth(shAll, maxDocFreq, "shingle")
+    // Consumed by three subplans: both self-join sides (identical →
+    // exchange reuse covers them) and the per-doc size aggregate,
+    // which shuffles on doc_id — a DIFFERENT exchange, so without
+    // persisting, the shingle explode + df-cap window would run
+    // twice. Same diamond-reuse treatment as the MinHash signature
+    // frame; at cluster scale the equivalent is a staged write.
+    val sh = capWidth(shAll, maxDocFreq, "shingle").cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a")
       .join(sh.as("b").hint("shuffle_hash"),
