@@ -249,6 +249,40 @@ object VectorOps {
         SELECT vec_id, cid AS cluster, d AS dist
         FROM a2 WHERE rn = 1 ORDER BY vec_id""")),
 
+    // L2 normalization — the vector-prep step ahead of every cosine /
+    // ANN stage (a normalized corpus turns cosine into a plain dot
+    // product). The squared norm is a decimal-exact HOF fold INSIDE
+    // the row (map-side only, no explode-shuffle-join round trip —
+    // the oracle does the relational unnest+join form and must agree
+    // bit-for-bit: decimal addition is associative, so fold order is
+    // irrelevant, and sqrt/divide are single correctly-rounded IEEE
+    // ops on identical operands). Zero vectors are filtered, not
+    // divided by.
+    Q("q124_l2_normalize",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+        val nn = aggregate(
+          transform(col("embedding"), x => x.cast("double")),
+          lit(java.math.BigDecimal.ZERO).cast(dec),
+          (acc, x) => (acc + (x * x).cast(dec)).cast(dec))
+          .cast("double")
+        Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), nn.as("nn"),
+            posexplode(transform(col("embedding"), x => x.cast("double")))
+              .as(Seq("p", "e")))
+          .filter(col("nn") > 0d)
+          .select(col("vec_id"),
+            (col("p") + 1).cast("long").as("i"),
+            (col("e") / sqrt(col("nn"))).as("e_norm"))
+          .orderBy("vec_id", "i")
+      },
+      Some(s"""WITH $exCte
+        SELECT ex.vec_id, CAST(ex.i AS BIGINT) AS i,
+          ex.e / sqrt(nrm.nn) AS e_norm
+        FROM ex JOIN nrm ON ex.vec_id = nrm.vec_id
+        WHERE nrm.nn > 0
+        ORDER BY ex.vec_id, i""")),
+
     // Semantic dedup (SemDeDup): k-means clusters scope the pairwise
     // exact-cosine check, so the quadratic term is Σ cluster² — never
     // N² — and the pair join is an equi-join on the cluster id (one
