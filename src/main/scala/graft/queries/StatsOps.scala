@@ -395,6 +395,103 @@ object StatsOps {
           CAST(in_both * ${7 * M32} AS DOUBLE) /
             CAST(8 * hk AS DOUBLE) AS est_intersect
         FROM m LEFT JOIN exact ON m.ta = exact.ta AND m.tb = exact.tb
-        ORDER BY type_a, type_b"""))
+        ORDER BY type_a, type_b""")),
+
+    // Referential-integrity audit across the star schema: orphan
+    // foreign keys per relationship, as LEFT ANTI joins aggregated to
+    // one violation count per edge. The ingest framework's PK/FK
+    // declarations make this the standing data-quality gate after
+    // every append; each edge is one join keyed on the FK (dimension
+    // side broadcasts when small), so the audit is a single pass per
+    // edge at any scale.
+    Q("q125_ref_integrity",
+      (s, dir) => {
+        def orphans(fact: String, fk: String, dim: String, pk: String) = {
+          val f = Tables.load(s, dir, fact)
+          val d = Tables.load(s, dir, dim)
+          f.join(d, f(fk) === d(pk), "left_anti")
+            .agg(count(lit(1)).as("orphans"))
+            .select(lit(s"$fact.$fk -> $dim.$pk").as("edge"),
+              col("orphans"))
+        }
+        orphans("lineitem", "l_orderkey", "orders", "o_orderkey")
+          .unionByName(orphans("lineitem", "l_partkey", "part",
+            "p_partkey"))
+          .unionByName(orphans("lineitem", "l_suppkey", "supplier",
+            "s_suppkey"))
+          .unionByName(orphans("orders", "o_custkey", "customer",
+            "c_custkey"))
+          .unionByName(orphans("customer", "c_nationkey", "nation",
+            "n_nationkey"))
+          .orderBy("edge")
+      },
+      Some("""SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS edge,
+          count(*) AS orphans FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem.l_partkey -> part.p_partkey', count(*)
+          FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p
+            WHERE p.p_partkey = l.l_partkey)
+        UNION ALL
+        SELECT 'lineitem.l_suppkey -> supplier.s_suppkey', count(*)
+          FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier su
+            WHERE su.s_suppkey = l.l_suppkey)
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer.c_custkey', count(*)
+          FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'customer.c_nationkey -> nation.n_nationkey', count(*)
+          FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n
+            WHERE n.n_nationkey = c.c_nationkey)
+        ORDER BY edge""")),
+
+    // Time-weighted average per (user, day) — the correct mean for
+    // IRREGULARLY sampled series (the energy-meter case: a reading
+    // holds until the next one). Each reading is weighted by its
+    // holding duration in ms; numerator and denominator accumulate in
+    // exact BIGINT (cents × ms), the average is one double division.
+    // One window (lead) + one hash aggregate, both on the same
+    // (user, day)-compatible partitioning; the day's last reading has
+    // no duration and drops out, single-reading days drop entirely —
+    // identical rule in the oracle.
+    Q("q126_time_weighted_avg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), to_date(col("ts")))
+          .orderBy("ts", "event_id")
+        Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("ts"), col("event_id"),
+            floor(col("value") * 100d + 0.5d).cast(LongType).as("cents"))
+          .withColumn("dur_ms",
+            unix_millis(lead(col("ts"), 1).over(w)) -
+              unix_millis(col("ts")))
+          .filter(col("dur_ms").isNotNull)
+          .groupBy("user_id", "day")
+          .agg(sum(col("cents") * col("dur_ms")).as("wsum"),
+            sum(col("dur_ms")).as("dsum"))
+          .select(col("user_id"), col("day"), col("wsum"), col("dsum"),
+            (col("wsum").cast("double") / col("dsum").cast("double") /
+              lit(100).cast("double")).as("twa"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH c AS (
+          SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, ts, event_id,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        d AS (
+          SELECT user_id, day, cents,
+            epoch_ms(lead(ts, 1) OVER (PARTITION BY user_id, day
+              ORDER BY ts, event_id)) - epoch_ms(ts) AS dur_ms
+          FROM c)
+        SELECT user_id, day,
+          CAST(sum(cents * dur_ms) AS BIGINT) AS wsum,
+          CAST(sum(dur_ms) AS BIGINT) AS dsum,
+          CAST(sum(cents * dur_ms) AS DOUBLE) /
+            CAST(sum(dur_ms) AS DOUBLE) / CAST(100 AS DOUBLE) AS twa
+        FROM d WHERE dur_ms IS NOT NULL
+        GROUP BY user_id, day ORDER BY user_id, day"""))
   )
 }
