@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarityDesc)
     ext.injectOptimizerRule(_ => graft.plans.PushTimestampConversionBounds)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthBound)
   }
 }
 
@@ -48,9 +49,11 @@ object GraftExtensions {
     val (id, info, builder) = cosineSimilarityDesc
     spark.sessionState.functionRegistry
       .registerFunction(id, info, builder)
-    val rule = graft.plans.PushTimestampConversionBounds
-    if (!spark.experimental.extraOptimizations.contains(rule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ rule
+    Seq(graft.plans.PushTimestampConversionBounds,
+        graft.plans.LevenshteinLengthBound).foreach { rule =>
+      if (!spark.experimental.extraOptimizations.contains(rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
+    }
   }
 }

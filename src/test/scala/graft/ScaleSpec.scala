@@ -151,6 +151,14 @@ class ScaleSpec extends SparkSpec {
       s"no hash-based join found:\n$plan")
   }
 
+  test("levenshtein bound rule injects the length prefilter") {
+    val plan = graft.queries.Registry
+      .queries("q113_fuzzy_block_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("abs((length(") || plan.contains("abs((length("),
+      s"length-difference prefilter missing from join condition:\n$plan")
+  }
+
   test("q116 EWMA is one partition-local window, no self-join") {
     val plan = graft.queries.Registry
       .queries("q116_ewma")(spark, sf)
