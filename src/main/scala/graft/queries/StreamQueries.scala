@@ -319,6 +319,41 @@ object StreamQueries {
                   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
               AND epoch_ms(c.click_ts) + 7200000 < epoch_ms(wm.m))
         SELECT * FROM matched UNION ALL SELECT * FROM unmatched
-        ORDER BY user_id, click_id, purchase_id"""))
+        ORDER BY user_id, click_id, purchase_id""")),
+
+    // Streaming KMV sketch: the q114 cardinality sketch maintained as
+    // CUSTOM BOUNDED STATE (mapGroupsWithState) — k longs per key,
+    // forever, where exact streaming COUNT(DISTINCT) state grows with
+    // every new member. The k-min merge is order-insensitive, so the
+    // drained result equals the batch sketch — hash-checked against
+    // the same SQL oracle as q114. The single-file landing pins one
+    // emission per key (Update semantics emit per batch).
+    Q("q127_stream_kmv_sketch",
+      (s, dir) => {
+        val k = 8
+        val hashed = eventsStream(s, dir, singleFile = true)
+          .selectExpr("event_type AS grp",
+            "(user_id * 2654435761) % 4294967296 AS h")
+        val sk = StreamOps.kmvSketchStream(s, hashed, k)
+        s.catalog.dropTempView("q127_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(sk, "q127_sink", OutputMode.Update())
+        }
+        s.table("q127_sink")
+          .select(col("grp").as("event_type"),
+            element_at(col("mins"), k).as("kth_hash"),
+            (lit(7L * 4294967296L).cast("double") /
+              element_at(col("mins"), k).cast("double"))
+              .as("est_distinct"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (
+          SELECT DISTINCT event_type,
+            (user_id * 2654435761) % 4294967296 AS h FROM events),
+        r AS (SELECT event_type, h, row_number() OVER (
+            PARTITION BY event_type ORDER BY h) AS rn FROM h)
+        SELECT event_type, h AS kth_hash,
+          CAST(30064771072 AS DOUBLE) / CAST(h AS DOUBLE) AS est_distinct
+        FROM r WHERE rn = 8 ORDER BY event_type"""))
   )
 }

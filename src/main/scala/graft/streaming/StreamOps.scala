@@ -71,6 +71,34 @@ object StreamOps {
       .toDF("user_id", "max_ts_s", "n")
   }
 
+  /** Continuously maintained KMV distinct-count sketch per key via
+    * mapGroupsWithState: state is the k smallest distinct hashes seen
+    * so far — BOUNDED (k longs per key, forever) where an exact
+    * streaming COUNT(DISTINCT) would grow state with every new key
+    * member. The k-min merge is idempotent, commutative and
+    * associative, so the final state after an AvailableNow drain is
+    * independent of how the stream was chunked into batches — which
+    * is what lets the batch SQL oracle hash-check it. Emits one row
+    * per key per batch (Update semantics); the final batch's emission
+    * is the sketch of everything seen. */
+  def kmvSketchStream(spark: SparkSession, hashed: DataFrame, k: Int)
+      : DataFrame = {
+    import spark.implicits._
+    hashed
+      .selectExpr("grp", "h")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)],
+            state: GroupState[Seq[Long]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            rows.map(_._2)).distinct.sorted.take(k)
+          state.update(merged)
+          (key, merged)
+      }
+      .toDF("grp", "mins")
+  }
+
   /** Open-session state for [[sessionizeStream]]: value is accumulated
     * in integer cents so the sum is exact and arrival-order-free (the
     * DuckDB oracle's DECIMAL(28,2) sum rounds identically). `n == 0`

@@ -142,6 +142,36 @@ class StreamingSpec extends SparkSpec {
       s"expected distinct session ids across reactivation, got $got")
   }
 
+  test("kmv sketch final state is invariant to micro-batch chunking") {
+    val ev = Tables.load(spark, sf, "events")
+      .selectExpr("event_type AS grp",
+        "(user_id * 2654435761) % 4294967296 AS h")
+    val expected = ev.distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")
+          .orderBy("h")))
+      .filter(col("rn") <= 8)
+      .groupBy("grp").agg(sort_array(collect_list("h")).as("mins"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    val dir = landing()
+    ev.repartition(5).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = graft.streaming.StreamOps.kmvSketchStream(spark, stream, 8)
+    spark.catalog.dropTempView("kmv_chunked")
+    graft.streaming.StreamOps.drainToMemory(out, "kmv_chunked",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // several emissions per key (one per batch that touched it); the
+    // LAST one per key is the final state
+    val got = spark.table("kmv_chunked")
+      .withColumn("emit_rn", monotonically_increasing_id())
+      .groupBy("grp").agg(max_by(col("mins"), col("emit_rn")).as("mins"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    assert(got == expected)
+  }
+
   test("mergeLatestSink state is invariant to micro-batch chunking") {
     val ev = Tables.load(spark, sf, "events")
       .select("user_id", "ts", "event_id", "value")
