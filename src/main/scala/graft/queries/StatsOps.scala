@@ -492,6 +492,85 @@ object StatsOps {
           CAST(sum(cents * dur_ms) AS DOUBLE) /
             CAST(sum(dur_ms) AS DOUBLE) / CAST(100 AS DOUBLE) AS twa
         FROM d WHERE dur_ms IS NOT NULL
-        GROUP BY user_id, day ORDER BY user_id, day"""))
+        GROUP BY user_id, day ORDER BY user_id, day""")),
+
+    // Interpolated quantiles (PERCENTILE_CONT semantics) at p25/p50/
+    // p75 — the continuous complement of q52's exact order statistics.
+    // Deterministic across engines because the quantile fractions are
+    // BINARY fractions: rank r = (n−1)·q is an exact double, so
+    // floor/ceil/frac are exact, and lo + (hi−lo)·frac is the same
+    // three IEEE ops on identical operands in both engines (this is
+    // why the operator pins binary-fraction quantiles; an arbitrary q
+    // would reintroduce float divergence). One rank window + one hash
+    // aggregate, both on the group key.
+    Q("q128_quantile_interp",
+      (s, dir) => {
+        val wOrd = Window.partitionBy("event_type")
+          .orderBy("value", "event_id")
+        val wAll = Window.partitionBy("event_type")
+        var ranked = Tables.load(s, dir, "events")
+          .withColumn("rn", row_number().over(wOrd).cast(LongType))
+          .withColumn("n", count(lit(1)).over(wAll))
+        val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
+        for ((q, label) <- qs) {
+          val r = (col("n") - 1L).cast("double") * lit(q)
+          ranked = ranked
+            .withColumn(s"lo_$label",
+              when(col("rn") === floor(r).cast(LongType) + 1L,
+                col("value")))
+            .withColumn(s"hi_$label",
+              when(col("rn") === ceil(r).cast(LongType) + 1L,
+                col("value")))
+            .withColumn(s"fr_$label", r - floor(r))
+        }
+        val aggs = qs.flatMap { case (_, l) =>
+          Seq(max(col(s"lo_$l")).as(s"lo_$l"),
+            max(col(s"hi_$l")).as(s"hi_$l"),
+            max(col(s"fr_$l")).as(s"fr_$l"))
+        }
+        val g = ranked.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+        val out = qs.map { case (_, l) =>
+          g.select(col("event_type"), lit(l).as("q"),
+            (col(s"lo_$l") + (col(s"hi_$l") - col(s"lo_$l")) *
+              col(s"fr_$l")).as("quantile_value"))
+        }.reduce(_ unionByName _)
+        out.orderBy("event_type", "q")
+      },
+      Some("""WITH ranked AS (
+          SELECT event_type, value,
+            CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY value, event_id) AS BIGINT) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM events),
+        g AS (
+          SELECT event_type,
+            max(CASE WHEN rn = CAST(floor((n - 1) * 0.25) AS BIGINT) + 1
+              THEN value END) AS lo_p25,
+            max(CASE WHEN rn = CAST(ceil((n - 1) * 0.25) AS BIGINT) + 1
+              THEN value END) AS hi_p25,
+            max(CAST(n - 1 AS DOUBLE) * 0.25
+              - floor(CAST(n - 1 AS DOUBLE) * 0.25)) AS fr_p25,
+            max(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+              THEN value END) AS lo_p50,
+            max(CASE WHEN rn = CAST(ceil((n - 1) * 0.5) AS BIGINT) + 1
+              THEN value END) AS hi_p50,
+            max(CAST(n - 1 AS DOUBLE) * 0.5
+              - floor(CAST(n - 1 AS DOUBLE) * 0.5)) AS fr_p50,
+            max(CASE WHEN rn = CAST(floor((n - 1) * 0.75) AS BIGINT) + 1
+              THEN value END) AS lo_p75,
+            max(CASE WHEN rn = CAST(ceil((n - 1) * 0.75) AS BIGINT) + 1
+              THEN value END) AS hi_p75,
+            max(CAST(n - 1 AS DOUBLE) * 0.75
+              - floor(CAST(n - 1 AS DOUBLE) * 0.75)) AS fr_p75
+          FROM ranked GROUP BY event_type)
+        SELECT event_type, 'p25' AS q,
+          lo_p25 + (hi_p25 - lo_p25) * fr_p25 AS quantile_value FROM g
+        UNION ALL
+        SELECT event_type, 'p50',
+          lo_p50 + (hi_p50 - lo_p50) * fr_p50 FROM g
+        UNION ALL
+        SELECT event_type, 'p75',
+          lo_p75 + (hi_p75 - lo_p75) * fr_p75 FROM g
+        ORDER BY event_type, q"""))
   )
 }
