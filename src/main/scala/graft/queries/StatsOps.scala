@@ -571,6 +571,45 @@ object StatsOps {
         UNION ALL
         SELECT event_type, 'p75',
           lo_p75 + (hi_p75 - lo_p75) * fr_p75 FROM g
-        ORDER BY event_type, q"""))
+        ORDER BY event_type, q""")),
+
+    // First-order transition matrix over per-user event sequences
+    // (the behavioral n-gram: what follows what): lag the type within
+    // each user's timeline, count (prev, next) pairs, and normalize by
+    // the source state's row count — count ratio as ONE double
+    // division, so the probabilities are oracle-exact. One
+    // partition-local lag window + two hash aggregates; the matrix is
+    // |states|², never sequence-length-shaped.
+    Q("q129_transition_matrix",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = Tables.load(s, dir, "events")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy("prev_type")
+          .agg(sum(col("n")).as("row_total"))
+        pairs.join(totals, "prev_type")
+          .select(col("prev_type"), col("next_type"), col("n"),
+            col("row_total"),
+            (col("n").cast("double") / col("row_total").cast("double"))
+              .as("p"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH pairs AS (
+          SELECT prev_type, event_type AS next_type, count(*) AS n
+          FROM (SELECT user_id, event_type, ts,
+              lag(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev_type
+            FROM events)
+          WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        totals AS (SELECT prev_type,
+            CAST(sum(n) AS BIGINT) AS row_total
+          FROM pairs GROUP BY 1)
+        SELECT p.prev_type, next_type, n, row_total,
+          CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS p
+        FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
+        ORDER BY p.prev_type, next_type"""))
   )
 }
