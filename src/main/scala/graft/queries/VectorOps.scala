@@ -251,28 +251,31 @@ object VectorOps {
 
     // L2 normalization — the vector-prep step ahead of every cosine /
     // ANN stage (a normalized corpus turns cosine into a plain dot
-    // product). The squared norm is a decimal-exact HOF fold INSIDE
-    // the row (map-side only, no explode-shuffle-join round trip —
-    // the oracle does the relational unnest+join form and must agree
-    // bit-for-bit: decimal addition is associative, so fold order is
-    // irrelevant, and sqrt/divide are single correctly-rounded IEEE
-    // ops on identical operands). Zero vectors are filtered, not
-    // divided by.
+    // product). Shape: explode → codegen'd decimal hash-aggregate →
+    // norm table joined back (AQE broadcasts the |vectors|-row side).
+    // A shuffle-free HOF fold per row was tried first and REJECTED:
+    // Spark's higher-order functions are CodegenFallback, and the
+    // interpreted per-element fold measured 8.6 s vs ~1 s for this
+    // codegen'd relational form at sf0.1 (same lesson as the q72
+    // rewrite recorded in PLANS.md). Decimal addition is associative,
+    // so the aggregate equals the oracle's unordered sum bit-for-bit;
+    // sqrt/divide are single correctly-rounded IEEE ops on identical
+    // operands. Zero vectors are filtered, not divided by.
     Q("q124_l2_normalize",
       (s, dir) => {
         val dec = org.apache.spark.sql.types.DecimalType(18, 9)
-        val nn = aggregate(
-          transform(col("embedding"), x => x.cast("double")),
-          lit(java.math.BigDecimal.ZERO).cast(dec),
-          (acc, x) => (acc + (x * x).cast(dec)).cast(dec))
-          .cast("double")
-        Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), nn.as("nn"),
+        val ex = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
             posexplode(transform(col("embedding"), x => x.cast("double")))
               .as(Seq("p", "e")))
+          .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+            col("e"))
+        val nrm = ex.groupBy("vec_id")
+          .agg(sum((col("e") * col("e")).cast(dec)).cast("double")
+            .as("nn"))
           .filter(col("nn") > 0d)
-          .select(col("vec_id"),
-            (col("p") + 1).cast("long").as("i"),
+        ex.join(nrm, "vec_id")
+          .select(col("vec_id"), col("i"),
             (col("e") / sqrt(col("nn"))).as("e_norm"))
           .orderBy("vec_id", "i")
       },
