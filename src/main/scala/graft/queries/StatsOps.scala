@@ -610,6 +610,65 @@ object StatsOps {
         SELECT p.prev_type, next_type, n, row_total,
           CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS p
         FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
-        ORDER BY p.prev_type, next_type"""))
+        ORDER BY p.prev_type, next_type""")),
+
+    // Merit-order curve — THE energy-market query (the reference's
+    // domain: reference dashboards rank supply by price and read the
+    // marginal price at demand). Per zone: order bids by price,
+    // cumulate capacity in DECIMAL (exact, associative), and pick the
+    // first bid whose cumulative capacity covers 30 % of the zone's
+    // total — the crossing test is integer-scaled decimal
+    // (10·cum ≥ 3·total), so no float demand threshold exists
+    // anywhere. One broadcast dim join + one per-zone window; the
+    // crossing row is a min-struct aggregate (cum is strictly
+    // increasing, so min(cum) over qualifying rows IS the crossing),
+    // not a second sort.
+    Q("q130_merit_order",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(28, 2)
+        val sup = Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val bids = Tables.load(s, dir, "lineitem")
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_nationkey").cast(LongType).as("zone"),
+            col("l_extendedprice").as("price"),
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast(dec).as("cap"))
+        val wCum = Window.partitionBy("zone")
+          .orderBy("price", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("zone")
+        bids
+          .withColumn("cum", sum(col("cap")).over(wCum))
+          .withColumn("total", sum(col("cap")).over(wAll))
+          .filter(col("cum") * 10 >= col("total") * 3)
+          .groupBy("zone")
+          .agg(min(struct(col("cum"), col("price"), col("total")))
+            .as("m"))
+          .select(col("zone"),
+            col("m.total").cast("double").as("total_capacity"),
+            col("m.price").as("marginal_price"),
+            col("m.cum").cast("double").as("cum_at_marginal"))
+          .orderBy("zone")
+      },
+      Some("""WITH bids AS (
+          SELECT CAST(s_nationkey AS BIGINT) AS zone,
+            l_extendedprice AS price, l_orderkey, l_linenumber,
+            CAST(l_quantity AS DECIMAL(28,2)) AS cap
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+        c AS (SELECT zone, price,
+            sum(cap) OVER (PARTITION BY zone
+              ORDER BY price, l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(cap) OVER (PARTITION BY zone) AS total
+          FROM bids),
+        q AS (SELECT zone, price, cum, total FROM c
+          WHERE cum * 10 >= total * 3),
+        m AS (SELECT zone, min(cum) AS mcum FROM q GROUP BY 1)
+        SELECT q.zone, CAST(q.total AS DOUBLE) AS total_capacity,
+          q.price AS marginal_price,
+          CAST(q.cum AS DOUBLE) AS cum_at_marginal
+        FROM q JOIN m ON q.zone = m.zone AND q.cum = m.mcum
+        ORDER BY q.zone"""))
   )
 }
