@@ -458,7 +458,10 @@ object StatsOps {
     // identical rule in the oracle.
     Q("q126_time_weighted_avg",
       (s, dir) => {
-        val w = Window.partitionBy(col("user_id"), to_date(col("ts")))
+        // window and aggregate key off the SAME day expression so the
+        // lead-window's hash exchange is reused by the groupBy (one
+        // shuffle, not two — Explain-audited)
+        val w = Window.partitionBy(col("user_id"), col("day"))
           .orderBy("ts", "event_id")
         Tables.load(s, dir, "events")
           .select(col("user_id"),
