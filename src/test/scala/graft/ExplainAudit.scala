@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Exchange-count / join-strategy audit over the round-6 operator
+  * additions: `sbt "Test/runMain graft.ExplainAudit"` prints, per
+  * query, the hash-exchange count and any nested-loop/cartesian joins
+  * (the q123 sketch-pair BNLJ over the |groups|-row sketch table is
+  * the one intentional exception). */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.register(spark)
+    val qs = Seq("q113_fuzzy_block_join", "q114_kmv_distinct",
+      "q115_stratified_sample", "q116_ewma", "q117_winsorize",
+      "q118_skyline", "q119_mode_per_group", "q120_ordered_string_agg",
+      "q123_kmv_intersect", "q124_l2_normalize", "q125_ref_integrity",
+      "q128_quantile_interp", "q129_transition_matrix", "q130_merit_order")
+    for (q <- qs) {
+      val plan = graft.queries.Registry.queries(q)(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      val cart = "CartesianProduct".r.findAllIn(plan).length
+      println(s"AUDIT $q hashEx=$hashEx bnlj=$bnlj cartesian=$cart")
+    }
+    spark.stop()
+  }
+}
