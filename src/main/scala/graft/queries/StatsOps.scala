@@ -672,6 +672,43 @@ object StatsOps {
           q.price AS marginal_price,
           CAST(q.cum AS DOUBLE) AS cum_at_marginal
         FROM q JOIN m ON q.zone = m.zone AND q.cum = m.mcum
-        ORDER BY q.zone"""))
+        ORDER BY q.zone""")),
+
+    // Coincident-peak contribution — the demand-charge query: find THE
+    // system peak hour (hourly decimal-exact totals → deterministic
+    // argmax, ties broken by earliest hour), then each user's share of
+    // load IN that hour. The argmax is a 1-row TakeOrdered that
+    // broadcasts into the fact scan (no shuffle to find the peak rows),
+    // then one hash aggregate per user; shares are one double division
+    // of two decimal-exact sums.
+    Q("q131_peak_coincidence",
+      (s, dir) => {
+        import graft.functions.ExactAgg.dsum
+        val ev = Tables.load(s, dir, "events")
+          .withColumn("h", date_trunc("hour", col("ts")))
+        val peak = ev.groupBy("h").agg(dsum(col("value")).as("sys_total"))
+          .orderBy(col("sys_total").desc, col("h")).limit(1)
+        ev.join(broadcast(peak), "h")
+          .groupBy(col("user_id"), col("h").as("peak_hour"),
+            col("sys_total"))
+          .agg(dsum(col("value")).as("user_total"))
+          .select(col("user_id"), col("peak_hour"), col("user_total"),
+            col("sys_total"),
+            (col("user_total") / col("sys_total")).as("share"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS h,
+            ${graft.functions.ExactAgg.sqlSum("value")} AS sys_total
+          FROM events GROUP BY 1),
+        peak AS (SELECT h, sys_total FROM hourly
+          ORDER BY sys_total DESC, h LIMIT 1)
+        SELECT user_id, p.h AS peak_hour,
+          ${graft.functions.ExactAgg.sqlSum("e.value")} AS user_total,
+          p.sys_total,
+          ${graft.functions.ExactAgg.sqlSum("e.value")} / p.sys_total
+            AS share
+        FROM events e JOIN peak p ON date_trunc('hour', e.ts) = p.h
+        GROUP BY user_id, p.h, p.sys_total ORDER BY user_id"""))
   )
 }
