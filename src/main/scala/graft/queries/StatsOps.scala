@@ -709,6 +709,57 @@ object StatsOps {
           ${graft.functions.ExactAgg.sqlSum("e.value")} / p.sys_total
             AS share
         FROM events e JOIN peak p ON date_trunc('hour', e.ts) = p.h
-        GROUP BY user_id, p.h, p.sys_total ORDER BY user_id"""))
+        GROUP BY user_id, p.h, p.sys_total ORDER BY user_id""")),
+
+    // Same-hour baseline & deviation — the settlement-style "N-of-N
+    // baseline": each (user, hour) reading compared against the mean
+    // of that user's PREVIOUS up-to-5 readings for the same
+    // hour-of-day (the demand-response / anomaly baseline). Hourly
+    // cents roll up exactly in BIGINT; the baseline window partitions
+    // by the DERIVED key (user, hour-of-day) with a bounded trailing
+    // frame — one aggregate shuffle + one window shuffle, state
+    // bounded by the frame. Baseline = one double division; rows with
+    // under 3 prior observations are excluded (same rule both sides).
+    Q("q132_baseline_deviation",
+      (s, dir) => {
+        val hourly = Tables.load(s, dir, "events")
+          .withColumn("cents",
+            floor(col("value") * 100d + 0.5d).cast(LongType))
+          .groupBy(col("user_id"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(col("cents")).as("c"))
+        val w = Window.partitionBy(col("user_id"), hour(col("h")))
+          .orderBy("h").rowsBetween(-5, -1)
+        hourly
+          .withColumn("base_sum", sum(col("c")).over(w))
+          .withColumn("base_n", count(col("c")).over(w))
+          .filter(col("base_n") >= 3)
+          .select(col("user_id"), col("h"), col("c"),
+            col("base_sum"), col("base_n"),
+            (col("base_sum").cast("double") /
+              col("base_n").cast("double")).as("baseline_cents"),
+            (col("c").cast("double") -
+              col("base_sum").cast("double") /
+                col("base_n").cast("double")).as("deviation_cents"))
+          .orderBy("user_id", "h")
+      },
+      Some("""WITH hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS h,
+            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        b AS (
+          SELECT user_id, h, c,
+            CAST(sum(c) OVER w AS BIGINT) AS base_sum,
+            count(c) OVER w AS base_n
+          FROM hourly
+          WINDOW w AS (PARTITION BY user_id, extract(hour FROM h)
+            ORDER BY h ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        SELECT user_id, h, c, base_sum, base_n,
+          CAST(base_sum AS DOUBLE) / CAST(base_n AS DOUBLE)
+            AS baseline_cents,
+          CAST(c AS DOUBLE) - CAST(base_sum AS DOUBLE)
+            / CAST(base_n AS DOUBLE) AS deviation_cents
+        FROM b WHERE base_n >= 3 ORDER BY user_id, h"""))
   )
 }
