@@ -217,6 +217,57 @@ object GeoOps {
           ('FURNITURE', 'POLYGON ((-179.71 -12.61, -178.42 -84.22, -156.05 -85.55, -31.120000000000005 -89.92, 168.5 -86.5, 179.29000000000002 -43.61, 179.79000000000002 -28.11, 179.57999999999998 33.78, 179.0 59.0, 136.33999999999997 82.94, 106.88999999999999 87.99000000000001, 26.69999999999999 89.69999999999999, -137.47 87.22999999999999, -178.92 80.28, -179.42 64.78, -179.71 -12.61))'),
           ('HOUSEHOLD', 'POLYGON ((-180.0 -90.0, -86.73 -89.43, 99.81 -88.29, 159.20999999999998 -82.89, 178.79000000000002 -59.11, 177.29000000000002 74.38999999999999, 170.20999999999998 78.11000000000001, 116.18 84.38, -8.75 88.75, -124.39 89.50999999999999, -165.84 82.56, -167.42 76.78, -170.13 61.16999999999999, -176.42 -22.22, -180.0 -90.0))'),
           ('MACHINERY', 'POLYGON ((-177.71 49.389999999999986, -176.92 -37.72, -175.21 -53.11, -165.34 -81.94, -153.84 -85.44, -133.68 -86.88, -28.909999999999997 -89.81, 122.18 -89.62, 155.42000000000002 -88.78, 170.70999999999998 -86.39, 174.5 -80.5, 177.79000000000002 89.88999999999999, 84.51999999999998 89.32, -102.02 88.18, -163.63 82.66999999999999, -176.71 80.38999999999999, -177.71 49.389999999999986))'))
-        AS t(c_mktsegment, hull_wkt) ORDER BY c_mktsegment"""))
+        AS t(c_mktsegment, hull_wkt) ORDER BY c_mktsegment""")),
+
+    // Nearest-station assignment — the reference's station-to-grid
+    // matching shape (weather stations ↔ grid cells, units ↔ NUTS
+    // centroids): every point gets its closest member of a small
+    // reference set. The station dim BROADCASTS into the fact scan
+    // (no shuffle of the points), and the argmin is a map-side-partial
+    // struct-min — so cost is |points|·|stations| comparisons
+    // streaming through codegen, one aggregate shuffle keyed on the
+    // point. The metric is squared planar distance: a fixed
+    // multiply/add expression evaluated identically in both engines
+    // (geodesic haversine would drag in sin/cos, which are NOT
+    // correctly-rounded IEEE ops and can differ across libm
+    // implementations — for bit-exact verification the planar form is
+    // the right contract; at real scale the same plan shape carries
+    // any metric). For large reference sets the grid-bucketed join
+    // (q57) is the scale path.
+    Q("q133_nearest_station",
+      (s, dir) => {
+        val pts = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"),
+            expr(lonExpr).as("lon"), expr(latExpr).as("lat"))
+        val stations = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("station"),
+            expr("CAST((n_nationkey * 7919) % 360 AS DOUBLE) - 180.0")
+              .as("slon"),
+            expr("CAST((n_nationkey * 104729) % 180 AS DOUBLE) - 90.0")
+              .as("slat"))
+        pts.crossJoin(broadcast(stations))
+          .withColumn("d2",
+            (col("lon") - col("slon")) * (col("lon") - col("slon")) +
+              (col("lat") - col("slat")) * (col("lat") - col("slat")))
+          .groupBy("c_custkey")
+          .agg(min(struct(col("d2"), col("station"))).as("m"))
+          .select(col("c_custkey"), col("m.station").as("station"),
+            col("m.d2").as("dist2"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""WITH pts AS (SELECT c_custkey, $lonExpr AS lon,
+            $latExpr AS lat FROM customer),
+        st AS (SELECT CAST(n_nationkey AS BIGINT) AS station,
+            CAST((n_nationkey * 7919) % 360 AS DOUBLE) - 180.0 AS slon,
+            CAST((n_nationkey * 104729) % 180 AS DOUBLE) - 90.0 AS slat
+          FROM nation),
+        d AS (SELECT c_custkey, station,
+            (lon - slon) * (lon - slon) + (lat - slat) * (lat - slat)
+              AS d2
+          FROM pts CROSS JOIN st),
+        r AS (SELECT c_custkey, station, d2, row_number() OVER (
+            PARTITION BY c_custkey ORDER BY d2, station) AS rn FROM d)
+        SELECT c_custkey, station, d2 AS dist2 FROM r WHERE rn = 1
+        ORDER BY c_custkey"""))
   )
 }
