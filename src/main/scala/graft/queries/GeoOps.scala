@@ -268,6 +268,75 @@ object GeoOps {
         r AS (SELECT c_custkey, station, d2, row_number() OVER (
             PARTITION BY c_custkey ORDER BY d2, station) AS rn FROM d)
         SELECT c_custkey, station, d2 AS dist2 FROM r WHERE rn = 1
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // Inverse-distance-weighted interpolation — the generic form of
+    // the reference's grid-to-point weather interpolation (`dwd.py` /
+    // `ecmwf.py` map reanalysis cells onto stations/NUTS): each target
+    // gets Σ wᵢvᵢ / Σ wᵢ over the broadcast source set with w = 1/d².
+    // Float sums are order-dependent, so both weight terms are cast to
+    // DECIMAL(38,12) BEFORE summing (associative → partitioning- and
+    // engine-independent), and the final ratio is one double division.
+    // Same broadcast + map-side-partial aggregate shape as q133.
+    Q("q134_idw_interpolation",
+      (s, dir) => {
+        // scale 12, NOT higher: both engines cast double→decimal by
+        // rounding at the scale digit, and they agree only while that
+        // digit sits within the ~17 significant digits where the
+        // shortest-repr (Spark) and exact-binary (DuckDB) expansions
+        // coincide; weights here are ≤ ~0.2, so scale 12 stays well
+        // inside the agreement range (scale 18 measurably diverged by
+        // 1 ulp)
+        val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+        val pts = Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") < 300)
+          .select(col("c_custkey"),
+            expr(lonExpr).as("lon"), expr(latExpr).as("lat"))
+        val st = Tables.load(s, dir, "nation")
+          .select(
+            expr("CAST((n_nationkey * 7919) % 360 AS DOUBLE) - 180.0")
+              .as("slon"),
+            expr("CAST((n_nationkey * 104729) % 180 AS DOUBLE) - 90.0")
+              .as("slat"),
+            expr("CAST((n_nationkey * 37) % 100 AS DOUBLE)").as("v"))
+        val d2 = (col("lon") - col("slon")) * (col("lon") - col("slon")) +
+          (col("lat") - col("slat")) * (col("lat") - col("slat"))
+        // an EXACT hit (d2 = 0) takes the station value directly (the
+        // standard IDW rule — 1/0 would otherwise poison the sums);
+        // min(v) is the deterministic tiebreak for co-located stations
+        pts.crossJoin(broadcast(st))
+          .withColumn("d2", d2)
+          .withColumn("w",
+            when(col("d2") > 0d, lit(1.0d) / col("d2")))
+          .groupBy("c_custkey")
+          .agg(min(when(col("d2") === 0d, col("v"))).as("hit_v"),
+            sum(col("w").cast(dec)).as("sw"),
+            sum((col("w") * col("v")).cast(dec)).as("swv"))
+          .select(col("c_custkey"),
+            coalesce(col("hit_v"),
+              col("swv").cast("double") / col("sw").cast("double"))
+              .as("idw_value"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""WITH pts AS (SELECT c_custkey, $lonExpr AS lon,
+            $latExpr AS lat FROM customer WHERE c_custkey < 300),
+        st AS (SELECT
+            CAST((n_nationkey * 7919) % 360 AS DOUBLE) - 180.0 AS slon,
+            CAST((n_nationkey * 104729) % 180 AS DOUBLE) - 90.0 AS slat,
+            CAST((n_nationkey * 37) % 100 AS DOUBLE) AS v
+          FROM nation),
+        d AS (SELECT c_custkey, v,
+            (lon - slon) * (lon - slon)
+              + (lat - slat) * (lat - slat) AS d2
+          FROM pts CROSS JOIN st),
+        w AS (SELECT c_custkey, v, d2,
+            CASE WHEN d2 > 0 THEN CAST(1 AS DOUBLE) / d2 END AS w
+          FROM d)
+        SELECT c_custkey,
+          COALESCE(min(CASE WHEN d2 = 0 THEN v END),
+            CAST(sum(CAST(w * v AS DECIMAL(38,12))) AS DOUBLE)
+              / CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE))
+            AS idw_value
+        FROM w GROUP BY c_custkey ORDER BY c_custkey"""))
   )
 }
