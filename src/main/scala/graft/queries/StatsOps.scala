@@ -760,6 +760,66 @@ object StatsOps {
             AS baseline_cents,
           CAST(c AS DOUBLE) - CAST(base_sum AS DOUBLE)
             / CAST(base_n AS DOUBLE) AS deviation_cents
-        FROM b WHERE base_n >= 3 ORDER BY user_id, h"""))
+        FROM b WHERE base_n >= 3 ORDER BY user_id, h""")),
+
+    // Per-key least-squares trend (slope + intercept) — degradation /
+    // drift estimation per meter, the regression the reference's
+    // monitoring dashboards eyeball. The moment sums (Σx, Σy, Σxy,
+    // Σx²) accumulate in DECIMAL(38,0) over integer seconds × cents —
+    // exact and associative, one hash aggregate, no per-group sort —
+    // and slope/intercept are then a fixed sequence of double ops on
+    // identical operands. x is re-based to each key's first timestamp
+    // (slope is shift-invariant; the intercept is the fitted value AT
+    // that first observation, keeping magnitudes small enough that the
+    // decimal→double conversions stay in the correctly-rounded range).
+    Q("q135_linear_trend",
+      (s, dir) => {
+        val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val w = Window.partitionBy("user_id")
+        val base = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            unix_seconds(col("ts")).as("xs"),
+            floor(col("value") * 100d + 0.5d).cast(LongType).as("y"))
+          .withColumn("x", col("xs") - min(col("xs")).over(w))
+        val g = base.groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast(dec0)).as("sx"),
+          sum(col("y").cast(dec0)).as("sy"),
+          sum((col("x") * col("y")).cast(dec0)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec0)).as("sxx"))
+        val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+        val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")
+        g.filter(col("n") >= 2L && den =!= 0d)
+          .withColumn("slope", num / den)
+          .select(col("user_id"), col("n"), col("slope"),
+            ((col("sy").cast("double") -
+              col("slope") * col("sx").cast("double")) /
+              col("n").cast("double")).as("intercept_cents"))
+          .orderBy("user_id")
+      },
+      Some("""WITH base AS (
+          SELECT user_id,
+            CAST(floor(epoch(ts)) AS BIGINT)
+              - min(CAST(floor(epoch(ts)) AS BIGINT))
+                OVER (PARTITION BY user_id) AS x,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+          FROM events),
+        g AS (SELECT user_id, count(*) AS n,
+            sum(CAST(x AS DECIMAL(38,0))) AS sx,
+            sum(CAST(y AS DECIMAL(38,0))) AS sy,
+            sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+            sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+          FROM base GROUP BY 1),
+        s AS (SELECT user_id, n,
+            CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+            CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+            CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+          FROM g)
+        SELECT user_id, n, num / den AS slope,
+          (syd - (num / den) * sxd) / CAST(n AS DOUBLE)
+            AS intercept_cents
+        FROM s WHERE n >= 2 AND den <> 0 ORDER BY user_id"""))
   )
 }
