@@ -337,6 +337,36 @@ object GeoOps {
             CAST(sum(CAST(w * v AS DECIMAL(38,12))) AS DOUBLE)
               / CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE))
             AS idw_value
-        FROM w GROUP BY c_custkey ORDER BY c_custkey"""))
+        FROM w GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // 2-D density grid — the heat-density raster shape
+    // (`nrw_kwp_waermedichte`: 12.7M geometries binned onto a map):
+    // floor-bin both coordinates to a 10° grid and aggregate count +
+    // exact balance sum per cell. ONE hash aggregate on the composite
+    // cell key; integer floor-division binning (no float bin edges to
+    // disagree on); the output is |cells|, never |points|.
+    Q("q136_grid_density",
+      (s, dir) => {
+        val pts = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"),
+            expr(lonExpr).as("lon"), expr(latExpr).as("lat"))
+        pts
+          .withColumn("cell_x",
+            floor(col("lon") / 10d).cast("long"))
+          .withColumn("cell_y",
+            floor(col("lat") / 10d).cast("long"))
+          .groupBy("cell_x", "cell_y")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.ExactAgg.dsum(col("c_acctbal"))
+              .as("balance_sum"))
+          .orderBy("cell_x", "cell_y")
+      },
+      Some(s"""WITH pts AS (SELECT c_custkey, c_acctbal,
+            $lonExpr AS lon, $latExpr AS lat FROM customer)
+        SELECT CAST(floor(lon / 10) AS BIGINT) AS cell_x,
+          CAST(floor(lat / 10) AS BIGINT) AS cell_y,
+          count(*) AS n,
+          ${graft.functions.ExactAgg.sqlSum("c_acctbal")} AS balance_sum
+        FROM pts GROUP BY 1, 2 ORDER BY cell_x, cell_y"""))
   )
 }

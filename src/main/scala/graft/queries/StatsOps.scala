@@ -820,6 +820,44 @@ object StatsOps {
         SELECT user_id, n, num / den AS slope,
           (syd - (num / den) * sxd) / CAST(n AS DOUBLE)
             AS intercept_cents
-        FROM s WHERE n >= 2 AND den <> 0 ORDER BY user_id"""))
+        FROM s WHERE n >= 2 AND den <> 0 ORDER BY user_id""")),
+
+    // Iceberg query — groups whose contribution exceeds a SCALE-FREE
+    // global threshold: parts earning at least twice the average
+    // part's revenue (an absolute share cutoff empties as the group
+    // count grows; the average-relative form is the one that stays
+    // meaningful at any SF; 1.5x sits at the p99 of the fixture's
+    // revenue distribution). Two hash aggregates — per-group
+    // decimal-exact sums and a 1-row global (total, group-count) that
+    // broadcasts into the filter — and the test is integer-scaled
+    // decimal (2·group·count ≥ 3·total), so no float threshold exists.
+    // The group aggregate is the only fact-table shuffle.
+    Q("q137_iceberg",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(28, 2)
+        val li = Tables.load(s, dir, "lineitem")
+        val g = li.groupBy("l_partkey")
+          .agg(sum(col("l_extendedprice").cast(dec)).as("rev"),
+            count(lit(1)).as("n"))
+        val tot = g.agg(sum(col("rev")).as("total"),
+          count(lit(1)).as("n_groups"))
+        g.crossJoin(broadcast(tot))
+          .filter(col("rev") * col("n_groups") * 2 >= col("total") * 3)
+          .select(col("l_partkey"), col("n"),
+            col("rev").cast("double").as("revenue"),
+            (col("rev").cast("double") / col("total").cast("double"))
+              .as("share"))
+          .orderBy("l_partkey")
+      },
+      Some("""WITH g AS (SELECT l_partkey,
+            sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS rev,
+            count(*) AS n
+          FROM lineitem GROUP BY 1),
+        t AS (SELECT CAST(sum(rev) AS DECIMAL(38,2)) AS total,
+            count(*) AS n_groups FROM g)
+        SELECT l_partkey, n, CAST(rev AS DOUBLE) AS revenue,
+          CAST(rev AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        FROM g, t WHERE rev * n_groups * 2 >= total * 3
+        ORDER BY l_partkey"""))
   )
 }
