@@ -175,6 +175,53 @@ object IngestOps {
           SELECT * FROM closed UNION ALL SELECT * FROM still
           UNION ALL SELECT * FROM toclose UNION ALL
           SELECT * FROM newrows)
-        ORDER BY user_id, valid_from, state"""))
+        ORDER BY user_id, valid_from, state""")),
+
+    // SCD2 POINT-IN-TIME lookup — the consumption side of q77/q78:
+    // every purchase joined to the dimension state that was valid AT
+    // ITS OWN event time (fact.ts ∈ [valid_from, valid_to)), the
+    // temporal join every as-was report needs. One equi-join keyed on
+    // the entity with the interval test as the residual condition —
+    // the history side is |state changes|, never |facts|, and each
+    // fact matches exactly one interval (the intervals partition each
+    // key's timeline).
+    Q("q138_scd2_lookup",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val hist = Scd2.historyFromLog(ev,
+            "user_id", "event_type", "ts", "event_id")
+          .select(col("user_id").as("h_user"), col("state"),
+            col("valid_from"), col("valid_to"))
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("value"))
+          .join(hist, col("user_id") === col("h_user") &&
+            col("ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("value"), col("state").as("state_at_purchase"),
+            col("valid_from"))
+          .orderBy("event_id")
+      },
+      Some("""WITH chg AS (
+          SELECT user_id, event_type, ts, event_id FROM (
+            SELECT user_id, event_type, ts, event_id,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS pv
+            FROM events)
+          WHERE pv IS NULL OR pv <> event_type),
+        hist AS (
+          SELECT user_id AS h_user, event_type AS state,
+            ts AS valid_from,
+            lead(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS valid_to
+          FROM chg)
+        SELECT e.event_id, e.user_id, e.ts, e.value,
+          h.state AS state_at_purchase, h.valid_from
+        FROM events e JOIN hist h ON e.user_id = h.h_user
+          AND e.ts >= h.valid_from
+          AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+        WHERE e.event_type = 'purchase'
+        ORDER BY e.event_id"""))
   )
 }
