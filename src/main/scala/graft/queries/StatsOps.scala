@@ -83,6 +83,10 @@ object StatsOps {
           .agg(count(lit(1)).as("exact_distinct"),
             TopKAggregate.bottomK(col("h").cast("double"), col("h"), k)
               .as("mins"))
+          // Mirror the oracle's `WHERE rn = 8`: a group with fewer than
+          // k distinct hashes has no k-th min and must be omitted, not
+          // emitted with NULL sketch columns.
+          .filter(size(col("mins")) === k)
           .select(col("event_type"), col("exact_distinct"),
             element_at(col("mins"), k).getField("_2").as("kth_hash"),
             (lit((k - 1) * M32).cast("double") /
@@ -823,7 +827,7 @@ object StatsOps {
         FROM s WHERE n >= 2 AND den <> 0 ORDER BY user_id""")),
 
     // Iceberg query — groups whose contribution exceeds a SCALE-FREE
-    // global threshold: parts earning at least twice the average
+    // global threshold: parts earning at least 1.5x the average
     // part's revenue (an absolute share cutoff empties as the group
     // count grows; the average-relative form is the one that stays
     // meaningful at any SF; 1.5x sits at the p99 of the fixture's

@@ -340,6 +340,9 @@ object StreamQueries {
           StreamOps.drainToMemory(sk, "q127_sink", OutputMode.Update())
         }
         s.table("q127_sink")
+          // Mirror the oracle's `WHERE rn = 8`: keys with fewer than k
+          // distinct hashes carry no k-th min and are omitted.
+          .filter(size(col("mins")) === k)
           .select(col("grp").as("event_type"),
             element_at(col("mins"), k).as("kth_hash"),
             (lit(7L * 4294967296L).cast("double") /

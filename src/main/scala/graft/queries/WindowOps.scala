@@ -165,14 +165,26 @@ object WindowOps {
         val wOrd = Window.partitionBy("event_type")
           .orderBy("value", "event_id")
         val wAll = Window.partitionBy("event_type")
+        // Single pass over the ranked window: one filter keeps both
+        // quantile ranks, then explode over the matched labels (a rank
+        // that is simultaneously p50 and p90 — tiny group — emits both
+        // rows, exactly like the oracle's UNION ALL). The previous
+        // two-branch union re-executed the per-group sort window once
+        // per quantile.
         val ranked = ev
           .withColumn("rn", row_number().over(wOrd).cast(LongType))
           .withColumn("n", count(lit(1)).over(wAll))
-        def at(q: Double, label: String) = ranked
-          .filter(col("rn") === ceil(col("n") * q).cast(LongType))
-          .select(col("event_type"), lit(label).as("q"),
+        val c50 = ceil(col("n") * 0.5).cast(LongType)
+        val c90 = ceil(col("n") * 0.9).cast(LongType)
+        ranked
+          .filter(col("rn") === c50 || col("rn") === c90)
+          .withColumn("q", explode(concat(
+            when(col("rn") === c50, array(lit("p50")))
+              .otherwise(array().cast("array<string>")),
+            when(col("rn") === c90, array(lit("p90")))
+              .otherwise(array().cast("array<string>")))))
+          .select(col("event_type"), col("q"),
             col("value").as("quantile_value"))
-        at(0.5, "p50").unionByName(at(0.9, "p90"))
           .orderBy("event_type", "q")
       },
       Some("""WITH ranked AS (

@@ -233,18 +233,33 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val cur = new java.io.File(stateDir, "_SUCCESS").exists()
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val state = new org.apache.hadoop.fs.Path(stateDir)
+        val old = new org.apache.hadoop.fs.Path(stateDir + ".old")
+        val staging = new org.apache.hadoop.fs.Path(stateDir + ".staging")
+        // Crash recovery: a previous run that died between the two
+        // renames left the state at `.old` — restore it before reading.
+        // (A leftover `.staging` is an incomplete write; discard it.)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(state, "_SUCCESS"))
+            && fs.exists(new org.apache.hadoop.fs.Path(old, "_SUCCESS"))) {
+          fs.delete(state, true)
+          fs.rename(old, state)
+        }
+        fs.delete(staging, true)
+        val cur =
+          fs.exists(new org.apache.hadoop.fs.Path(state, "_SUCCESS"))
         val merged =
           if (cur) latestPerKey(
             s.read.parquet(stateDir).unionByName(latestPerKey(batch)))
           else latestPerKey(batch)
-        val staging = stateDir + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(s.sessionState.newHadoopConf())
-        fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
-        fs.rename(new org.apache.hadoop.fs.Path(staging),
-          new org.apache.hadoop.fs.Path(stateDir))
+        merged.write.mode("overwrite").parquet(staging.toString)
+        // Crash-safe swap: current state stays intact at `.old` until
+        // the new state is in place; only then is it deleted.
+        fs.delete(old, true)
+        if (cur) fs.rename(state, old)
+        fs.rename(staging, state)
+        fs.delete(old, true)
         ()
       }
       .start()

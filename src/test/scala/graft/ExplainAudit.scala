@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   * the one intentional exception). */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
+    val dataDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -21,7 +22,7 @@ object ExplainAudit {
       "q128_quantile_interp", "q129_transition_matrix", "q130_merit_order")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
-        spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+        spark, dataDir).queryExecution.executedPlan.toString
       val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
       val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
       val cart = "CartesianProduct".r.findAllIn(plan).length

@@ -155,7 +155,8 @@ class ScaleSpec extends SparkSpec {
     val plan = graft.queries.Registry
       .queries("q113_fuzzy_block_join")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("abs((length(") || plan.contains("abs((length("),
+    assert(plan.contains("abs((length(") ||
+      plan.contains("abs((char_length("),
       s"length-difference prefilter missing from join condition:\n$plan")
   }
 
