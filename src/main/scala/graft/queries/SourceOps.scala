@@ -138,13 +138,18 @@ object SourceOps {
         AS t(technology, n, total_mw, with_notes)
         ORDER BY technology""")),
 
-    // S5 — archive expansion: the customer table landed as a
-    // two-member zip (csv per region-parity, the frequency.py zip-of-
-    // csv shape), expanded executor-side, member-tagged, parsed as
-    // headered CSV, aggregated. Oracle recomputes from parquet.
+    // S5 — archive expansion: a dimension-sized slice of the customer
+    // table landed as a two-member zip (csv per key-parity, the
+    // frequency.py zip-of-csv shape), expanded executor-side,
+    // member-tagged, parsed as headered CSV, aggregated. Oracle
+    // recomputes from parquet with the same key cap — the cap keeps
+    // the driver-side fixture synthesis O(1k rows) at ANY scale
+    // factor (the operator under test runs on executors; only the
+    // test fixture is driver-built).
     Q("q65_zip_csv_roundtrip",
       (s, dir) => {
         val cust = Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") <= 1000)
           .selectExpr("CAST(c_custkey AS LONG) AS k", "c_mktsegment",
             "CAST(c_acctbal AS DOUBLE) AS bal")
           .orderBy("k").collect()
@@ -180,7 +185,100 @@ object SourceOps {
       Some(s"""SELECT c_mktsegment, count(*) AS n,
           ${ExactAgg.sqlSum("c_acctbal")} AS total_bal,
           CAST(max(c_custkey) AS BIGINT) AS max_key
-        FROM customer GROUP BY 1 ORDER BY 1""")),
+        FROM customer WHERE c_custkey <= 1000
+        GROUP BY 1 ORDER BY 1""")),
+
+    // S5 (bz2) — the dwd.py:106 shape: a bz2-compressed payload
+    // decompressed executor-side (commons-compress, multi-stream
+    // aware) and parsed as CSV lines. The nation table (dimension-
+    // sized at every SF) is landed as one bz2 CSV, read back through
+    // bz2Lines, and aggregated; oracle recomputes from parquet.
+    Q("q139_bz2_roundtrip",
+      (s, dir) => {
+        val nat = Tables.load(s, dir, "nation")
+          .selectExpr("CAST(n_nationkey AS LONG) AS k", "n_name",
+            "CAST(n_regionkey AS LONG) AS rk")
+          .orderBy("k").collect()
+        val path = landAtomically(new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-q139-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+            ".csv.bz2")) { f =>
+          val out = new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorOutputStream(new java.io.FileOutputStream(f))
+          try {
+            val text = "n_nationkey,n_name,n_regionkey\n" +
+              nat.map(r =>
+                s"${r.getLong(0)},${r.getString(1)},${r.getLong(2)}")
+                .mkString("\n")
+            out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          } finally out.close()
+        }
+        import s.implicits._
+        val lines = ArchiveSource.bz2Lines(s, path)
+          .select("line").as[String]
+        s.read.option("header", "true").csv(lines)
+          .groupBy(col("n_regionkey").cast("long").as("region_key"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_nationkey").cast("long")).as("keysum"),
+            max(col("n_name")).as("max_name"))
+          .orderBy("region_key")
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+          count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS keysum,
+          max(n_name) AS max_name
+        FROM nation GROUP BY 1 ORDER BY 1""")),
+
+    // S5 (7z) — the refit.py:50-61 shape: a 7z-of-CSV archive
+    // (py7zr writes LZMA2) whose members are read by name. A capped
+    // supplier slice lands as two LZMA2 members split by key parity,
+    // both read back through sevenZMemberCsv (commons-compress + xz —
+    // Spark's own classpath), unioned, aggregated; oracle recomputes
+    // from parquet under the same cap.
+    Q("q140_sevenz_roundtrip",
+      (s, dir) => {
+        val sup = Tables.load(s, dir, "supplier")
+          .filter(col("s_suppkey") <= 1000)
+          .selectExpr("CAST(s_suppkey AS LONG) AS k",
+            "CAST(s_nationkey AS LONG) AS nk",
+            "CAST(s_acctbal AS DOUBLE) AS bal")
+          .orderBy("k").collect()
+        val path = landAtomically(new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-q140-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+            ".7z")) { f =>
+          val out = new org.apache.commons.compress.archivers.sevenz
+            .SevenZOutputFile(f)
+          try {
+            for (parity <- Seq(0, 1)) {
+              val e = new org.apache.commons.compress.archivers.sevenz
+                .SevenZArchiveEntry()
+              e.setName(s"House_$parity.csv")
+              out.putArchiveEntry(e)
+              val text = "s_suppkey,s_nationkey,s_acctbal\n" +
+                sup.filter(_.getLong(0) % 2 == parity).map(r =>
+                  s"${r.getLong(0)},${r.getLong(1)},${r.getDouble(2)}")
+                  .mkString("\n")
+              out.write(
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              out.closeArchiveEntry()
+            }
+          } finally out.close()
+        }
+        val a = ArchiveSource.sevenZMemberCsv(s, path, "House_0.csv")
+        val b = ArchiveSource.sevenZMemberCsv(s, path, "House_1.csv")
+        a.unionByName(b)
+          .groupBy(col("s_nationkey").cast("long").as("nation_key"))
+          .agg(count(lit(1)).as("n"),
+            ExactAgg.dsum(col("s_acctbal").cast("double")).as("total_bal"),
+            max(col("s_suppkey").cast("long")).as("max_key"))
+          .orderBy("nation_key")
+      },
+      Some(s"""SELECT CAST(s_nationkey AS BIGINT) AS nation_key,
+          count(*) AS n,
+          ${ExactAgg.sqlSum("s_acctbal")} AS total_bal,
+          CAST(max(s_suppkey) AS BIGINT) AS max_key
+        FROM supplier WHERE s_suppkey <= 1000
+        GROUP BY 1 ORDER BY 1""")),
 
     // S4 — XML registry: the supplier table landed as a MaStR-style
     // utf-16le flat-row XML part-file, StAX-parsed on executors,
