@@ -104,4 +104,50 @@ object GrafanaMacros {
     // preserved
     rewriteQuotedIdents(s)
   }
+
+  /** Substitute Grafana TEMPLATE variables (`$country`, `${country}`)
+    * with literal values — the step Grafana itself performs before
+    * handing rawSql to the datasource. Literal-aware, like Grafana's
+    * raw interpolation: inside a single-quoted string the value is
+    * spliced verbatim (`'$nuts_id%'` → `'DE%'`); outside, it is
+    * emitted as a quoted SQL literal (`IN ($country)` → `IN ('DE')`),
+    * so the result is always valid SQL. `$__` names are macros, never
+    * template variables. */
+  def substituteVars(sql: String, vars: Map[String, String]): String = {
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        if (inStr && i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+          out.append("''"); i += 2 // escaped quote stays inside
+        } else { inStr = !inStr; out.append(c); i += 1 }
+      } else if (c == '$' && i + 1 < sql.length) {
+        var j = i + 1
+        val braced = sql.charAt(j) == '{'
+        if (braced) j += 1
+        val start = j
+        while (j < sql.length && (sql.charAt(j).isLetterOrDigit ||
+          sql.charAt(j) == '_')) j += 1
+        val name = sql.substring(start, j)
+        if (braced && j < sql.length && sql.charAt(j) == '}') j += 1
+        vars.get(name).filterNot(_ => name.startsWith("__")) match {
+          case Some(v) =>
+            val escaped = v.replace("'", "''")
+            if (inStr) out.append(escaped)
+            else out.append('\'').append(escaped).append('\'')
+            i = j
+          case None => out.append(c); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Variable names referenced by a rawSql string (template vars only —
+    * `$__` macros excluded). */
+  def variableNames(sql: String): Set[String] =
+    "\\$\\{?([A-Za-z_][A-Za-z0-9_]*)\\}?".r.findAllMatchIn(sql)
+      .map(_.group(1)).filterNot(_.startsWith("__")).toSet
 }

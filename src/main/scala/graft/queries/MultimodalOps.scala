@@ -63,5 +63,53 @@ object MultimodalOps {
         FROM (SELECT doc_id, strlen(text) // 16 AS nblocks
           FROM documents WHERE doc_id % 3 = 2)
         WHERE nblocks >= 1
-        ORDER BY media_id""")))
+        ORDER BY media_id""")),
+
+    // REAL codec decode: per doc a deterministic BMP / WAV / PPM file
+    // is ENCODED executor-side (MediaCodecs), then DECODED back by the
+    // byte-level parsers — header dims and the pixel/sample mean come
+    // from the decoded output. The oracle recomputes each mean
+    // arithmetically (avg over the generating formula), so a single
+    // mis-parsed byte anywhere in the encode→decode chain (BGR order,
+    // row padding, bottom-up flip, chunk walk, sample sign) breaks the
+    // hash. The mean is one double division on an exact integer sum —
+    // bit-identical across engines. Payloads never shuffle.
+    Q("q141_media_decode",
+      (s, dir) => {
+        val media = Multimodal.packEncodedMedia(
+          Tables.load(s, dir, "documents"))
+        Multimodal.decodeStats(media).toDF()
+          .select(col("media_id"), col("kind"), col("format"),
+            col("dim1").cast("long").as("dim1"),
+            col("dim2").cast("long").as("dim2"),
+            col("n_units"), col("mean_value"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+          CASE WHEN doc_id % 3 = 0 THEN 'bmp'
+               WHEN doc_id % 3 = 1 THEN 'wav'
+               ELSE 'ppm' END AS format,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 16
+               WHEN doc_id % 3 = 1 THEN 8000
+               ELSE 8 END AS BIGINT) AS dim1,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 8
+               WHEN doc_id % 3 = 1 THEN 1
+               ELSE 8 END AS BIGINT) AS dim2,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 384
+               WHEN doc_id % 3 = 1 THEN 256
+               ELSE 192 END AS BIGINT) AS n_units,
+          CASE WHEN doc_id % 3 = 0 THEN
+            (SELECT avg(CAST((g.i * 31 + doc_id) % 256 AS DOUBLE))
+             FROM generate_series(0, 383) AS g(i))
+          WHEN doc_id % 3 = 1 THEN
+            (SELECT avg(CAST((g.i * 37 + doc_id) % 2048 - 1024 AS DOUBLE))
+             FROM generate_series(0, 255) AS g(i))
+          ELSE
+            (SELECT avg(CAST((g.i * 13 + doc_id) % 256 AS DOUBLE))
+             FROM generate_series(0, 191) AS g(i))
+          END AS mean_value
+        FROM documents ORDER BY media_id""")))
 }

@@ -204,6 +204,35 @@ ORDER BY 1"""
           AND event_type IN ('click','view')
         GROUP BY 1 ORDER BY 1""")),
 
+    // TimescaleDB surface surfaced by the dashboard-corpus sweep: the
+    // reference's refit.json panel calls time_bucket('1 hour', ts)
+    // DIRECTLY (no Grafana macro), plus a template variable in the
+    // quoted-literal form. Both run verbatim: substituteVars splices
+    // the variable literal-aware, the registered time_bucket parses
+    // the spaced pg interval. Oracle is DuckDB's native time_bucket
+    // (both engines' 15-min buckets are origin-aligned: the 2000-01-01
+    // vs 1970 origin difference is a multiple of 900 s).
+    Q("q142_timescale_bucket_sql",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TimeFuncs.register(s)
+        val rawSql = """SELECT
+  time_bucket('15 minutes', ts) AS bucket_ts,
+  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
+  count(*) AS n
+FROM events
+WHERE EXTRACT(YEAR FROM ts) = 2024 AND event_type = '$etype'
+GROUP BY bucket_ts
+ORDER BY bucket_ts"""
+        s.sql(GrafanaMacros.substituteVars(rawSql, Map("etype" -> "click")))
+      },
+      Some("""SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
+          CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
+          count(*) AS n
+        FROM events
+        WHERE EXTRACT(YEAR FROM ts) = 2024 AND event_type = 'click'
+        GROUP BY 1 ORDER BY 1""")),
+
     // Q9 — PostgREST URL algebra translated to a DataFrame plan
     // (http_export_examples.md:17-24 shape).
     Q("q41_rest_algebra",

@@ -43,4 +43,85 @@ class MultimodalSpec extends SparkSpec {
     val r = Multimodal.resizeMeta(media, 100).collect()
     assert(r.forall(_.width <= 100))
   }
+
+  // ---- real codecs: known fixtures decode to exact values ------------
+
+  import graft.operators.MediaCodecs
+  import graft.operators.MediaCodecs.{Audio, Image}
+
+  test("BMP round-trips known pixels exactly, incl. row padding") {
+    // width 3 → row bytes 9 → padded to 12: the pad path is exercised
+    val rgb = Array[Byte](
+      10, 20, 30,  40, 50, 60,  70, 80, 90,
+      -1, 0, 1,    127, -128, 5,  11, 22, 33)
+    val img = Image(3, 2, rgb)
+    val decoded = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(img))
+    assert(decoded.width == 3 && decoded.height == 2)
+    assert(decoded.rgb.sameElements(rgb))
+  }
+
+  test("BMP decodes a hand-built top-down fixture (negative height)") {
+    // 1×2 top-down: rows appear in natural order; pixels stored BGR
+    val bytes = java.nio.ByteBuffer.allocate(54 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bytes.put('B'.toByte).put('M'.toByte).putInt(54 + 8).putInt(0)
+      .putInt(54).putInt(40).putInt(1).putInt(-2)
+      .putShort(1).putShort(24).putInt(0).putInt(8)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bytes.put(Array[Byte](3, 2, 1, 0)) // row 0: BGR(3,2,1) + pad
+    bytes.put(Array[Byte](6, 5, 4, 0)) // row 1: BGR(6,5,4) + pad
+    val img = MediaCodecs.decodeBmp(bytes.array())
+    assert(img.width == 1 && img.height == 2)
+    assert(img.rgb.sameElements(Array[Byte](1, 2, 3, 4, 5, 6)))
+  }
+
+  test("PPM round-trips and tolerates header comments") {
+    val rgb = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 7).toByte)
+    val enc = MediaCodecs.encodePpm(Image(2, 2, rgb))
+    val decoded = MediaCodecs.decodePpm(enc)
+    assert(decoded.width == 2 && decoded.rgb.sameElements(rgb))
+    // inject a comment line into the header, per the netpbm spec
+    val commented = ("P6\n# a comment\n2 2\n255\n")
+      .getBytes("US-ASCII") ++ rgb
+    val d2 = MediaCodecs.decodePpm(commented)
+    assert(d2.width == 2 && d2.height == 2 && d2.rgb.sameElements(rgb))
+  }
+
+  test("WAV round-trips known samples and skips unknown chunks") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val enc = MediaCodecs.encodeWav(Audio(44100, 1, samples))
+    val a = MediaCodecs.decodeWav(enc)
+    assert(a.sampleRate == 44100 && a.channels == 1)
+    assert(a.samples.sameElements(samples))
+    // splice a LIST chunk between fmt and data: parser must skip it
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = enc.slice(0, 36) ++ listChunk ++ enc.slice(36, enc.length)
+    // fix the RIFF size field (+12 bytes)
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + 12)
+    val a2 = MediaCodecs.decodeWav(spliced)
+    assert(a2.samples.sameElements(samples))
+  }
+
+  test("decodeStats routes by magic and computes decoded means") {
+    val docs = Tables.load(spark, sf, "documents").limit(30)
+    val stats = Multimodal.decodeStats(Multimodal.packEncodedMedia(docs))
+      .collect()
+    assert(stats.length == 30)
+    assert(stats.forall(_.format != "opaque"))
+    stats.foreach { r =>
+      val expect = (r.media_id % 3) match {
+        case 0 => (0 until 384).map(i => (i * 31 + r.media_id) % 256)
+          .sum.toDouble / 384
+        case 1 => (0 until 256).map(i => (i * 37 + r.media_id) % 2048 - 1024)
+          .sum.toDouble / 256
+        case _ => (0 until 192).map(i => (i * 13 + r.media_id) % 256)
+          .sum.toDouble / 192
+      }
+      assert(r.mean_value == expect,
+        s"media ${r.media_id} ${r.format}: ${r.mean_value} != $expect")
+    }
+  }
 }
