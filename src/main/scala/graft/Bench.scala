@@ -78,7 +78,17 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // failed_count rides next to value so a partial total (failures
     // excluded from the sum) can't be mistaken for a comparable full run
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the FULL per-query map: the driver's console tail
+    // truncates to ~2 KB, which silently drops the first ~90 entries —
+    // round-over-round comparison needs every query's time on disk.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

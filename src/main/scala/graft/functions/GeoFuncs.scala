@@ -228,6 +228,175 @@ object GeoFuncs {
     }
   }
 
+  // ---- Coordinate transform (ST_Transform, EPSG:25832 ↔ 4326) ----
+  //
+  // The reference's metadata helpers reproject constant 25832 → 4326
+  // (`metadata_sql_helpers.sql:100-124`); SURVEY scopes reprojection to
+  // exactly this pair. Implemented with the standard Krüger series for
+  // the transverse Mercator (public-domain formulas; ETRS89/GRS80
+  // ellipsoid, UTM zone 32N: k0 = 0.9996, λ0 = 9°E, E0 = 500 000).
+  // 3rd-order series ≈ sub-millimeter over the zone.
+
+  private val TmA = 6378137.0
+  private val TmF = 1.0 / 298.257222101 // GRS80
+  private val TmN = TmF / (2.0 - TmF)
+  private val TmK0 = 0.9996
+  private val TmE0 = 500000.0
+  private val TmLon0 = math.toRadians(9.0)
+  private val TmAbar = TmA / (1 + TmN) *
+    (1 + TmN * TmN / 4 + math.pow(TmN, 4) / 64)
+  // 4th-order Krüger coefficients: truncation residual ~nanometers
+  // over the zone (3rd order measured a 0.3 mm round-trip drift)
+  private val TmAlpha = Array(
+    TmN / 2 - 2 * TmN * TmN / 3 + 5 * math.pow(TmN, 3) / 16 +
+      41 * math.pow(TmN, 4) / 180,
+    13 * TmN * TmN / 48 - 3 * math.pow(TmN, 3) / 5 +
+      557 * math.pow(TmN, 4) / 1440,
+    61 * math.pow(TmN, 3) / 240 - 103 * math.pow(TmN, 4) / 140,
+    49561 * math.pow(TmN, 4) / 161280)
+  private val TmBeta = Array(
+    TmN / 2 - 2 * TmN * TmN / 3 + 37 * math.pow(TmN, 3) / 96 -
+      math.pow(TmN, 4) / 360,
+    TmN * TmN / 48 + math.pow(TmN, 3) / 15 -
+      437 * math.pow(TmN, 4) / 1440,
+    17 * math.pow(TmN, 3) / 480 - 37 * math.pow(TmN, 4) / 840,
+    4397 * math.pow(TmN, 4) / 161280)
+  private val TmDelta = Array(
+    2 * TmN - 2 * TmN * TmN / 3 - 2 * math.pow(TmN, 3) +
+      116 * math.pow(TmN, 4) / 45,
+    7 * TmN * TmN / 3 - 8 * math.pow(TmN, 3) / 5 -
+      227 * math.pow(TmN, 4) / 45,
+    56 * math.pow(TmN, 3) / 15 - 136 * math.pow(TmN, 4) / 35,
+    4279 * math.pow(TmN, 4) / 630)
+
+  /** (lon°, lat°) → UTM 32N (easting, northing) in meters. */
+  def lonLatToUtm32(lon: Double, lat: Double): (Double, Double) = {
+    val phi = math.toRadians(lat)
+    val dLam = math.toRadians(lon) - TmLon0
+    val c = 2 * math.sqrt(TmN) / (1 + TmN)
+    val t = math.sinh(atanh(math.sin(phi)) - c * atanh(c * math.sin(phi)))
+    val xiP = math.atan2(t, math.cos(dLam))
+    val etaP = atanh(math.sin(dLam) / math.sqrt(1 + t * t))
+    var xi = xiP; var eta = etaP
+    var j = 1
+    while (j <= 4) {
+      xi += TmAlpha(j - 1) * math.sin(2 * j * xiP) * math.cosh(2 * j * etaP)
+      eta += TmAlpha(j - 1) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
+      j += 1
+    }
+    (TmE0 + TmK0 * TmAbar * eta, TmK0 * TmAbar * xi)
+  }
+
+  /** UTM 32N (easting, northing) → (lon°, lat°). */
+  def utm32ToLonLat(e: Double, n: Double): (Double, Double) = {
+    val xi = n / (TmK0 * TmAbar)
+    val eta = (e - TmE0) / (TmK0 * TmAbar)
+    var xiP = xi; var etaP = eta
+    var j = 1
+    while (j <= 4) {
+      xiP -= TmBeta(j - 1) * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+      etaP -= TmBeta(j - 1) * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+      j += 1
+    }
+    val chi = math.asin(math.sin(xiP) / math.cosh(etaP))
+    var phi = chi
+    j = 1
+    while (j <= 4) { phi += TmDelta(j - 1) * math.sin(2 * j * chi); j += 1 }
+    val lam = TmLon0 + math.atan2(math.sinh(etaP), math.cos(xiP))
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+
+  private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
+
+  /** ST_Transform for WKT (POINT / POLYGON / MULTIPOLYGON). Only the
+    * reference's constant pair is supported: 25832 → 4326 and its
+    * inverse; anything else throws (the adapter contract — reprojection
+    * between arbitrary CRSs is adapter-side). */
+  def transformWkt(wkt: String, srcSrid: Int, dstSrid: Int): String = {
+    val f: (Double, Double) => (Double, Double) = (srcSrid, dstSrid) match {
+      case (25832, 4326) => utm32ToLonLat
+      case (4326, 25832) => lonLatToUtm32
+      case (a, b) if a == b => (x, y) => (x, y)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported transform $srcSrid -> $dstSrid " +
+          "(engine supports the reference's constant 25832 <-> 4326)")
+    }
+    mapWktCoords(wkt, f)
+  }
+
+  // ---- ST_Simplify (Douglas–Peucker) ----
+
+  /** Douglas–Peucker over an open point sequence; endpoints kept. */
+  private def douglasPeucker(pts: Array[(Double, Double)], tol: Double)
+      : Array[(Double, Double)] = {
+    if (pts.length < 3) return pts
+    val keep = new Array[Boolean](pts.length)
+    keep(0) = true; keep(pts.length - 1) = true
+    def perpDist(p: (Double, Double), a: (Double, Double),
+        b: (Double, Double)): Double = {
+      val (px, py) = p; val (ax, ay) = a; val (bx, by) = b
+      val dx = bx - ax; val dy = by - ay
+      val len = math.hypot(dx, dy)
+      if (len == 0.0) math.hypot(px - ax, py - ay)
+      else math.abs(dx * (ay - py) - dy * (ax - px)) / len
+    }
+    def rec(i: Int, j: Int): Unit = {
+      if (j <= i + 1) return
+      var maxD = -1.0; var maxK = -1
+      var k = i + 1
+      while (k < j) {
+        val d = perpDist(pts(k), pts(i), pts(j))
+        if (d > maxD) { maxD = d; maxK = k }
+        k += 1
+      }
+      if (maxD > tol) { keep(maxK) = true; rec(i, maxK); rec(maxK, j) }
+    }
+    rec(0, pts.length - 1)
+    pts.zipWithIndex.collect { case (p, i) if keep(i) => p }
+  }
+
+  /** ST_Simplify for WKT polygons/multipolygons: Douglas–Peucker per
+    * ring (`ST_Simplify(geometry, 20)` in the reference's metadata
+    * helpers). A ring that would collapse below 4 points (3 vertices +
+    * closure) is kept unsimplified — the conservative choice, vs
+    * PostGIS emitting an invalid or NULL geometry. POINTs pass
+    * through. */
+  def simplifyWkt(wkt: String, tolerance: Double): String = {
+    val w = wkt.trim.replaceFirst("(?i)^SRID=\\d+;", "").trim
+    if (w.toUpperCase.startsWith("POINT")) w
+    else {
+      val geom = parseGeometry(w)
+      val out = geom.map(_.map { ring =>
+        val simplified = douglasPeucker(ring, tolerance)
+        if (simplified.length < 4) ring else simplified
+      })
+      geomToWkt(out)
+    }
+  }
+
+  private def mapWktCoords(wkt: String,
+      f: (Double, Double) => (Double, Double)): String = {
+    val w = wkt.trim.replaceFirst("(?i)^SRID=\\d+;", "").trim
+    if (w.toUpperCase.startsWith("POINT")) {
+      val (x, y) = parsePoint(w)
+      val (nx, ny) = f(x, y)
+      s"POINT ($nx $ny)"
+    } else {
+      val geom = parseGeometry(w)
+      geomToWkt(geom.map(_.map(_.map { case (x, y) => f(x, y) })))
+    }
+  }
+
+  private def ringWkt(ring: Ring): String =
+    ring.map { case (x, y) => s"$x $y" }.mkString("(", ", ", ")")
+
+  private def geomToWkt(geom: Seq[Poly]): String =
+    if (geom.length == 1)
+      "POLYGON " + geom.head.map(ringWkt).mkString("(", ", ", ")")
+    else
+      "MULTIPOLYGON " + geom.map(p =>
+        p.map(ringWkt).mkString("(", ", ", ")")).mkString("(", ", ", ")")
+
   // ---- Column-level API (UDFs registered once per session) ----
 
   val stContains =
@@ -242,6 +411,14 @@ object GeoFuncs {
 
   val stAsGeoJson = udf { (wkt: String) => toGeoJson(wkt) }
 
+  val stTransform = udf { (wkt: String, src: Int, dst: Int) =>
+    transformWkt(wkt, src, dst)
+  }
+
+  val stSimplify = udf { (wkt: String, tol: Double) =>
+    simplifyWkt(wkt, tol)
+  }
+
   def stContains(poly: Column, x: Column, y: Column): Column =
     stContains.apply(poly, x, y)
 
@@ -252,5 +429,7 @@ object GeoFuncs {
     spark.udf.register("st_asgeojson", stAsGeoJson)
     spark.udf.register("st_centroid_x", stCentroidX)
     spark.udf.register("st_centroid_y", stCentroidY)
+    spark.udf.register("st_transform", stTransform)
+    spark.udf.register("st_simplify", stSimplify)
   }
 }

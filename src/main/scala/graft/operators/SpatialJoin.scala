@@ -107,4 +107,130 @@ object SpatialJoin {
     pts.join(polys, cond, "left")
       .drop(helperCols :+ "_cx" :+ "_cy" :+ "_px" :+ "_py": _*)
   }
+
+  private def sq(a: org.apache.spark.sql.Column) = a * a
+
+  /** Exact nearest-reference assignment with SIZE-THRESHOLDED
+    * dispatch. `refs` must expose exactly (refKey, refLon, refLat).
+    * Output: `pKeys` ++ refKey ++ `nn_dist2`, tie-broken by smallest
+    * refKey (deterministic, engine-portable).
+    *
+    * - `refs` ≤ `broadcastThreshold` rows → broadcast argmin: the
+    *   reference set streams through every point partition, one
+    *   map-side-partial struct-min, no shuffle of the points (the
+    *   bounded-reference-set shape, right for station dimensions).
+    * - above the threshold → grid algorithm, exact in two bucketed
+    *   equi-join phases: (1) each point probes an expanding square of
+    *   `cellDeg` cells (ring doubling for points whose neighborhood is
+    *   empty) for an UPPER BOUND; (2) each point re-probes every cell
+    *   within that bound's radius, which provably contains the global
+    *   nearest. Work is Σ cell-pair products, never points × refs; both
+    *   sides shuffle only on cell keys.
+    */
+  def nearestJoin(
+      points: DataFrame, pKeys: Seq[String], lonCol: String, latCol: String,
+      refs: DataFrame, refKey: String, refLon: String, refLat: String,
+      cellDeg: Double, broadcastThreshold: Long = 10000L): DataFrame = {
+    val d2 = sq(col(lonCol) - col(refLon)) + sq(col(latCol) - col(refLat))
+    if (refs.count() <= broadcastThreshold) {
+      points.crossJoin(broadcast(refs))
+        .withColumn("_d2", d2)
+        .groupBy(pKeys.map(col): _*)
+        .agg(min(struct(col("_d2"), col(refKey))).as("_m"))
+        .select(pKeys.map(col) ++ Seq(
+          col(s"_m.$refKey").as(refKey),
+          col("_m._d2").as("nn_dist2")): _*)
+    } else {
+      val keyCols = pKeys.map(col)
+      val pts = points
+        .select(pKeys.map(col) ++ Seq(col(lonCol), col(latCol)): _*)
+        .withColumn("_px", floor(col(lonCol) / cellDeg).cast("long"))
+        .withColumn("_py", floor(col(latCol) / cellDeg).cast("long"))
+      val rf = refs
+        .withColumn("_cx", floor(col(refLon) / cellDeg).cast("long"))
+        .withColumn("_cy", floor(col(refLat) / cellDeg).cast("long"))
+      def probe(ptsIn: DataFrame, rExpr: org.apache.spark.sql.Column)
+          : DataFrame =
+        ptsIn
+          .withColumn("_gx", explode(sequence(col("_px") - rExpr,
+            col("_px") + rExpr)))
+          .withColumn("_gy", explode(sequence(col("_py") - rExpr,
+            col("_py") + rExpr)))
+          .join(rf, col("_gx") === col("_cx") && col("_gy") === col("_cy"))
+          .withColumn("_d2", d2)
+          .groupBy(keyCols :+ col("_px") :+ col("_py"): _*)
+          .agg(min(struct(col("_d2"), col(refKey))).as("_m"))
+      // phase 1: upper bound via expanding neighborhood (rounds are
+      // O(log gridWidth); round 1 resolves everything when refs are
+      // denser than one per cell neighborhood)
+      var r = 1L
+      var pending = pts
+      var bound: DataFrame = null
+      while (!pending.isEmpty) {
+        val found = probe(pending, lit(r))
+        bound = if (bound == null) found else bound.unionByName(found)
+        pending = pending.join(
+          found.select(keyCols: _*), pKeys, "left_anti")
+        r *= 4
+      }
+      // phase 2: certify — any ref closer than the bound lies within
+      // ceil(sqrt(d2)/cellDeg) cells, and the bound's own ref is in
+      // that square too, so the re-probed min is the global min
+      probe(
+        bound.withColumn("_r",
+          ceil(sqrt(col("_m._d2")) / cellDeg).cast("long"))
+          .select(keyCols ++ Seq(col("_px"), col("_py"), col("_r")): _*)
+          .join(pts.select(pKeys.map(col) :+ col(lonCol) :+ col(latCol): _*),
+            pKeys),
+        col("_r"))
+        .select(pKeys.map(col) ++ Seq(
+          col(s"_m.$refKey").as(refKey),
+          col("_m._d2").as("nn_dist2")): _*)
+    }
+  }
+
+  /** Inverse-distance-weighted interpolation with the same dispatch.
+    * `refs` must expose (refLon, refLat, valueCol). Below the
+    * threshold: exact all-references IDW (w = 1/d², decimal-exact
+    * sums, exact-hit rule) — the oracle-checked q134 contract. Above:
+    * the standard radius-truncated IDW over a grid equi-join — each
+    * point aggregates references within `radiusCells` cells (weights
+    * beyond that are negligible by construction at real station
+    * densities); same decimal-exact aggregation. */
+  def idwJoin(
+      points: DataFrame, pKeys: Seq[String], lonCol: String, latCol: String,
+      refs: DataFrame, refLon: String, refLat: String, valueCol: String,
+      cellDeg: Double, radiusCells: Int = 1,
+      broadcastThreshold: Long = 10000L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val d2 = sq(col(lonCol) - col(refLon)) + sq(col(latCol) - col(refLat))
+    def aggregate(joined: DataFrame): DataFrame =
+      joined
+        .withColumn("_d2", d2)
+        .withColumn("_w", when(col("_d2") > 0d, lit(1.0d) / col("_d2")))
+        .groupBy(pKeys.map(col): _*)
+        .agg(min(when(col("_d2") === 0d, col(valueCol))).as("_hit"),
+          sum(col("_w").cast(dec)).as("_sw"),
+          sum((col("_w") * col(valueCol)).cast(dec)).as("_swv"))
+        .select(pKeys.map(col) :+
+          coalesce(col("_hit"),
+            col("_swv").cast("double") / col("_sw").cast("double"))
+            .as("idw_value"): _*)
+    if (refs.count() <= broadcastThreshold)
+      aggregate(points.crossJoin(broadcast(refs)))
+    else {
+      val pts = points
+        .withColumn("_px", floor(col(lonCol) / cellDeg).cast("long"))
+        .withColumn("_py", floor(col(latCol) / cellDeg).cast("long"))
+        .withColumn("_gx", explode(sequence(col("_px") - radiusCells,
+          col("_px") + radiusCells)))
+        .withColumn("_gy", explode(sequence(col("_py") - radiusCells,
+          col("_py") + radiusCells)))
+      val rf = refs
+        .withColumn("_cx", floor(col(refLon) / cellDeg).cast("long"))
+        .withColumn("_cy", floor(col(refLat) / cellDeg).cast("long"))
+      aggregate(pts.join(rf,
+        col("_gx") === col("_cx") && col("_gy") === col("_cy")))
+    }
+  }
 }

@@ -232,8 +232,11 @@ object GeoOps {
     // correctly-rounded IEEE ops and can differ across libm
     // implementations — for bit-exact verification the planar form is
     // the right contract; at real scale the same plan shape carries
-    // any metric). For large reference sets the grid-bucketed join
-    // (q57) is the scale path.
+    // any metric). Dispatch is SIZE-THRESHOLDED inside
+    // SpatialJoin.nearestJoin: a reference set past the threshold
+    // flips to the exact grid-bucketed two-phase join automatically
+    // (ScaleSpec asserts the flip); the 25-row nation dim stays on
+    // the broadcast path here.
     Q("q133_nearest_station",
       (s, dir) => {
         val pts = Tables.load(s, dir, "customer")
@@ -245,14 +248,10 @@ object GeoOps {
               .as("slon"),
             expr("CAST((n_nationkey * 104729) % 180 AS DOUBLE) - 90.0")
               .as("slat"))
-        pts.crossJoin(broadcast(stations))
-          .withColumn("d2",
-            (col("lon") - col("slon")) * (col("lon") - col("slon")) +
-              (col("lat") - col("slat")) * (col("lat") - col("slat")))
-          .groupBy("c_custkey")
-          .agg(min(struct(col("d2"), col("station"))).as("m"))
-          .select(col("c_custkey"), col("m.station").as("station"),
-            col("m.d2").as("dist2"))
+        graft.operators.SpatialJoin.nearestJoin(
+            pts, Seq("c_custkey"), "lon", "lat",
+            stations, "station", "slon", "slat", cellDeg = 30.0)
+          .withColumnRenamed("nn_dist2", "dist2")
           .orderBy("c_custkey")
       },
       Some(s"""WITH pts AS (SELECT c_custkey, $lonExpr AS lon,
@@ -280,14 +279,15 @@ object GeoOps {
     // Same broadcast + map-side-partial aggregate shape as q133.
     Q("q134_idw_interpolation",
       (s, dir) => {
-        // scale 12, NOT higher: both engines cast double→decimal by
-        // rounding at the scale digit, and they agree only while that
-        // digit sits within the ~17 significant digits where the
-        // shortest-repr (Spark) and exact-binary (DuckDB) expansions
-        // coincide; weights here are ≤ ~0.2, so scale 12 stays well
-        // inside the agreement range (scale 18 measurably diverged by
-        // 1 ulp)
-        val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+        // SpatialJoin.idwJoin carries the exact contract: decimal
+        // (38,12) weight sums — scale 12, NOT higher, because both
+        // engines cast double→decimal by rounding at the scale digit
+        // and agree only within ~17 significant digits (scale 18
+        // measurably diverged by 1 ulp) — and the exact-hit d2 = 0
+        // rule (1/0 would poison the sums). Dispatch is size-
+        // thresholded: a reference set past the threshold flips to
+        // radius-truncated IDW over the cell grid; the 25-row nation
+        // dim stays on the exact all-references broadcast path here.
         val pts = Tables.load(s, dir, "customer")
           .filter(col("c_custkey") < 300)
           .select(col("c_custkey"),
@@ -299,23 +299,9 @@ object GeoOps {
             expr("CAST((n_nationkey * 104729) % 180 AS DOUBLE) - 90.0")
               .as("slat"),
             expr("CAST((n_nationkey * 37) % 100 AS DOUBLE)").as("v"))
-        val d2 = (col("lon") - col("slon")) * (col("lon") - col("slon")) +
-          (col("lat") - col("slat")) * (col("lat") - col("slat"))
-        // an EXACT hit (d2 = 0) takes the station value directly (the
-        // standard IDW rule — 1/0 would otherwise poison the sums);
-        // min(v) is the deterministic tiebreak for co-located stations
-        pts.crossJoin(broadcast(st))
-          .withColumn("d2", d2)
-          .withColumn("w",
-            when(col("d2") > 0d, lit(1.0d) / col("d2")))
-          .groupBy("c_custkey")
-          .agg(min(when(col("d2") === 0d, col("v"))).as("hit_v"),
-            sum(col("w").cast(dec)).as("sw"),
-            sum((col("w") * col("v")).cast(dec)).as("swv"))
-          .select(col("c_custkey"),
-            coalesce(col("hit_v"),
-              col("swv").cast("double") / col("sw").cast("double"))
-              .as("idw_value"))
+        graft.operators.SpatialJoin.idwJoin(
+            pts, Seq("c_custkey"), "lon", "lat",
+            st, "slon", "slat", "v", cellDeg = 30.0)
           .orderBy("c_custkey")
       },
       Some(s"""WITH pts AS (SELECT c_custkey, $lonExpr AS lon,

@@ -157,4 +157,90 @@ class GeoSpec extends SparkSpec {
       """{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]],[[3.0,3.0],[7.0,3.0],[7.0,7.0],[3.0,7.0],[3.0,3.0]]]}""")
     assert(GeoFuncs.toGeoJson(multi).startsWith("""{"type":"MultiPolygon","coordinates":[[["""))
   }
+
+  // ---- ST_Transform (EPSG:25832 <-> 4326) ----
+
+  test("UTM32 transform: central meridian, equator, round trips") {
+    // central meridian maps to the false easting exactly
+    val (e0, n0) = GeoFuncs.lonLatToUtm32(9.0, 0.0)
+    assert(math.abs(e0 - 500000.0) < 1e-6 && math.abs(n0) < 1e-6)
+    val (e50, n50) = GeoFuncs.lonLatToUtm32(9.0, 50.0)
+    assert(math.abs(e50 - 500000.0) < 1e-6 && n50 > 5000000 && n50 < 6000000)
+    // round trip over the zone's usable extent: sub-micrometer residual
+    for (lon <- 5 to 13; lat <- 38 to 62 by 3) {
+      val (e, n) = GeoFuncs.lonLatToUtm32(lon.toDouble, lat.toDouble)
+      val (lon2, lat2) = GeoFuncs.utm32ToLonLat(e, n)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"round trip drifted at ($lon, $lat): ($lon2, $lat2)")
+    }
+  }
+
+  test("UTM32 transform: central-meridian scale factor is k0 = 0.9996") {
+    // ΔN over a short meridian arc divided by the true geodesic arc
+    // length M(φ)·Δφ must equal k0 — an independent check of the
+    // series constants against the ellipsoid definition
+    val f = 1.0 / 298.257222101
+    val e2 = f * (2 - f)
+    val phi = math.toRadians(50.0)
+    val m = 6378137.0 * (1 - e2) /
+      math.pow(1 - e2 * math.sin(phi) * math.sin(phi), 1.5)
+    val dPhiDeg = 1e-4
+    val (_, n1) = GeoFuncs.lonLatToUtm32(9.0, 50.0)
+    val (_, n2) = GeoFuncs.lonLatToUtm32(9.0, 50.0 + dPhiDeg)
+    val scale = (n2 - n1) / (m * math.toRadians(dPhiDeg))
+    assert(math.abs(scale - 0.9996) < 1e-6, s"meridian scale $scale")
+  }
+
+  test("UTM32 transform: plausible easting away from the meridian") {
+    // ~2.6° east at 48°N ≈ 192 km of easting offset (+ convergence)
+    val (e, n) = GeoFuncs.lonLatToUtm32(11.575, 48.137)
+    assert(e > 688000 && e < 695000, s"easting $e")
+    assert(n > 5300000 && n < 5370000, s"northing $n")
+  }
+
+  test("transformWkt maps polygon coords; unsupported pair throws") {
+    val utmSquare = GeoFuncs.transformWkt(square, 4326, 25832)
+    val back = GeoFuncs.transformWkt(utmSquare, 25832, 4326)
+    val orig = GeoFuncs.parseGeometry(square).head.head
+    val rt = GeoFuncs.parseGeometry(back).head.head
+    orig.zip(rt).foreach { case ((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) < 1e-9 && math.abs(y1 - y2) < 1e-9)
+    }
+    assert(GeoFuncs.transformWkt("POINT (3 4)", 4326, 4326) ==
+      "POINT (3.0 4.0)")
+    intercept[IllegalArgumentException] {
+      GeoFuncs.transformWkt(square, 3857, 4326)
+    }
+  }
+
+  // ---- ST_Simplify (Douglas–Peucker) ----
+
+  test("simplifyWkt drops sub-tolerance vertices, keeps shape") {
+    // square with collinear midpoints and a 0.1-deep notch
+    val noisy = "POLYGON ((0 0, 5 0.1, 10 0, 10 5, 10 10, 5 10, " +
+      "0 10, 0 5, 0 0))"
+    val out = GeoFuncs.simplifyWkt(noisy, 0.5)
+    val ring = GeoFuncs.parseGeometry(out).head.head
+    assert(ring.length == 5, s"expected the 4 corners + closure: $out")
+    // under-tolerance: the above-tolerance notch survives, while
+    // EXACTLY-collinear edge midpoints drop at any tolerance (their
+    // deviation is zero — standard Douglas–Peucker)
+    val keep = GeoFuncs.simplifyWkt(noisy, 0.01)
+    assert(GeoFuncs.parseGeometry(keep).head.head.length == 6)
+    assert(keep.contains("5.0 0.1"), s"notch must survive: $keep")
+  }
+
+  test("simplifyWkt never collapses a ring below a valid polygon") {
+    val sliver = "POLYGON ((0 0, 10 0.001, 20 0, 0 0))"
+    val out = GeoFuncs.simplifyWkt(sliver, 5.0)
+    assert(GeoFuncs.parseGeometry(out).head.head.length >= 4)
+  }
+
+  test("st_transform and st_simplify are registered SQL functions") {
+    GeoFuncs.register(spark)
+    val r = spark.sql(
+      s"SELECT st_simplify(st_transform('$square', 4326, 25832), 1.0) AS g")
+      .collect().head.getString(0)
+    assert(r.startsWith("POLYGON"))
+  }
 }

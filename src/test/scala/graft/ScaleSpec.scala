@@ -178,4 +178,69 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"),
       s"expected hash aggregation:\n$plan")
   }
+
+  private def nnFixture = {
+    val pts = Seq((1L, 10.5, 20.5), (2L, -75.0, 3.0), (3L, 179.0, -89.0),
+      (4L, 0.0, 0.0), (5L, 44.0, 44.0)).toDF("id", "lon", "lat")
+    val refs = Seq((100L, 11.0, 21.0), (101L, -80.0, 0.0),
+      (102L, 170.0, -80.0), (103L, 0.0, 0.0), (104L, 0.5, 0.5),
+      (105L, 120.0, 70.0)).toDF("station", "slon", "slat")
+    (pts, refs)
+  }
+
+  test("nearestJoin dispatch flips from broadcast to grid at the threshold") {
+    val (pts, refs) = nnFixture
+    val below = graft.operators.SpatialJoin.nearestJoin(
+      pts, Seq("id"), "lon", "lat", refs, "station", "slon", "slat",
+      cellDeg = 30.0, broadcastThreshold = 100)
+    assert(below.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "small reference set must take the broadcast path")
+    val above = graft.operators.SpatialJoin.nearestJoin(
+      pts, Seq("id"), "lon", "lat", refs, "station", "slon", "slat",
+      cellDeg = 30.0, broadcastThreshold = 3)
+    val plan = above.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"large reference set must avoid the all-pairs join:\n$plan")
+  }
+
+  test("nearestJoin grid path is exact: equals the broadcast result") {
+    val (pts, refs) = nnFixture
+    def run(threshold: Long) = graft.operators.SpatialJoin.nearestJoin(
+        pts, Seq("id"), "lon", "lat", refs, "station", "slon", "slat",
+        cellDeg = 30.0, broadcastThreshold = threshold)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // grid path (threshold 0) must reproduce the exact argmin even for
+    // point 3, whose nearest ref sits several cells away (phase-1 ring
+    // expansion + phase-2 certification both exercised)
+    assert(run(0) == run(100))
+  }
+
+  test("idwJoin dispatch flips and the grid path covers the radius") {
+    val (pts, refs) = nnFixture
+    val vrefs = refs.withColumn("v", col("station").cast("double"))
+    val below = graft.operators.SpatialJoin.idwJoin(
+      pts, Seq("id"), "lon", "lat", vrefs, "slon", "slat", "v",
+      cellDeg = 30.0, broadcastThreshold = 100)
+    assert(below.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val above = graft.operators.SpatialJoin.idwJoin(
+      pts, Seq("id"), "lon", "lat", vrefs, "slon", "slat", "v",
+      cellDeg = 200.0, radiusCells = 1, broadcastThreshold = 3)
+    val plan = above.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"grid IDW must be an equi-join on cells:\n$plan")
+    // with a cell size covering the whole domain the truncated form
+    // degenerates to the exact one — results must agree bit-for-bit
+    val exact = graft.operators.SpatialJoin.idwJoin(
+        pts, Seq("id"), "lon", "lat", vrefs, "slon", "slat", "v",
+        cellDeg = 200.0, broadcastThreshold = 100)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val grid = above.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(exact.sameElements(grid))
+  }
 }
