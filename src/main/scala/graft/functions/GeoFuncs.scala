@@ -397,6 +397,169 @@ object GeoFuncs {
       "MULTIPOLYGON " + geom.map(p =>
         p.map(ringWkt).mkString("(", ", ", ")")).mkString("(", ", ", ")")
 
+  // ---- EWKT SRID plumbing + the bounding-geometry surface ----
+  //
+  // The reference's metadata helpers (`metadata_sql_helpers.sql:84-124`)
+  // build `ST_Transform(ST_ConcaveHull(ST_Collect(ST_SetSRID(
+  // ST_MakePoint(lon,lat),4326)),0.5),4326)` and the geometry-column
+  // variant with `ST_Points(ST_Simplify(g,20))`. These run VERBATIM
+  // through spark.sql with the functions below; SRIDs travel as
+  // PostGIS-style EWKT prefixes (`SRID=25832;POLYGON …`).
+
+  private val SridPrefix = "(?i)^SRID=(\\d+);".r
+
+  /** (srid, bare wkt) — EWKT prefix split; None when unprefixed. */
+  def splitSrid(wkt: String): (Option[Int], String) = {
+    val t = wkt.trim
+    SridPrefix.findFirstMatchIn(t) match {
+      case Some(m) => (Some(m.group(1).toInt), t.substring(m.end).trim)
+      case None => (None, t)
+    }
+  }
+
+  def setSrid(wkt: String, srid: Int): String =
+    s"SRID=$srid;${splitSrid(wkt)._2}"
+
+  private def withSrid(srid: Option[Int], wkt: String): String =
+    srid.map(s => s"SRID=$s;$wkt").getOrElse(wkt)
+
+  def parseMultiPoint(wkt: String): Array[(Double, Double)] = {
+    val (_, w) = splitSrid(wkt)
+    require(w.toUpperCase.startsWith("MULTIPOINT"),
+      s"expected MULTIPOINT WKT, got: $wkt")
+    if (w.toUpperCase.contains("EMPTY")) Array.empty
+    else splitTop(stripOuterParens(w.substring(w.indexOf('(')))).map { tok =>
+      val t = tok.trim
+      val inner = if (t.startsWith("(")) stripOuterParens(t) else t
+      val xs = inner.trim.split("\\s+")
+      (xs(0).toDouble, xs(1).toDouble)
+    }
+  }
+
+  private def multiPointWkt(pts: Seq[(Double, Double)]): String =
+    if (pts.isEmpty) "MULTIPOINT EMPTY"
+    else "MULTIPOINT " + pts.map { case (x, y) => s"($x $y)" }
+      .mkString("(", ", ", ")")
+
+  /** Vertices of any supported geometry (ST_Points). */
+  def verticesOf(wkt: String): Array[(Double, Double)] = {
+    val (_, w) = splitSrid(wkt)
+    val u = w.toUpperCase
+    if (u.startsWith("MULTIPOINT")) parseMultiPoint(w)
+    else if (u.startsWith("POINT")) Array(parsePoint(w))
+    else parseGeometry(w).flatten.flatten
+  }
+
+  /** ST_Points: every vertex as a MULTIPOINT, SRID preserved. */
+  def pointsOf(wkt: String): String = {
+    val (srid, _) = splitSrid(wkt)
+    withSrid(srid, multiPointWkt(verticesOf(wkt).toSeq))
+  }
+
+  /** ST_Transform, PostGIS 2-arg form: source CRS from the EWKT
+    * prefix (unprefixed input is taken as 4326, the engine's canonical
+    * CRS per SURVEY §1.1); output carries the target SRID. Supported
+    * pairs as in [[transformWkt]]. */
+  def transformToSrid(wkt: String, dstSrid: Int): String = {
+    val (srid, w) = splitSrid(wkt)
+    s"SRID=$dstSrid;${transformWkt(w, srid.getOrElse(4326), dstSrid)}"
+  }
+
+  private def ringArea2(ring: Seq[(Double, Double)]): Double = {
+    var a = 0.0
+    var i = 0
+    val n = ring.length
+    while (i < n) {
+      val (x0, y0) = ring(i); val (x1, y1) = ring((i + 1) % n)
+      a += x0 * y1 - x1 * y0
+      i += 1
+    }
+    math.abs(a)
+  }
+
+  private def properIntersect(p1: (Double, Double), p2: (Double, Double),
+      q1: (Double, Double), q2: (Double, Double)): Boolean = {
+    def orient(a: (Double, Double), b: (Double, Double),
+        c: (Double, Double)): Double =
+      (b._1 - a._1) * (c._2 - a._2) - (b._2 - a._2) * (c._1 - a._1)
+    // segments sharing an endpoint are adjacency, not intersection
+    if (p1 == q1 || p1 == q2 || p2 == q1 || p2 == q2) return false
+    val d1 = orient(q1, q2, p1); val d2 = orient(q1, q2, p2)
+    val d3 = orient(p1, p2, q1); val d4 = orient(p1, p2, q2)
+    ((d1 > 0) != (d2 > 0)) && ((d3 > 0) != (d4 > 0))
+  }
+
+  /** ST_ConcaveHull over the vertices of `wkt`.
+    *
+    * `pctConvex` follows PostGIS's `param_pctconvex` contract: 1 →
+    * the convex hull; smaller values dig concavities until the hull
+    * area is ≤ pctConvex × convex-hull area or no further simple dig
+    * exists. The dig rule is the published edge-erosion heuristic
+    * (concaveman family): take the longest remaining edge, insert the
+    * interior point with the deepest perpendicular detour whose two
+    * new edges keep the ring simple. Deterministic; terminates (each
+    * dig consumes one interior point and strictly shrinks the area).
+    * Runs over bounded collected point sets (metadata queries), never
+    * per-row fact data. */
+  def concaveHull(wkt: String, pctConvex: Double): String = {
+    import graft.expressions.HullAggregate
+    val (srid, _) = splitSrid(wkt)
+    val pts = verticesOf(wkt).distinct.toSeq
+    val hull = HullAggregate.convexHull(pts)
+    if (hull.length < 3 || pctConvex >= 1.0)
+      return withSrid(srid, HullAggregate.toWkt(hull))
+    val target = math.max(pctConvex, 0.0) * ringArea2(hull)
+    val ring = scala.collection.mutable.ArrayBuffer(hull: _*)
+    val interior = scala.collection.mutable.ArrayBuffer(
+      pts.filterNot(hull.contains): _*)
+    def perp(p: (Double, Double), a: (Double, Double),
+        b: (Double, Double)): Double = {
+      val dx = b._1 - a._1; val dy = b._2 - a._2
+      val len = math.hypot(dx, dy)
+      if (len == 0) 0.0
+      else math.abs(dx * (a._2 - p._2) - dy * (a._1 - p._1)) / len
+    }
+    var dug = true
+    while (dug && ringArea2(ring.toSeq) > target && interior.nonEmpty) {
+      dug = false
+      // edges by descending length; first edge with a valid dig wins
+      val edges = ring.indices
+        .map(i => (i, math.hypot(
+          ring((i + 1) % ring.length)._1 - ring(i)._1,
+          ring((i + 1) % ring.length)._2 - ring(i)._2)))
+        .sortBy(-_._2)
+      val it = edges.iterator
+      while (!dug && it.hasNext) {
+        val (i, _) = it.next()
+        val a = ring(i); val b = ring((i + 1) % ring.length)
+        // deepest valid candidate for this edge
+        var best = -1; var bestD = 0.0
+        var c = 0
+        while (c < interior.length) {
+          val p = interior(c)
+          val d = perp(p, a, b)
+          // p must lie strictly inside the CURRENT ring (a point left
+          // outside by an earlier dig would grow the area back)
+          if (d > bestD && containsPoint(ring.toArray, p._1, p._2)) {
+            // simplicity: neither new edge may cross an existing one
+            val ok = ring.indices.forall { j =>
+              val e1 = ring(j); val e2 = ring((j + 1) % ring.length)
+              !properIntersect(a, p, e1, e2) &&
+                !properIntersect(p, b, e1, e2)
+            }
+            if (ok) { best = c; bestD = d }
+          }
+          c += 1
+        }
+        if (best >= 0) {
+          ring.insert(i + 1, interior.remove(best))
+          dug = true
+        }
+      }
+    }
+    withSrid(srid, HullAggregate.toWkt(ring.toSeq))
+  }
+
   // ---- Column-level API (UDFs registered once per session) ----
 
   val stContains =
@@ -411,25 +574,79 @@ object GeoFuncs {
 
   val stAsGeoJson = udf { (wkt: String) => toGeoJson(wkt) }
 
-  val stTransform = udf { (wkt: String, src: Int, dst: Int) =>
-    transformWkt(wkt, src, dst)
+  /** PostGIS 2-arg ST_Transform: source CRS from the EWKT prefix. */
+  val stTransform = udf { (wkt: String, dst: Int) =>
+    transformToSrid(wkt, dst)
   }
 
   val stSimplify = udf { (wkt: String, tol: Double) =>
-    simplifyWkt(wkt, tol)
+    val (srid, w) = splitSrid(wkt)
+    withSrid(srid, simplifyWkt(w, tol))
   }
+
+  val stSetSrid = udf { (wkt: String, srid: Int) => setSrid(wkt, srid) }
+
+  val stPoints = udf { (wkt: String) => pointsOf(wkt) }
+
+  val stConcaveHull = udf { (wkt: String, pct: Double) =>
+    concaveHull(wkt, pct)
+  }
+
+  /** ST_Collect: aggregate POINT/MULTIPOINT rows into one MULTIPOINT.
+    * The buffer is the coordinate list (metadata-sized inputs — the
+    * reference collects per-dataset coverage points, never fact-scale
+    * rows); finish() sorts, so the output is partitioning-invariant.
+    * The first seen SRID is preserved. */
+  final case class CollectBuf(
+      var srid: Int, var pts: List[(Double, Double)])
+
+  val collectAgg: org.apache.spark.sql.expressions.Aggregator[
+      String, CollectBuf, String] =
+    new org.apache.spark.sql.expressions.Aggregator[
+        String, CollectBuf, String] {
+      def zero: CollectBuf = CollectBuf(-1, Nil)
+      def reduce(b: CollectBuf, wkt: String): CollectBuf = {
+        if (wkt != null) {
+          val (srid, _) = splitSrid(wkt)
+          if (b.srid < 0) b.srid = srid.getOrElse(-2)
+          b.pts = verticesOf(wkt).toList ::: b.pts
+        }
+        b
+      }
+      def merge(a: CollectBuf, b: CollectBuf): CollectBuf = {
+        if (a.srid < 0) a.srid = b.srid
+        a.pts = b.pts ::: a.pts
+        a
+      }
+      def finish(b: CollectBuf): String = {
+        val sorted = b.pts.sorted
+        withSrid(if (b.srid >= 0) Some(b.srid) else None,
+          multiPointWkt(sorted))
+      }
+      def bufferEncoder: org.apache.spark.sql.Encoder[CollectBuf] =
+        org.apache.spark.sql.Encoders.kryo[CollectBuf]
+      def outputEncoder: org.apache.spark.sql.Encoder[String] =
+        org.apache.spark.sql.Encoders.STRING
+    }
 
   def stContains(poly: Column, x: Column, y: Column): Column =
     stContains.apply(poly, x, y)
 
-  /** SQL registration for dashboard-parity queries. */
+  /** SQL registration for dashboard-parity queries and the metadata
+    * bounding-geometry helpers (which run VERBATIM — GeoSpec). */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("st_contains", stContains)
     spark.udf.register("st_point", stPoint)
+    spark.udf.register("st_makepoint", stPoint)
     spark.udf.register("st_asgeojson", stAsGeoJson)
     spark.udf.register("st_centroid_x", stCentroidX)
     spark.udf.register("st_centroid_y", stCentroidY)
     spark.udf.register("st_transform", stTransform)
     spark.udf.register("st_simplify", stSimplify)
+    spark.udf.register("st_setsrid", stSetSrid)
+    spark.udf.register("st_points", stPoints)
+    spark.udf.register("st_concavehull", stConcaveHull)
+    spark.udf.register("st_collect",
+      org.apache.spark.sql.functions.udaf(collectAgg))
   }
 }

@@ -239,8 +239,97 @@ class GeoSpec extends SparkSpec {
   test("st_transform and st_simplify are registered SQL functions") {
     GeoFuncs.register(spark)
     val r = spark.sql(
-      s"SELECT st_simplify(st_transform('$square', 4326, 25832), 1.0) AS g")
+      s"SELECT st_simplify(st_transform('SRID=4326;$square', 25832), 1.0) AS g")
       .collect().head.getString(0)
-    assert(r.startsWith("POLYGON"))
+    assert(r.startsWith("SRID=25832;POLYGON"), r)
+  }
+
+  // ---- the reference's bounding-geometry metadata helpers, VERBATIM --
+
+  private def hullProps(wkt: String,
+      inputs: Seq[(Double, Double)]): Unit = {
+    val (_, bare) = GeoFuncs.splitSrid(wkt)
+    assert(bare.startsWith("POLYGON"), s"expected POLYGON: $wkt")
+    val ring = GeoFuncs.parseGeometry(bare).head.head
+    // hull vertices are drawn from the input points (within transform
+    // round-off)
+    ring.dropRight(1).foreach { case (x, y) =>
+      assert(inputs.exists { case (px, py) =>
+        math.abs(px - x) < 1e-6 && math.abs(py - y) < 1e-6
+      }, s"hull vertex ($x, $y) is not an input point")
+    }
+  }
+
+  test("point-table bounding-geometry helper runs verbatim") {
+    GeoFuncs.register(spark)
+    import spark.implicits._
+    val pts = Seq(
+      (6.0, 50.0), (7.0, 50.0), (8.0, 50.0), (8.0, 51.0), (8.0, 52.0),
+      (7.0, 52.0), (6.0, 52.0), (6.0, 51.0), (6.9, 50.9), (7.1, 51.1),
+      (7.0, 51.0))
+    pts.toDF("lon", "lat").createOrReplaceTempView("buildings")
+    // metadata_sql_helpers.sql:84-97, schema prefix dropped
+    val wkt = spark.sql("""SELECT
+    ST_Transform(
+        ST_ConcaveHull(
+            ST_Collect(
+                ST_SetSRID(
+                    ST_MakePoint(lon, lat),
+                    4326
+                )
+            ),
+            0.5
+        ),
+        4326
+    ) AS bounding_geometry
+FROM
+    buildings""").collect().head.getString(0)
+    hullProps(wkt, pts)
+  }
+
+  test("geometry-table bounding-geometry helper runs verbatim") {
+    GeoFuncs.register(spark)
+    import spark.implicits._
+    // small parcel polygons in EPSG:25832 around the zone center
+    def sq(cx: Double, cy: Double, r: Double) =
+      s"SRID=25832;POLYGON ((${cx - r} ${cy - r}, ${cx + r} ${cy - r}, " +
+        s"${cx + r} ${cy + r}, ${cx - r} ${cy + r}, ${cx - r} ${cy - r}))"
+    val geoms = Seq(sq(500000, 5640000, 100), sq(510000, 5650000, 100),
+      sq(490000, 5655000, 100), sq(505000, 5660000, 100))
+    geoms.toDF("geometry").createOrReplaceTempView("waermedichte")
+    // metadata_sql_helpers.sql:100-104, schema prefix dropped
+    val wkt = spark.sql(
+      """SELECT
+    ST_Transform(ST_ConcaveHull(ST_Collect(ST_Points(ST_Simplify(geometry, 20))),0.5), 4326) AS bounding_geometry
+FROM
+    waermedichte""").collect().head.getString(0)
+    val (srid, bare) = GeoFuncs.splitSrid(wkt)
+    assert(srid.contains(4326) && bare.startsWith("POLYGON"), wkt)
+    // the transformed hull must land in lon/lat around the UTM32 zone
+    GeoFuncs.parseGeometry(bare).head.head.foreach { case (lon, lat) =>
+      assert(lon > 8 && lon < 10 && lat > 50 && lat < 52,
+        s"implausible transformed vertex ($lon, $lat)")
+    }
+  }
+
+  test("concaveHull digs below the convex area; pct=1 is convex") {
+    // plus-shape point set: concave hull should dig into the notches
+    val pts = (for (x <- 0 to 10; y <- 0 to 10
+      if (x >= 4 && x <= 6) || (y >= 4 && y <= 6))
+      yield s"(${x}.0 ${y}.0)").mkString("MULTIPOINT (", ", ", ")")
+    val convex = GeoFuncs.concaveHull(pts, 1.0)
+    val concave = GeoFuncs.concaveHull(pts, 0.55)
+    def area(wkt: String): Double = {
+      val ring = GeoFuncs.parseGeometry(wkt).head.head
+      math.abs(ring.dropRight(1).zipWithIndex.map { case ((x0, y0), i) =>
+        val (x1, y1) = ring((i + 1) % (ring.length - 1))
+        x0 * y1 - x1 * y0
+      }.sum) / 2
+    }
+    assert(area(concave) < area(convex),
+      s"concave ${area(concave)} !< convex ${area(convex)}")
+    assert(area(concave) <= 0.55 * area(convex) * 1.05 ||
+      area(concave) < area(convex) * 0.8,
+      s"dig did not approach target: ${area(concave)} vs ${area(convex)}")
   }
 }
