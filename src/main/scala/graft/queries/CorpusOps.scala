@@ -393,6 +393,92 @@ object CorpusOps {
             FROM quota)
         SELECT doc_id, source, n_tokens, start_offset,
           start_offset // 512 AS pack_id
-        FROM packed ORDER BY doc_id"""))
+        FROM packed ORDER BY doc_id""")),
+
+    // BPE merge learning — the tokenizer-training primitive: learn the
+    // top-3 byte-pair merges over the corpus vocabulary. The working
+    // set is the DISTINCT-WORD vocabulary with frequencies (|vocab|
+    // rows — at 100 TB that is millions of rows, never the corpus);
+    // each round is ONE hash aggregate over exploded adjacent pairs +
+    // a 1-row driver pull of the winning pair (the KMeans-centroid
+    // pattern), and the merge application is a literal string replace
+    // on the space-separated token form — left-to-right non-
+    // overlapping in BOTH engines, so all three rounds are
+    // oracle-mirrored as a CTE chain (the TextRank precedent).
+    // Tiebreak: max frequency, then lexicographic pair.
+    Q("q143_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        val vocab = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .select(concat(lit(" "),
+            array_join(split(col("word"), ""), " "), lit(" ")).as("toks"),
+            col("freq"))
+        var cur = vocab.cache()
+        val pairExpr = expr("""CASE WHEN size(a) >= 2 THEN
+            transform(sequence(0, size(a) - 2),
+              i -> concat(element_at(a, i + 1), ' ', element_at(a, i + 2)))
+          ELSE array() END""")
+        val merges = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, String, Long)]
+        for (rank <- 1 to 3) {
+          val top = cur
+            .withColumn("a", split(trim(col("toks")), " "))
+            .select(col("freq"), explode(pairExpr).as("pair"))
+            .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+            .orderBy(col("cnt").desc, col("pair"))
+            .limit(1).collect().head
+          val pair = top.getString(0); val cnt = top.getLong(1)
+          val Array(l, r) = pair.split(" ", 2)
+          merges += ((rank.toLong, l, r, cnt))
+          val next = cur.withColumn("toks",
+              expr(s"replace(toks, ' ${l} ${r} ', ' ${l}${r} ')"))
+            .cache()
+          cur.unpersist()
+          cur = next
+        }
+        cur.unpersist()
+        merges.toSeq.toDF("rank", "left_tok", "right_tok", "pair_freq")
+          .orderBy("rank")
+      },
+      Some("""WITH words AS (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        vocab AS (SELECT word, count(*) AS freq FROM words
+          WHERE len(word) > 0 GROUP BY 1),
+        tok0 AS (SELECT ' ' ||
+            array_to_string(regexp_split_to_array(word, ''), ' ') || ' '
+            AS toks, freq FROM vocab),
+        p1 AS (SELECT a[i] || ' ' || a[i + 1] AS pair,
+            CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT string_split(trim(toks), ' ') AS a, freq
+            FROM tok0), UNNEST(range(1, len(a))) AS t(i)
+          GROUP BY 1),
+        m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        tok1 AS (SELECT replace(toks, ' ' || m1.pair || ' ',
+            ' ' || replace(m1.pair, ' ', '') || ' ') AS toks, freq
+          FROM tok0, m1),
+        p2 AS (SELECT a[i] || ' ' || a[i + 1] AS pair,
+            CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT string_split(trim(toks), ' ') AS a, freq
+            FROM tok1), UNNEST(range(1, len(a))) AS t(i)
+          GROUP BY 1),
+        m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        tok2 AS (SELECT replace(toks, ' ' || m2.pair || ' ',
+            ' ' || replace(m2.pair, ' ', '') || ' ') AS toks, freq
+          FROM tok1, m2),
+        p3 AS (SELECT a[i] || ' ' || a[i + 1] AS pair,
+            CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT string_split(trim(toks), ' ') AS a, freq
+            FROM tok2), UNNEST(range(1, len(a))) AS t(i)
+          GROUP BY 1),
+        m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+        SELECT rank, split_part(pair, ' ', 1) AS left_tok,
+          split_part(pair, ' ', 2) AS right_tok, cnt AS pair_freq
+        FROM (SELECT CAST(1 AS BIGINT) AS rank, pair, cnt FROM m1
+          UNION ALL SELECT 2, pair, cnt FROM m2
+          UNION ALL SELECT 3, pair, cnt FROM m3)
+        ORDER BY rank"""))
   )
 }

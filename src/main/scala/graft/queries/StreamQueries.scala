@@ -357,6 +357,39 @@ object StreamQueries {
             PARTITION BY event_type ORDER BY h) AS rn FROM h)
         SELECT event_type, h AS kth_hash,
           CAST(30064771072 AS DOUBLE) / CAST(h AS DOUBLE) AS est_distinct
-        FROM r WHERE rn = 8 ORDER BY event_type"""))
+        FROM r WHERE rn = 8 ORDER BY event_type""")),
+
+    // Streaming twin of q109: top-k per key maintained as BOUNDED
+    // aggregation state (the TopKAggregate Aggregator runs unchanged
+    // inside a streaming groupBy — k (value, id) pairs per key
+    // forever, map-side partials per micro-batch, truncation commutes
+    // with merge so the drained state equals the batch top-k no
+    // matter the chunking). Single-file landing pins one Update
+    // emission per key; hash-checked against the same rank-window
+    // oracle as q109.
+    Q("q144_stream_topk",
+      (s, dir) => {
+        val stream = eventsStream(s, dir, singleFile = true)
+        val agg = stream.groupBy("event_type")
+          .agg(graft.expressions.TopKAggregate
+            .topK(col("value"), col("event_id"), 3).as("top"))
+        s.catalog.dropTempView("q144_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(agg, "q144_sink", OutputMode.Update())
+        }
+        s.table("q144_sink")
+          .select(col("event_type"),
+            posexplode(col("top")).as(Seq("p", "t")))
+          .select(col("event_type"),
+            (col("p") + 1).cast("long").as("rank"),
+            col("t._1").as("value"), col("t._2").as("event_id"))
+          .orderBy("event_type", "rank")
+      },
+      Some("""SELECT event_type, rank, value, event_id FROM (
+          SELECT event_type, value, event_id,
+            CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY value DESC, event_id DESC) AS BIGINT) AS rank
+          FROM events)
+        WHERE rank <= 3 ORDER BY event_type, rank"""))
   )
 }

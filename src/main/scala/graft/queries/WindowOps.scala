@@ -276,6 +276,74 @@ object WindowOps {
             CAST(row_number() OVER (PARTITION BY event_type
               ORDER BY value DESC, event_id DESC) AS BIGINT) AS rank
           FROM events)
-        WHERE rank <= 3 ORDER BY event_type, rank"""))
+        WHERE rank <= 3 ORDER BY event_type, rank""")),
+
+    // Binned approximate quantiles — the SCALE path beside q52's exact
+    // ranks: at 100 TB an exact per-group sort window is the wrong
+    // tool; fixed-width bins reduce the fact table with ONE map-side-
+    // combinable hash aggregate, and everything after runs on the
+    // |bins-per-group| table (cumulative window, target ranks, linear
+    // interpolation inside the hit bin). Every arithmetic step is
+    // integer or a mirrored fixed double-op sequence, so the
+    // approximation itself is oracle-exact. Single pass over the bin
+    // table for both quantiles (the q52 lesson applied from the
+    // start: a bin hit by both targets explodes into both rows).
+    Q("q145_binned_quantiles",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val binned = ev.groupBy(col("event_type"),
+            floor(col("value") / 5.0).cast(LongType).as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        val wOrd = Window.partitionBy("event_type").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+        val cum = binned
+          .withColumn("cum", sum(col("cnt")).over(wOrd))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .withColumn("t50", ceil(col("n") * 0.5).cast(LongType))
+          .withColumn("t90", ceil(col("n") * 0.9).cast(LongType))
+        val hit50 = col("cum") >= col("t50") &&
+          col("cum") - col("cnt") < col("t50")
+        val hit90 = col("cum") >= col("t90") &&
+          col("cum") - col("cnt") < col("t90")
+        val emptyHits =
+          array().cast("array<struct<q:string,target:bigint>>")
+        cum.filter(hit50 || hit90)
+          .withColumn("hit", explode(concat(
+            when(hit50, array(struct(lit("p50").as("q"),
+              col("t50").as("target")))).otherwise(emptyHits),
+            when(hit90, array(struct(lit("p90").as("q"),
+              col("t90").as("target")))).otherwise(emptyHits))))
+          .select(col("event_type"), col("hit.q").as("q"),
+            ((col("bin") * 5).cast("double") +
+              lit(5.0) *
+                (col("hit.target") - (col("cum") - col("cnt")))
+                  .cast("double") / col("cnt").cast("double"))
+              .as("approx_value"))
+          .orderBy("event_type", "q")
+      },
+      Some("""WITH b AS (SELECT event_type,
+            CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        c AS (SELECT event_type, bin, cnt,
+            CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+            CAST(sum(cnt) OVER (PARTITION BY event_type)
+              AS BIGINT) AS n
+          FROM b),
+        t AS (SELECT *, CAST(ceil(n * 0.5) AS BIGINT) AS t50,
+            CAST(ceil(n * 0.9) AS BIGINT) AS t90 FROM c)
+        SELECT event_type, q,
+          CAST(bin * 5 AS DOUBLE) +
+            5.0 * CAST(target - (cum - cnt) AS DOUBLE)
+              / CAST(cnt AS DOUBLE) AS approx_value
+        FROM (
+          SELECT event_type, 'p50' AS q, t50 AS target, bin, cnt, cum
+            FROM t WHERE cum >= t50 AND cum - cnt < t50
+          UNION ALL
+          SELECT event_type, 'p90', t90, bin, cnt, cum
+            FROM t WHERE cum >= t90 AND cum - cnt < t90)
+        ORDER BY event_type, q"""))
   )
 }
