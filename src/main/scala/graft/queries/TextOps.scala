@@ -599,6 +599,75 @@ object TextOps {
             ',') AS postings
         FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
             AS term FROM documents)
-        GROUP BY term ORDER BY term"""))
+        GROUP BY term ORDER BY term""")),
+
+    // Collocation mining by LIFT — PMI's ranking without its float
+    // log: lift = N·c(ab) / (c(a)·c(b)) orders pairs identically to
+    // PMI (log is monotone) but stays a single mirrored double
+    // division over exact integer counts, so the scores are
+    // oracle-exact. Shape at 100 TB: two map-side-combinable hash
+    // aggregates (unigrams, adjacent bigrams), the unigram table
+    // joins in twice (broadcast-eligible — it is vocabulary-sized),
+    // one 1-row total broadcast, a min-count floor prunes the long
+    // tail BEFORE the join, and the final top-20 is a rank window
+    // over the floored candidate set only.
+    Q("q146_collocations",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val words = docs.select(split(col("text"), " ").as("ws"))
+        val uni = words
+          .select(explode(col("ws")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val bi = words
+          .select(explode(expr(
+            """CASE WHEN size(ws) >= 2 THEN
+                 transform(sequence(0, size(ws) - 2),
+                   i -> struct(element_at(ws, i + 1) AS a,
+                     element_at(ws, i + 2) AS b))
+               ELSE array() END""")).as("p"))
+          .filter(length(col("p.a")) > 0 && length(col("p.b")) > 0)
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 5)
+        val total = uni.agg(sum(col("c1")).as("n_tokens"))
+        val lift = bi
+          .join(uni.select(col("w").as("a"), col("c1").as("ca")), "a")
+          .join(uni.select(col("w").as("b"), col("c1").as("cb")), "b")
+          .crossJoin(broadcast(total))
+          .select(col("a"), col("b"), col("cab"),
+            (col("n_tokens").cast("double") * col("cab").cast("double") /
+              (col("ca").cast("double") * col("cb").cast("double")))
+              .as("lift"))
+        lift
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("lift").desc, col("a"), col("b")))
+            .cast("long"))
+          .filter(col("rk") <= 20)
+          .select("rk", "a", "b", "cab", "lift")
+          .orderBy("rk")
+      },
+      Some("""WITH w AS (SELECT string_split(text, ' ') AS ws
+            FROM documents),
+        uni AS (SELECT word, count(*) AS c1 FROM (
+            SELECT unnest(ws) AS word FROM w)
+          WHERE len(word) > 0 GROUP BY 1),
+        bi AS (SELECT a, b, count(*) AS cab FROM (
+            SELECT ws[i] AS a, ws[i + 1] AS b
+            FROM w, UNNEST(range(1, len(ws))) AS t(i))
+          WHERE len(a) > 0 AND len(b) > 0
+          GROUP BY 1, 2 HAVING count(*) >= 5),
+        tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tokens FROM uni),
+        lift AS (SELECT bi.a, bi.b, bi.cab,
+            CAST(n_tokens AS DOUBLE) * CAST(cab AS DOUBLE) /
+              (CAST(ua.c1 AS DOUBLE) * CAST(ub.c1 AS DOUBLE)) AS lift
+          FROM bi JOIN uni ua ON bi.a = ua.word
+            JOIN uni ub ON bi.b = ub.word, tot)
+        SELECT rk, a, b, cab, lift FROM (
+          SELECT a, b, cab, lift, CAST(row_number() OVER (
+              ORDER BY lift DESC, a, b) AS BIGINT) AS rk
+          FROM lift)
+        WHERE rk <= 20 ORDER BY rk"""))
   )
 }

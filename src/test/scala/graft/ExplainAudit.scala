@@ -19,7 +19,12 @@ object ExplainAudit {
       "q115_stratified_sample", "q116_ewma", "q117_winsorize",
       "q118_skyline", "q119_mode_per_group", "q120_ordered_string_agg",
       "q123_kmv_intersect", "q124_l2_normalize", "q125_ref_integrity",
-      "q128_quantile_interp", "q129_transition_matrix", "q130_merit_order")
+      "q128_quantile_interp", "q129_transition_matrix", "q130_merit_order",
+      "q131_peak_coincidence", "q132_baseline_deviation",
+      "q133_nearest_station", "q134_idw_interpolation",
+      "q135_linear_trend", "q136_grid_density", "q137_iceberg",
+      "q138_scd2_lookup", "q143_bpe_merges", "q145_binned_quantiles",
+      "q146_collocations")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
