@@ -862,6 +862,58 @@ object StatsOps {
         SELECT l_partkey, n, CAST(rev AS DOUBLE) AS revenue,
           CAST(rev AS DOUBLE) / CAST(total AS DOUBLE) AS share
         FROM g, t WHERE rev * n_groups * 2 >= total * 3
-        ORDER BY l_partkey"""))
+        ORDER BY l_partkey""")),
+
+    // Entity resolution — the full MDM composite from verified parts:
+    // q113's blocked fuzzy pairs become edges, ConnectedComponents
+    // (q70's O(log² n) large-star/small-star) groups transitively-
+    // linked name variants into entities, and each entity gets the
+    // minimum-id member as its canonical name. Node ids are the name's
+    // rank in the sorted entity vocabulary — a vocabulary-sized global
+    // window (bounded, like q118's documented prefix-max), computed
+    // identically in both engines so the CC labels are comparable.
+    // Oracle recomputes the clustering with a recursive CTE (fixture
+    // scale); the Spark side is the shape that survives 100 TB.
+    Q("q147_entity_resolution",
+      (s, dir) => {
+        val names = Tables.load(s, dir, "part")
+          .select(col("p_name").as("name")).distinct()
+          .withColumn("block", regexp_extract(col("name"), "[a-z]+$", 0))
+        val ids = names.withColumn("nid",
+          row_number().over(Window.orderBy("name")).cast(LongType))
+        val pairs = ids.as("a").join(ids.as("b"),
+            col("a.block") === col("b.block") &&
+              col("a.name") < col("b.name") &&
+              levenshtein(col("a.name"), col("b.name")) <= 3)
+          .select(col("a.nid").as("u"), col("b.nid").as("v"))
+        val comp = graft.operators.ConnectedComponents
+          .components(pairs, "u", "v",
+            nodes = Some(ids.select(col("nid"))))
+        ids.join(comp, col("nid") === col("node"))
+          .select(col("name"), col("component").as("entity_id"))
+          .join(ids.select(col("nid").as("entity_id"),
+            col("name").as("canonical_name")), Seq("entity_id"))
+          .select("name", "entity_id", "canonical_name")
+          .orderBy("name")
+      },
+      Some("""WITH RECURSIVE names AS (
+          SELECT DISTINCT p_name AS name,
+            regexp_extract(p_name, '[a-z]+$') AS block FROM part),
+        ids AS (SELECT name, block, CAST(row_number() OVER
+            (ORDER BY name) AS BIGINT) AS nid FROM names),
+        pairs AS (SELECT a.nid AS u, b.nid AS v
+          FROM ids a JOIN ids b ON a.block = b.block AND a.name < b.name
+          WHERE levenshtein(a.name, b.name) <= 3),
+        edges AS (SELECT u AS s, v AS d FROM pairs
+          UNION ALL SELECT v, u FROM pairs),
+        reach(node, lab) AS (
+          SELECT nid, nid FROM ids
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node),
+        comp AS (SELECT node, min(lab) AS c FROM reach GROUP BY 1)
+        SELECT i.name, c.c AS entity_id, ci.name AS canonical_name
+        FROM ids i JOIN comp c ON i.nid = c.node
+          JOIN ids ci ON ci.nid = c.c
+        ORDER BY i.name"""))
   )
 }
