@@ -63,4 +63,51 @@ object Scd2 {
         lit(true).as("is_current"))
     closed.union(stillCurrent).union(toClose).union(newRows)
   }
+
+  /** Stitch one BATCH's mini-history (the [[historyFromLog]] of a
+    * change-log batch, possibly several runs per key) into an existing
+    * SCD2 state — the incremental form that makes a streaming SCD2
+    * sink equal the batch history under any chunking, PROVIDED batches
+    * arrive in event-time order per key (the CDC contract; in-batch
+    * disorder is handled by the mini-history's own sort).
+    *
+    * Rules: a key's current run EXTENDS through the batch's first run
+    * when the value is unchanged (its original `valid_from` is
+    * preserved — a run spanning a batch boundary must not fragment);
+    * a changed value closes the current row at the batch run's start;
+    * later batch runs insert as-is; keys absent from the batch pass
+    * through untouched. */
+  def applyBatch(state: DataFrame, mini: DataFrame,
+      key: String): DataFrame = {
+    val histCols = Seq(col(key), col("state"), col("valid_from"),
+      col("valid_to"), col("is_current"))
+    val w = Window.partitionBy(key).orderBy("valid_from")
+    val numbered = mini.withColumn("_rn", row_number().over(w))
+    val first = numbered.filter(col("_rn") === 1)
+      .select(col(key), col("state").as("f_state"),
+        col("valid_from").as("f_from"), col("valid_to").as("f_to"),
+        col("is_current").as("f_cur"))
+    val rest = numbered.filter(col("_rn") > 1).select(histCols: _*)
+    val closed = state.filter(!col("is_current"))
+    val cur = state.filter(col("is_current"))
+    val curJ = cur.join(first, Seq(key), "left")
+    val untouched = curJ.filter(col("f_state").isNull)
+      .select(histCols: _*)
+    val extended = curJ.filter(col("f_state") === col("state"))
+      .select(col(key), col("state"), col("valid_from"),
+        col("f_to").as("valid_to"), col("f_cur").as("is_current"))
+    val closedNow = curJ
+      .filter(col("f_state").isNotNull && col("f_state") =!= col("state"))
+      .select(col(key), col("state"), col("valid_from"),
+        col("f_from").as("valid_to"), lit(false).as("is_current"))
+    val firstInsert = first
+      .join(cur.select(col(key), col("state").as("_c")), Seq(key), "left")
+      .filter(col("_c").isNull || col("_c") =!= col("f_state"))
+      .select(col(key), col("f_state").as("state"),
+        col("f_from").as("valid_from"), col("f_to").as("valid_to"),
+        col("f_cur").as("is_current"))
+    closed.unionByName(untouched).unionByName(extended)
+      .unionByName(closedNow).unionByName(firstInsert)
+      .unionByName(rest)
+  }
 }

@@ -390,6 +390,73 @@ object StreamQueries {
             CAST(row_number() OVER (PARTITION BY event_type
               ORDER BY value DESC, event_id DESC) AS BIGINT) AS rank
           FROM events)
-        WHERE rank <= 3 ORDER BY event_type, rank"""))
+        WHERE rank <= 3 ORDER BY event_type, rank""")),
+
+    // Streaming SCD2: the q77 dimension history maintained by a
+    // foreachBatch sink. The change log lands as THREE time-ordered
+    // chunk files (mtimes pinned so the file source drains them
+    // oldest-first, one micro-batch each); every batch builds its own
+    // mini run-history and Scd2.applyBatch stitches it into the state
+    // table — a run spanning a batch boundary EXTENDS instead of
+    // fragmenting, so the drained state hash-matches the batch
+    // history of the whole log (q77's oracle verbatim). Crash-safe
+    // swap + checkpointed resume ride the shared state-table harness.
+    Q("q148_stream_scd2",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select("user_id", "event_type", "ts", "event_id")
+        val landingDir = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          s"graft-q148-landing-${datasetKey(dir)}")
+        if (!new java.io.File(landingDir, "_SUCCESS").exists()) {
+          landingDir.mkdirs()
+          val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+          val preds = Seq(
+            col("ts") < to_timestamp(lit(cuts(0))),
+            col("ts") >= to_timestamp(lit(cuts(0))) &&
+              col("ts") < to_timestamp(lit(cuts(1))),
+            col("ts") >= to_timestamp(lit(cuts(1))))
+          preds.zipWithIndex.foreach { case (p, i) =>
+            val stage = java.nio.file.Files
+              .createTempDirectory("graft-q148-stage").toFile
+            ev.filter(p).coalesce(1).write.mode("overwrite")
+              .parquet(stage.toString)
+            val part = stage.listFiles()
+              .find(f => f.getName.endsWith(".parquet")).get
+            val target = new java.io.File(landingDir, f"chunk-$i%05d.parquet")
+            java.nio.file.Files.move(part.toPath, target.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            // pin mtimes so discovery order == event-time order
+            target.setLastModified(1700000000000L + i * 60000L)
+          }
+          java.nio.file.Files.write(
+            new java.io.File(landingDir, "_SUCCESS").toPath,
+            Array.empty[Byte])
+        }
+        val stateBase = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          s"graft-q148-state-${datasetKey(dir)}")
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landingDir.toString)
+        StreamOps.scd2Sink(s, stream,
+          new java.io.File(stateBase, "state").toString,
+          new java.io.File(stateBase, "ckpt").toString)
+        s.read.parquet(new java.io.File(stateBase, "state").toString)
+          .orderBy("user_id", "valid_from", "state")
+      },
+      Some("""WITH chg AS (
+          SELECT user_id, event_type, ts, event_id FROM (
+            SELECT user_id, event_type, ts, event_id,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS pv
+            FROM events)
+          WHERE pv IS NULL OR pv <> event_type)
+        SELECT user_id, event_type AS state, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS valid_to,
+          lead(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) IS NULL AS is_current
+        FROM chg ORDER BY user_id, valid_from, state"""))
   )
 }

@@ -227,6 +227,42 @@ object StreamOps {
           .as("m"))
         .select(col("user_id"), col("m.ts").as("ts"),
           col("m.event_id").as("event_id"), col("m.value").as("value"))
+    stateTableSink(stream, stateDir, checkpointDir) {
+      case (batch, None) => latestPerKey(batch)
+      case (batch, Some(state)) =>
+        latestPerKey(state.unionByName(latestPerKey(batch)))
+    }
+  }
+
+  /** SCD2 streaming sink: each micro-batch's change rows become a
+    * batch-local run history (`Scd2.historyFromLog`) and are stitched
+    * into the state table with `Scd2.applyBatch` — a run spanning a
+    * micro-batch boundary extends instead of fragmenting, so the
+    * final state equals the batch history of the full log under ANY
+    * chunking, provided batches arrive in event-time order (the CDC
+    * contract). Crash-safe swap + checkpointed resume as in
+    * [[mergeLatestSink]]; state size is |history rows|, each batch
+    * costs one window shuffle of the batch + a state-table scan. */
+  def scd2Sink(spark: SparkSession, stream: DataFrame,
+      stateDir: String, checkpointDir: String,
+      key: String = "user_id", attr: String = "event_type",
+      ts: String = "ts", ord: String = "event_id"): Unit =
+    stateTableSink(stream, stateDir, checkpointDir) { (batch, state) =>
+      val mini = graft.ingest.Scd2.historyFromLog(batch, key, attr, ts, ord)
+      state match {
+        case None => mini
+        case Some(st) => graft.ingest.Scd2.applyBatch(st, mini, key)
+      }
+    }
+
+  /** Shared foreachBatch parquet-state-table harness: crash-safe
+    * stage-and-swap (state survives a crash between any two steps at
+    * `.old`, recovered on the next batch), AvailableNow drain,
+    * checkpointed idempotent resume. `update(batch, currentState)`
+    * computes the replacement state table. */
+  private def stateTableSink(stream: DataFrame, stateDir: String,
+      checkpointDir: String)(
+      update: (DataFrame, Option[DataFrame]) => DataFrame): Unit = {
     val q = stream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
@@ -249,10 +285,8 @@ object StreamOps {
         fs.delete(staging, true)
         val cur =
           fs.exists(new org.apache.hadoop.fs.Path(state, "_SUCCESS"))
-        val merged =
-          if (cur) latestPerKey(
-            s.read.parquet(stateDir).unionByName(latestPerKey(batch)))
-          else latestPerKey(batch)
+        val merged = update(batch,
+          if (cur) Some(s.read.parquet(stateDir)) else None)
         merged.write.mode("overwrite").parquet(staging.toString)
         // Crash-safe swap: current state stays intact at `.old` until
         // the new state is in place; only then is it deleted.
