@@ -914,6 +914,91 @@ object StatsOps {
         SELECT i.name, c.c AS entity_id, ci.name AS canonical_name
         FROM ids i JOIN comp c ON i.nid = c.node
           JOIN ids ci ON ci.nid = c.c
-        ORDER BY i.name"""))
+        ORDER BY i.name""")),
+
+    // CUSUM change-point detection per series — the meter-drift alarm:
+    // cumulative sum of deviations from the series' own mean, alarm
+    // rows where |CUSUM| exceeds a threshold. ALL arithmetic is BIGINT
+    // cents (values at fixed scale, mean as integer floor-division),
+    // because a running DOUBLE sum is association-dependent and
+    // engines may tree-aggregate windows differently — integer
+    // addition is associative, so the running sum is exact under any
+    // evaluation strategy. Two shuffles: the per-series mean and the
+    // ordered window ride the same user_id partitioning; the peak is
+    // a lexicographic struct-max (no second window).
+    Q("q149_cusum_changepoints",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 100d + 0.5d).cast(LongType).as("cents"))
+        val mean = ev.groupBy("user_id")
+          .agg(expr("sum(cents) DIV count(1)").as("mean_cents"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.join(mean, "user_id")
+          .withColumn("cusum",
+            sum(col("cents") - col("mean_cents")).over(w))
+          .groupBy("user_id")
+          .agg(
+            count(when(abs(col("cusum")) > 5000L, 1)).as("n_alarms"),
+            max(struct(abs(col("cusum")).as("a"), col("ts").as("t")))
+              .as("pk"))
+          .select(col("user_id"), col("n_alarms"),
+            col("pk.a").as("peak_cusum"), col("pk.t").as("peak_ts"))
+          .orderBy("user_id")
+      },
+      Some("""WITH base AS (SELECT user_id, ts, event_id,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        m AS (SELECT user_id,
+            CAST(sum(cents) AS BIGINT) // count(*) AS mean_cents
+          FROM base GROUP BY 1),
+        c AS (SELECT b.user_id, b.ts,
+            CAST(sum(b.cents - m.mean_cents) OVER (
+              PARTITION BY b.user_id ORDER BY b.ts, b.event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cusum
+          FROM base b JOIN m ON b.user_id = m.user_id),
+        agg AS (SELECT user_id,
+            CAST(sum(CASE WHEN abs(cusum) > 5000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_alarms,
+            CAST(max(abs(cusum)) AS BIGINT) AS peak_cusum
+          FROM c GROUP BY 1)
+        SELECT a.user_id, a.n_alarms, a.peak_cusum,
+          (SELECT max(ts) FROM c
+            WHERE c.user_id = a.user_id
+              AND abs(c.cusum) = a.peak_cusum) AS peak_ts
+        FROM agg a ORDER BY a.user_id""")),
+
+    // Time-series gap report — the meter-data quality primitive the
+    // reference's gap-filled ingest implies: per series, every
+    // interval where consecutive readings sit more than 12 h apart.
+    // One ordered window (lead) on the series key; gap length in
+    // whole seconds via floor-epoch differences, which both engines
+    // compute identically. Output is |gaps|, not |events|.
+    Q("q150_gap_report",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("next_ts", lead(col("ts"), 1).over(w))
+          .filter(col("next_ts").isNotNull &&
+            col("next_ts").cast(LongType) - col("ts").cast(LongType)
+              > 43200L)
+          .select(col("user_id"), col("ts").as("gap_start"),
+            col("next_ts").as("gap_end"),
+            (col("next_ts").cast(LongType) - col("ts").cast(LongType))
+              .as("gap_seconds"))
+          .orderBy("user_id", "gap_start")
+      },
+      Some("""WITH o AS (SELECT user_id, ts, lead(ts) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+          FROM events)
+        SELECT user_id, ts AS gap_start, next_ts AS gap_end,
+          CAST(date_diff('second', ts, next_ts) AS BIGINT) AS gap_seconds
+        FROM o
+        WHERE next_ts IS NOT NULL
+          AND date_diff('second', ts, next_ts) > 43200
+        ORDER BY user_id, gap_start"""))
   )
 }
