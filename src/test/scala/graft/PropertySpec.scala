@@ -120,4 +120,73 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("MediaCodecs: BMP and PPM round-trip arbitrary pixel buffers") {
+    import graft.operators.MediaCodecs
+    val gen = for {
+      w <- Gen.chooseNum(1, 17) // odd widths exercise BMP row padding
+      h <- Gen.chooseNum(1, 9)
+      bytes <- Gen.listOfN(w * h * 3, Gen.chooseNum(-128, 127))
+    } yield (w, h, bytes.map(_.toByte).toArray)
+    forAllSampled(gen, 25) { case (w, h, rgb) =>
+      val img = MediaCodecs.Image(w, h, rgb)
+      val viaBmp = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(img))
+      assert(viaBmp.width == w && viaBmp.height == h &&
+        viaBmp.rgb.sameElements(rgb), s"BMP round trip failed ${w}x$h")
+      val viaPpm = MediaCodecs.decodePpm(MediaCodecs.encodePpm(img))
+      assert(viaPpm.rgb.sameElements(rgb), s"PPM round trip failed ${w}x$h")
+    }
+  }
+
+  test("MediaCodecs: WAV round-trips arbitrary 16-bit sample buffers") {
+    import graft.operators.MediaCodecs
+    val gen = for {
+      ch <- Gen.chooseNum(1, 2)
+      sr <- Gen.oneOf(8000, 16000, 44100)
+      n <- Gen.chooseNum(1, 200)
+      samples <- Gen.listOfN(n * ch, Gen.chooseNum(-32768, 32767))
+    } yield (sr, ch, samples.map(_.toShort).toArray)
+    forAllSampled(gen, 25) { case (sr, ch, samples) =>
+      val a = MediaCodecs.decodeWav(
+        MediaCodecs.encodeWav(MediaCodecs.Audio(sr, ch, samples)))
+      assert(a.sampleRate == sr && a.channels == ch &&
+        a.samples.sameElements(samples))
+    }
+  }
+
+  test("concaveHull: contains every input point, never beats the target " +
+      "by growing") {
+    import graft.functions.GeoFuncs
+    val gen = for {
+      n <- Gen.chooseNum(8, 40)
+      pts <- Gen.listOfN(n, for {
+        x <- Gen.chooseNum(0, 100); y <- Gen.chooseNum(0, 100)
+      } yield (x.toDouble, y.toDouble))
+    } yield pts.distinct
+    forAllSampled(gen, 15) { pts =>
+      if (pts.length >= 4) {
+        val mp = pts.map { case (x, y) => s"($x $y)" }
+          .mkString("MULTIPOINT (", ", ", ")")
+        val convexW = GeoFuncs.concaveHull(mp, 1.0)
+        val concaveW = GeoFuncs.concaveHull(mp, 0.6)
+        if (convexW.startsWith("POLYGON") && concaveW.startsWith("POLYGON")) {
+          def area(w: String): Double = {
+            val ring = GeoFuncs.parseGeometry(w).head.head
+            math.abs(ring.dropRight(1).zipWithIndex.map {
+              case ((x0, y0), i) =>
+                val (x1, y1) = ring((i + 1) % (ring.length - 1))
+                x0 * y1 - x1 * y0
+            }.sum) / 2
+          }
+          assert(area(concaveW) <= area(convexW) + 1e-9,
+            s"concave area grew past convex for $mp")
+          // every hull vertex must be an input point
+          GeoFuncs.parseGeometry(concaveW).head.head.dropRight(1)
+            .foreach { p =>
+              assert(pts.contains(p), s"hull vertex $p not an input")
+            }
+        }
+      }
+    }
+  }
 }
