@@ -24,24 +24,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ArchiveSource {
 
+  /** Lazy line iterator over a reader: no full-member materialization —
+    * a multi-GB member streams through O(buffer) memory. CR of CRLF
+    * endings is stripped (readLine), matching what a text source does. */
+  private def lineIter(br: java.io.BufferedReader): Iterator[String] =
+    Iterator.continually(br.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty)
+
   /** (archive, member, line) rows for every text member of every zip
-    * under the glob. */
+    * under the glob. STREAMING: the zip is read through
+    * `PortableDataStream.open()` and each member through a lazy line
+    * iterator, so task memory is O(io buffer) no matter how large the
+    * archive — one task per archive, decompression executor-side. */
   def zipLines(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(pathGlob)
       .flatMap { case (file, stream) =>
-        val zin = new ZipInputStream(
-          new ByteArrayInputStream(stream.toArray()))
-        Iterator.continually(zin.getNextEntry)
+        val zin = new ZipInputStream(stream.open())
+        val it = Iterator.continually(zin.getNextEntry)
           .takeWhile(_ != null)
           .filterNot(_.isDirectory)
           .flatMap { entry =>
             val name = entry.getName
-            val text = new String(zin.readAllBytes(), StandardCharsets.UTF_8)
-            text.split("\n", -1).iterator
-              .filter(_.nonEmpty)
-              .map(line => (file, name, line))
-          }.toList
+            // per-entry reader over the shared zip stream: reads hit
+            // the entry's own EOF; do NOT close it (that would close
+            // the archive stream)
+            val br = new java.io.BufferedReader(
+              new java.io.InputStreamReader(zin, StandardCharsets.UTF_8))
+            lineIter(br).map(line => (file, name, line))
+          }
+        // close the archive once the lazy traversal is exhausted
+        it ++ { zin.close(); Iterator.empty }
       }
       .toDF("archive", "member", "line")
   }
@@ -56,16 +69,18 @@ object ArchiveSource {
     spark.read.option("header", "true").option("sep", sep).csv(lines)
   }
 
-  /** Gzip single-file expansion → line stream. */
+  /** Gzip single-file expansion → line stream. STREAMING — O(buffer)
+    * task memory, like [[zipLines]]. */
   def gzipLines(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(pathGlob)
       .flatMap { case (file, stream) =>
-        val gin = new GZIPInputStream(
-          new ByteArrayInputStream(stream.toArray()))
-        new String(gin.readAllBytes(), StandardCharsets.UTF_8)
-          .split("\n", -1).iterator.filter(_.nonEmpty)
-          .map(line => (file, line)).toList
+        val gin = new GZIPInputStream(stream.open())
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(gin, StandardCharsets.UTF_8))
+        lineIter(br).map(line => (file, line)) ++ {
+          br.close(); Iterator.empty
+        }
       }
       .toDF("archive", "line")
   }
@@ -73,17 +88,18 @@ object ArchiveSource {
   /** bz2 single-file expansion → line stream (`dwd.py:106` downloads
     * `*.grb.bz2` and `bz2.decompress`es before handing to the GRIB
     * adapter). `decompressConcatenated = true` matches Python's `bz2`
-    * on multi-stream files (pbzip2 output). */
+    * on multi-stream files (pbzip2 output). STREAMING — O(buffer)
+    * task memory, like [[zipLines]]. */
   def bz2Lines(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(pathGlob)
       .flatMap { case (file, stream) =>
-        val bin = new BZip2CompressorInputStream(
-          new ByteArrayInputStream(stream.toArray()), true)
-        try new String(bin.readAllBytes(), StandardCharsets.UTF_8)
-          .split("\n", -1).iterator.filter(_.nonEmpty)
-          .map(line => (file, line)).toList
-        finally bin.close()
+        val bin = new BZip2CompressorInputStream(stream.open(), true)
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(bin, StandardCharsets.UTF_8))
+        lineIter(br).map(line => (file, line)) ++ {
+          br.close(); Iterator.empty
+        }
       }
       .toDF("archive", "line")
   }
@@ -106,7 +122,11 @@ object ArchiveSource {
     * archive under the glob (`refit.py:50-61` lands a zip-of-CSV-like
     * 7z, members read per-name). LZMA2/LZMA/copy coders decode via
     * commons-compress; decompression is executor-side, one task per
-    * archive, like [[zipLines]]. */
+    * archive, like [[zipLines]]. Unlike zip/gz/bz2, 7z NEEDS random
+    * access (the format stores its entry table at the end and LZMA2
+    * folders seek), so the archive is buffered in task memory — the
+    * same cost py7zr pays; size 7z inputs accordingly or pre-extract
+    * at the adapter boundary. */
   def sevenZLines(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(pathGlob)
