@@ -499,6 +499,98 @@ object AnalyticsOps {
           ${ExactAgg.sqlSum("value")} AS total
         FROM (SELECT least(user_id, 20) AS hk, value FROM events) e
         JOIN customer c ON e.hk = c.c_custkey
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Continuous-aggregate rollup cascade — the TimescaleDB
+    // materialized-rollup shape (raw → hourly → daily, each level
+    // built FROM THE PREVIOUS level's partials, never re-touching
+    // raw): correctness of the cascade rests on the partial states
+    // being mergeable, which decimal sums and counts are exactly. The
+    // oracle computes daily straight from the raw table, so the query
+    // hash-proves rollup(rollup(raw)) == rollup(raw) — the invariant
+    // every incremental-refresh pipeline depends on. At 100 TB the
+    // hourly level is what refreshes incrementally (one day's raw
+    // partition), and daily reads |hours| rows, not facts.
+    Q("q151_rollup_cascade",
+      (s, dir) => {
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(
+              org.apache.spark.sql.types.DecimalType(28, 2))).as("total"))
+        hourly
+          .groupBy(col("event_type"),
+            date_trunc("day", col("hour")).as("day"))
+          .agg(sum(col("n")).as("n"),
+            sum(col("total")).cast("double").as("total"))
+          .orderBy("event_type", "day")
+      },
+      Some("""SELECT event_type, date_trunc('day', ts) AS day,
+          count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Distribution drift between two periods — the data-quality gate a
+    // long-running ingest needs (did this month's feed change shape?).
+    // Chi-square-family distance over fixed value bins: per bin,
+    // (pa − pb)² / (pa + pb) with pa/pb the period's bin shares. The
+    // per-bin contribution is a fixed double-op sequence on exact
+    // integer counts; contributions are cast to DECIMAL(38,12) BEFORE
+    // the final sum (order-free, engine-exact — the q134 rule). Two
+    // hash aggregates (bin counts ride one shuffle, period totals are
+    // a tiny second) and the |bins|-sized drift table; no float log,
+    // unlike PSI, so the score is oracle-exact.
+    Q("q152_distribution_drift",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+        val cutTs = "2024-01-16 00:00:00"
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") / 10.0).cast("long").as("bin"),
+            (col("ts") < to_timestamp(lit(cutTs))).as("in_a"))
+        val bins = ev.groupBy("event_type", "bin")
+          .agg(count(when(col("in_a"), 1)).as("na"),
+            count(when(!col("in_a"), 1)).as("nb"))
+        val totals = ev.groupBy("event_type")
+          .agg(count(when(col("in_a"), 1)).as("ta"),
+            count(when(!col("in_a"), 1)).as("tb"))
+        val pa = col("na").cast("double") / col("ta").cast("double")
+        val pb = col("nb").cast("double") / col("tb").cast("double")
+        bins.join(totals, "event_type")
+          // a series empty in either period has no defined shares —
+          // drop it rather than let 0/0 NaN diverge across engines
+          .filter(col("ta") > 0 && col("tb") > 0)
+          .select(col("event_type"), col("bin"),
+            ((pa - pb) * (pa - pb) / (pa + pb)).as("contrib"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_bins"),
+            sum(col("contrib").cast(dec)).cast("double").as("drift"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(floor(value / 10.0) AS BIGINT) AS bin,
+            ts < TIMESTAMP '2024-01-16 00:00:00' AS in_a
+          FROM events),
+        bins AS (SELECT event_type, bin,
+            CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+          FROM e GROUP BY 1, 2),
+        tot AS (SELECT event_type,
+            CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+            CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS tb
+          FROM e GROUP BY 1),
+        c AS (SELECT b.event_type, b.bin,
+            (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+              - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+            * (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+              - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+            / (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+              + CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) AS contrib
+          FROM bins b JOIN tot t ON b.event_type = t.event_type
+          WHERE t.ta > 0 AND t.tb > 0)
+        SELECT event_type, count(*) AS n_bins,
+          CAST(sum(CAST(contrib AS DECIMAL(38,12))) AS DOUBLE) AS drift
+        FROM c GROUP BY 1 ORDER BY 1"""))
   )
 }
