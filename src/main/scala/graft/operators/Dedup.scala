@@ -158,6 +158,47 @@ object Dedup {
       .agg(max(col("est")).as("est_jaccard"))
   }
 
+  /** Asymmetric LSH — the DAILY-INGEST dedup path: candidates only
+    * between `newDocs` and `corpus`, never corpus-vs-corpus. The new
+    * batch's band rows probe the corpus' band index as an equi-join;
+    * cost is Σ_bucket (new-width × corpus-width) — proportional to the
+    * BATCH, not corpus², which is what makes continuous dedup
+    * affordable at 100 TB (the corpus band index is exactly the kind
+    * of table you persist bucketed on (band, bkey)). Same signature
+    * family, banding and estimate as [[minHashLsh]]; `maxBucketWidth`
+    * caps the CORPUS side's degenerate buckets (boilerplate clusters)
+    * the same way. */
+  def minHashLshAgainst(
+      newDocs: DataFrame, corpus: DataFrame, k: Int, numHashes: Int,
+      bands: Int, maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    val rows = numHashes / bands
+    def bk(docs: DataFrame): DataFrame = {
+      val sig = minHashSignatures(shingleSets(docs, k), numHashes)
+      val bandStructs = (0 until bands).map { b =>
+        val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+        struct(lit(b).as("band"), md5(concat(cols: _*)).as("bkey"))
+      }
+      sig.select(col("doc_id") +:
+        (0 until numHashes).map(i => col(s"mh$i")) :+
+        explode(array(bandStructs: _*)).as("bk"): _*)
+        .select(col("doc_id") +: col("bk.band") +: col("bk.bkey") +:
+          (0 until numHashes).map(i => col(s"mh$i")): _*)
+    }
+    val newBk = bk(newDocs)
+    val corpusBk = capWidth(bk(corpus), maxBucketWidth, "band", "bkey")
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    newBk.as("a")
+      .join(corpusBk.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("new_id"),
+        col("b.doc_id").as("corpus_id"),
+        (agree.cast(DoubleType) / lit(numHashes.toDouble)).as("est"))
+      .groupBy("new_id", "corpus_id")
+      .agg(max(col("est")).as("est_jaccard"))
+  }
+
   /** Exact n-gram Jaccard for every pair sharing ≥1 shingle, kept when
     * jaccard ≥ `minJaccard`. Inverted-index self-join on the shingle
     * key: cost is Σ f(s)² over shingle frequencies, not N² — the

@@ -44,7 +44,7 @@ object DedupOps {
     * pairs) mirroring Dedup.minHashLsh over `source` — shared by q24's
     * oracle and q69's composite so the hash family and banding exist
     * in exactly one place. Yields CTEs `sig` and `cand`. */
-  private[queries] def lshCandidateCtes(source: String): String = {
+  private[queries] def lshSigBandCtes(source: String): String = {
     val mhCols = (0 until NumHashes)
       .map(h => s"min(substr(md5('${h / 4}' || '|' || shingle), " +
         s"${h % 4 * 8 + 1}, 8)) AS mh$h").mkString(", ")
@@ -55,11 +55,14 @@ object DedupOps {
     }.mkString(" UNION ALL ")
     s"""${shingleCtes(source)},
       sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY 1),
-      bands AS ($bandRows),
+      bands AS ($bandRows)"""
+  }
+
+  private[queries] def lshCandidateCtes(source: String): String =
+    s"""${lshSigBandCtes(source)},
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
-  }
 
   /** Minhash-position agreement count between `sa` and `sb` sig rows. */
   private[queries] val lshAgreeSql: String = (0 until NumHashes)
@@ -113,6 +116,34 @@ object DedupOps {
           .orderBy("doc_a", "doc_b")
       },
       Some(minhashOracle)),
+
+    // Asymmetric LSH — the daily-ingest dedup path: the "new batch"
+    // (doc_id % 10 = 0) probes the existing corpus' band index; no
+    // corpus-vs-corpus pairs are ever generated, so continuous dedup
+    // costs Σ bucket (new × corpus) widths per day, not corpus². Same
+    // hash family as q24, so the oracle reuses its sig/band CTEs with
+    // the membership predicates on the candidate join.
+    Q("q153_incremental_neardup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.minHashLshAgainst(
+            docs.filter(col("doc_id") % 10 === 0),
+            docs.filter(col("doc_id") % 10 =!= 0),
+            K, NumHashes, Bands, maxBucketWidth = MaxBucketWidth)
+          .orderBy("new_id", "corpus_id")
+      },
+      Some(s"""WITH ${lshSigBandCtes("documents")},
+        cand AS (SELECT DISTINCT a.doc_id AS new_id,
+            b.doc_id AS corpus_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey
+              AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+        SELECT new_id, corpus_id,
+          CAST($lshAgreeSql AS DOUBLE) / ${NumHashes}.0 AS est_jaccard
+        FROM cand
+        JOIN sig sa ON new_id = sa.doc_id
+        JOIN sig sb ON corpus_id = sb.doc_id
+        ORDER BY new_id, corpus_id""")),
 
     // Exact n-gram Jaccard via inverted-index self-join, thresholded
     // to near-dup candidates.
