@@ -24,11 +24,16 @@ object MediaCodecs {
   final case class Audio(sampleRate: Int, channels: Int,
       samples: Array[Short])
 
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+    0x0d, 0x0a, 0x1a, 0x0a)
+
   /** Identify a payload by magic bytes. */
   def sniff(bytes: Array[Byte]): Option[String] =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
       Some("ppm")
+    else if (bytes.length >= 8 && bytes.take(8).sameElements(PngSig))
+      Some("png")
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
       bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') Some("wav")
@@ -153,6 +158,144 @@ object MediaCodecs {
     require(bytes.length >= pos + n, "truncated PPM pixel data")
     Image(width, height,
       java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+  }
+
+  // ---- PNG (8-bit RGB, non-interlaced) --------------------------------
+  //
+  // A REAL compressed format in pure JVM: zlib via java.util.zip
+  // Inflater/Deflater, chunk CRCs via java.util.zip.CRC32, and the
+  // five standard scanline filters (None/Sub/Up/Average/Paeth)
+  // implemented from the public PNG specification.
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def writeChunk(out: ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    def w32be(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    w32be(data.length)
+    val t = typ.getBytes(StandardCharsets.US_ASCII)
+    out.write(t); out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    w32be(crc.getValue.toInt)
+  }
+
+  /** Encode row-major RGB as an 8-bit truecolor PNG (filter 0 rows,
+    * one zlib IDAT). */
+  def encodePng(img: Image): Array[Byte] = {
+    require(img.rgb.length == img.width * img.height * 3)
+    val raw = new Array[Byte](img.height * (1 + img.width * 3))
+    var y = 0
+    while (y < img.height) {
+      val off = y * (1 + img.width * 3)
+      raw(off) = 0 // filter: None
+      System.arraycopy(img.rgb, y * img.width * 3, raw, off + 1,
+        img.width * 3)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zout = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished())
+      zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = new ByteArrayOutputStream()
+    def w32be(o: ByteArrayOutputStream, v: Int): Unit = {
+      o.write((v >>> 24) & 0xff); o.write((v >>> 16) & 0xff)
+      o.write((v >>> 8) & 0xff); o.write(v & 0xff)
+    }
+    w32be(ihdr, img.width); w32be(ihdr, img.height)
+    ihdr.write(8); ihdr.write(2) // bit depth 8, color type 2 (RGB)
+    ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    val out = new ByteArrayOutputStream()
+    out.write(PngSig)
+    writeChunk(out, "IHDR", ihdr.toByteArray)
+    writeChunk(out, "IDAT", zout.toByteArray)
+    writeChunk(out, "IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit truecolor non-interlaced PNG: chunk walk
+    * (multiple IDATs concatenate; ancillary chunks skipped), zlib
+    * inflate, and full scanline de-filtering. */
+  def decodePng(bytes: Array[Byte]): Image = {
+    require(sniff(bytes).contains("png"), "not a PNG")
+    var pos = 8
+    var width = -1; var height = -1
+    val idat = new ByteArrayOutputStream()
+    var done = false
+    while (!done && pos + 8 <= bytes.length) {
+      val len = be32(bytes, pos)
+      val typ = new String(bytes, pos + 4, 4, StandardCharsets.US_ASCII)
+      val body = pos + 8
+      typ match {
+        case "IHDR" =>
+          width = be32(bytes, body); height = be32(bytes, body + 4)
+          val depth = bytes(body + 8); val color = bytes(body + 9)
+          val interlace = bytes(body + 12)
+          require(depth == 8 && color == 2 && interlace == 0,
+            s"only 8-bit RGB non-interlaced supported " +
+              s"(depth=$depth color=$color interlace=$interlace)")
+        case "IDAT" => idat.write(bytes, body, len)
+        case "IEND" => done = true
+        case _ => // ancillary (tEXt, pHYs, …) — skip
+      }
+      pos = body + len + 4 // skip CRC
+    }
+    require(width > 0 && height > 0, "missing IHDR")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val stride = 1 + width * 3
+    val raw = new Array[Byte](height * stride)
+    var off = 0
+    while (!inflater.finished() && off < raw.length)
+      off += inflater.inflate(raw, off, raw.length - off)
+    inflater.end()
+    require(off == raw.length, s"short IDAT: $off of ${raw.length}")
+    // de-filter, per the PNG spec's five filter types
+    val rgb = new Array[Byte](width * height * 3)
+    val bpp = 3
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * stride) & 0xff
+      val rowIn = y * stride + 1
+      val rowOut = y * width * 3
+      var x = 0
+      while (x < width * 3) {
+        val cur = raw(rowIn + x) & 0xff
+        val left = if (x >= bpp) rgb(rowOut + x - bpp) & 0xff else 0
+        val up = if (y > 0) rgb(rowOut - width * 3 + x) & 0xff else 0
+        val upLeft =
+          if (y > 0 && x >= bpp) rgb(rowOut - width * 3 + x - bpp) & 0xff
+          else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 =>
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - upLeft)
+            val paeth =
+              if (pa <= pb && pa <= pc) left
+              else if (pb <= pc) up else upLeft
+            cur + paeth
+          case f => throw new IllegalArgumentException(
+            s"unknown PNG filter $f")
+        }
+        rgb(rowOut + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Image(width, height, rgb)
   }
 
   // ---- WAV (RIFF PCM 16-bit) ------------------------------------------

@@ -69,8 +69,13 @@ object Multimodal {
           case 0 =>
             val rgb = Array.tabulate[Byte](16 * 8 * 3)(i =>
               ((i * 31 + id) % 256).toByte)
-            MediaRow(id, "image",
-              MediaCodecs.encodeBmp(MediaCodecs.Image(16, 8, rgb)), 16, 8)
+            val img = MediaCodecs.Image(16, 8, rgb)
+            // alternate the uncompressed and the COMPRESSED (zlib)
+            // image codec so both decode paths sit under the oracle
+            val payload =
+              if (id % 6 == 0) MediaCodecs.encodeBmp(img)
+              else MediaCodecs.encodePng(img)
+            MediaRow(id, "image", payload, 16, 8)
           case 1 =>
             val samples = Array.tabulate[Short](256)(i =>
               ((i * 37 + id) % 2048 - 1024).toShort)
@@ -98,9 +103,12 @@ object Multimodal {
     media.mapPartitions { batch =>
       batch.map { m =>
         MediaCodecs.sniff(m.payload) match {
-          case Some(fmt @ ("bmp" | "ppm")) =>
-            val img = if (fmt == "bmp") MediaCodecs.decodeBmp(m.payload)
-              else MediaCodecs.decodePpm(m.payload)
+          case Some(fmt @ ("bmp" | "ppm" | "png")) =>
+            val img = fmt match {
+              case "bmp" => MediaCodecs.decodeBmp(m.payload)
+              case "ppm" => MediaCodecs.decodePpm(m.payload)
+              case _ => MediaCodecs.decodePng(m.payload)
+            }
             var sum = 0L; var i = 0
             while (i < img.rgb.length) { sum += (img.rgb(i) & 0xff); i += 1 }
             MediaStatsRow(m.media_id, m.kind, fmt, img.width, img.height,

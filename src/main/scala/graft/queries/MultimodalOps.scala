@@ -65,15 +65,19 @@ object MultimodalOps {
         WHERE nblocks >= 1
         ORDER BY media_id""")),
 
-    // REAL codec decode: per doc a deterministic BMP / WAV / PPM file
-    // is ENCODED executor-side (MediaCodecs), then DECODED back by the
-    // byte-level parsers — header dims and the pixel/sample mean come
-    // from the decoded output. The oracle recomputes each mean
+    // REAL codec decode: per doc a deterministic BMP / PNG / WAV / PPM
+    // file is ENCODED executor-side (MediaCodecs), then DECODED back
+    // by the byte-level parsers — header dims and the pixel/sample
+    // mean come from the decoded output. Image payloads alternate the
+    // uncompressed (BMP) and COMPRESSED (PNG — real zlib inflate +
+    // scanline de-filtering) codecs, so the compressed path sits
+    // under the oracle too. The oracle recomputes each mean
     // arithmetically (avg over the generating formula), so a single
     // mis-parsed byte anywhere in the encode→decode chain (BGR order,
-    // row padding, bottom-up flip, chunk walk, sample sign) breaks the
-    // hash. The mean is one double division on an exact integer sum —
-    // bit-identical across engines. Payloads never shuffle.
+    // row padding, bottom-up flip, inflate, filter reconstruction,
+    // chunk walk, sample sign) breaks the hash. The mean is one
+    // double division on an exact integer sum — bit-identical across
+    // engines. Payloads never shuffle.
     Q("q141_media_decode",
       (s, dir) => {
         val media = Multimodal.packEncodedMedia(
@@ -89,7 +93,8 @@ object MultimodalOps {
           CASE WHEN doc_id % 3 = 0 THEN 'image'
                WHEN doc_id % 3 = 1 THEN 'audio'
                ELSE 'video' END AS kind,
-          CASE WHEN doc_id % 3 = 0 THEN 'bmp'
+          CASE WHEN doc_id % 6 = 0 THEN 'bmp'
+               WHEN doc_id % 3 = 0 THEN 'png'
                WHEN doc_id % 3 = 1 THEN 'wav'
                ELSE 'ppm' END AS format,
           CAST(CASE WHEN doc_id % 3 = 0 THEN 16

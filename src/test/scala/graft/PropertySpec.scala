@@ -135,6 +135,9 @@ class PropertySpec extends SparkSpec {
         viaBmp.rgb.sameElements(rgb), s"BMP round trip failed ${w}x$h")
       val viaPpm = MediaCodecs.decodePpm(MediaCodecs.encodePpm(img))
       assert(viaPpm.rgb.sameElements(rgb), s"PPM round trip failed ${w}x$h")
+      val viaPng = MediaCodecs.decodePng(MediaCodecs.encodePng(img))
+      assert(viaPng.width == w && viaPng.height == h &&
+        viaPng.rgb.sameElements(rgb), s"PNG round trip failed ${w}x$h")
     }
   }
 
