@@ -999,6 +999,122 @@ object StatsOps {
         FROM o
         WHERE next_ts IS NOT NULL
           AND date_diff('second', ts, next_ts) > 43200
-        ORDER BY user_id, gap_start"""))
+        ORDER BY user_id, gap_start""")),
+
+    // Robust outlier detection by MEDIAN ABSOLUTE DEVIATION — the
+    // heavy-tail-safe alternative to q82's z-score (one wild meter
+    // reading poisons a mean/stddev; it barely moves a median). Both
+    // medians are EXACT lower medians selected by integer rank over
+    // BIGINT cents (no float quantile interpolation), deviations are
+    // integer, and the 3×MAD outlier test is an integer comparison —
+    // the whole query is arithmetic-free of doubles. Two rank windows
+    // per group, both on the same event_type partitioning.
+    Q("q154_mad_outliers",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * 100d + 0.5d).cast(LongType).as("cents"))
+        val wOrd = Window.partitionBy("event_type")
+          .orderBy("cents", "event_id")
+        val wAll = Window.partitionBy("event_type")
+        val med = ev
+          .withColumn("rn", row_number().over(wOrd).cast(LongType))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .filter(col("rn") === expr("(n + 1) DIV 2")) // integer div:
+          // Spark `/` on longs yields DOUBLE and would never match rn
+          .select(col("event_type"), col("cents").as("median_cents"))
+        val dev = ev.join(med, "event_type")
+          .withColumn("dev", abs(col("cents") - col("median_cents")))
+        val wDev = Window.partitionBy("event_type")
+          .orderBy("dev", "event_id")
+        val mad = dev
+          .withColumn("rn", row_number().over(wDev).cast(LongType))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .filter(col("rn") === expr("(n + 1) DIV 2"))
+          .select(col("event_type"), col("dev").as("mad_cents"))
+        dev.join(mad, "event_type")
+          .groupBy(col("event_type"))
+          .agg(max(col("median_cents")).as("median_cents"),
+            max(col("mad_cents")).as("mad_cents"),
+            count(when(col("dev") > col("mad_cents") * 3, 1))
+              .as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH base AS (SELECT event_type, event_id,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        r AS (SELECT event_type, cents,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY cents, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM base),
+        med AS (SELECT event_type, cents AS median_cents FROM r
+          WHERE rn = (n + 1) // 2),
+        dev AS (SELECT b.event_type, b.event_id,
+            abs(b.cents - m.median_cents) AS dev, m.median_cents
+          FROM base b JOIN med m ON b.event_type = m.event_type),
+        r2 AS (SELECT event_type, dev,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY dev, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM dev),
+        mad AS (SELECT event_type, dev AS mad_cents FROM r2
+          WHERE rn = (n + 1) // 2)
+        SELECT d.event_type,
+          CAST(max(d.median_cents) AS BIGINT) AS median_cents,
+          CAST(max(m.mad_cents) AS BIGINT) AS mad_cents,
+          CAST(sum(CASE WHEN d.dev > m.mad_cents * 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        GROUP BY 1 ORDER BY 1""")),
+
+    // CDC diff — the planning half of the K6 upsert: classify every
+    // key of the new snapshot against the current dimension as
+    // insert / update / unchanged via a full-outer join on the key
+    // with value comparison (deletes fall out of the same join as
+    // target-only rows; this fixture's key space only grows, so the
+    // output here is inserts + updates). Old and new states travel in
+    // the output so the downstream MERGE is a pure writer. One
+    // co-partitioned join of two |keys|-sized latest-per-key tables —
+    // the fact table is reduced BEFORE the join, shapes shared with
+    // q13/q78.
+    Q("q155_cdc_diff",
+      (s, dir) => {
+        val cutTs = "2024-01-20 00:00:00"
+        val ev = Tables.load(s, dir, "events")
+        def latest(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("m"))
+          .select(col("user_id"), col("m.event_type").as("state"))
+        val target = latest(ev.filter(col("ts") < to_timestamp(lit(cutTs))))
+          .withColumnRenamed("state", "old_state")
+        val source = latest(ev).withColumnRenamed("state", "new_state")
+        source.join(target, Seq("user_id"), "full")
+          .withColumn("change_type",
+            when(col("old_state").isNull, "insert")
+              .when(col("new_state") =!= col("old_state"), "update"))
+          .filter(col("change_type").isNotNull)
+          .select("user_id", "change_type", "old_state", "new_state")
+          .orderBy("user_id")
+      },
+      Some("""WITH tgt AS (SELECT user_id, event_type AS old_state FROM (
+            SELECT user_id, event_type, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+          WHERE rn = 1),
+        src AS (SELECT user_id, event_type AS new_state FROM (
+            SELECT user_id, event_type, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+          WHERE rn = 1)
+        SELECT COALESCE(s.user_id, t.user_id) AS user_id,
+          CASE WHEN t.old_state IS NULL THEN 'insert'
+               WHEN s.new_state <> t.old_state THEN 'update' END
+            AS change_type,
+          t.old_state, s.new_state
+        FROM src s FULL JOIN tgt t ON s.user_id = t.user_id
+        WHERE t.old_state IS NULL OR s.new_state <> t.old_state
+        ORDER BY user_id"""))
   )
 }
