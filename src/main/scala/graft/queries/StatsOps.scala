@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
 import graft.expressions.TopKAggregate
@@ -1115,6 +1115,50 @@ object StatsOps {
           t.old_state, s.new_state
         FROM src s FULL JOIN tgt t ON s.user_id = t.user_id
         WHERE t.old_state IS NULL OR s.new_state <> t.old_state
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // k-anonymity audit — before a dataset is shared, every
+    // quasi-identifier combination (here event_type × date × coarse
+    // value band) must cover at least k individuals; smaller groups
+    // re-identify. Report per event_type: group counts, rows that
+    // would need suppression, and the suppression rate. Two hash
+    // aggregates (QI groups, then the per-type roll-up of the
+    // |groups|-sized table); the rate is one mirrored double division
+    // over exact integer counts. At 100 TB the QI aggregation is
+    // map-side combinable and the roll-up input is |QI-groups|, not
+    // rows.
+    Q("q157_k_anonymity",
+      (s, dir) => {
+        val k = 10
+        val g = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            to_date(col("ts")).as("day"),
+            floor(col("value") / 100.0).cast(LongType).as("band"))
+          .agg(count(lit(1)).as("n"))
+        g.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_groups"),
+            count(when(col("n") < k, 1)).as("n_violating"),
+            sum(col("n")).as("n_rows"),
+            sum(when(col("n") < k, col("n")).otherwise(lit(0L)))
+              .as("rows_at_risk"))
+          .select(col("event_type"), col("n_groups"),
+            col("n_violating"), col("rows_at_risk"),
+            (col("rows_at_risk").cast(DoubleType) /
+              col("n_rows").cast(DoubleType)).as("suppression_rate"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(floor(value / 100.0) AS BIGINT) AS band,
+            count(*) AS n
+          FROM events GROUP BY 1, 2, 3)
+        SELECT event_type,
+          CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violating,
+          CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+            AS rows_at_risk,
+          CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE)
+            / CAST(sum(n) AS DOUBLE) AS suppression_rate
+        FROM g GROUP BY 1 ORDER BY 1"""))
   )
 }

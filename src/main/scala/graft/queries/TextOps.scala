@@ -668,6 +668,85 @@ object TextOps {
           SELECT a, b, cab, lift, CAST(row_number() OVER (
               ORDER BY lift DESC, a, b) AS BIGINT) AS rk
           FROM lift)
-        WHERE rk <= 20 ORDER BY rk"""))
+        WHERE rk <= 20 ORDER BY rk""")),
+
+    // Rule-based quality composite — the Gopher/Dolma filter-report
+    // shape: several independent heuristics evaluated per document,
+    // each surfaced as its own signal, failures joined into a
+    // `reject_reasons` audit string (fixed rule order), and `keep` the
+    // conjunction. Distinct from q19 (which gates on stop-ratio and
+    // length alone): this adds mean-word-length bounds and a
+    // top-word-fraction repetition gate, and keeps WHY a document was
+    // dropped — the part a curation pipeline actually reviews. One
+    // explode → (doc, word) hash count → per-doc roll-up: two
+    // map-side-combinable aggregations, no window, no join back to the
+    // raw text (word-derived stats reconstruct length/count exactly
+    // for the single-space corpus; the oracle mirrors the same
+    // reconstruction).
+    Q("q156_quality_rules",
+      (s, dir) => {
+        val wf = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("doc_id", "w")
+          .agg(count(lit(1)).as("c"))
+        val d = wf.groupBy("doc_id")
+          .agg(sum(col("c")).as("n_words"),
+            max(col("c")).as("top_c"),
+            sum(col("c") * length(col("w"))).as("n_chars"),
+            sum(when(col("w").isInCollection(stopwords), col("c"))
+              .otherwise(lit(0L))).as("stop_hits"))
+        val nW = col("n_words").cast(DoubleType)
+        val awl = col("n_chars").cast(DoubleType) / nW
+        val topF = col("top_c").cast(DoubleType) / nW
+        val rWords = col("n_words") >= 15 && col("n_words") <= 100
+        val rLen = awl >= 3.0 && awl <= 10.0
+        val rTop = topF <= 0.2
+        val rStop = col("stop_hits") >= 2
+        d.select(col("doc_id"), col("n_words"),
+            awl.as("avg_word_len"), topF.as("top_frac"),
+            col("stop_hits"),
+            (rWords && rLen && rTop && rStop).as("keep"),
+            concat_ws(",",
+              when(!rWords, lit("n_words")),
+              when(!rLen, lit("word_len")),
+              when(!rTop, lit("repetition")),
+              when(!rStop, lit("stopwords"))).as("reject_reasons"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS w FROM documents),
+        wf AS (SELECT doc_id, w, count(*) AS c FROM w
+          WHERE len(w) > 0 GROUP BY 1, 2),
+        d AS (SELECT doc_id,
+            CAST(sum(c) AS BIGINT) AS n_words,
+            CAST(max(c) AS BIGINT) AS top_c,
+            CAST(sum(c * len(w)) AS BIGINT) AS n_chars,
+            CAST(sum(CASE WHEN w IN (${stopwords
+              .map(w => s"'$w'").mkString(", ")})
+              THEN c ELSE 0 END) AS BIGINT) AS stop_hits
+          FROM wf GROUP BY 1)
+        SELECT doc_id, n_words,
+          CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+            AS avg_word_len,
+          CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_frac,
+          stop_hits,
+          (n_words BETWEEN 15 AND 100)
+            AND (CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+              BETWEEN 3.0 AND 10.0)
+            AND (CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2)
+            AND (stop_hits >= 2) AS keep,
+          concat_ws(',',
+            CASE WHEN NOT (n_words BETWEEN 15 AND 100)
+              THEN 'n_words' END,
+            CASE WHEN NOT (CAST(n_chars AS DOUBLE)
+                / CAST(n_words AS DOUBLE) BETWEEN 3.0 AND 10.0)
+              THEN 'word_len' END,
+            CASE WHEN NOT (CAST(top_c AS DOUBLE)
+                / CAST(n_words AS DOUBLE) <= 0.2)
+              THEN 'repetition' END,
+            CASE WHEN NOT (stop_hits >= 2)
+              THEN 'stopwords' END) AS reject_reasons
+        FROM d ORDER BY doc_id"""))
   )
 }
