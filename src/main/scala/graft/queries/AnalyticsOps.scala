@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
 import graft.functions.{ExactAgg, ZOrder}
@@ -591,6 +592,173 @@ object AnalyticsOps {
           WHERE t.ta > 0 AND t.tb > 0)
         SELECT event_type, count(*) AS n_bins,
           CAST(sum(CAST(contrib AS DECIMAL(38,12))) AS DOUBLE) AS drift
-        FROM c GROUP BY 1 ORDER BY 1"""))
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // Autocorrelation function — per series, Pearson r between the
+    // hourly total and its lag-k hour for k = 1..6 (the seasonality
+    // probe that decides resampling windows and forecast features).
+    // The fact table reduces to |hours| rows FIRST (one hash
+    // aggregate, BIGINT cents so the reduction is exact); lag pairing
+    // is an equi-join on (series, hour+k) over that reduced table —
+    // gaps in the series self-exclude (both endpoints must exist),
+    // with no dense-grid materialization. All six moment sums are
+    // exact BIGINT; r is a fixed double-op sequence over them
+    // (products taken AFTER the cast so n·Σxy cannot overflow long).
+    Q("q158_autocorrelation",
+      (s, dir) => {
+        val h = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hour"))
+          .agg(sum(floor(col("value") * 100d + 0.5d).cast(LongType))
+            .as("cents"))
+        val probes = h
+          .select(col("event_type"), col("hour"),
+            col("cents").as("x"),
+            explode(array((1 to 6).map(lit(_)): _*)).as("lag"))
+          .withColumn("probe_hour",
+            expr("timestampadd(HOUR, lag, hour)"))
+        val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+        probes
+          .join(h.select(col("event_type"),
+              col("hour").as("probe_hour"), col("cents").as("y")),
+            Seq("event_type", "probe_hour"))
+          .groupBy(col("event_type"), col("lag").cast(LongType).as("lag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("event_type"), col("lag"), col("n"),
+            ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+              / (sqrt(d(col("n")) * d(col("sxx"))
+                  - d(col("sx")) * d(col("sx")))
+                * sqrt(d(col("n")) * d(col("syy"))
+                  - d(col("sy")) * d(col("sy"))))).as("acf"))
+          .orderBy("event_type", "lag")
+      },
+      Some("""WITH h AS (SELECT event_type,
+            date_trunc('hour', ts) AS hour,
+            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+          FROM events GROUP BY 1, 2),
+        p AS (SELECT a.event_type, t.lag, a.cents AS x, b.cents AS y
+          FROM h a
+          CROSS JOIN UNNEST(range(1, 7)) AS t(lag)
+          JOIN h b ON b.event_type = a.event_type
+            AND b.hour = a.hour + to_hours(t.lag)),
+        m AS (SELECT event_type, lag, count(*) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(y * y) AS BIGINT) AS syy
+          FROM p GROUP BY 1, 2)
+        SELECT event_type, lag, CAST(n AS BIGINT) AS n,
+          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+        FROM m ORDER BY event_type, lag""")),
+
+    // Peak concurrency — the interval sweep-line: each event holds a
+    // resource for 30 minutes; per series report the maximum number of
+    // simultaneously-open intervals and when it first occurs (the
+    // capacity-planning question). Every interval becomes a +1 at its
+    // start and a −1 at its end; a running BIGINT sum over
+    // (t, delta, event_id) — ends sort before coincident starts, so
+    // half-open [s, e) semantics hold — is exact and associative. The
+    // frame is ROWS (not the default RANGE) on BOTH engines, so ties
+    // accumulate one row at a time in the same order. The sweep is
+    // partition-local per series; at planetary row counts the same
+    // sweep shards by (series, day) with per-boundary carry-in, the
+    // standard segmentation.
+    Q("q160_peak_concurrency",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val deltas = ev.select(col("event_type"), col("event_id"),
+            col("ts").as("t"), lit(1L).as("delta"))
+          .unionAll(ev.select(col("event_type"), col("event_id"),
+            expr("timestampadd(MINUTE, 30, ts)").as("t"),
+            lit(-1L).as("delta")))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("t"), col("delta"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val runs = deltas.withColumn("run", sum(col("delta")).over(w))
+        val peak = runs.groupBy("event_type")
+          .agg(max(col("run")).as("peak"))
+        runs.join(peak, Seq("event_type"))
+          .filter(col("run") === col("peak"))
+          .groupBy(col("event_type"))
+          .agg(max(col("run")).as("peak"),
+            min(col("t")).as("first_peak_ts"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (
+          SELECT event_type, event_id, ts AS t, 1 AS delta FROM events
+          UNION ALL
+          SELECT event_type, event_id, ts + INTERVAL 30 MINUTE,
+            -1 FROM events),
+        r AS (SELECT event_type, t,
+            CAST(sum(delta) OVER (PARTITION BY event_type
+              ORDER BY t, delta, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS run
+          FROM d),
+        pk AS (SELECT event_type, max(run) AS peak FROM r GROUP BY 1)
+        SELECT r.event_type, CAST(max(run) AS BIGINT) AS peak,
+          min(t) AS first_peak_ts
+        FROM r JOIN pk ON r.event_type = pk.event_type
+          AND r.run = pk.peak
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Key-distribution profiler — the skew diagnostic that decides
+    // whether a join needs salting (the q111 operator) before it runs:
+    // per series, the key count, the heaviest key's share, and the
+    // Gini coefficient of the per-key frequency distribution
+    // (0 = uniform, →1 = one hot key). Fact rows reduce to the
+    // |keys|-sized frequency table first; the rank window runs over
+    // that reduced table (tie order cannot change Σ i·f_i within a
+    // tie block, so the coefficient is deterministic); the Gini is a
+    // fixed double-op sequence over exact BIGINT sums, products taken
+    // after the cast.
+    Q("q161_key_skew_profile",
+      (s, dir) => {
+        val f = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("c"), col("user_id"))
+        val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+        f.withColumn("i", row_number().over(w).cast(LongType))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+            max(col("c")).as("top1"),
+            sum(col("i") * col("c")).as("si"))
+          .select(col("event_type"), col("n_keys"), col("n_rows"),
+            (d(col("top1")) / d(col("n_rows"))).as("top1_share"),
+            ((lit(2.0d) * d(col("si"))
+              - d(col("n_keys") + 1L) * d(col("n_rows")))
+              / (d(col("n_keys")) * d(col("n_rows")))).as("gini"))
+          .orderBy("event_type")
+      },
+      Some("""WITH f AS (SELECT event_type, user_id,
+            count(*) AS c FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, c,
+            CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY c, user_id) AS BIGINT) AS i
+          FROM f),
+        g AS (SELECT event_type,
+            CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(sum(c) AS BIGINT) AS n_rows,
+            CAST(max(c) AS BIGINT) AS top1,
+            CAST(sum(i * c) AS BIGINT) AS si
+          FROM r GROUP BY 1)
+        SELECT event_type, n_keys, n_rows,
+          CAST(top1 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share,
+          (2.0 * CAST(si AS DOUBLE)
+            - CAST(n_keys + 1 AS DOUBLE) * CAST(n_rows AS DOUBLE))
+          / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS gini
+        FROM g ORDER BY 1"""))
   )
 }

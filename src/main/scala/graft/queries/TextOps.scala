@@ -747,6 +747,64 @@ object TextOps {
               THEN 'repetition' END,
             CASE WHEN NOT (stop_hits >= 2)
               THEN 'stopwords' END) AS reject_reasons
-        FROM d ORDER BY doc_id"""))
+        FROM d ORDER BY doc_id""")),
+
+    // Model-based quality scoring — a bigram language model trained on
+    // the corpus itself (the KenLM-filter shape without the float
+    // log): each document's mean MLE bigram probability
+    // p(b|a) = c(a,b) / c(a·) flags token-salad outliers low and
+    // formulaic text high. Per-occurrence probabilities are one
+    // mirrored double division over exact integer counts, cast to
+    // DECIMAL(38,12) BEFORE the per-doc sum (order-free, engine-exact
+    // — the q152/q134 rule; values ≤ 1.0 keep scale 12 within the
+    // 15-digit agreement bound). Plan: the (doc, a, b) occurrence
+    // frame feeds the two count aggregations AND the probability
+    // join — three consumers of one subtree; the model tables are
+    // vocabulary-sized, so their joins are broadcast-eligible at any
+    // corpus scale, and nothing ever pairs documents with documents.
+    Q("q159_bigram_lm_score",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+        val docBi = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(ws) >= 2 THEN
+                 transform(sequence(0, size(ws) - 2),
+                   i -> struct(element_at(ws, i + 1) AS a,
+                     element_at(ws, i + 2) AS b))
+               ELSE array() END""")).as("p"))
+          .filter(length(col("p.a")) > 0 && length(col("p.b")) > 0)
+          .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+        val uni = docBi.groupBy("a").agg(count(lit(1)).as("ca"))
+        val bi = docBi.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        docBi
+          .join(bi, Seq("a", "b")).join(uni, Seq("a"))
+          .select(col("doc_id"),
+            (col("cab").cast(DoubleType) / col("ca").cast(DoubleType))
+              .cast(dec).as("p"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("p")).as("sp"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("sp").cast(DoubleType) /
+              col("n_bigrams").cast(DoubleType)).as("avg_prob"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents),
+        db AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+          FROM w, UNNEST(range(1, len(ws))) AS t(i)
+          WHERE len(ws[i]) > 0 AND len(ws[i + 1]) > 0),
+        uni AS (SELECT a, count(*) AS ca FROM db GROUP BY 1),
+        bi AS (SELECT a, b, count(*) AS cab FROM db GROUP BY 1, 2),
+        p AS (SELECT d.doc_id,
+            CAST(CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE)
+              AS DECIMAL(38,12)) AS p
+          FROM db d
+          JOIN bi ON d.a = bi.a AND d.b = bi.b
+          JOIN uni ON d.a = uni.a)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_prob
+        FROM p GROUP BY 1 ORDER BY 1"""))
   )
 }
