@@ -199,6 +199,79 @@ object Multimodal {
     }
   }
 
+  final case class AudioFrameRow(
+      media_id: Long, frame_idx: Long, n_samples: Long, ssq: Long,
+      n_crossings: Long)
+
+  /** Frame-level audio features from REAL decoded WAV bytes: per
+    * `frameSize`-sample frame, the sum of squared samples (RMS energy
+    * numerator, exact BIGINT) and the zero-crossing count (strict
+    * sign flips, `s[i-1]·s[i] < 0`, within-frame only) — the two
+    * features every audio-quality/VAD pipeline starts with. Map-side
+    * flatMap; only (id, frame, two longs) rows flow on. Non-WAV
+    * payloads are skipped (route them through [[decodeStats]]'s sniff
+    * first if mixed). */
+  def audioFrameFeatures(
+      media: Dataset[MediaRow], frameSize: Int): Dataset[AudioFrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        if (MediaCodecs.sniff(m.payload).contains("wav")) {
+          val a = MediaCodecs.decodeWav(m.payload)
+          val n = a.samples.length
+          val nFrames = (n + frameSize - 1) / frameSize
+          (0 until nFrames).iterator.map { f =>
+            val start = f * frameSize
+            val end = math.min(start + frameSize, n)
+            var ssq = 0L; var zc = 0L; var i = start
+            while (i < end) {
+              val v = a.samples(i).toLong
+              ssq += v * v
+              if (i > start && a.samples(i - 1).toLong * v < 0L) zc += 1
+              i += 1
+            }
+            AudioFrameRow(m.media_id, f.toLong, (end - start).toLong,
+              ssq, zc)
+          }
+        } else Iterator.empty
+      }
+    }
+  }
+
+  final case class ChannelStatsRow(
+      media_id: Long, format: String, channel: Long, n: Long,
+      total: Long)
+
+  /** Per-channel (R/G/B) pixel statistics from REAL decoded image
+    * bytes — the normalization-constant pass every vision pipeline
+    * runs before training. Works on any format [[MediaCodecs]] can
+    * sniff (BMP, PNG, PPM); emits exact integer sums so the mean
+    * stays one mirrored double division downstream. Map-side only. */
+  def channelStats(media: Dataset[MediaRow]): Dataset[ChannelStatsRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        MediaCodecs.sniff(m.payload) match {
+          case Some(fmt @ ("bmp" | "ppm" | "png")) =>
+            val img = fmt match {
+              case "bmp" => MediaCodecs.decodeBmp(m.payload)
+              case "ppm" => MediaCodecs.decodePpm(m.payload)
+              case _ => MediaCodecs.decodePng(m.payload)
+            }
+            val sums = new Array[Long](3)
+            val ns = new Array[Long](3)
+            var i = 0
+            while (i < img.rgb.length) {
+              sums(i % 3) += (img.rgb(i) & 0xff); ns(i % 3) += 1; i += 1
+            }
+            (0 until 3).iterator.map(c =>
+              ChannelStatsRow(m.media_id, fmt, c.toLong, ns(c), sums(c)))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Resize: pure metadata transform (the real op also re-encodes the
     * payload — stubbed to keep bytes unchanged). */
   def resizeMeta(media: Dataset[MediaRow], maxW: Int): Dataset[MediaRow] = {

@@ -116,5 +116,79 @@ object MultimodalOps {
             (SELECT avg(CAST((g.i * 13 + doc_id) % 256 AS DOUBLE))
              FROM generate_series(0, 191) AS g(i))
           END AS mean_value
-        FROM documents ORDER BY media_id""")))
+        FROM documents ORDER BY media_id""")),
+
+    // Audio featurization over REAL decoded WAV bytes: 64-sample
+    // frames → RMS energy + zero-crossing rate (the first two features
+    // of every VAD / audio-quality pipeline). The WAV payload is
+    // encoded AND decoded executor-side; the oracle regenerates each
+    // sample from the same closed-form signal ((i·37 + id) % 2048 −
+    // 1024) and recomputes both features arithmetically — so sample
+    // order, sign, frame boundaries and the 16-bit little-endian PCM
+    // round-trip are all under the hash. Energy sums are exact BIGINT;
+    // RMS is one mirrored sqrt(double/64).
+    Q("q162_audio_frame_features",
+      (s, dir) => {
+        val media = Multimodal.packEncodedMedia(
+          Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 3 === 1))
+        Multimodal.audioFrameFeatures(media, frameSize = 64).toDF()
+          .select(col("media_id"), col("frame_idx"), col("n_samples"),
+            col("ssq"), col("n_crossings"),
+            sqrt(col("ssq").cast("double") / 64.0d).as("rms"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH s AS (SELECT doc_id, t.i,
+            (t.i * 37 + doc_id) % 2048 - 1024 AS v,
+            CASE WHEN t.i % 64 > 0 THEN
+              ((t.i - 1) * 37 + doc_id) % 2048 - 1024 END AS pv,
+            t.i // 64 AS frame_idx
+          FROM documents, UNNEST(range(0, 256)) AS t(i)
+          WHERE doc_id % 3 = 1)
+        SELECT doc_id AS media_id, frame_idx,
+          CAST(count(*) AS BIGINT) AS n_samples,
+          CAST(sum(v * v) AS BIGINT) AS ssq,
+          CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_crossings,
+          sqrt(CAST(sum(v * v) AS DOUBLE) / 64.0) AS rms
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Per-channel pixel statistics over REAL decoded image bytes — the
+    // dataset normalization pass (per-channel means) run across ALL
+    // three image codecs at once: BMP (uncompressed, bottom-up BGR
+    // rows), PNG (zlib inflate + scanline de-filtering) and PPM
+    // (ASCII-header RGB). The oracle regenerates every pixel from the
+    // generating formula and averages per channel, so a channel-order
+    // slip in any one codec (e.g. BGR→RGB) flips exactly that
+    // format's rows and breaks the hash. Integer sums exact; mean is
+    // one mirrored double division.
+    Q("q163_image_channel_stats",
+      (s, dir) => {
+        val media = Multimodal.packEncodedMedia(
+          Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 3 =!= 1))
+        Multimodal.channelStats(media).toDF()
+          .select(col("media_id"), col("format"), col("channel"),
+            col("n"),
+            (col("total").cast("double") / col("n").cast("double"))
+              .as("mean_value"))
+          .orderBy("media_id", "channel")
+      },
+      Some("""WITH px AS (SELECT doc_id,
+            CASE WHEN doc_id % 6 = 0 THEN 'bmp'
+                 WHEN doc_id % 3 = 0 THEN 'png'
+                 ELSE 'ppm' END AS format,
+            t.i % 3 AS channel,
+            CASE WHEN doc_id % 3 = 0 THEN (t.i * 31 + doc_id) % 256
+                 ELSE (t.i * 13 + doc_id) % 256 END AS v
+          FROM documents,
+            UNNEST(range(0, CASE WHEN doc_id % 3 = 0
+              THEN 384 ELSE 192 END)) AS t(i)
+          WHERE doc_id % 3 <> 1)
+        SELECT doc_id AS media_id, format,
+          CAST(channel AS BIGINT) AS channel,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            AS mean_value
+        FROM px GROUP BY 1, 2, 3 ORDER BY 1, 3""")))
 }

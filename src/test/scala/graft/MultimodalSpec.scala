@@ -196,4 +196,43 @@ class MultimodalSpec extends SparkSpec {
         s"media ${r.media_id} ${r.format}: ${r.mean_value} != $expect")
     }
   }
+
+  test("audioFrameFeatures: partial final frame, strict crossings") {
+    import spark.implicits._
+    // 10 samples at frame size 4 -> frames of 4, 4, 2; the
+    // +1,-1 alternation crosses at every adjacent pair EXCEPT
+    // across frame boundaries; the zero sample must not count
+    // (strict product < 0).
+    val samples = Array[Short](1, -1, 1, -1, 0, 1, -1, 1, -1, 1)
+    val payload = MediaCodecs.encodeWav(MediaCodecs.Audio(8000, 1, samples))
+    val media = Seq(Multimodal.MediaRow(7L, "audio", payload, 0, 0)).toDS()
+    val rows = Multimodal.audioFrameFeatures(media, frameSize = 4)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.map(_.n_samples).toSeq == Seq(4L, 4L, 2L))
+    assert(rows.map(_.ssq).toSeq == Seq(4L, 3L, 2L))
+    // frame 0: 3 flips; frame 1: (0,1) no, (1,-1) yes, (-1,1) yes;
+    // frame 2: one flip
+    assert(rows.map(_.n_crossings).toSeq == Seq(3L, 2L, 1L))
+  }
+
+  test("channelStats sums per channel identically across codecs") {
+    import spark.implicits._
+    val rgb = Array.tabulate[Byte](6 * 2 * 3)(i => (i * 7 % 256).toByte)
+    val img = MediaCodecs.Image(6, 2, rgb)
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image", MediaCodecs.encodeBmp(img), 6, 2),
+      Multimodal.MediaRow(1L, "image", MediaCodecs.encodePng(img), 6, 2),
+      Multimodal.MediaRow(2L, "video", MediaCodecs.encodePpm(img), 6, 2))
+      .toDS()
+    val rows = Multimodal.channelStats(media).collect()
+    assert(rows.length == 9)
+    val expect = (0 until 3).map(c =>
+      (0 until rgb.length).filter(_ % 3 == c)
+        .map(i => rgb(i) & 0xff).map(_.toLong).sum)
+    for (r <- rows) {
+      assert(r.n == 12L)
+      assert(r.total == expect(r.channel.toInt),
+        s"media ${r.media_id} ch ${r.channel}")
+    }
+  }
 }
