@@ -805,6 +805,136 @@ object TextOps {
           JOIN uni ON d.a = uni.a)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
           CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_prob
-        FROM p GROUP BY 1 ORDER BY 1"""))
+        FROM p GROUP BY 1 ORDER BY 1""")),
+
+    // Dataset card — the per-source corpus report a curation run ends
+    // with: document and token counts, mean length, language
+    // diversity, and the exact-duplicate share. Diversity is
+    // Gini-Simpson (1 − Σ p²) rather than entropy: no float log, so
+    // the score is a mirrored double sequence over exact integer
+    // counts (ln is NOT correctly-rounded across libms — the one
+    // transcendental this repo never puts under a hash). Dup share
+    // rides the q22 fingerprint through a |distinct-fp| count join.
+    // Three hash aggregates total; everything after the first is
+    // |sources|- or |fp|-sized.
+    Q("q164_dataset_card",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            tokenCount(col("text")).cast("long").as("ntok"),
+            fingerprint(col("text")).as("fp"))
+        val fc = d.groupBy("fp").agg(count(lit(1)).as("c"))
+        val agg = d.join(fc, "fp").groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("total_tokens"),
+            count(when(col("c") > 1, 1)).as("n_dup"))
+        val sq = d.groupBy("source", "lang")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("source").agg(sum(col("c") * col("c")).as("ssq"))
+        val nD = col("n_docs").cast(DoubleType)
+        agg.join(sq, "source")
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            (col("total_tokens").cast(DoubleType) / nD)
+              .as("mean_tokens"),
+            (lit(1.0d) - col("ssq").cast(DoubleType) / (nD * nD))
+              .as("lang_diversity"),
+            (col("n_dup").cast(DoubleType) / nD).as("dup_share"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, lang,
+            CAST(len(regexp_split_to_array(trim(text), '\s+'))
+              AS BIGINT) AS ntok,
+            md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+              AS fp
+          FROM documents),
+        fc AS (SELECT fp, count(*) AS c FROM d GROUP BY 1),
+        agg AS (SELECT source,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(ntok) AS BIGINT) AS total_tokens,
+            CAST(sum(CASE WHEN fc.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup
+          FROM d JOIN fc ON d.fp = fc.fp GROUP BY 1),
+        sq AS (SELECT source, CAST(sum(c * c) AS BIGINT) AS ssq
+          FROM (SELECT source, lang, count(*) AS c FROM d
+            GROUP BY 1, 2) GROUP BY 1)
+        SELECT agg.source, n_docs, total_tokens,
+          CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+            AS mean_tokens,
+          1.0 - CAST(ssq AS DOUBLE)
+            / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+            AS lang_diversity,
+          CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_share
+        FROM agg JOIN sq ON agg.source = sq.source
+        ORDER BY agg.source""")),
+
+    // Cross-split contamination matrix — after a q76-style hash split,
+    // how many exact-duplicate pairs STRADDLE split boundaries (the
+    // train→eval leakage that inflates benchmarks)? Per fingerprint,
+    // count members in each split (one hash aggregate with
+    // conditional counts — the fact table is never self-joined); the
+    // pair count per split-pair is Σ over fingerprints of the two
+    // membership counts' product, computed on the |distinct-fp| table.
+    Q("q165_split_contamination",
+      (s, dir) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+        val d = Tables.load(s, dir, "documents")
+          .select(fingerprint(col("text")).as("fp"),
+            when(h < "0ccccccc", "val")
+              .when(h < "19999999", "test")
+              .otherwise("train").as("split"))
+        val g = d.groupBy("fp")
+          .agg(count(when(col("split") === "train", 1)).as("ntr"),
+            count(when(col("split") === "test", 1)).as("nte"),
+            count(when(col("split") === "val", 1)).as("nva"))
+        g.select(explode(array(
+            struct(lit("train").as("split_a"), lit("test").as("split_b"),
+              (col("ntr") * col("nte")).as("pairs"),
+              (col("ntr") > 0 && col("nte") > 0).as("hit")),
+            struct(lit("train").as("split_a"), lit("val").as("split_b"),
+              (col("ntr") * col("nva")).as("pairs"),
+              (col("ntr") > 0 && col("nva") > 0).as("hit")),
+            struct(lit("test").as("split_a"), lit("val").as("split_b"),
+              (col("nte") * col("nva")).as("pairs"),
+              (col("nte") > 0 && col("nva") > 0).as("hit"))))
+            .as("x"))
+          .groupBy(col("x.split_a").as("split_a"),
+            col("x.split_b").as("split_b"))
+          .agg(sum(col("x.pairs")).as("n_pairs"),
+            count(when(col("x.hit"), 1)).as("n_fingerprints"))
+          .orderBy("split_a", "split_b")
+      },
+      Some("""WITH d AS (SELECT
+            md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+              AS fp,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                < '0ccccccc' THEN 'val'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                < '19999999' THEN 'test'
+              ELSE 'train' END AS split
+          FROM documents),
+        g AS (SELECT fp,
+            CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ntr,
+            CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nte,
+            CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nva
+          FROM d GROUP BY 1)
+        SELECT 'train' AS split_a, 'test' AS split_b,
+          CAST(sum(ntr * nte) AS BIGINT) AS n_pairs,
+          CAST(sum(CASE WHEN ntr > 0 AND nte > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fingerprints
+        FROM g
+        UNION ALL
+        SELECT 'train', 'val', CAST(sum(ntr * nva) AS BIGINT),
+          CAST(sum(CASE WHEN ntr > 0 AND nva > 0 THEN 1 ELSE 0 END)
+            AS BIGINT)
+        FROM g
+        UNION ALL
+        SELECT 'test', 'val', CAST(sum(nte * nva) AS BIGINT),
+          CAST(sum(CASE WHEN nte > 0 AND nva > 0 THEN 1 ELSE 0 END)
+            AS BIGINT)
+        FROM g
+        ORDER BY split_a, split_b"""))
   )
 }

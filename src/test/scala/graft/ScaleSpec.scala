@@ -243,4 +243,52 @@ class ScaleSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(exact.sameElements(grid))
   }
+
+  test("q158 ACF pairs via keyed joins on the reduced hourly table") {
+    val plan = graft.queries.Registry
+      .queries("q158_autocorrelation")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"lag pairing must be an equi-join on (series, hour+k):\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"expected the hourly reduction aggregate:\n$plan")
+  }
+
+  test("q159 LM scoring never pairs documents with documents") {
+    val plan = graft.queries.Registry
+      .queries("q159_bigram_lm_score")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"model joins must be keyed on the bigram/context:\n$plan")
+  }
+
+  test("q160 sweep uses a ROWS frame, not the default RANGE") {
+    val plan = graft.queries.Registry
+      .queries("q160_peak_concurrency")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("RowFrame"),
+      s"running sum must accumulate one row at a time (ties!):\n$plan")
+    assert(plan.contains("windowspecdefinition(event_type"),
+      s"sweep must stay partitioned per series:\n$plan")
+  }
+
+  test("q161 rank window runs over the reduced key-frequency table") {
+    val plan = graft.queries.Registry
+      .queries("q161_key_skew_profile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(event_type"),
+      s"rank window must be partitioned per series:\n$plan")
+    assert(!plan.contains("Join"),
+      s"profiler is aggregate-only, no join:\n$plan")
+  }
+
+  test("q165 contamination matrix has no self-join") {
+    val plan = graft.queries.Registry
+      .queries("q165_split_contamination")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"cross-split pairs must come from per-fp counts, not a join:\n$plan")
+  }
 }
