@@ -222,6 +222,46 @@ object IngestOps {
           AND e.ts >= h.valid_from
           AND (h.valid_to IS NULL OR e.ts < h.valid_to)
         WHERE e.event_type = 'purchase'
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    // Continuous-aggregate lifecycle (the TimescaleDB rollup-refresh
+    // shape): ingest batch 1, build the hourly rollup; ingest batch 2
+    // past a MID-HOUR cut, refresh ONLY the incremental window (the
+    // operator widens it to full bucket boundaries, so the straddled
+    // hour is recomputed from both batches). Final rollup ==
+    // straight-from-raw rollup ⟺ the widening and the partition swap
+    // are both right — a partial-bucket bug or a stale-partition leak
+    // breaks the hash. Decimal partials keep the sums exact.
+    Q("q166_continuous_aggregate",
+      (s, dir) => {
+        val ds = new IngestDataset(s, scratch(), "events_ds")
+        val ev = Tables.load(s, dir, "events")
+        val midHourCut = "2024-01-20 07:30:00"
+        val ca = new graft.ingest.ContinuousAggregate(
+          ds, "events", "events_hourly", "ts", "hour",
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n"),
+            sum(col("value").cast(
+              org.apache.spark.sql.types.DecimalType(28, 2)))
+              .as("total")))
+        ds.append("events",
+          ev.filter(col("ts") < to_timestamp(lit(midHourCut))),
+          partitionTs = Some("ts"))
+        ca.refresh(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf(midHourCut))
+        ds.append("events",
+          ev.filter(col("ts") >= to_timestamp(lit(midHourCut))),
+          partitionTs = Some("ts"))
+        ca.refresh(java.sql.Timestamp.valueOf(midHourCut),
+          java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+        ca.read()
+          .select(col("event_type"), col("bucket"), col("n"),
+            col("total").cast("double").as("total"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""SELECT event_type, date_trunc('hour', ts) AS bucket,
+          count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
