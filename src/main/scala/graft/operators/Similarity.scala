@@ -192,6 +192,23 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Size-thresholded ANN dispatch — the routing layer that keeps the
+    * v0 brute-force path from ever running at corpus scale (the same
+    * discipline as `SpatialJoin.nearestJoin`): at or below
+    * `broadcastThreshold` candidates, exact [[bruteForceTopK]]
+    * (broadcast queries, one full scan — optimal for dimension-sized
+    * collections); above it, the [[ivfTopK]] cell-probe index on the
+    * supplied coarse quantizer. Identical output contract either way
+    * — and with `nProbe` ≥ |centroids| the IVF path is exhaustive, so
+    * the two branches agree exactly (ScaleSpec-proven). The count that
+    * routes is parquet-metadata-cheap on a plain scan. */
+  def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      centroids: DataFrame, nProbe: Int,
+      broadcastThreshold: Long = 100000L): DataFrame =
+    if (candidates.count() <= broadcastThreshold)
+      bruteForceTopK(queries, candidates, k)
+    else ivfTopK(candidates, queries, centroids, k, nProbe)
+
   /** IVF (inverted-file) cell-probe ANN: vectors are assigned to their
     * nearest coarse-quantizer centroid once; a query scores only the
     * vectors in its `nProbe` nearest cells instead of the whole

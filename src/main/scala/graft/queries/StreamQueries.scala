@@ -457,6 +457,72 @@ object StreamQueries {
             ORDER BY ts, event_id) AS valid_to,
           lead(ts) OVER (PARTITION BY user_id
             ORDER BY ts, event_id) IS NULL AS is_current
-        FROM chg ORDER BY user_id, valid_from, state"""))
+        FROM chg ORDER BY user_id, valid_from, state""")),
+
+    // Streaming twin of q152: the distribution-drift monitor as a
+    // LIVE quality gate — per-(series, bin) period counts maintained
+    // as streaming aggregation state (plain mergeable counts, so the
+    // drained state is chunking-invariant by construction), the
+    // chi-square-family score computed on the drained |bins| table
+    // exactly as in batch. Hash-matches q152's oracle verbatim: the
+    // streaming path and the batch path must agree bit-for-bit.
+    Q("q167_stream_distribution_drift",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+        val cutTs = "2024-01-16 00:00:00"
+        val stream = eventsStream(s, dir, singleFile = true)
+          .select(col("event_type"),
+            floor(col("value") / 10.0).cast("long").as("bin"),
+            (col("ts") < to_timestamp(lit(cutTs))).as("in_a"))
+        val binCounts = stream.groupBy("event_type", "bin")
+          .agg(count(when(col("in_a"), 1)).as("na"),
+            count(when(!col("in_a"), 1)).as("nb"))
+        s.catalog.dropTempView("q167_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(binCounts, "q167_sink",
+            OutputMode.Update())
+        }
+        // period totals as an unordered window over the |bins| table
+        // (a join of the sink view with its own aggregate trips
+        // conflicting-reference resolution on the memory sink's View)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+        val pa = col("na").cast("double") / col("ta").cast("double")
+        val pb = col("nb").cast("double") / col("tb").cast("double")
+        s.table("q167_sink")
+          .withColumn("ta", sum(col("na")).over(w))
+          .withColumn("tb", sum(col("nb")).over(w))
+          .filter(col("ta") > 0 && col("tb") > 0)
+          .select(col("event_type"), col("bin"),
+            ((pa - pb) * (pa - pb) / (pa + pb)).as("contrib"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_bins"),
+            sum(col("contrib").cast(dec)).cast("double").as("drift"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(floor(value / 10.0) AS BIGINT) AS bin,
+            ts < TIMESTAMP '2024-01-16 00:00:00' AS in_a
+          FROM events),
+        bins AS (SELECT event_type, bin,
+            CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+          FROM e GROUP BY 1, 2),
+        tot AS (SELECT event_type,
+            CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+            CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS tb
+          FROM e GROUP BY 1),
+        c AS (SELECT b.event_type, b.bin,
+            (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+              - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+            * (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+              - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+            / (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+              + CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) AS contrib
+          FROM bins b JOIN tot t ON b.event_type = t.event_type
+          WHERE t.ta > 0 AND t.tb > 0)
+        SELECT event_type, count(*) AS n_bins,
+          CAST(sum(CAST(contrib AS DECIMAL(38,12))) AS DOUBLE) AS drift
+        FROM c GROUP BY 1 ORDER BY 1"""))
   )
 }

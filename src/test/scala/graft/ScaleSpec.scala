@@ -284,6 +284,30 @@ class ScaleSpec extends SparkSpec {
       s"profiler is aggregate-only, no join:\n$plan")
   }
 
+  test("annTopK dispatch flips from brute force to IVF at the threshold") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 40)
+    val queries = emb.filter(col("vec_id") < 5)
+    val cents = emb.filter(col("vec_id") < 8)
+    def run(threshold: Long) = graft.operators.Similarity
+      .annTopK(queries, emb, k = 3, cents, nProbe = 8,
+        broadcastThreshold = threshold)
+    val brute = run(1000L)
+    val ivf = run(10L)
+    // the IVF branch joins probes to assignments on the cell id —
+    // that equi-join never appears in the brute plan
+    assert(ivf.queryExecution.executedPlan.toString.contains("cid"),
+      "above-threshold dispatch must take the cell-probe path")
+    assert(!brute.queryExecution.executedPlan.toString.contains("cid"),
+      "below-threshold dispatch must take the brute-force path")
+    // nProbe covers every cell -> the index is exhaustive: both
+    // branches must agree exactly
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(norm(brute) == norm(ivf))
+  }
+
   test("q165 contamination matrix has no self-join") {
     val plan = graft.queries.Registry
       .queries("q165_split_contamination")(spark, sf)
