@@ -1159,6 +1159,70 @@ object StatsOps {
             AS rows_at_risk,
           CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE)
             / CAST(sum(n) AS DOUBLE) AS suppression_rate
-        FROM g GROUP BY 1 ORDER BY 1"""))
+        FROM g GROUP BY 1 ORDER BY 1""")),
+
+    // HyperLogLog registers — the OTHER mergeable cardinality sketch
+    // beside q114's KMV, and the one every engine ships at scale
+    // (register max is the merge op, so partial aggregation and
+    // streaming state both come for free). Everything up to the
+    // registers is exact integer math: a murmur-style finalizer
+    // (xor-shift / odd-multiply / xor-shift, all mod 2^32 — the
+    // second multiplier is < 2^31 so the widest product stays inside
+    // int64 on BOTH engines) decorrelates the synthetic contiguous
+    // ids; the register rank is the leading-zero count via
+    // length(bin(w)) — string-exact, no float log2. The raw estimator
+    // αm·m²/Σ2^-M is hash-exact too: every 2^-M term is a dyadic
+    // rational ≥ 2^-29, so the sum is EXACTLY associative in IEEE
+    // double regardless of aggregation order. (The standard small/
+    // large-range bias corrections need ln — never under the hash —
+    // so the raw estimate is the contract; callers correct outside.)
+    Q("q168_hll_sketch",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+          .withColumn("a", expr(
+            "(user_id * 2654435761 + ascii(event_type) * 1000003)" +
+              " % 4294967296"))
+          .withColumn("b", expr("a ^ (a div 65536)"))
+          .withColumn("c", expr("(b * 2145916205) % 4294967296"))
+          .withColumn("h", expr("c ^ (c div 8192)"))
+          .withColumn("j", expr("h % 16"))
+          .withColumn("w", expr("h div 16"))
+          .withColumn("rank",
+            when(col("w") === 0, lit(29))
+              .otherwise(lit(29) - length(expr("bin(w)"))))
+          .groupBy(col("event_type"), col("j"))
+          .agg(max(col("rank")).as("m"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_regs"),
+            (sum(expr(
+              "1.0 / cast(shiftleft(cast(1 as bigint), m) as double)"))
+              + (lit(16) - count(lit(1))) * lit(1.0)).as("z"))
+          .select(col("event_type"), col("n_regs"),
+            (lit(0.673) * lit(256.0) / col("z")).as("hll_estimate"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h0 AS (SELECT DISTINCT event_type,
+            (user_id * 2654435761 + ascii(event_type) * 1000003)
+              % 4294967296 AS a
+          FROM events),
+        h1 AS (SELECT event_type, xor(a, a // 65536) AS b FROM h0),
+        h2 AS (SELECT event_type,
+            (b * 2145916205) % 4294967296 AS c FROM h1),
+        h AS (SELECT event_type, xor(c, c // 8192) AS h FROM h2),
+        r AS (SELECT event_type, h % 16 AS j, h // 16 AS w FROM h),
+        rk AS (SELECT event_type, j,
+            CASE WHEN w = 0 THEN 29
+              ELSE 29 - length(bin(w)) END AS rank
+          FROM r),
+        regs AS (SELECT event_type, j, max(rank) AS m
+          FROM rk GROUP BY 1, 2),
+        est AS (SELECT event_type,
+            CAST(count(*) AS BIGINT) AS n_regs,
+            sum(1.0 / CAST((1::BIGINT << m) AS DOUBLE))
+              + (16 - count(*)) * 1.0 AS z
+          FROM regs GROUP BY 1)
+        SELECT event_type, n_regs, 0.673 * 256.0 / z AS hll_estimate
+        FROM est ORDER BY 1"""))
   )
 }

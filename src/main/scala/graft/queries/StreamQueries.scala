@@ -523,6 +523,65 @@ object StreamQueries {
           WHERE t.ta > 0 AND t.tb > 0)
         SELECT event_type, count(*) AS n_bins,
           CAST(sum(CAST(contrib AS DECIMAL(38,12))) AS DOUBLE) AS drift
-        FROM c GROUP BY 1 ORDER BY 1"""))
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // Streaming twin of q168: HyperLogLog registers maintained as
+    // streaming aggregation state — the register is a MAX, the single
+    // most merge-friendly state there is (16 longs per series,
+    // forever; max commutes with any chunking). The estimator runs on
+    // the drained register table; hash-matches q168's batch oracle
+    // verbatim.
+    Q("q169_stream_hll",
+      (s, dir) => {
+        val regs = eventsStream(s, dir, singleFile = true)
+          .withColumn("a", expr(
+            "(user_id * 2654435761 + ascii(event_type) * 1000003)" +
+              " % 4294967296"))
+          .withColumn("b", expr("a ^ (a div 65536)"))
+          .withColumn("c", expr("(b * 2145916205) % 4294967296"))
+          .withColumn("h", expr("c ^ (c div 8192)"))
+          .withColumn("j", expr("h % 16"))
+          .withColumn("w", expr("h div 16"))
+          .withColumn("rank",
+            when(col("w") === 0, lit(29))
+              .otherwise(lit(29) - length(expr("bin(w)"))))
+          .groupBy(col("event_type"), col("j"))
+          .agg(max(col("rank")).as("m"))
+        s.catalog.dropTempView("q169_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(regs, "q169_sink", OutputMode.Update())
+        }
+        s.table("q169_sink")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_regs"),
+            (sum(expr(
+              "1.0 / cast(shiftleft(cast(1 as bigint), m) as double)"))
+              + (lit(16) - count(lit(1))) * lit(1.0)).as("z"))
+          .select(col("event_type"), col("n_regs"),
+            (lit(0.673) * lit(256.0) / col("z")).as("hll_estimate"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h0 AS (SELECT DISTINCT event_type,
+            (user_id * 2654435761 + ascii(event_type) * 1000003)
+              % 4294967296 AS a
+          FROM events),
+        h1 AS (SELECT event_type, xor(a, a // 65536) AS b FROM h0),
+        h2 AS (SELECT event_type,
+            (b * 2145916205) % 4294967296 AS c FROM h1),
+        h AS (SELECT event_type, xor(c, c // 8192) AS h FROM h2),
+        r AS (SELECT event_type, h % 16 AS j, h // 16 AS w FROM h),
+        rk AS (SELECT event_type, j,
+            CASE WHEN w = 0 THEN 29
+              ELSE 29 - length(bin(w)) END AS rank
+          FROM r),
+        regs AS (SELECT event_type, j, max(rank) AS m
+          FROM rk GROUP BY 1, 2),
+        est AS (SELECT event_type,
+            CAST(count(*) AS BIGINT) AS n_regs,
+            sum(1.0 / CAST((1::BIGINT << m) AS DOUBLE))
+              + (16 - count(*)) * 1.0 AS z
+          FROM regs GROUP BY 1)
+        SELECT event_type, n_regs, 0.673 * 256.0 / z AS hll_estimate
+        FROM est ORDER BY 1"""))
   )
 }
