@@ -76,4 +76,35 @@ final class ContinuousAggregate(
   }
 
   def read(): DataFrame = ingest.read(aggTable)
+
+  /** Real-time continuous aggregate (the Timescale `real_time`
+    * materialization mode): every micro-batch appends to raw and then
+    * refreshes the rollup for exactly the batch's event-time span —
+    * so the rollup is correct the moment the batch commits, and a
+    * bucket receiving rows from several batches is simply refreshed
+    * again by the last one (each refresh recomputes from the full raw
+    * table, so refresh order across overlapping windows cannot
+    * matter). Fresh-checkpoint drains are the contract here; a
+    * replayed batch would re-append raw rows — for replay-safe ingest
+    * put a pk on the append (q121 discipline). */
+  def streamingSink(stream: DataFrame, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val r = b.agg(min(col(tsCol)).as("lo"), max(col(tsCol)).as("hi"))
+            .collect()(0)
+          if (!r.isNullAt(0)) {
+            ingest.append(rawTable, b, partitionTs = Some(tsCol))
+            refresh(r.getTimestamp(0),
+              new Timestamp(r.getTimestamp(1).getTime + 1L))
+          }
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -582,6 +582,49 @@ object StreamQueries {
               + (16 - count(*)) * 1.0 AS z
           FROM regs GROUP BY 1)
         SELECT event_type, n_regs, 0.673 * 256.0 / z AS hll_estimate
-        FROM est ORDER BY 1"""))
+        FROM est ORDER BY 1""")),
+
+    // Real-time continuous aggregate: q166's rollup maintained by a
+    // STREAM — each micro-batch (several parquet files per trigger)
+    // appends to raw and refreshes exactly its event-time span, so
+    // buckets straddling micro-batches are refreshed again by the
+    // last batch that touches them (parquet files are not
+    // time-ordered, so spans overlap arbitrarily — the refresh-from-
+    // full-raw discipline is what makes order irrelevant). Final
+    // rollup hash-matches the straight-from-raw oracle, q166
+    // verbatim.
+    Q("q170_stream_continuous_aggregate",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val landingDir = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          s"graft-q53-landing-${datasetKey(dir)}")
+        if (!new java.io.File(landingDir, "_SUCCESS").exists())
+          ev.write.mode("overwrite").parquet(landingDir.toString)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 8)
+          .parquet(landingDir.toString)
+        val ds = new graft.ingest.IngestDataset(s,
+          java.nio.file.Files.createTempDirectory("graft-q170").toString,
+          "events_ds")
+        val ca = new graft.ingest.ContinuousAggregate(
+          ds, "events", "events_hourly", "ts", "hour",
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n"),
+            sum(col("value").cast(
+              org.apache.spark.sql.types.DecimalType(28, 2)))
+              .as("total")))
+        ca.streamingSink(stream,
+          java.nio.file.Files
+            .createTempDirectory("graft-q170-ckpt").toString)
+        ca.read()
+          .select(col("event_type"), col("bucket"), col("n"),
+            col("total").cast("double").as("total"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""SELECT event_type, date_trunc('hour', ts) AS bucket,
+          count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -82,4 +82,33 @@ class ContinuousAggregateSpec extends SparkSpec {
       "refreshing day 9 must not rewrite day 5's files")
     assert(actual(c) == expected(ds))
   }
+
+  test("streamingSink rollup is chunking-invariant incl. shared buckets") {
+    val landing = Files.createTempDirectory("ca-stream").toFile
+    // three single-file chunks; chunks 1 and 2 both write into day-5
+    // hour 2, so that bucket is refreshed twice across micro-batches
+    val chunks = Seq(
+      rows("a", 5, Seq(1, 2), 10),
+      rows("a", 5, Seq(2, 3), 20) ++ rows("b", 6, Seq(4), 40),
+      rows("a", 7, Seq(8), 30))
+    chunks.zipWithIndex.foreach { case (ch, i) =>
+      val stage = Files.createTempDirectory("ca-stage").toFile
+      ch.toDF("k", "t", "v").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(landing, f"chunk-$i%05d.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(1700000000000L + i * 60000L)
+    }
+    val ds = freshDs()
+    val c = ca(ds)
+    val stream = spark.readStream
+      .schema(chunks.head.toDF("k", "t", "v").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+    c.streamingSink(stream,
+      Files.createTempDirectory("ca-ckpt").toString)
+    assert(actual(c) == expected(ds))
+  }
 }
