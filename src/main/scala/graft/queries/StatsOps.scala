@@ -1223,6 +1223,135 @@ object StatsOps {
               + (16 - count(*)) * 1.0 AS z
           FROM regs GROUP BY 1)
         SELECT event_type, n_regs, 0.673 * 256.0 / z AS hll_estimate
-        FROM est ORDER BY 1"""))
+        FROM est ORDER BY 1""")),
+
+    // Count-min sketch — the frequency sketch that completes the
+    // mergeable-sketch suite (KMV q114 distinct / HLL q168 cardinality
+    // / CMS frequency): 4 hash rows × 1024 counters, point estimate =
+    // min over rows (never underestimates — StatsOpsSpec asserts the
+    // one-sided guarantee against exact counts). Counters are plain
+    // counts, so partial aggregation, merging and streaming state all
+    // come free; the sketch build is one hash aggregate of the fact
+    // table, the probe touches the |keys| table only. CW-style linear
+    // hashing keeps everything in exact int64 (max key × max
+    // multiplier ≪ 2^63).
+    Q("q171_countmin_heavy_hitters",
+      (s, dir) => {
+        val rowsDf = Seq((0L, 2654435761L), (1L, 2246822519L),
+          (2L, 3266489917L), (3L, 668265263L))
+        val rowsCol = explode(array(rowsDf.map { case (r, m) =>
+          struct(lit(r).as("r"), lit(m).as("mult")) }: _*)).as("rm")
+        val ev = Tables.load(s, dir, "events")
+        val bucket = expr("((user_id * mult) % 4294967296) div 4194304")
+        val counters = ev.select(col("user_id"), rowsCol)
+          .select(col("user_id"), col("rm.r").as("r"),
+            col("rm.mult").as("mult"))
+          .withColumn("bucket", bucket)
+          .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+        val probe = ev.select(col("user_id")).distinct()
+          .select(col("user_id"), rowsCol)
+          .select(col("user_id"), col("rm.r").as("r"),
+            col("rm.mult").as("mult"))
+          .withColumn("bucket", bucket)
+        val est = probe.join(counters, Seq("r", "bucket"))
+          .groupBy("user_id").agg(min(col("c")).as("cms_estimate"))
+        val exact = ev.groupBy("user_id")
+          .agg(count(lit(1)).as("exact_count"))
+        est.join(exact, "user_id")
+          .select("user_id", "exact_count", "cms_estimate")
+          .orderBy(col("cms_estimate").desc, col("user_id"))
+          .limit(10)
+      },
+      Some("""WITH rows_ AS (SELECT CAST(r AS BIGINT) AS r,
+            CAST(CASE r WHEN 0 THEN 2654435761 WHEN 1 THEN 2246822519
+              WHEN 2 THEN 3266489917 ELSE 668265263 END AS BIGINT)
+              AS mult
+          FROM UNNEST(range(0, 4)) AS t(r)),
+        h AS (SELECT e.user_id, r.r,
+            ((e.user_id * r.mult) % 4294967296) // 4194304 AS bucket
+          FROM events e CROSS JOIN rows_ r),
+        counters AS (SELECT r, bucket, count(*) AS c
+          FROM h GROUP BY 1, 2),
+        keys AS (SELECT DISTINCT user_id FROM events),
+        probe AS (SELECT k.user_id, r.r,
+            ((k.user_id * r.mult) % 4294967296) // 4194304 AS bucket
+          FROM keys k CROSS JOIN rows_ r),
+        est AS (SELECT user_id, CAST(min(c) AS BIGINT) AS cms_estimate
+          FROM probe p JOIN counters c ON p.r = c.r
+            AND p.bucket = c.bucket
+          GROUP BY 1),
+        exact AS (SELECT user_id, CAST(count(*) AS BIGINT)
+            AS exact_count
+          FROM events GROUP BY 1)
+        SELECT e.user_id, x.exact_count, e.cms_estimate
+        FROM est e JOIN exact x ON e.user_id = x.user_id
+        ORDER BY e.cms_estimate DESC, e.user_id LIMIT 10""")),
+
+    // Bloom-filter semi-join — the scale pattern for filtering a fact
+    // table by a key set WITHOUT shipping the key set: 3 hash bits in
+    // a 256-bit filter (eight 32-bit words built by a bit_or
+    // aggregate — shifts stay far below bit 63, which DuckDB
+    // range-checks on `<<`), probe passes iff all three bits are set.
+    // One-sided by construction (no false negatives — every actual
+    // member passes); false positives are the rate the query reports.
+    // The filter is 32 bytes regardless of key-set size — that is the
+    // point at 100 TB: broadcast the words, not the dimension.
+    Q("q172_bloom_semi_join",
+      (s, dir) => {
+        val hashes = Seq(2654435761L, 2246822519L, 3266489917L)
+        val ev = Tables.load(s, dir, "events")
+        val members = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct()
+        def bitCols(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("user_id"), explode(array(hashes.map(m =>
+            expr(s"((user_id * $m) % 4294967296) div 16777216")): _*))
+            .as("idx"))
+            .select(col("user_id"),
+              expr("idx div 32").as("word"),
+              expr("shiftleft(cast(1 as bigint), cast(idx % 32 as int))")
+                .as("mask"))
+        val bloom = bitCols(members)
+          .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+        val verdict = bitCols(ev.select(col("user_id")).distinct())
+          .join(bloom, Seq("word"), "left")
+          .groupBy("user_id")
+          .agg(expr("every(bits IS NOT NULL AND (bits & mask) = mask)")
+            .as("bloom_member"))
+        verdict
+          .join(members.withColumn("actual_member", lit(true)),
+            Seq("user_id"), "left")
+          .select(col("user_id"), col("bloom_member"),
+            coalesce(col("actual_member"), lit(false))
+              .as("actual_member"))
+          .orderBy("user_id")
+      },
+      Some("""WITH members AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase'),
+        hs AS (SELECT CAST(CASE h WHEN 0 THEN 2654435761
+            WHEN 1 THEN 2246822519 ELSE 3266489917 END AS BIGINT)
+            AS mult
+          FROM UNNEST(range(0, 3)) AS t(h)),
+        mbits AS (SELECT ((m.user_id * hs.mult) % 4294967296)
+              // 16777216 AS idx
+          FROM members m CROSS JOIN hs),
+        bloom AS (SELECT idx // 32 AS word,
+            bit_or(1::BIGINT << CAST(idx % 32 AS INTEGER)) AS bits
+          FROM mbits GROUP BY 1),
+        keys AS (SELECT DISTINCT user_id FROM events),
+        pbits AS (SELECT k.user_id,
+            ((k.user_id * hs.mult) % 4294967296) // 16777216 AS idx
+          FROM keys k CROSS JOIN hs),
+        verdict AS (SELECT p.user_id,
+            bool_and(b.bits IS NOT NULL
+              AND (b.bits & (1::BIGINT
+                << CAST(p.idx % 32 AS INTEGER)))
+                = (1::BIGINT << CAST(p.idx % 32 AS INTEGER)))
+              AS bloom_member
+          FROM pbits p LEFT JOIN bloom b ON p.idx // 32 = b.word
+          GROUP BY 1)
+        SELECT v.user_id, v.bloom_member,
+          m.user_id IS NOT NULL AS actual_member
+        FROM verdict v LEFT JOIN members m ON v.user_id = m.user_id
+        ORDER BY v.user_id"""))
   )
 }

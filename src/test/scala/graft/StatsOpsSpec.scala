@@ -79,4 +79,23 @@ class StatsOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("dist") <= 3L && a < b)
     }
   }
+
+  test("count-min never underestimates (one-sided guarantee)") {
+    val rows = run("q171_countmin_heavy_hitters").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_count"),
+        s"CMS underestimated key ${r.getAs[Long]("user_id")}")
+    }
+  }
+
+  test("bloom filter has no false negatives") {
+    val rows = run("q172_bloom_semi_join").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("actual_member"))
+        assert(r.getAs[Boolean]("bloom_member"),
+          s"false negative for key ${r.getAs[Long]("user_id")}")
+    }
+  }
 }
