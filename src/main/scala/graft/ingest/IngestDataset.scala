@@ -241,6 +241,33 @@ final class IngestDataset(
     }
   }
 
+  /** K-ops maintenance — retention policy, the analog of TimescaleDB's
+    * `drop_chunks` / `add_retention_policy` (the reference keeps
+    * hypertables partitioned by time precisely so expiry is a chunk
+    * drop, never a row-level DELETE). Deletes every `date=` partition
+    * STRICTLY older than `olderThan` as a directory unlink — O(expired
+    * partitions) metadata work, zero data rewrite, zero shuffle, at any
+    * table size. Surviving partitions keep their physical files
+    * untouched (asserted by IngestSpec on file identity). Each
+    * single-partition delete is an independently correct final state,
+    * so a crash mid-loop just leaves some expired partitions for the
+    * next run — retention is idempotent by construction. Returns the
+    * dropped partition count. Date strings compare correctly as
+    * strings because the writer renders them zero-padded ISO
+    * (`date_format`'s yyyy-MM-dd, same rendering replaceWindow relies
+    * on). */
+  def dropChunks(table: String, olderThan: java.time.LocalDate): Int = {
+    require(tableExists(table), s"$table must exist for dropChunks")
+    val tableDir = new Path(tablePath(table))
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val cutoff = olderThan.toString // ISO yyyy-MM-dd
+    val expired = fs.listStatus(tableDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .filter(_.getPath.getName.stripPrefix("date=") < cutoff)
+    expired.foreach(d => fs.delete(d.getPath, true))
+    expired.length
+  }
+
   /** Date-partitioned writes REBALANCE on the partition column first:
     * without it every task writes a file into every date dir it sees
     * (tasks × dates small files — the classic partitioned-write

@@ -370,4 +370,49 @@ object Dedup {
       when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
     agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
+
+  /** Exact duplicated-SPAN detection — the substring-level dedup of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al., 2021), re-expressed for Spark: instead of a corpus suffix
+    * array (inherently sequential to build), every word k-gram start
+    * position is emitted map-side (array HOFs — no shuffle), k-grams
+    * occurring ≥2 times ANYWHERE in the corpus (cross- or
+    * intra-document, as in the paper) are found with ONE
+    * map-side-combinable hash aggregate on an md5 gram key, and the
+    * surviving start positions are merged per document into MAXIMAL
+    * duplicated spans with a gaps-and-islands window (partition-local
+    * per doc_id). Grams shuffle as 16-hex-char md5 keys, not k-word
+    * strings — the corpus never pairs with itself, so cost is
+    * Σ|grams|, never N². Unlike fixed-block line dedup this catches
+    * duplication at arbitrary word offsets.
+    *
+    * Returns (doc_id, span_start, span_end, span_words) — 0-based
+    * inclusive word indices of each maximal duplicated span. */
+  def dupSpans(docs: DataFrame, k: Int): DataFrame = {
+    val withWords = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+    // (doc_id, pos, g): md5 key of the k-gram starting at word pos
+    val grams = withWords
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $k), i -> " +
+          s"substring(md5(concat_ws(' ', slice(ws, i + 1, $k))), 1, 16))")))
+      .withColumnRenamed("col", "g")
+    val dup = grams.groupBy("g")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+    val starts = grams.join(dup.select("g"), Seq("g"), "left_semi")
+    // islands: a start extends the current span iff it begins within
+    // (or adjacent to) the span's coverage — pos ≤ prev + k
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    starts
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= k, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k - 1).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_words"))
+  }
 }

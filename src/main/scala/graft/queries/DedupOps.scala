@@ -299,6 +299,38 @@ object DedupOps {
         JOIN sizes nb ON doc_b = nb.doc_id
         WHERE CAST(inter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
           >= 0.2
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // Exact duplicated-SPAN detection (Lee et al. 2021's substring
+    // dedup, re-expressed shuffle-first — see Dedup.dupSpans for the
+    // scale analysis: map-side gram emission, one hash aggregate on
+    // md5 gram keys, per-doc gaps-and-islands merge; never N²).
+    Q("q174_dup_spans",
+      (s, dir) =>
+        Dedup.dupSpans(
+            Tables.load(s, dir, "documents").select("doc_id", "text"), 5)
+          .orderBy("doc_id", "span_start"),
+      Some("""WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 5),
+        g AS (SELECT doc_id, i AS pos,
+            substring(md5(array_to_string(w[i+1:i+5], ' ')), 1, 16) AS g
+          FROM ws, UNNEST(range(0, len(w) - 4)) AS t(i)),
+        dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        starts AS (SELECT doc_id, pos FROM g
+          WHERE g IN (SELECT g FROM dup)),
+        isl AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER
+                (PARTITION BY doc_id ORDER BY pos) <= 5
+              THEN 0 ELSE 1 END AS brk
+          FROM starts),
+        grp AS (SELECT doc_id, pos,
+            sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl)
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+          CAST(max(pos) + 4 AS BIGINT) AS span_end,
+          CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_words
+        FROM grp GROUP BY doc_id, island
+        ORDER BY doc_id, span_start"""))
   )
 }

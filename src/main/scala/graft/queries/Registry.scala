@@ -17,7 +17,8 @@ object Registry {
     CoreTemplates.qs ++ ReshapeOps.qs ++ TextOps.qs ++ DedupOps.qs ++
       VectorOps.qs ++ GeoOps.qs ++ IngestOps.qs ++ MultimodalOps.qs ++
       ScalarOps.qs ++ WindowOps.qs ++ PipelineOps.qs ++ StreamQueries.qs ++
-      SourceOps.qs ++ CorpusOps.qs ++ AnalyticsOps.qs ++ StatsOps.qs
+      SourceOps.qs ++ CorpusOps.qs ++ AnalyticsOps.qs ++ StatsOps.qs ++
+      EnergyOps.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -99,6 +99,25 @@ class DedupSpec extends SparkSpec {
       norm(Dedup.minHashLsh(docs, 3, 8, 4, maxBucketWidth = 1 << 20)))
   }
 
+  test("dupSpans finds maximal shared spans at any offset, incl. intra-doc") {
+    val common = "one two three four five six seven eight"
+    val spanDocs = Seq(
+      (0L, s"x1 x2 $common y1 y2"),    // shared run at word offset 2
+      (1L, s"z1 $common w1 w2 w3"),    // same run at word offset 1
+      (2L, "all unique words here with nothing repeated anywhere at all"),
+      (3L, "p q r s t u1 u2 p q r s t")) // 5-word run repeated WITHIN one doc
+      .toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(spanDocs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // docs 0/1: exactly the 8-word common run, merged into ONE maximal
+    // span each despite being 4 overlapping duplicated 5-grams
+    // doc 3: the intra-doc repeat yields two disjoint 5-word spans
+    assert(spans == Set(
+      (0L, 2L, 9L, 8L), (1L, 1L, 8L, 8L),
+      (3L, 0L, 4L, 5L), (3L, 7L, 11L, 5L)))
+  }
+
   test("simHash: identical docs share signature, near-dups are close") {
     val sigs = Dedup.simHash(docs, 32).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -122,6 +122,30 @@ class IngestSpec extends SparkSpec {
     assert(ds.compact("t1", maxFilesPerPartition = 3) == 0)
   }
 
+  test("dropChunks deletes only strictly-older partitions, keeps file identity") {
+    val ds = freshDs()
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+    days.zipWithIndex.foreach { case (d, i) =>
+      ds.append("t1",
+        Seq((i.toLong, ts(s"$d 12:00:00"), 1.0)).toDF("id", "t", "v"),
+        partitionTs = Some("t"))
+    }
+    def files(date: String): Option[Set[String]] = {
+      val dir = new java.io.File(ds.tablePath("t1"), s"date=$date")
+      if (dir.exists()) Some(dir.listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
+      else None
+    }
+    val survivors = days.drop(1).map(d => d -> files(d).get)
+    // strictly-older: the cutoff day itself survives
+    assert(ds.dropChunks("t1", java.time.LocalDate.parse("2024-01-02")) == 1)
+    assert(files("2024-01-01").isEmpty)
+    survivors.foreach { case (d, f) => assert(files(d).contains(f)) }
+    assert(ds.read("t1").count() == 2)
+    // idempotent: second run drops nothing
+    assert(ds.dropChunks("t1", java.time.LocalDate.parse("2024-01-02")) == 0)
+  }
+
   test("compact on an unpartitioned fragmented table stage-swaps once") {
     val ds = freshDs()
     (0 until 10).foreach { i =>

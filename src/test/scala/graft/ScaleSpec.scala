@@ -315,4 +315,26 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Join"),
       s"cross-split pairs must come from per-fp counts, not a join:\n$plan")
   }
+
+  test("q175 power-curve lookup is a broadcast EQUI-join, not a range scan") {
+    val plan = graft.queries.Registry
+      .queries("q175_power_curve")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast hash join on the wind bin:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"integer-bin design must avoid the nested-loop range join:\n$plan")
+  }
+
+  test("q174 dup-spans never pairs the corpus with itself") {
+    val plan = graft.queries.Registry
+      .queries("q174_dup_spans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"gram membership must ride a keyed semi-join, never a pairwise scan:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"expected a semi-join against the repeated-gram set:\n$plan")
+  }
 }
