@@ -415,4 +415,65 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_words"))
   }
+
+  /** The APPLY half of span dedup (Lee et al. 2021 §3: remove all but
+    * one occurrence of each duplicated substring): every maximal span
+    * found by [[dupSpans]] is keyed by the md5 of its covered text; the
+    * corpus-wide canonical occurrence — lexicographic min over
+    * (doc_id, span_start), an arg-min struct aggregate — keeps its
+    * words, every other occurrence is stripped, and documents are
+    * reassembled from their surviving word positions. All stages are
+    * keyed equi-joins/aggregates (span-text hashing rides the span
+    * frame, the strip is a left-anti join on (doc, position), rebuild
+    * is one hash aggregate whose state is bounded by document length) —
+    * nothing pairwise, nothing driver-side. Docs shorter than k words
+    * carry no k-grams and pass through verbatim; a doc whose every word
+    * was stripped yields the empty string, not a dropped row.
+    *
+    * Returns (doc_id, new_fp = md5 of rebuilt text, n_kept, n_removed).
+    */
+  def stripDupSpans(docs: DataFrame, k: Int): DataFrame = {
+    val withWords = docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+    val big = withWords.filter(size(col("ws")) >= k)
+      .select(col("doc_id"), col("ws"))
+    val spans = dupSpans(docs, k)
+    val spanTxt = spans.join(big, "doc_id")
+      .withColumn("span_md5", md5(concat_ws(" ",
+        expr("slice(ws, cast(span_start as int) + 1, " +
+          "cast(span_words as int))"))))
+      .select("doc_id", "span_start", "span_end", "span_md5")
+    val keeper = spanTxt.groupBy("span_md5")
+      .agg(min(struct(col("doc_id"), col("span_start"))).as("kp"))
+      .select(col("span_md5"), col("kp.doc_id").as("keep_doc"),
+        col("kp.span_start").as("keep_start"))
+    val removed = spanTxt.join(keeper, "span_md5")
+      .filter(!(col("doc_id") === col("keep_doc") &&
+        col("span_start") === col("keep_start")))
+    val strippedPos = removed
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      .distinct()
+    val words = big
+      .select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("w"))
+    val rebuilt = words
+      .join(strippedPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept_big"),
+        expr("concat_ws(' ', transform(" +
+          "array_sort(collect_list(struct(pos, w))), s -> s.w))")
+          .as("new_text_big"))
+    withWords
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        md5(when(size(col("ws")) < k, col("text"))
+          .otherwise(coalesce(col("new_text_big"), lit("")))).as("new_fp"),
+        when(size(col("ws")) < k, size(col("ws")).cast("long"))
+          .otherwise(coalesce(col("n_kept_big"), lit(0L))).as("n_kept"),
+        (size(col("ws")).cast("long") -
+          when(size(col("ws")) < k, size(col("ws")).cast("long"))
+            .otherwise(coalesce(col("n_kept_big"), lit(0L)))).as("n_removed"))
+  }
 }

@@ -331,6 +331,66 @@ object DedupOps {
           CAST(max(pos) + 4 AS BIGINT) AS span_end,
           CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_words
         FROM grp GROUP BY doc_id, island
-        ORDER BY doc_id, span_start"""))
+        ORDER BY doc_id, span_start""")),
+
+    // The APPLY half of span dedup — remove all but the canonical
+    // occurrence of every duplicated span and reassemble documents
+    // (see Dedup.stripDupSpans for the keyed-join/aggregate layout;
+    // the rebuilt text is pinned by md5 so reassembly order itself is
+    // hash-checked).
+    Q("q180_strip_dup_spans",
+      (s, dir) =>
+        Dedup.stripDupSpans(
+            Tables.load(s, dir, "documents").select("doc_id", "text"), 5)
+          .orderBy("doc_id"),
+      Some("""WITH ws0 AS (
+          SELECT doc_id, text, string_split(text, ' ') AS w
+          FROM documents),
+        big AS (SELECT doc_id, w FROM ws0 WHERE len(w) >= 5),
+        g AS (SELECT doc_id, i AS pos,
+            substring(md5(array_to_string(w[i+1:i+5], ' ')), 1, 16) AS g
+          FROM big, UNNEST(range(0, len(w) - 4)) AS t(i)),
+        dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        starts AS (SELECT doc_id, pos FROM g
+          WHERE g IN (SELECT g FROM dup)),
+        isl AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER
+                (PARTITION BY doc_id ORDER BY pos) <= 5
+              THEN 0 ELSE 1 END AS brk
+          FROM starts),
+        grp AS (SELECT doc_id, pos,
+            sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl),
+        spans AS (SELECT doc_id, min(pos) AS span_start,
+            max(pos) + 4 AS span_end
+          FROM grp GROUP BY doc_id, island),
+        sp AS (SELECT s.doc_id, span_start, span_end,
+            md5(array_to_string(
+              b.w[span_start + 1 : span_end + 1], ' ')) AS span_md5,
+            row_number() OVER (PARTITION BY md5(array_to_string(
+                b.w[span_start + 1 : span_end + 1], ' '))
+              ORDER BY s.doc_id, span_start) AS rn
+          FROM spans s JOIN big b USING (doc_id)),
+        rem AS (SELECT doc_id, span_start, span_end FROM sp WHERE rn > 1),
+        strip AS (SELECT DISTINCT doc_id, span_start + j AS pos
+          FROM rem, UNNEST(range(0, span_end - span_start + 1)) AS t(j)),
+        wpos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            w[CAST(i AS INTEGER)] AS word
+          FROM big, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        keptw AS (SELECT wp.doc_id, wp.pos, wp.word FROM wpos wp
+          WHERE NOT EXISTS (SELECT 1 FROM strip st
+            WHERE st.doc_id = wp.doc_id AND st.pos = wp.pos)),
+        reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_big,
+            array_to_string(list(word ORDER BY pos), ' ') AS new_text_big
+          FROM keptw GROUP BY 1)
+        SELECT d.doc_id,
+          md5(CASE WHEN len(d.w) < 5 THEN d.text
+            ELSE coalesce(reb.new_text_big, '') END) AS new_fp,
+          CAST(CASE WHEN len(d.w) < 5 THEN len(d.w)
+            ELSE coalesce(reb.n_kept_big, 0) END AS BIGINT) AS n_kept,
+          CAST(len(d.w) - CASE WHEN len(d.w) < 5 THEN len(d.w)
+            ELSE coalesce(reb.n_kept_big, 0) END AS BIGINT) AS n_removed
+        FROM ws0 d LEFT JOIN reb USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 }

@@ -117,6 +117,169 @@ object EnergyOps {
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
           CAST(sum(CAST(p AS DECIMAL(38,12))) AS DOUBLE) AS total_kw,
           max(p) AS peak_kw
-        FROM p GROUP BY event_type ORDER BY event_type"""))
+        FROM p GROUP BY event_type ORDER BY event_type""")),
+
+    // Standard-load-profile day-type decomposition — the German SLP
+    // convention the reference's load datasets are built around
+    // (vea_industrial_load_profiles.py: 5359 quarterhourly industrial
+    // profiles with high-load-time flags; e2watch building loads):
+    // every timestamp classifies as workday / saturday /
+    // sunday-or-holiday, and the profile is the mean per (series,
+    // day type, hour of day). One map-side-combinable hash aggregate
+    // over derived keys — the fact table is scanned once, output is
+    // |series|·3·24 regardless of input size. The holiday dimension
+    // is a compile-time literal set (holiday calendars are tiny and
+    // static); means use the decimal-sum/count contract (ExactAgg) so
+    // both engines divide identical operands. Day-of-week constants
+    // differ by engine (Spark dayofweek: Sun=1/Sat=7; DuckDB: Sun=0/
+    // Sat=6) — each side tests its own encoding of the same day. The
+    // oracle spells the holiday test as OR'd equalities: DuckDB 1.0's
+    // scan pushdown mis-evaluates `CAST(ts AS DATE) IN (DATE…, DATE…)`
+    // over parquet to zero rows (measured), while plain `=` is fine.
+    Q("q176_day_type_profile",
+      (s, dir) => {
+        val holidays = Seq("2024-01-01", "2024-01-06") // New Year, Epiphany
+        val dayType =
+          when(to_date(col("ts")).isin(holidays: _*) ||
+              dayofweek(col("ts")) === 1, "sunday_holiday")
+            .when(dayofweek(col("ts")) === 7, "saturday")
+            .otherwise("workday")
+        Tables.load(s, dir, "events")
+          .withColumn("day_type", dayType)
+          .withColumn("hr", hour(col("ts")).cast(LongType))
+          .groupBy("event_type", "day_type", "hr")
+          .agg(count(lit(1)).as("n_obs"),
+            graft.functions.ExactAgg.davg(col("value")).as("mean_value"))
+          .orderBy("event_type", "day_type", "hr")
+      },
+      Some(s"""SELECT event_type,
+          CASE WHEN CAST(ts AS DATE) = DATE '2024-01-01'
+              OR CAST(ts AS DATE) = DATE '2024-01-06'
+              OR dayofweek(ts) = 0 THEN 'sunday_holiday'
+            WHEN dayofweek(ts) = 6 THEN 'saturday'
+            ELSE 'workday' END AS day_type,
+          CAST(hour(ts) AS BIGINT) AS hr,
+          CAST(count(*) AS BIGINT) AS n_obs,
+          ${graft.functions.ExactAgg.sqlAvg("value")} AS mean_value
+        FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // OHLC resampling — the canonical price-series downsample
+    // (eex.py's eex_prices shape: spot/futures ticks → bucketed
+    // open/high/low/close bars). Open and close are ARG-min/max over
+    // (ts, event_id): a lexicographic struct-min inside ONE hash
+    // aggregate — map-side combinable, no per-bucket sort window, so
+    // a year of tick data rolls up in a single shuffle of |buckets|
+    // partial states. The (ts, event_id) tie-break makes the answer
+    // deterministic under any partitioning; the oracle's row_number
+    // formulation picks the identical row.
+    Q("q177_ohlc_resample",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .withColumn("bucket", date_trunc("hour", col("ts")))
+          .groupBy("event_type", "bucket")
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("value")))
+              .getField("value").as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(struct(col("ts"), col("event_id"), col("value")))
+              .getField("value").as("close"),
+            count(lit(1)).as("n_ticks"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            date_trunc('hour', ts) AS bucket, ts, event_id, value
+          FROM events),
+        o AS (SELECT *,
+            row_number() OVER (PARTITION BY event_type, bucket
+              ORDER BY ts, event_id) AS rn_a,
+            row_number() OVER (PARTITION BY event_type, bucket
+              ORDER BY ts DESC, event_id DESC) AS rn_z
+          FROM e)
+        SELECT event_type, bucket,
+          max(CASE WHEN rn_a = 1 THEN value END) AS open,
+          max(value) AS high, min(value) AS low,
+          max(CASE WHEN rn_z = 1 THEN value END) AS close,
+          CAST(count(*) AS BIGINT) AS n_ticks
+        FROM o GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Standard-load-profile gap imputation — how utilities fill
+    // missing meter hours: the complete hourly grid per series is
+    // left-joined with the observed hourly means, and every missing
+    // hour takes the series' (day-type, hour) profile mean computed
+    // from the hours that DO exist (q37's gap-fill grid × q176's
+    // profile). Everything is hash aggregates and keyed equi-joins:
+    // the grid is |series|·|hours| (never fact-sized), the profile is
+    // |series|·3·24 (broadcastable at any corpus size), and both mean
+    // families use the decimal-sum/count contract so actual AND
+    // imputed values hash-match cross-engine.
+    Q("q182_slp_imputation",
+      (s, dir) => {
+        val holidays = Seq("2024-01-01", "2024-01-06")
+        def dayTypeOf(c: org.apache.spark.sql.Column) =
+          when(to_date(c).isin(holidays: _*) || dayofweek(c) === 1,
+            "sunday_holiday")
+            .when(dayofweek(c) === 7, "saturday")
+            .otherwise("workday")
+        val ev = Tables.load(s, dir, "events")
+          .withColumn("bucket", date_trunc("hour", col("ts")))
+        val hourly = ev.groupBy("event_type", "bucket")
+          .agg(graft.functions.ExactAgg.davg(col("value")).as("actual"))
+        val profile = ev
+          .withColumn("day_type", dayTypeOf(col("bucket")))
+          .withColumn("hr", hour(col("bucket")))
+          .groupBy("event_type", "day_type", "hr")
+          .agg(graft.functions.ExactAgg.davg(col("value"))
+            .as("profile_mean"))
+        val grid = hourly.groupBy("event_type")
+          .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+          .select(col("event_type"),
+            explode(sequence(col("mn"), col("mx"),
+              expr("interval 1 hour"))).as("bucket"))
+        grid.join(hourly, Seq("event_type", "bucket"), "left")
+          .withColumn("day_type", dayTypeOf(col("bucket")))
+          .withColumn("hr", hour(col("bucket")))
+          .join(broadcast(profile), Seq("event_type", "day_type", "hr"),
+            "left")
+          .select(col("event_type"), col("bucket"),
+            coalesce(col("actual"), col("profile_mean")).as("value"),
+            col("actual").isNull.as("is_imputed"))
+          .orderBy("event_type", "bucket")
+      },
+      Some(s"""WITH ev AS (SELECT event_type,
+            date_trunc('hour', ts) AS bucket, value FROM events),
+        hourly AS (SELECT event_type, bucket,
+            ${graft.functions.ExactAgg.sqlAvg("value")} AS actual
+          FROM ev GROUP BY 1, 2),
+        profile AS (SELECT event_type,
+            CASE WHEN CAST(bucket AS DATE) = DATE '2024-01-01'
+                OR CAST(bucket AS DATE) = DATE '2024-01-06'
+                OR dayofweek(bucket) = 0 THEN 'sunday_holiday'
+              WHEN dayofweek(bucket) = 6 THEN 'saturday'
+              ELSE 'workday' END AS day_type,
+            hour(bucket) AS hr,
+            ${graft.functions.ExactAgg.sqlAvg("value")} AS profile_mean
+          FROM ev GROUP BY 1, 2, 3),
+        bounds AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+          FROM hourly GROUP BY 1),
+        grid AS (SELECT event_type,
+            unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+          FROM bounds),
+        j AS (SELECT g.event_type, g.bucket, h.actual,
+            CASE WHEN CAST(g.bucket AS DATE) = DATE '2024-01-01'
+                OR CAST(g.bucket AS DATE) = DATE '2024-01-06'
+                OR dayofweek(g.bucket) = 0 THEN 'sunday_holiday'
+              WHEN dayofweek(g.bucket) = 6 THEN 'saturday'
+              ELSE 'workday' END AS day_type,
+            hour(g.bucket) AS hr
+          FROM grid g LEFT JOIN hourly h
+            ON g.event_type = h.event_type AND g.bucket = h.bucket)
+        SELECT j.event_type, j.bucket,
+          coalesce(j.actual, p.profile_mean) AS value,
+          j.actual IS NULL AS is_imputed
+        FROM j LEFT JOIN profile p
+          ON j.event_type = p.event_type AND j.day_type = p.day_type
+            AND j.hr = p.hr
+        ORDER BY j.event_type, j.bucket"""))
   )
 }

@@ -625,6 +625,56 @@ object StreamQueries {
       Some("""SELECT event_type, date_trunc('hour', ts) AS bucket,
           count(*) AS n,
           CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Streaming twin of q177's OHLC bars: the arg-min/max struct
+    // aggregates ARE the streaming state — open/close partials merge
+    // by the same lexicographic (ts, event_id) comparison in any
+    // arrival order, so the drained bars are chunking-invariant by
+    // construction, exactly like the batch aggregate's map-side
+    // combine. Hourly windows under a 1 h watermark; append mode
+    // emits a bar once its window end passes the watermark, and the
+    // oracle applies that identical cutoff to the batch OHLC.
+    Q("q181_stream_ohlc",
+      (s, dir) => {
+        val stream = eventsStream(s, dir)
+        val agg = stream.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("value")))
+              .getField("value").as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(struct(col("ts"), col("event_id"), col("value")))
+              .getField("value").as("close"),
+            count(lit(1)).as("n_ticks"))
+          .select(col("window.start").as("bucket"), col("event_type"),
+            col("open"), col("high"), col("low"), col("close"),
+            col("n_ticks"))
+        s.catalog.dropTempView("q181_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(agg, "q181_sink", OutputMode.Append())
+        }
+        s.table("q181_sink").orderBy("event_type", "bucket")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            date_trunc('hour', ts) AS bucket, ts, event_id, value
+          FROM events),
+        o AS (SELECT *,
+            row_number() OVER (PARTITION BY event_type, bucket
+              ORDER BY ts, event_id) AS rn_a,
+            row_number() OVER (PARTITION BY event_type, bucket
+              ORDER BY ts DESC, event_id DESC) AS rn_z
+          FROM e),
+        bars AS (SELECT event_type, bucket,
+            max(CASE WHEN rn_a = 1 THEN value END) AS open,
+            max(value) AS high, min(value) AS low,
+            max(CASE WHEN rn_z = 1 THEN value END) AS close,
+            CAST(count(*) AS BIGINT) AS n_ticks
+          FROM o GROUP BY 1, 2),
+        wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+        SELECT bucket, event_type, open, high, low, close, n_ticks
+        FROM bars, wm WHERE bucket + INTERVAL 1 HOUR <= w
+        ORDER BY event_type, bucket"""))
   )
 }

@@ -935,6 +935,49 @@ object TextOps {
           CAST(sum(CASE WHEN nte > 0 AND nva > 0 THEN 1 ELSE 0 END)
             AS BIGINT)
         FROM g
-        ORDER BY split_a, split_b"""))
+        ORDER BY split_a, split_b""")),
+
+    // Linear-classifier quality scoring — the fastText/CCNet-style
+    // model-inference filter shape: a broadcast weight vector dotted
+    // with per-document features, keep iff score clears the decision
+    // boundary. Everything stays INTEGER: features are counts (words,
+    // stopword hits, digit tokens, characters), weights are
+    // milli-units, and the keep test is `logit > 0` — exactly
+    // equivalent to p > 0.5 through the monotone sigmoid, so the
+    // transcendental never has to be computed, let alone hash-match.
+    // One codegen'd scan, no shuffle; at 100 TB model inference is a
+    // map over the corpus (real learned weights would arrive as a
+    // broadcast literal the same way).
+    Q("q178_linear_quality_score",
+      (s, dir) => {
+        val ws = split(col("text"), " ")
+        val nWords = size(ws).cast("long")
+        val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
+          .cast("long")
+        val nDigit = size(filter(ws, w => w.rlike("^[0-9]+$"))).cast("long")
+        val nChars = length(col("text")).cast("long")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            (lit(-700L) + lit(20L) * nWords + lit(150L) * nStop -
+              lit(90L) * nDigit - lit(2L) * nChars).as("logit_milli"))
+          .withColumn("keep", col("logit_milli") > 0L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+            CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")})))
+              AS BIGINT) AS n_stop,
+            CAST(len(list_filter(string_split(text, ' '),
+                w -> regexp_matches(w, '^[0-9]+$$')))
+              AS BIGINT) AS n_digit,
+            CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents)
+        SELECT doc_id,
+          -700 + 20 * n_words + 150 * n_stop - 90 * n_digit
+            - 2 * n_chars AS logit_milli,
+          (-700 + 20 * n_words + 150 * n_stop - 90 * n_digit
+            - 2 * n_chars) > 0 AS keep
+        FROM f ORDER BY doc_id"""))
   )
 }

@@ -334,7 +334,34 @@ object VectorOps {
           CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
           CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
         FROM assign aa LEFT JOIN dropped d ON aa.vec_id = d.vec_id
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Symmetric int8 embedding quantization (see int8Quantize below
+    // for the layout and exactness contract). Reports per-vector
+    // scale, decimal-exact reconstruction error, and the positional
+    // code checksum that pins every int8 code cross-engine.
+    Q("q179_int8_quantize",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        val ex = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("pos"),
+            col("col").cast(DoubleType).as("e"))
+        int8Quantize(ex).orderBy("vec_id")
+      },
+      Some(s"""WITH $exCte,
+        st AS (SELECT vec_id, max(abs(e)) AS maxabs FROM ex GROUP BY 1),
+        q AS (SELECT ex.vec_id, i, e, maxabs / 127.0 AS scale,
+            CASE WHEN maxabs = 0 THEN 0.0
+              ELSE least(greatest(
+                floor(e / (maxabs / 127.0) + 0.5), -127.0), 127.0)
+            END AS qv
+          FROM ex JOIN st USING (vec_id))
+        SELECT vec_id, max(scale) AS scale,
+          CAST(sum(CAST((e - qv * scale) * (e - qv * scale)
+            AS DECIMAL(38,12))) AS DOUBLE) AS sq_err,
+          CAST(sum(CAST(qv AS BIGINT) * i) AS BIGINT) AS checksum
+        FROM q GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Two Lloyd iterations from the 8 lowest-id seeds, mirrored CTE by
@@ -362,4 +389,35 @@ object VectorOps {
         a2 AS (SELECT vec_id, cid, d,
             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
           FROM d2)"""
+
+  /** Symmetric int8 quantization — the standard 4× memory compression
+    * for embedding stores (scale = max|v|/127, code = round(v/scale)).
+    * Exposed as q179 below; factored for spec reuse. Explode → hash
+    * aggregate → join-back on vec_id (the q124-measured layout: codegen
+    * hash aggregates beat HOF folds); the final aggregate rides the
+    * join's vec_id partitioning, so quantization costs two shuffles of
+    * the long-form table total. The positional checksum Σ code·i pins
+    * every individual int8 code cross-engine without shipping arrays;
+    * reconstruction error accumulates in DECIMAL(38,12) (order-free).
+    * round() is spelled floor(x + 0.5) explicitly so both engines use
+    * the identical tie rule; ±maxabs lands exactly on ±127, zero
+    * vectors quantize to all-zero codes by the maxabs = 0 guard. */
+  private[queries] def int8Quantize(ex: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val stats = ex.groupBy("vec_id").agg(max(abs(col("e"))).as("maxabs"))
+    ex.join(stats, "vec_id")
+      .withColumn("scale", col("maxabs") / 127.0)
+      .withColumn("qv",
+        when(col("maxabs") === 0.0, 0.0)
+          .otherwise(least(greatest(
+            floor(col("e") / col("scale") + 0.5), lit(-127.0)), lit(127.0))))
+      .withColumn("err", col("e") - col("qv") * col("scale"))
+      .groupBy("vec_id")
+      .agg(max(col("scale")).as("scale"),
+        sum((col("err") * col("err")).cast("decimal(38,12)"))
+          .cast(DoubleType).as("sq_err"),
+        sum(col("qv").cast("long") * (col("pos") + lit(1L)))
+          .as("checksum"))
+  }
 }

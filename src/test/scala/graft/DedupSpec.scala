@@ -118,6 +118,25 @@ class DedupSpec extends SparkSpec {
       (3L, 0L, 4L, 5L), (3L, 7L, 11L, 5L)))
   }
 
+  test("stripDupSpans keeps the canonical occurrence, rebuilds the rest") {
+    val common = "one two three four five six seven eight"
+    val spanDocs = Seq(
+      (0L, s"x1 x2 $common y1 y2"),     // canonical owner (lowest doc_id)
+      (1L, s"z1 $common w1 w2 w3"),     // loses the span
+      (3L, "p q r s t u1 u2 p q r s t"), // intra-doc: first kept, second stripped
+      (4L, "tiny doc"))                  // < k words: verbatim passthrough
+      .toDF("doc_id", "text")
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = Dedup.stripDupSpans(spanDocs, 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((md5(s"x1 x2 $common y1 y2"), 12L, 0L)))
+    assert(out(1L) == ((md5("z1 w1 w2 w3"), 4L, 8L)))
+    assert(out(3L) == ((md5("p q r s t u1 u2"), 7L, 5L)))
+    assert(out(4L) == ((md5("tiny doc"), 2L, 0L)))
+  }
+
   test("simHash: identical docs share signature, near-dups are close") {
     val sigs = Dedup.simHash(docs, 32).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -23,6 +23,53 @@ class EnergyOpsSpec extends SparkSpec {
     }
   }
 
+  test("q176 day-type profile: closed day-type domain, hour grid, positive counts") {
+    val rows = Registry.queries("q176_day_type_profile")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val types = rows.map(_._2).toSet
+    assert(types.subsetOf(Set("workday", "saturday", "sunday_holiday")))
+    assert(types.contains("workday"))
+    rows.foreach { case (_, _, hr, n) =>
+      assert(hr >= 0 && hr <= 23)
+      assert(n > 0)
+    }
+  }
+
+  test("q177 OHLC: high/low bound open and close in every bar") {
+    val rows = Registry.queries("q177_ohlc_resample")(spark, sf)
+      .collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (open, high, low, close, n) =>
+      assert(n > 0)
+      assert(high >= low)
+      assert(open >= low && open <= high)
+      assert(close >= low && close <= high)
+    }
+  }
+
+  test("q182 imputation: grid is complete and gaps actually fill") {
+    val rows = Registry.queries("q182_slp_imputation")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // hourly grid per series is contiguous: count == span in hours + 1
+    rows.groupBy(_._1).foreach { case (series, pts) =>
+      val ts = pts.map(_._2.getTime).sorted
+      val expected = (ts.last - ts.head) / 3600000L + 1
+      assert(pts.length.toLong == expected,
+        s"$series: ${pts.length} rows for a $expected-hour span")
+    }
+    // the operator engages: some rows imputed, and imputed rows carry
+    // a value whenever their (day-type, hour) profile cell exists
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+    rows.filter(!_._4).foreach(r => assert(r._3.nonEmpty))
+  }
+
   test("q175 power curve: output bounded by rated power, all series present") {
     val rows = Registry.queries("q175_power_curve")(spark, sf)
       .collect()

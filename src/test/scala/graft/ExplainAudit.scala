@@ -24,7 +24,10 @@ object ExplainAudit {
       "q133_nearest_station", "q134_idw_interpolation",
       "q135_linear_trend", "q136_grid_density", "q137_iceberg",
       "q138_scd2_lookup", "q143_bpe_merges", "q145_binned_quantiles",
-      "q146_collocations")
+      "q146_collocations", "q173_load_duration", "q174_dup_spans",
+      "q175_power_curve", "q176_day_type_profile", "q177_ohlc_resample",
+      "q178_linear_quality_score", "q179_int8_quantize",
+      "q180_strip_dup_spans", "q182_slp_imputation")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
