@@ -416,6 +416,68 @@ object Dedup {
         (col("span_end") - col("span_start") + 1L).as("span_words"))
   }
 
+  /** Prefix shingles for [[jaccardPrefixFiltered]]: each doc's first
+    * `n - ceil(t·n) + 1` distinct shingles under the canonical global
+    * rarity order (corpus frequency asc, shingle asc — a strict total
+    * order, so every engine and partitioning picks the same prefix).
+    * Exposed for the spec's candidate-count assertion. */
+  private[graft] def prefixShingles(sh: DataFrame,
+      tNum: Int, tDen: Int): DataFrame = {
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("df"), col("shingle"))
+    sh.join(freq, "shingle")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(byRarity))
+      // prefix length L = n - ceil(t·n) + 1, in pure integer
+      // arithmetic (`div`, not `/` — Column./ is double division)
+      .filter(col("rk") <=
+        expr(s"n - ((n * $tNum + ${tDen - 1}) div $tDen) + 1"))
+      .select("doc_id", "shingle")
+  }
+
+  /** Exact Jaccard join with PREFIX FILTERING (the PPJoin family,
+    * Xiao et al. 2008) — the deterministic alternative to MinHash-LSH
+    * for thresholded set-similarity: two sets with J ≥ t MUST share at
+    * least one shingle among each one's `n − ceil(t·n) + 1` rarest
+    * shingles (pigeonhole over the canonical rarity order), so only
+    * pairs colliding on PREFIX shingles are ever generated, and the
+    * exact intersection is then computed for just those candidates.
+    * Against the full inverted-index join (q25) this replaces Σ df²
+    * over EVERY shingle with Σ df² over prefix shingles only — and
+    * rarity ordering makes those the low-df shingles by construction.
+    * The threshold is a rational tNum/tDen so prefix lengths and the
+    * final test are integer-exact cross-engine. Returns
+    * (doc_a, doc_b, inter, na, nb, jaccard ≥ t pairs only). */
+  def jaccardPrefixFiltered(docs: DataFrame, k: Int,
+      tNum: Int, tDen: Int): DataFrame = {
+    val sh = shingleSets(docs, k)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pref = prefixShingles(sh, tNum, tDen)
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"),
+        col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"),
+        col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      // J ≥ tNum/tDen  ⇔  tDen·inter ≥ tNum·(na + nb − inter)
+      .filter(col("inter") * tDen >=
+        (col("na") + col("nb") - col("inter")) * tNum)
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+  }
+
   /** The APPLY half of span dedup (Lee et al. 2021 §3: remove all but
     * one occurrence of each duplicated substring): every maximal span
     * found by [[dupSpans]] is keyed by the md5 of its covered text; the

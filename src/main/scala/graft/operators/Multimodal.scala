@@ -272,6 +272,52 @@ object Multimodal {
     }
   }
 
+  final case class DHashRow(
+      media_id: Long, format: String, dhash: String, n_ones: Long)
+
+  /** Perceptual difference hash (dHash) over REAL decoded pixels: for
+    * every row of the green channel, one bit per adjacent-pixel pair —
+    * 1 iff g(x) > g(x+1) (strict, integer — no tie ambiguity). The
+    * standard near-duplicate fingerprint for image corpora: gradient
+    * signs survive re-encoding and brightness shifts, so equal/close
+    * hashes flag visual dups the byte hash misses. Works directly on
+    * the codec's row-major RGB array — a BGR slip, padding error, or
+    * bottom-up/top-down confusion in any codec breaks exactly that
+    * format's bits. Map-side only; 8·(W−1) bits of fingerprint flow
+    * downstream, never pixels. Pair search then rides the existing
+    * band-LSH hamming machinery (q68) at corpus scale. */
+  def dHash(media: Dataset[MediaRow]): Dataset[DHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        MediaCodecs.sniff(m.payload) match {
+          case Some(fmt @ ("bmp" | "ppm" | "png")) =>
+            val img = fmt match {
+              case "bmp" => MediaCodecs.decodeBmp(m.payload)
+              case "ppm" => MediaCodecs.decodePpm(m.payload)
+              case _ => MediaCodecs.decodePng(m.payload)
+            }
+            def green(x: Int, y: Int): Int =
+              img.rgb((y * img.width + x) * 3 + 1) & 0xff
+            val sb = new StringBuilder(img.height * (img.width - 1))
+            var ones = 0L
+            var y = 0
+            while (y < img.height) {
+              var x = 0
+              while (x < img.width - 1) {
+                if (green(x, y) > green(x + 1, y)) { sb.append('1'); ones += 1 }
+                else sb.append('0')
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single(DHashRow(m.media_id, fmt, sb.toString, ones))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Resize: pure metadata transform (the real op also re-encodes the
     * payload — stubbed to keep bytes unchanged). */
   def resizeMeta(media: Dataset[MediaRow], maxW: Int): Dataset[MediaRow] = {

@@ -391,6 +391,38 @@ object DedupOps {
           CAST(len(d.w) - CASE WHEN len(d.w) < 5 THEN len(d.w)
             ELSE coalesce(reb.n_kept_big, 0) END AS BIGINT) AS n_removed
         FROM ws0 d LEFT JOIN reb USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // Thresholded exact-Jaccard join via PREFIX FILTERING (PPJoin
+    // family) — the deterministic scale path beside MinHash-LSH
+    // (q24): candidates only from collisions on each doc's rarest
+    // n−ceil(t·n)+1 shingles, exact verification on candidates only.
+    // The optimization is TRANSPARENT: the oracle computes plain
+    // exact Jaccard ≥ 1/2 over all sharing pairs, so the hash match
+    // proves the prefix filter loses nothing (DedupSpec additionally
+    // proves it prunes: planted pairs sharing only common shingles
+    // never become candidates).
+    Q("q183_jaccard_prefix_join",
+      (s, dir) =>
+        Dedup.jaccardPrefixFiltered(
+            Tables.load(s, dir, "documents").select("doc_id", "text"),
+            K, 1, 2)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $shingleCte,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+          CAST(na.n AS BIGINT) AS na, CAST(nb.n AS BIGINT) AS nb,
+          CAST(inter AS DOUBLE)
+            / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes na ON doc_a = na.doc_id
+        JOIN sizes nb ON doc_b = nb.doc_id
+        WHERE 2 * inter >= na.n + nb.n - inter
+        ORDER BY doc_a, doc_b"""))
   )
 }

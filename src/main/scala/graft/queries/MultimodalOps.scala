@@ -190,5 +190,45 @@ object MultimodalOps {
           CAST(count(*) AS BIGINT) AS n,
           CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
             AS mean_value
-        FROM px GROUP BY 1, 2, 3 ORDER BY 1, 3""")))
+        FROM px GROUP BY 1, 2, 3 ORDER BY 1, 3""")),
+
+    // Perceptual dHash over REAL decoded pixels, across all three
+    // image codecs at once (see Multimodal.dHash) — the oracle
+    // recomputes every gradient-sign bit from the closed-form pixel
+    // generator, so ANY positional decode slip (BGR order, row
+    // padding, bottom-up rows, zlib framing) flips specific bits of
+    // exactly that codec's hashes. Downstream near-dup pairing rides
+    // the q68 band-LSH hamming machinery; this query pins the
+    // fingerprints themselves.
+    Q("q184_image_dhash",
+      (s, dir) => {
+        val media = Multimodal.packEncodedMedia(
+          Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 3 =!= 1))
+        Multimodal.dHash(media).toDF()
+          .select(col("media_id"), col("format"), col("dhash"),
+            col("n_ones"))
+          .orderBy("media_id")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+            CASE WHEN doc_id % 6 = 0 THEN 'bmp'
+                 WHEN doc_id % 3 = 0 THEN 'png'
+                 ELSE 'ppm' END AS format,
+            CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS w,
+            CASE WHEN doc_id % 3 = 0 THEN 31 ELSE 13 END AS mul
+          FROM documents WHERE doc_id % 3 <> 1),
+        bits AS (SELECT doc_id, format, p,
+            CASE WHEN
+              (((((p // (w-1)) * w + (p % (w-1))) * 3 + 1) * mul
+                + doc_id) % 256)
+              >
+              (((((p // (w-1)) * w + (p % (w-1)) + 1) * 3 + 1) * mul
+                + doc_id) % 256)
+            THEN '1' ELSE '0' END AS b
+          FROM g, UNNEST(range(0, 8 * (w - 1))) AS t(p))
+        SELECT doc_id AS media_id, format,
+          string_agg(b, '' ORDER BY p) AS dhash,
+          CAST(sum(CASE WHEN b = '1' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ones
+        FROM bits GROUP BY 1, 2 ORDER BY 1""")))
 }

@@ -118,6 +118,34 @@ class DedupSpec extends SparkSpec {
       (3L, 0L, 4L, 5L), (3L, 7L, 11L, 5L)))
   }
 
+  test("jaccardPrefixFiltered: equals exact ≥ 1/2, and the prefix prunes") {
+    // equivalence: same pairs and values as the full inverted-index
+    // join filtered at the threshold
+    val exact = Dedup.ngramJaccardPairs(docs, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter(_._2 >= 0.5).toMap
+    val pf = Dedup.jaccardPrefixFiltered(docs, 3, 1, 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(pf == exact && pf.nonEmpty)
+    // pruning: 6 docs share ONE common shingle (df=6) and are unique
+    // otherwise — every pair collides in the inverted index (15
+    // pairs) but none can reach J ≥ 1/2, and the rarity-ordered
+    // prefix (3 of 5 shingles, all df=1) generates ZERO candidates
+    val pruneDocs = (0 until 6).map(i =>
+      (i.toLong, s"alpha beta gamma u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(pruneDocs, 3)
+    val fullCollisions = sh.as("a").join(sh.as("b"),
+      $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().count()
+    assert(fullCollisions == 15L)
+    val pref = Dedup.prefixShingles(sh, 1, 2)
+    val prefCollisions = pref.as("a").join(pref.as("b"),
+      $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id").count()
+    assert(prefCollisions == 0L)
+    assert(Dedup.jaccardPrefixFiltered(pruneDocs, 3, 1, 2).count() == 0L)
+  }
+
   test("stripDupSpans keeps the canonical occurrence, rebuilds the rest") {
     val common = "one two three four five six seven eight"
     val spanDocs = Seq(

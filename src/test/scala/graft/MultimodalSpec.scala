@@ -235,4 +235,27 @@ class MultimodalSpec extends SparkSpec {
         s"media ${r.media_id} ch ${r.channel}")
     }
   }
+
+  test("dHash computes hand-checked gradient bits identically across codecs") {
+    import spark.implicits._
+    // 3×2, green channel laid out per row: (10,200,50) / (5,5,9)
+    // bits (strict >): 10>200→0, 200>50→1 | 5>5→0, 5>9→0  ⇒  "0100"
+    val greens = Array(10, 200, 50, 5, 5, 9)
+    val rgb = new Array[Byte](3 * 2 * 3)
+    greens.zipWithIndex.foreach { case (g, i) =>
+      rgb(i * 3) = 1; rgb(i * 3 + 1) = g.toByte; rgb(i * 3 + 2) = 2
+    }
+    val img = MediaCodecs.Image(3, 2, rgb)
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image", MediaCodecs.encodeBmp(img), 3, 2),
+      Multimodal.MediaRow(1L, "image", MediaCodecs.encodePng(img), 3, 2),
+      Multimodal.MediaRow(2L, "video", MediaCodecs.encodePpm(img), 3, 2))
+      .toDS()
+    val rows = Multimodal.dHash(media).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.dhash == "0100", s"media ${r.media_id}: ${r.dhash}")
+      assert(r.n_ones == 1L)
+    }
+  }
 }
