@@ -318,6 +318,43 @@ object Multimodal {
     }
   }
 
+  /** Image near-duplicate pairing over [[dHash]] fingerprints: band
+    * LSH on the bit string (same design as the SimHash text pairing —
+    * candidates collide on at least one of `bands` equal substrings;
+    * pigeonhole guarantees NO misses for hamming < bands, hence the
+    * require), then exact hamming on candidates only. Hash length
+    * rides in the band key so only same-geometry images pair. The
+    * per-position compare runs only on candidate pairs — never on the
+    * corpus — so cost is Σ bucket², bounded exactly like q68. */
+  def dHashNearDup(hashes: DataFrame, bands: Int,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming >= bands=$bands loses pigeonhole " +
+        "completeness")
+    val h = hashes.select(col("media_id"), col("dhash"))
+      .withColumn("len", length(col("dhash")))
+    val bk = h.select(col("media_id"), col("dhash"), col("len"),
+        explode(expr(s"transform(sequence(0, $bands - 1), b -> " +
+          s"struct(b AS band, substring(dhash, " +
+          s"b * (len div $bands) + 1, len div $bands) AS bkey))"))
+          .as("bk"))
+      .select(col("media_id"), col("dhash"), col("len"),
+        col("bk.band"), col("bk.bkey"))
+    bk.as("a").join(bk.as("b"),
+        col("a.len") === col("b.len") && col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"),
+        col("a.dhash").as("da"), col("b.dhash").as("db"))
+      .distinct()
+      .withColumn("hamming", expr(
+        "CAST(length(da) - size(filter(sequence(1, length(da)), " +
+          "j -> substring(da, j, 1) = substring(db, j, 1))) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
+  }
+
   /** Resize: pure metadata transform (the real op also re-encodes the
     * payload — stubbed to keep bytes unchanged). */
   def resizeMeta(media: Dataset[MediaRow], maxW: Int): Dataset[MediaRow] = {

@@ -230,5 +230,97 @@ object MultimodalOps {
           string_agg(b, '' ORDER BY p) AS dhash,
           CAST(sum(CASE WHEN b = '1' THEN 1 ELSE 0 END) AS BIGINT)
             AS n_ones
-        FROM bits GROUP BY 1, 2 ORDER BY 1""")))
+        FROM bits GROUP BY 1, 2 ORDER BY 1""")),
+
+    // Image near-duplicate PAIRS from the q184 fingerprints: band-LSH
+    // candidates (pigeonhole-complete for hamming < bands) + exact
+    // hamming on candidates only — the q68 design applied to visual
+    // dedup. The banding itself is mirrored in the oracle, so the
+    // candidate rule AND the distances are hash-checked.
+    Q("q185_image_neardup",
+      (s, dir) => {
+        val media = Multimodal.packEncodedMedia(
+          Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 3 =!= 1))
+        Multimodal.dHashNearDup(
+            Multimodal.dHash(media).toDF(), bands = 4, maxHamming = 3)
+          .orderBy("media_a", "media_b")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS w,
+            CASE WHEN doc_id % 3 = 0 THEN 31 ELSE 13 END AS mul
+          FROM documents WHERE doc_id % 3 <> 1),
+        bits AS (SELECT doc_id, p,
+            CASE WHEN
+              (((((p // (w-1)) * w + (p % (w-1))) * 3 + 1) * mul
+                + doc_id) % 256)
+              >
+              (((((p // (w-1)) * w + (p % (w-1)) + 1) * 3 + 1) * mul
+                + doc_id) % 256)
+            THEN '1' ELSE '0' END AS b
+          FROM g, UNNEST(range(0, 8 * (w - 1))) AS t(p)),
+        h AS (SELECT doc_id AS media_id,
+            string_agg(b, '' ORDER BY p) AS dh
+          FROM bits GROUP BY 1),
+        bands AS (SELECT media_id, dh, len(dh) AS l, t.b,
+            substring(dh, CAST(b * (len(dh) // 4) + 1 AS INTEGER),
+              CAST(len(dh) // 4 AS INTEGER)) AS bkey
+          FROM h, UNNEST(range(0, 4)) AS t(b)),
+        cand AS (SELECT DISTINCT a.media_id AS media_a,
+            b.media_id AS media_b, a.dh AS da, b.dh AS db, a.l AS l
+          FROM bands a JOIN bands b
+            ON a.l = b.l AND a.b = b.b AND a.bkey = b.bkey
+              AND a.media_id < b.media_id),
+        ham AS (SELECT media_a, media_b,
+            CAST(sum(CASE WHEN substring(da, CAST(j AS INTEGER), 1)
+                <> substring(db, CAST(j AS INTEGER), 1)
+              THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+          FROM cand, UNNEST(range(1, l + 1)) AS t(j)
+          GROUP BY 1, 2)
+        SELECT media_a, media_b, hamming FROM ham
+        WHERE hamming <= 3 ORDER BY media_a, media_b""")),
+
+    // Audio fingerprint — frame-energy gradient signs (the
+    // shazam-style robust sketch, minus the FFT the exactness
+    // contract can't hash): 8 frames of 32 samples from REAL WAV
+    // decode (q162's exact BIGINT ssq), one bit per adjacent-frame
+    // energy comparison. Composes audioFrameFeatures + a partition-
+    // local 8-row window; only (id, 7-bit string) flows downstream.
+    Q("q186_audio_fingerprint",
+      (s, dir) => {
+        val media = Multimodal.packEncodedMedia(
+          Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 3 === 1))
+        val fr = Multimodal.audioFrameFeatures(media, frameSize = 32)
+          .toDF()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("frame_idx")
+        fr.withColumn("nxt", lead(col("ssq"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .withColumn("b",
+            when(col("ssq") > col("nxt"), "1").otherwise("0"))
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_bits"),
+            expr("concat_ws('', transform(array_sort(" +
+              "collect_list(struct(frame_idx, b))), s -> s.b))")
+              .as("fingerprint"),
+            sum(when(col("b") === "1", 1L).otherwise(0L)).as("n_ones"))
+          .orderBy("media_id")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+            (t.i * 37 + doc_id) % 2048 - 1024 AS v,
+            t.i // 32 AS frame_idx
+          FROM documents, UNNEST(range(0, 256)) AS t(i)
+          WHERE doc_id % 3 = 1),
+        fr AS (SELECT doc_id, frame_idx, sum(v * v) AS ssq
+          FROM s GROUP BY 1, 2),
+        b AS (SELECT doc_id, frame_idx,
+            CASE WHEN ssq > lead(ssq) OVER w THEN '1' ELSE '0' END AS bb,
+            lead(ssq) OVER w IS NOT NULL AS has
+          FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
+        SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_bits,
+          string_agg(bb, '' ORDER BY frame_idx) AS fingerprint,
+          CAST(sum(CASE WHEN bb = '1' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ones
+        FROM b WHERE has GROUP BY 1 ORDER BY 1""")))
 }

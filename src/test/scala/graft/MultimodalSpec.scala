@@ -258,4 +258,29 @@ class MultimodalSpec extends SparkSpec {
       assert(r.n_ones == 1L)
     }
   }
+
+  test("dHashNearDup: pigeonhole recall, threshold cut, geometry isolation") {
+    import spark.implicits._
+    val base = "10110011" * 4 // 32 bits, 4 bands of 8
+    def flip(s: String, at: Seq[Int]): String =
+      s.zipWithIndex.map { case (c, i) =>
+        if (at.contains(i)) (if (c == '1') '0' else '1') else c
+      }.mkString
+    val hashes = Seq(
+      (0L, base),                          // identical pair with 1
+      (1L, base),
+      (2L, flip(base, Seq(3))),            // 1 bit away — must be found
+      (3L, flip(base, Seq(0, 9, 17, 25))), // 1 flip in EVERY band: no
+                                           // shared band, legal miss
+      (4L, "1011"))                        // different geometry
+      .toDF("media_id", "dhash")
+    val pairs = graft.operators.Multimodal
+      .dHashNearDup(hashes, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((0L, 1L, 0L), (0L, 2L, 1L), (1L, 2L, 1L)))
+    // hamming < bands is REQUIRED — the guard refuses lossy configs
+    intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.dHashNearDup(hashes, 4, 4)
+    }
+  }
 }
