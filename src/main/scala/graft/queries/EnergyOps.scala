@@ -280,6 +280,46 @@ object EnergyOps {
         FROM j LEFT JOIN profile p
           ON j.event_type = p.event_type AND j.day_type = p.day_type
             AND j.hr = p.hr
-        ORDER BY j.event_type, j.bucket"""))
+        ORDER BY j.event_type, j.bucket""")),
+
+    // Ramp-rate analysis — the grid-operations metric behind reserve
+    // sizing: per series per day, the steepest hour-to-hour upward
+    // and downward changes of the hourly mean. One hash aggregate to
+    // hourly means (decimal-exact), one partition-local lag window
+    // per series (state bounded by |hours per series|, never fact
+    // rows), one hash aggregate to days. The ramp is a subtraction of
+    // two oracle-exact doubles — bit-identical cross-engine. The
+    // first hour of a day ramps against the previous day's last hour
+    // (attributed to the later day, mirrored in the oracle).
+    Q("q187_ramp_rates",
+      (s, dir) => {
+        val hourly = Tables.load(s, dir, "events")
+          .withColumn("bucket", date_trunc("hour", col("ts")))
+          .groupBy("event_type", "bucket")
+          .agg(graft.functions.ExactAgg.davg(col("value")).as("actual"))
+        val w = Window.partitionBy("event_type").orderBy("bucket")
+        hourly
+          .withColumn("ramp", col("actual") - lag(col("actual"), 1).over(w))
+          .filter(col("ramp").isNotNull)
+          .groupBy(col("event_type"),
+            date_format(col("bucket"), "yyyy-MM-dd").as("day"))
+          .agg(max(col("ramp")).as("max_up_ramp"),
+            min(col("ramp")).as("max_down_ramp"),
+            count(lit(1)).as("n_ramps"))
+          .orderBy("event_type", "day")
+      },
+      Some(s"""WITH hourly AS (SELECT event_type,
+            date_trunc('hour', ts) AS bucket,
+            ${graft.functions.ExactAgg.sqlAvg("value")} AS actual
+          FROM events GROUP BY 1, 2),
+        d AS (SELECT event_type, bucket,
+            actual - lag(actual) OVER (PARTITION BY event_type
+              ORDER BY bucket) AS ramp
+          FROM hourly)
+        SELECT event_type, strftime(bucket, '%Y-%m-%d') AS day,
+          max(ramp) AS max_up_ramp, min(ramp) AS max_down_ramp,
+          CAST(count(*) AS BIGINT) AS n_ramps
+        FROM d WHERE ramp IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

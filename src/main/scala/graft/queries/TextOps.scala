@@ -978,6 +978,75 @@ object TextOps {
             - 2 * n_chars AS logit_milli,
           (-700 + 20 * n_words + 150 * n_stop - 90 * n_digit
             - 2 * n_chars) > 0 AS keep
-        FROM f ORDER BY doc_id"""))
+        FROM f ORDER BY doc_id""")),
+
+    // Vocabulary coverage@k — the tokenizer-design metric: what share
+    // of all token OCCURRENCES do the k most frequent words cover?
+    // (k pinned inside the fixture's 31-word vocabulary.) The fact table reduces to the |vocab| frequency table in one
+    // map-side-combinable aggregate; the rank window and running sum
+    // then operate on |vocab| rows only (the q48/q118 bounded-scan
+    // convention), and the output is three rows. Share is one double
+    // division of exact BIGINTs per row.
+    Q("q188_vocab_coverage",
+      (s, dir) => {
+        val words = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+        val freq = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val byFreq = Window.orderBy(col("cnt").desc, col("w"))
+        val ranked = freq
+          .withColumn("rk", row_number().over(byFreq).cast("long"))
+          .filter(col("rk") <= 20)
+          .withColumn("cum", sum(col("cnt")).over(
+            byFreq.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        val total = words.agg(count(lit(1)).as("total"))
+        ranked.filter(col("rk").isin(5L, 10L, 20L))
+          .crossJoin(broadcast(total)) // 1-row total, q137's shape
+          .select(col("rk").as("k"), col("cum").as("covered"),
+            col("total"),
+            (col("cum").cast(DoubleType) / col("total").cast(DoubleType))
+              .as("coverage"))
+          .orderBy("k")
+      },
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        freq AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+        ranked AS (SELECT cnt,
+            row_number() OVER (ORDER BY cnt DESC, w) AS rk
+          FROM freq),
+        cum AS (SELECT rk, sum(cnt) OVER (ORDER BY rk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM ranked WHERE rk <= 20),
+        total AS (SELECT count(*) AS total FROM w)
+        SELECT CAST(rk AS BIGINT) AS k, CAST(cum AS BIGINT) AS covered,
+          CAST(total AS BIGINT) AS total,
+          CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+        FROM cum, total WHERE rk IN (5, 10, 20) ORDER BY rk""")),
+
+    // Deterministic fixed-SIZE corpus sample — the complement of
+    // q115's per-stratum caps: exactly n documents, chosen by
+    // smallest md5 of the id, reproducible across runs, engines and
+    // partitionings. Spark plans ORDER BY hash LIMIT n as
+    // TakeOrderedAndProject — each partition keeps its local top-n
+    // and only n·|partitions| rows reach the driver-side merge, never
+    // a global sort of the corpus.
+    Q("q189_fixed_sample",
+      (s, dir) => {
+        val n = 100
+        val h = md5(col("doc_id").cast("string"))
+        val sampled = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), h.as("h"))
+          .orderBy("h").limit(n)
+        sampled
+          .withColumn("rk",
+            row_number().over(Window.orderBy("h")).cast("long"))
+          .select("rk", "doc_id")
+          .orderBy("rk")
+      },
+      Some("""SELECT CAST(row_number() OVER
+            (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rk,
+          doc_id
+        FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100"""))
   )
 }

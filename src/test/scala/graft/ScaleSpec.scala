@@ -327,6 +327,21 @@ class ScaleSpec extends SparkSpec {
       s"integer-bin design must avoid the nested-loop range join:\n$plan")
   }
 
+  test("q189 fixed sample plans as TakeOrdered, not a global sort") {
+    val plan = graft.queries.Registry
+      .queries("q189_fixed_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ORDER BY hash LIMIT n must keep per-partition top-n:\n$plan")
+  }
+
+  test("q187 ramp rates: windows only, no join") {
+    val plan = graft.queries.Registry
+      .queries("q187_ramp_rates")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"ramps must not self-join:\n$plan")
+  }
+
   test("q174 dup-spans never pairs the corpus with itself") {
     val plan = graft.queries.Registry
       .queries("q174_dup_spans")(spark, sf)
