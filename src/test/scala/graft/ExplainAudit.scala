@@ -27,7 +27,10 @@ object ExplainAudit {
       "q146_collocations", "q173_load_duration", "q174_dup_spans",
       "q175_power_curve", "q176_day_type_profile", "q177_ohlc_resample",
       "q178_linear_quality_score", "q179_int8_quantize",
-      "q180_strip_dup_spans", "q182_slp_imputation")
+      "q180_strip_dup_spans", "q182_slp_imputation",
+      "q183_jaccard_prefix_join", "q184_image_dhash",
+      "q185_image_neardup", "q186_audio_fingerprint",
+      "q187_ramp_rates", "q188_vocab_coverage", "q189_fixed_sample")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
