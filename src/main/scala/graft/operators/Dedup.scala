@@ -416,6 +416,22 @@ object Dedup {
         (col("span_end") - col("span_start") + 1L).as("span_words"))
   }
 
+  /** Canonical-copy selection for duplicate clusters: per `groupCol`
+    * group, the keeper is the row with the HIGHEST `scoreCol` (lowest
+    * `idCol` on ties) — the "keep the best copy, not the first" dedup
+    * policy. One struct-MIN hash aggregate (map-side combinable — a
+    * boilerplate cluster duplicated millions of times collapses per
+    * input partition) plus a keyed join back; no window over the raw
+    * group. Returns the input plus `keeper_id`. */
+  def bestCopyPerGroup(df: DataFrame, groupCol: String,
+      scoreCol: String, idCol: String): DataFrame = {
+    val keepers = df.groupBy(groupCol)
+      .agg(min(struct((-col(scoreCol)).as("neg"), col(idCol).as("id")))
+        .as("kp"))
+      .select(col(groupCol), col("kp.id").as("keeper_id"))
+    df.join(keepers, Seq(groupCol))
+  }
+
   /** Prefix shingles for [[jaccardPrefixFiltered]]: each doc's first
     * `n - ceil(t·n) + 1` distinct shingles under the canonical global
     * rarity order (corpus frequency asc, shingle asc — a strict total

@@ -322,5 +322,80 @@ object MultimodalOps {
           string_agg(bb, '' ORDER BY frame_idx) AS fingerprint,
           CAST(sum(CASE WHEN bb = '1' THEN 1 ELSE 0 END) AS BIGINT)
             AS n_ones
-        FROM b WHERE has GROUP BY 1 ORDER BY 1""")))
+        FROM b WHERE has GROUP BY 1 ORDER BY 1""")),
+
+    // The END-TO-END visual dedup pipeline — what an image corpus
+    // actually runs: real codec decode → dHash fingerprints (q184) →
+    // banded near-dup pairs (q185) → connected components
+    // (large-star/small-star, q70's machinery) → min-id canonical per
+    // cluster. Every stage is individually oracle-checked; this query
+    // hash-checks their COMPOSITION, cluster sizes included. Payloads
+    // never shuffle (decode is map-side); pairing touches distinct
+    // hash values only; CC is O(log² n) rounds of keyed joins.
+    Q("q192_image_dedup_pipeline",
+      (s, dir) => {
+        val media = Multimodal.packEncodedMedia(
+          Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 3 =!= 1))
+        val hashes = Multimodal.dHash(media).toDF()
+        val pairs = Multimodal.dHashNearDup(hashes, bands = 4,
+          maxHamming = 3)
+        val cc = graft.operators.ConnectedComponents.components(
+          pairs, "media_a", "media_b",
+          nodes = Some(hashes.select(col("media_id"))))
+        val sizes = cc.groupBy("component")
+          .agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "component")
+          .select(col("node").as("media_id"),
+            col("component").as("cluster_id"), col("cluster_size"),
+            (col("node") === col("component")).as("is_canonical"))
+          .orderBy("media_id")
+      },
+      Some("""WITH RECURSIVE g AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS w,
+            CASE WHEN doc_id % 3 = 0 THEN 31 ELSE 13 END AS mul
+          FROM documents WHERE doc_id % 3 <> 1),
+        bits AS (SELECT doc_id, p,
+            CASE WHEN
+              (((((p // (w-1)) * w + (p % (w-1))) * 3 + 1) * mul
+                + doc_id) % 256)
+              >
+              (((((p // (w-1)) * w + (p % (w-1)) + 1) * 3 + 1) * mul
+                + doc_id) % 256)
+            THEN '1' ELSE '0' END AS b
+          FROM g, UNNEST(range(0, 8 * (w - 1))) AS t(p)),
+        h AS (SELECT doc_id AS media_id,
+            string_agg(b, '' ORDER BY p) AS dh
+          FROM bits GROUP BY 1),
+        bands AS (SELECT media_id, dh, len(dh) AS l, t.b,
+            substring(dh, CAST(b * (len(dh) // 4) + 1 AS INTEGER),
+              CAST(len(dh) // 4 AS INTEGER)) AS bkey
+          FROM h, UNNEST(range(0, 4)) AS t(b)),
+        cand AS (SELECT DISTINCT a.media_id AS media_a,
+            b.media_id AS media_b, a.dh AS da, b.dh AS db, a.l AS l
+          FROM bands a JOIN bands b
+            ON a.l = b.l AND a.b = b.b AND a.bkey = b.bkey
+              AND a.media_id < b.media_id),
+        ham AS (SELECT media_a, media_b,
+            CAST(sum(CASE WHEN substring(da, CAST(j AS INTEGER), 1)
+                <> substring(db, CAST(j AS INTEGER), 1)
+              THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+          FROM cand, UNNEST(range(1, l + 1)) AS t(j)
+          GROUP BY 1, 2),
+        pairs AS (SELECT media_a, media_b FROM ham WHERE hamming <= 3),
+        edges AS (SELECT media_a AS s, media_b AS d FROM pairs
+          UNION ALL SELECT media_b, media_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT media_id, media_id FROM h
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node),
+        cl AS (SELECT node AS media_id, min(lab) AS cluster_id
+          FROM reach GROUP BY 1),
+        sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+            AS cluster_size
+          FROM cl GROUP BY 1)
+        SELECT cl.media_id, cl.cluster_id, sz.cluster_size,
+          cl.media_id = cl.cluster_id AS is_canonical
+        FROM cl JOIN sz USING (cluster_id)
+        ORDER BY cl.media_id""")))
 }

@@ -675,6 +675,41 @@ object StreamQueries {
         wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
         SELECT bucket, event_type, open, high, low, close, n_ticks
         FROM bars, wm WHERE bucket + INTERVAL 1 HOUR <= w
-        ORDER BY event_type, bucket"""))
+        ORDER BY event_type, bucket""")),
+
+    // Streaming twin of q189's deterministic fixed-size sample: the
+    // n smallest multiplicative hashes as BOUNDED aggregation state
+    // (TopKAggregate.bottomK — n pairs per state row forever, merges
+    // associative+commutative, so the drained sample equals the batch
+    // sample under any chunking; the reservoir-sampling need without
+    // reservoir sampling's RNG). Same Knuth hash as q114 so the
+    // oracle is pure integer arithmetic.
+    Q("q191_stream_sample",
+      (s, dir) => {
+        val KnuthA = 2654435761L
+        val M32 = 4294967296L
+        val n = 40
+        val stream = eventsStream(s, dir, singleFile = true)
+        val agg = stream.groupBy()
+          .agg(graft.expressions.TopKAggregate.bottomK(
+            expr(s"CAST((event_id * $KnuthA) % $M32 AS DOUBLE)"),
+            col("event_id"), n).as("smp"))
+        s.catalog.dropTempView("q191_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(agg, "q191_sink", OutputMode.Update())
+        }
+        s.table("q191_sink")
+          .select(posexplode(col("smp")).as(Seq("p", "t")))
+          .select((col("p") + 1).cast("long").as("rank"),
+            col("t._1").cast("long").as("h"), col("t._2").as("event_id"))
+          .orderBy("rank")
+      },
+      Some("""SELECT rank, h, event_id FROM (
+          SELECT event_id, (event_id * 2654435761) % 4294967296 AS h,
+            CAST(row_number() OVER (ORDER BY
+              (event_id * 2654435761) % 4294967296, event_id)
+              AS BIGINT) AS rank
+          FROM events)
+        WHERE rank <= 40 ORDER BY rank"""))
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 import graft.functions.TextFuncs._
-import graft.operators.PrefixSum
+import graft.operators.{Dedup, PrefixSum}
 
 /** Text-analysis operators over the `documents` corpus: token counting,
   * quality scoring, language ID, exact dedup, fingerprinting. These are
@@ -23,6 +23,25 @@ object TextOps {
     "es" -> Seq("el", "la", "que", "los", "una"),
     "fr" -> Seq("le", "les", "est", "une", "dans"),
     "en" -> Seq("the", "a", "of", "and", "is"))
+
+  /** Integer milli-logit of the linear quality model — ONE copy feeds
+    * both Spark plans and DuckDB oracles (q178, q190). */
+  private def qualityLogit: org.apache.spark.sql.Column = {
+    val ws = split(col("text"), " ")
+    lit(-700L) + lit(20L) * size(ws).cast("long") +
+      lit(150L) * size(filter(ws, w => w.isInCollection(stopwords)))
+        .cast("long") -
+      lit(90L) * size(filter(ws, w => w.rlike("^[0-9]+$"))).cast("long") -
+      lit(2L) * length(col("text")).cast("long")
+  }
+
+  private def qualityLogitSql: String =
+    s"""(-700 + 20 * len(string_split(text, ' '))
+       + 150 * len(list_filter(string_split(text, ' '),
+           w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")})))
+       - 90 * len(list_filter(string_split(text, ' '),
+           w -> regexp_matches(w, '^[0-9]+$$')))
+       - 2 * length(text))"""
 
   val qs: Seq[Q] = Seq(
 
@@ -950,35 +969,44 @@ object TextOps {
     // broadcast literal the same way).
     Q("q178_linear_quality_score",
       (s, dir) => {
-        val ws = split(col("text"), " ")
-        val nWords = size(ws).cast("long")
-        val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
-          .cast("long")
-        val nDigit = size(filter(ws, w => w.rlike("^[0-9]+$"))).cast("long")
-        val nChars = length(col("text")).cast("long")
         Tables.load(s, dir, "documents")
-          .select(col("doc_id"),
-            (lit(-700L) + lit(20L) * nWords + lit(150L) * nStop -
-              lit(90L) * nDigit - lit(2L) * nChars).as("logit_milli"))
+          .select(col("doc_id"), qualityLogit.as("logit_milli"))
           .withColumn("keep", col("logit_milli") > 0L)
           .orderBy("doc_id")
       },
+      Some(s"""SELECT doc_id,
+          $qualityLogitSql AS logit_milli,
+          $qualityLogitSql > 0 AS keep
+        FROM documents ORDER BY doc_id""")),
+
+    // Best-copy dedup — the cluster-canonicalization POLICY step: per
+    // near-exact cluster (q22's normalized fingerprint), keep the
+    // HIGHEST-quality copy (q178's logit), lowest id on ties — not
+    // blindly the first-seen copy. Dedup.bestCopyPerGroup is one
+    // map-side-combinable struct-MIN aggregate + a keyed join back;
+    // no window buffers a duplicate cluster on one reducer.
+    Q("q190_best_copy_dedup",
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .withColumn("fp", fingerprint(col("text")))
+          .withColumn("logit_milli", qualityLogit)
+          .select("doc_id", "fp", "logit_milli")
+        Dedup.bestCopyPerGroup(scored, "fp", "logit_milli", "doc_id")
+          .withColumn("is_kept", col("doc_id") === col("keeper_id"))
+          .select("doc_id", "fp", "logit_milli", "keeper_id", "is_kept")
+          .orderBy("doc_id")
+      },
       Some(s"""WITH f AS (SELECT doc_id,
-            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-            CAST(len(list_filter(string_split(text, ' '),
-                w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")})))
-              AS BIGINT) AS n_stop,
-            CAST(len(list_filter(string_split(text, ' '),
-                w -> regexp_matches(w, '^[0-9]+$$')))
-              AS BIGINT) AS n_digit,
-            CAST(length(text) AS BIGINT) AS n_chars
+            md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+              AS fp,
+            $qualityLogitSql AS logit_milli
           FROM documents)
-        SELECT doc_id,
-          -700 + 20 * n_words + 150 * n_stop - 90 * n_digit
-            - 2 * n_chars AS logit_milli,
-          (-700 + 20 * n_words + 150 * n_stop - 90 * n_digit
-            - 2 * n_chars) > 0 AS keep
-        FROM f ORDER BY doc_id""")),
+        SELECT doc_id, fp, logit_milli,
+          first_value(doc_id) OVER w AS keeper_id,
+          doc_id = first_value(doc_id) OVER w AS is_kept
+        FROM f
+        WINDOW w AS (PARTITION BY fp ORDER BY logit_milli DESC, doc_id)
+        ORDER BY doc_id""")),
 
     // Vocabulary coverage@k — the tokenizer-design metric: what share
     // of all token OCCURRENCES do the k most frequent words cover?

@@ -118,6 +118,19 @@ class DedupSpec extends SparkSpec {
       (3L, 0L, 4L, 5L), (3L, 7L, 11L, 5L)))
   }
 
+  test("bestCopyPerGroup keeps highest score, min id on ties, singletons self") {
+    val rows = Seq(
+      ("g1", 10L, 1L), ("g1", 90L, 2L), ("g1", 90L, 3L), // tie at 90 → id 2
+      ("g2", 5L, 7L),                                    // singleton
+      ("g3", -4L, 9L), ("g3", -2L, 8L))                  // negatives fine
+      .toDF("fp", "score", "doc_id")
+    val out = Dedup.bestCopyPerGroup(rows, "fp", "score", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("keeper_id"))).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 7L -> 7L,
+      9L -> 8L, 8L -> 8L))
+  }
+
   test("jaccardPrefixFiltered: equals exact ≥ 1/2, and the prefix prunes") {
     // equivalence: same pairs and values as the full inverted-index
     // join filtered at the threshold
