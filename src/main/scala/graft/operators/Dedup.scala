@@ -503,6 +503,32 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
   }
 
+  /** Per-document derivative-content score: the share of a doc's word
+    * k-grams that occur ≥2 times anywhere in the corpus (the q174
+    * duplication signal rolled up to a doc-level quality feature — a
+    * high rate marks boilerplate/quoted/templated content even when no
+    * single span is long enough to strip). Same shuffle shape as
+    * [[dupSpans]] minus the island windows: map-side gram emission,
+    * one hash aggregate on md5 gram keys, one keyed join back, one
+    * per-doc aggregate. Returns (doc_id, n_grams, n_dup_grams,
+    * dup_rate). */
+  def derivativeScores(docs: DataFrame, k: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $k), i -> " +
+          s"substring(md5(concat_ws(' ', slice(ws, i + 1, $k))), 1, 16))")))
+      .withColumnRenamed("col", "g")
+    val cnt = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+    grams.join(cnt, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_rate", col("n_dup_grams").cast(DoubleType) /
+        col("n_grams").cast(DoubleType))
+  }
+
   /** The APPLY half of span dedup (Lee et al. 2021 §3: remove all but
     * one occurrence of each duplicated substring): every maximal span
     * found by [[dupSpans]] is keyed by the md5 of its covered text; the

@@ -333,6 +333,30 @@ object DedupOps {
         FROM grp GROUP BY doc_id, island
         ORDER BY doc_id, span_start""")),
 
+    // Doc-level derivative-content score (see Dedup.derivativeScores):
+    // the q174 duplication signal as a per-document quality feature —
+    // boilerplate/templated content scores high even when no single
+    // span is long enough to strip.
+    Q("q193_derivative_score",
+      (s, dir) =>
+        Dedup.derivativeScores(
+            Tables.load(s, dir, "documents").select("doc_id", "text"), 5)
+          .orderBy("doc_id"),
+      Some("""WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 5),
+        g AS (SELECT doc_id, i AS pos,
+            substring(md5(array_to_string(w[i+1:i+5], ' ')), 1, 16) AS g
+          FROM ws, UNNEST(range(0, len(w) - 4)) AS t(i)),
+        cnt AS (SELECT g, count(*) AS cnt FROM g GROUP BY 1)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_grams,
+          CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS dup_rate
+        FROM g JOIN cnt USING (g)
+        GROUP BY 1 ORDER BY 1""")),
+
     // The APPLY half of span dedup — remove all but the canonical
     // occurrence of every duplicated span and reassemble documents
     // (see Dedup.stripDupSpans for the keyed-join/aggregate layout;

@@ -159,6 +159,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPrefixFiltered(pruneDocs, 3, 1, 2).count() == 0L)
   }
 
+  test("derivativeScores: repeated grams raise the rate, unique docs score 0") {
+    val common = "one two three four five"
+    val d = Seq(
+      (0L, s"$common a1 a2 a3"),   // shares the 5-gram with doc 1
+      (1L, s"b1 $common b2 b3"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7")) // all grams unique
+      .toDF("doc_id", "text")
+    val out = Dedup.derivativeScores(d, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((4L, 1L))) // 4 grams, 1 repeated (the common run)
+    assert(out(1L) == ((4L, 1L)))
+    assert(out(2L) == ((3L, 0L)))
+  }
+
   test("stripDupSpans keeps the canonical occurrence, rebuilds the rest") {
     val common = "one two three four five six seven eight"
     val spanDocs = Seq(
