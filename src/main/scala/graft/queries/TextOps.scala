@@ -979,6 +979,36 @@ object TextOps {
           $qualityLogitSql > 0 AS keep
         FROM documents ORDER BY doc_id""")),
 
+    // Text normalization — the C4/CCNet cleaning pass as a verifiable
+    // transform: lowercase, strip non-alphanumerics, collapse runs of
+    // spaces, trim. All three regexes are RE2-safe literal classes so
+    // Java regex and DuckDB RE2 agree byte-for-byte; the cleaned text
+    // itself is md5-pinned (not just its length), so the exact byte
+    // sequence of the normalization is what the oracle checks. One
+    // codegen'd scan, no shuffle.
+    Q("q194_clean_text",
+      (s, dir) => {
+        val cleaned = trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(cleaned).as("clean_fp"),
+            length(col("text")).cast("long").as("len_before"),
+            length(cleaned).cast("long").as("len_after"),
+            size(split(cleaned, " ")).cast("long").as("n_words_after"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id, text,
+            trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')) AS cleaned
+          FROM documents)
+        SELECT doc_id, md5(cleaned) AS clean_fp,
+          CAST(length(text) AS BIGINT) AS len_before,
+          CAST(length(cleaned) AS BIGINT) AS len_after,
+          CAST(len(string_split(cleaned, ' ')) AS BIGINT)
+            AS n_words_after
+        FROM c ORDER BY doc_id""")),
+
     // Best-copy dedup — the cluster-canonicalization POLICY step: per
     // near-exact cluster (q22's normalized fingerprint), keep the
     // HIGHEST-quality copy (q178's logit), lowest id on ties — not
