@@ -320,6 +320,72 @@ object EnergyOps {
           max(ramp) AS max_up_ramp, min(ramp) AS max_down_ramp,
           CAST(count(*) AS BIGINT) AS n_ramps
         FROM d WHERE ramp IS NOT NULL
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Incident-window detection — the alerting primitive: hours whose
+    // mean load exceeds 1.5× the series' overall hourly mean, MERGED
+    // into maximal consecutive runs (the gaps-and-islands technique
+    // of q174 applied to the time axis), reported as incidents with
+    // start/end/duration/peak — |incidents| output rows, not
+    // |breaches|. The threshold compare and the 3600 s adjacency test
+    // are mirrored double/integer ops on oracle-exact hourly means;
+    // the per-series islands window is partition-local, state bounded
+    // by |hours per series|.
+    Q("q195_incident_windows",
+      (s, dir) => {
+        val hourly = Tables.load(s, dir, "events")
+          .withColumn("bucket", date_trunc("hour", col("ts")))
+          .groupBy("event_type", "bucket")
+          .agg(graft.functions.ExactAgg.davg(col("value")).as("actual"))
+        val overall = hourly.groupBy("event_type")
+          .agg(graft.functions.ExactAgg.davg(col("actual"), scale = 12)
+            .as("avg_all"))
+        val flagged = hourly
+          .join(broadcast(overall), "event_type")
+          .filter(col("actual") > col("avg_all") * 1.5)
+        val w = Window.partitionBy("event_type").orderBy("bucket")
+        flagged
+          .withColumn("gap_s",
+            unix_timestamp(col("bucket")) -
+              unix_timestamp(lag(col("bucket"), 1).over(w)))
+          .withColumn("brk",
+            when(col("gap_s") === 3600L, 0L).otherwise(1L))
+          .withColumn("incident", sum(col("brk")).over(w))
+          .groupBy("event_type", "incident")
+          .agg(min(col("bucket")).as("incident_start"),
+            max(col("bucket")).as("incident_end"),
+            count(lit(1)).as("n_hours"),
+            max(col("actual")).as("peak_load"))
+          .select("event_type", "incident_start", "incident_end",
+            "n_hours", "peak_load")
+          .orderBy("event_type", "incident_start")
+      },
+      Some(s"""WITH hourly AS (SELECT event_type,
+            date_trunc('hour', ts) AS bucket,
+            ${graft.functions.ExactAgg.sqlAvg("value")} AS actual
+          FROM events GROUP BY 1, 2),
+        overall AS (SELECT event_type,
+            ${graft.functions.ExactAgg.sqlAvg("actual", 12)} AS avg_all
+          FROM hourly GROUP BY 1),
+        flagged AS (SELECT h.event_type, h.bucket, h.actual
+          FROM hourly h JOIN overall o ON h.event_type = o.event_type
+          WHERE h.actual > o.avg_all * 1.5),
+        d AS (SELECT event_type, bucket, actual,
+            CASE WHEN CAST(floor(epoch(bucket)) AS BIGINT)
+                - CAST(floor(epoch(lag(bucket) OVER w)) AS BIGINT)
+                = 3600
+              THEN 0 ELSE 1 END AS brk
+          FROM flagged
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        isl AS (SELECT event_type, bucket, actual,
+            sum(brk) OVER (PARTITION BY event_type ORDER BY bucket)
+              AS incident
+          FROM d)
+        SELECT event_type, min(bucket) AS incident_start,
+          max(bucket) AS incident_end,
+          CAST(count(*) AS BIGINT) AS n_hours,
+          max(actual) AS peak_load
+        FROM isl GROUP BY event_type, incident
+        ORDER BY event_type, incident_start"""))
   )
 }

@@ -70,6 +70,29 @@ class EnergyOpsSpec extends SparkSpec {
     rows.filter(!_._4).foreach(r => assert(r._3.nonEmpty))
   }
 
+  test("q195 incidents: disjoint windows, durations match span, peaks above mean") {
+    val rows = Registry.queries("q195_incident_windows")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (series, incs) =>
+      val sorted = incs.sortBy(_._2.getTime)
+      // duration equals the hour span of [start, end]
+      sorted.foreach { case (_, st, en, n, _) =>
+        assert((en.getTime - st.getTime) / 3600000L + 1 == n,
+          s"$series: span/duration mismatch")
+      }
+      // windows are disjoint AND non-adjacent (else they'd have merged)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._2.getTime > a._3.getTime + 3600000L,
+            s"$series: windows touch — islands failed to merge")
+        case _ =>
+      }
+    }
+  }
+
   test("q175 power curve: output bounded by rated power, all series present") {
     val rows = Registry.queries("q175_power_curve")(spark, sf)
       .collect()
