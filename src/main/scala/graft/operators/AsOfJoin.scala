@@ -48,4 +48,25 @@ object AsOfJoin {
       .select((leftCols.map(col) ++
         valueCols.map(c => col(s"asof_$c"))): _*)
   }
+
+  /** As-of join with a TOLERANCE horizon — pandas
+    * `merge_asof(tolerance=…)` semantics: a match older than
+    * `toleranceSec` (whole-second floor-epoch difference, the engine-
+    * portable comparison) is treated as NO match and its carried
+    * values go null. Same single-shuffle union+ffill plan as [[asOf]];
+    * the matched right timestamp rides along as one extra carried
+    * column and the staleness test is a map-side projection. */
+  def asOfTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      toleranceSec: Long): DataFrame = {
+    val withTs = asOf(left, right, keys, leftTs, rightTs,
+      valueCols :+ rightTs)
+    val stale = col(s"asof_$rightTs").isNull ||
+      unix_timestamp(col(leftTs)) -
+        unix_timestamp(col(s"asof_$rightTs")) > toleranceSec
+    valueCols.foldLeft(withTs) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        when(stale, lit(null)).otherwise(col(s"asof_$c")))
+    }.drop(s"asof_$rightTs")
+  }
 }

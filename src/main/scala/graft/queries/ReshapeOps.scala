@@ -125,6 +125,35 @@ object ReshapeOps {
           ON c.user_id = p.user_id AND c.ts >= p.ts
         ORDER BY c.event_id""")),
 
+    // J5 completion — as-of join with a TOLERANCE horizon (pandas
+    // merge_asof(tolerance=…)): a purchase more than 6 h older than
+    // the click no longer counts as "current" and the carried value
+    // goes null. Same single-shuffle union+ffill plan as q15; the
+    // staleness test is a map-side projection on the floor-epoch
+    // difference (whole seconds — the engine-portable comparison).
+    Q("q196_asof_tolerance",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "value")
+        graft.operators.AsOfJoin.asOfTolerance(clicks, purchases,
+            Seq("user_id"), "ts", "ts", Seq("value"),
+            toleranceSec = 21600L)
+          .withColumnRenamed("asof_value", "recent_purchase_value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id, c.ts,
+          CASE WHEN p.ts IS NOT NULL
+              AND CAST(floor(epoch(c.ts)) AS BIGINT)
+                - CAST(floor(epoch(p.ts)) AS BIGINT) <= 21600
+            THEN p.value END AS recent_purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY c.event_id""")),
+
     // K3/O4 — schema-evolving append: union-by-name with null-fill for
     // columns absent in the old batch (reference:
     // entsoe_crawler.py:196-209 concat-replace fallback).

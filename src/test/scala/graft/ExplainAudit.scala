@@ -30,7 +30,10 @@ object ExplainAudit {
       "q180_strip_dup_spans", "q182_slp_imputation",
       "q183_jaccard_prefix_join", "q184_image_dhash",
       "q185_image_neardup", "q186_audio_fingerprint",
-      "q187_ramp_rates", "q188_vocab_coverage", "q189_fixed_sample")
+      "q187_ramp_rates", "q188_vocab_coverage", "q189_fixed_sample",
+      "q190_best_copy_dedup", "q192_image_dedup_pipeline",
+      "q193_derivative_score", "q194_clean_text",
+      "q195_incident_windows", "q196_asof_tolerance")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString

@@ -58,6 +58,25 @@ class ReshapeSpec extends SparkSpec {
     assert(d.filter($"k" === 1).head().getString(2) == "new")
   }
 
+  test("asOfTolerance nulls matches older than the horizon, keeps fresh ones") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")), // right 1 h earlier: fresh
+      (2L, 100L, ts("2024-01-01 23:00:00")), // latest right 14 h old: stale
+      (3L, 200L, ts("2024-01-01 05:00:00"))) // no right at all
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts("2024-01-01 09:00:00"), 7.0))
+      .toDF("user_id", "ts", "value")
+    val out = graft.operators.AsOfJoin.asOfTolerance(
+        left, right, Seq("user_id"), "ts", "ts", Seq("value"),
+        toleranceSec = 7200L)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out == Map(1L -> Some(7.0), 2L -> None, 3L -> None))
+  }
+
   test("unionEvolve null-fills missing columns on either side") {
     val old = Seq((1L, 1.0)).toDF("id", "x")
     val fresh = Seq((2L, 2.0, "p")).toDF("id", "x", "prio")

@@ -327,6 +327,23 @@ class ScaleSpec extends SparkSpec {
       s"integer-bin design must avoid the nested-loop range join:\n$plan")
   }
 
+  test("q194 clean-text is a pure map: zero exchanges before the order") {
+    val plan = graft.queries.Registry
+      .queries("q194_clean_text")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // only the final presentation ORDER BY may exchange (range part.)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"normalization must not shuffle:\n$plan")
+  }
+
+  test("q190 best-copy keeper is an aggregate + join, never a window") {
+    val plan = graft.queries.Registry
+      .queries("q190_best_copy_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"keeper selection must not buffer clusters in a window:\n$plan")
+  }
+
   test("q189 fixed sample plans as TakeOrdered, not a global sort") {
     val plan = graft.queries.Registry
       .queries("q189_fixed_sample")(spark, sf)
