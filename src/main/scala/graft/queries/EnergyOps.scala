@@ -386,6 +386,59 @@ object EnergyOps {
           CAST(count(*) AS BIGINT) AS n_hours,
           max(actual) AS peak_load
         FROM isl GROUP BY event_type, incident
-        ORDER BY event_type, incident_start"""))
+        ORDER BY event_type, incident_start""")),
+
+    // Capacity / load factor — the first KPI of any generation or
+    // demand series: mean as a share of peak. One map-side-combinable
+    // aggregate; energy accumulates in decimal (order-free), the
+    // factor is a fixed double-op sequence on identical operands.
+    Q("q197_capacity_factor",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_obs"),
+            max(col("value")).as("peak"),
+            graft.functions.ExactAgg.dsum(col("value")).as("energy"))
+          .withColumn("capacity_factor",
+            col("energy") / (col("peak") * col("n_obs").cast(DoubleType)))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+          max(value) AS peak,
+          ${graft.functions.ExactAgg.sqlSum("value")} AS energy,
+          ${graft.functions.ExactAgg.sqlSum("value")}
+            / (max(value) * CAST(count(*) AS DOUBLE)) AS capacity_factor
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Data-freshness report — the ingest-operations dashboard metric
+    // (the reference's metadata catalog tracks temporal extent per
+    // schema, base_crawler.py stats refresh): per series, the last
+    // observed timestamp, its whole-second lag behind the NEWEST
+    // timestamp anywhere, and a staleness flag. Per-series maxima are
+    // one aggregate; the global max is a 1-row broadcast (q137's
+    // shape) — the fact table is scanned once.
+    Q("q198_freshness",
+      (s, dir) => {
+        val perSeries = Tables.load(s, dir, "events")
+          .groupBy("event_type").agg(max(col("ts")).as("last_ts"))
+        val global = perSeries
+          .agg(max(col("last_ts")).as("newest_ts"))
+        perSeries.crossJoin(broadcast(global))
+          .withColumn("lag_s",
+            unix_timestamp(col("newest_ts")) -
+              unix_timestamp(col("last_ts")))
+          .withColumn("is_stale", col("lag_s") > 3600L)
+          .select("event_type", "last_ts", "lag_s", "is_stale")
+          .orderBy("event_type")
+      },
+      Some("""WITH p AS (SELECT event_type, max(ts) AS last_ts
+          FROM events GROUP BY 1),
+        g AS (SELECT max(last_ts) AS newest_ts FROM p)
+        SELECT event_type, last_ts,
+          CAST(floor(epoch(newest_ts)) AS BIGINT)
+            - CAST(floor(epoch(last_ts)) AS BIGINT) AS lag_s,
+          (CAST(floor(epoch(newest_ts)) AS BIGINT)
+            - CAST(floor(epoch(last_ts)) AS BIGINT)) > 3600 AS is_stale
+        FROM p, g ORDER BY event_type"""))
   )
 }
