@@ -439,6 +439,50 @@ object EnergyOps {
             - CAST(floor(epoch(last_ts)) AS BIGINT) AS lag_s,
           (CAST(floor(epoch(newest_ts)) AS BIGINT)
             - CAST(floor(epoch(last_ts)) AS BIGINT)) > 3600 AS is_stale
-        FROM p, g ORDER BY event_type"""))
+        FROM p, g ORDER BY event_type""")),
+
+    // Weekly seasonality index — classical load decomposition: each
+    // weekday's mean as a ratio to the series' overall mean (index
+    // 1.0 = flat week). Both means come from ONE pass over the fact
+    // table (the per-weekday decimal sums/counts REAGGREGATE into the
+    // overall mean — no second scan); the index is one double
+    // division of oracle-exact means. Day-of-week constants are
+    // engine-local as in q176 (Spark Sun=1, DuckDB Sun=0 — both
+    // remapped to ISO Mon=1..Sun=7 so the OUTPUT encoding matches).
+    Q("q199_seasonality_index",
+      (s, dir) => {
+        val byDow = Tables.load(s, dir, "events")
+          // Spark dayofweek: Sun=1..Sat=7 → ISO Mon=1..Sun=7
+          .withColumn("dow",
+            ((dayofweek(col("ts")) + 5) % 7 + 1).cast(LongType))
+          .groupBy("event_type", "dow")
+          .agg(sum(col("value").cast("decimal(28,2)")).as("dsum"),
+            count(lit(1)).as("n"))
+        val overall = byDow.groupBy("event_type")
+          .agg((sum(col("dsum")).cast(DoubleType) /
+            sum(col("n")).cast(DoubleType)).as("mean_all"))
+        byDow.join(broadcast(overall), "event_type")
+          .select(col("event_type"), col("dow"), col("n"),
+            (col("dsum").cast(DoubleType) / col("n").cast(DoubleType))
+              .as("mean_dow"),
+            ((col("dsum").cast(DoubleType) / col("n").cast(DoubleType)) /
+              col("mean_all")).as("seasonality_index"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""WITH d AS (SELECT event_type,
+            CAST((dayofweek(ts) + 6) % 7 + 1 AS BIGINT) AS dow,
+            sum(CAST(value AS DECIMAL(28,2))) AS dsum,
+            count(*) AS n
+          FROM events GROUP BY 1, 2),
+        o AS (SELECT event_type,
+            CAST(sum(dsum) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+              AS mean_all
+          FROM d GROUP BY 1)
+        SELECT d.event_type, d.dow, CAST(d.n AS BIGINT) AS n,
+          CAST(d.dsum AS DOUBLE) / CAST(d.n AS DOUBLE) AS mean_dow,
+          (CAST(d.dsum AS DOUBLE) / CAST(d.n AS DOUBLE)) / o.mean_all
+            AS seasonality_index
+        FROM d JOIN o ON d.event_type = o.event_type
+        ORDER BY d.event_type, d.dow"""))
   )
 }
