@@ -26,22 +26,28 @@ object TextOps {
 
   /** Integer milli-logit of the linear quality model — ONE copy feeds
     * both Spark plans and DuckDB oracles (q178, q190). */
-  private def qualityLogit: org.apache.spark.sql.Column = {
-    val ws = split(col("text"), " ")
+  private def qualityLogit: org.apache.spark.sql.Column =
+    qualityLogitOf(col("text"))
+
+  private def qualityLogitOf(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val ws = split(text, " ")
     lit(-700L) + lit(20L) * size(ws).cast("long") +
       lit(150L) * size(filter(ws, w => w.isInCollection(stopwords)))
         .cast("long") -
       lit(90L) * size(filter(ws, w => w.rlike("^[0-9]+$"))).cast("long") -
-      lit(2L) * length(col("text")).cast("long")
+      lit(2L) * length(text).cast("long")
   }
 
-  private def qualityLogitSql: String =
-    s"""(-700 + 20 * len(string_split(text, ' '))
-       + 150 * len(list_filter(string_split(text, ' '),
+  private def qualityLogitSql: String = qualityLogitSqlOf("text")
+
+  private def qualityLogitSqlOf(textExpr: String): String =
+    s"""(-700 + 20 * len(string_split($textExpr, ' '))
+       + 150 * len(list_filter(string_split($textExpr, ' '),
            w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")})))
-       - 90 * len(list_filter(string_split(text, ' '),
+       - 90 * len(list_filter(string_split($textExpr, ' '),
            w -> regexp_matches(w, '^[0-9]+$$')))
-       - 2 * length(text))"""
+       - 2 * length($textExpr))"""
 
   val qs: Seq[Q] = Seq(
 
@@ -1008,6 +1014,51 @@ object TextOps {
           CAST(len(string_split(cleaned, ' ')) AS BIGINT)
             AS n_words_after
         FROM c ORDER BY doc_id""")),
+
+    // The round-7 corpus pipeline COMPOSITE — byte-exact normalization
+    // (q194) → model-scored quality gate on the RAW text (q178) →
+    // best-copy dedup on the NORMALIZED fingerprint keeping the
+    // highest-raw-quality variant (q190) → per-source survivor/token
+    // accounting. Each stage is individually oracle-checked; this
+    // hash-checks their COMPOSITION (the q69 pattern for the newer
+    // layer). Scoring on raw text while deduping on cleaned text is
+    // the point: punctuation/case variants of one document collapse
+    // into one cluster and the best-formatted variant survives. Every
+    // stage is one scan, one hash aggregate, or one keyed join.
+    Q("q200_corpus_pipeline_v2",
+      (s, dir) => {
+        val cleaned = trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            cleaned.as("ctext"),
+            qualityLogit.as("logit"))
+          .filter(col("logit") > 0L)
+          .withColumn("fp", md5(col("ctext")))
+        val kept = Dedup
+          .bestCopyPerGroup(scored, "fp", "logit", "doc_id")
+          .filter(col("doc_id") === col("keeper_id"))
+        kept.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("ctext"), " ")).cast("long"))
+              .as("n_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH c AS (SELECT doc_id, source, text,
+            trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')) AS ctext
+          FROM documents),
+        sc AS (SELECT doc_id, source, ctext,
+            $qualityLogitSql AS logit
+          FROM c WHERE $qualityLogitSql > 0),
+        k AS (SELECT *, first_value(doc_id) OVER
+            (PARTITION BY md5(ctext) ORDER BY logit DESC, doc_id)
+            AS keeper
+          FROM sc)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(string_split(ctext, ' '))) AS BIGINT) AS n_tokens
+        FROM k WHERE doc_id = keeper
+        GROUP BY 1 ORDER BY 1""")),
 
     // Best-copy dedup — the cluster-canonicalization POLICY step: per
     // near-exact cluster (q22's normalized fingerprint), keep the
