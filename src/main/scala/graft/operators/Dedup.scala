@@ -449,7 +449,9 @@ object Dedup {
       // arithmetic (`div`, not `/` — Column./ is double division)
       .filter(col("rk") <=
         expr(s"n - ((n * $tNum + ${tDen - 1}) div $tDen) + 1"))
-      .select("doc_id", "shingle")
+      // n and rk ride along for the candidate join's length and
+      // positional filters (both lossless PPJoin prunings)
+      .select("doc_id", "shingle", "n", "rk")
   }
 
   /** Exact Jaccard join with PREFIX FILTERING (the PPJoin family,
@@ -483,9 +485,23 @@ object Dedup {
       .agg(sort_array(collect_list(col("shingle"))).as("arr"),
         count(lit(1)).as("n"))
     val pref = prefixShingles(sh, tNum, tDen)
+    // Two further lossless PPJoin prunings ride the collision join,
+    // BEFORE the distinct and the array-verify joins:
+    //  - length filter: J ≥ t forces t·max(na,nb) ≤ min(na,nb);
+    //  - positional filter: both docs order shingles by the same
+    //    global rarity order, so a collision at ranks (rk_a, rk_b)
+    //    bounds the overlap by 1 + min(na−rk_a, nb−rk_b), which must
+    //    reach α = ceil(t/(1+t)·(na+nb)). A qualifying pair's FIRST
+    //    collision always passes, so filtering per-collision then
+    //    distinct-ing loses nothing (Xiao et al. 2008, Lemma 2).
     val cand = pref.as("a").join(pref.as("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * tNum <= col("b.n") * tDen &&
+          col("b.n") * tNum <= col("a.n") * tDen &&
+          (lit(1) + least(col("a.n") - col("a.rk"),
+            col("b.n") - col("b.rk"))) * (tNum + tDen) >=
+            (col("a.n") + col("b.n")) * tNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
