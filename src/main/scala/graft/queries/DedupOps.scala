@@ -12,9 +12,9 @@ import graft.operators.{ConnectedComponents, Dedup}
   */
 object DedupOps {
 
-  private val K = 3          // words per shingle
-  private val NumHashes = 8  // minhash signature length
-  private val Bands = 4      // LSH bands (2 rows per band)
+  private[queries] val K = 3  // words per shingle
+  private[queries] val NumHashes = 8  // minhash signature length
+  private[queries] val Bands = 4  // LSH bands (2 rows per band)
 
   // Skew guards, engaged so the bench measures the scale-honest plan.
   // Far above any fixture frequency (sf0.1 has 5k docs), so results —
@@ -22,7 +22,7 @@ object DedupOps {
   // unchanged; at corpus scale the same call bounds every reducer.
   // DedupSpec proves the caps bite on planted hot keys.
   private val MaxDocFreq = 1 << 20
-  private val MaxBucketWidth = 1 << 20
+  private[queries] val MaxBucketWidth = 1 << 20
 
   /** DuckDB CTE chain mirroring Dedup.shingleSets (distinct word
     * K-shingles) over an arbitrary source relation — THE single copy

@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import graft.expressions.TopKAggregate
+import graft.functions.TextFuncs
+import graft.operators.Dedup
+
+/** Round-8 operators: weighted sampling, pipeline self-evaluation and
+  * table maintenance — the layer that tells you whether the dedup /
+  * quality machinery is WORKING at corpus scale, plus the sampling and
+  * compaction passes a 100 TB corpus needs operationally.
+  *
+  * Reference motivation: the crawler's pipelines are fire-and-forget
+  * (`main.py` runs each crawler; quality is whatever lands in
+  * Postgres). At 100 TB every one of these needs a measurable
+  * counterpart: a weighted sample to eyeball, recall of the cheap
+  * near-dup pass against exact truth, classifier calibration before a
+  * filter is trusted, and partition compaction so the table doesn't
+  * rot into millions of small files. All oracle-checked.
+  */
+object EvalOps {
+
+  /** Same multiplier family as StatsOps: odd → bijective mod 2^32, so
+    * the per-row "uniform" is reproducible integer arithmetic in both
+    * engines. +1 keeps the draw strictly positive for the division. */
+  private val SampleA = 2246822519L
+  private val M32 = 4294967296L
+
+  /** Rows per compaction output group (q204) — a stand-in for the
+    * file-size target a real table service uses. */
+  private val CompactTarget = 4096L
+
+  val qs: Seq[Q] = Seq(
+
+    // Priority sampling (Duffield–Lund–Thorup): a fixed-size WEIGHTED
+    // sample with an unbiased subset-sum estimator — the sample you
+    // want when "pick 50 documents but favor the heavy ones" must
+    // also answer "what does the whole corpus weigh". Priority
+    // q_i = w_i / u_i with u_i a deterministic per-doc uniform; keep
+    // the top k priorities; τ = the (k+1)-th priority; each kept doc
+    // estimates its stratum as max(w_i, τ). The top-(k+1) runs as ONE
+    // bounded-state TopKAggregate (map-side partials, state ≈ 4(k+1)
+    // entries) — never a global sort, never a collect; at 100 TB the
+    // sample costs one narrow scan. Ties break by doc_id under the
+    // aggregate's (value, id) descending order; the oracle mirrors
+    // that exactly.
+    Q("q201_priority_sample",
+      (s, dir) => {
+        val k = 50
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").as("w"),
+            (((col("doc_id") * SampleA) % M32) + 1).as("h"))
+          .withColumn("priority",
+            (col("w") * M32).cast(DoubleType) / col("h").cast(DoubleType))
+        val top = base
+          .agg(TopKAggregate.topK(col("priority"), col("doc_id"), k + 1)
+            .as("top"))
+          .select(explode(slice(col("top"), 1, k)).as("e"),
+            element_at(col("top"), k + 1).getField("_1").as("tau"))
+          .select(col("e._2").as("doc_id"),
+            col("e._1").as("priority"), col("tau"))
+        top.join(base.select("doc_id", "w"), Seq("doc_id"))
+          .select(col("doc_id"), col("w"), col("priority"),
+            greatest(col("w").cast(DoubleType), col("tau"))
+              .as("est_weight"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, n_chars AS w,
+            (doc_id * $SampleA) % $M32 + 1 AS h FROM documents),
+          pr AS (SELECT doc_id, w,
+              CAST(w * $M32 AS DOUBLE) / CAST(h AS DOUBLE) AS priority
+            FROM p),
+          r AS (SELECT *, row_number() OVER (
+              ORDER BY priority DESC, doc_id DESC) AS rn FROM pr),
+          tau AS (SELECT priority AS tau FROM r WHERE rn = 51)
+        SELECT doc_id, w, priority,
+          greatest(CAST(w AS DOUBLE), tau.tau) AS est_weight
+        FROM r, tau WHERE rn <= 50 ORDER BY doc_id""")),
+
+    // Token-mass median document length per source: the length L such
+    // that half the source's TOKENS live in documents of length ≤ L —
+    // the corpus statistic that drives context-length and packing
+    // decisions (a count-median is dominated by tiny docs; token mass
+    // is what the trainer actually consumes). One shuffle by source,
+    // two window passes inside the partition, then an arg-min struct
+    // aggregate picks the crossing row — no global sort.
+    Q("q202_token_mass_median",
+      (s, dir) => {
+        val wCum = Window.partitionBy("source")
+          .orderBy("n_chars", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy("source")
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            TextFuncs.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(wCum))
+          .withColumn("total", sum(col("n_tokens")).over(wTot))
+          .filter(col("cum") * 2 >= col("total"))
+          .groupBy("source")
+          .agg(min(struct(col("n_chars"), col("doc_id"), col("cum"),
+            col("total"))).as("m"))
+          .select(col("source"),
+            col("m.n_chars").as("mass_median_len"),
+            col("m.doc_id").as("median_doc_id"),
+            col("m.cum").as("cum_tokens"),
+            col("m.total").as("total_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source, doc_id, n_chars,
+            CAST(len(regexp_split_to_array(trim(text), '\s+'))
+              AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (SELECT source, doc_id, n_chars,
+            CAST(sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+            CAST(sum(n_tokens) OVER (PARTITION BY source)
+              AS BIGINT) AS total
+          FROM t),
+        q AS (SELECT source, n_chars, doc_id, cum, total,
+            row_number() OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id) AS rn
+          FROM c WHERE cum * 2 >= total)
+        SELECT source, n_chars AS mass_median_len,
+          doc_id AS median_doc_id, cum AS cum_tokens,
+          total AS total_tokens
+        FROM q WHERE rn = 1 ORDER BY source""")),
+
+    // LSH self-evaluation: recall and precision of the MinHash-LSH
+    // candidate pass (q24's exact machinery) against EXACT Jaccard ≥
+    // 1/2 ground truth (q183's prefix-filtered join, proven lossless).
+    // The evaluation never materializes all pairs: truth comes from
+    // the prefix-filtered join, candidates from the band join, and the
+    // confusion counts are joins between those two bounded pair sets.
+    // This is the query you run before trusting a cheap dedup pass on
+    // 100 TB — and it's fully oracle-checked because both sides are.
+    Q("q203_lsh_recall",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        // both pair frames feed two consumers (their own count + the
+        // hit join) over expensive shingle subtrees — persist
+        val truth = Dedup.jaccardPrefixFiltered(docs, DedupOps.K, 1, 2)
+          .select("doc_a", "doc_b").persist()
+        val cand = Dedup.minHashLsh(docs, DedupOps.K, DedupOps.NumHashes,
+            DedupOps.Bands, maxBucketWidth = DedupOps.MaxBucketWidth)
+          .select("doc_a", "doc_b").persist()
+        val nTrue = truth.agg(count(lit(1)).as("n_true"))
+        val nCand = cand.agg(count(lit(1)).as("n_cand"))
+        val nHit = truth.join(cand, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hit"))
+        nTrue.crossJoin(nCand).crossJoin(nHit)
+          .select(col("n_true"), col("n_cand"), col("n_hit"),
+            (col("n_hit").cast(DoubleType) /
+              col("n_true").cast(DoubleType)).as("recall"),
+            (col("n_hit").cast(DoubleType) /
+              col("n_cand").cast(DoubleType)).as("precision"))
+      },
+      Some(s"""WITH ${DedupOps.lshCandidateCtes("documents")},
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              count(*) AS inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          truth AS (SELECT doc_a, doc_b FROM inter
+            JOIN sizes na ON doc_a = na.doc_id
+            JOIN sizes nb ON doc_b = nb.doc_id
+            WHERE 2 * inter >= na.n + nb.n - inter),
+          m AS (SELECT
+            (SELECT count(*) FROM truth) AS n_true,
+            (SELECT count(*) FROM cand) AS n_cand,
+            (SELECT count(*) FROM truth t JOIN cand c
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit)
+        SELECT n_true, n_cand, n_hit,
+          CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall,
+          CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) AS precision
+        FROM m""")),
+
+    // Compaction planning — the table-maintenance pass behind K8's
+    // date partitioning: per (event_type, day) partition cell, count
+    // the rows (the file-size proxy), then greedily pack consecutive
+    // days into output groups of ~CompactTarget rows via an exclusive
+    // running sum INSIDE the event_type partition. The plan is pure
+    // metadata: one hash aggregate over the fact table, then windows
+    // over |partition cells| rows only — at 100 TB the fact scan is
+    // the only wide stage, and in a real catalog even that comes from
+    // partition statistics (K11) instead.
+    Q("q204_compaction_plan",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("start_offset",
+            coalesce(sum(col("n_rows")).over(w), lit(0L)))
+          .withColumn("file_group",
+            floor(col("start_offset") / lit(CompactTarget.toDouble))
+              .cast("long"))
+          .select("event_type", "day", "n_rows", "start_offset",
+            "file_group")
+          .orderBy("event_type", "day")
+      },
+      Some(s"""WITH cells AS (SELECT event_type, date_trunc('day', ts) AS day,
+            CAST(count(*) AS BIGINT) AS n_rows
+          FROM events GROUP BY 1, 2),
+        o AS (SELECT event_type, day, n_rows,
+            COALESCE(CAST(sum(n_rows) OVER (PARTITION BY event_type
+              ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS start_offset
+          FROM cells)
+        SELECT event_type, day, n_rows, start_offset,
+          CAST(floor(start_offset / $CompactTarget.0) AS BIGINT)
+            AS file_group
+        FROM o ORDER BY event_type, day""")),
+
+    // Classifier calibration: the linear quality model (q178's exact
+    // integer milli-logit) bucketed into fixed-width score bins, each
+    // bin reporting its size and the empirical rate of a reference
+    // label (lang = 'en') — the reliability table you read before
+    // trusting a learned filter to gate a corpus. Fixed-width integer
+    // bins (not ntile) keep it ONE hash aggregate with no global
+    // sort; floor division is spelled identically in both engines so
+    // negative logits land in the same bin.
+    Q("q205_score_calibration",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(TextOps.qualityLogit.as("s"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+          .withColumn("bin",
+            floor(col("s") / lit(200.0)).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+            sum(col("s")).as("sum_s"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+              .as("pos_rate"),
+            (col("sum_s").cast(DoubleType) / col("n").cast(DoubleType))
+              .as("mean_score_milli"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH sc AS (SELECT ${TextOps.qualityLogitSql} AS s,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        b AS (SELECT CAST(floor(s / 200.0) AS BIGINT) AS bin,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(y) AS BIGINT) AS n_pos,
+            CAST(sum(s) AS BIGINT) AS sum_s
+          FROM sc GROUP BY 1)
+        SELECT bin, n, n_pos,
+          CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+          CAST(sum_s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score_milli
+        FROM b ORDER BY bin""")),
+
+    // AUC WITHOUT A GLOBAL SORT: the Mann-Whitney form of ROC-AUC
+    // computed from score-LEVEL aggregates — group by distinct score
+    // (one hash aggregate over the corpus), then rank the |distinct
+    // scores| rows (bounded, same shape as q118's skyline pass) with
+    // tie-corrected average ranks in INTEGER arithmetic (×2 to stay
+    // integral), and fold to one row. The naive formulation ranks
+    // every document globally; this one never sorts more than the
+    // score vocabulary. Exact — 2U = Σ n_pos·(2·cum_before + n + 1)
+    // − P(P+1); AUC = 2U / (2PN), one double division at the end.
+    Q("q206_auc",
+      (s, dir) => {
+        val g = Tables.load(s, dir, "documents")
+          .select(TextOps.qualityLogit.as("s"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+          .groupBy("s")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+        // ordered prefix over |distinct scores| rows only — documented
+        // bounded single-partition window (cf. q118)
+        val w = Window.orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("cumBefore",
+            coalesce(sum(col("n")).over(w), lit(0L)))
+          .agg(
+            sum(col("npos") * (col("cumBefore") * 2 + col("n") + 1))
+              .as("num2"),
+            sum(col("npos")).as("p"), sum(col("n")).as("tot"))
+          .select(col("p").as("n_pos"),
+            (col("tot") - col("p")).as("n_neg"),
+            ((col("num2") - col("p") * (col("p") + 1)).cast(DoubleType) /
+              (col("p") * (col("tot") - col("p")) * 2).cast(DoubleType))
+              .as("auc"))
+      },
+      Some(s"""WITH sc AS (SELECT ${TextOps.qualityLogitSql} AS s,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        g AS (SELECT s, count(*) AS n, sum(y) AS npos
+          FROM sc GROUP BY 1),
+        r AS (SELECT s, n, npos,
+            COALESCE(sum(n) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum_before
+          FROM g),
+        a AS (SELECT sum(npos * (cum_before * 2 + n + 1)) AS num2,
+            sum(npos) AS p, sum(n) AS tot FROM r)
+        SELECT CAST(p AS BIGINT) AS n_pos,
+          CAST(tot - p AS BIGINT) AS n_neg,
+          CAST(num2 - p * (p + 1) AS DOUBLE)
+            / CAST(p * (tot - p) * 2 AS DOUBLE) AS auc
+        FROM a"""))
+  )
+}

@@ -26,7 +26,7 @@ object TextOps {
 
   /** Integer milli-logit of the linear quality model — ONE copy feeds
     * both Spark plans and DuckDB oracles (q178, q190). */
-  private def qualityLogit: org.apache.spark.sql.Column =
+  private[graft] def qualityLogit: org.apache.spark.sql.Column =
     qualityLogitOf(col("text"))
 
   private def qualityLogitOf(text: org.apache.spark.sql.Column)
@@ -39,7 +39,7 @@ object TextOps {
       lit(2L) * length(text).cast("long")
   }
 
-  private def qualityLogitSql: String = qualityLogitSqlOf("text")
+  private[queries] def qualityLogitSql: String = qualityLogitSqlOf("text")
 
   private def qualityLogitSqlOf(textExpr: String): String =
     s"""(-700 + 20 * len(string_split($textExpr, ' '))

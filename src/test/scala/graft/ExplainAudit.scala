@@ -33,7 +33,10 @@ object ExplainAudit {
       "q187_ramp_rates", "q188_vocab_coverage", "q189_fixed_sample",
       "q190_best_copy_dedup", "q192_image_dedup_pipeline",
       "q193_derivative_score", "q194_clean_text",
-      "q195_incident_windows", "q196_asof_tolerance")
+      "q195_incident_windows", "q196_asof_tolerance",
+      "q201_priority_sample", "q202_token_mass_median",
+      "q203_lsh_recall", "q204_compaction_plan",
+      "q205_score_calibration", "q206_auc")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
