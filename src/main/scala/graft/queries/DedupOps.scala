@@ -447,6 +447,32 @@ object DedupOps {
         JOIN sizes na ON doc_a = na.doc_id
         JOIN sizes nb ON doc_b = nb.doc_id
         WHERE 2 * inter >= na.n + nb.n - inter
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // Community detection over the near-dup graph: 3 rounds of
+    // deterministic synchronous label propagation (most-frequent
+    // neighbor label, min-label ties) on the MinHash-LSH pair graph.
+    // Where q70's connected components collapse every weakly-linked
+    // blob to one id, LPA keeps dense sub-communities apart — the
+    // grouping you want when near-dup chains bridge otherwise
+    // unrelated template families. Per round: one edge⋈label join
+    // shuffle + two hash aggregates; oracle is the same rounds
+    // unrolled from ONE CTE generator.
+    Q("q208_label_propagation",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.minHashLsh(docs, K, NumHashes, Bands,
+          maxBucketWidth = MaxBucketWidth)
+        graft.operators.LabelPropagation.run(
+            pairs, "doc_a", "doc_b",
+            docs.select("doc_id"), "doc_id", rounds = 3)
+          .orderBy("node")
+      },
+      Some(s"""WITH ${lshCandidateCtes("documents")},
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+          UNION ALL SELECT doc_b, doc_a FROM cand),
+        l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+        ${graft.operators.LabelPropagation.oracleCtes(3)}
+        SELECT node, lbl AS label FROM l3 ORDER BY node"""))
   )
 }

@@ -483,6 +483,70 @@ object EnergyOps {
           (CAST(d.dsum AS DOUBLE) / CAST(d.n AS DOUBLE)) / o.mean_all
             AS seasonality_index
         FROM d JOIN o ON d.event_type = o.event_type
-        ORDER BY d.event_type, d.dow"""))
+        ORDER BY d.event_type, d.dow""")),
+
+    // Seasonal-naive forecast skill — the MASE-style baseline every
+    // load forecaster is graded against: predict each hour by the
+    // same hour 24h earlier; compare against the 1h-naive (predict by
+    // the previous hour). Hourly totals aggregate ONCE (decimal-
+    // exact); both lag comparisons are keyed self-joins on the
+    // (event_type, bucket−Δ) grid — gap-proof (a missing hour simply
+    // produces no pair, unlike a row-offset lag) and shuffle-shaped
+    // like any equi-join. The skill ratio <1 means daily seasonality
+    // beats persistence. All arithmetic is decimal until the final
+    // divisions.
+    Q("q209_seasonal_naive_error",
+      (s, dir) => {
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("bucket"))
+          .agg(sum(col("value").cast("decimal(28,2)")).as("total"))
+          // one aggregate feeds three self-join arms
+          .persist()
+        def lagJoin(hours: Int): org.apache.spark.sql.DataFrame =
+          hourly.as("cur").join(hourly.as("prev"),
+              col("cur.event_type") === col("prev.event_type") &&
+                col("cur.bucket") ===
+                  col("prev.bucket") + expr(s"INTERVAL $hours HOURS"))
+            .select(col("cur.event_type").as("event_type"),
+              abs(col("cur.total") - col("prev.total")).as("abs_err"))
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum(col("abs_err")).as("sae"))
+        lagJoin(24).as("d").join(lagJoin(1).as("h"), Seq("event_type"))
+          .select(col("event_type"),
+            col("d.n").as("n_24h"),
+            (col("d.sae").cast(DoubleType) /
+              col("d.n").cast(DoubleType)).as("mae_24h"),
+            col("h.n").as("n_1h"),
+            (col("h.sae").cast(DoubleType) /
+              col("h.n").cast(DoubleType)).as("mae_1h"))
+          .withColumn("skill_ratio", col("mae_24h") / col("mae_1h"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (SELECT event_type,
+            date_trunc('hour', ts) AS bucket,
+            sum(CAST(value AS DECIMAL(28,2))) AS total
+          FROM events GROUP BY 1, 2),
+        d AS (SELECT c.event_type, count(*) AS n,
+            sum(abs(c.total - p.total)) AS sae
+          FROM hourly c JOIN hourly p
+            ON c.event_type = p.event_type
+              AND c.bucket = p.bucket + INTERVAL 24 HOURS
+          GROUP BY 1),
+        h AS (SELECT c.event_type, count(*) AS n,
+            sum(abs(c.total - p.total)) AS sae
+          FROM hourly c JOIN hourly p
+            ON c.event_type = p.event_type
+              AND c.bucket = p.bucket + INTERVAL 1 HOUR
+          GROUP BY 1)
+        SELECT d.event_type, CAST(d.n AS BIGINT) AS n_24h,
+          CAST(d.sae AS DOUBLE) / CAST(d.n AS DOUBLE) AS mae_24h,
+          CAST(h.n AS BIGINT) AS n_1h,
+          CAST(h.sae AS DOUBLE) / CAST(h.n AS DOUBLE) AS mae_1h,
+          (CAST(d.sae AS DOUBLE) / CAST(d.n AS DOUBLE))
+            / (CAST(h.sae AS DOUBLE) / CAST(h.n AS DOUBLE))
+            AS skill_ratio
+        FROM d JOIN h ON d.event_type = h.event_type
+        ORDER BY d.event_type"""))
   )
 }

@@ -306,6 +306,48 @@ object EvalOps {
           CAST(tot - p AS BIGINT) AS n_neg,
           CAST(num2 - p * (p + 1) AS DOUBLE)
             / CAST(p * (tot - p) * 2 AS DOUBLE) AS auc
-        FROM a"""))
+        FROM a""")),
+
+    // Global percentile rank per document WITHOUT a global sort: the
+    // corpus ranks by quality score, but ranking 100 TB with a window
+    // over everything is a single-partition sort of the world. Instead
+    // aggregate to score LEVELS (one hash agg), prefix-sum the
+    // |distinct scores| rows (bounded, cf. q206), and BROADCAST-join
+    // the per-level average rank back to the fact rows — every doc
+    // gets its exact tie-corrected global rank from a dimension-sized
+    // lookup. avg_rank_x2 stays integral (×2); the percentile is one
+    // double division.
+    Q("q207_score_percentile",
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), TextOps.qualityLogit.as("s"))
+        val g = scored.groupBy("s").agg(count(lit(1)).as("n"))
+        val w = Window.orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val levels = g
+          .withColumn("cumBefore", coalesce(sum(col("n")).over(w), lit(0L)))
+          .withColumn("avg_rank_x2",
+            col("cumBefore") * 2 + col("n") + 1)
+        val total = scored.agg(count(lit(1)).as("tot"))
+        scored.join(broadcast(levels.select("s", "avg_rank_x2")), Seq("s"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("s"), col("avg_rank_x2"),
+            (col("avg_rank_x2").cast(DoubleType) /
+              (col("tot") * 2).cast(DoubleType)).as("pct_rank"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sc AS (SELECT doc_id,
+            ${TextOps.qualityLogitSql} AS s FROM documents),
+        g AS (SELECT s, count(*) AS n FROM sc GROUP BY 1),
+        lv AS (SELECT s,
+            COALESCE(sum(n) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+              + n + 1 AS avg_rank_x2
+          FROM g),
+        t AS (SELECT count(*) AS tot FROM sc)
+        SELECT doc_id, s, CAST(avg_rank_x2 AS BIGINT) AS avg_rank_x2,
+          CAST(avg_rank_x2 AS DOUBLE) / CAST(tot * 2 AS DOUBLE)
+            AS pct_rank
+        FROM sc JOIN lv USING (s) CROSS JOIN t ORDER BY doc_id"""))
   )
 }

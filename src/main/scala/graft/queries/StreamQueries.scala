@@ -710,6 +710,54 @@ object StreamQueries {
               (event_id * 2654435761) % 4294967296, event_id)
               AS BIGINT) AS rank
           FROM events)
-        WHERE rank <= 40 ORDER BY rank"""))
+        WHERE rank <= 40 ORDER BY rank""")),
+
+    // Streaming WEIGHTED sample: q201's priority sampling maintained
+    // as bounded aggregation state per event type — weight =
+    // |value|·100 cents (heavy events dominate the sample), priority
+    // = w/u with the same deterministic integer uniform, TopKAggregate
+    // keeps k (priority, id) pairs per type FOREVER (truncation
+    // commutes with merge, so the drained state equals the batch
+    // sample under any micro-batch chunking). Where q191 samples
+    // uniformly, this is the sample you drain when "show me what's in
+    // this stream" must surface the rows that carry the mass.
+    Q("q210_stream_priority_sample",
+      (s, dir) => {
+        val SampleA = 2246822519L
+        val M32 = 4294967296L
+        val k = 10
+        val stream = eventsStream(s, dir, singleFile = true)
+        val agg = stream
+          .selectExpr("event_type",
+            "CAST(abs(CAST(value * 100 AS DECIMAL(28,0))) + 1 AS DOUBLE)" +
+              s" / CAST((event_id * $SampleA) % $M32 + 1 AS DOUBLE)" +
+              " AS priority",
+            "event_id")
+          .groupBy("event_type")
+          .agg(graft.expressions.TopKAggregate.topK(
+            col("priority"), col("event_id"), k).as("smp"))
+        s.catalog.dropTempView("q210_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(agg, "q210_sink", OutputMode.Update())
+        }
+        s.table("q210_sink")
+          .select(col("event_type"), posexplode(col("smp")).as(Seq("p", "t")))
+          .select(col("event_type"),
+            (col("p") + 1).cast("long").as("rank"),
+            col("t._1").as("priority"), col("t._2").as("event_id"))
+          .orderBy("event_type", "rank")
+      },
+      Some("""SELECT event_type, rank, priority, event_id FROM (
+          SELECT event_type, event_id,
+            CAST(abs(CAST(value * 100 AS DECIMAL(28,0))) + 1 AS DOUBLE)
+              / CAST((event_id * 2246822519) % 4294967296 + 1 AS DOUBLE)
+              AS priority,
+            CAST(row_number() OVER (PARTITION BY event_type ORDER BY
+              CAST(abs(CAST(value * 100 AS DECIMAL(28,0))) + 1 AS DOUBLE)
+                / CAST((event_id * 2246822519) % 4294967296 + 1
+                  AS DOUBLE) DESC, event_id DESC)
+              AS BIGINT) AS rank
+          FROM events)
+        WHERE rank <= 10 ORDER BY event_type, rank"""))
   )
 }

@@ -203,4 +203,31 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(0L), sigs(1L)) <= 12)
     assert(hamming(sigs(0L), sigs(2L)) > hamming(sigs(0L), sigs(1L)))
   }
+
+  test("label propagation separates bridged communities CC would merge") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge: a single weakly
+    // connected component, but two dense communities
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L), (7L, 8L))
+      .toDF("u", "v")
+    val nodes = (0L to 8L).toDF("id")
+    val out = graft.operators.LabelPropagation
+      .run(edges, "u", "v", nodes, "id", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deterministic 3-round fixpoint, worked by hand: triangle A
+    // settles on 0, triangle B on 2, and the two stay distinct
+    assert(Seq(0L, 1L, 2L).map(out) == Seq(0L, 0L, 0L))
+    assert(Seq(3L, 4L, 5L).map(out).distinct == Seq(2L))
+    // isolated node keeps its own label; the 7-8 pair swaps to a
+    // shared stable pairing
+    assert(out(6L) == 6L)
+    assert(out(7L) == out(8L) || Set(out(7L), out(8L)) == Set(7L, 8L))
+    // CC on the same graph merges both triangles into one component
+    val cc = graft.operators.ConnectedComponents
+      .components(edges, "u", "v",
+        nodes = Some(nodes.select($"id".as("node"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 5L).map(cc).distinct.size == 1)
+  }
 }

@@ -36,7 +36,8 @@ object ExplainAudit {
       "q195_incident_windows", "q196_asof_tolerance",
       "q201_priority_sample", "q202_token_mass_median",
       "q203_lsh_recall", "q204_compaction_plan",
-      "q205_score_calibration", "q206_auc")
+      "q205_score_calibration", "q206_auc", "q207_score_percentile",
+      "q208_label_propagation", "q209_seasonal_naive_error")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
