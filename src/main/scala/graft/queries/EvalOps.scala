@@ -348,6 +348,100 @@ object EvalOps {
         SELECT doc_id, s, CAST(avg_rank_x2 AS BIGINT) AS avg_rank_x2,
           CAST(avg_rank_x2 AS DOUBLE) / CAST(tot * 2 AS DOUBLE)
             AS pct_rank
-        FROM sc JOIN lv USING (s) CROSS JOIN t ORDER BY doc_id"""))
+        FROM sc JOIN lv USING (s) CROSS JOIN t ORDER BY doc_id""")),
+
+    // Categorical association (lift) between source and language —
+    // the "which domains feed which languages" audit a corpus mix
+    // review starts from. One hash aggregate for the joint counts;
+    // marginals REAGGREGATE from the joint table (never a second fact
+    // scan) and broadcast back. Lift is a single division of exact
+    // integer products. (A PMI column — ln(lift) — was measured to
+    // differ by 1 ulp between the JVM's Math.log and DuckDB's libm on
+    // 6% of cells, so the log stays out of the oracle-checked
+    // surface; lift carries the same ordering information exactly.)
+    Q("q211_source_lang_lift",
+      (s, dir) => {
+        val joint = Tables.load(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("nxy"))
+          .persist()
+        val bySource = joint.groupBy("source").agg(sum("nxy").as("nx"))
+        val byLang = joint.groupBy("lang").agg(sum("nxy").as("ny"))
+        val total = joint.agg(sum("nxy").as("n"))
+        joint.join(broadcast(bySource), "source")
+          .join(broadcast(byLang), "lang")
+          .crossJoin(broadcast(total))
+          .select(col("source"), col("lang"), col("nxy"), col("nx"),
+            col("ny"),
+            ((col("nxy") * col("n")).cast(DoubleType) /
+              (col("nx") * col("ny")).cast(DoubleType)).as("lift"),
+            (col("nxy") * col("n") > col("nx") * col("ny"))
+              .as("over_represented"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH j AS (SELECT source, lang, count(*) AS nxy
+          FROM documents GROUP BY 1, 2),
+        mx AS (SELECT source, sum(nxy) AS nx FROM j GROUP BY 1),
+        my AS (SELECT lang, sum(nxy) AS ny FROM j GROUP BY 1),
+        t AS (SELECT sum(nxy) AS n FROM j)
+        SELECT source, lang, CAST(nxy AS BIGINT) AS nxy,
+          CAST(nx AS BIGINT) AS nx, CAST(ny AS BIGINT) AS ny,
+          CAST(nxy * n AS DOUBLE) / CAST(nx * ny AS DOUBLE) AS lift,
+          nxy * n > nx * ny AS over_represented
+        FROM j JOIN mx USING (source) JOIN my USING (lang)
+        CROSS JOIN t ORDER BY source, lang""")),
+
+    // Quantile normalization across sources: each document's quality
+    // score is replaced by the GLOBAL score at the same quantile the
+    // doc occupies WITHIN ITS SOURCE — the cross-domain feature
+    // normalization that makes per-source score distributions
+    // comparable before a single threshold gates the mix. Entirely
+    // integer: within-source rank r of n_s (one per-source window),
+    // target global rank q = ceil(r·N/n_s) by integer cross-
+    // multiplication, and the inverse empirical CDF is a lambda scan
+    // over the BROADCAST score-level array (|distinct scores| entries
+    // — the bounded vocabulary, cf. q206/q207) — no fact-sized join,
+    // no floats anywhere.
+    Q("q212_quantile_normalize",
+      (s, dir) => {
+        val sc = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.qualityLogit.as("s"))
+        val wr = Window.partitionBy("source").orderBy("s", "doc_id")
+        val ranked = sc
+          .withColumn("r", row_number().over(wr).cast("long"))
+          .withColumn("ns",
+            count(lit(1)).over(Window.partitionBy("source")))
+        val g = sc.groupBy("s").agg(count(lit(1)).as("n"))
+        val wCum = Window.orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val lvArr = g.withColumn("cum", sum(col("n")).over(wCum))
+          .agg(sort_array(collect_list(struct(col("s"), col("cum"))))
+            .as("arr"))
+        val tot = sc.agg(count(lit(1)).as("n"))
+        ranked.crossJoin(broadcast(lvArr)).crossJoin(broadcast(tot))
+          .withColumn("q",
+            expr("(r * n + ns - 1) div ns"))
+          .withColumn("s_norm",
+            expr("filter(arr, x -> x.cum >= q)[0].s"))
+          .select("doc_id", "source", "s", "q", "s_norm")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sc AS (SELECT doc_id, source,
+            ${TextOps.qualityLogitSql} AS s FROM documents),
+        r AS (SELECT doc_id, source, s,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY s, doc_id) AS BIGINT) AS r,
+            count(*) OVER (PARTITION BY source) AS ns
+          FROM sc),
+        g AS (SELECT s, count(*) AS n FROM sc GROUP BY 1),
+        lv AS (SELECT s, sum(n) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM g),
+        t AS (SELECT count(*) AS n FROM sc),
+        tgt AS (SELECT doc_id, source, s, r, ns,
+            (r * t.n + ns - 1) // ns AS q FROM r, t)
+        SELECT doc_id, source, s, q,
+          (SELECT min(lv.s) FROM lv WHERE lv.cum >= tgt.q) AS s_norm
+        FROM tgt ORDER BY doc_id"""))
   )
 }
