@@ -97,6 +97,52 @@ class EvalOpsSpec extends SparkSpec {
     }
   }
 
+  test("lift table: marginals and total are consistent, flag matches lift") {
+    val rows = run("q211_source_lang_lift").collect()
+    val n = rows.map(_.getAs[Long]("nxy")).sum
+    // every row carries the same grand total by construction; the
+    // per-source marginal must equal the sum of that source's cells
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, cells) =>
+      assert(cells.map(_.getAs[Long]("nxy")).sum ==
+        cells.head.getAs[Long]("nx"))
+    }
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, cells) =>
+      assert(cells.map(_.getAs[Long]("nxy")).sum ==
+        cells.head.getAs[Long]("ny"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Double]("lift") > 0.0)
+      assert(r.getAs[Boolean]("over_represented") ==
+        (r.getAs[Double]("lift") > 1.0))
+    }
+    assert(n == Tables.load(spark, sf, "documents").count())
+  }
+
+  test("quantile normalization: ranks in range, monotone within source") {
+    val rows = run("q212_quantile_normalize").collect()
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(rows.length == total)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q")
+      assert(q >= 1L && q <= total)
+    }
+    // within a source, a higher raw score can never map to a lower
+    // normalized score (the empirical CDF is monotone)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, cells) =>
+      val bySRaw = cells.sortBy(r => (r.getAs[Long]("s"),
+        r.getAs[Long]("doc_id")))
+      bySRaw.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("s_norm") <= b.getAs[Long]("s_norm"))
+        case _ =>
+      }
+    }
+    // the top-ranked doc overall maps to the global max score
+    val globalMax = rows.map(_.getAs[Long]("s")).max
+    assert(rows.filter(_.getAs[Long]("q") == total)
+      .forall(_.getAs[Long]("s_norm") == globalMax))
+  }
+
   test("auc matches the brute-force pair count on the fixture") {
     val r = run("q206_auc").collect()(0)
     val auc = r.getAs[Double]("auc")
