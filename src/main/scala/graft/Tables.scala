@@ -1,6 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+import graft.sources.AdaptiveRead
 
 /** Uniform access to the driver-provided parquet tables (TESTDATA.md).
   *
@@ -8,59 +12,70 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`common/base_crawler.py:20-22` in the reference creates one Postgres
   * schema per crawler); here a "schema" is just a directory of parquet
   * tables and each query receives the directory root.
+  *
+  * Reads are SCHEMA-ADAPTIVE (see [[graft.sources.AdaptiveRead]]): the
+  * contract columns below are normalized to `TimestampType` micros-UTC
+  * whatever physical layout the producer last wrote — TIMESTAMP(NANOS)
+  * read as raw longs, `timestamp_ntz[us]`, annotated instants, or raw
+  * epoch ints. The reference re-infers schema on every read
+  * (`entsoe_crawler.py:196-209`); hard-coding one layout here died the
+  * day the corpus regenerated, so now the loader observes, then adapts.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. We read them as raw nanosecond longs
-    * (`nanosAsLong`) and floor-divide to microseconds — the same
-    * truncation DuckDB applies, so oracle comparisons line up. */
-  private val nanosCols: Map[String, Seq[String]] = Map(
+  /** Columns contracted to be event-time instants (micros, session-UTC).
+    * Only `events.ts` is normalized: the other tables' temporal columns
+    * (`o_orderdate`, `l_shipdate`) are date-grained and every query
+    * handles their native layout directly. */
+  private val timestampContract: Map[String, Seq[String]] = Map(
     "events" -> Seq("ts"))
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df0 =
-      if (nanosCols.contains(name)) {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/$name.parquet")
-      } else spark.read.parquet(s"$dir/$name.parquet")
-    nanosCols.getOrElse(name, Nil).foldLeft(df0) { (df, c) =>
-      // integer `div` — a double division would lose precision on
-      // ~1.7e18 nanosecond values (53-bit mantissa)
-      df.withColumn(c,
-        org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
-    }
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    AdaptiveRead.readTable(spark, s"$dir/$name.parquet",
+      timestampContract.getOrElse(name, Nil))
 
-  /** Incremental read of `events` with the time bound applied to the
-    * RAW nanosecond long, BEFORE the timestamp conversion.
+  /** Incremental read of `events` with the time bound applied in the
+    * column's PHYSICAL layout, so it reaches the parquet scan.
     *
-    * The safe path made easy: filtering on the converted ts column
-    * cannot reach the parquet scan (the `timestamp_micros(ts div 1000)`
-    * projection is a pushdown barrier — PLANS.md), so a naive
-    * incremental reader re-scans the full table every run. Filtering on
-    * the raw long lands in `PushedFilters` and prunes row groups via
-    * parquet min/max stats — at 100 TB that is the difference between
-    * reading a day and reading the archive. ScaleSpec asserts the
-    * pushdown stays in the plan. */
+    * For the raw-nanos layout, filtering on the converted ts column
+    * cannot reach the scan (the `timestamp_micros(ts div 1000)`
+    * projection is a pushdown barrier — PLANS.md), so the bound is
+    * applied to the raw long, widened so it is sound for truncating
+    * division, and the exact predicate re-applied post-conversion. For
+    * native timestamp layouts the predicate is expressed on the stored
+    * column BEFORE any cast, which Spark translates straight into
+    * `PushedFilters` and prunes row groups via parquet min/max stats —
+    * at 100 TB that is the difference between reading a day and reading
+    * the archive. ScaleSpec asserts the pushdown stays in the plan for
+    * both layouts. */
   def loadEventsSince(spark: SparkSession, dir: String,
       sinceMicros: Long): DataFrame = {
+    val path = s"$dir/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    // The scan-pruning raw bound is widened 999 ns so it is sound for
-    // truncating division too (pre-epoch rows: `-10500 div 1000` is
-    // -10, which a naive `raw >= since*1000` would wrongly drop); the
-    // exact predicate re-applies on the converted column post-scan.
-    raw.filter(org.apache.spark.sql.functions.col("ts")
-        >= sinceMicros * 1000L - 999L)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      .filter(org.apache.spark.sql.functions.col("ts")
-        >= org.apache.spark.sql.functions.expr(
-          s"timestamp_micros(${sinceMicros}L)"))
+    val raw = spark.read.parquet(path)
+    raw.schema("ts").dataType match {
+      case TimestampType =>
+        raw.filter(col("ts") >= expr(s"timestamp_micros(${sinceMicros}L)"))
+      case TimestampNTZType =>
+        // bound folded to an NTZ literal (session UTC: same micros
+        // value) so the predicate sits on the stored attribute and
+        // pushes down; the cast to the instant contract happens after
+        raw.filter(col("ts") >=
+            expr(s"cast(timestamp_micros(${sinceMicros}L) as timestamp_ntz)"))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case LongType =>
+        val unit = AdaptiveRead.detectEpochUnit(spark, path, "ts")
+        // widened raw bound prunes the scan; exact predicate re-applied
+        // on the converted column post-scan
+        raw.filter(col("ts") >= unit.rawLowerBound(sinceMicros))
+          .withColumn("ts", unit.toTimestamp("ts"))
+          .filter(col("ts") >= expr(s"timestamp_micros(${sinceMicros}L)"))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as $other — not a recognized timestamp layout")
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` can be used with

@@ -25,6 +25,13 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
+    // Failures must be LOUD: a query that throws still gets (a) its
+    // output dir created EMPTY — so any consumer globbing for part
+    // files sees "no spark output", never a silent omission — and (b)
+    // a row in _errors.json. Round 8 proved the cost of the quiet
+    // path: 94 erroring queries simply vanished from the correctness
+    // file and a 44 % outage looked green.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
       try {
         var df = fn(spark, sfDir)
@@ -39,6 +46,11 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        val d = new java.io.File(s"$outDir/$name")
+        // wipe any stale part files from a previous run, keep the dir
+        if (d.exists()) d.listFiles().foreach(f => if (f.isFile) f.delete())
+        d.mkdirs()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -56,6 +68,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(o => keep(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule: derive raw-column bounds from time predicates on a
   * CONVERTED timestamp, so they reach the parquet scan.
@@ -32,6 +32,55 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   */
 object PushTimestampConversionBounds extends Rule[LogicalPlan]
     with PredicateHelper {
+
+  /** Matches `cast(ntz AS timestamp)` under a UTC session zone → ntz.
+    *
+    * This is the NEW physical layout after the corpus regenerated
+    * `events.ts` as `timestamp_ntz[us]`: `Tables.load` casts it to the
+    * instant contract, and a filter on the casted column is again a
+    * pushdown barrier. In UTC the cast is an exact order-preserving
+    * bijection on the underlying micros, so a TimestampType literal
+    * bound maps 1:1 to a TimestampNTZType literal bound on the stored
+    * attribute — which IS scan-translatable. Restricted to UTC (the
+    * engine's only session zone): a DST zone's local→instant map is
+    * not monotone through spring-forward gaps. */
+  private def asNtzCast(e: Expression): Option[Expression] = e match {
+    case c @ Cast(child, TimestampType, _, _)
+        if child.dataType == TimestampNTZType && child.deterministic &&
+          c.timeZoneId.exists(z =>
+            java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC) =>
+      Some(child)
+    case _ => None
+  }
+
+  /** Exact NTZ bounds implied by a comparison of the casted value
+    * against micros literal `t` (UTC: same micros value, new type). */
+  private def derivedNtz(cmp: Expression): Seq[Expression] = {
+    def lit(t: Long) = Literal(t, TimestampNTZType)
+    cmp match {
+      case GreaterThanOrEqual(c, Literal(t: Long, TimestampType)) =>
+        asNtzCast(c).map(ntz => GreaterThanOrEqual(ntz, lit(t))).toSeq
+      case GreaterThan(c, Literal(t: Long, TimestampType)) =>
+        asNtzCast(c).map(ntz => GreaterThan(ntz, lit(t))).toSeq
+      case LessThanOrEqual(c, Literal(t: Long, TimestampType)) =>
+        asNtzCast(c).map(ntz => LessThanOrEqual(ntz, lit(t))).toSeq
+      case LessThan(c, Literal(t: Long, TimestampType)) =>
+        asNtzCast(c).map(ntz => LessThan(ntz, lit(t))).toSeq
+      case EqualTo(c, Literal(t: Long, TimestampType)) =>
+        asNtzCast(c).map(ntz => EqualTo(ntz, lit(t))).toSeq
+      case LessThanOrEqual(l @ Literal(_: Long, TimestampType), c)
+          if !c.isInstanceOf[Literal] => derivedNtz(GreaterThanOrEqual(c, l))
+      case LessThan(l @ Literal(_: Long, TimestampType), c)
+          if !c.isInstanceOf[Literal] => derivedNtz(GreaterThan(c, l))
+      case GreaterThanOrEqual(l @ Literal(_: Long, TimestampType), c)
+          if !c.isInstanceOf[Literal] => derivedNtz(LessThanOrEqual(c, l))
+      case GreaterThan(l @ Literal(_: Long, TimestampType), c)
+          if !c.isInstanceOf[Literal] => derivedNtz(LessThan(c, l))
+      case EqualTo(l @ Literal(_: Long, TimestampType), c)
+          if !c.isInstanceOf[Literal] => derivedNtz(EqualTo(c, l))
+      case _ => Nil
+    }
+  }
 
   /** Matches `timestamp_micros(raw div 1000)` → raw. */
   private def asConv(e: Expression): Option[Expression] = e match {
@@ -96,7 +145,7 @@ object PushTimestampConversionBounds extends Rule[LogicalPlan]
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val existing = splitConjunctivePredicates(cond)
-      val extra = existing.flatMap(derived)
+      val extra = existing.flatMap(p => derived(p) ++ derivedNtz(p))
         .filterNot(n => existing.exists(_.semanticEquals(n)))
         .distinct
       if (extra.isEmpty) f

@@ -39,12 +39,24 @@ object StatsOps {
     // runs as a codegen'd built-in inside the join condition, only on
     // bucket-mates. Linkage runs on the DISTINCT name table (entity
     // vocabulary), never the fact table.
+    // Width cap (mirrored in the oracle): a degenerate blocking key —
+    // e.g. the regex not matching, so every entity lands in the ""
+    // block — silently reverts the equi-join to N². Blocks wider than
+    // the cap are EXCLUDED, the same audited-skip contract as the LSH
+    // bucket caps (Dedup.scala): at linkage scale an over-wide block
+    // means the key failed, and the honest move is to skip it loudly,
+    // not to quadratically grind through it.
     Q("q113_fuzzy_block_join",
       (s, dir) => {
+        val cap = 1000
         val names = Tables.load(s, dir, "part")
           .select(col("p_name").as("name")).distinct()
           .withColumn("block", regexp_extract(col("name"), "[a-z]+$", 0))
-        names.as("a").join(names.as("b"),
+        val okBlocks = names.groupBy("block")
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+          .select("block")
+        val capped = names.join(broadcast(okBlocks), Seq("block"), "left_semi")
+        capped.as("a").join(capped.as("b"),
             col("a.block") === col("b.block") &&
               col("a.name") < col("b.name") &&
               levenshtein(col("a.name"), col("b.name")) <= 3)
@@ -55,10 +67,13 @@ object StatsOps {
       },
       Some("""WITH names AS (
           SELECT DISTINCT p_name AS name,
-            regexp_extract(p_name, '[a-z]+$') AS block FROM part)
+            regexp_extract(p_name, '[a-z]+$') AS block FROM part),
+        ok AS (SELECT block FROM names GROUP BY 1 HAVING count(*) <= 1000),
+        capped AS (SELECT name, block FROM names
+          WHERE block IN (SELECT block FROM ok))
         SELECT a.name AS name_a, b.name AS name_b,
           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-        FROM names a JOIN names b
+        FROM capped a JOIN capped b
           ON a.block = b.block AND a.name < b.name
         WHERE levenshtein(a.name, b.name) <= 3
         ORDER BY name_a, name_b""")),
@@ -644,10 +659,17 @@ object StatsOps {
         val wCum = Window.partitionBy("zone")
           .orderBy("price", "l_orderkey", "l_linenumber")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy("zone")
+        // zone totals as a SEPARATE map-side-partial aggregate joined
+        // back by broadcast (zones are a dimension-sized set), not an
+        // all-rows window: `sum over (partition by zone)` with no frame
+        // re-materializes every zone's rows through the window buffer a
+        // second time, which at 100 TB doubles the largest zone's
+        // reducer footprint for a value that is one number per zone
+        val totals = bids.groupBy("zone")
+          .agg(sum(col("cap")).as("total"))
         bids
           .withColumn("cum", sum(col("cap")).over(wCum))
-          .withColumn("total", sum(col("cap")).over(wAll))
+          .join(broadcast(totals), "zone")
           .filter(col("cum") * 10 >= col("total") * 3)
           .groupBy("zone")
           .agg(min(struct(col("cum"), col("price"), col("total")))

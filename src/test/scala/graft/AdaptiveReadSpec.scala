@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.AdaptiveRead
+
+/** Schema-drift tolerance of the table loader: the same logical
+  * instants, written under every physical layout a producer might pick,
+  * must normalize to identical `TimestampType` micros-UTC values. This
+  * is the regression suite for the round-8 outage (corpus regenerated
+  * `events.ts` NANOS→timestamp_ntz and the hard-coded loader died). */
+class AdaptiveReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("adaptive_read").toString
+
+  // three instants incl. a pre-epoch one (truncating-division trap) and
+  // a sub-millisecond component (resolution loss visible where expected)
+  private val micros = Seq(-10500L, 0L, 1704067200123456L)
+  private val expectMicros = micros
+
+  private def writeLong(name: String, vals: Seq[Long]): String = {
+    val p = s"$tmp/$name.parquet"
+    vals.toDF("ts").write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def readNormalizedMicros(path: String): Seq[Long] = {
+    val df = AdaptiveRead.readTable(spark, path, Seq("ts"))
+    assert(df.schema("ts").dataType == TimestampType,
+      s"contract column must normalize to TimestampType, got ${df.schema("ts").dataType}")
+    df.select(unix_micros(col("ts"))).as[Long].collect().sorted.toSeq
+  }
+
+  test("raw int64 epochs classify by magnitude: seconds/millis/micros/nanos") {
+    assert(AdaptiveRead.classifyMagnitude(1704067200L) == AdaptiveRead.Seconds)
+    assert(AdaptiveRead.classifyMagnitude(1704067200123L) == AdaptiveRead.Millis)
+    assert(AdaptiveRead.classifyMagnitude(1704067200123456L) == AdaptiveRead.Micros)
+    assert(AdaptiveRead.classifyMagnitude(1704067200123456789L) == AdaptiveRead.Nanos)
+    // magnitude of the MAX classifies the column even when small values
+    // (near-epoch) are present alongside
+    assert(AdaptiveRead.classifyMagnitude(0L) == AdaptiveRead.Seconds)
+  }
+
+  test("micros-long layout normalizes exactly") {
+    val p = writeLong("ev_micros", micros)
+    assert(readNormalizedMicros(p) == expectMicros.sorted)
+  }
+
+  test("nanos-long layout normalizes with truncating-division semantics") {
+    // overflow-safe for these values; includes pre-epoch -10500000 ns
+    val p = writeLong("ev_nanos", micros.map(_ * 1000L))
+    // -10500000 ns div 1000 = -10500 us (truncation toward zero matches
+    // exact division here); sub-us precision is genuinely lost at nanos
+    assert(readNormalizedMicros(p) == expectMicros.sorted)
+  }
+
+  test("millis-long layout normalizes (ms-resolution values)") {
+    val ms = Seq(-10L, 0L, 1704067200123L)
+    val p = writeLong("ev_millis", ms)
+    assert(readNormalizedMicros(p) == ms.map(_ * 1000L).sorted)
+  }
+
+  test("seconds-long layout normalizes (s-resolution values)") {
+    val s = Seq(-10L, 0L, 1704067200L)
+    val p = writeLong("ev_seconds", s)
+    assert(readNormalizedMicros(p) == s.map(_ * 1000000L).sorted)
+  }
+
+  test("timestamp_ntz[us] layout (the round-8 corpus regen) normalizes") {
+    val p = s"$tmp/ev_ntz.parquet"
+    micros.toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(p)
+    assert(readNormalizedMicros(p) == expectMicros.sorted)
+  }
+
+  test("native instant timestamp layout passes through") {
+    val p = s"$tmp/ev_tz.parquet"
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try micros.toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(p)
+    finally prev.foreach(
+      spark.conf.set("spark.sql.parquet.outputTimestampType", _))
+    assert(readNormalizedMicros(p) == expectMicros.sorted)
+  }
+
+  test("non-contract columns and tables without contracts are untouched") {
+    val p = s"$tmp/plain.parquet"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite").parquet(p)
+    val df = AdaptiveRead.readTable(spark, p, Nil)
+    assert(df.schema("id").dataType == LongType)
+    assert(df.count() == 2)
+  }
+
+  test("the driver's current events table loads with ts as TimestampType") {
+    val df = Tables.load(spark, sf, "events")
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.count() > 0)
+  }
+
+  test("rawLowerBound is sound: never drops a qualifying row") {
+    val since = 1704067200000000L
+    for (unit <- Seq[AdaptiveRead.EpochUnit](AdaptiveRead.Nanos,
+        AdaptiveRead.Micros, AdaptiveRead.Millis, AdaptiveRead.Seconds)) {
+      val bound = unit.rawLowerBound(since)
+      // any raw value whose converted micros >= since must satisfy
+      // raw >= bound; probe the boundary neighborhood exhaustively
+      val factor = unit match {
+        case AdaptiveRead.Nanos => 0.001
+        case AdaptiveRead.Micros => 1.0
+        case AdaptiveRead.Millis => 1000.0
+        case AdaptiveRead.Seconds => 1000000.0
+      }
+      for (delta <- -3L to 3L) {
+        val raw = math.ceil(since / factor).toLong + delta
+        val convMicros = (raw * factor).toLong
+        if (convMicros >= since)
+          assert(raw >= bound,
+            s"$unit: raw=$raw converts to $convMicros >= $since but bound $bound drops it")
+      }
+    }
+  }
+}
