@@ -22,13 +22,19 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    try:
+        with open(f"{out_dir}/_errors.json") as f:
+            spark_errors = json.load(f)
+    except FileNotFoundError:
+        spark_errors = {}
 
     n_pass = n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
-            print(f"FAIL {name}: no spark output")
+            why = spark_errors.get(name, "no spark output")
+            print(f"FAIL {name}: {why}")
             n_fail += 1
             continue
         try:

@@ -104,6 +104,34 @@ class AdaptiveReadSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("loadEventsSince pushes the bound to the scan in BOTH layouts") {
+    // synthetic events dir in the LEGACY raw-long layout (nano-scale
+    // magnitudes): the widened raw bound must reach PushedFilters and
+    // the exact converted-predicate re-filter must keep results right
+    val dir = s"$tmp/legacy_sf"
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    val rows = (0 until 100).map(i => (base + i * 3600000000L) * 1000L)
+    rows.toDF("ts").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val since = base + 50 * 3600000000L
+    val legacy = Tables.loadEventsSince(spark, dir, since)
+    val legacyPlan = legacy.queryExecution.executedPlan.toString
+    assert(legacyPlan.contains(
+      "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"raw-long bound not pushed in legacy layout:\n$legacyPlan")
+    assert(legacy.count() == 50)
+    assert(legacy.schema("ts").dataType == TimestampType)
+    // the CURRENT driver layout (timestamp_ntz[us]) goes through the
+    // native-predicate branch — same PushedFilters contract
+    val current = Tables.loadEventsSince(spark, sf,
+      java.time.Instant.parse("2024-01-10T00:00:00Z").getEpochSecond * 1000000L)
+    val curPlan = current.queryExecution.executedPlan.toString
+    assert(curPlan.contains(
+      "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"bound not pushed in current layout:\n$curPlan")
+    assert(current.count() > 0 &&
+      current.count() < Tables.load(spark, sf, "events").count())
+  }
+
   test("rawLowerBound is sound: never drops a qualifying row") {
     val since = 1704067200000000L
     for (unit <- Seq[AdaptiveRead.EpochUnit](AdaptiveRead.Nanos,
