@@ -13,10 +13,11 @@ import java.nio.charset.StandardCharsets
   *  - WAV: RIFF/WAVE PCM 16-bit, chunk-walking parser (unknown chunks
   *    like LIST are skipped, as the spec requires).
   *
-  * Formats the container genuinely cannot decode (JPEG/MP3/H.264 …)
-  * remain stubbed in [[Multimodal]]; [[sniff]] routes payloads so the
-  * pipeline decodes what it can and falls back deterministically for
-  * the rest. All functions are executor-side pure byte transforms.
+  * JPEG (baseline DCT) is REAL too, in [[JpegCodec]]. Formats the
+  * container genuinely cannot decode (MP3/H.264 …) remain stubbed in
+  * [[Multimodal]]; [[sniff]] routes payloads so the pipeline decodes
+  * what it can and falls back deterministically for the rest. All
+  * functions are executor-side pure byte transforms.
   */
 object MediaCodecs {
 
@@ -34,10 +35,24 @@ object MediaCodecs {
       Some("ppm")
     else if (bytes.length >= 8 && bytes.take(8).sameElements(PngSig))
       Some("png")
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) Some("jpeg")
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
       bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') Some("wav")
     else None
+
+  /** Sniff-and-decode any supported still-image format → (format, image).
+    * The single routing point for image payloads: adding a codec here
+    * lights it up in every downstream operator (stats, channel stats,
+    * dHash, near-dup, …). */
+  def decodeImage(bytes: Array[Byte]): Option[(String, Image)] =
+    sniff(bytes).collect {
+      case "bmp" => ("bmp", decodeBmp(bytes))
+      case "ppm" => ("ppm", decodePpm(bytes))
+      case "png" => ("png", decodePng(bytes))
+      case "jpeg" => ("jpeg", JpegCodec.decode(bytes))
+    }
 
   // ---- little-endian helpers ------------------------------------------
 
@@ -318,36 +333,257 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** Decode RIFF/WAVE: PCM 16-bit (format 1), G.711 μ-law (format 7)
+    * and IMA ADPCM (format 0x11) — so the audio path handles REAL
+    * compressed payloads, not just raw PCM. Chunk-walking parser;
+    * unknown chunks (LIST, fact, …) skipped per spec. */
   def decodeWav(bytes: Array[Byte]): Audio = {
     require(sniff(bytes).contains("wav"), "not a RIFF/WAVE file")
     var pos = 12
-    var channels = -1; var sampleRate = -1; var bits = -1
-    var samples: Array[Short] = null
-    // chunk walk: fmt before data per spec; unknown chunks skipped
-    while (pos + 8 <= bytes.length && (samples == null || bits < 0)) {
+    var format = -1; var channels = -1; var sampleRate = -1; var bits = -1
+    var blockAlign = -1
+    var dataOff = -1; var dataSize = -1
+    while (pos + 8 <= bytes.length && (dataOff < 0 || format < 0)) {
       val id = new String(bytes, pos, 4, StandardCharsets.US_ASCII)
       val size = i32(bytes, pos + 4)
       val body = pos + 8
       id match {
         case "fmt " =>
-          val fmt = u16(bytes, body)
-          require(fmt == 1, s"only PCM supported (format $fmt)")
+          format = u16(bytes, body)
           channels = u16(bytes, body + 2)
           sampleRate = i32(bytes, body + 4)
+          blockAlign = u16(bytes, body + 12)
           bits = u16(bytes, body + 14)
-          require(bits == 16, s"only 16-bit PCM supported (got $bits)")
-        case "data" =>
-          val n = size / 2
-          samples = new Array[Short](n)
-          var i = 0
-          while (i < n) {
-            samples(i) = u16(bytes, body + i * 2).toShort; i += 1
-          }
+        case "data" => dataOff = body; dataSize = size
         case _ => // LIST, fact, … — skip
       }
       pos = body + size + (size & 1) // chunks are word-aligned
     }
-    require(samples != null && bits == 16, "missing fmt/data chunk")
-    Audio(sampleRate, channels, samples)
+    require(format > 0 && dataOff >= 0, "missing fmt/data chunk")
+    format match {
+      case 1 =>
+        require(bits == 16, s"only 16-bit PCM supported (got $bits)")
+        val n = dataSize / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = u16(bytes, dataOff + i * 2).toShort; i += 1
+        }
+        Audio(sampleRate, channels, samples)
+      case 7 =>
+        require(bits == 8, s"mu-law is 8-bit (got $bits)")
+        val samples = new Array[Short](dataSize)
+        var i = 0
+        while (i < dataSize) {
+          samples(i) = mulawToLinear(bytes(dataOff + i) & 0xff); i += 1
+        }
+        Audio(sampleRate, channels, samples)
+      case 0x11 =>
+        require(bits == 4, s"IMA ADPCM is 4-bit (got $bits)")
+        require(channels >= 1 && channels <= 2,
+          s"IMA ADPCM: 1-2 channels (got $channels)")
+        decodeImaBlocks(bytes, dataOff, dataSize, blockAlign, channels,
+          sampleRate)
+      case f => throw new IllegalArgumentException(
+        s"unsupported WAV format tag $f (PCM=1, mu-law=7, IMA ADPCM=17)")
+    }
+  }
+
+  // ---- G.711 mu-law ----------------------------------------------------
+
+  /** Standard G.711 μ-law expansion (8-bit code → 16-bit linear). */
+  def mulawToLinear(code: Int): Short = {
+    val u = ~code & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0xf
+    val s = (((mant << 3) + 0x84) << exp) - 0x84
+    (if ((u & 0x80) != 0) -s else s).toShort
+  }
+
+  /** Standard G.711 μ-law compression (16-bit linear → 8-bit code). */
+  def linearToMulaw(sampleIn: Int): Int = {
+    var sample = sampleIn
+    val sign = if (sample < 0) { sample = -sample; 0x80 } else 0
+    if (sample > 32635) sample = 32635
+    sample += 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (sample & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (sample >> (exp + 3)) & 0x0f
+    ~(sign | (exp << 4) | mant) & 0xff
+  }
+
+  /** Encode 16-bit samples as a μ-law (format 7) WAV. */
+  def encodeMulawWav(a: Audio): Array[Byte] = {
+    val out = new ByteArrayOutputStream(46 + a.samples.length)
+    out.write("RIFF".getBytes(StandardCharsets.US_ASCII))
+    w32(out, 38 + a.samples.length)
+    out.write("WAVE".getBytes(StandardCharsets.US_ASCII))
+    out.write("fmt ".getBytes(StandardCharsets.US_ASCII))
+    w32(out, 18); w16(out, 7); w16(out, a.channels)
+    w32(out, a.sampleRate); w32(out, a.sampleRate * a.channels)
+    w16(out, a.channels); w16(out, 8); w16(out, 0) // cbSize = 0
+    out.write("data".getBytes(StandardCharsets.US_ASCII))
+    w32(out, a.samples.length)
+    var i = 0
+    while (i < a.samples.length) {
+      out.write(linearToMulaw(a.samples(i))); i += 1
+    }
+    if (a.samples.length % 2 == 1) out.write(0) // word-align
+    out.toByteArray
+  }
+
+  // ---- IMA ADPCM (WAV format 0x11) ------------------------------------
+
+  private val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndexAdjust: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Per-channel decoder state stepping one 4-bit code. */
+  private final class ImaState(var pred: Int, var index: Int) {
+    def step(nibble: Int): Short = {
+      val st = ImaStepTable(index)
+      var delta = st >> 3
+      if ((nibble & 1) != 0) delta += st >> 2
+      if ((nibble & 2) != 0) delta += st >> 1
+      if ((nibble & 4) != 0) delta += st
+      pred = if ((nibble & 8) != 0) pred - delta else pred + delta
+      if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+      index += ImaIndexAdjust(nibble & 7)
+      if (index < 0) index = 0 else if (index > 88) index = 88
+      pred.toShort
+    }
+  }
+
+  private def decodeImaBlocks(bytes: Array[Byte], dataOff: Int,
+      dataSize: Int, blockAlign: Int, channels: Int,
+      sampleRate: Int): Audio = {
+    require(blockAlign > 4 * channels, s"bad blockAlign $blockAlign")
+    val perBlock = (blockAlign - 4 * channels) * 2 / channels + 1
+    val nBlocks = dataSize / blockAlign
+    val out = new scala.collection.mutable.ArrayBuffer[Short](
+      nBlocks * perBlock * channels)
+    var b = 0
+    while (b < nBlocks) {
+      val base = dataOff + b * blockAlign
+      val states = Array.tabulate(channels) { c =>
+        val o = base + c * 4
+        val s0 = u16(bytes, o).toShort
+        out += s0 // header carries the first sample verbatim
+        new ImaState(s0, bytes(o + 2) & 0xff)
+      }
+      // after headers: 4-byte (8-nibble) groups per channel, interleaved
+      val dataStart = base + 4 * channels
+      val groups = (blockAlign - 4 * channels) / (4 * channels)
+      // decode channel-by-channel into per-channel buffers, then
+      // interleave (the stream interleaves GROUPS, samples interleave 1:1)
+      val chBuf = Array.fill(channels)(
+        new scala.collection.mutable.ArrayBuffer[Short](perBlock - 1))
+      var g = 0
+      while (g < groups) {
+        var c = 0
+        while (c < channels) {
+          val o = dataStart + (g * channels + c) * 4
+          var k = 0
+          while (k < 4) {
+            val byte = bytes(o + k) & 0xff
+            chBuf(c) += states(c).step(byte & 0xf)        // low nibble first
+            chBuf(c) += states(c).step((byte >> 4) & 0xf) // then high
+            k += 1
+          }
+          c += 1
+        }
+        g += 1
+      }
+      var i = 0
+      while (i < chBuf(0).length) {
+        var c = 0
+        while (c < channels) { out += chBuf(c)(i); c += 1 }
+        i += 1
+      }
+      b += 1
+    }
+    Audio(sampleRate, channels, out.toArray)
+  }
+
+  /** Encode 16-bit samples (interleaved if stereo) as IMA ADPCM WAV.
+    * The encoder tracks the decoder's reconstruction state, so error
+    * never accumulates beyond one step's quantization. Sample count
+    * per channel must fill whole blocks exactly. */
+  def encodeImaAdpcmWav(a: Audio, blockAlign: Int = 256): Array[Byte] = {
+    val ch = a.channels
+    require(ch >= 1 && ch <= 2, "1-2 channels")
+    require((blockAlign - 4 * ch) % (4 * ch) == 0, "bad blockAlign")
+    val perBlock = (blockAlign - 4 * ch) * 2 / ch + 1
+    val nPerCh = a.samples.length / ch
+    require(nPerCh % perBlock == 0,
+      s"sample count per channel $nPerCh must be a multiple of $perBlock")
+    val nBlocks = nPerCh / perBlock
+    val dataBytes = nBlocks * blockAlign
+    val out = new ByteArrayOutputStream(52 + dataBytes)
+    out.write("RIFF".getBytes(StandardCharsets.US_ASCII))
+    w32(out, 44 + dataBytes)
+    out.write("WAVE".getBytes(StandardCharsets.US_ASCII))
+    out.write("fmt ".getBytes(StandardCharsets.US_ASCII))
+    w32(out, 20); w16(out, 0x11); w16(out, ch)
+    w32(out, a.sampleRate)
+    w32(out, a.sampleRate * blockAlign / perBlock)
+    w16(out, blockAlign); w16(out, 4)
+    w16(out, 2); w16(out, perBlock) // cbSize, samples per block
+    out.write("data".getBytes(StandardCharsets.US_ASCII))
+    w32(out, dataBytes)
+    val index = new Array[Int](ch)
+    var pendingNibble = 0
+    var b = 0
+    while (b < nBlocks) {
+      val blockBase = b * perBlock * ch
+      val states = Array.tabulate(ch) { c =>
+        val s0 = a.samples(blockBase + c)
+        w16(out, s0 & 0xffff)
+        out.write(index(c)); out.write(0)
+        new ImaState(s0, index(c))
+      }
+      val groups = (blockAlign - 4 * ch) / (4 * ch)
+      var g = 0
+      while (g < groups) {
+        var c = 0
+        while (c < ch) {
+          var k = 0
+          while (k < 8) {
+            val si = blockBase + (1 + g * 8 + k) * ch + c
+            val nib = encodeImaNibble(states(c), a.samples(si))
+            if (k % 2 == 0) pendingNibble = nib
+            else out.write(pendingNibble | (nib << 4))
+            k += 1
+          }
+          c += 1
+        }
+        g += 1
+      }
+      var c = 0
+      while (c < ch) { index(c) = states(c).index; c += 1 }
+      b += 1
+    }
+    out.toByteArray
+  }
+
+  /** Quantize one sample against the running state; mutates the state
+    * exactly as the decoder will. */
+  private def encodeImaNibble(st: ImaState, target: Short): Int = {
+    val stepSize = ImaStepTable(st.index)
+    var diff = target - st.pred
+    var nib = 0
+    if (diff < 0) { nib = 8; diff = -diff }
+    if (diff >= stepSize) { nib |= 4; diff -= stepSize }
+    if (diff >= (stepSize >> 1)) { nib |= 2; diff -= stepSize >> 1 }
+    if (diff >= (stepSize >> 2)) { nib |= 1 }
+    st.step(nib) // advance reconstruction state
+    nib
   }
 }

@@ -102,31 +102,28 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       batch.map { m =>
-        MediaCodecs.sniff(m.payload) match {
-          case Some(fmt @ ("bmp" | "ppm" | "png")) =>
-            val img = fmt match {
-              case "bmp" => MediaCodecs.decodeBmp(m.payload)
-              case "ppm" => MediaCodecs.decodePpm(m.payload)
-              case _ => MediaCodecs.decodePng(m.payload)
-            }
+        MediaCodecs.decodeImage(m.payload) match {
+          case Some((fmt, img)) =>
             var sum = 0L; var i = 0
             while (i < img.rgb.length) { sum += (img.rgb(i) & 0xff); i += 1 }
             MediaStatsRow(m.media_id, m.kind, fmt, img.width, img.height,
               img.rgb.length.toLong, sum.toDouble / img.rgb.length)
-          case Some("wav") =>
-            val a = MediaCodecs.decodeWav(m.payload)
-            var sum = 0L; var i = 0
-            while (i < a.samples.length) { sum += a.samples(i); i += 1 }
-            MediaStatsRow(m.media_id, m.kind, "wav", a.sampleRate,
-              a.channels, a.samples.length.toLong,
-              sum.toDouble / a.samples.length)
-          case _ =>
-            var sum = 0L; var i = 0
-            while (i < m.payload.length) { sum += (m.payload(i) & 0xff); i += 1 }
-            MediaStatsRow(m.media_id, m.kind, "opaque", m.width, m.height,
-              m.payload.length.toLong,
-              if (m.payload.length == 0) 0.0
-              else sum.toDouble / m.payload.length)
+          case None => MediaCodecs.sniff(m.payload) match {
+            case Some("wav") =>
+              val a = MediaCodecs.decodeWav(m.payload)
+              var sum = 0L; var i = 0
+              while (i < a.samples.length) { sum += a.samples(i); i += 1 }
+              MediaStatsRow(m.media_id, m.kind, "wav", a.sampleRate,
+                a.channels, a.samples.length.toLong,
+                sum.toDouble / a.samples.length)
+            case _ =>
+              var sum = 0L; var i = 0
+              while (i < m.payload.length) { sum += (m.payload(i) & 0xff); i += 1 }
+              MediaStatsRow(m.media_id, m.kind, "opaque", m.width, m.height,
+                m.payload.length.toLong,
+                if (m.payload.length == 0) 0.0
+                else sum.toDouble / m.payload.length)
+          }
         }
       }
     }
@@ -251,13 +248,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       batch.flatMap { m =>
-        MediaCodecs.sniff(m.payload) match {
-          case Some(fmt @ ("bmp" | "ppm" | "png")) =>
-            val img = fmt match {
-              case "bmp" => MediaCodecs.decodeBmp(m.payload)
-              case "ppm" => MediaCodecs.decodePpm(m.payload)
-              case _ => MediaCodecs.decodePng(m.payload)
-            }
+        MediaCodecs.decodeImage(m.payload) match {
+          case Some((fmt, img)) =>
             val sums = new Array[Long](3)
             val ns = new Array[Long](3)
             var i = 0
@@ -290,13 +282,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       batch.flatMap { m =>
-        MediaCodecs.sniff(m.payload) match {
-          case Some(fmt @ ("bmp" | "ppm" | "png")) =>
-            val img = fmt match {
-              case "bmp" => MediaCodecs.decodeBmp(m.payload)
-              case "ppm" => MediaCodecs.decodePpm(m.payload)
-              case _ => MediaCodecs.decodePng(m.payload)
-            }
+        MediaCodecs.decodeImage(m.payload) match {
+          case Some((fmt, img)) =>
             def green(x: Int, y: Int): Int =
               img.rgb((y * img.width + x) * 3 + 1) & 0xff
             val sb = new StringBuilder(img.height * (img.width - 1))

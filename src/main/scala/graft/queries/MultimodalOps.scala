@@ -397,5 +397,106 @@ object MultimodalOps {
         SELECT cl.media_id, cl.cluster_id, sz.cluster_size,
           cl.media_id = cl.cluster_id AS is_canonical
         FROM cl JOIN sz USING (cluster_id)
-        ORDER BY cl.media_id""")))
+        ORDER BY cl.media_id""")),
+
+    // REAL JPEG decode end-to-end (JpegCodec — baseline DCT, huffman,
+    // both 4:4:4 and 4:2:0): each doc packs a solid-color JPEG whose
+    // color/dims derive from doc_id alone, the pipeline decodes actual
+    // entropy-coded bytes, and the oracle predicts every output column
+    // from first principles: dims from the header contract, and the
+    // pixel-mean BUCKET from the source color — sound because a solid
+    // block's roundtrip error is bounded by DC quantization (≤ 2,
+    // JpegCodecSpec), and the color list keeps ≥ 3 from every bucket
+    // boundary. A single wrong huffman bit or IDCT sign error lands
+    // pixels in another bucket and fails the hash. Map-side only.
+    Q("q213_jpeg_decode",
+      (s, dir) => {
+        import s.implicits._
+        val colors = Array(40, 70, 100, 135, 165, 200, 230)
+        val media = Tables.load(s, dir, "documents")
+          .select(col("doc_id")).as[Long].mapPartitions { ids =>
+            ids.map { id =>
+              val c = colors(((id % 7 + 7) % 7).toInt)
+              val w = 16
+              val h = if (id % 2 == 0) 8 else 16
+              val rgb = Array.fill(w * h * 3)(c.toByte)
+              Multimodal.MediaRow(id, "image",
+                graft.operators.JpegCodec.encode(
+                  graft.operators.MediaCodecs.Image(w, h, rgb),
+                  quality = 90, subsample420 = id % 2 == 0), w, h)
+            }
+          }
+        Multimodal.decodeStats(media).toDF()
+          .select(col("media_id"), col("format"),
+            col("dim1").cast("long").as("width"),
+            col("dim2").cast("long").as("height"),
+            col("n_units"),
+            floor(col("mean_value") / 32).cast("long").as("mean_bucket"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'jpeg' AS format,
+          CAST(16 AS BIGINT) AS width,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS BIGINT)
+            AS height,
+          CAST(16 * (CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END) * 3
+            AS BIGINT) AS n_units,
+          CAST((CASE CAST(doc_id % 7 AS INTEGER)
+            WHEN 0 THEN 40 WHEN 1 THEN 70 WHEN 2 THEN 100 WHEN 3 THEN 135
+            WHEN 4 THEN 165 WHEN 5 THEN 200 ELSE 230 END) // 32 AS BIGINT)
+            AS mean_bucket
+        FROM documents ORDER BY media_id""")),
+
+    // REAL compressed audio (G.711 μ-law, format-7 WAV) end-to-end:
+    // constant-level payloads encode through the real companding path
+    // and the ORACLE re-derives the expected decoded level from the
+    // published G.711 formula itself — exponent via floor(log2),
+    // mantissa via shifts — so Spark's byte-level decoder is checked
+    // against an INDEPENDENT SQL statement of the same standard, not
+    // against itself. A constant signal makes the decoded mean exactly
+    // the companded level (one code repeated), so the compare is
+    // bit-exact, no buckets needed. IMA ADPCM (the other compressed
+    // WAV path) drifts ±(step>>3) on constants, so its proof lives in
+    // AudioCodecSpec instead.
+    Q("q214_mulaw_audio",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long].mapPartitions { ids =>
+            ids.map { id =>
+              val c = ((id * 131) % 60001 - 30000).toShort
+              val samples = Array.fill[Short](240)(c)
+              Multimodal.MediaRow(id, "audio",
+                graft.operators.MediaCodecs.encodeMulawWav(
+                  graft.operators.MediaCodecs.Audio(8000, 1, samples)),
+                0, 0)
+            }
+          }
+        Multimodal.decodeStats(media).toDF()
+          .select(col("media_id"), col("format"),
+            col("dim1").cast("long").as("sample_rate"),
+            col("dim2").cast("long").as("channels"),
+            col("n_units"),
+            col("mean_value").as("decoded_level"))
+          .orderBy("media_id")
+      },
+      Some("""WITH src AS (SELECT doc_id,
+            (doc_id * 131) % 60001 - 30000 AS c
+          FROM documents WHERE doc_id % 3 = 1),
+        e1 AS (SELECT doc_id, c,
+            LEAST(abs(c), 32635) + 132 AS m FROM src),
+        e2 AS (SELECT doc_id, c, m,
+            CAST(floor(log2(m)) AS BIGINT) - 7 AS expo FROM e1),
+        e3 AS (SELECT doc_id, c, expo,
+            (m >> CAST(expo + 3 AS INTEGER)) & 15 AS mant FROM e2),
+        d AS (SELECT doc_id, c,
+            ((mant * 8 + 132) << CAST(expo AS INTEGER)) - 132 AS mag
+          FROM e3)
+        SELECT doc_id AS media_id, 'wav' AS format,
+          CAST(8000 AS BIGINT) AS sample_rate,
+          CAST(1 AS BIGINT) AS channels,
+          CAST(240 AS BIGINT) AS n_units,
+          CAST(CASE WHEN c < 0 THEN -mag ELSE mag END AS DOUBLE)
+            AS decoded_level
+        FROM d ORDER BY media_id""")))
 }

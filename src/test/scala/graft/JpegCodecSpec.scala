@@ -1,0 +1,172 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{JpegCodec, MediaCodecs}
+import graft.operators.MediaCodecs.Image
+
+/** Baseline JPEG codec: DCT validated against the direct O(n⁴)
+  * definition, roundtrips bounded by quantization error, subsampling /
+  * restart-marker / edge-dimension behavior, and format routing. */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def maxAbsDiff(a: Array[Byte], b: Array[Byte]): Int = {
+    require(a.length == b.length)
+    var m = 0; var i = 0
+    while (i < a.length) {
+      m = math.max(m, math.abs((a(i) & 0xff) - (b(i) & 0xff))); i += 1
+    }
+    m
+  }
+
+  private def meanAbsDiff(a: Array[Byte], b: Array[Byte]): Double = {
+    var s = 0L; var i = 0
+    while (i < a.length) {
+      s += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1
+    }
+    s.toDouble / a.length
+  }
+
+  test("separable IDCT matches the direct O(n^4) definition") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val coef = Array.fill(64)(rnd.nextDouble() * 510.0 - 255.0)
+      val fast = new Array[Double](64)
+      JpegCodec.idct(coef, fast)
+      // direct: f(x,y) = 1/4 ΣΣ C(u)C(v) F(u,v) cos·cos
+      for (x <- 0 until 8; y <- 0 until 8) {
+        var s = 0.0
+        for (u <- 0 until 8; v <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+          s += 0.25 * cu * cv * coef(u * 8 + v) *
+            math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+            math.cos((2 * y + 1) * v * math.Pi / 16.0)
+        }
+        assert(math.abs(s - fast(x * 8 + y)) < 1e-9,
+          s"IDCT mismatch at ($x,$y)")
+      }
+    }
+  }
+
+  test("FDCT then IDCT is the identity (orthonormal basis)") {
+    val rnd = new scala.util.Random(7)
+    val pix = Array.fill(64)(rnd.nextDouble() * 255.0 - 128.0)
+    val freq = new Array[Double](64)
+    val back = new Array[Double](64)
+    JpegCodec.fdct(pix, freq)
+    JpegCodec.idct(freq, back)
+    for (i <- 0 until 64)
+      assert(math.abs(pix(i) - back(i)) < 1e-9)
+  }
+
+  test("solid-color image roundtrips within DC quantization error") {
+    // the ±2 bound here is LOAD-BEARING: q213's oracle predicts the
+    // decoded mean bucket from the source color, for both subsamplings
+    for (c <- Seq(0, 40, 70, 77, 100, 128, 135, 165, 200, 230, 255);
+         sub <- Seq(false, true)) {
+      val rgb = Array.fill(24 * 16 * 3)(c.toByte)
+      val img = Image(24, 16, rgb)
+      val dec = JpegCodec.decode(
+        JpegCodec.encode(img, quality = 90, subsample420 = sub))
+      assert(dec.width == 24 && dec.height == 16)
+      assert(maxAbsDiff(rgb, dec.rgb) <= 2,
+        s"solid $c (420=$sub) drifted by ${maxAbsDiff(rgb, dec.rgb)}")
+    }
+  }
+
+  test("smooth gradient roundtrips with bounded error at q=95 (4:4:4)") {
+    val w = 32; val h = 24
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      rgb(i) = (x * 255 / (w - 1)).toByte
+      rgb(i + 1) = (y * 255 / (h - 1)).toByte
+      rgb(i + 2) = ((x + y) * 255 / (w + h - 2)).toByte
+    }
+    val img = Image(w, h, rgb)
+    val dec = JpegCodec.decode(JpegCodec.encode(img, quality = 95))
+    assert(dec.width == w && dec.height == h)
+    assert(meanAbsDiff(rgb, dec.rgb) < 3.0,
+      f"mean err ${meanAbsDiff(rgb, dec.rgb)}%.2f")
+    assert(maxAbsDiff(rgb, dec.rgb) < 20)
+  }
+
+  test("non-multiple-of-8 dimensions roundtrip exactly in shape") {
+    val w = 13; val h = 9
+    val rnd = new scala.util.Random(3)
+    val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    val dec = JpegCodec.decode(JpegCodec.encode(Image(w, h, rgb), 90))
+    assert(dec.width == w && dec.height == h)
+    assert(dec.rgb.length == w * h * 3)
+  }
+
+  test("4:2:0 subsampling: dims exact, luma bounded, odd sizes safe") {
+    for ((w, h) <- Seq((32, 24), (17, 11), (16, 16))) {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (y * w + x) * 3
+        // grayscale ramp: chroma ~neutral, so 4:2:0 loss stays small
+        val g = ((x * 7 + y * 5) % 256).toByte
+        rgb(i) = g; rgb(i + 1) = g; rgb(i + 2) = g
+      }
+      val dec = JpegCodec.decode(
+        JpegCodec.encode(Image(w, h, rgb), quality = 90, subsample420 = true))
+      assert(dec.width == w && dec.height == h, s"dims at ${w}x$h")
+    }
+    // smooth gradient: subsampled chroma reconstructs within bound
+    val w = 32; val h = 32
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      rgb(i) = (x * 8).toByte; rgb(i + 1) = (y * 8).toByte
+      rgb(i + 2) = 100.toByte
+    }
+    val dec = JpegCodec.decode(
+      JpegCodec.encode(Image(w, h, rgb), quality = 95, subsample420 = true))
+    assert(meanAbsDiff(rgb, dec.rgb) < 6.0)
+  }
+
+  test("restart markers change the stream but not the decoded pixels") {
+    val w = 40; val h = 24
+    val rnd = new scala.util.Random(11)
+    val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    val img = Image(w, h, rgb)
+    val plain = JpegCodec.encode(img, quality = 85)
+    val rst = JpegCodec.encode(img, quality = 85, restartInterval = 2)
+    assert(!plain.sameElements(rst), "DRI must alter the stream")
+    val a = JpegCodec.decode(plain)
+    val b = JpegCodec.decode(rst)
+    assert(a.rgb.sameElements(b.rgb),
+      "restart markers must be bit-neutral to decoded output")
+  }
+
+  test("sniff and decodeImage route JPEG payloads") {
+    val img = Image(8, 8, Array.fill(8 * 8 * 3)(42.toByte))
+    val jpg = JpegCodec.encode(img)
+    assert(MediaCodecs.sniff(jpg).contains("jpeg"))
+    val Some((fmt, dec)) = MediaCodecs.decodeImage(jpg)
+    assert(fmt == "jpeg" && dec.width == 8 && dec.height == 8)
+  }
+
+  test("progressive JPEG is rejected with a clear error") {
+    // SOI + minimal SOF2 header
+    val sof2 = Array[Int](0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b,
+      8, 0, 8, 0, 8, 1, 1, 0x11, 0).map(_.toByte)
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(sof2))
+    assert(e.getMessage.contains("progressive"))
+  }
+
+  test("higher quality means lower error and bigger stream") {
+    val w = 24; val h = 24
+    val rnd = new scala.util.Random(5)
+    val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    val img = Image(w, h, rgb)
+    val lo = JpegCodec.encode(img, quality = 20)
+    val hi = JpegCodec.encode(img, quality = 95)
+    assert(lo.length < hi.length)
+    val errLo = meanAbsDiff(rgb, JpegCodec.decode(lo).rgb)
+    val errHi = meanAbsDiff(rgb, JpegCodec.decode(hi).rgb)
+    assert(errHi < errLo)
+  }
+}
