@@ -26,16 +26,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Columns contracted to be event-time instants (micros, session-UTC).
-    * Only `events.ts` is normalized: the other tables' temporal columns
-    * (`o_orderdate`, `l_shipdate`) are date-grained and every query
-    * handles their native layout directly. */
+  /** Columns contracted to be event-time instants (micros, session-UTC). */
   private val timestampContract: Map[String, Seq[String]] = Map(
     "events" -> Seq("ts"))
 
+  /** Columns contracted to be NAIVE timestamps (`timestamp_ntz`) — the
+    * date-grained dimensions every query and the DuckDB oracle read as
+    * naive values. Normalizing them (instead of passing through raw)
+    * is regen insurance: if a future corpus rewrite ships them as
+    * DATE, instant timestamps, or epoch ints, the loader absorbs the
+    * change instead of re-running the round-8 outage on a different
+    * column. */
+  private val ntzContract: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     AdaptiveRead.readTable(spark, s"$dir/$name.parquet",
-      timestampContract.getOrElse(name, Nil))
+      timestampContract.getOrElse(name, Nil),
+      ntzContract.getOrElse(name, Nil))
 
   /** Incremental read of `events` with the time bound applied in the
     * column's PHYSICAL layout, so it reaches the parquet scan.

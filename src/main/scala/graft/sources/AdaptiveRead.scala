@@ -167,15 +167,38 @@ object AdaptiveRead {
         s"$path:$colName arrived as $other — not a recognized timestamp layout")
     }
 
+  /** Normalize one contract column to `TimestampNTZType` — for columns
+    * whose consumers were written against naive timestamps (the DuckDB
+    * oracle's native reading of `timestamp[us]`). Same layout
+    * tolerance as [[normalizeTimestamp]]; under the engine's UTC
+    * session the two contracts carry identical micros values. */
+  def normalizeTimestampNtz(spark: SparkSession, path: String,
+      df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
+      case TimestampNTZType => df
+      case TimestampType | DateType =>
+        df.withColumn(colName, col(colName).cast(TimestampNTZType))
+      case LongType =>
+        val unit = detectEpochUnit(spark, path, colName)
+        df.withColumn(colName,
+          unit.toTimestamp(colName).cast(TimestampNTZType))
+      case other => throw new IllegalStateException(
+        s"$path:$colName arrived as $other — not a recognized timestamp layout")
+    }
+
   /** Read a parquet table and normalize the listed contract-timestamp
-    * columns. Tolerates TIMESTAMP(NANOS) files by reading them as raw
-    * longs (`nanosAsLong`) and converting — Spark's vectorized reader
-    * rejects NANOS natively. */
+    * columns (`timestampCols` → instant `TimestampType`, `ntzCols` →
+    * naive `TimestampNTZType`). Tolerates TIMESTAMP(NANOS) files by
+    * reading them as raw longs (`nanosAsLong`) and converting —
+    * Spark's vectorized reader rejects NANOS natively. */
   def readTable(spark: SparkSession, path: String,
-      timestampCols: Seq[String]): DataFrame = {
-    if (timestampCols.nonEmpty)
+      timestampCols: Seq[String], ntzCols: Seq[String] = Nil): DataFrame = {
+    if (timestampCols.nonEmpty || ntzCols.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path)
-    timestampCols.foldLeft(df)((d, c) => normalizeTimestamp(spark, path, d, c))
+    val instant = timestampCols.foldLeft(df)(
+      (d, c) => normalizeTimestamp(spark, path, d, c))
+    ntzCols.foldLeft(instant)(
+      (d, c) => normalizeTimestampNtz(spark, path, d, c))
   }
 }

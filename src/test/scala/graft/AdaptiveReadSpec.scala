@@ -104,6 +104,48 @@ class AdaptiveReadSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("NTZ-contract columns normalize from ntz/instant/date/long layouts") {
+    import graft.sources.AdaptiveRead.normalizeTimestampNtz
+    val us = 1704067200123456L
+    def readNtz(path: String): (DataType, Seq[Long]) = {
+      val df0 = spark.read.parquet(path)
+      val df = normalizeTimestampNtz(spark, path, df0, "d")
+      (df.schema("d").dataType,
+        df.select(unix_micros(col("d").cast(TimestampType)))
+          .as[Long].collect().sorted.toSeq)
+    }
+    // native ntz — passthrough
+    val pNtz = s"$tmp/ntz_d.parquet"
+    Seq(us).toDF("us").select(timestamp_micros(col("us"))
+      .cast(TimestampNTZType).as("d")).write.mode("overwrite").parquet(pNtz)
+    assert(readNtz(pNtz) == (TimestampNTZType, Seq(us)))
+    // instant timestamp — relabeled (UTC: same micros)
+    val pTz = s"$tmp/tz_d.parquet"
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try Seq(us).toDF("us").select(timestamp_micros(col("us")).as("d"))
+      .write.mode("overwrite").parquet(pTz)
+    finally prev.foreach(
+      spark.conf.set("spark.sql.parquet.outputTimestampType", _))
+    assert(readNtz(pTz) == (TimestampNTZType, Seq(us)))
+    // DATE — midnight ntz
+    val pDate = s"$tmp/date_d.parquet"
+    Seq("2024-01-01").toDF("s").select(to_date(col("s")).as("d"))
+      .write.mode("overwrite").parquet(pDate)
+    assert(readNtz(pDate) == (TimestampNTZType, Seq(1704067200000000L)))
+    // raw epoch-millis long — unit-detected then relabeled
+    val pLong = s"$tmp/long_d.parquet"
+    Seq(us / 1000L).toDF("d").write.mode("overwrite").parquet(pLong)
+    assert(readNtz(pLong) == (TimestampNTZType, Seq(us / 1000L * 1000L)))
+  }
+
+  test("orders/lineitem date columns load under the NTZ contract") {
+    assert(Tables.load(spark, sf, "orders").schema("o_orderdate")
+      .dataType == TimestampNTZType)
+    assert(Tables.load(spark, sf, "lineitem").schema("l_shipdate")
+      .dataType == TimestampNTZType)
+  }
+
   test("loadEventsSince pushes the bound to the scan in BOTH layouts") {
     // synthetic events dir in the LEGACY raw-long layout (nano-scale
     // magnitudes): the widened raw bound must reach PushedFilters and
