@@ -479,6 +479,89 @@ object CorpusOps {
         FROM (SELECT CAST(1 AS BIGINT) AS rank, pair, cnt FROM m1
           UNION ALL SELECT 2, pair, cnt FROM m2
           UNION ALL SELECT 3, pair, cnt FROM m3)
-        ORDER BY rank"""))
+        ORDER BY rank""")),
+
+    // Overlapping-window chunking — the RAG/pretraining segmentation
+    // op: split each doc into 64-token chunks with stride 48 (16-token
+    // overlap so no boundary context is lost), emitting per chunk its
+    // offset arithmetic AND the md5 of the exact token slice, so the
+    // oracle hash-checks both the window math and the content. Pure
+    // per-row explode: no shuffle until the presentation sort; chunk
+    // count is ceil((n-16)/48) — derived in INTEGER arithmetic on both
+    // engines (a float ceil would 1-off on exact multiples). At 100 TB
+    // this is a map-only pass whose output is (id, idx, md5) rows, not
+    // repeated text.
+    Q("q215_chunk_overlap",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .withColumn("n_chunks",
+            greatest(lit(1L), expr("(n_tok - 16 + 47) div 48")))
+        d.select(col("doc_id"), col("toks"), col("n_tok"),
+            posexplode(sequence(lit(0L), col("n_chunks") - 1))
+              .as(Seq("p", "idx")))
+          .withColumn("start_tok", col("idx") * 48)
+          .withColumn("chunk_len",
+            least(lit(64L), col("n_tok") - col("start_tok")))
+          .select(col("doc_id"), col("idx").as("chunk_idx"),
+            col("start_tok"), col("chunk_len"),
+            md5(array_join(slice(col("toks"),
+              (col("start_tok") + 1).cast("int"),
+              col("chunk_len").cast("int")), " ")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks,
+            CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        n AS (SELECT doc_id, toks, n_tok,
+            GREATEST(1, (n_tok - 16 + 47) // 48) AS n_chunks FROM d),
+        c AS (SELECT doc_id, toks, n_tok, CAST(i.idx AS BIGINT) AS chunk_idx
+          FROM n, UNNEST(range(0, n_chunks)) AS i(idx))
+        SELECT doc_id, chunk_idx,
+          chunk_idx * 48 AS start_tok,
+          LEAST(64, n_tok - chunk_idx * 48) AS chunk_len,
+          md5(array_to_string(
+            toks[CAST(chunk_idx * 48 + 1 AS INTEGER) :
+                 CAST(chunk_idx * 48 +
+                   LEAST(64, n_tok - chunk_idx * 48) AS INTEGER)], ' '))
+            AS chunk_md5
+        FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // Temperature-scaled source mixing — the multilingual-sampling
+    // formula (weight ∝ n^α, α = 1/2): per source, weight and the
+    // expected doc count at a 10k budget. sqrt is a correctly-rounded
+    // IEEE op (identical on both engines); the weight SUM is the
+    // order-dependent part, so each sqrt is cast to DECIMAL(38,12)
+    // BEFORE summing (associative → partitioning-independent, the
+    // q134 contract) and the final share is one double division of
+    // identical operands. One |sources|-sized aggregate — nothing here
+    // grows with corpus size except the first count.
+    Q("q216_temperature_mix",
+      (s, dir) => {
+        val dec = DecimalType(38, 12)
+        val counts = Tables.load(s, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", sqrt(col("n_docs").cast(DoubleType)).cast(dec))
+        val tot = counts.agg(sum(col("w")).as("tot"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            (col("w").cast(DoubleType) / col("tot").cast(DoubleType))
+              .as("weight"),
+            floor(lit(10000.0) * (col("w").cast(DoubleType) /
+              col("tot").cast(DoubleType))).cast("long")
+              .as("expected_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sqrt(CAST(count(*) AS DOUBLE)) AS DECIMAL(38,12)) AS w
+          FROM documents GROUP BY 1),
+        t AS (SELECT sum(w) AS tot FROM c)
+        SELECT source, n_docs,
+          CAST(w AS DOUBLE) / CAST(tot AS DOUBLE) AS weight,
+          CAST(floor(10000.0 * (CAST(w AS DOUBLE) / CAST(tot AS DOUBLE)))
+            AS BIGINT) AS expected_docs
+        FROM c, t ORDER BY source"""))
   )
 }

@@ -359,6 +359,26 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"ramps must not self-join:\n$plan")
   }
 
+  test("q215 chunking is a pure map: no hash exchange before the order") {
+    val plan = graft.queries.Registry
+      .queries("q215_chunk_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // only the presentation ORDER BY may exchange (range partitioning)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunk explode must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"chunking needs no join:\n$plan")
+  }
+
+  test("q216 mix weights ride a 1-row broadcast, never a shuffled join") {
+    val plan = graft.queries.Registry
+      .queries("q216_temperature_mix")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the |sources|×1 total join must broadcast:\n$plan")
+  }
+
   test("q174 dup-spans never pairs the corpus with itself") {
     val plan = graft.queries.Registry
       .queries("q174_dup_spans")(spark, sf)
