@@ -330,9 +330,14 @@ object Multimodal {
     // and pay the per-position compare. Per-group state is bounded by
     // the duplicate count of one hash value (the capWidth pattern
     // applies if a corpus degenerates further).
+    // persisted: `groups` feeds three branches (same-hash expansion,
+    // band keys, cross-pair expansion) and upstream of it sits the
+    // full image decode + hash pipeline — without the persist each
+    // branch re-decodes the corpus (the q183 lesson, Dedup.scala:473)
     val groups = hashes.select(col("media_id"), col("dhash"))
       .groupBy("dhash")
       .agg(sort_array(collect_list(col("media_id"))).as("ids"))
+      .persist()
     val samePairs = groups
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> " +
