@@ -41,10 +41,20 @@ object Tables {
     "orders" -> Seq("o_orderdate"),
     "lineitem" -> Seq("l_shipdate"))
 
+  /** Measure columns contracted to `double` — decimal-exact
+    * aggregation (`ExactAgg`) rounds float→decimal and double→decimal
+    * differently, so a producer shipping float32/DECIMAL would change
+    * hashes silently without this normalization. */
+  private val doubleContract: Map[String, Seq[String]] = Map(
+    "events" -> Seq("value"),
+    "orders" -> Seq("o_totalprice"),
+    "lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     AdaptiveRead.readTable(spark, s"$dir/$name.parquet",
       timestampContract.getOrElse(name, Nil),
-      ntzContract.getOrElse(name, Nil))
+      ntzContract.getOrElse(name, Nil),
+      doubleContract.getOrElse(name, Nil))
 
   /** Incremental read of `events` with the time bound applied in the
     * column's PHYSICAL layout, so it reaches the parquet scan.

@@ -163,6 +163,8 @@ object AdaptiveRead {
         df.withColumn(colName, unit.toTimestamp(colName))
       case DateType =>
         df.withColumn(colName, col(colName).cast(TimestampType))
+      case StringType => // ISO-formatted text timestamps
+        df.withColumn(colName, col(colName).cast(TimestampType))
       case other => throw new IllegalStateException(
         s"$path:$colName arrived as $other — not a recognized timestamp layout")
     }
@@ -182,8 +184,27 @@ object AdaptiveRead {
         val unit = detectEpochUnit(spark, path, colName)
         df.withColumn(colName,
           unit.toTimestamp(colName).cast(TimestampNTZType))
+      case StringType => // ISO-formatted text timestamps
+        df.withColumn(colName, col(colName).cast(TimestampNTZType))
       case other => throw new IllegalStateException(
         s"$path:$colName arrived as $other — not a recognized timestamp layout")
+    }
+
+  /** Normalize one contract measure column to `DoubleType`. The
+    * producers' numeric layouts drift too (float32 to save space,
+    * DECIMAL from a warehouse export, ints for integer-valued
+    * measures) — and a drifted input type silently changes
+    * decimal-exact aggregation downstream (float→decimal and
+    * double→decimal round differently), so the contract pins the
+    * arithmetic input type, not just readability. */
+  def normalizeDouble(df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
+      case DoubleType => df
+      case FloatType | IntegerType | LongType | ShortType | ByteType |
+          _: DecimalType | StringType =>
+        df.withColumn(colName, col(colName).cast(DoubleType))
+      case other => throw new IllegalStateException(
+        s"$colName arrived as $other — not a recognized numeric layout")
     }
 
   /** Read a parquet table and normalize the listed contract-timestamp
@@ -192,13 +213,15 @@ object AdaptiveRead {
     * reading them as raw longs (`nanosAsLong`) and converting —
     * Spark's vectorized reader rejects NANOS natively. */
   def readTable(spark: SparkSession, path: String,
-      timestampCols: Seq[String], ntzCols: Seq[String] = Nil): DataFrame = {
+      timestampCols: Seq[String], ntzCols: Seq[String] = Nil,
+      doubleCols: Seq[String] = Nil): DataFrame = {
     if (timestampCols.nonEmpty || ntzCols.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path)
     val instant = timestampCols.foldLeft(df)(
       (d, c) => normalizeTimestamp(spark, path, d, c))
-    ntzCols.foldLeft(instant)(
+    val ntz = ntzCols.foldLeft(instant)(
       (d, c) => normalizeTimestampNtz(spark, path, d, c))
+    doubleCols.foldLeft(ntz)((d, c) => normalizeDouble(d, c))
   }
 }

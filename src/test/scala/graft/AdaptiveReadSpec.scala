@@ -139,6 +139,34 @@ class AdaptiveReadSpec extends SparkSpec {
     assert(readNtz(pLong) == (TimestampNTZType, Seq(us / 1000L * 1000L)))
   }
 
+  test("double-contract columns normalize from float/decimal/int/string") {
+    import graft.sources.AdaptiveRead.normalizeDouble
+    def check(df: org.apache.spark.sql.DataFrame, expect: Seq[Double]): Unit = {
+      val n = normalizeDouble(df, "v")
+      assert(n.schema("v").dataType == DoubleType)
+      assert(n.select("v").as[Double].collect().sorted.toSeq == expect.sorted)
+    }
+    check(Seq(1.5, -2.25).toDF("v"), Seq(1.5, -2.25))                    // passthrough
+    check(Seq(1.5f, -2.25f).toDF("v"), Seq(1.5, -2.25))                  // float32
+    check(Seq(3, -4).toDF("v"), Seq(3.0, -4.0))                          // int
+    check(Seq("1.5", "-2.25").toDF("v"), Seq(1.5, -2.25))                // text
+    check(Seq(BigDecimal("1.50"), BigDecimal("-2.25")).toDF("v"),
+      Seq(1.5, -2.25))                                                   // decimal
+  }
+
+  test("string-timestamp layouts normalize under both contracts") {
+    import graft.sources.AdaptiveRead.{normalizeTimestamp, normalizeTimestampNtz}
+    val p = s"$tmp/str_ts.parquet"
+    Seq("2024-01-01 00:00:00.123456").toDF("ts")
+      .write.mode("overwrite").parquet(p)
+    val inst = normalizeTimestamp(spark, p, spark.read.parquet(p), "ts")
+    assert(inst.schema("ts").dataType == TimestampType)
+    assert(inst.select(unix_micros(col("ts"))).as[Long].head()
+      == 1704067200123456L)
+    val ntz = normalizeTimestampNtz(spark, p, spark.read.parquet(p), "ts")
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+  }
+
   test("orders/lineitem date columns load under the NTZ contract") {
     assert(Tables.load(spark, sf, "orders").schema("o_orderdate")
       .dataType == TimestampNTZType)

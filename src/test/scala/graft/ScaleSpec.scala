@@ -359,6 +359,18 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"ramps must not self-join:\n$plan")
   }
 
+  test("q213/q214 codec decodes are pure maps: payloads never shuffle") {
+    for (q <- Seq("q213_jpeg_decode", "q214_mulaw_audio")) {
+      val plan = graft.queries.Registry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      // encode + decode ride mapPartitions; the only exchange allowed
+      // is the presentation ORDER BY (range partitioning)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle payloads:\n$plan")
+      assert(!plan.contains("Join"), s"$q needs no join:\n$plan")
+    }
+  }
+
   test("q215 chunking is a pure map: no hash exchange before the order") {
     val plan = graft.queries.Registry
       .queries("q215_chunk_overlap")(spark, sf)
