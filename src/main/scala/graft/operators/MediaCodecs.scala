@@ -40,7 +40,18 @@ object MediaCodecs {
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
       bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') Some("wav")
+    else if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C') Some("flac")
     else None
+
+  /** Sniff-and-decode any supported audio container → (format, audio):
+    * the audio analog of [[decodeImage]] — WAV (PCM-16 / μ-law / IMA
+    * ADPCM by format tag) and lossless FLAC. */
+  def decodeAudio(bytes: Array[Byte]): Option[(String, Audio)] =
+    sniff(bytes).collect {
+      case "wav" => ("wav", decodeWav(bytes))
+      case "flac" => ("flac", FlacCodec.decode(bytes))
+    }
 
   /** Sniff-and-decode any supported still-image format → (format, image).
     * The single routing point for image payloads: adding a codec here

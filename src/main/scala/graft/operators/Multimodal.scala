@@ -108,12 +108,11 @@ object Multimodal {
             while (i < img.rgb.length) { sum += (img.rgb(i) & 0xff); i += 1 }
             MediaStatsRow(m.media_id, m.kind, fmt, img.width, img.height,
               img.rgb.length.toLong, sum.toDouble / img.rgb.length)
-          case None => MediaCodecs.sniff(m.payload) match {
-            case Some("wav") =>
-              val a = MediaCodecs.decodeWav(m.payload)
+          case None => MediaCodecs.decodeAudio(m.payload) match {
+            case Some((fmt, a)) =>
               var sum = 0L; var i = 0
               while (i < a.samples.length) { sum += a.samples(i); i += 1 }
-              MediaStatsRow(m.media_id, m.kind, "wav", a.sampleRate,
+              MediaStatsRow(m.media_id, m.kind, fmt, a.sampleRate,
                 a.channels, a.samples.length.toLong,
                 sum.toDouble / a.samples.length)
             case _ =>

@@ -498,5 +498,47 @@ object MultimodalOps {
           CAST(240 AS BIGINT) AS n_units,
           CAST(CASE WHEN c < 0 THEN -mag ELSE mag END AS DOUBLE)
             AS decoded_level
-        FROM d ORDER BY media_id""")))
+        FROM d ORDER BY media_id""")),
+
+    // REAL lossless compressed audio (FLAC — fixed predictors + Rice
+    // residuals + CRC-8/16, FlacCodec) end-to-end: formula-generated
+    // samples encode through the actual bit-level compressor and the
+    // oracle regenerates every sample from the closed form — because
+    // FLAC is LOSSLESS the decoded mean must equal the formula mean
+    // EXACTLY, so unlike q213/q214 there is no quantization bound in
+    // the contract at all: one wrong Rice bit anywhere in 300 samples
+    // x 167 docs breaks the hash. Map-side only, like all codec paths.
+    Q("q217_flac_audio",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id")).as[Long].mapPartitions { ids =>
+            ids.map { id =>
+              val samples = Array.tabulate[Short](300)(i =>
+                (((i * 37 + id) % 2048) - 1024).toShort)
+              Multimodal.MediaRow(id, "audio",
+                graft.operators.FlacCodec.encode(
+                  graft.operators.MediaCodecs.Audio(8000, 1, samples)),
+                0, 0)
+            }
+          }
+        Multimodal.decodeStats(media).toDF()
+          .select(col("media_id"), col("format"),
+            col("dim1").cast("long").as("sample_rate"),
+            col("dim2").cast("long").as("channels"),
+            col("n_units"),
+            col("mean_value").as("mean_level"))
+          .orderBy("media_id")
+      },
+      Some("""WITH src AS (SELECT doc_id FROM documents
+          WHERE doc_id % 3 = 2),
+        s AS (SELECT doc_id, ((t.i * 37 + doc_id) % 2048) - 1024 AS v
+          FROM src, UNNEST(range(0, 300)) AS t(i))
+        SELECT doc_id AS media_id, 'flac' AS format,
+          CAST(8000 AS BIGINT) AS sample_rate,
+          CAST(1 AS BIGINT) AS channels,
+          CAST(300 AS BIGINT) AS n_units,
+          CAST(sum(v) AS DOUBLE) / 300.0 AS mean_level
+        FROM s GROUP BY doc_id ORDER BY media_id""")))
 }

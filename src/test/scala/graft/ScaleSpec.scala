@@ -360,7 +360,8 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("q213/q214 codec decodes are pure maps: payloads never shuffle") {
-    for (q <- Seq("q213_jpeg_decode", "q214_mulaw_audio")) {
+    for (q <- Seq("q213_jpeg_decode", "q214_mulaw_audio",
+        "q217_flac_audio")) {
       val plan = graft.queries.Registry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       // encode + decode ride mapPartitions; the only exchange allowed
