@@ -443,5 +443,80 @@ object EvalOps {
         SELECT doc_id, source, s, q,
           (SELECT min(lv.s) FROM lv WHERE lv.cum >= tgt.q) AS s_norm
         FROM tgt ORDER BY doc_id"""))
+  ,
+
+    // Two-sample Kolmogorov–Smirnov drift per source: D = sup over the
+    // value domain of |F_source − F_rest| for the doc-length
+    // distribution — the distribution-free test that flags a source
+    // whose documents stopped looking like the corpus (scraper broke,
+    // boilerplate flooded in, truncation bug). The sup is computed as
+    // an INTEGER cross-multiplied numerator max |cum1·n2 − cum2·n1|
+    // (denominator n1·n2), so the statistic is exact — the only float
+    // is the final mirrored division. Shape: one corpus aggregate to
+    // |source × distinct-length| counts, a dimension-sized grid
+    // (sources × lengths, both bounded domains — lengths are ints,
+    // sources a catalog), two cumulative windows over that grid, one
+    // roll-up. Nothing after the first aggregate scales with corpus
+    // size.
+    Q("q218_ks_drift",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("source"), col("n_chars").as("v"))
+        val counts = docs.groupBy("source", "v")
+          .agg(count(lit(1)).as("c"))
+        val vals = docs.select(col("v")).distinct()
+        val srcs = docs.groupBy("source").agg(count(lit(1)).as("n1"))
+        val tot = srcs.agg(sum(col("n1")).as("n")) // 1-row, broadcast below
+        val grid = srcs.crossJoin(broadcast(vals))
+          .join(counts, Seq("source", "v"), "left")
+          .na.fill(0L, Seq("c"))
+        val allCum = docs.groupBy("v").agg(count(lit(1)).as("ca"))
+        val wS = Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wA = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cumAll = allCum.select(col("v"),
+          sum(col("ca")).over(wA).as("cumall"))
+        grid
+          .withColumn("cum1", sum(col("c")).over(wS))
+          .join(broadcast(cumAll), Seq("v"))
+          .crossJoin(broadcast(tot))
+          .withColumn("cum2", col("cumall") - col("cum1"))
+          .withColumn("n2", col("n") - col("n1"))
+          .withColumn("num",
+            abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .groupBy("source", "n1", "n2")
+          .agg(max(col("num")).as("d_num"))
+          .select(col("source"), col("n1"), col("n2"), col("d_num"),
+            (col("d_num").cast(DoubleType) /
+              (col("n1") * col("n2")).cast(DoubleType)).as("d"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, n_chars AS v FROM documents),
+        counts AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2),
+        vals AS (SELECT DISTINCT v FROM d),
+        srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n1
+          FROM d GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        grid AS (SELECT s.source, s.n1, va.v, coalesce(c.c, 0) AS c
+          FROM srcs s CROSS JOIN vals va
+          LEFT JOIN counts c ON c.source = s.source AND c.v = va.v),
+        cum1 AS (SELECT source, n1, v,
+            sum(c) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+          FROM grid),
+        call AS (SELECT v, sum(cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumall
+          FROM (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+            FROM d GROUP BY 1)),
+        j AS (SELECT c1.source, c1.n1, t.n - c1.n1 AS n2,
+            abs(c1.cum1 * (t.n - c1.n1)
+              - (ca.cumall - c1.cum1) * c1.n1) AS num
+          FROM cum1 c1 JOIN call ca ON c1.v = ca.v, tot t)
+        SELECT source, n1, n2, CAST(max(num) AS BIGINT) AS d_num,
+          CAST(max(num) AS DOUBLE)
+            / CAST(n1 * n2 AS DOUBLE) AS d
+        FROM j GROUP BY 1, 2, 3 ORDER BY source"""))
   )
 }
