@@ -372,6 +372,19 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q218 KS drift: grid joins broadcast, no unkeyed product") {
+    val plan = graft.queries.Registry
+      .queries("q218_ks_drift")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the sources × lengths grid and the 1-row total ride broadcast
+    // joins of dimension-sized inputs; a CartesianProduct would mean
+    // the corpus itself got self-paired
+    assert(!plan.contains("CartesianProduct"),
+      s"KS grid must broadcast, never cartesian:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"expected the corpus-reducing first aggregate:\n$plan")
+  }
+
   test("q215 chunking is a pure map: no hash exchange before the order") {
     val plan = graft.queries.Registry
       .queries("q215_chunk_overlap")(spark, sf)
