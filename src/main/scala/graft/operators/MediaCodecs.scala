@@ -44,25 +44,41 @@ object MediaCodecs {
       bytes(2) == 'a' && bytes(3) == 'C') Some("flac")
     else None
 
+  /** Run a decode thunk, mapping ANY failure to None: a sniffable
+    * magic does not guarantee a decodable payload (progressive JPEG
+    * sniffs as jpeg, LPC-predicted FLAC sniffs as flac, a truncated
+    * BMP sniffs as bmp), and the pipeline contract is "decode what we
+    * can, fall back deterministically for the rest" — one exotic
+    * payload must degrade to the opaque path, not fail a corpus-wide
+    * query. The per-format decoders themselves stay loud (their
+    * `require`s are what the specs exercise); only this sniff-routing
+    * layer absorbs the failure. */
+  private def tryDecode[A](body: => A): Option[A] =
+    try Some(body) catch { case scala.util.control.NonFatal(_) => None }
+
   /** Sniff-and-decode any supported audio container → (format, audio):
     * the audio analog of [[decodeImage]] — WAV (PCM-16 / μ-law / IMA
-    * ADPCM by format tag) and lossless FLAC. */
+    * ADPCM by format tag) and lossless FLAC. Sniffed-but-undecodable
+    * variants (e.g. real-world FLAC with LPC subframes) return None. */
   def decodeAudio(bytes: Array[Byte]): Option[(String, Audio)] =
-    sniff(bytes).collect {
-      case "wav" => ("wav", decodeWav(bytes))
-      case "flac" => ("flac", FlacCodec.decode(bytes))
+    sniff(bytes).flatMap {
+      case "wav" => tryDecode(("wav", decodeWav(bytes)))
+      case "flac" => tryDecode(("flac", FlacCodec.decode(bytes)))
+      case _ => None
     }
 
   /** Sniff-and-decode any supported still-image format → (format, image).
     * The single routing point for image payloads: adding a codec here
     * lights it up in every downstream operator (stats, channel stats,
-    * dHash, near-dup, …). */
+    * dHash, near-dup, …). Sniffed-but-undecodable variants (e.g.
+    * progressive JPEG) return None. */
   def decodeImage(bytes: Array[Byte]): Option[(String, Image)] =
-    sniff(bytes).collect {
-      case "bmp" => ("bmp", decodeBmp(bytes))
-      case "ppm" => ("ppm", decodePpm(bytes))
-      case "png" => ("png", decodePng(bytes))
-      case "jpeg" => ("jpeg", JpegCodec.decode(bytes))
+    sniff(bytes).flatMap {
+      case "bmp" => tryDecode(("bmp", decodeBmp(bytes)))
+      case "ppm" => tryDecode(("ppm", decodePpm(bytes)))
+      case "png" => tryDecode(("png", decodePng(bytes)))
+      case "jpeg" => tryDecode(("jpeg", JpegCodec.decode(bytes)))
+      case _ => None
     }
 
   // ---- little-endian helpers ------------------------------------------
@@ -477,12 +493,19 @@ object MediaCodecs {
       sampleRate: Int): Audio = {
     require(blockAlign > 4 * channels, s"bad blockAlign $blockAlign")
     val perBlock = (blockAlign - 4 * channels) * 2 / channels + 1
-    val nBlocks = dataSize / blockAlign
+    // Real-world IMA WAVs commonly end with a SHORT final block whose
+    // header + whole nibble-groups still carry valid samples — count it
+    // in, clamping its group count to the bytes actually present (a
+    // sub-header remnant, < 4 bytes/channel, cannot carry samples and
+    // is skipped).
+    val nBlocks = dataSize / blockAlign +
+      (if (dataSize % blockAlign >= 4 * channels) 1 else 0)
     val out = new scala.collection.mutable.ArrayBuffer[Short](
       nBlocks * perBlock * channels)
     var b = 0
     while (b < nBlocks) {
       val base = dataOff + b * blockAlign
+      val avail = math.min(blockAlign, dataOff + dataSize - base)
       val states = Array.tabulate(channels) { c =>
         val o = base + c * 4
         val s0 = u16(bytes, o).toShort
@@ -491,7 +514,7 @@ object MediaCodecs {
       }
       // after headers: 4-byte (8-nibble) groups per channel, interleaved
       val dataStart = base + 4 * channels
-      val groups = (blockAlign - 4 * channels) / (4 * channels)
+      val groups = (avail - 4 * channels) / (4 * channels)
       // decode channel-by-channel into per-channel buffers, then
       // interleave (the stream interleaves GROUPS, samples interleave 1:1)
       val chBuf = Array.fill(channels)(
@@ -539,7 +562,10 @@ object MediaCodecs {
     val dataBytes = nBlocks * blockAlign
     val out = new ByteArrayOutputStream(52 + dataBytes)
     out.write("RIFF".getBytes(StandardCharsets.US_ASCII))
-    w32(out, 44 + dataBytes)
+    // file total = 12 (RIFF/WAVE) + 28 ("fmt "+size+20-byte body)
+    // + 8 ("data"+size) + dataBytes; the RIFF field excludes its own
+    // 8-byte header → 40 + dataBytes
+    w32(out, 40 + dataBytes)
     out.write("WAVE".getBytes(StandardCharsets.US_ASCII))
     out.write("fmt ".getBytes(StandardCharsets.US_ASCII))
     w32(out, 20); w16(out, 0x11); w16(out, ch)

@@ -371,7 +371,18 @@ object Multimodal {
           "y -> struct(least(x, y) AS media_a, " +
           "greatest(x, y) AS media_b))))")).as("p"))
       .select(col("p.media_a"), col("p.media_b"), col("hamming"))
-    samePairs.unionByName(crossPairs)
+    // Materialize the pair set eagerly (localCheckpoint — same lineage-
+    // truncation device ConnectedComponents uses) and release `groups`
+    // immediately: the cached branch point sits above the full image
+    // decode + hash pipeline, and leaving it pinned for the session
+    // accumulates executor memory across queries in a long-lived
+    // driver. What stays resident afterwards is only the candidate-
+    // pair table — bounded by Σ bucket², orders of magnitude smaller
+    // than the decode cache — and it is GC-cleaned with the returned
+    // frame.
+    val result = samePairs.unionByName(crossPairs).localCheckpoint()
+    groups.unpersist()
+    result
   }
 
   /** Resize: pure metadata transform (the real op also re-encodes the

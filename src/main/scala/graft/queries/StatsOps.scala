@@ -887,56 +887,71 @@ object StatsOps {
         ORDER BY l_partkey""")),
 
     // Entity resolution — the full MDM composite from verified parts:
-    // q113's blocked fuzzy pairs become edges, ConnectedComponents
-    // (q70's O(log² n) large-star/small-star) groups transitively-
-    // linked name variants into entities, and each entity gets the
-    // minimum-id member as its canonical name. Node ids are the name's
-    // rank in the sorted entity vocabulary — a vocabulary-sized global
-    // window (bounded, like q118's documented prefix-max), computed
-    // identically in both engines so the CC labels are comparable.
-    // Oracle recomputes the clustering with a recursive CTE (fixture
-    // scale); the Spark side is the shape that survives 100 TB.
+    // q113's blocked fuzzy pairs (WITH its block-width cap — a
+    // degenerate blocking key must skip loudly, not grind N²) become
+    // edges, ConnectedComponents (q70's O(log² n) large-star/small-
+    // star) groups transitively-linked name variants into entities.
+    // Node ids are xxhash64(name) — derived map-side with NO global
+    // ordering; a 64-bit collision (≈n²/2⁶⁵) would merely merge two
+    // CC labels, immaterial at any realistic vocabulary size and
+    // absent at fixture scale where the oracle hash proves it. The
+    // canonical name is the lexicographic MIN name per component (a
+    // map-side-combinable aggregate, not an id lookup), so the output
+    // is independent of the id scheme and the oracle can recompute it
+    // over names directly with a recursive CTE. Nothing in this plan
+    // funnels through one reducer: the r9 form ranked the vocabulary
+    // with an unpartitioned row_number window — billions of entity
+    // names through a single sort at corpus scale — now retired.
     Q("q147_entity_resolution",
       (s, dir) => {
+        val cap = 1000
         val names = Tables.load(s, dir, "part")
           .select(col("p_name").as("name")).distinct()
           .withColumn("block", regexp_extract(col("name"), "[a-z]+$", 0))
-        val ids = names.withColumn("nid",
-          row_number().over(Window.orderBy("name")).cast(LongType))
-        val pairs = ids.as("a").join(ids.as("b"),
+          .withColumn("nid", xxhash64(col("name")))
+        val okBlocks = names.groupBy("block")
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+          .select("block")
+        val capped = names.join(broadcast(okBlocks), Seq("block"), "left_semi")
+        val pairs = capped.as("a").join(capped.as("b"),
             col("a.block") === col("b.block") &&
               col("a.name") < col("b.name") &&
               levenshtein(col("a.name"), col("b.name")) <= 3)
           .select(col("a.nid").as("u"), col("b.nid").as("v"))
         val comp = graft.operators.ConnectedComponents
           .components(pairs, "u", "v",
-            nodes = Some(ids.select(col("nid"))))
-        ids.join(comp, col("nid") === col("node"))
-          .select(col("name"), col("component").as("entity_id"))
-          .join(ids.select(col("nid").as("entity_id"),
-            col("name").as("canonical_name")), Seq("entity_id"))
-          .select("name", "entity_id", "canonical_name")
+            nodes = Some(names.select(col("nid"))))
+        val labeled = names.join(comp, col("nid") === col("node"))
+          .select(col("name"), col("component"))
+        val canon = labeled.groupBy("component")
+          .agg(min(col("name")).as("canonical_name"),
+            count(lit(1)).as("entity_size"))
+        labeled.join(canon, Seq("component"))
+          .select("name", "canonical_name", "entity_size")
           .orderBy("name")
       },
       Some("""WITH RECURSIVE names AS (
           SELECT DISTINCT p_name AS name,
             regexp_extract(p_name, '[a-z]+$') AS block FROM part),
-        ids AS (SELECT name, block, CAST(row_number() OVER
-            (ORDER BY name) AS BIGINT) AS nid FROM names),
-        pairs AS (SELECT a.nid AS u, b.nid AS v
-          FROM ids a JOIN ids b ON a.block = b.block AND a.name < b.name
+        ok AS (SELECT block FROM names GROUP BY 1 HAVING count(*) <= 1000),
+        capped AS (SELECT name, block FROM names
+          WHERE block IN (SELECT block FROM ok)),
+        pairs AS (SELECT a.name AS u, b.name AS v
+          FROM capped a JOIN capped b
+          ON a.block = b.block AND a.name < b.name
           WHERE levenshtein(a.name, b.name) <= 3),
         edges AS (SELECT u AS s, v AS d FROM pairs
           UNION ALL SELECT v, u FROM pairs),
         reach(node, lab) AS (
-          SELECT nid, nid FROM ids
+          SELECT name, name FROM names
           UNION
           SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node),
-        comp AS (SELECT node, min(lab) AS c FROM reach GROUP BY 1)
-        SELECT i.name, c.c AS entity_id, ci.name AS canonical_name
-        FROM ids i JOIN comp c ON i.nid = c.node
-          JOIN ids ci ON ci.nid = c.c
-        ORDER BY i.name""")),
+        comp AS (SELECT node, min(lab) AS canon FROM reach GROUP BY 1),
+        sizes AS (SELECT canon, count(*) AS entity_size
+          FROM comp GROUP BY 1)
+        SELECT c.node AS name, c.canon AS canonical_name, s.entity_size
+        FROM comp c JOIN sizes s ON s.canon = c.canon
+        ORDER BY name""")),
 
     // CUSUM change-point detection per series — the meter-drift alarm:
     // cumulative sum of deviations from the series' own mean, alarm

@@ -122,7 +122,10 @@ object AdaptiveRead {
               .filter(_.getPath.toDotString == colName)
               .foreach { cc =>
                 val st = cc.getStatistics
-                if (st != null && !st.isEmpty) {
+                // hasNonNullValue: an all-null chunk's stats object is
+                // non-empty (it records numNulls) but its min/max are
+                // uninitialized garbage — never classify from those
+                if (st != null && !st.isEmpty && st.hasNonNullValue) {
                   Seq(st.genericGetMin, st.genericGetMax).foreach {
                     case l: java.lang.Long =>
                       val m = math.abs(l.longValue())
@@ -135,7 +138,17 @@ object AdaptiveRead {
         }
       } finally reader.close()
     }
-    annotated.orElse(maxMagnitude.map(classifyMagnitude)).getOrElse(Micros)
+    // No annotation AND no usable int64 statistics (stats disabled,
+    // all-null column, or every representative file outside the sample
+    // cap): refuse loudly. Guessing a unit here risks a silent 6+
+    // order-of-magnitude misconversion — the exact class of quiet
+    // corruption the loud-failure contract (Verify._errors.json)
+    // exists to prevent.
+    annotated.orElse(maxMagnitude.map(classifyMagnitude)).getOrElse(
+      throw new IllegalStateException(
+        s"$path:$colName is int64 with no timestamp annotation and no " +
+          "usable row-group statistics in the sampled footers — cannot " +
+          "classify its epoch unit; refusing to guess"))
   }
 
   private[graft] def classifyMagnitude(v: Long): EpochUnit = {

@@ -45,6 +45,20 @@ class AdaptiveReadSpec extends SparkSpec {
     assert(AdaptiveRead.classifyMagnitude(0L) == AdaptiveRead.Seconds)
   }
 
+  test("unclassifiable raw-long column fails loudly, never guesses") {
+    // an all-null int64 column carries neither a timestamp annotation
+    // nor usable min/max statistics — guessing micros here could be a
+    // silent 6-order-of-magnitude misconversion, so the loader must
+    // refuse (the AdaptiveRead analog of Verify's loud-failure rule)
+    val p = s"$tmp/ev_allnull.parquet"
+    Seq[Option[Long]](None, None, None).toDF("ts")
+      .write.mode("overwrite").parquet(p)
+    val e = intercept[IllegalStateException](
+      AdaptiveRead.readTable(spark, p, Seq("ts")))
+    assert(e.getMessage.contains("cannot classify"),
+      s"unexpected message: ${e.getMessage}")
+  }
+
   test("micros-long layout normalizes exactly") {
     val p = writeLong("ev_micros", micros)
     assert(readNormalizedMicros(p) == expectMicros.sorted)

@@ -91,4 +91,52 @@ class AudioCodecSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](MediaCodecs.decodeWav(wav))
     assert(e.getMessage.contains("format tag"))
   }
+
+  test("IMA ADPCM RIFF chunk size field equals file length minus 8") {
+    // strict external RIFF parsers validate this; previously overstated
+    // by 4 (44 + dataBytes instead of 40 + dataBytes)
+    val samples = Array.tabulate[Short](505)(i =>
+      (math.sin(i * 0.02) * 8000).toShort)
+    val wav = MediaCodecs.encodeImaAdpcmWav(Audio(8000, 1, samples))
+    val riffSize = (wav(4) & 0xff) | ((wav(5) & 0xff) << 8) |
+      ((wav(6) & 0xff) << 16) | ((wav(7) & 0xff) << 24)
+    assert(riffSize == wav.length - 8,
+      s"RIFF size $riffSize vs file ${wav.length}")
+    // mu-law encoder already had the invariant — keep it pinned too
+    val mw = MediaCodecs.encodeMulawWav(Audio(8000, 1, samples.take(500)))
+    val mSize = (mw(4) & 0xff) | ((mw(5) & 0xff) << 8) |
+      ((mw(6) & 0xff) << 16) | ((mw(7) & 0xff) << 24)
+    assert(mSize == mw.length - 8)
+  }
+
+  test("IMA ADPCM trailing partial block decodes its whole groups") {
+    // Build two full blocks, then truncate the data chunk mid-final-
+    // block at a whole-group boundary: header (4 B) + 3 groups (12 B).
+    // Real-world IMA WAVs end short like this; the decoder must keep
+    // the partial block's header sample + 3 groups × 8 nibbles.
+    val n = 1010 // blockAlign 256 mono -> 505 samples/block, 2 blocks
+    val samples = Array.tabulate[Short](n)(i =>
+      (math.sin(i * 0.02) * 8000).toShort)
+    val wav = MediaCodecs.encodeImaAdpcmWav(Audio(8000, 1, samples))
+    val keepOfBlock2 = 4 + 3 * 4 // header + 3 whole 4-byte groups
+    val cut = wav.length - 256 + keepOfBlock2
+    val short = java.util.Arrays.copyOf(wav, cut)
+    // patch RIFF + data sizes for the truncated file
+    def w32(off: Int, v: Int): Unit = {
+      short(off) = (v & 0xff).toByte
+      short(off + 1) = ((v >> 8) & 0xff).toByte
+      short(off + 2) = ((v >> 16) & 0xff).toByte
+      short(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    w32(4, cut - 8)
+    // layout: RIFF hdr 12 + "fmt "+size 8 + fmt body 20 = 40, so the
+    // "data" tag sits at 40 and its size field at 44 (payload at 48)
+    w32(44, 256 + keepOfBlock2)
+    val dec = MediaCodecs.decodeWav(short)
+    assert(dec.samples.length == 505 + 1 + 3 * 8,
+      s"expected full block + partial block samples, got ${dec.samples.length}")
+    // the decoded prefix must match the full decode exactly
+    val full = MediaCodecs.decodeWav(wav)
+    assert(dec.samples.sameElements(full.samples.take(dec.samples.length)))
+  }
 }

@@ -197,6 +197,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sniffed-but-undecodable payloads fall back to opaque, not throw") {
+    import spark.implicits._
+    // progressive JPEG: valid FF D8 FF sniff prefix, SOF2 marker the
+    // baseline decoder rejects; truncated BMP: valid 'BM' magic, no
+    // header; FLAC magic with garbage stream. Each must route to the
+    // deterministic opaque path — one exotic payload in a 100 TB
+    // corpus must degrade, not fail the whole query.
+    val progJpeg = Array[Int](0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b, 0x08,
+      0x00, 0x08, 0x00, 0x08, 0x01, 0x01, 0x11, 0x00).map(_.toByte)
+    val shortBmp = Array[Byte]('B', 'M', 1, 2, 3)
+    val badFlac = Array[Byte]('f', 'L', 'a', 'C', 0x7f, 0x7f, 0x7f)
+    assert(MediaCodecs.decodeImage(progJpeg).isEmpty)
+    assert(MediaCodecs.decodeImage(shortBmp).isEmpty)
+    assert(MediaCodecs.decodeAudio(badFlac).isEmpty)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", progJpeg, 8, 8),
+      Multimodal.MediaRow(2L, "image", shortBmp, 0, 0),
+      Multimodal.MediaRow(3L, "audio", badFlac, 0, 0)).toDS()
+    val stats = Multimodal.decodeStats(media).collect()
+    assert(stats.length == 3 && stats.forall(_.format == "opaque"))
+    // the skip-style operators drop them instead of failing
+    assert(Multimodal.channelStats(media).collect().isEmpty)
+    assert(Multimodal.dHash(media).collect().isEmpty)
+  }
+
   test("audioFrameFeatures: partial final frame, strict crossings") {
     import spark.implicits._
     // 10 samples at frame size 4 -> frames of 4, 4, 2; the

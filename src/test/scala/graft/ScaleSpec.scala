@@ -151,6 +151,22 @@ class ScaleSpec extends SparkSpec {
       s"no hash-based join found:\n$plan")
   }
 
+  test("q147 entity resolution has no global window and no cartesian") {
+    // r9 ranked the entity vocabulary with an unpartitioned row_number
+    // window — a single-reducer sort over every entity name at corpus
+    // scale. The hash-id form must plan with NO Window at all (node
+    // ids are map-side xxhash64, canonical names a min() aggregate)
+    // and, like q113, keep the fuzzy pairing on the block equi-join.
+    val plan = graft.queries.Registry
+      .queries("q147_entity_resolution")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"entity resolution must not rank the vocabulary globally:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"blocking key not used as the join key:\n$plan")
+  }
+
   test("levenshtein bound rule injects the length prefilter") {
     val plan = graft.queries.Registry
       .queries("q113_fuzzy_block_join")(spark, sf)
