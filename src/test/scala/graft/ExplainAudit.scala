@@ -24,7 +24,8 @@ object ExplainAudit {
       "q133_nearest_station", "q134_idw_interpolation",
       "q135_linear_trend", "q136_grid_density", "q137_iceberg",
       "q138_scd2_lookup", "q143_bpe_merges", "q145_binned_quantiles",
-      "q146_collocations", "q173_load_duration", "q174_dup_spans",
+      "q146_collocations", "q147_entity_resolution",
+      "q173_load_duration", "q174_dup_spans",
       "q175_power_curve", "q176_day_type_profile", "q177_ohlc_resample",
       "q178_linear_quality_score", "q179_int8_quantize",
       "q180_strip_dup_spans", "q182_slp_imputation",
@@ -37,7 +38,12 @@ object ExplainAudit {
       "q201_priority_sample", "q202_token_mass_median",
       "q203_lsh_recall", "q204_compaction_plan",
       "q205_score_calibration", "q206_auc", "q207_score_percentile",
-      "q208_label_propagation", "q209_seasonal_naive_error")
+      "q208_label_propagation", "q209_seasonal_naive_error",
+      "q197_capacity_factor", "q198_freshness", "q199_seasonality_index",
+      "q200_corpus_pipeline_v2", "q210_stream_priority_sample",
+      "q211_source_lang_lift", "q212_quantile_normalize",
+      "q213_jpeg_decode", "q214_mulaw_audio", "q215_chunk_overlap",
+      "q216_temperature_mix", "q217_flac_audio", "q218_ks_drift")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
