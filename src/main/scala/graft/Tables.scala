@@ -50,11 +50,30 @@ object Tables {
     "orders" -> Seq("o_totalprice"),
     "lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  /** Text columns contracted to `string` — a regen shipping them as
+    * un-annotated binary would fail every regex/tokenize/shingle
+    * expression at analysis time (the LLM-pipeline half of the
+    * registry). Bytes are UTF-8 either way; the cast is lossless. */
+  private val stringContract: Map[String, Seq[String]] = Map(
+    "documents" -> Seq("text", "lang", "source"))
+
+  /** Vector columns contracted to `array<float>` — the type the native
+    * similarity kernels and `Array[Float]` encoders require; a
+    * float64-shipping regen would otherwise kill every ANN/near-dup
+    * query at analysis time. Integer widths are deliberately NOT
+    * contracted: Spark's arithmetic promotes them transparently, and
+    * pinning a width would desynchronize output dtypes from the
+    * oracle's native read of the same file. */
+  private val floatArrayContract: Map[String, Seq[String]] = Map(
+    "embeddings" -> Seq("embedding"))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     AdaptiveRead.readTable(spark, s"$dir/$name.parquet",
       timestampContract.getOrElse(name, Nil),
       ntzContract.getOrElse(name, Nil),
-      doubleContract.getOrElse(name, Nil))
+      doubleContract.getOrElse(name, Nil),
+      stringContract.getOrElse(name, Nil),
+      floatArrayContract.getOrElse(name, Nil))
 
   /** Incremental read of `events` with the time bound applied in the
     * column's PHYSICAL layout, so it reaches the parquet scan.

@@ -220,6 +220,40 @@ object AdaptiveRead {
         s"$colName arrived as $other — not a recognized numeric layout")
     }
 
+  /** Normalize one contract text column to `StringType`. A producer
+    * writing text as un-annotated BYTE_ARRAY (no UTF8 logical type —
+    * pandas does this for `bytes` columns, and some Arrow writers for
+    * large_string round-trips) arrives as `BinaryType`, on which every
+    * regex/split/length expression fails at ANALYSIS time — the same
+    * whole-table outage class as round 8, but on the LLM-pipeline half
+    * of the registry. The bytes are the same UTF-8 either way; only
+    * the logical label drifts, so the cast is lossless. */
+  def normalizeString(df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
+      case StringType => df
+      case BinaryType =>
+        df.withColumn(colName, col(colName).cast(StringType))
+      case other => throw new IllegalStateException(
+        s"$colName arrived as $other — not a recognized text layout")
+    }
+
+  /** Normalize one contract vector column to `array<float>` — the type
+    * the native kernels (cosine/dot/top-k) and `Array[Float]` encoders
+    * are written against. Embedding producers drift between float32
+    * (the storage norm) and float64 (a numpy default leaking through);
+    * a double-shipping regen would otherwise kill every similarity
+    * query at analysis time. Int arrays (quantized exports) widen
+    * losslessly; doubles narrow to the contract's float32 precision —
+    * the documented resolution of the column, not a silent change. */
+  def normalizeFloatArray(df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(DoubleType | IntegerType | LongType | ShortType, _) =>
+        df.withColumn(colName, col(colName).cast(ArrayType(FloatType)))
+      case other => throw new IllegalStateException(
+        s"$colName arrived as $other — not a recognized vector layout")
+    }
+
   /** Read a parquet table and normalize the listed contract-timestamp
     * columns (`timestampCols` → instant `TimestampType`, `ntzCols` →
     * naive `TimestampNTZType`). Tolerates TIMESTAMP(NANOS) files by
@@ -227,7 +261,8 @@ object AdaptiveRead {
     * Spark's vectorized reader rejects NANOS natively. */
   def readTable(spark: SparkSession, path: String,
       timestampCols: Seq[String], ntzCols: Seq[String] = Nil,
-      doubleCols: Seq[String] = Nil): DataFrame = {
+      doubleCols: Seq[String] = Nil, stringCols: Seq[String] = Nil,
+      floatArrayCols: Seq[String] = Nil): DataFrame = {
     if (timestampCols.nonEmpty || ntzCols.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path)
@@ -235,6 +270,8 @@ object AdaptiveRead {
       (d, c) => normalizeTimestamp(spark, path, d, c))
     val ntz = ntzCols.foldLeft(instant)(
       (d, c) => normalizeTimestampNtz(spark, path, d, c))
-    doubleCols.foldLeft(ntz)((d, c) => normalizeDouble(d, c))
+    val dbl = doubleCols.foldLeft(ntz)((d, c) => normalizeDouble(d, c))
+    val str = stringCols.foldLeft(dbl)((d, c) => normalizeString(d, c))
+    floatArrayCols.foldLeft(str)((d, c) => normalizeFloatArray(d, c))
   }
 }

@@ -45,6 +45,68 @@ class AdaptiveReadSpec extends SparkSpec {
     assert(AdaptiveRead.classifyMagnitude(0L) == AdaptiveRead.Seconds)
   }
 
+  test("binary-encoded text columns normalize to string (documents drift)") {
+    // a regen writing text as un-annotated BYTE_ARRAY arrives as
+    // BinaryType, on which regex/split/shingle expressions fail at
+    // analysis time — the round-8 outage class on the LLM-pipeline
+    // tables. Same UTF-8 bytes must come back as the same strings.
+    val p = s"$tmp/docs_binary.parquet"
+    Seq(("the quick brown fox", "en"), ("der schnelle braune Fuchs", "de"))
+      .toDF("text", "lang")
+      .select(col("text").cast(BinaryType).as("text"), col("lang"))
+      .write.mode("overwrite").parquet(p)
+    assert(spark.read.parquet(p).schema("text").dataType == BinaryType)
+    val df = AdaptiveRead.readTable(spark, p, Nil,
+      stringCols = Seq("text", "lang"))
+    assert(df.schema("text").dataType == StringType)
+    assert(df.schema("lang").dataType == StringType)
+    val got = df.select("text").as[String].collect().sorted
+    assert(got.toSeq ==
+      Seq("der schnelle braune Fuchs", "the quick brown fox"))
+    // an actually-unreadable layout still fails loudly
+    val pBad = s"$tmp/docs_badtext.parquet"
+    Seq(1L, 2L).toDF("text").write.mode("overwrite").parquet(pBad)
+    intercept[IllegalStateException](
+      AdaptiveRead.readTable(spark, pBad, Nil, stringCols = Seq("text")))
+  }
+
+  test("float64/int vector columns normalize to array<float> (embeddings drift)") {
+    // numpy float64 leaking into the embedding export must narrow to
+    // the contract's float32 — not fail the typed cosine/top-k kernels
+    // at analysis time; int arrays (quantized exports) widen lossless
+    val vals = Seq(Seq(0.25, -1.5, 3.0), Seq(1.0, 2.0, -0.125))
+    val pD = s"$tmp/emb_double.parquet"
+    vals.toDF("embedding").write.mode("overwrite").parquet(pD)
+    val d = AdaptiveRead.readTable(spark, pD, Nil,
+      floatArrayCols = Seq("embedding"))
+    assert(d.schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true))
+    assert(d.select("embedding").as[Seq[Float]].collect().toSet ==
+      vals.map(_.map(_.toFloat)).toSet)
+    val pI = s"$tmp/emb_int.parquet"
+    Seq(Seq(1, -2, 3)).toDF("embedding")
+      .write.mode("overwrite").parquet(pI)
+    val i = AdaptiveRead.readTable(spark, pI, Nil,
+      floatArrayCols = Seq("embedding"))
+    assert(i.schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true))
+    assert(i.select("embedding").as[Seq[Float]].collect().head ==
+      Seq(1f, -2f, 3f))
+    // a float32 file passes through untouched (current corpus layout)
+    val pF = s"$tmp/emb_float.parquet"
+    Seq(Seq(1.5f, 2.5f)).toDF("embedding")
+      .write.mode("overwrite").parquet(pF)
+    val f = AdaptiveRead.readTable(spark, pF, Nil,
+      floatArrayCols = Seq("embedding"))
+    assert(f.select("embedding").as[Seq[Float]].collect().head ==
+      Seq(1.5f, 2.5f))
+    // scalar (non-array) layout fails loudly
+    val pBad = s"$tmp/emb_scalar.parquet"
+    Seq(1.0).toDF("embedding").write.mode("overwrite").parquet(pBad)
+    intercept[IllegalStateException](AdaptiveRead.readTable(
+      spark, pBad, Nil, floatArrayCols = Seq("embedding")))
+  }
+
   test("unclassifiable raw-long column fails loudly, never guesses") {
     // an all-null int64 column carries neither a timestamp annotation
     // nor usable min/max statistics — guessing micros here could be a
