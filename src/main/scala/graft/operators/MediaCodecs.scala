@@ -13,9 +13,11 @@ import java.nio.charset.StandardCharsets
   *  - WAV: RIFF/WAVE PCM 16-bit, chunk-walking parser (unknown chunks
   *    like LIST are skipped, as the spec requires).
   *
-  * JPEG (baseline DCT) is REAL too, in [[JpegCodec]]. Formats the
-  * container genuinely cannot decode (MP3/H.264 …) remain stubbed in
-  * [[Multimodal]]; [[sniff]] routes payloads so the pipeline decodes
+  * JPEG (baseline DCT) is REAL too, in [[JpegCodec]], as are FLAC
+  * ([[FlacCodec]]) and MPEG-1 Layer III audio ([[Mp3Codec]] — real
+  * frame/side-info/Huffman bitstream, documented repo-canonical
+  * tables). The one remaining stub family is video (H.264 …), routed
+  * by [[sniff]] to the deterministic fallback; the pipeline decodes
   * what it can and falls back deterministically for the rest. All
   * functions are executor-side pure byte transforms.
   */
@@ -42,6 +44,10 @@ object MediaCodecs {
       bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') Some("wav")
     else if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
       bytes(2) == 'a' && bytes(3) == 'C') Some("flac")
+    // MPEG-1 Layer III frame sync: FF FA (CRC) / FF FB (no CRC) —
+    // checked after JPEG, whose FF D8 FF prefix cannot collide
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xfe) == 0xfa) Some("mp3")
     else None
 
   /** Run a decode thunk, mapping ANY failure to None: a sniffable
@@ -64,6 +70,7 @@ object MediaCodecs {
     sniff(bytes).flatMap {
       case "wav" => tryDecode(("wav", decodeWav(bytes)))
       case "flac" => tryDecode(("flac", FlacCodec.decode(bytes)))
+      case "mp3" => tryDecode(("mp3", Mp3Codec.decode(bytes)))
       case _ => None
     }
 

@@ -1,0 +1,635 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+/** Pure-JVM MPEG-1 Layer III (MP3) mono frame codec — retires the last
+  * lossy-audio stub: payloads are genuine bit-packed Layer III frames,
+  * and decode is a real bitstream parse, not a byte-statistic fake.
+  *
+  * REAL, bit-exact to the public ISO 11172-3 layout:
+  *  - frame header: 11-bit sync, version/layer/protection, the
+  *    published MPEG-1 Layer III bitrate table (32..320 kbps) and
+  *    sample-rate table (44.1/48/32 kHz), padding, mode; frame size =
+  *    144·bitrate/samplerate (+padding), validated on decode
+  *  - side info (mono, 17 bytes): main_data_begin(9), private(5),
+  *    scfsi(4), and per granule part2_3_length(12), big_values(9),
+  *    global_gain(8), scalefac_compress(4), window_switching(1),
+  *    table_select(3×5), region0_count(4), region1_count(3),
+  *    preflag(1), scalefac_scale(1), count1table_select(1) — every
+  *    field parsed at its spec width, and part2_3_length is
+  *    load-bearing: decode REQUIRES the consumed bit count to match it
+  *  - scalefactor slen table (scalefac_compress → slen1/slen2) per the
+  *    published 16-entry table
+  *  - spectral layout: big_values magnitude pairs with per-value sign
+  *    bits and a 13-bit linbits escape, a count1 region of ±1
+  *    quadruples, and an implicit rzero tail — Layer III's three-zone
+  *    structure exactly
+  *  - requantization: x = sign(q)·|q|^(4/3)·2^((global_gain−210)/4) —
+  *    the actual Layer III power-law, which is where the lossiness
+  *    lives
+  *
+  * DOCUMENTED deviations (repo-canonical, deterministic — streams are
+  * Layer III-STRUCTURED but not interop-certified):
+  *  - Huffman code tables: ISO's 34 fixed tables are replaced by two
+  *    canonical Huffman codes built at class load from explicit weight
+  *    functions (big-value pairs over (0..15)², count1 quadruples over
+  *    {0,1}⁴), assigned canonically by (length, symbol). table_select
+  *    still routes regions for real: id 0 = the zero table, id 15 =
+  *    pairs without escape, id 24 = pairs with the 13-bit escape;
+  *    count1table_select 1 selects literal 4-bit quadruples (the shape
+  *    of ISO's table B), 0 the canonical code.
+  *  - region0/region1 counts partition big_values in PAIR units rather
+  *    than scalefactor-band units (the per-samplerate sfb boundary
+  *    tables are the one ISO table omitted); the fields are written
+  *    and honored at their real widths.
+  *  - the hybrid filterbank (512-tap polyphase + 36-point overlapped
+  *    MDCT) is replaced by two orthonormal block DCTs (32-point
+  *    subband split × 18-point temporal transform), so granules decode
+  *    independently with no inter-frame state; synthesis is the exact
+  *    transpose. Perfect reconstruction up to the quantizer.
+  *
+  * Reference scope note: the reference engine stores no media at all
+  * (SURVEY §2.12) — this codec exists for the brief's multimodal
+  * training-data extension, like JpegCodec/FlacCodec before it.
+  */
+object Mp3Codec {
+
+  import MediaCodecs.Audio
+
+  // ---- bit I/O (MSB first) --------------------------------------------
+
+  private final class BitReader(data: Array[Byte], startByte: Int) {
+    var pos: Int = startByte
+    private var bit = 0
+    var consumed: Long = 0L // bits read since last resetCount()
+
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        require(pos < data.length, "mp3: truncated bitstream")
+        v = (v << 1) | ((data(pos) >> (7 - bit)) & 1)
+        bit += 1
+        if (bit == 8) { bit = 0; pos += 1 }
+        i += 1
+      }
+      consumed += n
+      v
+    }
+    def resetCount(): Unit = consumed = 0L
+  }
+
+  private final class BitWriter {
+    val out = new ByteArrayOutputStream()
+    private var cur = 0
+    private var n = 0
+    var written: Long = 0L
+    def write(v: Long, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1L).toInt
+        n += 1
+        if (n == 8) { out.write(cur); cur = 0; n = 0 }
+        i -= 1
+      }
+      written += bits
+    }
+    def toBytes: Array[Byte] = { if (n > 0) write(0, 8 - n); out.toByteArray }
+  }
+
+  // ---- published header tables ---------------------------------------
+
+  /** MPEG-1 Layer III bitrates (kbps) by bitrate_index 1..14. */
+  private[graft] val BitrateTable: Array[Int] = Array(
+    -1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample rates by sampling_frequency index 0..2. */
+  private[graft] val SampleRateTable: Array[Int] = Array(44100, 48000, 32000)
+
+  /** scalefac_compress → (slen1, slen2), the published 16-entry table. */
+  private[graft] val SlenTable: Array[(Int, Int)] = Array(
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3))
+
+  private val GranuleSize = 576
+  private val FrameSamples = 1152
+  private val SubbandCount = 32
+  private val SubbandLen = 18
+  private val Linbits = 13
+  private val EscapeMag = 15
+  private val MaxMag = EscapeMag + (1 << Linbits) - 1 // 8206
+
+  // ---- canonical Huffman construction ---------------------------------
+
+  /** Canonical Huffman code from symbol weights: lengths from a
+    * deterministic Huffman tree (ties broken by smallest contained
+    * symbol), codes assigned canonically by (length, symbol). */
+  private final class Canonical(weights: Array[Long]) {
+    val n: Int = weights.length
+    val lens: Array[Int] = {
+      // (weight, minSymbol, symbols) nodes; merge two smallest
+      var nodes = weights.zipWithIndex
+        .map { case (w, i) => (w, i, List(i)) }.toList
+      val depth = Array.fill(n)(0)
+      while (nodes.length > 1) {
+        val sorted = nodes.sortBy(t => (t._1, t._2))
+        val a :: b :: rest = sorted: @unchecked
+        (a._3 ++ b._3).foreach(s => depth(s) += 1)
+        nodes = (a._1 + b._1, math.min(a._2, b._2), a._3 ++ b._3) :: rest
+      }
+      if (n == 1) depth(0) = 1
+      depth
+    }
+    val maxLen: Int = lens.max
+    // codes are Long: a steep weight distribution can push canonical
+    // lengths past 31 bits; 62 is the hard bound for Long-safe codes
+    require(maxLen <= 62, s"canonical huffman length $maxLen too deep")
+    val codes: Array[Long] = {
+      val order = (0 until n).sortBy(s => (lens(s), s))
+      val c = new Array[Long](n)
+      var code = 0L
+      var prevLen = 0
+      order.foreach { s =>
+        code <<= (lens(s) - prevLen)
+        c(s) = code
+        code += 1
+        prevLen = lens(s)
+      }
+      c
+    }
+    // decode acceleration: canonical codes of one length are
+    // consecutive, so a (length → symbols-in-code-order) index gives
+    // O(1) membership per candidate length
+    private val byLen: Array[Array[Int]] = {
+      val groups = (0 until n).sortBy(s => (lens(s), s))
+        .groupBy(lens).view.mapValues(_.toArray).toMap
+      (0 to maxLen).map(l => groups.getOrElse(l, Array.empty[Int])).toArray
+    }
+    def decode(br: BitReader): Int = {
+      var code = 0L
+      var len = 0
+      while (len < maxLen) {
+        code = (code << 1) | br.bits(1)
+        len += 1
+        val g = byLen(len)
+        if (g.nonEmpty) {
+          val first = codes(g(0))
+          if (code >= first && code - first < g.length)
+            return g((code - first).toInt)
+        }
+      }
+      throw new IllegalArgumentException("mp3: invalid huffman code")
+    }
+  }
+
+  /** Big-value pair table: symbols (x,y) ∈ (0..15)², weight decays with
+    * magnitude sum (small spectral values dominate real audio). */
+  private val PairTable = new Canonical(
+    Array.tabulate(256) { s =>
+      val x = s >> 4; val y = s & 15
+      math.max(1L, 1L << math.max(0, 30 - 2 * (x + y)))
+    })
+
+  /** count1 quadruple table: symbols (v,w,x,y) ∈ {0,1}⁴, weight decays
+    * with population count. */
+  private val QuadTable = new Canonical(
+    Array.tabulate(16) { s =>
+      val pc = Integer.bitCount(s)
+      math.max(1L, 1L << (8 - 2 * pc))
+    })
+
+  /** Exhaustive canonical-table roundtrip (spec hook): every pair and
+    * quadruple symbol encodes and decodes back to itself. */
+  private[graft] def huffmanSelfTest(): Unit = {
+    val bw = new BitWriter
+    (0 until 256).foreach(s => bw.write(PairTable.codes(s), PairTable.lens(s)))
+    (0 until 16).foreach(s => bw.write(QuadTable.codes(s), QuadTable.lens(s)))
+    val br = new BitReader(bw.toBytes, 0)
+    (0 until 256).foreach { s =>
+      val got = PairTable.decode(br)
+      require(got == s, s"pair symbol $s decoded as $got")
+    }
+    (0 until 16).foreach { s =>
+      val got = QuadTable.decode(br)
+      require(got == s, s"quad symbol $s decoded as $got")
+    }
+  }
+
+  // ---- orthonormal DCT (type II) and its inverse ----------------------
+
+  private def dctMatrix(n: Int): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](n, n)
+    var k = 0
+    while (k < n) {
+      val a = if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      var i = 0
+      while (i < n) {
+        m(k)(i) = a * math.cos(math.Pi * (2 * i + 1) * k / (2.0 * n))
+        i += 1
+      }
+      k += 1
+    }
+    m
+  }
+  private val Dct32 = dctMatrix(SubbandCount)
+  private val Dct18 = dctMatrix(SubbandLen)
+
+  /** 576 PCM → 576 spectral: 18 consecutive 32-blocks through the
+    * subband DCT, then each subband's 18 time samples through the
+    * temporal DCT. Spectral index = subband·18 + k. */
+  private def analyze(x: Array[Double]): Array[Double] = {
+    val sub = Array.ofDim[Double](SubbandCount, SubbandLen)
+    var t = 0
+    while (t < SubbandLen) {
+      var k = 0
+      while (k < SubbandCount) {
+        var acc = 0.0
+        var i = 0
+        while (i < SubbandCount) {
+          acc += Dct32(k)(i) * x(t * SubbandCount + i); i += 1
+        }
+        sub(k)(t) = acc
+        k += 1
+      }
+      t += 1
+    }
+    val out = new Array[Double](GranuleSize)
+    var sb = 0
+    while (sb < SubbandCount) {
+      var k = 0
+      while (k < SubbandLen) {
+        var acc = 0.0
+        var i = 0
+        while (i < SubbandLen) { acc += Dct18(k)(i) * sub(sb)(i); i += 1 }
+        out(sb * SubbandLen + k) = acc
+        k += 1
+      }
+      sb += 1
+    }
+    out
+  }
+
+  /** Exact inverse of [[analyze]] (transposes of the orthonormal DCTs). */
+  private def synthesize(spec: Array[Double]): Array[Double] = {
+    val sub = Array.ofDim[Double](SubbandCount, SubbandLen)
+    var sb = 0
+    while (sb < SubbandCount) {
+      var i = 0
+      while (i < SubbandLen) {
+        var acc = 0.0
+        var k = 0
+        while (k < SubbandLen) {
+          acc += Dct18(k)(i) * spec(sb * SubbandLen + k); k += 1
+        }
+        sub(sb)(i) = acc
+        i += 1
+      }
+      sb += 1
+    }
+    val out = new Array[Double](GranuleSize)
+    var t = 0
+    while (t < SubbandLen) {
+      var i = 0
+      while (i < SubbandCount) {
+        var acc = 0.0
+        var k = 0
+        while (k < SubbandCount) { acc += Dct32(k)(i) * sub(k)(t); k += 1 }
+        out(t * SubbandCount + i) = acc
+        i += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  // ---- quantization (the Layer III power law) -------------------------
+
+  private def stepFor(globalGain: Int): Double =
+    math.pow(2.0, (globalGain - 210) / 4.0)
+
+  /** Smallest global_gain whose step keeps every |q| ≤ MaxMag. */
+  private def chooseGain(maxAbs: Double): Int = {
+    if (maxAbs == 0.0) return 210
+    var gg = 0
+    while (gg < 255 &&
+      math.pow(maxAbs / stepFor(gg), 0.75) > MaxMag - 1) gg += 1
+    gg
+  }
+
+  private def quantize(x: Double, step: Double): Int = {
+    val q = math.round(math.pow(math.abs(x) / step, 0.75)).toInt
+    if (x < 0) -math.min(q, MaxMag) else math.min(q, MaxMag)
+  }
+
+  private def dequantize(q: Int, step: Double): Double = {
+    val m = math.pow(math.abs(q).toDouble, 4.0 / 3.0) * step
+    if (q < 0) -m else m
+  }
+
+  // ---- granule bitstream ----------------------------------------------
+
+  private final case class GranuleInfo(
+      part23Length: Int, bigValues: Int, globalGain: Int,
+      scalefacCompress: Int, tableSelect: Array[Int],
+      region0Count: Int, region1Count: Int, count1Table: Int)
+
+  /** Encode one granule's quantized spectrum; returns (info, bits). */
+  private def encodeGranule(q: Array[Int], gain: Int): (GranuleInfo, BitWriter) = {
+    // zone boundaries: last nonzero, then last value outside ±1
+    var lastNz = GranuleSize - 1
+    while (lastNz >= 0 && q(lastNz) == 0) lastNz -= 1
+    var lastBig = lastNz
+    while (lastBig >= 0 && math.abs(q(lastBig)) <= 1) lastBig -= 1
+    // big_values region is pair-aligned; count1 quadruple-aligned
+    val bigEnd = ((lastBig + 2) / 2) * 2 // exclusive, even
+    val count1End =
+      math.min(GranuleSize, bigEnd + ((lastNz + 1 - bigEnd + 3) / 4) * 4)
+    val bigValues = bigEnd / 2
+    val needEscape = q.exists(v => math.abs(v) > EscapeMag)
+    val tableId = if (bigValues == 0) 0 else if (needEscape) 24 else 15
+    val bw = new BitWriter
+    // big-value pairs: magnitude symbol, linbits escape, sign bits
+    var i = 0
+    while (i < bigEnd) {
+      val xv = q(i); val yv = q(i + 1)
+      val xm = math.min(math.abs(xv), EscapeMag)
+      val ym = math.min(math.abs(yv), EscapeMag)
+      val sym = (xm << 4) | ym
+      bw.write(PairTable.codes(sym), PairTable.lens(sym))
+      if (tableId == 24 && xm == EscapeMag)
+        bw.write(math.abs(xv) - EscapeMag, Linbits)
+      if (xv != 0) bw.write(if (xv < 0) 1 else 0, 1)
+      if (tableId == 24 && ym == EscapeMag)
+        bw.write(math.abs(yv) - EscapeMag, Linbits)
+      if (yv != 0) bw.write(if (yv < 0) 1 else 0, 1)
+      i += 2
+    }
+    // count1 quadruples (canonical table, select bit 0)
+    i = bigEnd
+    while (i < count1End) {
+      var sym = 0
+      var j = 0
+      while (j < 4) {
+        if (i + j < GranuleSize && q(i + j) != 0) sym |= 1 << (3 - j)
+        j += 1
+      }
+      bw.write(QuadTable.codes(sym), QuadTable.lens(sym))
+      j = 0
+      while (j < 4) {
+        if (i + j < GranuleSize && q(i + j) != 0)
+          bw.write(if (q(i + j) < 0) 1 else 0, 1)
+        j += 1
+      }
+      i += 4
+    }
+    // region partition in pair units (documented deviation): spread
+    // big_values across the three regions so all three table_select
+    // fields are genuinely exercised on decode
+    val r0 = if (bigValues == 0) 0 else math.min(15, (bigValues - 1) / 3)
+    val n0 = math.min(bigValues, r0 + 1)
+    val r1 = if (bigValues - n0 <= 0) 0
+      else math.min(7, (bigValues - n0 - 1) / 2)
+    (GranuleInfo(bw.written.toInt, bigValues, gain, 0,
+      Array(tableId, tableId, tableId), r0, r1, 0), bw)
+  }
+
+  /** Decode one granule from the bit reader; `info` drives zone sizes,
+    * tables, and the requantization step. Verifies part2_3_length. */
+  private def decodeGranule(br: BitReader, info: GranuleInfo): Array[Double] = {
+    br.resetCount()
+    // scalefactors: slen bits per factor — zero bits at compress 0,
+    // but the table lookup is real
+    val (slen1, slen2) = SlenTable(info.scalefacCompress)
+    var sf = 0
+    while (sf < 11) { if (slen1 > 0) br.bits(slen1); sf += 1 }
+    while (sf < 21) { if (slen2 > 0) br.bits(slen2); sf += 1 }
+    val q = new Array[Int](GranuleSize)
+    val bigEnd = info.bigValues * 2
+    require(bigEnd <= GranuleSize, "mp3: big_values exceeds granule")
+    // regions in pair units; each region's table honored
+    val n0 = math.min(info.bigValues, info.region0Count + 1)
+    val n1 = math.min(info.bigValues - n0, info.region1Count + 1)
+    var pair = 0
+    while (pair < info.bigValues) {
+      val region = if (pair < n0) 0 else if (pair < n0 + n1) 1 else 2
+      val tableId = info.tableSelect(region)
+      require(tableId == 0 || tableId == 15 || tableId == 24,
+        s"mp3: unsupported huffman table $tableId")
+      val i = pair * 2
+      if (tableId == 0) { q(i) = 0; q(i + 1) = 0 }
+      else {
+        val sym = PairTable.decode(br)
+        var xm = sym >> 4
+        var ym = sym & 15
+        if (tableId == 24 && xm == EscapeMag) xm += br.bits(Linbits)
+        if (xm != 0 && br.bits(1) == 1) xm = -xm
+        if (tableId == 24 && ym == EscapeMag) ym += br.bits(Linbits)
+        if (ym != 0 && br.bits(1) == 1) ym = -ym
+        q(i) = xm; q(i + 1) = ym
+      }
+      pair += 1
+    }
+    // count1: quadruples until part2_3_length is exhausted; the final
+    // quadruple may straddle the granule end (encoder emits phantom
+    // zero positions there — mirror its in-bounds guard exactly)
+    var i = bigEnd
+    while (br.consumed < info.part23Length && i < GranuleSize) {
+      val sym =
+        if (info.count1Table == 1) br.bits(4) // literal 4-bit table
+        else QuadTable.decode(br)
+      var j = 0
+      while (j < 4) {
+        if (i + j < GranuleSize && (sym & (1 << (3 - j))) != 0)
+          q(i + j) = if (br.bits(1) == 1) -1 else 1
+        j += 1
+      }
+      i += 4
+    }
+    require(br.consumed == info.part23Length,
+      s"mp3: granule consumed ${br.consumed} bits, " +
+        s"part2_3_length says ${info.part23Length}")
+    val step = stepFor(info.globalGain)
+    val spec = new Array[Double](GranuleSize)
+    i = 0
+    while (i < GranuleSize) { spec(i) = dequantize(q(i), step); i += 1 }
+    synthesize(spec)
+  }
+
+  // ---- frame assembly --------------------------------------------------
+
+  /** Encode mono 16-bit PCM as Layer III frames. Sample rate must be an
+    * MPEG-1 rate (44100/48000/32000). The tail frame zero-pads to 1152
+    * samples (inherent to the frame structure, as in real MP3). */
+  def encode(a: Audio): Array[Byte] = {
+    require(a.channels == 1, "mp3 codec: mono only")
+    val srIdx = SampleRateTable.indexOf(a.sampleRate)
+    require(srIdx >= 0,
+      s"mp3 codec: ${a.sampleRate} Hz is not an MPEG-1 rate")
+    val out = new ByteArrayOutputStream()
+    val nFrames = math.max(1, (a.samples.length + FrameSamples - 1) / FrameSamples)
+    var f = 0
+    while (f < nFrames) {
+      val pcm = new Array[Double](FrameSamples)
+      var i = 0
+      while (i < FrameSamples) {
+        val s = f * FrameSamples + i
+        pcm(i) = if (s < a.samples.length) a.samples(s).toDouble else 0.0
+        i += 1
+      }
+      // per-granule: analyze → rate loop (the ISO outer iteration —
+      // raise global_gain, coarsening the quantizer, until the
+      // entropy-coded granule fits the largest frame)
+      def codeGranule(g: Int): (GranuleInfo, BitWriter) = {
+        val spec = analyze(java.util.Arrays.copyOfRange(
+          pcm, g * GranuleSize, (g + 1) * GranuleSize))
+        val maxFrameBytes = 144 * (BitrateTable(14) * 1000) / a.sampleRate
+        // two hard caps: half the max frame's main data, AND the 12-bit
+        // part2_3_length field itself (4095 bits) — exceeding the field
+        // width would silently truncate the value on write
+        val granuleBudget =
+          math.min((maxFrameBytes - 4 - 17) * 8 / 2, 4095)
+        var gain = chooseGain(spec.map(math.abs).max)
+        var attempt = encodeGranule(
+          spec.map(quantize(_, stepFor(gain))), gain)
+        while (attempt._2.written > granuleBudget && gain < 255) {
+          gain = math.min(255, gain + 4)
+          attempt = encodeGranule(
+            spec.map(quantize(_, stepFor(gain))), gain)
+        }
+        require(attempt._2.written <= granuleBudget,
+          "mp3 codec: granule does not fit even at global_gain 255")
+        attempt
+      }
+      val granules = (0 until 2).map(codeGranule)
+      val mainBits = granules.map(_._2.written).sum
+      val mainBytes = ((mainBits + 7) / 8).toInt
+      // smallest bitrate whose frame holds header+side+main data
+      val needed = 4 + 17 + mainBytes
+      var brIdx = 1
+      def frameLen(idx: Int, pad: Int): Int =
+        144 * (BitrateTable(idx) * 1000) / a.sampleRate + pad
+      while (brIdx < 14 && frameLen(brIdx, 0) < needed) brIdx += 1
+      val pad = if (frameLen(brIdx, 0) < needed) 1 else 0
+      val total = frameLen(brIdx, pad)
+      require(total >= needed,
+        s"mp3 codec: granule data ($needed B) exceeds max frame ($total B)")
+      val bw = new BitWriter
+      // header
+      bw.write(0x7ff, 11) // sync
+      bw.write(3, 2)      // version: MPEG-1
+      bw.write(1, 2)      // layer III
+      bw.write(1, 1)      // protection off (no CRC16)
+      bw.write(brIdx, 4)
+      bw.write(srIdx, 2)
+      bw.write(pad, 1)
+      bw.write(0, 1)      // private
+      bw.write(3, 2)      // mode: mono
+      bw.write(0, 2)      // mode extension
+      bw.write(0, 1)      // copyright
+      bw.write(1, 1)      // original
+      bw.write(0, 2)      // emphasis
+      // side info (mono: 17 bytes)
+      bw.write(0, 9)      // main_data_begin: no bit reservoir
+      bw.write(0, 5)      // private
+      bw.write(0, 4)      // scfsi
+      granules.foreach { case (gi, _) =>
+        bw.write(gi.part23Length, 12)
+        bw.write(gi.bigValues, 9)
+        bw.write(gi.globalGain, 8)
+        bw.write(gi.scalefacCompress, 4)
+        bw.write(0, 1)    // window_switching off
+        gi.tableSelect.foreach(t => bw.write(t, 5))
+        bw.write(gi.region0Count, 4)
+        bw.write(gi.region1Count, 3)
+        bw.write(0, 1)    // preflag
+        bw.write(0, 1)    // scalefac_scale
+        bw.write(gi.count1Table, 1)
+      }
+      granules.foreach { case (_, gbw) =>
+        // capture the true bit count BEFORE toBytes pads to a byte
+        // boundary (the pad would otherwise replay between granules)
+        val wholeBits = gbw.written
+        val bytes = gbw.toBytes
+        // replay the granule bits into the frame writer
+        var bi = 0L
+        while (bi < wholeBits) {
+          val b = (bytes((bi / 8).toInt) >> (7 - (bi % 8).toInt)) & 1
+          bw.write(b, 1)
+          bi += 1
+        }
+      }
+      val frame = bw.toBytes
+      out.write(frame)
+      // ancillary zero-fill to the exact frame length
+      var fill = total - frame.length
+      while (fill > 0) { out.write(0); fill -= 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode a stream of Layer III frames to PCM. Output length is
+    * nFrames·1152 (the tail frame's zero-pad is part of the stream, as
+    * with any MP3 without gapless metadata). */
+  def decode(bytes: Array[Byte]): Audio = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xe0) == 0xe0, "not an mp3 frame stream")
+    val samples = new scala.collection.mutable.ArrayBuffer[Short]()
+    var sampleRate = 0
+    var off = 0
+    while (off + 4 <= bytes.length) {
+      val br = new BitReader(bytes, off)
+      require(br.bits(11) == 0x7ff, s"mp3: lost sync at byte $off")
+      require(br.bits(2) == 3, "mp3: MPEG-1 only")
+      require(br.bits(2) == 1, "mp3: Layer III only")
+      val protection = br.bits(1)
+      require(protection == 1, "mp3: CRC-protected frames unsupported")
+      val brIdx = br.bits(4)
+      require(brIdx >= 1 && brIdx <= 14, s"mp3: bad bitrate index $brIdx")
+      val srIdx = br.bits(2)
+      require(srIdx < 3, s"mp3: bad sample-rate index $srIdx")
+      val pad = br.bits(1)
+      br.bits(1) // private
+      val mode = br.bits(2)
+      require(mode == 3, "mp3: mono streams only")
+      br.bits(2); br.bits(1); br.bits(1); br.bits(2) // modeext/copy/orig/emph
+      val sr = SampleRateTable(srIdx)
+      require(sampleRate == 0 || sampleRate == sr,
+        "mp3: sample rate changed mid-stream")
+      sampleRate = sr
+      val total = 144 * (BitrateTable(brIdx) * 1000) / sr + pad
+      require(off + total <= bytes.length,
+        s"mp3: frame at $off claims $total bytes past end of stream")
+      // side info
+      val mdb = br.bits(9)
+      require(mdb == 0, "mp3: bit-reservoir streams unsupported")
+      br.bits(5) // private
+      br.bits(4) // scfsi
+      val infos = (0 until 2).map { _ =>
+        val p23 = br.bits(12)
+        val bv = br.bits(9)
+        val gg = br.bits(8)
+        val sfc = br.bits(4)
+        val wsf = br.bits(1)
+        require(wsf == 0, "mp3: window-switched granules unsupported")
+        val ts = Array(br.bits(5), br.bits(5), br.bits(5))
+        val r0 = br.bits(4)
+        val r1 = br.bits(3)
+        br.bits(1) // preflag
+        br.bits(1) // scalefac_scale
+        val c1t = br.bits(1)
+        GranuleInfo(p23, bv, gg, sfc, ts, r0, r1, c1t)
+      }
+      infos.foreach { gi =>
+        val pcm = decodeGranule(br, gi)
+        var i = 0
+        while (i < GranuleSize) {
+          val v = math.round(pcm(i))
+          samples += math.max(-32768L, math.min(32767L, v)).toShort
+          i += 1
+        }
+      }
+      off += total
+    }
+    Audio(sampleRate, 1, samples.toArray)
+  }
+}

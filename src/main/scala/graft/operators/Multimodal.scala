@@ -7,12 +7,12 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads with typed metadata, decoded / featurized /
   * frame-sampled in partition-local batches.
   *
-  * Decoding is REAL for one honest format per modality — BMP/PPM
-  * images and 16-bit PCM WAV audio, via the pure-JVM [[MediaCodecs]]
-  * ([[decodeStats]] sniffs and routes). Compressed codecs the
-  * container genuinely lacks (JPEG/MP3/H.264 …) remain *stubs*
-  * ([[decode]] below — a deterministic fake derived from the bytes,
-  * clearly marked). Either way the plumbing is the production shape:
+  * Decoding is REAL across both audio and image modalities — BMP/PPM/
+  * PNG/JPEG images, PCM/μ-law/ADPCM WAV, FLAC and MPEG-1 Layer III
+  * audio, via the pure-JVM [[MediaCodecs]] ([[decodeStats]] sniffs and
+  * routes). The one remaining stub family is video (H.264 …):
+  * [[decode]] below is a deterministic fake derived from the bytes,
+  * clearly marked. Either way the plumbing is the production shape:
   * schema, encoders, mapPartitions batch iteration (the JVM analog of
   * `mapInPandas` batches), partition-local state, and explode
   * semantics for frame sampling.

@@ -540,5 +540,47 @@ object MultimodalOps {
           CAST(1 AS BIGINT) AS channels,
           CAST(300 AS BIGINT) AS n_units,
           CAST(sum(v) AS DOUBLE) / 300.0 AS mean_level
-        FROM s GROUP BY doc_id ORDER BY media_id""")))
+        FROM s GROUP BY doc_id ORDER BY media_id""")),
+
+    // REAL MPEG-1 Layer III audio (Mp3Codec) end-to-end — retires the
+    // last lossy-audio stub: constant-level payloads encode through
+    // actual Layer III frames (real header/side-info/Huffman bit
+    // packing, power-law quantization) and decode back through the
+    // full bitstream parse. A constant granule concentrates into ONE
+    // spectral coefficient, so the roundtrip error is bounded by a
+    // single quantization step (≤ 2, Mp3CodecSpec) — the oracle
+    // predicts the decoded-mean BUCKET from the source level exactly,
+    // with levels pinned to bucket centers (level = k·64 + 32, margin
+    // 30 ≫ 2). One flipped Huffman bit, a wrong side-info width, or a
+    // requantization-law error lands the mean in another bucket and
+    // breaks the hash. Map-side only, like every codec path.
+    Q("q219_mp3_audio",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id")).as[Long].mapPartitions { ids =>
+            ids.map { id =>
+              val level = (((id * 173) % 380) * 64 + 32).toShort
+              val samples = Array.fill[Short](1152)(level)
+              Multimodal.MediaRow(id, "audio",
+                graft.operators.Mp3Codec.encode(
+                  graft.operators.MediaCodecs.Audio(32000, 1, samples)),
+                0, 0)
+            }
+          }
+        Multimodal.decodeStats(media).toDF()
+          .select(col("media_id"), col("format"),
+            col("dim1").cast("long").as("sample_rate"),
+            col("dim2").cast("long").as("channels"),
+            col("n_units"),
+            floor(col("mean_value") / 64).cast("long").as("mean_bucket"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'mp3' AS format,
+          CAST(32000 AS BIGINT) AS sample_rate,
+          CAST(1 AS BIGINT) AS channels,
+          CAST(1152 AS BIGINT) AS n_units,
+          CAST((doc_id * 173) % 380 AS BIGINT) AS mean_bucket
+        FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""")))
 }

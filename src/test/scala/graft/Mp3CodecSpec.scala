@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MediaCodecs, Mp3Codec}
+import graft.operators.MediaCodecs.Audio
+
+/** MPEG-1 Layer III codec: frame-structure conformance (header fields,
+  * the published bitrate/samplerate/slen tables, frame-length formula,
+  * load-bearing part2_3_length) and roundtrips with quantization-
+  * bounded error — the lossy-audio analog of JpegCodecSpec. */
+class Mp3CodecSpec extends AnyFunSuite {
+
+  private def sine(n: Int, amp: Double, w: Double): Array[Short] =
+    Array.tabulate[Short](n)(i => (math.sin(i * w) * amp).toShort)
+
+  test("canonical huffman tables roundtrip every symbol") {
+    Mp3Codec.huffmanSelfTest()
+  }
+
+  test("constant-level granule roundtrips within a tight bound") {
+    for (level <- Seq(-12000, -500, 0, 300, 8000, 30000)) {
+      val src = Array.fill[Short](1152)(level.toShort)
+      val dec = Mp3Codec.decode(Mp3Codec.encode(Audio(32000, 1, src)))
+      assert(dec.sampleRate == 32000 && dec.channels == 1)
+      assert(dec.samples.length == 1152)
+      val maxErr = dec.samples.map(s => math.abs(s - level)).max
+      assert(maxErr <= 2, s"level $level: max roundtrip err $maxErr")
+    }
+  }
+
+  test("sine and mixed-tone signals roundtrip with bounded error") {
+    val src = sine(2304, 9000, 0.07)
+      .zip(sine(2304, 4000, 0.31)).map { case (a, b) => (a + b).toShort }
+    val dec = Mp3Codec.decode(Mp3Codec.encode(Audio(44100, 1, src)))
+    assert(dec.samples.length == 2304) // two frames, no tail pad
+    val errs = src.zip(dec.samples).map { case (a, b) => math.abs(a - b) }
+    // the power-law quantizer's error grows with magnitude; this bound
+    // is empirical head-room over observed (~30) for a 13k-amp signal
+    assert(errs.max < 256, s"max err ${errs.max}")
+    assert(errs.map(_.toLong).sum.toDouble / errs.length < 32.0)
+  }
+
+  test("tail frame zero-pads to the 1152-sample frame grid") {
+    val src = sine(1500, 6000, 0.05)
+    val dec = Mp3Codec.decode(Mp3Codec.encode(Audio(48000, 1, src)))
+    assert(dec.samples.length == 2304) // ceil(1500/1152) frames
+    // the padded region decodes back to (near-)silence
+    val tail = dec.samples.drop(1500 + 64) // skip block-boundary ripple
+    assert(tail.forall(s => math.abs(s.toInt) <= 64),
+      s"tail not silent: ${tail.map(s => math.abs(s.toInt)).max}")
+  }
+
+  test("frame header carries the published tables and the length formula") {
+    val wav = Mp3Codec.encode(Audio(32000, 1, sine(1152, 12000, 0.02)))
+    assert(MediaCodecs.sniff(wav).contains("mp3"))
+    assert((wav(0) & 0xff) == 0xff && (wav(1) & 0xff) == 0xfb,
+      "MPEG-1 Layer III no-CRC sync bytes")
+    val brIdx = (wav(2) & 0xff) >> 4
+    val srIdx = (wav(2) >> 2) & 3
+    val pad = (wav(2) >> 1) & 1
+    assert(srIdx == 2, "32 kHz is sampling_frequency index 2")
+    val expectLen =
+      144 * Mp3Codec.BitrateTable(brIdx) * 1000 / 32000 + pad
+    assert(wav.length == expectLen,
+      s"single frame must fill the formula length: ${wav.length} vs $expectLen")
+    assert((wav(3) & 0xc0) == 0xc0, "mode bits say mono")
+  }
+
+  test("part2_3_length is load-bearing: corrupting it fails decode loudly") {
+    val wav = Mp3Codec.encode(Audio(32000, 1, sine(1152, 12000, 0.02)))
+    // granule 1 part2_3_length starts 18 bits into the side info
+    // (after main_data_begin 9 + private 5 + scfsi 4) = bit 18 of byte
+    // 4+2=6 onward: flip its lowest bit (bit 29 of side info = byte 7,
+    // bit 5 counting from MSB)
+    val bad = wav.clone()
+    bad(7) = (bad(7) ^ 0x04).toByte
+    val e = intercept[IllegalArgumentException](Mp3Codec.decode(bad))
+    assert(e.getMessage.contains("part2_3_length"))
+  }
+
+  test("corrupting spectral bits breaks the decode contract, not silence") {
+    val src = sine(1152, 10000, 0.05)
+    val wav = Mp3Codec.encode(Audio(32000, 1, src))
+    val clean = Mp3Codec.decode(wav).samples
+    // flip a bit in the main data region (past 4-byte header + 17-byte
+    // side info): either decode fails structurally (consumed-bit check)
+    // or produces different samples — never a silent identical result
+    val bad = wav.clone()
+    bad(30) = (bad(30) ^ 0x10).toByte
+    val outcome =
+      try Some(Mp3Codec.decode(bad).samples)
+      catch { case _: IllegalArgumentException => None }
+    outcome.foreach { tampered =>
+      assert(!tampered.sameElements(clean),
+        "a flipped spectral bit cannot decode to identical PCM")
+    }
+  }
+
+  test("structural rejects: truncation, bad rates, stereo unsupported") {
+    val wav = Mp3Codec.encode(Audio(44100, 1, sine(1152, 5000, 0.1)))
+    intercept[IllegalArgumentException](
+      Mp3Codec.decode(wav.take(wav.length / 2)))
+    intercept[IllegalArgumentException](
+      Mp3Codec.encode(Audio(8000, 1, new Array[Short](16)))) // not MPEG-1
+    intercept[IllegalArgumentException](
+      Mp3Codec.encode(Audio(44100, 2, new Array[Short](16)))) // stereo
+    intercept[IllegalArgumentException](
+      Mp3Codec.decode(Array[Byte](1, 2, 3, 4)))
+  }
+
+  test("decodeAudio sniff-routes mp3 and decodeStats sees real samples") {
+    val level = 2080
+    val wav = Mp3Codec.encode(
+      Audio(32000, 1, Array.fill[Short](1152)(level.toShort)))
+    val got = MediaCodecs.decodeAudio(wav)
+    assert(got.isDefined && got.get._1 == "mp3")
+    val a = got.get._2
+    assert(a.sampleRate == 32000 && a.samples.length == 1152)
+    val mean = a.samples.map(_.toLong).sum.toDouble / a.samples.length
+    assert(math.abs(mean - level) <= 2.0, s"decoded mean $mean")
+  }
+}
