@@ -206,6 +206,28 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Drain like [[drainToMemory]] but also return, per committed
+    * micro-batch, the total state-store row count across all stateful
+    * operators (`StateOperatorProgress.numRowsTotal`). This is the
+    * observable that proves an interval join's symmetric-hash state is
+    * actually evicted as the watermark advances — the property that
+    * keeps a stream join bounded at 100 TB/day. Only meaningful when
+    * the source is chunked into multiple batches (e.g. a file source
+    * with `maxFilesPerTrigger`); a single AvailableNow batch never
+    * advances the watermark mid-run, so nothing would evict. */
+  def drainToMemoryWithStateCounts(df: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Append()): Seq[Long] = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+  }
+
   /** K6 streaming form — a `foreachBatch` MERGE sink: each micro-batch
     * upserts "latest row per key" into a parquet state table. The
     * per-batch reduction and the merge are the same struct-max

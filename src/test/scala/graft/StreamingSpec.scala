@@ -196,6 +196,111 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("interval-join state stays bounded by the watermark horizon under key skew") {
+    // Skewed fixture: one hot user emits 10 clicks + 10 purchases per
+    // hour for 240 hours (plus two cold users at 1 click/hour), landed
+    // as 12 strictly chronological files. With maxFilesPerTrigger=1
+    // the AvailableNow drain runs 12 micro-batches, so the watermark
+    // advances ~20 h per batch and the symmetric-hash-join state MUST
+    // evict between batches. The retention horizon is tolerance-shaped,
+    // not corpus-shaped: a click survives until its join-window end
+    // (click_ts + 1 h interval) passes the watermark (max − 1 h delay),
+    // a purchase until purchase_ts passes it — i.e. ≤ ~2–3 h of rows
+    // per side regardless of stream length, and crucially independent
+    // of how hot the key is. The mirror of the batch skew caps: a hot
+    // key inflates the horizon population, never the whole history.
+    import spark.implicits._
+    val base0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def at(h: Int, m: Int, sec: Int = 0): java.sql.Timestamp =
+      java.sql.Timestamp.from(base0.plusSeconds(h * 3600L + m * 60L + sec))
+    val hours = 240
+    val rows = (0 until hours).flatMap { h =>
+      val hot = (0 until 10).flatMap { i =>
+        Seq((1L, at(h, 6 * i), s"c-$h-$i", "click", 1.0),
+            (1L, at(h, 6 * i, 30), s"p-$h-$i", "purchase", 2.0))
+      }
+      val cold = Seq((100L + h % 2, at(h, 30), s"k-$h", "click", 1.0))
+      hot ++ cold
+    }
+    val total = rows.size
+    val dir = landing()
+    val files = 12
+    val perFile = hours / files
+    val stage = Files.createTempDirectory("ij-stage")
+    for (f <- 0 until files) {
+      val slice = rows.filter { r =>
+        val h = (r._2.getTime - base0.toEpochMilli) / 3600000L
+        h >= f * perFile && h < (f + 1) * perFile
+      }
+      val sliceDir = stage.resolve(s"s$f")
+      slice.toDF("user_id", "ts", "event_id", "event_type", "value")
+        .coalesce(1).write.parquet(sliceDir.toString)
+      val part = java.nio.file.Files.list(sliceDir).iterator()
+      var moved = false
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val dst = java.nio.file.Paths.get(dir, f"f$f%02d.parquet")
+          java.nio.file.Files.move(p, dst)
+          // explicit mtimes: the file source orders batches by
+          // modification time, and sub-ms writes would tie
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1700000000000L + f * 60000L))
+          moved = true
+        }
+      }
+      assert(moved, s"no parquet part written for slice $f")
+    }
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val buys = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(buys,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    spark.catalog.dropTempView("ij_skew_sink")
+    val stateCounts = StreamOps.withStatePartitions(spark, 4) {
+      StreamOps.drainToMemoryWithStateCounts(joined, "ij_skew_sink")
+    }
+    assert(stateCounts.size >= files - 1,
+      s"expected ~$files micro-batches, saw ${stateCounts.size}")
+    // Correctness across chunk boundaries: every within-1h pair must
+    // have matched even when click and purchase landed in different
+    // batches (the click is retained exactly until its window closes).
+    val batchPairs = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+      .as("c").filter(col("c.event_type") === "click")
+      .join(rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+        .as("p").filter(col("p.event_type") === "purchase"),
+        col("c.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("c.ts") &&
+          col("p.ts") <= col("c.ts") + expr("INTERVAL 1 HOUR"))
+      .count()
+    assert(spark.table("ij_skew_sink").count() == batchPairs)
+    // The bound: per in-horizon hour the fixture lands 21 rows of
+    // click state and 10 of purchase state. Eviction keys off the
+    // PREVIOUS batch's watermark and a batch spans 20 h, so the
+    // retained span is ≤ horizon (3 h) + one batch span (20 h) + the
+    // delay (1 h) ≈ 24 h ≈ 750 rows — far below the 5-day history.
+    // Assert a slacked version of that, and the sharper relative
+    // property: max state is a small fraction of the stream's total.
+    val maxState = stateCounts.max
+    assert(maxState > 0)
+    assert(maxState <= 1200, s"state rows $maxState exceed the horizon bound")
+    assert(maxState.toDouble / total <= 0.25,
+      s"state $maxState vs $total rows — eviction not keeping up with skew")
+    // and the final batch holds only the last horizon's rows
+    assert(stateCounts.last <= 1200)
+  }
+
   test("mergeLatestSink recovers state left at .old by a crash") {
     val ev = Tables.load(spark, sf, "events")
       .select("user_id", "ts", "event_id", "value")
