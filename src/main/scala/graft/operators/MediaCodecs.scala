@@ -14,12 +14,15 @@ import java.nio.charset.StandardCharsets
   *    like LIST are skipped, as the spec requires).
   *
   * JPEG (baseline DCT) is REAL too, in [[JpegCodec]], as are FLAC
-  * ([[FlacCodec]]) and MPEG-1 Layer III audio ([[Mp3Codec]] — real
+  * ([[FlacCodec]]), MPEG-1 Layer III audio ([[Mp3Codec]] — real
   * frame/side-info/Huffman bitstream, documented repo-canonical
-  * tables). The one remaining stub family is video (H.264 …), routed
-  * by [[sniff]] to the deterministic fallback; the pipeline decodes
-  * what it can and falls back deterministically for the rest. All
-  * functions are executor-side pure byte transforms.
+  * tables) and MJPEG-in-AVI video ([[VideoCodec]] — real RIFF
+  * container walk + per-frame JPEG entropy decode). Every modality now
+  * has at least one real codec; payloads in formats outside this set
+  * (H.264-in-MP4, progressive JPEG, LPC FLAC, …) don't sniff or don't
+  * decode and degrade per-payload to the deterministic opaque path —
+  * a fallback, not a fake. All functions are executor-side pure byte
+  * transforms.
   */
 object MediaCodecs {
 
@@ -42,6 +45,9 @@ object MediaCodecs {
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
       bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') Some("wav")
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'A' &&
+      bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ') Some("avi")
     else if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
       bytes(2) == 'a' && bytes(3) == 'C') Some("flac")
     // MPEG-1 Layer III frame sync: FF FA (CRC) / FF FB (no CRC) —
@@ -85,6 +91,17 @@ object MediaCodecs {
       case "ppm" => tryDecode(("ppm", decodePpm(bytes)))
       case "png" => tryDecode(("png", decodePng(bytes)))
       case "jpeg" => tryDecode(("jpeg", JpegCodec.decode(bytes)))
+      case _ => None
+    }
+
+  /** Sniff-and-decode any supported video container → (format, video):
+    * MJPEG-in-AVI through the container walker + per-frame JPEG decode
+    * ([[VideoCodec]]). Sniffed-but-undecodable variants (an AVI whose
+    * stream is not MJPEG, a corrupt index, a truncated frame) return
+    * None and take the opaque path downstream. */
+  def decodeVideo(bytes: Array[Byte]): Option[(String, VideoCodec.Video)] =
+    sniff(bytes).flatMap {
+      case "avi" => tryDecode(("avi", VideoCodec.decode(bytes)))
       case _ => None
     }
 

@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads with typed metadata, decoded / featurized /
   * frame-sampled in partition-local batches.
   *
-  * Decoding is REAL across both audio and image modalities — BMP/PPM/
-  * PNG/JPEG images, PCM/μ-law/ADPCM WAV, FLAC and MPEG-1 Layer III
-  * audio, via the pure-JVM [[MediaCodecs]] ([[decodeStats]] sniffs and
-  * routes). The one remaining stub family is video (H.264 …):
-  * [[decode]] below is a deterministic fake derived from the bytes,
-  * clearly marked. Either way the plumbing is the production shape:
-  * schema, encoders, mapPartitions batch iteration (the JVM analog of
+  * Decoding is REAL across all three modalities — BMP/PPM/PNG/JPEG
+  * images, PCM/μ-law/ADPCM WAV, FLAC and MPEG-1 Layer III audio, and
+  * MJPEG-in-AVI video — via the pure-JVM [[MediaCodecs]]
+  * ([[decodeStats]] sniffs and routes; [[videoFrameStats]] walks the
+  * container and decodes every frame). Payloads in formats outside the
+  * codec set degrade per-payload to deterministic opaque statistics
+  * ([[decode]] below — useful as the cheap determinism probe the specs
+  * exercise). The plumbing is the production shape either way: schema,
+  * encoders, mapPartitions batch iteration (the JVM analog of
   * `mapInPandas` batches), partition-local state, and explode
   * semantics for frame sampling.
   *
@@ -93,11 +95,13 @@ object Multimodal {
   }
 
   /** REAL decode: sniff each payload and run the matching pure-JVM
-    * codec (BMP / PPM / WAV); dims come from the decoded header, the
-    * mean from the decoded pixels/samples — so a single corrupted byte
-    * in header or body changes the output. Payloads without a
-    * decodable magic fall back to the deterministic stub statistics
-    * (format = "opaque"). Map-side only: payloads never shuffle. */
+    * codec (image / audio / AVI video); dims come from the decoded
+    * header, the mean from the decoded pixels/samples — so a single
+    * corrupted byte in header or body changes the output. For video,
+    * `n_units` is the decoded frame count and the mean spans all
+    * frames' pixels. Payloads without a decodable magic fall back to
+    * the deterministic stub statistics (format = "opaque"). Map-side
+    * only: payloads never shuffle. */
   def decodeStats(media: Dataset[MediaRow]): Dataset[MediaStatsRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
@@ -115,13 +119,24 @@ object Multimodal {
               MediaStatsRow(m.media_id, m.kind, fmt, a.sampleRate,
                 a.channels, a.samples.length.toLong,
                 sum.toDouble / a.samples.length)
-            case _ =>
-              var sum = 0L; var i = 0
-              while (i < m.payload.length) { sum += (m.payload(i) & 0xff); i += 1 }
-              MediaStatsRow(m.media_id, m.kind, "opaque", m.width, m.height,
-                m.payload.length.toLong,
-                if (m.payload.length == 0) 0.0
-                else sum.toDouble / m.payload.length)
+            case _ => MediaCodecs.decodeVideo(m.payload) match {
+              case Some((fmt, v)) =>
+                var sum = 0L; var n = 0L
+                v.frames.foreach { f =>
+                  var i = 0
+                  while (i < f.rgb.length) { sum += (f.rgb(i) & 0xff); i += 1 }
+                  n += f.rgb.length
+                }
+                MediaStatsRow(m.media_id, m.kind, fmt, v.width, v.height,
+                  v.frames.size.toLong, if (n == 0) 0.0 else sum.toDouble / n)
+              case _ =>
+                var sum = 0L; var i = 0
+                while (i < m.payload.length) { sum += (m.payload(i) & 0xff); i += 1 }
+                MediaStatsRow(m.media_id, m.kind, "opaque", m.width, m.height,
+                  m.payload.length.toLong,
+                  if (m.payload.length == 0) 0.0
+                  else sum.toDouble / m.payload.length)
+            }
           }
         }
       }
@@ -191,6 +206,38 @@ object Multimodal {
           java.util.Arrays.copyOfRange(
             m.payload, b * blockSize,
             math.min((b + 1) * blockSize, m.payload.length)))
+      }
+    }
+  }
+
+  final case class VideoFrameRow(
+      media_id: Long, frame_idx: Long, fps: Int, width: Int, height: Int,
+      mean_value: Double)
+
+  /** REAL per-frame video statistics: walk each AVI container, decode
+    * every MJPEG frame through the actual JPEG entropy decoder, and
+    * explode to one row per frame with the decoded pixel mean — the
+    * frame-sampling primitive of a video training pipeline, on real
+    * bytes. fps comes from the stream header (rate/scale). Map-side
+    * flatMap: payloads never shuffle, only (id, frame, dims, mean)
+    * rows flow downstream. Non-video / undecodable payloads are
+    * skipped (route mixed corpora through [[decodeStats]]'s sniff
+    * for the fallback accounting). */
+  def videoFrameStats(media: Dataset[MediaRow]): Dataset[VideoFrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        MediaCodecs.decodeVideo(m.payload) match {
+          case Some((_, v)) =>
+            v.frames.iterator.zipWithIndex.map { case (f, idx) =>
+              var sum = 0L; var i = 0
+              while (i < f.rgb.length) { sum += (f.rgb(i) & 0xff); i += 1 }
+              VideoFrameRow(m.media_id, idx.toLong, v.fps, f.width,
+                f.height,
+                if (f.rgb.length == 0) 0.0 else sum.toDouble / f.rgb.length)
+            }
+          case None => Iterator.empty
+        }
       }
     }
   }

@@ -582,5 +582,64 @@ object MultimodalOps {
           CAST(1 AS BIGINT) AS channels,
           CAST(1152 AS BIGINT) AS n_units,
           CAST((doc_id * 173) % 380 AS BIGINT) AS mean_bucket
-        FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""")))
+        FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""")),
+
+    // REAL video (MJPEG-in-AVI, VideoCodec) end-to-end — retires the
+    // video stub family: each doc packs an actual AVI container
+    // (RIFF hdrl/movi/idx1, per-frame baseline JPEG) with 2–4
+    // solid-color frames, and the pipeline walks the real container,
+    // decodes every frame's entropy-coded bytes, and explodes to one
+    // row per frame. The oracle predicts frame count, fps (from the
+    // strh rate/scale header), dims, and each frame's pixel-mean
+    // BUCKET from first principles — sound because a solid block's
+    // JPEG roundtrip error is bounded by DC quantization (≤ 2,
+    // JpegCodecSpec) and the q213 color list keeps ≥ 3 from every
+    // bucket boundary. A wrong chunk offset, a swapped frame order, a
+    // mis-read header field, or one bad huffman bit in any frame
+    // breaks the hash. Map-side only: payloads never shuffle.
+    Q("q220_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        val colors = Array(40, 70, 100, 135, 165, 200, 230)
+        val media = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id")).as[Long].mapPartitions { ids =>
+            ids.map { id =>
+              val n = (2 + id % 3).toInt
+              val w = 16
+              val h = if (id % 2 == 0) 8 else 16
+              val frames = (0 until n).map { f =>
+                val c = colors(((id + 13 * f) % 7).toInt)
+                graft.operators.MediaCodecs.Image(
+                  w, h, Array.fill(w * h * 3)(c.toByte))
+              }
+              val fps = (10 + id % 21).toInt
+              Multimodal.MediaRow(id, "video",
+                graft.operators.VideoCodec.encodeAviMjpeg(
+                  fps, frames, quality = 90, subsample420 = id % 2 == 0),
+                w, h)
+            }
+          }
+        Multimodal.videoFrameStats(media).toDF()
+          .select(col("media_id"), col("frame_idx"),
+            col("fps").cast("long").as("fps"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            floor(col("mean_value") / 32).cast("long").as("mean_bucket"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH src AS (SELECT doc_id, 2 + doc_id % 3 AS n
+            FROM documents WHERE doc_id % 3 = 2),
+          f AS (SELECT doc_id, t.f FROM src,
+            UNNEST(range(0, n)) AS t(f))
+        SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+          CAST(10 + doc_id % 21 AS BIGINT) AS fps,
+          CAST(16 AS BIGINT) AS width,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS BIGINT)
+            AS height,
+          CAST((CASE CAST((doc_id + 13 * f) % 7 AS INTEGER)
+            WHEN 0 THEN 40 WHEN 1 THEN 70 WHEN 2 THEN 100 WHEN 3 THEN 135
+            WHEN 4 THEN 165 WHEN 5 THEN 200 ELSE 230 END) // 32 AS BIGINT)
+            AS mean_bucket
+        FROM f ORDER BY media_id, frame_idx""")))
 }
