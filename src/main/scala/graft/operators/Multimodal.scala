@@ -432,6 +432,46 @@ object Multimodal {
     result
   }
 
+  final case class VideoHashRow(
+      media_id: Long, format: String, n_frames: Long, thash: String)
+
+  /** Temporal perceptual hash over REAL decoded video: dHash along the
+    * time axis — one bit per adjacent-frame pair, 1 iff mean(frame f) >
+    * mean(frame f+1) (strict). The sign of the frame-to-frame luminance
+    * delta survives re-encoding (codec/quality changes move a solid
+    * frame's mean by at most the DC quantization bound) and uniform
+    * brightness shifts (both frames move together), so equal hashes
+    * flag the same footage across encodes — the videos a byte hash can
+    * never pair. Frame count rides alongside so only same-length
+    * fingerprints cluster downstream (the dHash `len` convention).
+    * Map-side only: the container walk, per-frame JPEG decode, and
+    * mean reduction all happen in the partition; (id, n, bits) flows
+    * on, never frames. */
+  def videoTemporalHash(media: Dataset[MediaRow]): Dataset[VideoHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        MediaCodecs.decodeVideo(m.payload) match {
+          case Some((fmt, v)) =>
+            val means = v.frames.map { f =>
+              var s = 0L; var i = 0
+              while (i < f.rgb.length) { s += (f.rgb(i) & 0xff); i += 1 }
+              if (f.rgb.length == 0) 0.0 else s.toDouble / f.rgb.length
+            }
+            val sb = new StringBuilder(math.max(means.size - 1, 0))
+            var f = 0
+            while (f < means.size - 1) {
+              sb.append(if (means(f) > means(f + 1)) '1' else '0')
+              f += 1
+            }
+            Iterator.single(VideoHashRow(m.media_id, fmt,
+              v.frames.size.toLong, sb.toString))
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Resize: pure metadata transform (the real op also re-encodes the
     * payload — stubbed to keep bytes unchanged). */
   def resizeMeta(media: Dataset[MediaRow], maxW: Int): Dataset[MediaRow] = {

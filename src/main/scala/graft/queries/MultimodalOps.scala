@@ -641,5 +641,79 @@ object MultimodalOps {
             WHEN 0 THEN 40 WHEN 1 THEN 70 WHEN 2 THEN 100 WHEN 3 THEN 135
             WHEN 4 THEN 165 WHEN 5 THEN 200 ELSE 230 END) // 32 AS BIGINT)
             AS mean_bucket
-        FROM f ORDER BY media_id, frame_idx""")))
+        FROM f ORDER BY media_id, frame_idx""")),
+
+    // Video DEDUP across re-encodes — the multimodal op a byte hash
+    // cannot do: members of each footage group (gid = doc_id % 40)
+    // carry the SAME frame sequence but different JPEG quality
+    // (90 vs 75 → different payload bytes) and a ±1 brightness jitter,
+    // so exact-byte dedup finds nothing while the temporal perceptual
+    // hash (sign of adjacent-frame mean deltas, videoTemporalHash)
+    // clusters them exactly. Sound as an oracle contract because
+    // adjacent frames always differ by ≥ 30 gray levels (the (gid+3f)%7
+    // color walk never repeats consecutively) while re-encode error is
+    // ≤ 2 and the jitter shifts both frames together — the delta SIGN
+    // is deterministic from the source formula. Clustering is ONE
+    // keyed window over (n_frames, thash): per-key state is bounded by
+    // the duplicate-group width (the same bound every dedup op here
+    // carries), no broadcast assumption on the cluster count, and
+    // payloads stay map-side — only fingerprint rows shuffle.
+    Q("q221_video_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val colors = Array(40, 70, 100, 135, 165, 200, 230)
+        val media = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long].mapPartitions { ids =>
+            ids.map { id =>
+              val gid = (id % 40).toInt
+              val n = 6 + gid % 4
+              val bright = (id % 2).toInt
+              val q = if (id % 4 < 2) 90 else 75
+              val frames = (0 until n).map { f =>
+                val c = colors((gid + 3 * f) % 7) + bright
+                graft.operators.MediaCodecs.Image(
+                  16, 8, Array.fill(16 * 8 * 3)(c.toByte))
+              }
+              Multimodal.MediaRow(id, "video",
+                graft.operators.VideoCodec.encodeAviMjpeg(
+                  12, frames, quality = q), 16, 8)
+            }
+          }
+        val fp = Multimodal.videoTemporalHash(media).toDF()
+          .select(col("media_id"), col("n_frames"), col("thash"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("n_frames", "thash")
+        fp.withColumn("cluster_id", min(col("media_id")).over(w))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .select(col("media_id"), col("n_frames"), col("thash"),
+            col("cluster_id"), col("cluster_size"),
+            (col("media_id") === col("cluster_id")).as("is_canonical"))
+          .orderBy("media_id")
+      },
+      Some("""WITH src AS (SELECT doc_id,
+            CAST(doc_id % 40 AS INTEGER) AS gid,
+            6 + CAST(doc_id % 40 AS INTEGER) % 4 AS n
+          FROM documents WHERE doc_id % 3 = 1),
+        bits AS (SELECT doc_id, n, t.f,
+            CASE WHEN (CASE (gid + 3 * CAST(f AS INTEGER)) % 7
+                WHEN 0 THEN 40 WHEN 1 THEN 70 WHEN 2 THEN 100
+                WHEN 3 THEN 135 WHEN 4 THEN 165 WHEN 5 THEN 200
+                ELSE 230 END)
+              > (CASE (gid + 3 * (CAST(f AS INTEGER) + 1)) % 7
+                WHEN 0 THEN 40 WHEN 1 THEN 70 WHEN 2 THEN 100
+                WHEN 3 THEN 135 WHEN 4 THEN 165 WHEN 5 THEN 200
+                ELSE 230 END)
+              THEN '1' ELSE '0' END AS b
+          FROM src, UNNEST(range(0, n - 1)) AS t(f)),
+        h AS (SELECT doc_id, n, string_agg(b, '' ORDER BY f) AS thash
+          FROM bits GROUP BY 1, 2),
+        cl AS (SELECT n, thash, min(doc_id) AS cluster_id,
+            CAST(count(*) AS BIGINT) AS cluster_size
+          FROM h GROUP BY 1, 2)
+        SELECT h.doc_id AS media_id, CAST(h.n AS BIGINT) AS n_frames,
+          h.thash, cl.cluster_id, cl.cluster_size,
+          h.doc_id = cl.cluster_id AS is_canonical
+        FROM h JOIN cl ON h.n = cl.n AND h.thash = cl.thash
+        ORDER BY media_id""")))
 }

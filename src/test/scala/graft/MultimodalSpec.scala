@@ -308,4 +308,33 @@ class MultimodalSpec extends SparkSpec {
       graft.operators.Multimodal.dHashNearDup(hashes, 4, 4)
     }
   }
+
+  test("videoTemporalHash is invariant to re-encode quality and brightness") {
+    import spark.implicits._
+    def solid(c: Int) = graft.operators.MediaCodecs.Image(
+      16, 8, Array.fill(16 * 8 * 3)(c.toByte))
+    def avi(cols: Seq[Int], quality: Int) =
+      graft.operators.VideoCodec.encodeAviMjpeg(
+        12, cols.map(solid), quality = quality)
+    val seqA = Seq(40, 70, 135, 230, 100) // expected thash "0001"
+    val media = Seq(
+      Multimodal.MediaRow(0L, "video", avi(seqA, 90), 16, 8),
+      Multimodal.MediaRow(1L, "video", avi(seqA, 60), 16, 8), // re-encode
+      Multimodal.MediaRow(2L, "video", avi(seqA.map(_ + 1), 85), 16, 8),
+      Multimodal.MediaRow(3L, "video", avi(seqA.reverse, 90), 16, 8),
+      Multimodal.MediaRow(4L, "video", avi(seqA.take(3), 90), 16, 8),
+      Multimodal.MediaRow(5L, "audio", // non-video: skipped
+        graft.operators.MediaCodecs.encodeWav(
+          graft.operators.MediaCodecs.Audio(8000, 1,
+            Array.fill[Short](16)(5))), 0, 0))
+      .toDS()
+    val rows = Multimodal.videoTemporalHash(media)
+      .collect().map(r => r.media_id -> (r.n_frames, r.thash)).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(rows(0L) == (5L, "0001"))
+    assert(rows(1L) == rows(0L), "re-encode at q60 changed the fingerprint")
+    assert(rows(2L) == rows(0L), "+1 brightness changed the fingerprint")
+    assert(rows(3L) == (5L, "0111"), "reversed footage must differ")
+    assert(rows(4L) == (3L, "00"), "frame count must ride with the hash")
+  }
 }
