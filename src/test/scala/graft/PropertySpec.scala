@@ -121,6 +121,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("codec routing never throws: random bytes and mutated real payloads") {
+    import graft.operators.{MediaCodecs, VideoCodec}
+    // contract of the sniff-routing layer (decodeImage/Audio/Video):
+    // ANY byte payload yields Some(decoded) or None — one exotic or
+    // corrupt payload must degrade, never fail a corpus-wide query
+    def route(b: Array[Byte]): Unit = {
+      MediaCodecs.decodeImage(b)
+      MediaCodecs.decodeAudio(b)
+      MediaCodecs.decodeVideo(b)
+    }
+    // pure random bytes, all sizes incl. empty
+    forAllSampled(for {
+      n <- Gen.chooseNum(0, 400)
+      bs <- Gen.listOfN(n, Gen.chooseNum(-128, 127))
+    } yield bs.map(_.toByte).toArray, 60)(route)
+    // random bytes behind each REAL magic (forces every decoder body)
+    val magics = Seq[Array[Byte]](
+      Array('B', 'M'), Array('P', '6'),
+      Array(0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte),
+      Array(0xff.toByte, 0xfb.toByte),
+      "fLaC".getBytes("US-ASCII"),
+      "RIFFxxxxWAVE".getBytes("US-ASCII"),
+      "RIFFxxxxAVI ".getBytes("US-ASCII"))
+    forAllSampled(for {
+      m <- Gen.oneOf(magics)
+      n <- Gen.chooseNum(0, 300)
+      bs <- Gen.listOfN(n, Gen.chooseNum(-128, 127))
+    } yield m ++ bs.map(_.toByte), 80)(route)
+    // real payloads with random single-byte mutations: decode or None,
+    // and a successful decode must still uphold basic invariants
+    val real = Seq(
+      MediaCodecs.encodePng(MediaCodecs.Image(9, 7,
+        Array.tabulate(9 * 7 * 3)(i => (i * 5 % 256).toByte))),
+      graft.operators.JpegCodec.encode(MediaCodecs.Image(16, 8,
+        Array.tabulate(16 * 8 * 3)(i => (i * 3 % 256).toByte))),
+      graft.operators.FlacCodec.encode(MediaCodecs.Audio(8000, 1,
+        Array.tabulate[Short](120)(i => (i * 41 % 2000 - 1000).toShort))),
+      VideoCodec.encodeAviMjpeg(12, Seq(MediaCodecs.Image(16, 8,
+        Array.fill(16 * 8 * 3)(90.toByte)))))
+    forAllSampled(for {
+      p <- Gen.oneOf(real)
+      at <- Gen.chooseNum(0, p.length - 1)
+      v <- Gen.chooseNum(-128, 127)
+    } yield (p, at, v.toByte), 80) { case (p, at, v) =>
+      val c = p.clone(); c(at) = v
+      MediaCodecs.decodeImage(c).foreach { case (_, img) =>
+        assert(img.rgb.length == img.width * img.height * 3)
+      }
+      MediaCodecs.decodeAudio(c).foreach { case (_, a) =>
+        assert(a.sampleRate > 0 && a.channels > 0)
+      }
+      MediaCodecs.decodeVideo(c).foreach { case (_, vdo) =>
+        assert(vdo.frames.nonEmpty &&
+          vdo.frames.forall(f => f.width == vdo.width &&
+            f.height == vdo.height))
+      }
+    }
+  }
+
   test("MediaCodecs: BMP and PPM round-trip arbitrary pixel buffers") {
     import graft.operators.MediaCodecs
     val gen = for {

@@ -377,7 +377,7 @@ class ScaleSpec extends SparkSpec {
 
   test("q213/q214 codec decodes are pure maps: payloads never shuffle") {
     for (q <- Seq("q213_jpeg_decode", "q214_mulaw_audio",
-        "q217_flac_audio", "q219_mp3_audio")) {
+        "q217_flac_audio", "q219_mp3_audio", "q220_video_frames")) {
       val plan = graft.queries.Registry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       // encode + decode ride mapPartitions; the only exchange allowed
@@ -386,6 +386,28 @@ class ScaleSpec extends SparkSpec {
         s"$q must not shuffle payloads:\n$plan")
       assert(!plan.contains("Join"), s"$q needs no join:\n$plan")
     }
+  }
+
+  test("q221 video dedup shuffles fingerprints, never payloads") {
+    val qe = graft.queries.Registry.queries("q221_video_dedup")(spark, sf)
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    // exactly one keyed exchange (the cluster window) + the
+    // presentation sort; the payload/binary column must be projected
+    // away BEFORE any exchange — the fingerprint rows are all that
+    // shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"q221 wants exactly the cluster-window exchange:\n$plan")
+    assert(!plan.contains("Join"), s"q221 needs no join:\n$plan")
+    // structural, not textual: no exchange may carry a binary column —
+    // payloads are projected away before the shuffle boundary
+    val shuffled = qe.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.filter(_.dataType ==
+          org.apache.spark.sql.types.BinaryType).map(_.name)
+    }.flatten
+    assert(shuffled.isEmpty,
+      s"binary columns crossed a shuffle: $shuffled")
   }
 
   test("q218 KS drift: grid joins broadcast, no unkeyed product") {
