@@ -715,5 +715,66 @@ object MultimodalOps {
           h.thash, cl.cluster_id, cl.cluster_size,
           h.doc_id = cl.cluster_id AS is_canonical
         FROM h JOIN cl ON h.n = cl.n AND h.thash = cl.thash
-        ORDER BY media_id""")))
+        ORDER BY media_id""")),
+
+    // Video SCENE SEGMENTATION (shot-boundary detection) — the
+    // frame-sampling op a video training pipeline runs before clip
+    // extraction: decode every frame, then cut wherever the mean
+    // luminance jumps (|Δ| > 16 between adjacent frames) and emit one
+    // row per detected shot. Each video is built as S shots × L
+    // near-identical frames; within a shot the decoded means differ
+    // only by the ≤2 DC-quantization wobble while shot boundaries jump
+    // ≥ 26 (adjacent shots are ≥ 30 gray levels apart by the color
+    // walk), so the cut predicate is deterministic — but the ORACLE
+    // only states the resulting segmentation (s·L … s·L+L−1), so a
+    // missed cut, a spurious cut, or an off-by-one frame order breaks
+    // the hash. Plan shape: map-side decode/explode, ONE keyed
+    // exchange on media_id — the lag window and the (media_id,
+    // shot_id) aggregate both ride it (subset-clustered), payloads
+    // never shuffle.
+    Q("q222_video_scenes",
+      (s, dir) => {
+        import s.implicits._
+        val colors = Array(40, 70, 100, 135, 165, 200, 230)
+        val media = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id")).as[Long].mapPartitions { ids =>
+            ids.map { id =>
+              val gid = (id % 9).toInt
+              val shotLen = (3 + id % 2).toInt
+              val nShots = (2 + id % 3).toInt
+              val frames = (0 until shotLen * nShots).map { f =>
+                val c = colors((gid + 2 * (f / shotLen)) % 7)
+                graft.operators.MediaCodecs.Image(
+                  16, 8, Array.fill(16 * 8 * 3)(c.toByte))
+              }
+              Multimodal.MediaRow(id, "video",
+                graft.operators.VideoCodec.encodeAviMjpeg(
+                  8, frames, quality = 90), 16, 8)
+            }
+          }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("frame_idx")
+        Multimodal.videoFrameStats(media).toDF()
+          .withColumn("prev_mean", lag(col("mean_value"), 1).over(w))
+          .withColumn("is_cut", when(col("prev_mean").isNull ||
+            abs(col("mean_value") - col("prev_mean")) > 16, 1L)
+            .otherwise(0L))
+          .withColumn("shot_id", sum(col("is_cut")).over(
+            w.rowsBetween(Long.MinValue, 0)) - 1)
+          .groupBy(col("media_id"), col("shot_id"))
+          .agg(min(col("frame_idx")).as("frame_start"),
+            max(col("frame_idx")).as("frame_end"),
+            count(lit(1)).as("n_frames"))
+          .orderBy("media_id", "shot_id")
+      },
+      Some("""WITH src AS (SELECT doc_id,
+            3 + doc_id % 2 AS len, 2 + doc_id % 3 AS shots
+          FROM documents WHERE doc_id % 3 = 0)
+        SELECT doc_id AS media_id, CAST(t.s AS BIGINT) AS shot_id,
+          CAST(t.s * len AS BIGINT) AS frame_start,
+          CAST(t.s * len + len - 1 AS BIGINT) AS frame_end,
+          CAST(len AS BIGINT) AS n_frames
+        FROM src, UNNEST(range(0, shots)) AS t(s)
+        ORDER BY media_id, shot_id""")))
 }
