@@ -242,6 +242,42 @@ object Multimodal {
     }
   }
 
+  final case class AvStatsRow(
+      media_id: Long, n_frames: Long, fps: Int, sample_rate: Int,
+      n_samples: Long, audio_weighted: Long)
+
+  /** A/V track statistics from REAL dual-stream AVI decode: frame
+    * count + fps from the video stream, sample count + rate from the
+    * interleaved PCM track, and the position-weighted sample sum
+    * Σ i·s[i] — exact (PCM is lossless) and ORDER-SENSITIVE, so a
+    * mis-ordered or dropped '01wb' chunk during container reassembly
+    * changes it even when the sample multiset survives. The input to
+    * any A/V-drift gate a video training pipeline runs before pairing
+    * audio with frames. Map-side; videos without an audio track emit
+    * rate 0 / count 0. */
+  def avStats(media: Dataset[MediaRow]): Dataset[AvStatsRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        MediaCodecs.decodeVideo(m.payload) match {
+          case Some((_, v)) =>
+            val (n, wsum, sr) = v.audio match {
+              case Some(a) =>
+                var s = 0L; var i = 0
+                while (i < a.samples.length) {
+                  s += i.toLong * a.samples(i); i += 1
+                }
+                (a.samples.length.toLong, s, a.sampleRate)
+              case None => (0L, 0L, 0)
+            }
+            Iterator.single(AvStatsRow(m.media_id,
+              v.frames.size.toLong, v.fps, sr, n, wsum))
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
   final case class AudioFrameRow(
       media_id: Long, frame_idx: Long, n_samples: Long, ssq: Long,
       n_crossings: Long)

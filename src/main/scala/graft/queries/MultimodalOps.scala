@@ -776,5 +776,75 @@ object MultimodalOps {
           CAST(t.s * len + len - 1 AS BIGINT) AS frame_end,
           CAST(len AS BIGINT) AS n_frames
         FROM src, UNNEST(range(0, shots)) AS t(s)
-        ORDER BY media_id, shot_id""")))
+        ORDER BY media_id, shot_id""")),
+
+    // A/V SYNC AUDIT over REAL dual-stream AVI (interleaved MJPEG +
+    // PCM, VideoCodec's mux) — the drift gate a video training
+    // pipeline runs before pairing audio with frames: per container,
+    // decode both tracks, derive each track's duration from its OWN
+    // header+payload (video: frames/fps; audio: samples/rate), and
+    // flag containers whose audio runs long (every 5th doc muxes 200
+    // extra samples → 50 ms drift; the rest are exact). The
+    // position-weighted sample sum makes the '01wb' interleave
+    // reassembly order load-bearing: PCM is lossless so the oracle
+    // states Σ i·s[i] exactly — a swapped or dropped audio chunk
+    // changes it even though the sample multiset survives. Map-side
+    // decode; only per-container stat rows flow on.
+    Q("q223_av_sync",
+      (s, dir) => {
+        import s.implicits._
+        val colors = Array(40, 70, 100, 135, 165, 200, 230)
+        val media = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long].mapPartitions { ids =>
+            ids.map { id =>
+              val nf = (2 + id % 3).toInt
+              val extra = if (id % 5 == 0) 200 else 0
+              val n = nf * 800 + extra
+              val samples = Array.tabulate[Short](n)(i =>
+                (((i * 37 + id) % 2048) - 1024).toShort)
+              val frames = (0 until nf).map { f =>
+                val c = colors(((id + f) % 7).toInt)
+                graft.operators.MediaCodecs.Image(
+                  16, 8, Array.fill(16 * 8 * 3)(c.toByte))
+              }
+              Multimodal.MediaRow(id, "video",
+                graft.operators.VideoCodec.encodeAviMjpeg(
+                  5, frames, quality = 90,
+                  audio = Some(graft.operators.MediaCodecs.Audio(
+                    4000, 1, samples))), 16, 8)
+            }
+          }
+        Multimodal.avStats(media).toDF()
+          .select(col("media_id"), col("n_frames"),
+            col("fps").cast("long").as("fps"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("n_samples"),
+            (col("n_frames") * 1000 / col("fps")).cast("long")
+              .as("video_ms"),
+            (col("n_samples") * 1000 / col("sample_rate")).cast("long")
+              .as("audio_ms"),
+            col("audio_weighted"))
+          .withColumn("drift_ms", col("audio_ms") - col("video_ms"))
+          .withColumn("in_sync", abs(col("drift_ms")) <= 25)
+          .orderBy("media_id")
+      },
+      Some("""WITH src AS (SELECT doc_id, 2 + doc_id % 3 AS nf,
+            (2 + doc_id % 3) * 800 +
+              CASE WHEN doc_id % 5 = 0 THEN 200 ELSE 0 END AS ns
+          FROM documents WHERE doc_id % 3 = 1),
+        wsum AS (SELECT doc_id,
+            CAST(sum(t.i * (((t.i * 37 + doc_id) % 2048) - 1024))
+              AS BIGINT) AS audio_weighted
+          FROM src, UNNEST(range(0, ns)) AS t(i) GROUP BY 1)
+        SELECT s.doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+          CAST(5 AS BIGINT) AS fps, CAST(4000 AS BIGINT) AS sample_rate,
+          CAST(ns AS BIGINT) AS n_samples,
+          CAST(nf * 200 AS BIGINT) AS video_ms,
+          CAST(ns // 4 AS BIGINT) AS audio_ms,
+          w.audio_weighted,
+          CAST(ns // 4 - nf * 200 AS BIGINT) AS drift_ms,
+          (abs(ns // 4 - nf * 200) <= 25) AS in_sync
+        FROM src s JOIN wsum w ON s.doc_id = w.doc_id
+        ORDER BY media_id""")))
 }

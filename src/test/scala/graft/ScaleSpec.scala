@@ -377,7 +377,8 @@ class ScaleSpec extends SparkSpec {
 
   test("q213/q214 codec decodes are pure maps: payloads never shuffle") {
     for (q <- Seq("q213_jpeg_decode", "q214_mulaw_audio",
-        "q217_flac_audio", "q219_mp3_audio", "q220_video_frames")) {
+        "q217_flac_audio", "q219_mp3_audio", "q220_video_frames",
+        "q223_av_sync")) {
       val plan = graft.queries.Registry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       // encode + decode ride mapPartitions; the only exchange allowed

@@ -127,6 +127,44 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeVideo(avi).isDefined)
   }
 
+  test("dual-stream AVI round-trips interleaved PCM audio exactly") {
+    val frames = Seq(solid(16, 8, 40), solid(16, 8, 100), solid(16, 8, 200))
+    // 25 sample blocks over 3 frames → uneven 8/8/9 interleave split
+    val samples = Array.tabulate[Short](25)(i => (i * 311 - 3000).toShort)
+    val audio = MediaCodecs.Audio(8000, 1, samples)
+    val avi = VideoCodec.encodeAviMjpeg(10, frames, quality = 90,
+      audio = Some(audio))
+    val v = VideoCodec.decode(avi)
+    assert(v.frames.size == 3 && v.fps == 10)
+    val a = v.audio.getOrElse(fail("audio track lost"))
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    // PCM is lossless AND order-sensitive: chunk reassembly must
+    // reproduce the exact sample sequence, not just the multiset
+    assert(a.samples.toSeq == samples.toSeq)
+    // a video-only container still decodes with audio = None
+    assert(VideoCodec.decode(
+      VideoCodec.encodeAviMjpeg(10, frames)).audio.isEmpty)
+  }
+
+  test("stereo audio blocks and header cross-checks hold in the mux") {
+    val frames = Seq(gradient(16, 8, 3), gradient(16, 8, 9))
+    val samples = Array.tabulate[Short](48)(i => (i * 77 - 1500).toShort)
+    val avi = VideoCodec.encodeAviMjpeg(12, frames,
+      audio = Some(MediaCodecs.Audio(16000, 2, samples)))
+    val a = VideoCodec.decode(avi).audio.get
+    assert(a.channels == 2 && a.sampleRate == 16000)
+    assert(a.samples.toSeq == samples.toSeq)
+    // tamper the auds dwLength (strh data offset 32): decode must fail
+    def findNthCc(cc: String, n: Int): Int = {
+      val pat = cc.getBytes("US-ASCII")
+      avi.indices.filter(i => i + 4 <= avi.length &&
+        pat.indices.forall(j => avi(i + j) == pat(j))).apply(n)
+    }
+    val strh2 = findNthCc("strh", 1) // second strl = audio stream
+    val bad = avi.clone(); bad(strh2 + 8 + 32) = 99.toByte
+    intercept[IllegalArgumentException] { VideoCodec.decode(bad) }
+  }
+
   test("sniff distinguishes AVI from WAV and routes each correctly") {
     val avi = VideoCodec.encodeAviMjpeg(25, Seq(solid(16, 8, 64)))
     val wav = MediaCodecs.encodeWav(
