@@ -10,6 +10,56 @@ import graft.operators.{CoLocate, SkewJoin}
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // The complement of manual salting (SkewJoin): for joins we DON'T
+    // pre-salt, the engine's posture at 100 TB is AQE's runtime
+    // skew-join split. Prove it actually engages on this build: a
+    // 1-hot-key join under low split thresholds must show skew=true
+    // in the FINAL adaptive plan (only available post-execution), and
+    // the result must equal the non-adaptive join.
+    val keep = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pad = "x" * 64
+      val left = spark.range(0, 30000)
+        .select(when($"id" < 29000, lit(7L)).otherwise($"id" % 64)
+          .as("k"), concat(lit(pad), $"id").as("v"))
+      val right = spark.range(0, 64).select($"id".as("k"),
+        concat(lit("r"), $"id").as("w"))
+      val joined = left.join(right, "k")
+      // execute THIS QueryExecution (count() would build a new one and
+      // leave `joined`'s adaptive plan unfinalized)
+      val got = joined.collect().length.toLong
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"),
+        s"adaptive plan did not finalize:\n$finalPlan")
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the hot partition:\n$finalPlan")
+      restore()
+      assert(got == left.join(right, "k").count(),
+        "skew-split join changed the row count")
+    } finally restore()
+  }
+
   test("saltedJoin equals plain join results (inner + left)") {
     val left = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "v")
     val right = Seq((1, "X"), (2, "Y")).toDF("k", "w")
