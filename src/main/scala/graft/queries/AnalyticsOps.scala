@@ -759,6 +759,69 @@ object AnalyticsOps {
           (2.0 * CAST(si AS DOUBLE)
             - CAST(n_keys + 1 AS DOUBLE) * CAST(n_rows AS DOUBLE))
           / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS gini
-        FROM g ORDER BY 1"""))
+        FROM g ORDER BY 1""")),
+
+    // Hierarchical BOM roll-up — the recursive-CTE workload Spark has
+    // no native operator for, expressed the scalable way: level-by-
+    // level frontier expansion with KEYED joins (the ConnectedComponents
+    // device), localCheckpoint truncating lineage per level, loop
+    // bounded by tree depth = O(log |parts|). The containment forest
+    // derives from the part table (parent = key div 8, per-parent
+    // quantity 1 + key % 4), every multiplier/cost is integer-exact
+    // (cents), and the oracle is DuckDB's actual WITH RECURSIVE over
+    // the same forest — Spark's iterative join plan must reproduce the
+    // genuine recursive semantics: per ancestor, the descendant count
+    // and the quantity-weighted cost of its whole subtree. At 100 TB
+    // each level is one hash join on the frontier's anc key; no
+    // collect ever sees node rows (the driver only counts frontier
+    // emptiness, the CC termination device).
+    Q("q224_bom_rollup",
+      (s, dir) => {
+        val parts = Tables.load(s, dir, "part")
+          .select(col("p_partkey").cast("long").as("child"),
+            expr("CAST(p_partkey AS LONG) div 8").as("parent"),
+            (lit(1) + col("p_partkey") % 4).cast("long").as("qty"),
+            round(col("p_retailprice") * 100).cast("long").as("cost"))
+          .cache()
+        val e = parts.select(col("child").as("c"), col("parent").as("p"),
+          col("qty").as("q"))
+        var frontier = parts
+          .select(col("child").as("node"), col("child").as("anc"),
+            lit(1L).as("mult"))
+          .localCheckpoint()
+        val levels = scala.collection.mutable.ArrayBuffer(frontier)
+        var n = frontier.count()
+        while (n > 0) {
+          frontier = frontier.join(e, col("anc") === col("c"))
+            .filter(col("p") >= 1)
+            .select(col("node"), col("p").as("anc"),
+              (col("mult") * col("q")).as("mult"))
+            .localCheckpoint()
+          n = frontier.count()
+          if (n > 0) levels += frontier
+        }
+        val walk = levels.reduce(_ unionAll _)
+        walk
+          .join(parts.select(col("child").as("node"), col("cost")), "node")
+          .groupBy(col("anc").as("part_key"))
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(col("mult") * col("cost")).as("rolled_cost_cents"))
+          .orderBy("part_key")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT p_partkey AS child,
+            p_partkey // 8 AS parent, 1 + p_partkey % 4 AS qty,
+            CAST(round(p_retailprice * 100) AS BIGINT) AS cost
+          FROM part),
+        walk(node, anc, mult) AS (
+          SELECT child, child, CAST(1 AS BIGINT) FROM e
+          UNION ALL
+          SELECT w.node, s.parent, w.mult * s.qty
+          FROM walk w JOIN e s ON w.anc = s.child
+          WHERE s.parent >= 1)
+        SELECT w.anc AS part_key,
+          CAST(count(*) AS BIGINT) AS n_nodes,
+          CAST(sum(w.mult * c.cost) AS BIGINT) AS rolled_cost_cents
+        FROM walk w JOIN e c ON w.node = c.child
+        GROUP BY 1 ORDER BY 1"""))
   )
 }
