@@ -822,6 +822,78 @@ object AnalyticsOps {
           CAST(count(*) AS BIGINT) AS n_nodes,
           CAST(sum(w.mult * c.cost) AS BIGINT) AS rolled_cost_cents
         FROM walk w JOIN e c ON w.node = c.child
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // INTEGER PageRank, 3 power iterations — the mass-redistribution
+    // fixed point that complements the other iterative graph ops (CC
+    // propagates labels, LPA votes, BOM rolls a tree up; PageRank
+    // conserves and redistributes a global quantity). Determinism
+    // device: all arithmetic is integer floor-division (rank micros,
+    // share = r div outdeg, damping = (850·m) div 1000), so Spark's
+    // shuffle-order-dependent summation and DuckDB agree EXACTLY —
+    // the standard float formulation could never hash-match across
+    // engines. The graph derives two out-edges per customer from the
+    // key (modulo the 1-row broadcast max key, the q137 device), so
+    // every node has outdeg ≥ 1 (self-loops kept — dropping them
+    // could orphan a node's mass). Per iteration: one keyed join
+    // edges⋈rank + one hash aggregate; lineage truncated per round.
+    Q("q225_pagerank",
+      (s, dir) => {
+        val verts = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("v")).cache()
+        val mx = verts.agg(max(col("v")).as("n"))
+        val vn = verts.crossJoin(broadcast(mx))
+        val edges = vn
+          .select(col("v").as("src"),
+            ((col("v") * 13 + 1) % col("n") + 1).as("dst"))
+          .unionAll(vn.select(col("v").as("src"),
+            ((col("v") * 29 + 7) % col("n") + 1).as("dst")))
+          .distinct().cache()
+        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        var rank = verts.select(col("v"), lit(1000000L).as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = edges
+            .join(outdeg, "src")
+            .join(rank.select(col("v").as("src"), col("r")), "src")
+            .select(col("dst").as("v"), expr("r div deg").as("share"))
+            .groupBy("v").agg(sum(col("share")).as("m"))
+          rank = verts
+            .join(contrib, Seq("v"), "left")
+            .select(col("v"),
+              (lit(150000L) + expr("(850 * coalesce(m, 0L)) div 1000"))
+                .as("r"))
+            .localCheckpoint()
+        }
+        rank.select(col("v").as("cust"), col("r").as("rank_micro"))
+          .orderBy("cust")
+      },
+      Some("""WITH mx AS (SELECT max(c_custkey) AS n FROM customer),
+        verts AS (SELECT c_custkey AS v FROM customer),
+        edges AS (SELECT DISTINCT src, dst FROM (
+          SELECT v AS src, (v * 13 + 1) % n + 1 AS dst FROM verts, mx
+          UNION ALL
+          SELECT v, (v * 29 + 7) % n + 1 FROM verts, mx)),
+        dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+          FROM edges GROUP BY 1),
+        r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM verts),
+        c1 AS (SELECT e.dst AS v, sum(r0.r // dg.deg) AS m
+          FROM edges e JOIN dg ON e.src = dg.src
+          JOIN r0 ON r0.v = e.src GROUP BY 1),
+        r1 AS (SELECT vt.v,
+            CAST(150000 + (850 * coalesce(c1.m, 0)) // 1000 AS BIGINT) AS r
+          FROM verts vt LEFT JOIN c1 ON c1.v = vt.v),
+        c2 AS (SELECT e.dst AS v, sum(r1.r // dg.deg) AS m
+          FROM edges e JOIN dg ON e.src = dg.src
+          JOIN r1 ON r1.v = e.src GROUP BY 1),
+        r2 AS (SELECT vt.v,
+            CAST(150000 + (850 * coalesce(c2.m, 0)) // 1000 AS BIGINT) AS r
+          FROM verts vt LEFT JOIN c2 ON c2.v = vt.v),
+        c3 AS (SELECT e.dst AS v, sum(r2.r // dg.deg) AS m
+          FROM edges e JOIN dg ON e.src = dg.src
+          JOIN r2 ON r2.v = e.src GROUP BY 1),
+        r3 AS (SELECT vt.v,
+            CAST(150000 + (850 * coalesce(c3.m, 0)) // 1000 AS BIGINT) AS r
+          FROM verts vt LEFT JOIN c3 ON c3.v = vt.v)
+        SELECT v AS cust, r AS rank_micro FROM r3 ORDER BY cust"""))
   )
 }
