@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, HammingDistance}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions in the SQL function registry so they are usable
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarityDesc)
+    ext.injectFunction(GraftExtensions.hammingDistanceDesc)
     ext.injectOptimizerRule(_ => graft.plans.PushTimestampConversionBounds)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthBound)
   }
@@ -38,6 +39,17 @@ object GraftExtensions {
         CosineSimilarity(children.head, children(1))
       })
 
+  private[graft] val hammingDistanceDesc
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("hamming_distance"),
+      new ExpressionInfo(classOf[HammingDistance].getName,
+        "hamming_distance"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "hamming_distance(strA, strB) takes 2 arguments")
+        HammingDistance(children.head, children(1))
+      })
+
   /** Register on an already-built session (tests, REPL): SQL functions
     * plus the timestamp-conversion pushdown rule (idempotent). The rule
     * goes through `experimental.extraOptimizations`, which run after
@@ -46,9 +58,11 @@ object GraftExtensions {
     * directly above relations and the conjuncts this rule adds are
     * collected into the scan during physical planning. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = cosineSimilarityDesc
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
+    Seq(cosineSimilarityDesc, hammingDistanceDesc).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry
+          .registerFunction(id, info, builder)
+    }
     Seq(graft.plans.PushTimestampConversionBounds,
         graft.plans.LevenshteinLengthBound).foreach { rule =>
       if (!spark.experimental.extraOptimizations.contains(rule))

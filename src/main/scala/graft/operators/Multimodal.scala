@@ -440,9 +440,11 @@ object Multimodal {
           col("a.dhash") < col("b.dhash"))
       .select(col("a.dhash").as("da"), col("b.dhash").as("db"))
       .distinct()
-      .withColumn("hamming", expr(
-        "CAST(length(da) - size(filter(sequence(1, length(da)), " +
-          "j -> substring(da, j, 1) = substring(db, j, 1))) AS BIGINT)"))
+      // native codegen'd kernel (expressions/HammingDistance) — the
+      // per-candidate hot loop; the previous higher-order-function SQL
+      // allocated a position array + two substrings per bit
+      .withColumn("hamming",
+        graft.expressions.HammingDistance.hamming(col("da"), col("db")))
       .filter(col("hamming") <= maxHamming)
     val crossPairs = candH
       .join(groups.select(col("dhash").as("da"), col("ids").as("ids_a")),

@@ -121,6 +121,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hamming_distance kernel ≡ reference count, codegen and interpreted") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      val n = rnd.nextInt(65)
+      val a = Seq.fill(n)(if (rnd.nextBoolean()) '1' else '0').mkString
+      val b = a.map(c =>
+        if (rnd.nextInt(8) == 0) (if (c == '1') '0' else '1') else c)
+      (a, b)
+    } :+ (("0101", "01")) :+ (("", "111")) // unequal lengths
+    val expected = rows.map { case (a, b) =>
+      val common = a.zip(b).count { case (x, y) => x != y }
+      common.toLong + math.abs(a.length - b.length)
+    }
+    // codegen path: one DataFrame pass through both the Column API and
+    // the SQL registration
+    val df = rows.toDF("da", "db")
+    df.createOrReplaceTempView("ham_pairs")
+    val gotCol = df.select(graft.expressions.HammingDistance
+      .hamming(col("da"), col("db"))).as[Long].collect().toSeq
+    val gotSql = spark.sql(
+      "SELECT hamming_distance(da, db) FROM ham_pairs")
+      .as[Long].collect().toSeq
+    assert(gotCol == expected)
+    assert(gotSql == expected)
+    // interpreted path (nullSafeEval)
+    rows.zip(expected).foreach { case ((a, b), want) =>
+      val got = graft.expressions.HammingDistance(
+        org.apache.spark.sql.catalyst.expressions.Literal(a),
+        org.apache.spark.sql.catalyst.expressions.Literal(b))
+        .eval(null)
+      assert(got == want, s"'$a' vs '$b'")
+    }
+  }
+
   test("codec routing never throws: random bytes and mutated real payloads") {
     import graft.operators.{MediaCodecs, VideoCodec}
     // contract of the sniff-routing layer (decodeImage/Audio/Video):
