@@ -79,6 +79,40 @@ object Similarity {
       .select("query_id", "cand_id", "rank", "cosine")
   }
 
+  /** Hard-negative mining — for each query vector, the k most-SIMILAR
+    * candidates carrying a DIFFERENT label (the contrastive-training
+    * negatives that actually teach a retriever something; random
+    * negatives are trivially far). Same two-phase shape as
+    * [[bruteForceTopK]]: the codegen'd kernel prunes inside the
+    * broadcast join, a small buffer beyond k absorbs double-ordering
+    * jitter at the boundary, decimal rescore re-ranks the survivors
+    * exactly. The label inequality rides the join condition, so
+    * same-label pairs never leave the fused loop. */
+  def hardNegativesTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val parallelism = candidates.sparkSession.sparkContext.defaultParallelism
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qe"),
+      col("label").as("q_label"))
+    val c = candidates.select(
+      col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("label").as("neg_label"))
+      .repartition(parallelism)
+    val fast = c.join(broadcast(q), col("q_label") =!= col("neg_label"))
+      .withColumn("cos_fast", cosine(col("qe"), col("ce")))
+    val wFast = Window.partitionBy("query_id")
+      .orderBy(col("cos_fast").desc, col("cand_id"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    fast
+      .withColumn("_rf", row_number().over(wFast))
+      .filter(col("_rf") <= k + 3)
+      .withColumn("cosine", exactCosine(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(wExact).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "neg_label", "rank", "cosine")
+  }
+
   /** All pairs with exact cosine ≥ threshold (embedding near-dup
     * detection). The kernel runs inside the join condition, so the
     * quadratic phase emits only survivors. */

@@ -361,7 +361,49 @@ object VectorOps {
           CAST(sum(CAST((e - qv * scale) * (e - qv * scale)
             AS DECIMAL(38,12))) AS DOUBLE) AS sq_err,
           CAST(sum(CAST(qv AS BIGINT) * i) AS BIGINT) AS checksum
-        FROM q GROUP BY 1 ORDER BY 1"""))
+        FROM q GROUP BY 1 ORDER BY 1""")),
+
+    // Hard-negative mining — for each query vector, the 5 most-SIMILAR
+    // candidates with a DIFFERENT label: the contrastive-training
+    // negatives a retriever pipeline mines (random negatives are
+    // trivially far; hard ones sit near the decision boundary). The
+    // label inequality rides the broadcast-join condition so same-label
+    // pairs never leave the fused cosine kernel; survivors are
+    // decimal-rescored and re-ranked, making the top-k boundary
+    // oracle-exact like q23's.
+    Q("q226_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.hardNegativesTopK(
+            emb.filter(col("vec_id") < 20), emb, k = 5)
+          .withColumn("neg_label", col("neg_label").cast("long"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $exCte,
+        lab AS (SELECT vec_id, label FROM embeddings),
+        dots AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+            CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i
+          JOIN lab la ON la.vec_id = a.vec_id
+          JOIN lab lb ON lb.vec_id = b.vec_id
+          WHERE a.vec_id < 20 AND la.label <> lb.label
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT query_id, cand_id,
+            dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+          FROM dots
+          JOIN nrm na ON na.vec_id = query_id
+          JOIN nrm nb ON nb.vec_id = cand_id)
+        SELECT query_id, cand_id,
+          CAST(lb.label AS BIGINT) AS neg_label, rank, cosine
+        FROM (
+          SELECT query_id, cand_id, cosine,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS rank
+          FROM scored)
+        JOIN lab lb ON lb.vec_id = cand_id
+        WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 
   /** Two Lloyd iterations from the 8 lowest-id seeds, mirrored CTE by

@@ -45,7 +45,7 @@ object ExplainAudit {
       "q213_jpeg_decode", "q214_mulaw_audio", "q215_chunk_overlap",
       "q216_temperature_mix", "q217_flac_audio", "q218_ks_drift",
       "q219_mp3_audio", "q220_video_frames", "q221_video_dedup",
-      "q222_video_scenes", "q223_av_sync", "q224_bom_rollup", "q225_pagerank")
+      "q222_video_scenes", "q223_av_sync", "q224_bom_rollup", "q225_pagerank", "q226_hard_negatives")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
