@@ -298,6 +298,8 @@ object MediaCodecs {
     var done = false
     while (!done && pos + 8 <= bytes.length) {
       val len = be32(bytes, pos)
+      // a corrupt negative length would walk pos backwards — loop forever
+      require(len >= 0, s"negative PNG chunk length $len")
       val typ = new String(bytes, pos + 4, 4, StandardCharsets.US_ASCII)
       val body = pos + 8
       typ match {
@@ -320,8 +322,15 @@ object MediaCodecs {
     val stride = 1 + width * 3
     val raw = new Array[Byte](height * stride)
     var off = 0
-    while (!inflater.finished() && off < raw.length)
-      off += inflater.inflate(raw, off, raw.length - off)
+    var stalled = false
+    while (!inflater.finished() && off < raw.length && !stalled) {
+      val n = inflater.inflate(raw, off, raw.length - off)
+      // n == 0 with finished() false means the (truncated/corrupt)
+      // stream wants more input that will never come — bail loudly
+      // instead of busy-looping a decode task forever
+      stalled = n == 0
+      off += n
+    }
     inflater.end()
     require(off == raw.length, s"short IDAT: $off of ${raw.length}")
     // de-filter, per the PNG spec's five filter types
@@ -397,6 +406,8 @@ object MediaCodecs {
     while (pos + 8 <= bytes.length && (dataOff < 0 || format < 0)) {
       val id = new String(bytes, pos, 4, StandardCharsets.US_ASCII)
       val size = i32(bytes, pos + 4)
+      // corrupt negative size stops pos advancing — loop forever
+      require(size >= 0, s"negative RIFF chunk size $size")
       val body = pos + 8
       id match {
         case "fmt " =>

@@ -846,5 +846,51 @@ object MultimodalOps {
           CAST(ns // 4 - nf * 200 AS BIGINT) AS drift_ms,
           (abs(ns // 4 - nf * 200) <= 25) AS in_sync
         FROM src s JOIN wsum w ON s.doc_id = w.doc_id
-        ORDER BY media_id""")))
+        ORDER BY media_id""")),
+
+    // REAL pixel resize — the training-pipeline preprocessing verb the
+    // metadata-only resizeMeta stubs. Decode (BMP/PNG/PPM) → integer
+    // box-filter downsample by 4 → re-encode BMP → decode again → emit
+    // the resized raster pixel by pixel, all map-side inside one
+    // mapPartitions batch. The oracle recomputes EVERY output channel
+    // from the closed-form generating pixels: floor-mean over each 4×4
+    // input block — so the box-filter arithmetic, the channel
+    // interleave, the re-encode byte layout (row padding, BGR order,
+    // bottom-up flip) and the second decode all sit under one hash.
+    // Audio docs (doc_id % 3 = 1) don't decode as images and are
+    // skipped; both image widths (16 → out 4×2, 8 → out 2×2) appear.
+    Q("q227_image_resize",
+      (s, dir) => {
+        val media = Multimodal.packEncodedMedia(
+          Tables.load(s, dir, "documents"))
+        Multimodal.resizePixels(media, 4).toDF()
+          .orderBy("media_id", "oy", "ox")
+      },
+      Some("""WITH img AS (SELECT doc_id,
+            CASE WHEN doc_id % 6 = 0 THEN 'bmp'
+                 WHEN doc_id % 3 = 0 THEN 'png'
+                 ELSE 'ppm' END AS format,
+            CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS w,
+            CASE WHEN doc_id % 3 = 0 THEN 31 ELSE 13 END AS mult
+          FROM documents WHERE doc_id % 3 <> 1),
+        cells AS (SELECT doc_id, format, w, mult,
+            t_ox.ox, t_oy.oy, t_dx.dx, t_dy.dy
+          FROM img,
+            generate_series(0, 3) AS t_ox(ox),
+            generate_series(0, 1) AS t_oy(oy),
+            generate_series(0, 3) AS t_dx(dx),
+            generate_series(0, 3) AS t_dy(dy)
+          WHERE t_ox.ox < w // 4)
+        SELECT doc_id AS media_id, format,
+          CAST(w // 4 AS INTEGER) AS out_w, CAST(2 AS INTEGER) AS out_h,
+          CAST(ox AS INTEGER) AS ox, CAST(oy AS INTEGER) AS oy,
+          CAST(sum(((((oy * 4 + dy) * w + ox * 4 + dx) * 3 + 0) * mult
+            + doc_id) % 256) // 16 AS INTEGER) AS r,
+          CAST(sum(((((oy * 4 + dy) * w + ox * 4 + dx) * 3 + 1) * mult
+            + doc_id) % 256) // 16 AS INTEGER) AS g,
+          CAST(sum(((((oy * 4 + dy) * w + ox * 4 + dx) * 3 + 2) * mult
+            + doc_id) % 256) // 16 AS INTEGER) AS b
+        FROM cells
+        GROUP BY doc_id, format, w, ox, oy
+        ORDER BY media_id, oy, ox""")))
 }

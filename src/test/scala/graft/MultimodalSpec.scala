@@ -337,4 +337,41 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3L) == (5L, "0111"), "reversed footage must differ")
     assert(rows(4L) == (3L, "00"), "frame count must ride with the hash")
   }
+
+  test("resizePixels: box-filter floor-means, codec round-trip, skips") {
+    import spark.implicits._
+    import graft.operators.MediaCodecs
+    // 8x4 gradient: pixel (x,y) channel c = (y*8+x)*3+c
+    val rgb = Array.tabulate[Byte](8 * 4 * 3)(i => i.toByte)
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image", MediaCodecs.encodeBmp(
+        MediaCodecs.Image(8, 4, rgb)), 8, 4),
+      Multimodal.MediaRow(1L, "image", MediaCodecs.encodePng(
+        MediaCodecs.Image(8, 4, rgb)), 8, 4),
+      // dims not divisible by k: skipped
+      Multimodal.MediaRow(2L, "image", MediaCodecs.encodeBmp(
+        MediaCodecs.Image(9, 4, Array.fill(9 * 4 * 3)(7.toByte))), 9, 4),
+      // not an image: skipped
+      Multimodal.MediaRow(3L, "audio", MediaCodecs.encodeWav(
+        MediaCodecs.Audio(8000, 1, Array.fill[Short](16)(5))), 0, 0))
+      .toDS()
+    val out = Multimodal.resizePixels(media, 4).collect()
+    assert(out.map(_.media_id).toSet == Set(0L, 1L))
+    val byKey = out.map(r => (r.media_id, r.ox, r.oy) -> r).toMap
+    // expected: floor-mean over the 4x4 block, per channel
+    def expect(ox: Int, oy: Int, c: Int): Int = {
+      val vals = for (dy <- 0 until 4; dx <- 0 until 4)
+        yield (((oy * 4 + dy) * 8 + ox * 4 + dx) * 3 + c) & 0xff
+      vals.sum / 16
+    }
+    for (id <- Seq(0L, 1L); ox <- 0 until 2) {
+      val r = byKey((id, ox, 0))
+      assert(r.out_w == 2 && r.out_h == 1)
+      assert(r.r == expect(ox, 0, 0) && r.g == expect(ox, 0, 1) &&
+        r.b == expect(ox, 0, 2),
+        s"id=$id ox=$ox got (${r.r},${r.g},${r.b})")
+    }
+    // BMP and PNG inputs of the same raster resize identically
+    assert(byKey((0L, 0, 0)).r == byKey((1L, 0, 0)).r)
+  }
 }

@@ -216,6 +216,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("corrupt container lengths terminate, not hang: truncated IDAT, " +
+      "negative PNG/RIFF chunk sizes") {
+    import graft.operators.MediaCodecs
+    // regression shapes for two infinite loops the fuzz test surfaced:
+    // (a) zlib Inflater returning 0 forever on a truncated IDAT while
+    // finished() stays false, (b) a negative chunk length walking `pos`
+    // backwards so the chunk scan never advances. Each decode must
+    // return None promptly — a hang here is a stuck executor task on
+    // one corrupt payload at corpus scale.
+    val png = MediaCodecs.encodePng(MediaCodecs.Image(9, 7,
+      Array.tabulate(9 * 7 * 3)(i => (i * 5 % 256).toByte)))
+    // (a) cut into the IDAT data itself (the 16 trailing bytes are
+    // CRC + IEND, which the decoder deliberately skips)
+    val truncated = java.util.Arrays.copyOf(png, png.length - 20)
+    assert(MediaCodecs.decodeImage(truncated).isEmpty)
+    // (a') shrink the declared IDAT length: only a PREFIX of the
+    // deflate stream is fed, so the Inflater consumes everything and
+    // stalls wanting more input — the exact busy-loop shape
+    val ihdrEndA = 8 + 8 + 13 + 4
+    val shrunk = png.clone()
+    val idatLen = ((shrunk(ihdrEndA) & 0xff) << 24) |
+      ((shrunk(ihdrEndA + 1) & 0xff) << 16) |
+      ((shrunk(ihdrEndA + 2) & 0xff) << 8) | (shrunk(ihdrEndA + 3) & 0xff)
+    val cut = math.max(1, idatLen - 8)
+    shrunk(ihdrEndA) = (cut >>> 24).toByte
+    shrunk(ihdrEndA + 1) = ((cut >> 16) & 0xff).toByte
+    shrunk(ihdrEndA + 2) = ((cut >> 8) & 0xff).toByte
+    shrunk(ihdrEndA + 3) = (cut & 0xff).toByte
+    assert(MediaCodecs.decodeImage(shrunk).isEmpty)
+    // (b) negative PNG chunk length right after IHDR
+    val negPng = png.clone()
+    val ihdrEnd = 8 + 8 + 13 + 4 // magic, len+type, IHDR body, CRC
+    negPng(ihdrEnd) = 0xff.toByte; negPng(ihdrEnd + 1) = 0xff.toByte
+    negPng(ihdrEnd + 2) = 0xff.toByte; negPng(ihdrEnd + 3) = 0xf4.toByte
+    assert(MediaCodecs.decodeImage(negPng).isEmpty)
+    // (b') negative RIFF chunk size before fmt/data are found
+    val wav = MediaCodecs.encodeWav(MediaCodecs.Audio(8000, 1,
+      Array.tabulate[Short](32)(i => (i * 100).toShort)))
+    val negWav = wav.clone()
+    negWav(16) = 0xf8.toByte; negWav(17) = 0xff.toByte
+    negWav(18) = 0xff.toByte; negWav(19) = 0xff.toByte // fmt size = -8
+    assert(MediaCodecs.decodeAudio(negWav).isEmpty)
+  }
+
   test("MediaCodecs: BMP and PPM round-trip arbitrary pixel buffers") {
     import graft.operators.MediaCodecs
     val gen = for {
