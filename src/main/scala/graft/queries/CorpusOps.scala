@@ -562,6 +562,111 @@ object CorpusOps {
           CAST(w AS DOUBLE) / CAST(tot AS DOUBLE) AS weight,
           CAST(floor(10000.0 * (CAST(w AS DOUBLE) / CAST(tot AS DOUBLE)))
             AS BIGINT) AS expected_docs
-        FROM c, t ORDER BY source"""))
+        FROM c, t ORDER BY source""")),
+
+    // Distributed BPE vocabulary learning (tokenizer training): 3
+    // merge rounds over the corpus word-frequency table. One
+    // corpus-sized shuffle total; each round is vocab-bound — pair
+    // counts by hash agg, winner by 1-row struct-min (max count, ties
+    // to the lexicographically smallest pair), merge applied map-side
+    // with greedy left-to-right run-parity semantics. The oracle
+    // replays all three rounds in staged SQL, incl. the greedy scan
+    // as a run-parity window (matches grouped into consecutive runs,
+    // odd positions within each run merge), and `corpus_syms_after`
+    // (Σ wc·|syms| after each merge) pins the merge APPLICATION under
+    // the hash, not just the argmax choice.
+    Q("q228_bpe_train",
+      (s, dir) => {
+        graft.operators.BpeTrain
+          .train(Tables.load(s, dir, "documents"), "text", rounds = 3)
+          .toDF().orderBy("round")
+      },
+      Some("""WITH wf AS (
+          SELECT w AS word, CAST(count(*) AS BIGINT) AS wc
+          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+              AS w FROM documents)
+          WHERE w <> '' GROUP BY 1),
+        s0 AS (SELECT word, wc,
+            list_transform(range(1, strlen(word) + 1),
+              i -> substr(word, i, 1)) AS syms FROM wf),
+        p1 AS (SELECT syms[t.i] AS a, syms[t.i + 1] AS b,
+            CAST(sum(wc) AS BIGINT) AS cnt
+          FROM s0, UNNEST(range(1, len(syms))) t(i) GROUP BY 1, 2),
+        w1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        pos1 AS (SELECT word, wc, syms, t.i
+          FROM s0, UNNEST(range(1, len(syms) + 1)) t(i)),
+        mat1 AS (SELECT p.word, p.i FROM pos1 p, w1 w
+          WHERE p.i < len(p.syms) AND p.syms[p.i] = w.a
+            AND p.syms[p.i + 1] = w.b),
+        keep1 AS (SELECT word, i FROM (
+            SELECT word, i, row_number() OVER (PARTITION BY word, g
+              ORDER BY i) AS rn
+            FROM (SELECT word, i, i - row_number() OVER (
+                PARTITION BY word ORDER BY i) AS g FROM mat1))
+          WHERE rn % 2 = 1),
+        s1 AS (SELECT p.word, any_value(p.wc) AS wc,
+            list(CASE WHEN k.i IS NOT NULL
+              THEN p.syms[p.i] || p.syms[p.i + 1]
+              ELSE p.syms[p.i] END ORDER BY p.i) AS syms
+          FROM pos1 p
+          LEFT JOIN keep1 k ON k.word = p.word AND k.i = p.i
+          LEFT JOIN keep1 k2 ON k2.word = p.word AND k2.i = p.i - 1
+          WHERE k2.i IS NULL GROUP BY p.word),
+        t1 AS (SELECT CAST(sum(wc * len(syms)) AS BIGINT) AS tot FROM s1),
+        p2 AS (SELECT syms[t.i] AS a, syms[t.i + 1] AS b,
+            CAST(sum(wc) AS BIGINT) AS cnt
+          FROM s1, UNNEST(range(1, len(syms))) t(i) GROUP BY 1, 2),
+        w2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        pos2 AS (SELECT word, wc, syms, t.i
+          FROM s1, UNNEST(range(1, len(syms) + 1)) t(i)),
+        mat2 AS (SELECT p.word, p.i FROM pos2 p, w2 w
+          WHERE p.i < len(p.syms) AND p.syms[p.i] = w.a
+            AND p.syms[p.i + 1] = w.b),
+        keep2 AS (SELECT word, i FROM (
+            SELECT word, i, row_number() OVER (PARTITION BY word, g
+              ORDER BY i) AS rn
+            FROM (SELECT word, i, i - row_number() OVER (
+                PARTITION BY word ORDER BY i) AS g FROM mat2))
+          WHERE rn % 2 = 1),
+        s2 AS (SELECT p.word, any_value(p.wc) AS wc,
+            list(CASE WHEN k.i IS NOT NULL
+              THEN p.syms[p.i] || p.syms[p.i + 1]
+              ELSE p.syms[p.i] END ORDER BY p.i) AS syms
+          FROM pos2 p
+          LEFT JOIN keep2 k ON k.word = p.word AND k.i = p.i
+          LEFT JOIN keep2 k2 ON k2.word = p.word AND k2.i = p.i - 1
+          WHERE k2.i IS NULL GROUP BY p.word),
+        t2 AS (SELECT CAST(sum(wc * len(syms)) AS BIGINT) AS tot FROM s2),
+        p3 AS (SELECT syms[t.i] AS a, syms[t.i + 1] AS b,
+            CAST(sum(wc) AS BIGINT) AS cnt
+          FROM s2, UNNEST(range(1, len(syms))) t(i) GROUP BY 1, 2),
+        w3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+        pos3 AS (SELECT word, wc, syms, t.i
+          FROM s2, UNNEST(range(1, len(syms) + 1)) t(i)),
+        mat3 AS (SELECT p.word, p.i FROM pos3 p, w3 w
+          WHERE p.i < len(p.syms) AND p.syms[p.i] = w.a
+            AND p.syms[p.i + 1] = w.b),
+        keep3 AS (SELECT word, i FROM (
+            SELECT word, i, row_number() OVER (PARTITION BY word, g
+              ORDER BY i) AS rn
+            FROM (SELECT word, i, i - row_number() OVER (
+                PARTITION BY word ORDER BY i) AS g FROM mat3))
+          WHERE rn % 2 = 1),
+        s3 AS (SELECT p.word, any_value(p.wc) AS wc,
+            list(CASE WHEN k.i IS NOT NULL
+              THEN p.syms[p.i] || p.syms[p.i + 1]
+              ELSE p.syms[p.i] END ORDER BY p.i) AS syms
+          FROM pos3 p
+          LEFT JOIN keep3 k ON k.word = p.word AND k.i = p.i
+          LEFT JOIN keep3 k2 ON k2.word = p.word AND k2.i = p.i - 1
+          WHERE k2.i IS NULL GROUP BY p.word),
+        t3 AS (SELECT CAST(sum(wc * len(syms)) AS BIGINT) AS tot FROM s3)
+        SELECT CAST(1 AS INTEGER) AS round, w1.a AS lhs, w1.b AS rhs,
+          w1.cnt AS pair_count, t1.tot AS corpus_syms_after FROM w1, t1
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), w2.a, w2.b, w2.cnt, t2.tot FROM w2, t2
+        UNION ALL
+        SELECT CAST(3 AS INTEGER), w3.a, w3.b, w3.cnt, t3.tot FROM w3, t3
+        ORDER BY round"""))
   )
 }

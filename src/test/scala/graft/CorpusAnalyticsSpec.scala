@@ -128,4 +128,38 @@ class CorpusAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(binned == naive && naive.nonEmpty)
   }
+
+  test("BpeTrain: greedy run parity, tie-break, learned merge order") {
+    import graft.operators.BpeTrain
+    // greedy left-to-right on overlapping runs: "aaaa" under (a,a)
+    // merges positions 1 and 3, never the middle overlap
+    assert(BpeTrain.applyMerge(Seq("a", "a", "a"), "a", "a") ==
+      Seq("aa", "a"))
+    assert(BpeTrain.applyMerge(Seq("a", "a", "a", "a"), "a", "a") ==
+      Seq("aa", "aa"))
+    assert(BpeTrain.applyMerge(Seq("x", "a", "a", "a", "y"), "a", "a") ==
+      Seq("x", "aa", "a", "y"))
+    // merged symbols participate in later merges
+    assert(BpeTrain.applyMerge(Seq("aa", "b"), "aa", "b") == Seq("aab"))
+    // corpus: "ab" x3, "ba" x3 — (a,b) and (b,a) tie at 3; the
+    // lexicographically smaller pair (a,b) must win round 1
+    val docs = Seq((0L, "ab ab ba"), (1L, "ba ba ab"))
+      .toDF("doc_id", "text")
+    val rounds = BpeTrain.train(docs, "text", 2).collect()
+      .sortBy(_.round)
+    assert(rounds(0).lhs == "a" && rounds(0).rhs == "b" &&
+      rounds(0).pair_count == 3L)
+    // after round 1: "ab"->["ab"] (3 uses, 3 syms), "ba"->["b","a"]
+    // (3 uses, 6 syms) => 9
+    assert(rounds(0).corpus_syms_after == 9L)
+    assert(rounds(1).lhs == "b" && rounds(1).rhs == "a" &&
+      rounds(1).pair_count == 3L)
+    assert(rounds(1).corpus_syms_after == 6L)
+    // inference side applies the learned list in order
+    val words = BpeTrain.wordFreq(docs, "text")
+    val tok = BpeTrain
+      .tokenize(words, rounds.map(r => (r.lhs, r.rhs)).toSeq)
+      .collect().map(w => w.word -> w.syms).toMap
+    assert(tok("ab") == Seq("ab") && tok("ba") == Seq("ba"))
+  }
 }
