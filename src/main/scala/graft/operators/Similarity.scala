@@ -388,4 +388,43 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "rank", "adc_dist")
   }
+
+  /** ±1 sign for the Johnson–Lindenstrauss projection matrix, derived
+    * from the parity of md5("rp|j|i")'s first hex digit — any engine
+    * with md5 reproduces the identical matrix, so the projection is
+    * oracle-checkable without shipping weights. */
+  def jlSign(j: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = (md.digest(s"rp|$j|$i".getBytes("UTF-8"))(0) >> 4) & 0xf
+    if (d % 2 == 0) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss random projection: compress `dim`-d float
+    * vectors to `outDims` coordinates against the md5-derived ±1 sign
+    * matrix (Achlioptas 2003's database-friendly projection — ±1
+    * entries preserve pairwise distances within the JL bound, no
+    * gaussian sampling needed). Sums are decimal-exact (float terms
+    * cast to DECIMAL(18,9) — the q23 discipline), so projections and
+    * their sign-bit sketch hash-match any engine.
+    *
+    * Scale shape: ONE explode shuffle partially aggregated map-side;
+    * the sign matrix (outDims·dim rows) broadcasts; output is
+    * outDims rows per vector. The long-form explode + codegen hash
+    * agg beats a per-row HOF fold (the measured q124/q72 result:
+    * Spark HOFs are interpreted CodegenFallback). */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dec = DecimalType(18, 9)
+    val signs = (for (j <- 0 until outDims; i <- 0 until dim)
+      yield (j, i, jlSign(j, i))).toDF("j", "pos", "s")
+    emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .join(broadcast(signs), Seq("pos"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum((col("e").cast(DoubleType) * col("s")).cast(dec)).as("p"))
+      .select(col(idCol), col("j").cast(LongType).as("j"),
+        col("p").cast(DoubleType).as("proj"),
+        (col("p") > 0).as("bit"))
+  }
 }

@@ -667,6 +667,53 @@ object CorpusOps {
         SELECT CAST(2 AS INTEGER), w2.a, w2.b, w2.cnt, t2.tot FROM w2, t2
         UNION ALL
         SELECT CAST(3 AS INTEGER), w3.a, w3.b, w3.cnt, t3.tot FROM w3, t3
-        ORDER BY round"""))
+        ORDER BY round""")),
+
+    // DSIR-style importance weighting: score every non-English doc by
+    // whether its hashed-bigram features look more like the English
+    // (target) distribution than the raw pool's own — add-one
+    // smoothed likelihood comparison done as exact integer
+    // cross-multiplication per bucket (sign-equivalent to the float
+    // log-ratio), so the whole selection is hash-checkable. One
+    // corpus shuffle for the 256-bucket count table (target and raw
+    // in a single conditional aggregate), broadcast joins for
+    // scoring.
+    Q("q229_dsir_selection",
+      (s, dir) => {
+        graft.operators.Dsir.importanceVotes(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            col("lang") === "en")
+          .orderBy("doc_id")
+      },
+      Some("""WITH occ AS (
+          SELECT doc_id, lang = 'en' AS is_t,
+            substr(md5(ws[t.i] || ' ' || ws[t.i + 1]), 1, 2) AS bucket
+          FROM (SELECT doc_id, lang,
+              regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents),
+            UNNEST(range(1, len(ws))) t(i)
+          WHERE len(ws) >= 2),
+        c AS (SELECT bucket,
+            CAST(count(*) FILTER (is_t) AS BIGINT) AS tc,
+            CAST(count(*) FILTER (NOT is_t) AS BIGINT) AS rc
+          FROM occ GROUP BY 1),
+        t AS (SELECT CAST(sum(tc) AS BIGINT) AS st,
+            CAST(sum(rc) AS BIGINT) AS sr FROM c)
+        SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(count(*) FILTER (
+            CAST(c.tc + 1 AS DECIMAL(38,0)) * (t.sr + 256)
+              > CAST(c.rc + 1 AS DECIMAL(38,0)) * (t.st + 256))
+            AS BIGINT) AS target_votes,
+          CAST(sum(CAST(c.tc + 1 AS DECIMAL(38,0)) * (t.sr + 256)
+            - CAST(c.rc + 1 AS DECIMAL(38,0)) * (t.st + 256))
+            AS BIGINT) AS margin,
+          CAST(count(*) FILTER (
+            CAST(c.tc + 1 AS DECIMAL(38,0)) * (t.sr + 256)
+              > CAST(c.rc + 1 AS DECIMAL(38,0)) * (t.st + 256))
+            AS BIGINT) * 2 > CAST(count(*) AS BIGINT) AS selected
+        FROM occ o JOIN c ON c.bucket = o.bucket, t
+        WHERE NOT o.is_t
+        GROUP BY o.doc_id
+        ORDER BY o.doc_id"""))
   )
 }

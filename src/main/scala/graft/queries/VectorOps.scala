@@ -403,7 +403,35 @@ object VectorOps {
               ORDER BY cosine DESC, cand_id) AS rank
           FROM scored)
         JOIN lab lb ON lb.vec_id = cand_id
-        WHERE rank <= 5 ORDER BY query_id, rank"""))
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // Johnson–Lindenstrauss compression of the embedding table: 64-d
+    // float vectors → 16 coordinates against a ±1 matrix both engines
+    // derive independently from md5 parity, plus the sign-bit sketch.
+    // Decimal-exact sums make the projection VALUES hash-checkable,
+    // not just their signs. Scale: explode + map-side-combinable hash
+    // agg, sign matrix broadcast.
+    Q("q230_jl_projection",
+      (s, dir) => {
+        Similarity.randomProject(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", outDims = 16, dim = Dim)
+          .orderBy("vec_id", "j")
+      },
+      Some(s"""WITH ex AS (SELECT vec_id,
+            CAST(unnest(embedding) AS DOUBLE) AS e,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+        sgn AS (SELECT j.j, i.i,
+            CASE WHEN (strpos('0123456789abcdef',
+                substr(md5('rp|' || j.j || '|' || i.i), 1, 1)) - 1)
+                % 2 = 0
+              THEN 1 ELSE -1 END AS s
+          FROM generate_series(0, 15) j(j),
+            generate_series(0, ${Dim - 1}) i(i))
+        SELECT e.vec_id, s.j AS j,
+          CAST(sum(CAST(e.e * s.s AS DECIMAL(18,9))) AS DOUBLE) AS proj,
+          sum(CAST(e.e * s.s AS DECIMAL(18,9))) > 0 AS bit
+        FROM ex e JOIN sgn s ON s.i = e.i - 1
+        GROUP BY 1, 2 ORDER BY vec_id, j"""))
   )
 
   /** Two Lloyd iterations from the 8 lowest-id seeds, mirrored CTE by

@@ -197,4 +197,37 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.forall(_.length == 8))
     assert(b1.distinct.size > 1)
   }
+
+  test("randomProject: basis vectors read off the sign matrix; " +
+      "projection preserves relative distances roughly") {
+    import spark.implicits._
+    // e_i projects to exactly the i-th column of signs: pins the md5
+    // derivation and the join orientation
+    val basis = (0 until 4).map(i =>
+      (i.toLong, Array.tabulate(64)(k => if (k == i) 1.0f else 0.0f)))
+    val p = Similarity
+      .randomProject(basis.toDF("vec_id", "embedding"), "vec_id",
+        "embedding", outDims = 16, dim = 64)
+      .collect()
+    assert(p.length == 4 * 16)
+    p.foreach { r =>
+      assert(r.getDouble(2) ==
+        Similarity.jlSign(r.getLong(1).toInt, r.getLong(0).toInt).toDouble)
+    }
+    // identical vectors stay identical after projection; a far vector
+    // stays far (sanity JL check, not a tight bound)
+    val rnd = new scala.util.Random(7)
+    val v = Array.fill(64)(rnd.nextFloat())
+    val far = v.map(x => -x)
+    val trio = Seq((0L, v), (1L, v.clone()), (2L, far))
+    val q = Similarity
+      .randomProject(trio.toDF("vec_id", "embedding"), "vec_id",
+        "embedding", outDims = 16, dim = 64)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    assert(q(0L).sameElements(q(1L)))
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(d2(q(0L).toSeq, q(2L).toSeq) > 0.0)
+  }
 }
