@@ -578,6 +578,68 @@ object Multimodal {
     }
   }
 
+  final case class ResampledAudioRow(
+      media_id: Long, format: String, out_rate: Int, channels: Int,
+      out_n: Long, out_sum: Long, checksum: Long, mean: Double)
+
+  /** REAL audio resample — decimate by integer factor `k`: each output
+    * sample is the truncating-division mean of its k consecutive
+    * per-channel input samples (exact integer arithmetic; truncation
+    * toward zero matches SQL integer division on both engines). The
+    * decimated PCM is re-encoded (WAV at rate/k) and decoded AGAIN, so
+    * the emitted stats have round-tripped a real audio file. The
+    * position-weighted checksum makes sample ORDER load-bearing, not
+    * just the value multiset.
+    *
+    * Map-side only; payloads never shuffle; the trailing partial block
+    * (fewer than k samples) is dropped, as is any payload that doesn't
+    * decode as audio. */
+  def resampleAudio(media: Dataset[MediaRow], k: Int)
+      : Dataset[ResampledAudioRow] = {
+    require(k >= 1, s"resample factor must be >= 1, got $k")
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        MediaCodecs.decodeAudio(m.payload) match {
+          case Some((fmt, a)) if a.channels >= 1 &&
+              a.samples.length >= k * a.channels &&
+              a.sampleRate >= k =>
+            val ch = a.channels
+            val nPerCh = a.samples.length / ch
+            val outPerCh = nPerCh / k
+            val out = new Array[Short](outPerCh * ch)
+            var j = 0
+            while (j < outPerCh) {
+              var c = 0
+              while (c < ch) {
+                var sum = 0L
+                var d = 0
+                while (d < k) {
+                  sum += a.samples((j * k + d) * ch + c)
+                  d += 1
+                }
+                out(j * ch + c) = (sum / k).toShort
+                c += 1
+              }
+              j += 1
+            }
+            val rt = MediaCodecs.decodeWav(MediaCodecs.encodeWav(
+              MediaCodecs.Audio(a.sampleRate / k, ch, out)))
+            var s = 0L; var cks = 0L; var i = 0
+            while (i < rt.samples.length) {
+              s += rt.samples(i)
+              cks += (i + 1L) * rt.samples(i)
+              i += 1
+            }
+            Iterator.single(ResampledAudioRow(m.media_id, fmt,
+              rt.sampleRate, rt.channels, rt.samples.length.toLong, s,
+              cks, s.toDouble / rt.samples.length))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Resize: pure metadata transform (the real op also re-encodes the
     * payload — stubbed to keep bytes unchanged). */
   def resizeMeta(media: Dataset[MediaRow], maxW: Int): Dataset[MediaRow] = {

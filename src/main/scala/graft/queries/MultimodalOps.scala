@@ -892,5 +892,37 @@ object MultimodalOps {
             + doc_id) % 256) // 16 AS INTEGER) AS b
         FROM cells
         GROUP BY doc_id, format, w, ox, oy
-        ORDER BY media_id, oy, ox""")))
+        ORDER BY media_id, oy, ox""")),
+
+    // REAL audio resample — decimate the 8 kHz WAV fixtures by 4 to
+    // 2 kHz: per-block truncating-division means in exact integer
+    // arithmetic, re-encoded and decoded again (the resizePixels
+    // discipline). The oracle regenerates every decimated sample from
+    // the closed-form signal; the position-weighted checksum pins
+    // sample ORDER through the WAV round-trip, and the negative
+    // sample values keep the truncation-toward-zero contract (both
+    // engines' integer division) under the hash.
+    Q("q231_audio_resample",
+      (s, dir) => {
+        val media = Multimodal.packEncodedMedia(
+          Tables.load(s, dir, "documents"))
+        Multimodal.resampleAudio(media, 4).toDF()
+          .orderBy("media_id")
+      },
+      Some("""WITH au AS (SELECT doc_id FROM documents
+            WHERE doc_id % 3 = 1),
+        v AS (SELECT doc_id, b.j,
+            CAST(sum(((4 * b.j + d.d) * 37 + doc_id) % 2048 - 1024)
+              AS BIGINT) // 4 AS val
+          FROM au, generate_series(0, 63) b(j),
+            generate_series(0, 3) d(d)
+          GROUP BY 1, 2)
+        SELECT doc_id AS media_id, 'wav' AS format,
+          CAST(2000 AS INTEGER) AS out_rate,
+          CAST(1 AS INTEGER) AS channels,
+          CAST(64 AS BIGINT) AS out_n,
+          CAST(sum(val) AS BIGINT) AS out_sum,
+          CAST(sum((j + 1) * val) AS BIGINT) AS checksum,
+          CAST(sum(val) AS BIGINT) / 64.0 AS mean
+        FROM v GROUP BY doc_id ORDER BY media_id""")))
 }

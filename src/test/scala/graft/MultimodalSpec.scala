@@ -374,4 +374,33 @@ class MultimodalSpec extends SparkSpec {
     // BMP and PNG inputs of the same raster resize identically
     assert(byKey((0L, 0, 0)).r == byKey((1L, 0, 0)).r)
   }
+
+  test("resampleAudio: truncating means, stereo interleave, partial-block drop") {
+    import spark.implicits._
+    import graft.operators.MediaCodecs
+    // mono: blocks (1,2,3,4) -> 2, (-7,-1,0,0) -> -2 (toward zero)
+    val mono = Array[Short](1, 2, 3, 4, -7, -1, 0, 0, 9)
+    // stereo: per-channel decimation over interleaved frames
+    val stereo = Array[Short](10, -10, 20, -20, 30, -30, 40, -40)
+    val media = Seq(
+      Multimodal.MediaRow(0L, "audio", MediaCodecs.encodeWav(
+        MediaCodecs.Audio(8000, 1, mono)), 0, 0),
+      Multimodal.MediaRow(1L, "audio", MediaCodecs.encodeWav(
+        MediaCodecs.Audio(8000, 2, stereo)), 0, 0),
+      Multimodal.MediaRow(2L, "image", MediaCodecs.encodeBmp(
+        MediaCodecs.Image(4, 4, Array.fill(48)(3.toByte))), 4, 4))
+      .toDS()
+    val out = Multimodal.resampleAudio(media, 4).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    val m = out(0L)
+    // trailing 9 is a partial block: dropped
+    assert(m.out_n == 2L && m.out_rate == 2000 && m.channels == 1)
+    assert(m.out_sum == 2L + -2L)
+    assert(m.checksum == 1L * 2 + 2L * -2)
+    val st = out(1L)
+    // L channel (10,20,30,40) -> 25; R channel (-10,-20,-30,-40) -> -25
+    assert(st.out_n == 2L && st.channels == 2)
+    assert(st.checksum == 1L * 25 + 2L * -25)
+  }
 }
