@@ -473,6 +473,70 @@ object DedupOps {
           UNION ALL SELECT doc_b, doc_a FROM cand),
         l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
         ${graft.operators.LabelPropagation.oracleCtes(3)}
-        SELECT node, lbl AS label FROM l3 ORDER BY node"""))
+        SELECT node, lbl AS label FROM l3 ORDER BY node""")),
+
+    // Leakage-safe train/test split: hash-split by near-dup CLUSTER
+    // (q70's connected components), not by document — every cluster
+    // lands atomically in one split, so near-duplicates can never
+    // straddle train/test (the contamination q71 measures post hoc is
+    // prevented structurally). `rescued` marks docs whose naive
+    // per-doc hash split disagrees with their cluster's — exactly the
+    // leaks avoided. One md5 on the cluster id decides the split:
+    // deterministic across runs, engines and partitionings.
+    Q("q232_cluster_safe_split",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, K,
+          minJaccard = 0.3, maxDocFreq = MaxDocFreq)
+        val comp = ConnectedComponents.components(pairs, "doc_a",
+            "doc_b", nodes = Some(docs.select(col("doc_id"))))
+          .select(col("node").as("doc_id"),
+            col("component").as("cluster_id"))
+        val hc = org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(
+            col("cluster_id").cast("string")), 1, 8)
+        val hd = org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(
+            col("doc_id").cast("string")), 1, 8)
+        import org.apache.spark.sql.functions.when
+        comp
+          .withColumn("split",
+            when(hc < "19999999", "test").otherwise("train"))
+          .withColumn("naive_split",
+            when(hd < "19999999", "test").otherwise("train"))
+          .withColumn("rescued", col("split") =!= col("naive_split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b
+          FROM inter
+          JOIN sizes na ON doc_a = na.doc_id
+          JOIN sizes nb ON doc_b = nb.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE)
+            >= 0.3),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node),
+        comp AS (SELECT node AS doc_id, min(lab) AS cluster_id
+          FROM reach GROUP BY 1)
+        SELECT doc_id, cluster_id,
+          CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+            < '19999999' THEN 'test' ELSE 'train' END AS split,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            < '19999999' THEN 'test' ELSE 'train' END AS naive_split,
+          (CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+            < '19999999' THEN 'test' ELSE 'train' END) <>
+          (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            < '19999999' THEN 'test' ELSE 'train' END) AS rescued
+        FROM comp ORDER BY doc_id"""))
   )
 }

@@ -408,9 +408,10 @@ object VectorOps {
     // Johnson–Lindenstrauss compression of the embedding table: 64-d
     // float vectors → 16 coordinates against a ±1 matrix both engines
     // derive independently from md5 parity, plus the sign-bit sketch.
-    // Decimal-exact sums make the projection VALUES hash-checkable,
-    // not just their signs. Scale: explode + map-side-combinable hash
-    // agg, sign matrix broadcast.
+    // Q2.30 fixed-point terms (floor on BOTH engines — SQL casts
+    // round, the JVM truncates) make the projection VALUES
+    // hash-checkable, not just their signs. Scale: explode + ONE
+    // map-side-combinable hash agg computing all 16 coordinates.
     Q("q230_jl_projection",
       (s, dir) => {
         Similarity.randomProject(Tables.load(s, dir, "embeddings"),
@@ -428,8 +429,10 @@ object VectorOps {
           FROM generate_series(0, 15) j(j),
             generate_series(0, ${Dim - 1}) i(i))
         SELECT e.vec_id, s.j AS j,
-          CAST(sum(CAST(e.e * s.s AS DECIMAL(18,9))) AS DOUBLE) AS proj,
-          sum(CAST(e.e * s.s AS DECIMAL(18,9))) > 0 AS bit
+          CAST(sum(CAST(floor(e.e * 1073741824.0 * s.s) AS BIGINT))
+            AS BIGINT) / 1073741824.0 AS proj,
+          CAST(sum(CAST(floor(e.e * 1073741824.0 * s.s) AS BIGINT))
+            AS BIGINT) > 0 AS bit
         FROM ex e JOIN sgn s ON s.i = e.i - 1
         GROUP BY 1, 2 ORDER BY vec_id, j"""))
   )
