@@ -640,6 +640,59 @@ object Multimodal {
     }
   }
 
+  final case class EdgeHistRow(
+      media_id: Long, format: String, n_interior: Long,
+      b0: Long, b1: Long, b2: Long, b3: Long,
+      mag0: Long, mag1: Long, mag2: Long, mag3: Long)
+
+  /** HOG-style edge-orientation histogram — the feature-extraction
+    * verb over decoded pixels: integer central-difference gradients of
+    * the green channel at every interior pixel, quantized to 4
+    * orientation bins (gx-dominant, gy-dominant, and the two diagonal
+    * quadrants by gradient-sign product), with per-bin |gx|+|gy|
+    * magnitude sums. Entirely integer arithmetic — bins and magnitudes
+    * hash-match any engine that can replay the pixel formula.
+    * Bin rule (deterministic, no atan): |gx| ≥ 2|gy| → 0;
+    * |gy| ≥ 2|gx| → 1; else gx·gy > 0 → 2, otherwise 3.
+    * Map-side decode; payloads never shuffle. */
+  def edgeHistogram(media: Dataset[MediaRow]): Dataset[EdgeHistRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        MediaCodecs.decodeImage(m.payload) match {
+          case Some((fmt, img)) if img.width >= 3 && img.height >= 3 =>
+            def green(x: Int, y: Int): Int =
+              img.rgb((y * img.width + x) * 3 + 1) & 0xff
+            val b = new Array[Long](4)
+            val mag = new Array[Long](4)
+            var n = 0L
+            var y = 1
+            while (y < img.height - 1) {
+              var x = 1
+              while (x < img.width - 1) {
+                val gx = green(x + 1, y) - green(x - 1, y)
+                val gy = green(x, y + 1) - green(x, y - 1)
+                val ax = math.abs(gx); val ay = math.abs(gy)
+                val bin =
+                  if (ax >= 2 * ay) 0
+                  else if (ay >= 2 * ax) 1
+                  else if (gx * gy > 0) 2
+                  else 3
+                b(bin) += 1
+                mag(bin) += ax + ay
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single(EdgeHistRow(m.media_id, fmt, n,
+              b(0), b(1), b(2), b(3), mag(0), mag(1), mag(2), mag(3)))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Resize: pure metadata transform (the real op also re-encodes the
     * payload — stubbed to keep bytes unchanged). */
   def resizeMeta(media: Dataset[MediaRow], maxW: Int): Dataset[MediaRow] = {

@@ -581,7 +581,77 @@ object CorpusOps {
           .train(Tables.load(s, dir, "documents"), "text", rounds = 3)
           .toDF().orderBy("round")
       },
-      Some("""WITH wf AS (
+      Some(s"""WITH $BpeCtes
+        SELECT CAST(1 AS INTEGER) AS round, w1.a AS lhs, w1.b AS rhs,
+          w1.cnt AS pair_count, t1.tot AS corpus_syms_after FROM w1, t1
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), w2.a, w2.b, w2.cnt, t2.tot FROM w2, t2
+        UNION ALL
+        SELECT CAST(3 AS INTEGER), w3.a, w3.b, w3.cnt, t3.tot FROM w3, t3
+        ORDER BY round""")),
+
+    // Tokenizer fertility by language — the INFERENCE side of q228's
+    // learned merges: apply the 3-round merge list to every word and
+    // report chars-per-token per lang (the compression-rate metric a
+    // tokenizer is judged by). Exact integer sums, one double
+    // division; the oracle re-learns the merges via the shared CTE
+    // chain and re-tokenizes from s3, so training AND application sit
+    // under this hash too.
+    Q("q233_tokenizer_fertility",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{length => slen}
+        val spark = s
+        import spark.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val merges = graft.operators.BpeTrain
+          .train(docs, "text", rounds = 3)
+          .collect().sortBy(_.round).map(r => (r.lhs, r.rhs)).toSeq
+        val lw = docs
+          .select(col("lang"),
+            explode(split(trim(col("text")), "\\s+")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("lang", "word").agg(count(lit(1)).as("wc"))
+          .as[(String, String, Long)]
+          .map { case (lang, word, wc) =>
+            var syms: Seq[String] = word.map(_.toString)
+            merges.foreach { case (a, b) =>
+              syms = graft.operators.BpeTrain.applyMerge(syms, a, b) }
+            (lang, wc, word.length.toLong, syms.length.toLong)
+          }
+          .toDF("lang", "wc", "n_ch", "n_tok")
+        lw.groupBy("lang")
+          .agg(sum(col("wc")).as("n_words"),
+            sum(col("wc") * col("n_ch")).as("n_chars"),
+            sum(col("wc") * col("n_tok")).as("n_tokens"))
+          .withColumn("chars_per_token",
+            col("n_chars").cast(DoubleType) /
+              col("n_tokens").cast(DoubleType))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $BpeCtes,
+        lw AS (SELECT lang, w AS word, CAST(count(*) AS BIGINT) AS wc
+          FROM (SELECT lang,
+              unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents)
+          WHERE w <> '' GROUP BY 1, 2)
+        SELECT l.lang,
+          CAST(sum(l.wc) AS BIGINT) AS n_words,
+          CAST(sum(l.wc * length(l.word)) AS BIGINT) AS n_chars,
+          CAST(sum(l.wc * len(s.syms)) AS BIGINT) AS n_tokens,
+          CAST(CAST(sum(l.wc * length(l.word)) AS BIGINT) AS DOUBLE)
+            / CAST(CAST(sum(l.wc * len(s.syms)) AS BIGINT) AS DOUBLE)
+            AS chars_per_token
+        FROM lw l JOIN s3 s ON s.word = l.word
+        GROUP BY 1 ORDER BY lang"""))
+  ) ++ extraQs
+
+  /** Shared oracle CTE chain for the BPE queries (q228/q233): word
+    * frequencies → char symbols (s0) → three rounds of (pair counts
+    * pN, winner wN, greedy run-parity merge application → sN, corpus
+    * symbol total tN). THE single copy, so the learned-merge replay
+    * can't drift between oracles. (A def so declaration order vs the
+    * `qs` val doesn't matter.) */
+  private def BpeCtes: String = """wf AS (
           SELECT w AS word, CAST(count(*) AS BIGINT) AS wc
           FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
               AS w FROM documents)
@@ -660,15 +730,9 @@ object CorpusOps {
           LEFT JOIN keep3 k ON k.word = p.word AND k.i = p.i
           LEFT JOIN keep3 k2 ON k2.word = p.word AND k2.i = p.i - 1
           WHERE k2.i IS NULL GROUP BY p.word),
-        t3 AS (SELECT CAST(sum(wc * len(syms)) AS BIGINT) AS tot FROM s3)
-        SELECT CAST(1 AS INTEGER) AS round, w1.a AS lhs, w1.b AS rhs,
-          w1.cnt AS pair_count, t1.tot AS corpus_syms_after FROM w1, t1
-        UNION ALL
-        SELECT CAST(2 AS INTEGER), w2.a, w2.b, w2.cnt, t2.tot FROM w2, t2
-        UNION ALL
-        SELECT CAST(3 AS INTEGER), w3.a, w3.b, w3.cnt, t3.tot FROM w3, t3
-        ORDER BY round""")),
+        t3 AS (SELECT CAST(sum(wc * len(syms)) AS BIGINT) AS tot FROM s3)"""
 
+  private def extraQs: Seq[Q] = Seq(
     // DSIR-style importance weighting: score every non-English doc by
     // whether its hashed-bigram features look more like the English
     // (target) distribution than the raw pool's own — add-one

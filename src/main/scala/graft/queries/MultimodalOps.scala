@@ -924,5 +924,55 @@ object MultimodalOps {
           CAST(sum(val) AS BIGINT) AS out_sum,
           CAST(sum((j + 1) * val) AS BIGINT) AS checksum,
           CAST(sum(val) AS BIGINT) / 64.0 AS mean
-        FROM v GROUP BY doc_id ORDER BY media_id""")))
+        FROM v GROUP BY doc_id ORDER BY media_id""")),
+
+    // HOG-style edge-orientation histograms over DECODED pixels: the
+    // oracle replays the central-difference gradients, the 4-bin
+    // orientation quantization and the per-bin magnitude sums from
+    // the closed-form pixel formula — decode (both compressed and
+    // raw codecs), channel addressing, and the binning rule all sit
+    // under one hash. Map-side; one row per image.
+    Q("q234_edge_histogram",
+      (s, dir) => {
+        val media = Multimodal.packEncodedMedia(
+          Tables.load(s, dir, "documents"))
+        Multimodal.edgeHistogram(media).toDF()
+          .orderBy("media_id")
+      },
+      Some("""WITH img AS (SELECT doc_id,
+            CASE WHEN doc_id % 6 = 0 THEN 'bmp'
+                 WHEN doc_id % 3 = 0 THEN 'png'
+                 ELSE 'ppm' END AS format,
+            CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS w,
+            CASE WHEN doc_id % 3 = 0 THEN 31 ELSE 13 END AS mult
+          FROM documents WHERE doc_id % 3 <> 1),
+        cells AS (SELECT doc_id, format, w, mult, x.x AS x, y.y AS y
+          FROM img, generate_series(1, 14) x(x),
+            generate_series(1, 6) y(y)
+          WHERE x.x < w - 1),
+        g AS (SELECT doc_id, format,
+            ((((y * w + x + 1) * 3 + 1) * mult + doc_id) % 256)
+              - ((((y * w + x - 1) * 3 + 1) * mult + doc_id) % 256)
+              AS gx,
+            (((((y + 1) * w + x) * 3 + 1) * mult + doc_id) % 256)
+              - (((((y - 1) * w + x) * 3 + 1) * mult + doc_id) % 256)
+              AS gy
+          FROM cells),
+        binned AS (SELECT doc_id, format,
+            CASE WHEN abs(gx) >= 2 * abs(gy) THEN 0
+                 WHEN abs(gy) >= 2 * abs(gx) THEN 1
+                 WHEN gx * gy > 0 THEN 2 ELSE 3 END AS bin,
+            abs(gx) + abs(gy) AS mag
+          FROM g)
+        SELECT doc_id AS media_id, format,
+          CAST(count(*) AS BIGINT) AS n_interior,
+          CAST(count(*) FILTER (bin = 0) AS BIGINT) AS b0,
+          CAST(count(*) FILTER (bin = 1) AS BIGINT) AS b1,
+          CAST(count(*) FILTER (bin = 2) AS BIGINT) AS b2,
+          CAST(count(*) FILTER (bin = 3) AS BIGINT) AS b3,
+          CAST(coalesce(sum(mag) FILTER (bin = 0), 0) AS BIGINT) AS mag0,
+          CAST(coalesce(sum(mag) FILTER (bin = 1), 0) AS BIGINT) AS mag1,
+          CAST(coalesce(sum(mag) FILTER (bin = 2), 0) AS BIGINT) AS mag2,
+          CAST(coalesce(sum(mag) FILTER (bin = 3), 0) AS BIGINT) AS mag3
+        FROM binned GROUP BY 1, 2 ORDER BY media_id""")))
 }

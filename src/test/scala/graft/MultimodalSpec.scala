@@ -403,4 +403,28 @@ class MultimodalSpec extends SparkSpec {
     assert(st.out_n == 2L && st.channels == 2)
     assert(st.checksum == 1L * 25 + 2L * -25)
   }
+
+  test("edgeHistogram: hand-checked gradient bins on a 3x3 fixture") {
+    import spark.implicits._
+    import graft.operators.MediaCodecs
+    // green channel: row0 (0,0,0), row1 (10,50,90), row2 (0,200,0)
+    // center pixel: gx = 90-10 = 80, gy = 200-0 = 200
+    // |gy| >= 2|gx| -> bin 1, mag 280
+    val greens = Array(0, 0, 0, 10, 50, 90, 0, 200, 0)
+    val rgb = new Array[Byte](27)
+    greens.zipWithIndex.foreach { case (g, i) => rgb(i * 3 + 1) = g.toByte }
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image",
+        MediaCodecs.encodeBmp(MediaCodecs.Image(3, 3, rgb)), 3, 3),
+      // too small for interior pixels: skipped
+      Multimodal.MediaRow(1L, "image",
+        MediaCodecs.encodeBmp(MediaCodecs.Image(2, 2,
+          Array.fill(12)(9.toByte))), 2, 2)).toDS()
+    val out = Multimodal.edgeHistogram(media).collect()
+    assert(out.length == 1 && out.head.media_id == 0L)
+    val r = out.head
+    assert(r.n_interior == 1L)
+    assert((r.b0, r.b1, r.b2, r.b3) == (0L, 1L, 0L, 0L))
+    assert((r.mag0, r.mag1, r.mag2, r.mag3) == (0L, 280L, 0L, 0L))
+  }
 }
