@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Grid-partitioned DBSCAN over integer point coordinates — the
+  * density clustering verb (station grouping, POI clustering, outage
+  * blob detection) in its standard distributed formulation: ε-cell
+  * grid for candidate generation, connected components over core-core
+  * edges for cluster labels, border points attached by a keyed
+  * min-aggregate.
+  *
+  * Determinism contract (what makes it oracle-checkable where vanilla
+  * DBSCAN is not): coordinates are integers, distances compare as
+  * exact integer dx²+dy² ≤ ε², and a border point that neighbors
+  * SEVERAL clusters attaches to the smallest cluster label — vanilla
+  * DBSCAN leaves that point's cluster scan-order-dependent.
+  *
+  * Scale shape: every point has ONE home cell; the probe side
+  * replicates each point to its 3×3 cell neighborhood and equi-joins
+  * home cells, so each within-ε pair is found exactly once (id-ordered,
+  * via the unique home cell) and the work is Σ adjacent-cell products,
+  * never N². Degrees and the core flag are one hash aggregate; labels
+  * are [[ConnectedComponents]] (O(log² n) keyed rounds). ε sizes the
+  * cells, so a hot cell means a genuinely dense region — the same
+  * Σ cell² consideration as the LSH bucket caps. */
+object Dbscan {
+
+  /** @param pts    (id, x, y) with integral x/y
+    * @param eps    ε in coordinate units (cells are ε-sized)
+    * @param minPts core threshold: #neighbors within ε, self excluded
+    * @return (id, role ∈ core|border|noise, cluster — null for noise)
+    */
+  def run(pts: DataFrame, idCol: String, xCol: String, yCol: String,
+      eps: Long, minPts: Int): DataFrame = {
+    require(eps > 0 && minPts >= 1, s"bad eps=$eps minPts=$minPts")
+    val p = pts.select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("cx", floor(col("x").cast("double") / eps).cast("long"))
+      .withColumn("cy", floor(col("y").cast("double") / eps).cast("long"))
+      .persist()
+    val probes = p.select(col("id"), col("x"), col("y"),
+        explode(expr(
+          """transform(sequence(0, 8),
+               k -> struct(cx + k % 3 - 1 AS cx, cy + k DIV 3 - 1 AS cy))"""))
+          .as("c"))
+      .select(col("id"), col("x"), col("y"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    val pairs = probes.as("a")
+      .join(p.select(col("id").as("vid"), col("x").as("vx"),
+        col("y").as("vy"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("id") < col("vid"))
+      .filter(
+        ((col("x") - col("vx")) * (col("x") - col("vx")) +
+          (col("y") - col("vy")) * (col("y") - col("vy"))) <= eps * eps)
+      .select(col("id").as("u"), col("vid").as("v"))
+      .persist()
+    val deg = pairs.select(col("u").as("id"))
+      .union(pairs.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    val core = p.join(deg, Seq("id"), "left")
+      .filter(coalesce(col("n"), lit(0L)) >= minPts)
+      .select("id")
+      .persist()
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+      .join(core.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+    val comp = ConnectedComponents
+      .components(coreEdges, "u", "v", nodes = Some(core))
+      .select(col("node").as("id"), col("component").as("cluster"))
+    // border candidates: pairs with exactly one core end
+    val isCore = core.withColumn("is_core", lit(true))
+    val marked = pairs
+      .join(isCore.select(col("id").as("u"),
+        col("is_core").as("uc")), Seq("u"), "left")
+      .join(isCore.select(col("id").as("v"),
+        col("is_core").as("vc")), Seq("v"), "left")
+    val bc = marked
+      .filter(coalesce(col("vc"), lit(false)) &&
+        !coalesce(col("uc"), lit(false)))
+      .select(col("u").as("bid"), col("v").as("cid"))
+      .union(marked
+        .filter(coalesce(col("uc"), lit(false)) &&
+          !coalesce(col("vc"), lit(false)))
+        .select(col("v").as("bid"), col("u").as("cid")))
+    val border = bc
+      .join(comp.withColumnRenamed("id", "cid"), Seq("cid"))
+      .groupBy(col("bid").as("id"))
+      .agg(min(col("cluster")).as("bcluster"))
+    p.select("id")
+      .join(comp, Seq("id"), "left")
+      .join(border, Seq("id"), "left")
+      .join(isCore, Seq("id"), "left")
+      .select(col("id"),
+        when(coalesce(col("is_core"), lit(false)), "core")
+          .when(col("bcluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("cluster"), col("bcluster")).as("cluster"))
+  }
+}

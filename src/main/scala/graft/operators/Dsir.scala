@@ -43,29 +43,35 @@ object Dsir {
       slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
 
-  /** Per-document selection scores for the raw pool (docs NOT
-    * matching `isTarget`): number of bigram occurrences, how many
-    * vote target-favored, the exact integer margin, and the majority
-    * `selected` flag. Docs with no bigrams are excluded (no
-    * evidence). */
-  def importanceVotes(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    // the occurrence frame feeds BOTH the count table and the scoring
-    // pass; without a persist the explode + md5 pipeline runs twice
-    // (the q183/q185 diamond lesson — measured 9.7 s → ~3 s at sf0.1)
-    val occ = docs
+  /** Hashed-bigram occurrence frame: one row per (doc, bigram
+    * occurrence) with the md5-prefix bucket — the input to both the
+    * count table and the scoring pass. Works on a static OR streaming
+    * DataFrame (map-side only). */
+  def occurrences(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame =
+    docs
       .select(col(idCol), isTarget.as("is_t"),
         split(trim(col(textCol)), "\\s+").as("ws"))
       .select(col(idCol), col("is_t"),
         explode(bigramsCol(col("ws"))).as("bigram"))
       .filter(length(col("bigram")) > 0)
       .withColumn("bucket", substring(md5(col("bigram")), 1, 2))
-      .persist()
-    // one pass, one shuffle: both distributions from a conditional agg
-    val counts = occ.groupBy("bucket")
+
+  /** Target/raw bucket distribution from one conditional aggregate —
+    * plain mergeable counts, so the same expression serves as
+    * streaming aggregation state (chunking-invariant by
+    * construction). */
+  def bucketCounts(occ: DataFrame): DataFrame =
+    occ.groupBy("bucket")
       .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"),
         sum(when(col("is_t"), 0L).otherwise(1L)).as("rc"))
+
+  /** Score the raw-pool occurrences against a (bucket, tc, rc) count
+    * table (however it was accumulated — batch aggregate or drained
+    * stream state). */
+  def scoreRaw(occ: DataFrame, counts: DataFrame): DataFrame = {
+    val idCol = occ.columns.head
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val totals = counts
       .agg(sum("tc").as("st"), sum("rc").as("sr"))
     val scored = occ.filter(!col("is_t"))
@@ -82,5 +88,19 @@ object Dsir {
         sum((col("t_side") - col("r_side")).cast(dec)).cast("long")
           .as("margin"))
       .withColumn("selected", col("target_votes") * 2 > col("n_bigrams"))
+  }
+
+  /** Per-document selection scores for the raw pool (docs NOT
+    * matching `isTarget`): number of bigram occurrences, how many
+    * vote target-favored, the exact integer margin, and the majority
+    * `selected` flag. Docs with no bigrams are excluded (no
+    * evidence). */
+  def importanceVotes(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    // the occurrence frame feeds BOTH the count table and the scoring
+    // pass; without a persist the explode + md5 pipeline runs twice
+    // (the q183/q185 diamond lesson — measured 9.7 s → ~3 s at sf0.1)
+    val occ = occurrences(docs, idCol, textCol, isTarget).persist()
+    scoreRaw(occ, bucketCounts(occ))
   }
 }

@@ -749,7 +749,12 @@ object CorpusOps {
             col("lang") === "en")
           .orderBy("doc_id")
       },
-      Some("""WITH occ AS (
+      Some(DsirOracle)))
+
+  /** q229's oracle, shared verbatim with the q236 streaming twin (the
+    * q152/q167 pattern: the stream's drained state must equal the
+    * batch answer, so the SAME SQL checks both). */
+  private[queries] def DsirOracle: String = """WITH occ AS (
           SELECT doc_id, lang = 'en' AS is_t,
             substr(md5(ws[t.i] || ' ' || ws[t.i + 1]), 1, 2) AS bucket
           FROM (SELECT doc_id, lang,
@@ -778,6 +783,5 @@ object CorpusOps {
         FROM occ o JOIN c ON c.bucket = o.bucket, t
         WHERE NOT o.is_t
         GROUP BY o.doc_id
-        ORDER BY o.doc_id"""))
-  )
+        ORDER BY o.doc_id"""
 }

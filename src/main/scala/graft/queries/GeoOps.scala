@@ -353,6 +353,65 @@ object GeoOps {
           CAST(floor(lat / 10) AS BIGINT) AS cell_y,
           count(*) AS n,
           ${graft.functions.ExactAgg.sqlSum("c_acctbal")} AS balance_sum
-        FROM pts GROUP BY 1, 2 ORDER BY cell_x, cell_y"""))
+        FROM pts GROUP BY 1, 2 ORDER BY cell_x, cell_y""")),
+
+    // Grid-partitioned DBSCAN over the integer customer lattice:
+    // ε-cell candidate pairs → integer-exact ε-ball degrees → core
+    // flag → connected components over core-core edges → deterministic
+    // border attachment (min cluster label). At (ε=800, minPts=4) the
+    // fixture yields ~99 clusters plus borders and noise, so all three
+    // roles sit under the hash. The oracle replays the full density
+    // clustering quadratically with a recursive-CTE component pass —
+    // fixture-sized there, Σ cell² on the engine side.
+    Q("q235_dbscan",
+      (s, dir) => {
+        val pts = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("id"),
+            expr("(c_custkey * 7919) % 36000").as("x"),
+            expr("(c_custkey * 104729) % 18000").as("y"))
+        graft.operators.Dbscan.run(pts, "id", "x", "y",
+            eps = 800L, minPts = 4)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE pts AS (SELECT c_custkey AS id,
+            (c_custkey * 7919) % 36000 AS x,
+            (c_custkey * 104729) % 18000 AS y FROM customer),
+        pairs AS (SELECT a.id AS u, b.id AS v FROM pts a JOIN pts b
+          ON a.id < b.id
+          AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= 640000),
+        deg AS (SELECT id, count(*) AS n FROM (
+            SELECT u AS id FROM pairs
+            UNION ALL SELECT v FROM pairs) GROUP BY 1),
+        core AS (SELECT d.id FROM deg d WHERE d.n >= 4),
+        ce AS (SELECT u, v FROM pairs
+          WHERE u IN (SELECT id FROM core)
+            AND v IN (SELECT id FROM core)),
+        edges AS (SELECT u AS s, v AS d FROM ce
+          UNION ALL SELECT v, u FROM ce),
+        reach(node, lab) AS (
+          SELECT id, id FROM core
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node),
+        comp AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY 1),
+        bc AS (SELECT p.u AS bid, p.v AS cid FROM pairs p
+            WHERE p.v IN (SELECT id FROM core)
+              AND p.u NOT IN (SELECT id FROM core)
+          UNION ALL
+          SELECT p.v, p.u FROM pairs p
+            WHERE p.u IN (SELECT id FROM core)
+              AND p.v NOT IN (SELECT id FROM core)),
+        border AS (SELECT bid AS id, min(c.cluster) AS cluster
+          FROM bc JOIN comp c ON c.node = bc.cid GROUP BY 1)
+        SELECT p.id,
+          CASE WHEN co.id IS NOT NULL THEN 'core'
+               WHEN b.id IS NOT NULL THEN 'border'
+               ELSE 'noise' END AS role,
+          coalesce(c.cluster, b.cluster) AS cluster
+        FROM pts p
+        LEFT JOIN core co ON co.id = p.id
+        LEFT JOIN comp c ON c.node = p.id
+        LEFT JOIN border b ON b.id = p.id
+        ORDER BY p.id"""))
   )
 }

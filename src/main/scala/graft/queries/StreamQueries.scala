@@ -758,6 +758,48 @@ object StreamQueries {
                   AS DOUBLE) DESC, event_id DESC)
               AS BIGINT) AS rank
           FROM events)
-        WHERE rank <= 10 ORDER BY event_type, rank"""))
+        WHERE rank <= 10 ORDER BY event_type, rank""")),
+
+    // Streaming twin of q229 DSIR: the 256-bucket target/raw counts
+    // accumulate as STREAMING aggregation state over the documents
+    // stream (plain mergeable counts — chunking-invariant by
+    // construction), then the static raw pool is scored against the
+    // drained state table. Oracle = q229's verbatim (the q167
+    // pattern): the stream's state must equal the batch distribution
+    // or every downstream vote flips.
+    Q("q236_stream_dsir",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val stream = documentsStream(s, dir)
+        val countsS = graft.operators.Dsir.bucketCounts(
+          graft.operators.Dsir.occurrences(stream, "doc_id", "text",
+            col("lang") === "en"))
+        s.catalog.dropTempView("q236_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(countsS, "q236_sink",
+            OutputMode.Update())
+        }
+        val occ = graft.operators.Dsir.occurrences(docs, "doc_id",
+          "text", col("lang") === "en").persist()
+        graft.operators.Dsir.scoreRaw(occ, s.table("q236_sink"))
+          .orderBy("doc_id")
+      },
+      Some(CorpusOps.DsirOracle))
   )
+
+  /** Documents landing zone (the eventsStream pattern): one parquet
+    * file so the drain is a single micro-batch — the memory sink in
+    * Update mode would otherwise hold one row per (bucket, batch). */
+  private def documentsStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val landingDir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-q236-landing-${datasetKey(dir)}")
+    val landing = landingDir.toString
+    if (!new java.io.File(landingDir, "_SUCCESS").exists()) {
+      docs.coalesce(1).write.mode("overwrite").parquet(landing)
+    }
+    StreamOps.landingZone(s, landing, docs.schema)
+  }
 }

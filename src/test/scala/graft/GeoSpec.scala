@@ -332,4 +332,40 @@ FROM
       area(concave) < area(convex) * 0.8,
       s"dig did not approach target: ${area(concave)} vs ${area(convex)}")
   }
+
+  test("Dbscan: planted blobs get distinct clusters, roles and " +
+      "min-label border attachment hold across partitionings") {
+    import spark.implicits._
+    // blob A: 5 points in a tight knot around (0,0); blob B: same
+    // around (1000,1000); a lone point far away; a border point 90
+    // units from blob A's edge (within eps of ONE core only)
+    val a = Seq((0L, 0L, 0L), (1L, 10L, 0L), (2L, 0L, 10L),
+      (3L, 10L, 10L), (4L, 5L, 5L))
+    val b = Seq((10L, 1000L, 1000L), (11L, 1010L, 1000L),
+      (12L, 1000L, 1010L), (13L, 1010L, 1010L), (14L, 1005L, 1005L))
+    val lone = Seq((20L, 5000L, 5000L))
+    val borderPt = Seq((30L, 105L, 0L)) // within 100 of ids 1,3 only
+    val pts = (a ++ b ++ lone ++ borderPt).toDF("id", "x", "y")
+    def runIt(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dbscan.run(df, "id", "x", "y",
+          eps = 100L, minPts = 3)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val out = runIt(pts)
+    // every blob member is core (4 in-knot neighbors each)
+    a.foreach { case (id, _, _) => assert(out(id)._1 == "core") }
+    b.foreach { case (id, _, _) => assert(out(id)._1 == "core") }
+    // blobs are distinct clusters, labelled by their min member
+    assert(out(0L)._2 == 0L && out(10L)._2 == 10L)
+    assert(a.forall { case (id, _, _) => out(id)._2 == 0L })
+    assert(b.forall { case (id, _, _) => out(id)._2 == 10L })
+    assert(out(20L) == ("noise", -1L))
+    // the edge point neighbors cores 1 and 3 but only has 2 neighbors
+    // itself: border, attached to blob A's label
+    assert(out(30L) == ("border", 0L))
+    // partitioning-invariant
+    assert(runIt(pts.repartition(7)) == out)
+  }
 }
