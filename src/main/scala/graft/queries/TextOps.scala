@@ -1156,6 +1156,45 @@ object TextOps {
             (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rk,
           doc_id
         FROM documents
-        ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100"""))
+        ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100""")),
+
+    // A-priori frequent word pairs over document baskets (40% relative
+    // support): the association-mining verb, with the infrequent-item
+    // prune engaged for real — the fixture's one rare word sits below
+    // threshold and must vanish BEFORE pairing. Thresholds compare as
+    // integer cross-multiplication, lift is one double division of
+    // exact products; the oracle replays prune, pair counts and lift.
+    Q("q237_frequent_pairs",
+      (s, dir) => {
+        val baskets = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+        graft.operators.Itemsets
+          .frequentPairs(baskets, "doc_id", "word", minSupportPct = 40)
+          .orderBy("item_a", "item_b")
+      },
+      Some("""WITH d AS (SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents) WHERE word <> ''),
+        n1 AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM d),
+        freq AS (SELECT item, sup FROM (
+            SELECT word AS item, CAST(count(*) AS BIGINT) AS sup
+            FROM d GROUP BY 1), n1
+          WHERE sup * 100 >= n * 40),
+        fd AS (SELECT d.doc_id, d.word AS item, f.sup
+          FROM d JOIN freq f ON f.item = d.word),
+        pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+            CAST(count(*) AS BIGINT) AS pair_sup,
+            max(a.sup) AS sup_a, max(b.sup) AS sup_b
+          FROM fd a JOIN fd b
+            ON a.doc_id = b.doc_id AND a.item < b.item
+          GROUP BY 1, 2)
+        SELECT item_a, item_b, pair_sup, sup_a, sup_b,
+          CAST(pair_sup * n AS DOUBLE) / CAST(sup_a * sup_b AS DOUBLE)
+            AS lift
+        FROM pairs, n1
+        WHERE pair_sup * 100 >= n * 40
+        ORDER BY item_a, item_b"""))
   )
 }

@@ -162,4 +162,29 @@ class CorpusAnalyticsSpec extends SparkSpec {
       .collect().map(w => w.word -> w.syms).toMap
     assert(tok("ab") == Seq("ab") && tok("ba") == Seq("ba"))
   }
+
+  test("Itemsets.frequentPairs: a-priori prune bites before pairing; " +
+      "lift is exact") {
+    import graft.operators.Itemsets
+    // 10 baskets: x,y in all 10 (always together), z in 4 (below 50%),
+    // w in 5 baskets that also hold x — so (w,x) pair support 5
+    val rows = (0 until 10).flatMap { b =>
+      Seq((b.toLong, "x"), (b.toLong, "y")) ++
+        (if (b < 4) Seq((b.toLong, "z")) else Nil) ++
+        (if (b < 5) Seq((b.toLong, "w")) else Nil)
+    }
+    val df = rows.toDF("bid", "item")
+    val out = Itemsets.frequentPairs(df, "bid", "item", 50)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    // z is infrequent: no pair may mention it
+    assert(!out.keySet.exists { case (a, b) => a == "z" || b == "z" })
+    // (x,y) support 10, lift = 10*10/(10*10) = 1.0
+    assert(out(("x", "y")) == (10L, 1.0))
+    // (w,x) support 5, lift = 5*10/(5*10) = 1.0; (w,y) same
+    assert(out(("w", "x")) == (5L, 1.0))
+    // pair threshold: nothing below 50% of 10 baskets
+    assert(out.values.forall(_._1 >= 5L))
+  }
 }

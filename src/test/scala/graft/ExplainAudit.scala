@@ -45,7 +45,11 @@ object ExplainAudit {
       "q213_jpeg_decode", "q214_mulaw_audio", "q215_chunk_overlap",
       "q216_temperature_mix", "q217_flac_audio", "q218_ks_drift",
       "q219_mp3_audio", "q220_video_frames", "q221_video_dedup",
-      "q222_video_scenes", "q223_av_sync", "q224_bom_rollup", "q225_pagerank", "q226_hard_negatives")
+      "q222_video_scenes", "q223_av_sync", "q224_bom_rollup", "q225_pagerank", "q226_hard_negatives",
+      "q227_image_resize", "q228_bpe_train", "q229_dsir_selection",
+      "q230_jl_projection", "q231_audio_resample",
+      "q232_cluster_safe_split", "q233_tokenizer_fertility",
+      "q234_edge_histogram", "q235_dbscan", "q237_frequent_pairs")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
