@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, greatest, least, lit}
 
 import graft.Tables
 import graft.operators.{ConnectedComponents, Dedup}
@@ -229,27 +229,59 @@ object DedupOps {
           .select(col("node").as("doc_id"), col("component").as("cluster_id"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE $shingleCte,
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-            count(*) AS inter
-          FROM sh a JOIN sh b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        pairs AS (SELECT doc_a, doc_b
-          FROM inter
-          JOIN sizes na ON doc_a = na.doc_id
-          JOIN sizes nb ON doc_b = nb.doc_id
-          WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE)
-            >= 0.3),
-        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        reach(node, lab) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node)
-        SELECT node AS doc_id, min(lab) AS cluster_id
-        FROM reach GROUP BY 1 ORDER BY 1""")),
+      Some(FullBatchClusterOracle)),
+
+    // Incremental connected components — the daily dedup-graph
+    // maintenance shape: yesterday's labels (CC over the 80% "old"
+    // corpus) merge with today's new edges (new docs' shingles probe
+    // the full shingle index — the q153 asymmetric pattern, never
+    // corpus²) by running CC over (label star edges ∪ new edges).
+    // The oracle is q70's FULL-BATCH clustering verbatim, so the
+    // hash match IS the proof that incremental == recompute — label
+    // semantics included (labels are min doc ids, and star edges
+    // preserve exactly the old connectivity).
+    Q("q238_incremental_components",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+        // yesterday: full clustering of the old corpus only
+        val oldPairs = Dedup.ngramJaccardPairs(oldDocs, K,
+          minJaccard = 0.3, maxDocFreq = MaxDocFreq)
+        val labels1 = ConnectedComponents.components(oldPairs,
+          "doc_a", "doc_b", nodes = Some(oldDocs.select(col("doc_id"))))
+        // today: only pairs with a NEW end — new shingles probe the
+        // full index; per-pair exact Jaccard over the hashed shingles
+        val xh = org.apache.spark.sql.functions.xxhash64(col("shingle"))
+        val shAll = Dedup.shingleSets(docs, K)
+          .select(col("doc_id"), xh.as("h")).persist()
+        val shNew = shAll.filter(col("doc_id") % 5 === 0)
+        val sizes = shAll.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = shNew.as("a")
+          .join(shAll.as("b").hint("shuffle_hash"),
+            col("a.h") === col("b.h") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("i"))
+        val newEdges = inter
+          .join(sizes.select(col("doc_id").as("da"),
+            col("n").as("na")), Seq("da"))
+          .join(sizes.select(col("doc_id").as("db"),
+            col("n").as("nb")), Seq("db"))
+          .filter(col("i").cast("double") /
+            (col("na") + col("nb") - col("i")).cast("double") >= 0.3)
+          .select(least(col("da"), col("db")).as("u"),
+            greatest(col("da"), col("db")).as("v"))
+          .distinct()
+        val merged = labels1
+          .select(col("node").as("u"), col("component").as("v"))
+          .union(newEdges)
+        ConnectedComponents.components(merged, "u", "v",
+            nodes = Some(docs.select(col("doc_id"))))
+          .select(col("node").as("doc_id"),
+            col("component").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(FullBatchClusterOracle)),
 
     // Benchmark decontamination: training split = doc_id % 10 != 0,
     // benchmark (eval) split = doc_id % 10 == 0; per training doc, how
@@ -474,6 +506,36 @@ object DedupOps {
         l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
         ${graft.operators.LabelPropagation.oracleCtes(3)}
         SELECT node, lbl AS label FROM l3 ORDER BY node""")),
+  ) ++ clusterSafeSplitQs
+
+  /** Full-batch Jaccard≥0.3 clustering oracle (min-label CC over the
+    * whole corpus) — shared by q70 AND q238, where the shared text is
+    * the point: the incremental merge must hash-match the full
+    * recompute. */
+  private def FullBatchClusterOracle: String =
+    s"""WITH RECURSIVE $shingleCte,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b
+          FROM inter
+          JOIN sizes na ON doc_a = na.doc_id
+          JOIN sizes nb ON doc_b = nb.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE)
+            >= 0.3),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node)
+        SELECT node AS doc_id, min(lab) AS cluster_id
+        FROM reach GROUP BY 1 ORDER BY 1"""
+
+  private def clusterSafeSplitQs: Seq[Q] = Seq(
 
     // Leakage-safe train/test split: hash-split by near-dup CLUSTER
     // (q70's connected components), not by document — every cluster

@@ -49,7 +49,8 @@ object ExplainAudit {
       "q227_image_resize", "q228_bpe_train", "q229_dsir_selection",
       "q230_jl_projection", "q231_audio_resample",
       "q232_cluster_safe_split", "q233_tokenizer_fertility",
-      "q234_edge_histogram", "q235_dbscan", "q237_frequent_pairs")
+      "q234_edge_histogram", "q235_dbscan", "q237_frequent_pairs",
+      "q238_incremental_components")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
