@@ -428,7 +428,8 @@ class ScaleSpec extends SparkSpec {
   test("q213/q214 codec decodes are pure maps: payloads never shuffle") {
     for (q <- Seq("q213_jpeg_decode", "q214_mulaw_audio",
         "q217_flac_audio", "q219_mp3_audio", "q220_video_frames",
-        "q223_av_sync")) {
+        "q223_av_sync", "q227_image_resize", "q231_audio_resample",
+        "q234_edge_histogram")) {
       val plan = graft.queries.Registry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       // encode + decode ride mapPartitions; the only exchange allowed
@@ -503,5 +504,39 @@ class ScaleSpec extends SparkSpec {
       s"gram membership must ride a keyed semi-join, never a pairwise scan:\n$plan")
     assert(plan.contains("LeftSemi"),
       s"expected a semi-join against the repeated-gram set:\n$plan")
+  }
+
+  test("q235 DBSCAN: cell equi-joins only — no pairwise scan anywhere") {
+    val plan = graft.queries.Registry.queries("q235_dbscan")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"DBSCAN candidate generation must stay on the cell grid:\n$plan")
+  }
+
+  test("q229 DSIR: the occurrence frame is cached once, scoring rides " +
+      "broadcasts") {
+    val df = graft.queries.Registry
+      .queries("q229_dsir_selection")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the count table and totals reach scoring as broadcasts, never a
+    // shuffled join of the (corpus-sized) occurrence frame with itself
+    assert(plan.contains("InMemoryTableScan"),
+      s"occ diamond must be served from cache:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"bucket counts must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no product:\n$plan")
+  }
+
+  test("q230 JL projection: one hash aggregate computes every " +
+      "coordinate — no per-dimension join, no row blowup") {
+    val plan = graft.queries.Registry
+      .queries("q230_jl_projection")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1,
+      s"expected exactly the one aggregate exchange, got $hashEx:\n$plan")
+    assert(!plan.contains("Join"),
+      s"sign lookup must be a literal array, not a join:\n$plan")
   }
 }
