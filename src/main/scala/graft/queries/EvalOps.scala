@@ -517,6 +517,87 @@ object EvalOps {
         SELECT source, n1, n2, CAST(max(num) AS BIGINT) AS d_num,
           CAST(max(num) AS DOUBLE)
             / CAST(n1 * n2 AS DOUBLE) AS d
-        FROM j GROUP BY 1, 2, 3 ORDER BY source"""))
+        FROM j GROUP BY 1, 2, 3 ORDER BY source""")),
+
+    // Classifier evaluation — confusion matrix and the derived
+    // metrics (accuracy, precision, recall, F1, MCC) for a
+    // deterministic predictor: the sign of the JL projection's first
+    // coordinate (q230's exact fixed-point machinery) against the
+    // parity of the embedding label. Every metric is one or two
+    // double operations over exact BIGINT counts — F1 via the
+    // single-division 2tp/(2tp+fp+fn) form, MCC's sqrt is
+    // IEEE-correctly-rounded on both engines. One scan + a 1-row
+    // reduce.
+    Q("q240_confusion_metrics",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val pred = graft.operators.Similarity
+          .randomProject(emb, "vec_id", "embedding", outDims = 1,
+            dim = 64)
+          .select(col("vec_id"), col("bit").as("pred"))
+        val j = pred.join(
+          emb.select(col("vec_id"), (col("label") % 2 === 0).as("truth")),
+          Seq("vec_id"))
+        val c = j.agg(
+          sum(when(col("pred") && col("truth"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") && !col("truth"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("pred") && !col("truth"), 1L).otherwise(0L))
+            .as("tn"),
+          sum(when(!col("pred") && col("truth"), 1L).otherwise(0L))
+            .as("fn"))
+        c.select(col("tp"), col("fp"), col("tn"), col("fn"),
+          ((col("tp") + col("tn")).cast(DoubleType) /
+            (col("tp") + col("fp") + col("tn") + col("fn"))
+              .cast(DoubleType)).as("accuracy"),
+          (col("tp").cast(DoubleType) /
+            (col("tp") + col("fp")).cast(DoubleType)).as("precision"),
+          (col("tp").cast(DoubleType) /
+            (col("tp") + col("fn")).cast(DoubleType)).as("recall"),
+          ((col("tp") * 2).cast(DoubleType) /
+            (col("tp") * 2 + col("fp") + col("fn")).cast(DoubleType))
+            .as("f1"),
+          ((col("tp") * col("tn") - col("fp") * col("fn"))
+            .cast(DoubleType) /
+            sqrt(((col("tp") + col("fp")) * (col("tp") + col("fn")) *
+              (col("tn") + col("fp")) * (col("tn") + col("fn")))
+              .cast(DoubleType))).as("mcc"))
+      },
+      Some("""WITH ex AS (SELECT vec_id,
+            CAST(unnest(embedding) AS DOUBLE) AS e,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+        sgn AS (SELECT i.i,
+            CASE WHEN (strpos('0123456789abcdef',
+                substr(md5('rp|0|' || i.i), 1, 1)) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+          FROM generate_series(0, 63) i(i)),
+        p0 AS (SELECT e.vec_id,
+            sum(CAST(floor(e.e * 1073741824.0 * s.s) AS BIGINT)) > 0
+              AS pred
+          FROM ex e JOIN sgn s ON s.i = e.i - 1 GROUP BY 1),
+        jj AS (SELECT p.pred, (l.label % 2 = 0) AS truth
+          FROM p0 p JOIN embeddings l ON l.vec_id = p.vec_id),
+        c AS (SELECT
+            CAST(count(CASE WHEN pred AND truth THEN 1 END)
+              AS BIGINT) AS tp,
+            CAST(count(CASE WHEN pred AND NOT truth THEN 1 END)
+              AS BIGINT) AS fp,
+            CAST(count(CASE WHEN NOT pred AND NOT truth THEN 1 END)
+              AS BIGINT) AS tn,
+            CAST(count(CASE WHEN NOT pred AND truth THEN 1 END)
+              AS BIGINT) AS fn
+          FROM jj)
+        SELECT tp, fp, tn, fn,
+          CAST(tp + tn AS DOUBLE) / CAST(tp + fp + tn + fn AS DOUBLE)
+            AS accuracy,
+          CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+          CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+          CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE)
+            AS f1,
+          CAST(tp * tn - fp * fn AS DOUBLE) /
+            sqrt(CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+              AS DOUBLE)) AS mcc
+        FROM c"""))
   )
 }

@@ -1389,6 +1389,42 @@ object StatsOps {
         SELECT v.user_id, v.bloom_member,
           m.user_id IS NOT NULL AS actual_member
         FROM verdict v LEFT JOIN members m ON v.user_id = m.user_id
-        ORDER BY v.user_id"""))
+        ORDER BY v.user_id""")),
+
+    // l-diversity — the second half of the privacy audit q157 starts:
+    // a k-anonymous group can still leak if every member shares the
+    // same SENSITIVE value, so per quasi-identifier group (day, value
+    // band) count the DISTINCT sensitive values (event_type) and
+    // report per-day how many groups fall below l=3, the worst group,
+    // and the rows in under-diverse groups. Two hash aggregates.
+    Q("q239_l_diversity",
+      (s, dir) => {
+        val l = 3
+        val g = Tables.load(s, dir, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            floor(col("value") / 100.0).cast(LongType).as("band"))
+          .agg(countDistinct(col("event_type")).as("ldiv"),
+            count(lit(1)).as("n"))
+        g.groupBy(col("day"))
+          .agg(count(lit(1)).as("n_groups"),
+            count(when(col("ldiv") < l, 1)).as("n_below"),
+            min(col("ldiv")).as("min_l"),
+            sum(when(col("ldiv") < l, col("n")).otherwise(lit(0L)))
+              .as("rows_at_risk"))
+          .orderBy("day")
+      },
+      Some("""WITH g AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+            CAST(floor(value / 100.0) AS BIGINT) AS band,
+            CAST(count(DISTINCT event_type) AS BIGINT) AS ldiv,
+            count(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT day,
+          CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(count(CASE WHEN ldiv < 3 THEN 1 END) AS BIGINT)
+            AS n_below,
+          min(ldiv) AS min_l,
+          CAST(sum(CASE WHEN ldiv < 3 THEN n ELSE 0 END) AS BIGINT)
+            AS rows_at_risk
+        FROM g GROUP BY 1 ORDER BY day"""))
   )
 }

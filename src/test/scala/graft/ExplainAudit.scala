@@ -50,7 +50,8 @@ object ExplainAudit {
       "q230_jl_projection", "q231_audio_resample",
       "q232_cluster_safe_split", "q233_tokenizer_fertility",
       "q234_edge_histogram", "q235_dbscan", "q237_frequent_pairs",
-      "q238_incremental_components")
+      "q238_incremental_components",
+      "q239_l_diversity", "q240_confusion_metrics")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
