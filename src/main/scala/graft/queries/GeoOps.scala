@@ -412,6 +412,46 @@ object GeoOps {
         LEFT JOIN core co ON co.id = p.id
         LEFT JOIN comp c ON c.node = p.id
         LEFT JOIN border b ON b.id = p.id
-        ORDER BY p.id"""))
+        ORDER BY p.id""")),
+
+    // Geohash cell ids over the integer customer lattice — the
+    // standard base-32 interleaved-bisection encoding
+    // (longitude-first bit order), 4 chars ≈ 39 km cells, plus the
+    // 2-char prefix roll-up (the multi-zoom density table a tile
+    // server reads). ONE term renderer emits both engines' arithmetic
+    // (`Geohash.sqlExpr` — the ZOrder discipline), so every base-32
+    // character is bit-exact under the hash. Map-side encode, one
+    // hash aggregate for the prefix counts.
+    Q("q241_geohash",
+      (s, dir) => {
+        import graft.functions.Geohash
+        val gh4 = Geohash.sqlExpr("x", "y", 36000L, 18000L, 4, "DIV")
+        val pts = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"),
+            expr("(c_custkey * 7919) % 36000").as("x"),
+            expr("(c_custkey * 104729) % 18000").as("y"))
+          .withColumn("gh4", expr(gh4))
+          .withColumn("gh2", expr("substr(gh4, 1, 2)"))
+        val pref = pts.groupBy("gh2")
+          .agg(count(lit(1)).as("cell_n"))
+        pts.join(pref, Seq("gh2"))
+          .select(col("c_custkey"), col("gh4"), col("gh2"),
+            col("cell_n"))
+          .orderBy("c_custkey")
+      },
+      Some {
+        import graft.functions.Geohash
+        val gh4 = Geohash.sqlExpr("x", "y", 36000L, 18000L, 4, "//")
+        s"""WITH pts AS (SELECT c_custkey,
+            (c_custkey * 7919) % 36000 AS x,
+            (c_custkey * 104729) % 18000 AS y FROM customer),
+        g AS (SELECT c_custkey, $gh4 AS gh4 FROM pts),
+        g2 AS (SELECT c_custkey, gh4, substr(gh4, 1, 2) AS gh2 FROM g),
+        pref AS (SELECT gh2, CAST(count(*) AS BIGINT) AS cell_n
+          FROM g2 GROUP BY 1)
+        SELECT c_custkey, gh4, g2.gh2, cell_n
+        FROM g2 JOIN pref ON pref.gh2 = g2.gh2
+        ORDER BY c_custkey"""
+      })
   )
 }

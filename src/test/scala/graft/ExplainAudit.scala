@@ -51,7 +51,7 @@ object ExplainAudit {
       "q232_cluster_safe_split", "q233_tokenizer_fertility",
       "q234_edge_histogram", "q235_dbscan", "q237_frequent_pairs",
       "q238_incremental_components",
-      "q239_l_diversity", "q240_confusion_metrics")
+      "q239_l_diversity", "q240_confusion_metrics", "q241_geohash")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString

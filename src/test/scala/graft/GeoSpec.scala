@@ -368,4 +368,23 @@ FROM
     // partitioning-invariant
     assert(runIt(pts.repartition(7)) == out)
   }
+
+  test("Geohash: lattice encoding matches the public geohash of the " +
+      "same coordinates") {
+    import spark.implicits._
+    import graft.functions.Geohash
+    // x=19041 → lon 10.41, y=14765 → lat 57.65: the canonical
+    // Jutland example point rounds to geohash prefix u4pr
+    val got = Seq((19041L, 14765L)).toDF("x", "y")
+      .selectExpr(Geohash.sqlExpr("x", "y", 36000L, 18000L, 4, "DIV"))
+      .as[String].head()
+    assert(got == "u4pr", s"got $got")
+    // origin corner and max corner stay in-alphabet and distinct
+    val corners = Seq((0L, 0L), (35999L, 17999L)).toDF("x", "y")
+      .selectExpr(Geohash.sqlExpr("x", "y", 36000L, 18000L, 4, "DIV"))
+      .as[String].collect().toSeq
+    assert(corners.distinct.size == 2 &&
+      corners.forall(_.forall(Geohash.Alphabet.contains(_))))
+    assert(corners.head == "0000") // (-180,-90) is all-zero bits
+  }
 }
