@@ -62,4 +62,35 @@ object LocaleFuncs {
   def sanitizeColumns(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     df.toDF(df.columns.map(sanitizeIdentifier): _*)
+
+  /** American Soundex (the public NARA algorithm) — the phonetic
+    * blocking key record linkage uses when spellings drift: first
+    * letter + three digits from the consonant classes, with h/w
+    * transparent (adjacent equal codes separated only by h/w
+    * collapse) and vowels as separators. Deterministic and mirrored
+    * step-for-step by the window-SQL oracle: drop h/w → code → keep
+    * run heads → drop the first letter's slot → drop vowels → first
+    * three digits, zero-padded. */
+  def soundex(word: String): String = {
+    val w = word.toLowerCase.filter(c => c >= 'a' && c <= 'z')
+    if (w.isEmpty) return ""
+    def code(c: Char): Char = c match {
+      case 'b' | 'f' | 'p' | 'v' => '1'
+      case 'c' | 'g' | 'j' | 'k' | 'q' | 's' | 'x' | 'z' => '2'
+      case 'd' | 't' => '3'
+      case 'l' => '4'
+      case 'm' | 'n' => '5'
+      case 'r' => '6'
+      case _ => '0' // vowels + y
+    }
+    // h/w are transparent: remove BEFORE run collapsing, but the
+    // FIRST letter survives even if it is h/w (per the standard)
+    val kept = w.head +: w.tail.filter(c => c != 'h' && c != 'w')
+    val codes = kept.map(code)
+    val collapsed = codes.zipWithIndex.collect {
+      case (c, i) if i == 0 || c != codes(i - 1) => c
+    }
+    val digits = collapsed.drop(1).filter(_ != '0').take(3)
+    (w.head.toUpper + digits.mkString).padTo(4, '0')
+  }
 }

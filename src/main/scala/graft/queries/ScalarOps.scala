@@ -496,6 +496,68 @@ ORDER BY bucket_ts"""
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY gid, l_returnflag ASC NULLS FIRST,
-          l_linestatus ASC NULLS FIRST"""))
+          l_linestatus ASC NULLS FIRST""")),
+
+    // Soundex phonetic keys over the part-name vocabulary — the
+    // blocking function record linkage reaches for when spellings
+    // drift (F-layer: completes sanitizeIdentifier/germanDouble with
+    // the phonetic normalizer). The oracle replays the NARA algorithm
+    // step-for-step in window SQL: h/w dropped (transparent), codes,
+    // run heads kept, the first letter's slot removed, vowel zeros
+    // dropped, three digits zero-padded. Group sizes per key show the
+    // phonetic blocking structure.
+    Q("q243_soundex",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val words = Tables.load(s, dir, "part")
+          .select(explode(split(col("p_name"), " ")).as("word"))
+          .filter(col("word") =!= "").distinct()
+          .as[String]
+          .map(w => (w, LocaleFuncs.soundex(w)))
+          .toDF("word", "sx")
+        val groups = words.groupBy("sx")
+          .agg(count(lit(1)).as("group_n"))
+        words.join(groups, Seq("sx"))
+          .select(col("word"), col("sx"), col("group_n"))
+          .orderBy("word")
+      },
+      Some("""WITH words AS (SELECT DISTINCT w AS word FROM (
+            SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+          WHERE w <> ''),
+        chars AS (SELECT word, t.i, substr(word, t.i, 1) AS ch
+          FROM words, UNNEST(range(1, strlen(word) + 1)) t(i)),
+        kept AS (SELECT word, i, ch FROM chars
+          WHERE i = 1 OR (ch <> 'h' AND ch <> 'w')),
+        coded AS (SELECT word, i,
+            CASE WHEN ch IN ('b','f','p','v') THEN '1'
+                 WHEN ch IN ('c','g','j','k','q','s','x','z') THEN '2'
+                 WHEN ch IN ('d','t') THEN '3'
+                 WHEN ch = 'l' THEN '4'
+                 WHEN ch IN ('m','n') THEN '5'
+                 WHEN ch = 'r' THEN '6'
+                 ELSE '0' END AS cd
+          FROM kept),
+        runs AS (SELECT word, i, cd,
+            lag(cd) OVER (PARTITION BY word ORDER BY i) AS pc,
+            row_number() OVER (PARTITION BY word ORDER BY i) AS rn
+          FROM coded),
+        digits AS (SELECT word, cd,
+            row_number() OVER (PARTITION BY word ORDER BY i) AS dn
+          FROM runs
+          WHERE (pc IS NULL OR cd <> pc) AND rn > 1 AND cd <> '0'),
+        sx0 AS (SELECT w.word,
+            upper(substr(w.word, 1, 1)) ||
+              coalesce(string_agg(d.cd, '' ORDER BY d.dn)
+                FILTER (d.dn <= 3), '') AS raw
+          FROM words w LEFT JOIN digits d ON d.word = w.word
+          GROUP BY 1),
+        sx AS (SELECT word,
+            raw || repeat('0', 4 - strlen(raw)) AS sx FROM sx0),
+        groups AS (SELECT sx, CAST(count(*) AS BIGINT) AS group_n
+          FROM sx GROUP BY 1)
+        SELECT s.word, s.sx, g.group_n
+        FROM sx s JOIN groups g ON g.sx = s.sx
+        ORDER BY s.word"""))
   )
 }

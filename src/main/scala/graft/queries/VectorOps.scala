@@ -434,7 +434,81 @@ object VectorOps {
           CAST(sum(CAST(floor(e.e * 1073741824.0 * s.s) AS BIGINT))
             AS BIGINT) > 0 AS bit
         FROM ex e JOIN sgn s ON s.i = e.i - 1
-        GROUP BY 1, 2 ORDER BY vec_id, j"""))
+        GROUP BY 1, 2 ORDER BY vec_id, j""")),
+
+    // Retrieval evaluation for the ANN layer — Precision@5 and MRR
+    // against label-match relevance over the exact cosine top-10.
+    // Reciprocal ranks accumulate as EXACT integers (2520/r — the
+    // lcm(1..10) trick) so corpus MRR is order-free and
+    // hash-checkable; queries with no relevant hit in the top-10
+    // contribute 0 and a null first_rel_rank.
+    Q("q242_retrieval_eval",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val top = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 20), emb, k = 10)
+        val lab = emb.select(col("vec_id"), col("label"))
+        val rel = top
+          .join(lab.select(col("vec_id").as("query_id"),
+            col("label").as("lq")), Seq("query_id"))
+          .join(lab.select(col("vec_id").as("cand_id"),
+            col("label").as("lc")), Seq("cand_id"))
+          .withColumn("rel", col("lq") === col("lc"))
+        val per = rel.groupBy("query_id")
+          .agg(count(when(col("rank") <= 5 && col("rel"), 1))
+              .as("hits5"),
+            min(when(col("rel"), col("rank"))).as("first_rel_rank"))
+          .withColumn("p_at_5",
+            col("hits5").cast("double") / 5.0)
+          .withColumn("rr_num",
+            coalesce(expr("2520 DIV first_rel_rank"), lit(0L)))
+        val tot = per.agg(sum(col("rr_num")).as("s"),
+          count(lit(1)).as("nq"))
+        per.crossJoin(broadcast(tot))
+          .select(col("query_id"), col("hits5"), col("p_at_5"),
+            col("first_rel_rank"), col("rr_num"),
+            (col("s").cast("double") /
+              (col("nq").cast("double") * 2520.0)).as("corpus_mrr"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $exCte,
+        dots AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+            CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i
+          WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
+          GROUP BY 1, 2),
+        ranked AS (SELECT query_id, cand_id, rank FROM (
+            SELECT query_id, cand_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY dot / (sqrt(na.nn) * sqrt(nb.nn)) DESC,
+                  cand_id) AS rank
+            FROM dots
+            JOIN nrm na ON na.vec_id = query_id
+            JOIN nrm nb ON nb.vec_id = cand_id)
+          WHERE rank <= 10),
+        lab AS (SELECT vec_id, label FROM embeddings),
+        rel AS (SELECT r.query_id, r.rank,
+            (lq.label = lc.label) AS rel
+          FROM ranked r
+          JOIN lab lq ON lq.vec_id = r.query_id
+          JOIN lab lc ON lc.vec_id = r.cand_id),
+        per AS (SELECT query_id,
+            CAST(count(CASE WHEN rank <= 5 AND rel THEN 1 END)
+              AS BIGINT) AS hits5,
+            min(CASE WHEN rel THEN rank END) AS first_rel_rank
+          FROM rel GROUP BY 1),
+        per2 AS (SELECT query_id, hits5,
+            CAST(hits5 AS DOUBLE) / 5.0 AS p_at_5, first_rel_rank,
+            CAST(coalesce(2520 // first_rel_rank, 0) AS BIGINT)
+              AS rr_num
+          FROM per),
+        tot AS (SELECT CAST(sum(rr_num) AS BIGINT) AS s,
+            CAST(count(*) AS BIGINT) AS nq FROM per2)
+        SELECT query_id, hits5, p_at_5, first_rel_rank, rr_num,
+          CAST(s AS DOUBLE) / (CAST(nq AS DOUBLE) * 2520.0)
+            AS corpus_mrr
+        FROM per2, tot ORDER BY query_id"""))
   )
 
   /** Two Lloyd iterations from the 8 lowest-id seeds, mirrored CTE by

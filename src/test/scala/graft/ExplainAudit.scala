@@ -51,7 +51,8 @@ object ExplainAudit {
       "q232_cluster_safe_split", "q233_tokenizer_fertility",
       "q234_edge_histogram", "q235_dbscan", "q237_frequent_pairs",
       "q238_incremental_components",
-      "q239_l_diversity", "q240_confusion_metrics", "q241_geohash")
+      "q239_l_diversity", "q240_confusion_metrics", "q241_geohash",
+      "q242_retrieval_eval", "q243_soundex")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString

@@ -66,4 +66,21 @@ class TextFuncsSpec extends SparkSpec {
     assert(toks == Seq("I", "'ll", " pay", " $", "42", ",", " won",
       "'t", " I", "?"))
   }
+
+  test("soundex matches the NARA reference vectors") {
+    import graft.functions.LocaleFuncs.soundex
+    // the canonical published test set, incl. the h/w-transparency
+    // cases (Ashcraft: s and c collapse across the silent h)
+    assert(soundex("Robert") == "R163")
+    assert(soundex("Rupert") == "R163")
+    assert(soundex("Ashcraft") == "A261")
+    assert(soundex("Ashcroft") == "A261")
+    assert(soundex("Tymczak") == "T522")
+    assert(soundex("Pfister") == "P236")
+    assert(soundex("Honeyman") == "H555")
+    // padding and degenerate inputs
+    assert(soundex("Lee") == "L000")
+    assert(soundex("a") == "A000")
+    assert(soundex("") == "")
+  }
 }
