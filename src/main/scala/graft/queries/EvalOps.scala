@@ -598,6 +598,87 @@ object EvalOps {
           CAST(tp * tn - fp * fn AS DOUBLE) /
             sqrt(CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
               AS DOUBLE)) AS mcc
-        FROM c"""))
+        FROM c""")),
+
+    // Feature selection by Gini impurity — score each of the 16 JL
+    // sign bits as a split of the label-parity target: weighted Gini
+    // of the two sides, best (lowest) first. All counts exact BIGINT;
+    // the impurity is a FIXED sequence of double ops (the q135
+    // fixed-op-sequence rule) mirrored token-for-token by the oracle,
+    // so the scores AND the ranking hash-match. One embeddings scan,
+    // one 16-group aggregate.
+    Q("q245_gini_features",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val bits = graft.operators.Similarity
+          .randomProject(emb, "vec_id", "embedding", outDims = 16,
+            dim = 64)
+          .select(col("vec_id"), col("j"), col("bit"))
+        val jd = bits.join(
+          emb.select(col("vec_id"), (col("label") % 2 === 0).as("y")),
+          Seq("vec_id"))
+        val c = jd.groupBy("j").agg(
+          sum(when(col("bit"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("bit") && col("y"), 1L).otherwise(0L)).as("a1"),
+          sum(when(!col("bit"), 1L).otherwise(0L)).as("n0"),
+          sum(when(!col("bit") && col("y"), 1L).otherwise(0L)).as("a0"))
+        val g1 = lit(1.0) -
+          ((col("a1") * col("a1") +
+            (col("n1") - col("a1")) * (col("n1") - col("a1")))
+            .cast(DoubleType) /
+            (col("n1") * col("n1")).cast(DoubleType))
+        val g0 = lit(1.0) -
+          ((col("a0") * col("a0") +
+            (col("n0") - col("a0")) * (col("n0") - col("a0")))
+            .cast(DoubleType) /
+            (col("n0") * col("n0")).cast(DoubleType))
+        val scored = c.withColumn("gini_weighted",
+          (col("n1").cast(DoubleType) * g1 +
+            col("n0").cast(DoubleType) * g0) /
+            (col("n1") + col("n0")).cast(DoubleType))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("gini_weighted"), col("j")))
+            .cast("long"))
+          .select("j", "n1", "a1", "n0", "a0", "gini_weighted", "rank")
+          .orderBy("rank")
+      },
+      Some("""WITH ex AS (SELECT vec_id,
+            CAST(unnest(embedding) AS DOUBLE) AS e,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+        sgn AS (SELECT j.j, i.i,
+            CASE WHEN (strpos('0123456789abcdef',
+                substr(md5('rp|' || j.j || '|' || i.i), 1, 1)) - 1)
+                % 2 = 0
+              THEN 1 ELSE -1 END AS s
+          FROM generate_series(0, 15) j(j),
+            generate_series(0, 63) i(i)),
+        bits AS (SELECT e.vec_id, s.j,
+            sum(CAST(floor(e.e * 1073741824.0 * s.s) AS BIGINT)) > 0
+              AS bit
+          FROM ex e JOIN sgn s ON s.i = e.i - 1 GROUP BY 1, 2),
+        jd AS (SELECT b.j, b.bit, (l.label % 2 = 0) AS y
+          FROM bits b JOIN embeddings l ON l.vec_id = b.vec_id),
+        c AS (SELECT j,
+            CAST(count(CASE WHEN bit THEN 1 END) AS BIGINT) AS n1,
+            CAST(count(CASE WHEN bit AND y THEN 1 END) AS BIGINT)
+              AS a1,
+            CAST(count(CASE WHEN NOT bit THEN 1 END) AS BIGINT) AS n0,
+            CAST(count(CASE WHEN NOT bit AND y THEN 1 END) AS BIGINT)
+              AS a0
+          FROM jd GROUP BY 1),
+        scored AS (SELECT j, n1, a1, n0, a0,
+            (CAST(n1 AS DOUBLE) *
+              (1.0 - (CAST(a1 * a1 + (n1 - a1) * (n1 - a1) AS DOUBLE)
+                / CAST(n1 * n1 AS DOUBLE))) +
+             CAST(n0 AS DOUBLE) *
+              (1.0 - (CAST(a0 * a0 + (n0 - a0) * (n0 - a0) AS DOUBLE)
+                / CAST(n0 * n0 AS DOUBLE))))
+              / CAST(n1 + n0 AS DOUBLE) AS gini_weighted
+          FROM c)
+        SELECT j, n1, a1, n0, a0, gini_weighted,
+          CAST(row_number() OVER (ORDER BY gini_weighted, j)
+            AS BIGINT) AS rank
+        FROM scored ORDER BY rank"""))
   )
 }

@@ -344,6 +344,44 @@ object WindowOps {
           UNION ALL
           SELECT event_type, 'p90', t90, bin, cnt, cum
             FROM t WHERE cum >= t90 AND cum - cnt < t90)
-        ORDER BY event_type, q"""))
+        ORDER BY event_type, q""")),
+
+    // Sequential motif mining — frequent event-type TRIGRAMS in
+    // per-user chronological order (the behavioral-sequence step past
+    // q129's transition bigrams): support = #users whose stream
+    // contains the motif at least once. Two lead windows on one user
+    // partitioning (ties broken by event_id so the sequence is
+    // deterministic), a distinct per (user, motif), one count — no
+    // joins, no sequence materialized wider than 3.
+    Q("q244_sequence_motifs",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val tri = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e3").isNotNull)
+          .select(col("user_id"),
+            concat_ws(">", col("event_type"), col("e2"), col("e3"))
+              .as("motif"))
+          .distinct()
+        tri.groupBy("motif")
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 10)
+          .orderBy("motif")
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+            lead(event_type, 1) OVER w AS e2,
+            lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        m AS (SELECT DISTINCT user_id,
+            event_type || '>' || e2 || '>' || e3 AS motif
+          FROM seq WHERE e3 IS NOT NULL)
+        SELECT motif, CAST(count(*) AS BIGINT) AS support
+        FROM m GROUP BY 1 HAVING count(*) >= 10
+        ORDER BY motif"""))
   )
 }

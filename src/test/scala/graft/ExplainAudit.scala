@@ -52,7 +52,8 @@ object ExplainAudit {
       "q234_edge_histogram", "q235_dbscan", "q237_frequent_pairs",
       "q238_incremental_components",
       "q239_l_diversity", "q240_confusion_metrics", "q241_geohash",
-      "q242_retrieval_eval", "q243_soundex")
+      "q242_retrieval_eval", "q243_soundex", "q244_sequence_motifs",
+      "q245_gini_features")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
