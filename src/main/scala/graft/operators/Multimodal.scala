@@ -693,6 +693,105 @@ object Multimodal {
     }
   }
 
+  final case class AugmentedImageRow(
+      media_id: Long, format: String, out_w: Int, out_h: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, pos_checksum: Long)
+
+  /** Deterministic image augmentation — horizontal FLIP then CROP to
+    * the top-left `cw`×`ch` window, re-encoded (BMP) and decoded
+    * again (the resizePixels round-trip discipline). The emitted
+    * position-weighted checksum makes the flip ORIENTATION and crop
+    * OFFSETS load-bearing, not just the surviving pixel multiset:
+    * Σ (y·out_w + x + 1) · (r + 2g + 3b) over the cropped raster.
+    * Map-side only; payloads never shuffle. Images smaller than the
+    * crop window are skipped. */
+  def flipCrop(media: Dataset[MediaRow], cw: Int, ch: Int)
+      : Dataset[AugmentedImageRow] = {
+    require(cw >= 1 && ch >= 1, s"bad crop ${cw}x$ch")
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        MediaCodecs.decodeImage(m.payload) match {
+          case Some((fmt, img)) if img.width >= cw && img.height >= ch =>
+            val out = new Array[Byte](cw * ch * 3)
+            var y = 0
+            while (y < ch) {
+              var x = 0
+              while (x < cw) {
+                // horizontal flip: source column is width-1-x
+                val src = (y * img.width + (img.width - 1 - x)) * 3
+                val dst = (y * cw + x) * 3
+                out(dst) = img.rgb(src)
+                out(dst + 1) = img.rgb(src + 1)
+                out(dst + 2) = img.rgb(src + 2)
+                x += 1
+              }
+              y += 1
+            }
+            val rt = MediaCodecs.decodeBmp(
+              MediaCodecs.encodeBmp(MediaCodecs.Image(cw, ch, out)))
+            var sr = 0L; var sg = 0L; var sb = 0L; var cks = 0L
+            var i = 0
+            while (i < rt.width * rt.height) {
+              val r = rt.rgb(i * 3) & 0xff
+              val g = rt.rgb(i * 3 + 1) & 0xff
+              val b = rt.rgb(i * 3 + 2) & 0xff
+              sr += r; sg += g; sb += b
+              cks += (i + 1L) * (r + 2L * g + 3L * b)
+              i += 1
+            }
+            Iterator.single(AugmentedImageRow(m.media_id, fmt,
+              rt.width, rt.height, sr, sg, sb, cks))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
+  final case class AugmentedAudioRow(
+      media_id: Long, format: String, n: Long, n_clipped: Long,
+      sum_out: Long, pos_checksum: Long)
+
+  /** Deterministic audio augmentation — integer gain by num/den
+    * (truncating division, the engines' shared contract) with
+    * clipping to int16, through a WAV round-trip. Reports how many
+    * samples actually clipped plus order-pinning checksums. */
+  def gainClip(media: Dataset[MediaRow], num: Long, den: Long)
+      : Dataset[AugmentedAudioRow] = {
+    require(num > 0 && den > 0, s"bad gain $num/$den")
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        MediaCodecs.decodeAudio(m.payload) match {
+          case Some((fmt, a)) if a.samples.nonEmpty =>
+            val out = new Array[Short](a.samples.length)
+            var clipped = 0L
+            var i = 0
+            while (i < out.length) {
+              val v = a.samples(i) * num / den
+              val c =
+                if (v > 32767L) { clipped += 1; 32767L }
+                else if (v < -32768L) { clipped += 1; -32768L }
+                else v
+              out(i) = c.toShort
+              i += 1
+            }
+            val rt = MediaCodecs.decodeWav(MediaCodecs.encodeWav(
+              MediaCodecs.Audio(a.sampleRate, a.channels, out)))
+            var s = 0L; var cks = 0L; var k = 0
+            while (k < rt.samples.length) {
+              s += rt.samples(k)
+              cks += (k + 1L) * rt.samples(k)
+              k += 1
+            }
+            Iterator.single(AugmentedAudioRow(m.media_id, fmt,
+              rt.samples.length.toLong, clipped, s, cks))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Resize: pure metadata transform (the real op also re-encodes the
     * payload — stubbed to keep bytes unchanged). */
   def resizeMeta(media: Dataset[MediaRow], maxW: Int): Dataset[MediaRow] = {

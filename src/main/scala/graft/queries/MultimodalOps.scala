@@ -974,5 +974,74 @@ object MultimodalOps {
           CAST(coalesce(sum(mag) FILTER (bin = 1), 0) AS BIGINT) AS mag1,
           CAST(coalesce(sum(mag) FILTER (bin = 2), 0) AS BIGINT) AS mag2,
           CAST(coalesce(sum(mag) FILTER (bin = 3), 0) AS BIGINT) AS mag3
-        FROM binned GROUP BY 1, 2 ORDER BY media_id""")))
+        FROM binned GROUP BY 1, 2 ORDER BY media_id""")),
+
+    // Deterministic image augmentation: horizontal flip + top-left
+    // 8×4 crop, re-encoded and decoded again. The position-weighted
+    // checksum pins flip ORIENTATION and crop OFFSETS — a reflected
+    // or shifted window has the same pixel multiset but a different
+    // checksum. The oracle recomputes every channel from the closed
+    // form with the mirrored source column (w-1-x).
+    Q("q246_image_flip_crop",
+      (s, dir) => {
+        val media = Multimodal.packEncodedMedia(
+          Tables.load(s, dir, "documents"))
+        Multimodal.flipCrop(media, cw = 8, ch = 4).toDF()
+          .orderBy("media_id")
+      },
+      Some("""WITH img AS (SELECT doc_id,
+            CASE WHEN doc_id % 6 = 0 THEN 'bmp'
+                 WHEN doc_id % 3 = 0 THEN 'png'
+                 ELSE 'ppm' END AS format,
+            CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS w,
+            CASE WHEN doc_id % 3 = 0 THEN 31 ELSE 13 END AS mult
+          FROM documents WHERE doc_id % 3 <> 1),
+        px AS (SELECT doc_id, format, y.y * 8 + x.x AS i,
+            ((((y.y * w + (w - 1 - x.x)) * 3 + 0) * mult + doc_id)
+              % 256) AS r,
+            ((((y.y * w + (w - 1 - x.x)) * 3 + 1) * mult + doc_id)
+              % 256) AS g,
+            ((((y.y * w + (w - 1 - x.x)) * 3 + 2) * mult + doc_id)
+              % 256) AS b
+          FROM img, generate_series(0, 7) x(x),
+            generate_series(0, 3) y(y))
+        SELECT doc_id AS media_id, format,
+          CAST(8 AS INTEGER) AS out_w, CAST(4 AS INTEGER) AS out_h,
+          CAST(sum(r) AS BIGINT) AS sum_r,
+          CAST(sum(g) AS BIGINT) AS sum_g,
+          CAST(sum(b) AS BIGINT) AS sum_b,
+          CAST(sum((i + 1) * (r + 2 * g + 3 * b)) AS BIGINT)
+            AS pos_checksum
+        FROM px GROUP BY 1, 2 ORDER BY media_id""")),
+
+    // Deterministic audio augmentation: integer gain 81/2 (truncating
+    // division — the engines' shared contract) with int16 clipping,
+    // through a WAV round-trip. The fixture's ±1024 samples make the
+    // clip genuinely bite (|s| ≥ 810 clips), so the clip counter and
+    // the clipped checksums are non-trivial under the hash.
+    Q("q247_audio_gain_clip",
+      (s, dir) => {
+        val media = Multimodal.packEncodedMedia(
+          Tables.load(s, dir, "documents"))
+        Multimodal.gainClip(media, num = 81L, den = 2L).toDF()
+          .orderBy("media_id")
+      },
+      Some("""WITH au AS (SELECT doc_id FROM documents
+            WHERE doc_id % 3 = 1),
+        sm AS (SELECT doc_id, t.i,
+            ((t.i * 37 + doc_id) % 2048 - 1024) * 81 // 2 AS raw
+          FROM au, generate_series(0, 255) t(i)),
+        cl AS (SELECT doc_id, i,
+            CASE WHEN raw > 32767 THEN 32767
+                 WHEN raw < -32768 THEN -32768
+                 ELSE raw END AS v,
+            (raw > 32767 OR raw < -32768) AS clipped
+          FROM sm)
+        SELECT doc_id AS media_id, 'wav' AS format,
+          CAST(256 AS BIGINT) AS n,
+          CAST(count(CASE WHEN clipped THEN 1 END) AS BIGINT)
+            AS n_clipped,
+          CAST(sum(v) AS BIGINT) AS sum_out,
+          CAST(sum((i + 1) * v) AS BIGINT) AS pos_checksum
+        FROM cl GROUP BY 1 ORDER BY media_id""")))
 }

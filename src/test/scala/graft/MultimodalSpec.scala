@@ -427,4 +427,29 @@ class MultimodalSpec extends SparkSpec {
     assert((r.b0, r.b1, r.b2, r.b3) == (0L, 1L, 0L, 0L))
     assert((r.mag0, r.mag1, r.mag2, r.mag3) == (0L, 280L, 0L, 0L))
   }
+
+  test("flipCrop mirrors columns; gainClip truncates and clips") {
+    import spark.implicits._
+    import graft.operators.MediaCodecs
+    // 4x2 image, left half red (r=200), right half blue (b=200)
+    val rgb = new Array[Byte](4 * 2 * 3)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val o = (y * 4 + x) * 3
+      if (x < 2) rgb(o) = 200.toByte else rgb(o + 2) = 200.toByte
+    }
+    val media = Seq(Multimodal.MediaRow(0L, "image",
+      MediaCodecs.encodeBmp(MediaCodecs.Image(4, 2, rgb)), 4, 2)).toDS()
+    // crop 2x2 AFTER the horizontal flip: the window must be all BLUE
+    val a = Multimodal.flipCrop(media, 2, 2).collect().head
+    assert(a.sum_b == 4L * 200 && a.sum_r == 0L, s"flip not applied: $a")
+    // gain 81/2: -7 * 81 / 2 = -283 (truncation toward zero);
+    // 1000 * 81 / 2 = 40500 clips to 32767
+    val audio = Seq(Multimodal.MediaRow(1L, "audio",
+      MediaCodecs.encodeWav(MediaCodecs.Audio(8000, 1,
+        Array[Short](-7, 1000, 3))), 0, 0)).toDS()
+    val g = Multimodal.gainClip(audio, 81L, 2L).collect().head
+    assert(g.n == 3L && g.n_clipped == 1L)
+    assert(g.sum_out == -283L + 32767L + 121L)
+    assert(g.pos_checksum == 1L * -283 + 2L * 32767 + 3L * 121)
+  }
 }

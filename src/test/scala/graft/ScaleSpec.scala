@@ -429,7 +429,8 @@ class ScaleSpec extends SparkSpec {
     for (q <- Seq("q213_jpeg_decode", "q214_mulaw_audio",
         "q217_flac_audio", "q219_mp3_audio", "q220_video_frames",
         "q223_av_sync", "q227_image_resize", "q231_audio_resample",
-        "q234_edge_histogram")) {
+        "q234_edge_histogram", "q246_image_flip_crop",
+        "q247_audio_gain_clip")) {
       val plan = graft.queries.Registry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       // encode + decode ride mapPartitions; the only exchange allowed
