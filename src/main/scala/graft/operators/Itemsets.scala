@@ -52,4 +52,30 @@ object Itemsets {
         ((col("pair_sup") * col("n")).cast("double") /
           (col("sup_a") * col("sup_b")).cast("double")).as("lift"))
   }
+
+  /** Association rules from [[frequentPairs]]: each frequent pair
+    * yields both directed rules A→B and B→A; confidence =
+    * sup(ab)/sup(A) (one double division of exact counts), and rules
+    * below `minConfidencePct` are cut by integer cross-multiplication.
+    * Output size ≤ 2·|frequent pairs| — the pair mining already did
+    * the heavy lifting. */
+  def rules(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupportPct: Int, minConfidencePct: Int): DataFrame = {
+    require(minConfidencePct >= 1 && minConfidencePct <= 100,
+      s"minConfidencePct must be 1..100, got $minConfidencePct")
+    val fp = frequentPairs(baskets, basketCol, itemCol, minSupportPct)
+    val ab = fp.select(col("item_a").as("antecedent"),
+      col("item_b").as("consequent"), col("pair_sup"),
+      col("sup_a").as("sup_ant"), col("lift"))
+    val ba = fp.select(col("item_b").as("antecedent"),
+      col("item_a").as("consequent"), col("pair_sup"),
+      col("sup_b").as("sup_ant"), col("lift"))
+    ab.union(ba)
+      .filter(col("pair_sup") * 100 >= col("sup_ant") * minConfidencePct)
+      .select(col("antecedent"), col("consequent"), col("pair_sup"),
+        col("sup_ant"),
+        (col("pair_sup").cast("double") / col("sup_ant").cast("double"))
+          .as("confidence"),
+        col("lift"))
+  }
 }

@@ -642,7 +642,67 @@ object CorpusOps {
             / CAST(CAST(sum(l.wc * len(s.syms)) AS BIGINT) AS DOUBLE)
             AS chars_per_token
         FROM lw l JOIN s3 s ON s.word = l.word
-        GROUP BY 1 ORDER BY lang"""))
+        GROUP BY 1 ORDER BY lang""")),
+
+    // Snake-order balanced sharding — assign docs to k=8 shards by
+    // token-size rank in boustrophedon order (longest doc to shard 0,
+    // next 7 fill 1..7, then the next row runs 7..0), the standard
+    // deterministic greedy that keeps shard token totals within one
+    // document of each other. The GLOBAL rank comes from
+    // PrefixSum.exclusiveCumsum (two-phase distributed scan over a
+    // composite sort key — never an unpartitioned row_number window,
+    // the q147 lesson); the oracle ranks with a window and must land
+    // on identical shard totals. `spread` (max−min shard tokens)
+    // shows the balance the snake buys.
+    Q("q249_balanced_shards",
+      (s, dir) => {
+        val k = 8
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFuncs.tokenCount(col("text")).cast("long")
+              .as("n_tokens"))
+        // composite key: tokens DESC then doc_id ASC, packed into one
+        // long (token counts are bounded far below the 2^20 headroom)
+        val keyed = toks.withColumn("skey",
+          (lit(1048576L) - col("n_tokens")) * lit(1099511627776L) +
+            col("doc_id"))
+        val ranked = graft.operators.PrefixSum.exclusiveCumsum(
+          keyed, col("skey"), lit(1L), "rank0",
+          bucketSize = 1L << 44)
+        val sharded = ranked
+          .withColumn("pos", col("rank0") % k)
+          .withColumn("shard",
+            when(expr(s"rank0 DIV $k % 2 = 0"), col("pos"))
+              .otherwise(lit(k - 1L) - col("pos")))
+        val per = sharded.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tokens"))
+        val sp = per.agg((max(col("tokens")) - min(col("tokens")))
+          .as("spread"))
+        per.crossJoin(broadcast(sp))
+          .select(col("shard"), col("n_docs"), col("tokens"),
+            col("spread"))
+          .orderBy("shard")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\s+'))
+              AS BIGINT) AS n_tokens
+          FROM documents),
+        r AS (SELECT doc_id, n_tokens,
+            row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1
+              AS rank0
+          FROM t),
+        sh AS (SELECT n_tokens,
+            CASE WHEN (rank0 // 8) % 2 = 0 THEN rank0 % 8
+                 ELSE 7 - rank0 % 8 END AS shard
+          FROM r),
+        per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS tokens
+          FROM sh GROUP BY 1),
+        sp AS (SELECT CAST(max(tokens) - min(tokens) AS BIGINT)
+            AS spread FROM per)
+        SELECT CAST(shard AS BIGINT) AS shard, n_docs, tokens, spread
+        FROM per, sp ORDER BY shard"""))
   ) ++ extraQs
 
   /** Shared oracle CTE chain for the BPE queries (q228/q233): word

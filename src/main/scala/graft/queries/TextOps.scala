@@ -1195,6 +1195,55 @@ object TextOps {
             AS lift
         FROM pairs, n1
         WHERE pair_sup * 100 >= n * 40
-        ORDER BY item_a, item_b"""))
+        ORDER BY item_a, item_b""")),
+
+    // Association rules from the frequent pairs: both directions per
+    // pair, confidence = sup(ab)/sup(antecedent), cut at 85% by
+    // integer cross-multiplication (a real cut — most of the fixture's
+    // rules sit in the 74–96% band). One more projection over q237's
+    // machinery; nothing new touches the fact table.
+    Q("q248_association_rules",
+      (s, dir) => {
+        val baskets = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+        graft.operators.Itemsets
+          .rules(baskets, "doc_id", "word", minSupportPct = 40,
+            minConfidencePct = 85)
+          .orderBy("antecedent", "consequent")
+      },
+      Some("""WITH d AS (SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents) WHERE word <> ''),
+        n1 AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM d),
+        freq AS (SELECT item, sup FROM (
+            SELECT word AS item, CAST(count(*) AS BIGINT) AS sup
+            FROM d GROUP BY 1), n1
+          WHERE sup * 100 >= n * 40),
+        fd AS (SELECT d.doc_id, d.word AS item, f.sup
+          FROM d JOIN freq f ON f.item = d.word),
+        pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+            CAST(count(*) AS BIGINT) AS pair_sup,
+            max(a.sup) AS sup_a, max(b.sup) AS sup_b
+          FROM fd a JOIN fd b
+            ON a.doc_id = b.doc_id AND a.item < b.item
+          GROUP BY 1, 2),
+        fp AS (SELECT item_a, item_b, pair_sup, sup_a, sup_b,
+            CAST(pair_sup * n AS DOUBLE)
+              / CAST(sup_a * sup_b AS DOUBLE) AS lift
+          FROM pairs, n1
+          WHERE pair_sup * 100 >= n * 40),
+        r AS (SELECT item_a AS antecedent, item_b AS consequent,
+            pair_sup, sup_a AS sup_ant, lift FROM fp
+          UNION ALL
+          SELECT item_b, item_a, pair_sup, sup_b, lift FROM fp)
+        SELECT antecedent, consequent, pair_sup, sup_ant,
+          CAST(pair_sup AS DOUBLE) / CAST(sup_ant AS DOUBLE)
+            AS confidence,
+          lift
+        FROM r
+        WHERE pair_sup * 100 >= sup_ant * 85
+        ORDER BY antecedent, consequent"""))
   )
 }

@@ -53,7 +53,8 @@ object ExplainAudit {
       "q238_incremental_components",
       "q239_l_diversity", "q240_confusion_metrics", "q241_geohash",
       "q242_retrieval_eval", "q243_soundex", "q244_sequence_motifs",
-      "q245_gini_features", "q246_image_flip_crop", "q247_audio_gain_clip")
+      "q245_gini_features", "q246_image_flip_crop", "q247_audio_gain_clip",
+      "q248_association_rules", "q249_balanced_shards")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
