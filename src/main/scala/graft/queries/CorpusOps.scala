@@ -702,7 +702,118 @@ object CorpusOps {
         sp AS (SELECT CAST(max(tokens) - min(tokens) AS BIGINT)
             AS spread FROM per)
         SELECT CAST(shard AS BIGINT) AS shard, n_docs, tokens, spread
-        FROM per, sp ORDER BY shard"""))
+        FROM per, sp ORDER BY shard""")),
+
+    // The round-10 curation composite — the session's selection ops
+    // chained as ONE hash-checked pipeline (the q69/q110/q200
+    // discipline: every stage individually verified, the COMPOSITION
+    // under its own oracle): near-dup clusters → cluster-safe split →
+    // keep the train side → DSIR selection (English docs pass as the
+    // target domain; non-English must win the vote) → snake-order
+    // sharding of the survivors. Output pins every stage per doc:
+    // cluster, the vote, the shard.
+    Q("q250_curation_pipeline",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        // stage 1: clusters + cluster-hash split (q232 machinery)
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+          docs, 3, minJaccard = 0.3, maxDocFreq = 1 << 20)
+        val comp = graft.operators.ConnectedComponents
+          .components(pairs, "doc_a", "doc_b",
+            nodes = Some(docs.select(col("doc_id"))))
+          .select(col("node").as("doc_id"),
+            col("component").as("cluster_id"))
+        val split = comp.withColumn("split",
+          when(substring(md5(col("cluster_id").cast("string")), 1, 8)
+            < "19999999", "test").otherwise("train"))
+        // stage 2: DSIR votes (q229 machinery) — English is the
+        // target domain and passes outright; non-English must be
+        // majority target-voted
+        val votes = graft.operators.Dsir.importanceVotes(
+            docs, "doc_id", "text", col("lang") === "en")
+          .select(col("doc_id"), col("selected"))
+        val trainDocs = docs.join(split, Seq("doc_id"))
+          .filter(col("split") === "train")
+          .join(votes, Seq("doc_id"), "left")
+          .filter(col("lang") === "en" ||
+            coalesce(col("selected"), lit(false)))
+        // stage 3: snake sharding of the survivors (q249 machinery)
+        val toks = trainDocs
+          .select(col("doc_id"), col("cluster_id"), col("lang"),
+            TextFuncs.tokenCount(col("text")).cast("long")
+              .as("n_tokens"))
+        val keyed = toks.withColumn("skey",
+          (lit(1048576L) - col("n_tokens")) * lit(1099511627776L) +
+            col("doc_id"))
+        graft.operators.PrefixSum.exclusiveCumsum(
+            keyed, col("skey"), lit(1L), "rank0",
+            bucketSize = 1L << 44)
+          .withColumn("pos", col("rank0") % 4)
+          .withColumn("shard",
+            when(expr("rank0 DIV 4 % 2 = 0"), col("pos"))
+              .otherwise(lit(3L) - col("pos")))
+          .select("doc_id", "cluster_id", "lang", "n_tokens", "shard")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${DedupOps.shingleCtes("documents")},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jp AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes na ON doc_a = na.doc_id
+          JOIN sizes nb ON doc_b = nb.doc_id
+          WHERE CAST(inter AS DOUBLE)
+            / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.3),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM jp
+          UNION ALL SELECT doc_b, doc_a FROM jp),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node),
+        comp AS (SELECT node AS doc_id, min(lab) AS cluster_id
+          FROM reach GROUP BY 1),
+        spl AS (SELECT doc_id, cluster_id,
+            CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+              < '19999999' THEN 'test' ELSE 'train' END AS split
+          FROM comp),
+        occ AS (SELECT doc_id, lang = 'en' AS is_t,
+            substr(md5(ws[t.i] || ' ' || ws[t.i + 1]), 1, 2) AS bucket
+          FROM (SELECT doc_id, lang,
+              regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents),
+            UNNEST(range(1, len(ws))) t(i)
+          WHERE len(ws) >= 2),
+        bc AS (SELECT bucket,
+            CAST(count(*) FILTER (is_t) AS BIGINT) AS tc,
+            CAST(count(*) FILTER (NOT is_t) AS BIGINT) AS rc
+          FROM occ GROUP BY 1),
+        tt AS (SELECT CAST(sum(tc) AS BIGINT) AS st,
+            CAST(sum(rc) AS BIGINT) AS sr FROM bc),
+        sel AS (SELECT o.doc_id,
+            CAST(count(*) FILTER (
+              CAST(c.tc + 1 AS DECIMAL(38,0)) * (t.sr + 256)
+                > CAST(c.rc + 1 AS DECIMAL(38,0)) * (t.st + 256))
+              AS BIGINT) * 2 > CAST(count(*) AS BIGINT) AS selected
+          FROM occ o JOIN bc c ON c.bucket = o.bucket, tt t
+          WHERE NOT o.is_t GROUP BY o.doc_id),
+        chosen AS (SELECT d.doc_id, p.cluster_id, d.lang,
+            CAST(len(regexp_split_to_array(trim(d.text), '\\s+'))
+              AS BIGINT) AS n_tokens
+          FROM documents d
+          JOIN spl p ON p.doc_id = d.doc_id AND p.split = 'train'
+          LEFT JOIN sel s ON s.doc_id = d.doc_id
+          WHERE d.lang = 'en' OR coalesce(s.selected, false)),
+        rk AS (SELECT doc_id, cluster_id, lang, n_tokens,
+            row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1
+              AS rank0
+          FROM chosen)
+        SELECT doc_id, cluster_id, lang, n_tokens,
+          CAST(CASE WHEN (rank0 // 4) % 2 = 0 THEN rank0 % 4
+               ELSE 3 - rank0 % 4 END AS BIGINT) AS shard
+        FROM rk ORDER BY doc_id"""))
   ) ++ extraQs
 
   /** Shared oracle CTE chain for the BPE queries (q228/q233): word
