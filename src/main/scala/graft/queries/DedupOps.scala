@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.{col, count, greatest, least, lit}
+import org.apache.spark.sql.functions.{col, count, greatest, least, lit, sum}
 
 import graft.Tables
 import graft.operators.{ConnectedComponents, Dedup}
@@ -536,6 +536,71 @@ object DedupOps {
         FROM reach GROUP BY 1 ORDER BY 1"""
 
   private def clusterSafeSplitQs: Seq[Q] = Seq(
+    // Degree assortativity of the near-dup graph (Newman's r over
+    // edges, x/y = endpoint degrees): do high-degree template docs
+    // link to each other (r>0, one mega-cluster forming) or to
+    // one-off dups (r<0)? All moment sums exact BIGINT over the
+    // |pairs| table; r itself is a fixed double-op sequence mirrored
+    // token-for-token (the q135/q158 discipline). Degrees are one
+    // hash aggregate over pair endpoints; no fact-table rescan.
+    Q("q251_dup_graph_assortativity",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, K,
+            minJaccard = 0.3, maxDocFreq = MaxDocFreq)
+          .select(col("doc_a"), col("doc_b")).persist()
+        val deg = pairs.select(col("doc_a").as("id"))
+          .union(pairs.select(col("doc_b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("d"))
+        val m = pairs
+          .join(deg.select(col("id").as("doc_a"), col("d").as("da")),
+            Seq("doc_a"))
+          .join(deg.select(col("id").as("doc_b"), col("d").as("db")),
+            Seq("doc_b"))
+          .agg(count(lit(1)).as("m"),
+            sum(col("da") * col("db")).as("sxy"),
+            sum(col("da") + col("db")).as("ssum"),
+            sum(col("da") * col("da") + col("db") * col("db"))
+              .as("ssq"))
+        val D = org.apache.spark.sql.types.DoubleType
+        val mu = col("ssum").cast(D) / (col("m") * 2).cast(D)
+        m.select(col("m"), col("sxy"), col("ssum"), col("ssq"),
+          ((col("sxy").cast(D) / col("m").cast(D) - mu * mu) /
+            (col("ssq").cast(D) / (col("m") * 2).cast(D) - mu * mu))
+            .as("assortativity"))
+      },
+      Some(s"""WITH $shingleCte,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes na ON doc_a = na.doc_id
+          JOIN sizes nb ON doc_b = nb.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE)
+            >= 0.3),
+        deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT doc_a AS id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs) GROUP BY 1),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+            CAST(sum(a.d * b.d) AS BIGINT) AS sxy,
+            CAST(sum(a.d + b.d) AS BIGINT) AS ssum,
+            CAST(sum(a.d * a.d + b.d * b.d) AS BIGINT) AS ssq
+          FROM pairs p
+          JOIN deg a ON a.id = p.doc_a
+          JOIN deg b ON b.id = p.doc_b)
+        SELECT m, sxy, ssum, ssq,
+          (CAST(sxy AS DOUBLE) / CAST(m AS DOUBLE)
+            - (CAST(ssum AS DOUBLE) / CAST(m * 2 AS DOUBLE))
+              * (CAST(ssum AS DOUBLE) / CAST(m * 2 AS DOUBLE)))
+          / (CAST(ssq AS DOUBLE) / CAST(m * 2 AS DOUBLE)
+            - (CAST(ssum AS DOUBLE) / CAST(m * 2 AS DOUBLE))
+              * (CAST(ssum AS DOUBLE) / CAST(m * 2 AS DOUBLE)))
+            AS assortativity
+        FROM mm""")),
+
 
     // Leakage-safe train/test split: hash-split by near-dup CLUSTER
     // (q70's connected components), not by document — every cluster
