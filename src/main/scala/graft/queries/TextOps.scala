@@ -1244,6 +1244,68 @@ object TextOps {
           lift
         FROM r
         WHERE pair_sup * 100 >= sup_ant * 85
-        ORDER BY antecedent, consequent"""))
+        ORDER BY antecedent, consequent""")),
+
+    // Cross-source duplicate flow — WHO copies from WHOM: every
+    // near-dup pair (exact Jaccard ≥ 0.3, q70's edge set) that spans
+    // two sources lands in an ordered (src_a, src_b) cell with the
+    // pair count and the mean similarity. The curation diagnostic
+    // behind per-source dedup budgets: a hot cell means one feed
+    // mirrors the other. Pair generation is the inverted-index
+    // equi-join (Σ shingle postings², never corpus²); the matrix is
+    // one |sources|²-bounded aggregate on top.
+    Q("q252_dup_flow_matrix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+          docs, 3, minJaccard = 0.3, maxDocFreq = 1 << 20)
+        pairs
+          .join(src.select(col("doc_id").as("doc_a"),
+            col("source").as("sa")), Seq("doc_a"))
+          .join(src.select(col("doc_id").as("doc_b"),
+            col("source").as("sb")), Seq("doc_b"))
+          .filter(col("sa") =!= col("sb"))
+          .select(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"),
+            col("jaccard"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("dup_pairs"),
+            (sum(col("jaccard").cast("decimal(38,12)"))
+              .cast("double") / count(lit(1)).cast("double"))
+              .as("mean_jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH words AS (SELECT doc_id,
+            string_split(text, ' ') AS ws FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+            ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+          FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pr AS (SELECT doc_a, doc_b,
+            CAST(inter AS DOUBLE)
+              / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+          FROM inter
+          JOIN sizes na ON doc_a = na.doc_id
+          JOIN sizes nb ON doc_b = nb.doc_id
+          WHERE CAST(inter AS DOUBLE)
+            / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.3),
+        fl AS (SELECT
+            least(da.source, db.source) AS src_a,
+            greatest(da.source, db.source) AS src_b,
+            p.jaccard
+          FROM pr p
+          JOIN documents da ON da.doc_id = p.doc_a
+          JOIN documents db ON db.doc_id = p.doc_b
+          WHERE da.source <> db.source)
+        SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS dup_pairs,
+          CAST(sum(CAST(jaccard AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS mean_jaccard
+        FROM fl GROUP BY 1, 2 ORDER BY src_a, src_b"""))
   )
 }

@@ -55,7 +55,8 @@ object ExplainAudit {
       "q242_retrieval_eval", "q243_soundex", "q244_sequence_motifs",
       "q245_gini_features", "q246_image_flip_crop", "q247_audio_gain_clip",
       "q248_association_rules", "q249_balanced_shards",
-      "q250_curation_pipeline", "q251_dup_graph_assortativity")
+      "q250_curation_pipeline", "q251_dup_graph_assortativity",
+      "q252_dup_flow_matrix")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
