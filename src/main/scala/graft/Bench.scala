@@ -52,33 +52,69 @@ object Bench {
     }
     if (selected.isEmpty)
       System.err.println("[bench] no queries selected — emitting empty run")
+
+    // Cumulative JVM GC time — the per-query delta tells a positional
+    // slowdown (GC trough from accumulated block storage) apart from a
+    // genuinely expensive plan.
+    import scala.jdk.CollectionConverters._
+    def gcSec(): Double = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum / 1e3
+
+    // One measured run: sweep ALL session storage first (catalog cache
+    // AND persisted RDDs — localCheckpoint blocks are invisible to
+    // clearCache and otherwise linger until a GC-driven ContextCleaner
+    // pass: the round-9/10 positional-cluster mechanism), then time the
+    // query, then snapshot what it left behind in block storage.
+    case class Run(sec: Double, gc: Double, leakedRdds: Int,
+      leakedBytes: Long, heapMb: Long)
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         // a failed run records +Inf so min() only ever reports the time
         // of a SUCCESSFUL execution; a query failing on every run
         // surfaces as "failed" in the JSON instead of a bogus fast time
-        val times = (0 until 2).map { _ =>
-          spark.catalog.clearCache()
+        val runs = (0 until 2).map { _ =>
+          graft.operators.CacheOps.sweep(spark, blocking = true)
+          val g0 = gcSec()
           val t0 = System.nanoTime()
-          try {
+          val sec = try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             Double.PositiveInfinity
           }
+          val infos = spark.sparkContext.getRDDStorageInfo
+          val rt = Runtime.getRuntime
+          Run(sec, gcSec() - g0, infos.length,
+            infos.map(i => i.memSize + i.diskSize).sum,
+            (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
         }
-        name -> times.min
+        name -> runs.minBy(_.sec)
     }
-    val failed = results.collect { case (k, v) if v.isInfinite => k }
-    val ok = results.filter(!_._2.isInfinite)
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
+    val failed = results.collect { case (k, r) if r.sec.isInfinite => k }
+    val ok = results.filter(!_._2.sec.isInfinite)
+    val qs = ok.map { case (k, r) => "\"" + k + "\":" + r.sec }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    val total = ok.map(_._2.sec).sum
+    val gcTotal = ok.map(_._2.gc).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // failed_count rides next to value so a partial total (failures
     // excluded from the sum) can't be mistaken for a comparable full run
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"gc_sec":$gcTotal,"sf":"$sfDir"}"""
+    // Side-channel telemetry (separate file — the driver's console tail
+    // truncates): per query, the measured run's GC seconds, how many
+    // persisted RDDs and bytes it LEFT BEHIND in block storage (should
+    // be 0 for a hygienic operator), and heap in use after it.
+    val metrics = results.map { case (k, r) =>
+      s""""$k":{"sec":${if (r.sec.isInfinite) -1 else r.sec},"gc_sec":${r.gc},"leaked_rdds":${r.leakedRdds},"leaked_bytes":${r.leakedBytes},"heap_mb":${r.heapMb}}"""
+    }.mkString("{", ",", "}")
+    val metricsFile = sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT",
+      "BENCH_metrics.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(metricsFile),
+      (metrics + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $metricsFile: ${e.getMessage}")
+    }
     println(json)
     // Also persist the FULL per-query map: the driver's console tail
     // truncates to ~2 KB, which silently drops the first ~90 entries —

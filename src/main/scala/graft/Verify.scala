@@ -52,6 +52,11 @@ object Verify {
         if (d.exists()) d.listFiles().foreach(f => if (f.isFile) f.delete())
         d.mkdirs()
       }
+      // each result is fully on disk before the next query runs, so
+      // dropping all session storage (incl. sealed localCheckpoint
+      // blocks) between queries is safe and keeps the 252-query dump
+      // from accumulating block storage
+      operators.CacheOps.sweep(spark, blocking = false)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

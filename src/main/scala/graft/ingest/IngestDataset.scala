@@ -142,6 +142,9 @@ final class IngestDataset(
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    // the overwrite is committed — drop the materialized replacement's
+    // checkpoint blocks instead of leaving them to a future GC pass
+    graft.operators.CacheOps.releaseCheckpoint(replacement)
   }
 
   /** K-ops maintenance — small-file compaction. Long-running

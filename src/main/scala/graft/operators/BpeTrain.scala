@@ -88,21 +88,35 @@ object BpeTrain {
       // winner: max count, ties to smallest (a, b) — a 1-row
       // struct-MIN aggregate ((-cnt, a, b) orders exactly that way),
       // never a global ORDER BY over the pair table
-      val winRow = pairs
+      // min(struct) over ZERO rows yields one row with a NULL struct
+      // (single-char corpus, or vocabulary fully merged before
+      // `rounds` ran out) — stop with a descriptive error instead of
+      // letting the tuple decode throw an opaque NPE.
+      val winRaw = pairs
         .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b")))
           .as("w"))
         .select(col("w.a"), col("w.b"), (-col("w.nc")).as("cnt"))
-        .as[(String, String, Long)]
         .head()
-      val (wa, wb, wcnt) = winRow
+      require(!winRaw.isNullAt(0),
+        s"BPE round $r: no adjacent pairs left to merge " +
+          s"(corpus exhausted after ${r - 1} merges; lower `rounds`)")
+      val (wa, wb, wcnt) =
+        (winRaw.getString(0), winRaw.getString(1), winRaw.getLong(2))
+      val prevWords = words
       words = words
         .map(w => w.copy(syms = applyMerge(w.syms, wa, wb)))
         .localCheckpoint()
+      // the new round's table is materialized — drop the old one's
+      // blocks now rather than waiting for a GC-driven ContextCleaner
+      CacheOps.releaseCheckpoint(prevWords)
       val symsAfter = words
         .select(sum(col("wc") * size(col("syms")))).as[Long].head()
       out += MergeRound(r, wa, wb, wcnt, symsAfter)
       r += 1
     }
+    // the result is a driver-built round table — the word-table
+    // checkpoint is unreachable from it and can be dropped entirely
+    CacheOps.releaseCheckpoint(words)
     spark.createDataset(out.toSeq)
   }
 

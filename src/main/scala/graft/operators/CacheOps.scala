@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Deterministic cache release for operators that persist or
+  * localCheckpoint intermediates.
+  *
+  * Why this exists: `Dataset.persist()` caches are tracked by the
+  * CacheManager (released by `spark.catalog.clearCache()`), but
+  * `localCheckpoint` blocks are plain RDD storage — they are released
+  * only when the RDD object is garbage-collected and the
+  * ContextCleaner drains its reference queue. In a long-lived session
+  * running hundreds of queries (exactly the driver's bench harness),
+  * those blocks accumulate until GC pressure forces a trough: storage
+  * memory fills, eviction churns, and every query in the stretch pays
+  * for it. Measured round-9/10 symptom: contiguous bench stretches
+  * running 4–5× slower in the long-suite run than in isolation.
+  *
+  * The contract operators follow:
+  *  - intermediates that feed 2+ consumers are `persist()`ed;
+  *  - before returning, the operator EAGERLY materializes everything
+  *    that reads those intermediates (usually by localCheckpointing a
+  *    small control-plane frame) and then unpersists them;
+  *  - iteration loops ([[ConnectedComponents]], [[BpeTrain]]) release
+  *    the PREVIOUS round's checkpoint as soon as the next round's is
+  *    materialized, so live storage is O(1) rounds, not O(n).
+  *
+  * WARNING on [[releaseCheckpoint]]: a localCheckpointed RDD has its
+  * lineage truncated — once the blocks are dropped the data cannot be
+  * recomputed, and any still-live Dataset over it fails on its next
+  * action. Only release a checkpoint that nothing downstream will
+  * read again (a superseded loop round, or a whole-session sweep
+  * between independent queries).
+  */
+object CacheOps {
+
+  /** Escape hatch for plan audits: sealing replaces a query's whole
+    * upstream plan with `Scan ExistingRDD`, which would blind
+    * ScaleSpec/ExplainAudit's join-strategy and pushdown assertions.
+    * Setting `spark.graft.seal.enabled=false` on the session makes
+    * [[sealAndRelease]]/[[sealThen]] return the LAZY frame with its
+    * caches intact, so `executedPlan` shows the real shape. Default
+    * true — Verify/Bench (the long-lived 252-query sessions the
+    * hygiene exists for) never touch it. */
+  def sealingEnabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.seal.enabled", "true").toBoolean
+
+  /** Eagerly materialize `result` as a localCheckpoint, then run the
+    * caller's release actions (unpersists / checkpoint drops for
+    * frames nothing will read again). Skipped wholesale when sealing
+    * is disabled — the releases are only safe AFTER the seal pinned
+    * the result's data. */
+  def sealThen(result: DataFrame)(release: => Unit): DataFrame =
+    if (!sealingEnabled(result.sparkSession)) result
+    else {
+      val out = result.localCheckpoint(true)
+      release
+      out
+    }
+
+  /** Eagerly materialize `result` as a localCheckpoint, then release
+    * the given cached frames. Use when the result is small relative
+    * to the caches it seals (control-plane frames, aggregates,
+    * candidate-pair sets) — the caches are released NOW instead of at
+    * an unpredictable future GC. */
+  def sealAndRelease(result: DataFrame, caches: Dataset[_]*): DataFrame =
+    sealThen(result)(caches.foreach(_.unpersist(false)))
+
+  /** Release the block storage behind the localCheckpointed leaves of
+    * `df` (no-op for non-checkpoint plans). See the class-level
+    * warning: the frame — and anything derived from it — must never
+    * be executed again. */
+  def releaseCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** [[releaseCheckpoint]], but keeping any checkpoint reachable from
+    * the `keep` frames alive — use when `df`'s plan embeds a CALLER's
+    * input (which the caller may itself have checkpointed and still
+    * hold). */
+  def releaseCheckpointExcept(df: Dataset[_], keep: Dataset[_]*): Unit = {
+    val keepIds = keep.flatMap(_.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => lr.rdd.id
+    }).toSet
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD if !keepIds(lr.rdd.id) => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
+  /** Session-wide storage sweep: drop every CacheManager entry AND
+    * every persisted RDD (which includes orphaned localCheckpoint
+    * blocks the catalog never sees). `blocking = true` waits for the
+    * block managers to confirm removal — use it between benchmark
+    * queries so storage state can't bleed across measurements. */
+  def sweep(spark: SparkSession, blocking: Boolean = true): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking))
+  }
+}

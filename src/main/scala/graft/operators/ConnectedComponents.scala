@@ -108,6 +108,12 @@ object ConnectedComponents {
       val cur = checksum(ss)
       converged = same(cur, prev)
       prev = cur
+      // ss is materialized (eager checkpoint) and checksummed — the
+      // previous round's blocks can never be read again. Release them
+      // NOW so live storage is one round, not `round` rounds (the
+      // round-10 bench showed orphaned per-round checkpoints piling
+      // up across CC-family queries until a GC trough).
+      CacheOps.releaseCheckpoint(e)
       e = ss
       round += 1
     }

@@ -24,6 +24,14 @@ object Dedup {
     * over the SAME partitioning the downstream join shuffles on — a
     * local sort, never an extra shuffle or aggregation pass.
     * `Int.MaxValue` = pass-through. */
+  /** Public face of the hot-key width cap for callers that build
+    * their own posting joins (e.g. the incremental-CC probe): drop
+    * rows whose `keyCol` value occurs more than `cap` times. The same
+    * guard [[ngramJaccardPairs]] applies — without it one stopword
+    * shingle makes a posting self-join quadratic. */
+  def capDocFreq(df: DataFrame, cap: Int, keyCol: String): DataFrame =
+    capWidth(df, cap, keyCol)
+
   private def capWidth(df: DataFrame, cap: Int, partCols: String*)
       : DataFrame =
     if (cap == Int.MaxValue) df
@@ -282,7 +290,7 @@ object Dedup {
     // frame; at cluster scale the equivalent is a staged write.
     val sh = capWidth(shAll, maxDocFreq, "shingle").cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    sh.as("a")
+    val out = sh.as("a")
       .join(sh.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -298,6 +306,8 @@ object Dedup {
           least(col("na"), col("nb")).cast(DoubleType))
           .as("containment"))
       .filter(col("containment") >= minContainment)
+    // seal the threshold-bounded pair set, release the shingle cache
+    CacheOps.sealAndRelease(out, sh)
   }
 
   /** SimHash near-duplicate pairs: banded-LSH candidate generation
@@ -504,7 +514,7 @@ object Dedup {
             (col("a.n") + col("b.n")) * tNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val verified = cand
       .join(docArrs.select(col("doc_id").as("doc_a"),
         col("arr").as("arr_a"), col("n").as("na")), Seq("doc_a"))
       .join(docArrs.select(col("doc_id").as("doc_b"),
@@ -517,6 +527,10 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (col("na") + col("nb") - col("inter")).cast(DoubleType))
       .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+    // seal the (small) verified-pair set and release the shingle cache
+    // NOW — three consumers are done with it, and a pinned shingle
+    // frame otherwise survives the whole session (r10 bench leak)
+    CacheOps.sealAndRelease(verified, sh)
   }
 
   /** Per-document derivative-content score: the share of a doc's word

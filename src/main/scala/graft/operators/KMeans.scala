@@ -95,6 +95,8 @@ object KMeans {
           .agg((sum(col("x").cast(termDec)).cast(DoubleType) /
             count(lit(1))).as("c"))))
     }
-    assigned
+    // seal the (vec_id, cluster, dist) table so the exploded vector
+    // cache can be released on return rather than at a future GC
+    CacheOps.sealAndRelease(assigned, ev)
   }
 }

@@ -55,7 +55,11 @@ object LabelPropagation {
         .select(col("node"),
           coalesce(col("adopt"), col("lbl")).as("lbl"))
     }
-    fin.select(col("node"), col("lbl").as("label"))
+    // seal the (node, label) table and release the undirected-edge
+    // cache that each round re-joined — nothing re-reads it after the
+    // seal, and the pinned adjacency otherwise outlives the query
+    CacheOps.sealAndRelease(
+      fin.select(col("node"), col("lbl").as("label")), und)
   }
 
   /** The DuckDB mirror of [[run]] as an unrolled CTE chain — ONE

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
 import graft.functions.{ExactAgg, ZOrder}
+import graft.operators.CacheOps
 
 /** Analytics operators, part 2: Z-order layout keys, funnel analysis,
   * per-group NTILE bucketing, the binned range join, epoch-weighted
@@ -405,11 +406,13 @@ object AnalyticsOps {
             col("e1.d") === col("e3.s") && col("e2.d") === col("e3.d"))
           .select(col("e1.s").as("a"), col("e1.d").as("b"),
             col("e2.d").as("c"))
-        tri.select(col("a").as("node"))
-          .unionAll(tri.select(col("b").as("node")))
-          .unionAll(tri.select(col("c").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-          .orderBy(col("n_triangles").desc, col("node"))
+        CacheOps.sealAndRelease(
+          tri.select(col("a").as("node"))
+            .unionAll(tri.select(col("b").as("node")))
+            .unionAll(tri.select(col("c").as("node")))
+            .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+            .orderBy(col("n_triangles").desc, col("node")),
+          und, oriented)
       },
       Some("""WITH toks AS (SELECT doc_id,
             generate_subscripts(l, 1) AS pos, unnest(l) AS w
@@ -801,12 +804,19 @@ object AnalyticsOps {
           if (n > 0) levels += frontier
         }
         val walk = levels.reduce(_ unionAll _)
-        walk
-          .join(parts.select(col("child").as("node"), col("cost")), "node")
-          .groupBy(col("anc").as("part_key"))
-          .agg(count(lit(1)).as("n_nodes"),
-            sum(col("mult") * col("cost")).as("rolled_cost_cents"))
-          .orderBy("part_key")
+        // seal the |parts|-sized aggregate, then drop every level's
+        // checkpoint blocks — without this, depth× frontier copies
+        // linger in block storage until a GC trough (r10 bench)
+        CacheOps.sealThen(walk
+            .join(parts.select(col("child").as("node"), col("cost")),
+              "node")
+            .groupBy(col("anc").as("part_key"))
+            .agg(count(lit(1)).as("n_nodes"),
+              sum(col("mult") * col("cost")).as("rolled_cost_cents"))
+            .orderBy("part_key")) {
+          levels.foreach(CacheOps.releaseCheckpoint)
+          parts.unpersist(false)
+        }
       },
       Some("""WITH RECURSIVE e AS (SELECT p_partkey AS child,
             p_partkey // 8 AS parent, 1 + p_partkey % 4 AS qty,
@@ -857,15 +867,21 @@ object AnalyticsOps {
             .join(rank.select(col("v").as("src"), col("r")), "src")
             .select(col("dst").as("v"), expr("r div deg").as("share"))
             .groupBy("v").agg(sum(col("share")).as("m"))
+          val prev = rank
           rank = verts
             .join(contrib, Seq("v"), "left")
             .select(col("v"),
               (lit(150000L) + expr("(850 * coalesce(m, 0L)) div 1000"))
                 .as("r"))
             .localCheckpoint()
+          CacheOps.releaseCheckpoint(prev)
         }
-        rank.select(col("v").as("cust"), col("r").as("rank_micro"))
-          .orderBy("cust")
+        CacheOps.sealThen(rank
+            .select(col("v").as("cust"), col("r").as("rank_micro"))
+            .orderBy("cust")) {
+          CacheOps.releaseCheckpoint(rank)
+          verts.unpersist(false); edges.unpersist(false)
+        }
       },
       Some("""WITH mx AS (SELECT max(c_custkey) AS n FROM customer),
         verts AS (SELECT c_custkey AS v FROM customer),

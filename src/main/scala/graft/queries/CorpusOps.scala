@@ -342,12 +342,14 @@ object CorpusOps {
           .withColumn("rq", row_number().over(wq))
           .filter(col("rq") <= 40)
           .drop("rq")
-        graft.operators.PrefixSum.exclusiveCumsum(quota, col("doc_id"),
-            col("n_tokens"), "start_offset", bucketSize = 100L)
-          .withColumn("pack_id", expr("start_offset DIV 512"))
-          .select("doc_id", "source", "n_tokens", "start_offset",
-            "pack_id")
-          .orderBy("doc_id")
+        graft.operators.CacheOps.sealAndRelease(
+          graft.operators.PrefixSum.exclusiveCumsum(quota, col("doc_id"),
+              col("n_tokens"), "start_offset", bucketSize = 100L)
+            .withColumn("pack_id", expr("start_offset DIV 512"))
+            .select("doc_id", "source", "n_tokens", "start_offset",
+              "pack_id")
+            .orderBy("doc_id"),
+          ded)
       },
       Some(s"""WITH w AS (SELECT doc_id, source,
             string_split(text, ' ') AS ws FROM documents),

@@ -250,10 +250,21 @@ object DedupOps {
         val labels1 = ConnectedComponents.components(oldPairs,
           "doc_a", "doc_b", nodes = Some(oldDocs.select(col("doc_id"))))
         // today: only pairs with a NEW end — new shingles probe the
-        // full index; per-pair exact Jaccard over the hashed shingles
+        // full index; per-pair exact Jaccard over the hashed shingles.
+        // The probe rides the SAME hot-shingle cap as ngramJaccardPairs
+        // (full-corpus doc frequency ≤ MaxDocFreq) — without it one
+        // boilerplate shingle makes this join quadratic. Boundary of
+        // the equivalence proof: incremental == recompute holds while
+        // the cap engages identically on the old and full corpus (a
+        // shingle crossing the 2^20 threshold only via today's batch
+        // could flip it); the oracle hash-checks the fixture regime,
+        // where the cap is a no-op.
         val xh = org.apache.spark.sql.functions.xxhash64(col("shingle"))
-        val shAll = Dedup.shingleSets(docs, K)
-          .select(col("doc_id"), xh.as("h")).persist()
+        val shAll = Dedup.capDocFreq(
+            Dedup.shingleSets(docs, K)
+              .select(col("doc_id"), xh.as("h")),
+            MaxDocFreq, "h")
+          .persist()
         val shNew = shAll.filter(col("doc_id") % 5 === 0)
         val sizes = shAll.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = shNew.as("a")
@@ -275,11 +286,17 @@ object DedupOps {
         val merged = labels1
           .select(col("node").as("u"), col("component").as("v"))
           .union(newEdges)
-        ConnectedComponents.components(merged, "u", "v",
+        val res = ConnectedComponents.components(merged, "u", "v",
             nodes = Some(docs.select(col("doc_id"))))
           .select(col("node").as("doc_id"),
             col("component").as("cluster_id"))
           .orderBy("doc_id")
+        // seal, then drop the shingle cache and BOTH CC runs' internal
+        // final checkpoints reachable through the plan
+        graft.operators.CacheOps.sealThen(res) {
+          graft.operators.CacheOps.releaseCheckpointExcept(res, docs)
+          shAll.unpersist(false)
+        }
       },
       Some(FullBatchClusterOracle)),
 
@@ -564,10 +581,12 @@ object DedupOps {
               .as("ssq"))
         val D = org.apache.spark.sql.types.DoubleType
         val mu = col("ssum").cast(D) / (col("m") * 2).cast(D)
-        m.select(col("m"), col("sxy"), col("ssum"), col("ssq"),
-          ((col("sxy").cast(D) / col("m").cast(D) - mu * mu) /
-            (col("ssq").cast(D) / (col("m") * 2).cast(D) - mu * mu))
-            .as("assortativity"))
+        graft.operators.CacheOps.sealAndRelease(
+          m.select(col("m"), col("sxy"), col("ssum"), col("ssq"),
+            ((col("sxy").cast(D) / col("m").cast(D) - mu * mu) /
+              (col("ssq").cast(D) / (col("m") * 2).cast(D) - mu * mu))
+              .as("assortativity")),
+          pairs)
       },
       Some(s"""WITH $shingleCte,
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

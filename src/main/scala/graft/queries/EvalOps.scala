@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DoubleType
 import graft.Tables
 import graft.expressions.TopKAggregate
 import graft.functions.TextFuncs
-import graft.operators.Dedup
+import graft.operators.{CacheOps, Dedup}
 
 /** Round-8 operators: weighted sampling, pipeline self-evaluation and
   * table maintenance — the layer that tells you whether the dedup /
@@ -153,12 +153,14 @@ object EvalOps {
         val nCand = cand.agg(count(lit(1)).as("n_cand"))
         val nHit = truth.join(cand, Seq("doc_a", "doc_b"))
           .agg(count(lit(1)).as("n_hit"))
-        nTrue.crossJoin(nCand).crossJoin(nHit)
-          .select(col("n_true"), col("n_cand"), col("n_hit"),
-            (col("n_hit").cast(DoubleType) /
-              col("n_true").cast(DoubleType)).as("recall"),
-            (col("n_hit").cast(DoubleType) /
-              col("n_cand").cast(DoubleType)).as("precision"))
+        CacheOps.sealAndRelease(
+          nTrue.crossJoin(nCand).crossJoin(nHit)
+            .select(col("n_true"), col("n_cand"), col("n_hit"),
+              (col("n_hit").cast(DoubleType) /
+                col("n_true").cast(DoubleType)).as("recall"),
+              (col("n_hit").cast(DoubleType) /
+                col("n_cand").cast(DoubleType)).as("precision")),
+          truth, cand)
       },
       Some(s"""WITH ${DedupOps.lshCandidateCtes("documents")},
           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -367,16 +369,18 @@ object EvalOps {
         val bySource = joint.groupBy("source").agg(sum("nxy").as("nx"))
         val byLang = joint.groupBy("lang").agg(sum("nxy").as("ny"))
         val total = joint.agg(sum("nxy").as("n"))
-        joint.join(broadcast(bySource), "source")
-          .join(broadcast(byLang), "lang")
-          .crossJoin(broadcast(total))
-          .select(col("source"), col("lang"), col("nxy"), col("nx"),
-            col("ny"),
-            ((col("nxy") * col("n")).cast(DoubleType) /
-              (col("nx") * col("ny")).cast(DoubleType)).as("lift"),
-            (col("nxy") * col("n") > col("nx") * col("ny"))
-              .as("over_represented"))
-          .orderBy("source", "lang")
+        CacheOps.sealAndRelease(
+          joint.join(broadcast(bySource), "source")
+            .join(broadcast(byLang), "lang")
+            .crossJoin(broadcast(total))
+            .select(col("source"), col("lang"), col("nxy"), col("nx"),
+              col("ny"),
+              ((col("nxy") * col("n")).cast(DoubleType) /
+                (col("nx") * col("ny")).cast(DoubleType)).as("lift"),
+              (col("nxy") * col("n") > col("nx") * col("ny"))
+                .as("over_represented"))
+            .orderBy("source", "lang"),
+          joint)
       },
       Some("""WITH j AS (SELECT source, lang, count(*) AS nxy
           FROM documents GROUP BY 1, 2),

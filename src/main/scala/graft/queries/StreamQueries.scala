@@ -781,8 +781,10 @@ object StreamQueries {
         }
         val occ = graft.operators.Dsir.occurrences(docs, "doc_id",
           "text", col("lang") === "en").persist()
-        graft.operators.Dsir.scoreRaw(occ, s.table("q236_sink"))
-          .orderBy("doc_id")
+        graft.operators.CacheOps.sealAndRelease(
+          graft.operators.Dsir.scoreRaw(occ, s.table("q236_sink"))
+            .orderBy("doc_id"),
+          occ)
       },
       Some(CorpusOps.DsirOracle))
   )

@@ -308,12 +308,14 @@ object VectorOps {
           .cosinePairsAboveWithin(scoped, "cluster", 0.35)
           .select(col("id_b").as("vec_id")).distinct()
           .withColumn("is_dropped", lit(1L))
-        assign.join(dropped, Seq("vec_id"), "left")
-          .groupBy("cluster")
-          .agg(count(lit(1)).as("n_vectors"),
-            count(col("is_dropped")).as("n_dropped"),
-            (count(lit(1)) - count(col("is_dropped"))).as("n_kept"))
-          .orderBy("cluster")
+        graft.operators.CacheOps.sealAndRelease(
+          assign.join(dropped, Seq("vec_id"), "left")
+            .groupBy("cluster")
+            .agg(count(lit(1)).as("n_vectors"),
+              count(col("is_dropped")).as("n_dropped"),
+              (count(lit(1)) - count(col("is_dropped"))).as("n_kept"))
+            .orderBy("cluster"),
+          assign)
       },
       Some(s"""WITH $exCte,
         $kmeansCtes,

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CacheOps, Dbscan, LabelPropagation}
+
+/** The unpersist-hygiene contract (CacheOps): operators that persist
+  * or localCheckpoint intermediates must release them before
+  * returning, so a long-lived session running hundreds of queries
+  * (the driver's bench harness) never accumulates block storage.
+  * The round-9/10 bench showed contiguous query stretches running
+  * 4-5x slower than in isolation precisely because orphaned
+  * checkpoint blocks piled up until a GC trough. */
+class CacheOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def storedRdds(): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  test("sealAndRelease materializes the result and unpersists caches") {
+    CacheOps.sweep(spark)
+    val cached = (1 to 100).toDF("x").persist()
+    cached.count()
+    assert(storedRdds().nonEmpty)
+    val pinned = CacheOps.sealAndRelease(
+      cached.agg(sum($"x").as("s")), cached)
+    // the cache is gone, but the sealed result still answers (its
+    // checkpoint blocks hold the data, not the released cache)
+    assert(pinned.as[Long].head() === 5050L)
+    val left = storedRdds()
+    // only the sealed result's own checkpoint remains
+    CacheOps.releaseCheckpoint(pinned)
+    assert(storedRdds().isEmpty && left.size <= 1)
+  }
+
+  test("releaseCheckpointExcept keeps the protected frame's blocks") {
+    CacheOps.sweep(spark)
+    val keep = (1 to 10).toDF("a").localCheckpoint(true)
+    val derived = keep.withColumn("b", $"a" * 2).localCheckpoint(true)
+    CacheOps.releaseCheckpointExcept(derived, keep)
+    // derived's own blocks are gone; keep's survive and still answer
+    assert(keep.count() === 10L)
+    CacheOps.releaseCheckpoint(keep)
+  }
+
+  test("representative operators leave NO block storage behind") {
+    CacheOps.sweep(spark)
+    // LabelPropagation persists the undirected adjacency per round;
+    // Dbscan persists four intermediates and runs CC (which
+    // localCheckpoints every round) — both previously leaked.
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "d")
+    val nodes = (1L to 12L).toDF("id")
+    val lpa = LabelPropagation.run(edges, "s", "d", nodes, "id", 3)
+    assert(lpa.count() === 12L)
+    CacheOps.releaseCheckpoint(lpa)
+    assert(storedRdds().isEmpty,
+      s"LabelPropagation leaked RDDs: ${storedRdds()}")
+
+    val pts = Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 0L, 1L),
+      (4L, 100L, 100L)).toDF("id", "x", "y")
+    val db = Dbscan.run(pts, "id", "x", "y", eps = 3L, minPts = 2)
+    assert(db.count() === 4L)
+    CacheOps.releaseCheckpoint(db)
+    assert(storedRdds().isEmpty,
+      s"Dbscan leaked RDDs: ${storedRdds()}")
+  }
+
+  test("sweep drops catalog caches AND orphaned checkpoint blocks") {
+    val a = (1 to 5).toDF("x").persist(); a.count()
+    val b = (1 to 5).toDF("y").localCheckpoint(true)
+    assert(storedRdds().nonEmpty)
+    CacheOps.sweep(spark, blocking = true)
+    assert(storedRdds().isEmpty)
+    assert(b.queryExecution.analyzed != null) // frame object survives
+  }
+}

@@ -15,6 +15,8 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftExtensions.register(spark)
+    // audit the real upstream plans, not the sealed `Scan ExistingRDD`
+    spark.conf.set("spark.graft.seal.enabled", "false")
     val qs = Seq("q113_fuzzy_block_join", "q114_kmv_distinct",
       "q115_stratified_sample", "q116_ewma", "q117_winsorize",
       "q118_skyline", "q119_mode_per_group", "q120_ordered_string_agg",
