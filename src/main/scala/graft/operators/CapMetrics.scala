@@ -1,0 +1,126 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Skew/cap telemetry for the LSH-family hot-key guards.
+  *
+  * The bucket-width and doc-frequency caps ([[Dedup]]) are what keep
+  * the candidate joins sub-quadratic at 100 TB — but a cap that
+  * silently drops data is an operability hazard: a user needs to SEE
+  * that 0.3% of band buckets were over-width and what share of rows
+  * that cost. This wires the standard Spark mechanism for exactly
+  * that need — `Dataset.observe` (CollectMetrics): the metrics ride
+  * the SAME pass that computes the width column (zero extra jobs,
+  * zero extra shuffles — an accumulator-backed aggregate per task),
+  * and surface on the driver through a [[QueryExecutionListener]]
+  * after each action.
+  *
+  * Metrics per cap site (named `graft.cap.<tag>.<n>`):
+  *  - `input_rows`   rows entering the cap
+  *  - `dropped_rows` rows in over-cap key groups (removed)
+  *  - `capped_groups` number of distinct over-cap key groups — exact:
+  *    each dropped row contributes 1/width, so each group sums to 1
+  *  - `max_width`    widest key group observed
+  */
+object CapMetrics {
+
+  /** observe() names must be unique per query; a monotone suffix
+    * keeps two DIFFERENT cap sites in one plan distinct while a
+    * self-joined reuse of the SAME capped subplan stays identical
+    * (which CollectMetrics permits). */
+  private val seq = new AtomicLong()
+
+  private val lastSeen = new ConcurrentHashMap[String, Row]()
+  @volatile private var installed = false
+
+  /** Attach the cap metrics to `df` (which must already carry the
+    * `widthCol` group-width column). Pure plan decoration — no job
+    * runs until the caller's action. */
+  def observeCap(df: DataFrame, widthCol: String, cap: Int,
+      tag: String): DataFrame = {
+    install(df.sparkSession)
+    val w = col(widthCol)
+    df.observe(s"graft.cap.$tag.${seq.incrementAndGet()}",
+      count(lit(1)).as("input_rows"),
+      count(when(w > cap, 1)).as("dropped_rows"),
+      coalesce(round(sum(when(w > cap, lit(1.0) / w))), lit(0L))
+        .cast("long").as("capped_groups"),
+      coalesce(max(w), lit(0L)).as("max_width"))
+  }
+
+  /** Collect CollectMetricsExec rows from an EXECUTED plan,
+    * descending into AQE's materialized query stages — the stock
+    * `qe.observedMetrics` traversal does not reach a CollectMetrics
+    * node once adaptive execution has wrapped its subtree in a
+    * QueryStageExec (leaf from the tree's point of view), which is
+    * exactly where a cap under a shuffle join lands. */
+  private def collectAll(p: org.apache.spark.sql.execution.SparkPlan,
+      out: scala.collection.mutable.Map[String, Row]): Unit = {
+    import org.apache.spark.sql.execution.CollectMetricsExec
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p match {
+      case c: CollectMetricsExec => out(c.name) = c.collectedMetrics
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan, out)
+      case q: QueryStageExec => collectAll(q.plan, out)
+      case i: InMemoryTableScanExec =>
+        collectAll(i.relation.cachedPlan, out)
+      case _ => ()
+    }
+    p.children.foreach(collectAll(_, out))
+    p.subqueries.foreach(collectAll(_, out))
+  }
+
+  /** Register the listener that logs every `graft.cap.*` observation
+    * and retains the latest row per name for inspection. Idempotent;
+    * called lazily by [[observeCap]]. */
+  def install(spark: SparkSession): Unit = if (!installed) synchronized {
+    if (!installed) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        private def harvest(
+            qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+          val found = scala.collection.mutable.Map[String, Row]()
+          try collectAll(qe.executedPlan, found)
+          catch { case _: Throwable => () }
+          (qe.observedMetrics ++ found).foreach { case (name, row) =>
+            if (name.startsWith("graft.cap.")) {
+              lastSeen.put(name, row)
+              val dropped = row.getAs[Long]("dropped_rows")
+              if (dropped > 0)
+                // log-style surface: at cluster scale this is the
+                // line an operator greps to see what the cap cost
+                System.err.println(s"[graft-metrics] $name " +
+                  s"input_rows=${row.getAs[Long]("input_rows")} " +
+                  s"dropped_rows=$dropped " +
+                  s"capped_groups=${row.getAs[Long]("capped_groups")} " +
+                  s"max_width=${row.getAs[Long]("max_width")}")
+            }
+          }
+        }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = harvest(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = harvest(qe)
+      })
+      installed = true
+    }
+  }
+
+  /** Latest observation per metric name (listener delivery is async —
+    * poll with a deadline when asserting in tests). */
+  def snapshot(): Map[String, Row] = {
+    import scala.jdk.CollectionConverters._
+    lastSeen.asScala.toMap
+  }
+
+  /** Drop retained observations (test isolation). */
+  def reset(): Unit = lastSeen.clear()
+}

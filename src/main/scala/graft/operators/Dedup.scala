@@ -30,16 +30,22 @@ object Dedup {
     * guard [[ngramJaccardPairs]] applies — without it one stopword
     * shingle makes a posting self-join quadratic. */
   def capDocFreq(df: DataFrame, cap: Int, keyCol: String): DataFrame =
-    capWidth(df, cap, keyCol)
+    capWidth(df, cap, "docfreq", keyCol)
 
-  private def capWidth(df: DataFrame, cap: Int, partCols: String*)
-      : DataFrame =
+  private def capWidth(df: DataFrame, cap: Int, tag: String,
+      partCols: String*): DataFrame =
     if (cap == Int.MaxValue) df
-    else df
-      .withColumn("_w",
+    else {
+      // the width column rides the join's own partitioning (local
+      // sort, no extra shuffle); the cap telemetry (input/dropped
+      // rows, capped groups, max width — see [[CapMetrics]]) rides
+      // the same pass as an observe() aggregate: zero extra jobs
+      val w = df.withColumn("_w",
         count(lit(1)).over(Window.partitionBy(partCols.map(col): _*)))
-      .filter(col("_w") <= cap)
-      .drop("_w")
+      CapMetrics.observeCap(w, "_w", cap, tag)
+        .filter(col("_w") <= cap)
+        .drop("_w")
+    }
 
   /** Distinct k-shingles, long form: (doc_id, shingle). A doc with
     * fewer than k space-separated words has NO k-shingles (and thus no
@@ -152,7 +158,7 @@ object Dedup {
     // bucket-width prune rides the join's own (band, bkey)
     // partitioning; both self-join sides stay the identical subplan
     // (exchange reuse)
-    val bk = capWidth(bkAll, maxBucketWidth, "band", "bkey")
+    val bk = capWidth(bkAll, maxBucketWidth, "minhash", "band", "bkey")
     val agree = (0 until numHashes).map(i =>
       when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -193,7 +199,7 @@ object Dedup {
           (0 until numHashes).map(i => col(s"mh$i")): _*)
     }
     val newBk = bk(newDocs)
-    val corpusBk = capWidth(bk(corpus), maxBucketWidth, "band", "bkey")
+    val corpusBk = capWidth(bk(corpus), maxBucketWidth, "minhash_inc", "band", "bkey")
     val agree = (0 until numHashes).map(i =>
       when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -250,7 +256,7 @@ object Dedup {
     // than the size aggregate's extra scan for this query, because the
     // sizes join lands as a post-reduction broadcast and the pair join
     // dominates; exchange reuse already covers both self-join sides.)
-    val sh = capWidth(shAll, maxDocFreq, "shingle")
+    val sh = capWidth(shAll, maxDocFreq, "jaccard", "shingle")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a")
       .join(sh.as("b").hint("shuffle_hash"),
@@ -288,7 +294,7 @@ object Dedup {
     // persisting, the shingle explode + df-cap window would run
     // twice. Same diamond-reuse treatment as the MinHash signature
     // frame; at cluster scale the equivalent is a staged write.
-    val sh = capWidth(shAll, maxDocFreq, "shingle").cache()
+    val sh = capWidth(shAll, maxDocFreq, "containment", "shingle").cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val out = sh.as("a")
       .join(sh.as("b").hint("shuffle_hash"),
@@ -339,7 +345,7 @@ object Dedup {
     val bkAll = sig.select(col("doc_id"), col("sig_int"),
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("sig_int"), col("bk.band"), col("bk.bkey"))
-    val bk = capWidth(bkAll, maxBucketWidth, "band", "bkey")
+    val bk = capWidth(bkAll, maxBucketWidth, "simhash", "band", "bkey")
     // candidate volume dominates (short band keys collide a lot on a
     // template-heavy corpus): dedup pairs before scoring, score once
     // per distinct pair with integer xor + bit_count — identical

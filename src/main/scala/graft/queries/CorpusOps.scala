@@ -21,6 +21,25 @@ object CorpusOps {
   private val BlockWords = 5    // words per dedup block (q89)
   private val TokenBudget = 800 // per-source token budget (q95)
 
+  /** The snake-shard composite sort key (tokens DESC, doc_id ASC)
+    * packed into one long: (2^20 − n_tokens)·2^40 + doc_id. The
+    * packing silently corrupts the GLOBAL ordering if n_tokens ≥ 2^20
+    * or doc_id ≥ 2^40, so the headroom is enforced per row with
+    * `assert_true` folded INTO the key (null → 0 on success; a raise
+    * on overflow) — a standalone check column would be pruned by the
+    * optimizer, this one can't be. One comparison per row, stays in
+    * whole-stage codegen. */
+  private def snakeShardKey(nTokens: Column, docId: Column): Column = {
+    val guard = assert_true(
+      nTokens >= 0L && nTokens < 1048576L &&
+        docId >= 0L && docId < 1099511627776L,
+      concat(lit("snake-shard key overflow: need 0 <= n_tokens < 2^20 "),
+        lit("and 0 <= doc_id < 2^40, got n_tokens="), nTokens,
+        lit(" doc_id="), docId))
+    (lit(1048576L) - nTokens) * lit(1099511627776L) + docId +
+      coalesce(guard.cast("long"), lit(0L))
+  }
+
   /** Pearson correlation from exact partial sums: every Σ is either a
     * fixed-scale DECIMAL (value-derived terms — associative, engine
     * exact) or a BIGINT (integer terms), cast to DOUBLE only once at
@@ -664,10 +683,10 @@ object CorpusOps {
             TextFuncs.tokenCount(col("text")).cast("long")
               .as("n_tokens"))
         // composite key: tokens DESC then doc_id ASC, packed into one
-        // long (token counts are bounded far below the 2^20 headroom)
+        // long; headroom (n_tokens < 2^20, doc_id < 2^40) is
+        // runtime-asserted inside the key expression
         val keyed = toks.withColumn("skey",
-          (lit(1048576L) - col("n_tokens")) * lit(1099511627776L) +
-            col("doc_id"))
+          snakeShardKey(col("n_tokens"), col("doc_id")))
         val ranked = graft.operators.PrefixSum.exclusiveCumsum(
           keyed, col("skey"), lit(1L), "rank0",
           bucketSize = 1L << 44)
@@ -745,8 +764,7 @@ object CorpusOps {
             TextFuncs.tokenCount(col("text")).cast("long")
               .as("n_tokens"))
         val keyed = toks.withColumn("skey",
-          (lit(1048576L) - col("n_tokens")) * lit(1099511627776L) +
-            col("doc_id"))
+          snakeShardKey(col("n_tokens"), col("doc_id")))
         graft.operators.PrefixSum.exclusiveCumsum(
             keyed, col("skey"), lit(1L), "rank0",
             bucketSize = 1L << 44)

@@ -525,8 +525,11 @@ ORDER BY bucket_ts"""
       Some("""WITH words AS (SELECT DISTINCT w AS word FROM (
             SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
           WHERE w <> ''),
-        chars AS (SELECT word, t.i, substr(word, t.i, 1) AS ch
-          FROM words, UNNEST(range(1, strlen(word) + 1)) t(i)),
+        norm AS (SELECT word,
+            regexp_replace(lower(word), '[^a-z]', '', 'g') AS nw
+          FROM words),
+        chars AS (SELECT word, t.i, substr(nw, t.i, 1) AS ch
+          FROM norm, UNNEST(range(1, strlen(nw) + 1)) t(i)),
         kept AS (SELECT word, i, ch FROM chars
           WHERE i = 1 OR (ch <> 'h' AND ch <> 'w')),
         coded AS (SELECT word, i,
@@ -546,14 +549,17 @@ ORDER BY bucket_ts"""
             row_number() OVER (PARTITION BY word ORDER BY i) AS dn
           FROM runs
           WHERE (pc IS NULL OR cd <> pc) AND rn > 1 AND cd <> '0'),
-        sx0 AS (SELECT w.word,
-            upper(substr(w.word, 1, 1)) ||
-              coalesce(string_agg(d.cd, '' ORDER BY d.dn)
-                FILTER (d.dn <= 3), '') AS raw
-          FROM words w LEFT JOIN digits d ON d.word = w.word
-          GROUP BY 1),
+        sx0 AS (SELECT n.word,
+            CASE WHEN n.nw = '' THEN ''
+              ELSE upper(substr(n.nw, 1, 1)) ||
+                coalesce(string_agg(d.cd, '' ORDER BY d.dn)
+                  FILTER (d.dn <= 3), '') END AS raw
+          FROM norm n LEFT JOIN digits d ON d.word = n.word
+          GROUP BY n.word, n.nw),
         sx AS (SELECT word,
-            raw || repeat('0', 4 - strlen(raw)) AS sx FROM sx0),
+            CASE WHEN raw = '' THEN ''
+              ELSE raw || repeat('0', 4 - strlen(raw)) END AS sx
+          FROM sx0),
         groups AS (SELECT sx, CAST(count(*) AS BIGINT) AS group_n
           FROM sx GROUP BY 1)
         SELECT s.word, s.sx, g.group_n

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CapMetrics, Dedup}
+
+/** The LSH hot-key caps must TELL the user what they dropped: at
+  * 100 TB a silently-capped bucket is an operability hazard. The cap
+  * telemetry rides the width pass as an observe() aggregate (zero
+  * extra jobs) and surfaces via a QueryExecutionListener. */
+class CapMetricsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def await(pred: () => Boolean, ms: Long = 10000): Boolean = {
+    val deadline = System.currentTimeMillis() + ms
+    while (!pred() && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    pred()
+  }
+
+  test("capDocFreq emits exact dropped-row / capped-group counts") {
+    CapMetrics.reset()
+    val rows = (1 to 10).map(i => (i.toLong, "hot")) ++
+      Seq((11L, "cold"), (12L, "cold"))
+    val df = rows.toDF("doc_id", "h")
+    val kept = Dedup.capDocFreq(df, cap = 3, keyCol = "h")
+    assert(kept.count() === 2) // only the two 'cold' rows survive
+    assert(await(() => CapMetrics.snapshot()
+        .exists(_._1.startsWith("graft.cap.docfreq"))),
+      "no docfreq observation arrived")
+    val (_, m) = CapMetrics.snapshot()
+      .find(_._1.startsWith("graft.cap.docfreq")).get
+    assert(m.getAs[Long]("input_rows") === 12L)
+    assert(m.getAs[Long]("dropped_rows") === 10L)
+    assert(m.getAs[Long]("capped_groups") === 1L)
+    assert(m.getAs[Long]("max_width") === 10L)
+  }
+
+  test("minHashLsh bucket cap reports through the same channel and " +
+      "a pass-through cap observes nothing") {
+    CapMetrics.reset()
+    // 6 near-identical docs (one shared template) collapse to band
+    // buckets of width 6 — cap 4 drops them — plus a width-2 bucket
+    // (docs 7/8 identical) that SURVIVES the cap. The survivor matters
+    // beyond realism: if the cap empties the join entirely, AQE's
+    // empty-relation propagation deletes the subtree INCLUDING the
+    // CollectMetrics node, and no observation ever fires (a Spark
+    // behavior this spec documents). Docs need >= 3 words for
+    // 3-shingles.
+    val template = "the quick brown fox jumps over the lazy dog"
+    val dup = "alpha beta gamma delta epsilon"
+    val docs = ((1 to 6).map(i => (i.toLong, template)) ++
+      Seq((7L, dup), (8L, dup))).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(docs, k = 3, numHashes = 8, bands = 4,
+      maxBucketWidth = 4)
+    pairs.count()
+    assert(await(() => CapMetrics.snapshot()
+        .exists(_._1.startsWith("graft.cap.minhash"))),
+      "no minhash observation arrived")
+    val (_, m) = CapMetrics.snapshot()
+      .find(_._1.startsWith("graft.cap.minhash")).get
+    assert(m.getAs[Long]("dropped_rows") > 0L)
+    assert(m.getAs[Long]("max_width") === 6L)
+
+    // Int.MaxValue = cap off: no width pass, no observation
+    CapMetrics.reset()
+    Dedup.minHashLsh(docs, k = 3, numHashes = 8, bands = 4).count()
+    assert(CapMetrics.snapshot().isEmpty)
+  }
+}

@@ -85,6 +85,7 @@ class GrafanaCorpusSpec extends SparkSpec {
   test("every rawSql analyzes against auto-stubbed tables") {
     TimeFuncs.register(spark)
     graft.functions.GeoFuncs.register(spark) // open_nrw uses ST_AsGeoJSON
+    wipeFixtures()
     val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
     // the dashboards target postgres' lenient coercion; stub columns
     // are DOUBLE, so string comparisons need non-ANSI coercion
@@ -181,6 +182,347 @@ class GrafanaCorpusSpec extends SparkSpec {
       }
       assert(failures.isEmpty,
         s"${failures.size} analysis failures:\n${failures.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
+
+  // ---------------------------------------------------------------
+  // Execution over POPULATED reference-shaped fixtures. The analyze
+  // sweep above proves the macro/quoting surface; this proves the 69
+  // panels actually RUN and produce stable results — a panel whose
+  // SQL analyzes but mis-buckets at runtime fails here. Fixture rows
+  // are synthesized deterministically to SATISFY each query's own
+  // predicates (string-literal equality/IN/LIKE, numeric bounds,
+  // EXTRACT(YEAR)=y, substring-prefix equality), so every panel is
+  // exercised on a non-empty slice; results are pinned by committed
+  // goldens (row count + first row of the sorted output). Regenerate
+  // with GRAFT_WRITE_GOLDENS=1 after an intentional change.
+  // ---------------------------------------------------------------
+
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression,
+    GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual,
+    Like, Literal, Not}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.{Decimal, DoubleType, StringType,
+    StructField, StructType, TimestampType}
+
+  private val FixtureRows = 48
+
+  /** Every relation the corpus references (parse sweep). */
+  private lazy val corpusRelations: Seq[Seq[String]] = corpus.flatMap { e =>
+    try {
+      val parsed = spark.sessionState.sqlParser.parsePlan(expandEntry(e))
+      allPlansOf(parsed).flatMap(_.collectWithSubqueries {
+        case r: UnresolvedRelation => r.multipartIdentifier
+      })
+    } catch { case _: Throwable => Nil }
+  }.distinct
+
+  /** Drop every corpus fixture table AND its managed-table directory.
+    * A previous JVM's saveAsTable leaves the directory behind while
+    * the in-memory catalog forgets the table — a later CREATE TABLE
+    * then dies with LOCATION_ALREADY_EXISTS. */
+  private def wipeFixtures(): Unit = {
+    val wh = java.nio.file.Paths.get(java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    corpusRelations.foreach { ident =>
+      val name = ident.map(p => s"`$p`").mkString(".")
+      if (ident.length > 1)
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS `${ident.head}`")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val dir =
+        if (ident.length > 1) wh.resolve(s"${ident.head}.db")
+          .resolve(ident.last)
+        else wh.resolve(ident.last)
+      if (java.nio.file.Files.exists(dir))
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
+  private def allPlansOf(p: LogicalPlan): Seq[LogicalPlan] = {
+    val ctes = p.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._2)
+    }.flatten
+    p +: ctes.flatMap(allPlansOf)
+  }
+
+  /** Per-column value constraints mined from the query itself, so the
+    * generated rows pass its own WHERE clauses. */
+  private case class Constraints(
+    strings: Map[String, Seq[String]],  // col -> candidate values
+    numeric: Map[String, Double],       // col -> satisfying value
+    yearPinned: Map[String, Int],       // ts col -> required year
+    pairs: Seq[(String, String)])       // col = col join equalities
+
+  private def attrIn(e: Expression): Option[String] = e.collectFirst {
+    case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+  }
+
+  private def mineConstraints(plans: Seq[LogicalPlan]): Constraints = {
+    val strs = scala.collection.mutable.Map[String,
+      scala.collection.mutable.LinkedHashSet[String]]()
+    val lo = scala.collection.mutable.Map[String, Double]()
+    val hi = scala.collection.mutable.Map[String, Double]()
+    val eqNum = scala.collection.mutable.Map[String, Double]()
+    val years = scala.collection.mutable.Map[String, Int]()
+    val eqPairs = scala.collection.mutable.ListBuffer[(String, String)]()
+    val Wkt = "POLYGON((6 50, 7 50, 7 51, 6 51, 6 50))"
+    def addStr(c: String, v: String): Unit =
+      strs.getOrElseUpdate(c, scala.collection.mutable.LinkedHashSet()) += v
+    def num(l: Literal): Option[Double] = l.value match {
+      case null => None
+      case v: java.lang.Number => Some(v.doubleValue())
+      case v: Decimal => Some(v.toDouble)
+      case s => scala.util.Try(s.toString.toDouble).toOption
+    }
+    def visit(e: Expression): Unit = e match {
+      case EqualTo(a, l: Literal) => bind(a, l)
+      case EqualTo(l: Literal, a) => bind(a, l)
+      // col = col (join condition): the two columns must carry
+      // compatible types AND overlapping values — record the pair,
+      // the caller propagates string candidates / time typing across
+      case EqualTo(a, b) =>
+        attrIn(a).zip(attrIn(b)).foreach(eqPairs += _)
+      // st_* geo functions consume WKT strings: a DOUBLE stub would
+      // fail at runtime (malformed WKT)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.last.toLowerCase.startsWith("st_") =>
+        f.arguments.foreach(arg => attrIn(arg).foreach(addStr(_, Wkt)))
+      case In(a, vs) => attrIn(a).foreach(c => vs.foreach {
+        case l: Literal if l.value != null &&
+            l.dataType == StringType => addStr(c, l.value.toString)
+        case l: Literal => num(l).foreach(v => eqNum(c) = v)
+        case _ => ()
+      })
+      case Like(a, l: Literal, _) => attrIn(a).foreach { c =>
+        addStr(c, l.value.toString.replace("%", "").replace("_", "x"))
+      }
+      case GreaterThan(a, l: Literal) =>
+        attrIn(a).zip(num(l)).foreach { case (c, v) =>
+          lo(c) = math.max(lo.getOrElse(c, v), v) }
+      case GreaterThanOrEqual(a, l: Literal) =>
+        attrIn(a).zip(num(l)).foreach { case (c, v) =>
+          lo(c) = math.max(lo.getOrElse(c, v), v) }
+      case LessThan(a, l: Literal) =>
+        attrIn(a).zip(num(l)).foreach { case (c, v) =>
+          hi(c) = math.min(hi.getOrElse(c, v), v) }
+      case LessThanOrEqual(a, l: Literal) =>
+        attrIn(a).zip(num(l)).foreach { case (c, v) =>
+          hi(c) = math.min(hi.getOrElse(c, v), v) }
+      case Not(inner) => () // != 0 etc: defaults are nonzero already
+      case other => other.children.foreach(visit)
+    }
+    def bind(a: Expression, l: Literal): Unit = {
+      val isYear = a.toString.toLowerCase.contains("year")
+      (a, l.dataType) match {
+        case (att: UnresolvedAttribute, StringType) =>
+          addStr(att.nameParts.last.toLowerCase, l.value.toString)
+        case (att: UnresolvedAttribute, _) =>
+          num(l).foreach(v => eqNum(att.nameParts.last.toLowerCase) = v)
+        case _ if isYear => // EXTRACT(YEAR FROM col) = 2012
+          attrIn(a).zip(num(l)).foreach { case (c, v) =>
+            years(c) = v.toInt }
+        case _ => // substring(col,1,n) = 'DEA' and kin: the literal
+          // itself satisfies a prefix probe, so use it as a value
+          (attrIn(a), l.dataType) match {
+            case (Some(c), StringType) => addStr(c, l.value.toString)
+            case (Some(c), _) => num(l).foreach(v => eqNum(c) = v)
+            case _ => ()
+          }
+      }
+    }
+    plans.foreach(_.collectWithSubqueries { case n =>
+      n.expressions.foreach(visit) })
+    val numeric = (lo.keySet ++ hi.keySet ++ eqNum.keySet).map { c =>
+      c -> eqNum.getOrElse(c,
+        (lo.getOrElse(c, 0.0) + hi.getOrElse(c, 100.0)) / 2.0)
+    }.toMap
+    Constraints(strs.map { case (k, v) => k -> v.toSeq }.toMap,
+      numeric, years.toMap, eqPairs.toSeq)
+  }
+
+  /** Propagate string candidates and timestamp typing across col=col
+    * join equalities (fixpoint): a join side without its own literal
+    * must still carry values that MATCH the other side, or the join
+    * is empty and the panel vacuously returns 0 rows. Merged columns
+    * share one SORTED candidate seq so row i agrees on both sides. */
+  private def propagate(cs: Constraints, tcols0: Set[String])
+      : (Constraints, Set[String]) = {
+    var strings = cs.strings
+    var tcols = tcols0
+    var changed = true
+    while (changed) {
+      changed = false
+      cs.pairs.foreach { case (x, y) =>
+        val merged = (strings.getOrElse(x, Nil) ++
+          strings.getOrElse(y, Nil)).distinct.sorted
+        if (merged.nonEmpty &&
+            (!strings.get(x).contains(merged) ||
+              !strings.get(y).contains(merged))) {
+          strings = strings + (x -> merged) + (y -> merged)
+          changed = true
+        }
+        if (tcols(x) != tcols(y)) { tcols = tcols + x + y; changed = true }
+      }
+    }
+    (cs.copy(strings = strings), tcols)
+  }
+
+  private def fixtureRow(i: Int, cols: Seq[String], tcols: Set[String],
+      cs: Constraints): Row = Row.fromSeq(cols.map { c0 =>
+    val c = c0.toLowerCase
+    if (tcols(c)) {
+      val base = cs.yearPinned.get(c)
+        .map(y => java.sql.Timestamp.valueOf(s"$y-01-10 00:00:00"))
+        .getOrElse(java.sql.Timestamp.valueOf(From))
+      new java.sql.Timestamp(base.getTime + i * 3600L * 1000L)
+    } else cs.strings.get(c) match {
+      case Some(vals) => vals(i % vals.size)
+      case None if cs.numeric.contains(c) => cs.numeric(c)
+      case None => (i % 7 + 1).toDouble
+    }
+  })
+
+  private def goldenKey(i: Int, e: Entry): String =
+    s"$i:${e.dashboard}/${e.panel}"
+
+  test("every rawSql EXECUTES over populated fixtures and matches " +
+      "its golden (rows + first row)") {
+    TimeFuncs.register(spark)
+    graft.functions.GeoFuncs.register(spark)
+    wipeFixtures()
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    val results = scala.collection.mutable.LinkedHashMap[String,
+      (Long, String)]()
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    try {
+      corpus.zipWithIndex.foreach { case (e, i) =>
+        try {
+          val expanded = expandEntry(e)
+          val parsed = spark.sessionState.sqlParser.parsePlan(expanded)
+          val plans = allPlansOf(parsed)
+          val relations = plans.flatMap(_.collectWithSubqueries {
+            case r: UnresolvedRelation => r.multipartIdentifier
+          }).distinct
+          val attrs = plans.flatMap(_.collectWithSubqueries { case n =>
+            n.expressions.flatMap(_.collect {
+              case a: UnresolvedAttribute => a.nameParts
+            })
+          }).flatten.distinct
+          val (cs, tcols) =
+            propagate(mineConstraints(plans), timeColumns(e.sql))
+          // Phantom aliases (same split as the analyze sweep): a name
+          // used ONLY in GROUP BY / ORDER BY that matches a SELECT
+          // alias is the alias — stubbing it as a table column would
+          // shadow the alias and trip MISSING_AGGREGATION.
+          val groupSortNames = scala.collection.mutable.Set[String]()
+          val otherNames = scala.collection.mutable.Set[String]()
+          def addAttrs(exprs: Seq[Expression],
+              to: scala.collection.mutable.Set[String]): Unit =
+            exprs.foreach(_.foreach {
+              case a: UnresolvedAttribute =>
+                to += a.nameParts.last.toLowerCase
+              case _ =>
+            })
+          val nodes = plans.flatMap(_.collectWithSubqueries { case n => n })
+          nodes.foreach {
+            case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+              addAttrs(agg.groupingExpressions, groupSortNames)
+              addAttrs(agg.aggregateExpressions, otherNames)
+            case s: org.apache.spark.sql.catalyst.plans.logical.Sort =>
+              addAttrs(s.order, groupSortNames)
+            case n => addAttrs(n.expressions, otherNames)
+          }
+          val aliases = nodes.flatMap(_.expressions.flatMap(_.collect {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+              a.name.toLowerCase
+          })).toSet
+          val phantom = (groupSortNames -- otherNames).filter(aliases)
+          val qualified = attrs.filter(_.length > 1).map(_.last)
+            .distinct.filterNot(_ == "*")
+            .filterNot(c => phantom(c.toLowerCase))
+          val unqualified = attrs.filter(_.length == 1).map(_.last)
+            .distinct.filterNot(_ == "*")
+            .filterNot(c => phantom(c.toLowerCase))
+          def sqlType(c: String) =
+            if (tcols(c.toLowerCase)) TimestampType
+            else if (cs.strings.contains(c.toLowerCase)) StringType
+            else DoubleType
+          // Strategy A: every relation carries every referenced
+          // column; B (on genuine AMBIGUOUS_REFERENCE): unqualified
+          // columns only on the first relation — same split as the
+          // analyze sweep above.
+          def writeFixtures(assignAll: Boolean): Unit =
+            relations.zipWithIndex.foreach { case (ident, idx) =>
+              val cols = (qualified ++
+                (if (assignAll || idx == 0) unqualified else Nil)).distinct
+              val fields = (if (cols.isEmpty) Seq("stub_col") else cols)
+                .map(c => StructField(c, sqlType(c)))
+              val schema = StructType(fields)
+              val rows = (0 until FixtureRows)
+                .map(r => fixtureRow(r, fields.map(_.name),
+                  tcols.map(_.toLowerCase), cs))
+              val df = spark.createDataFrame(rows.asJava, schema)
+              val name = ident.map(p => s"`$p`").mkString(".")
+              if (ident.length > 1)
+                spark.sql(s"CREATE DATABASE IF NOT EXISTS `${ident.head}`")
+              spark.sql(s"DROP TABLE IF EXISTS $name")
+              df.write.saveAsTable(ident.mkString("."))
+            }
+          def exec(): Array[String] =
+            spark.sql(expanded).collect().map(_.toString).sorted
+          val collected =
+            try { writeFixtures(assignAll = true); exec() }
+            catch { case _: Throwable =>
+              writeFixtures(assignAll = false); exec()
+            }
+          results(goldenKey(i, e)) =
+            (collected.length.toLong, collected.headOption.getOrElse(""))
+          if (collected.isEmpty)
+            failures += s"${e.dashboard}/${e.panel}: executed but " +
+              "returned 0 rows — fixture does not satisfy its filters"
+        } catch { case ex: Throwable =>
+          failures += s"${e.dashboard}/${e.panel}: " +
+            s"${String.valueOf(ex.getMessage).linesIterator.next()}"
+        }
+      }
+      assert(failures.isEmpty,
+        s"${failures.size} execution failures:\n${failures.mkString("\n")}")
+      val goldenPath = java.nio.file.Paths.get(
+        "src/test/resources/graft/grafana_goldens.json")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      if (sys.env.get("GRAFT_WRITE_GOLDENS").contains("1")) {
+        val root = om.createObjectNode()
+        results.foreach { case (k, (n, first)) =>
+          val o = root.putObject(k); o.put("rows", n); o.put("first", first)
+        }
+        java.nio.file.Files.write(goldenPath, om.writerWithDefaultPrettyPrinter()
+          .writeValueAsBytes(root))
+        fail(s"goldens regenerated at $goldenPath — rerun without " +
+          "GRAFT_WRITE_GOLDENS")
+      } else {
+        val in = getClass.getResourceAsStream("/graft/grafana_goldens.json")
+        assert(in != null, "missing grafana_goldens.json — run once with " +
+          "GRAFT_WRITE_GOLDENS=1")
+        val tree = om.readTree(try in.readAllBytes() finally in.close())
+        val diffs = results.flatMap { case (k, (n, first)) =>
+          val g = tree.get(k)
+          if (g == null) Some(s"$k: no golden recorded")
+          else if (g.get("rows").asLong() != n)
+            Some(s"$k: rows $n != golden ${g.get("rows").asLong()}")
+          else if (g.get("first").asText() != first)
+            Some(s"$k: first row drifted\n  got    $first\n  golden " +
+              s"${g.get("first").asText()}")
+          else None
+        }
+        assert(diffs.isEmpty,
+          s"${diffs.size} golden mismatches:\n${diffs.mkString("\n")}")
+        assert(results.size == corpus.size)
+      }
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
   }
 }

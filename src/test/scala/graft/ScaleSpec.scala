@@ -518,6 +518,24 @@ class ScaleSpec extends SparkSpec {
       s"expected a semi-join against the repeated-gram set:\n$plan")
   }
 
+  test("q188 vocab ranking is limit-pruned — the rk<=20 filter never " +
+      "sorts the full vocabulary through one reducer") {
+    // the rank window is deliberately unpartitioned (a global top-20);
+    // what makes that safe at 100 TB is the engine's rank-limit
+    // rewrite: either WindowGroupLimit (per-partition top-k before
+    // the window sort) or — what this build actually plans — a
+    // TakeOrderedAndProject(limit=20) BELOW the row_number window, so
+    // every map partition keeps its own top 20 and the window runs
+    // over 20 rows, never |vocab|. This pins that one of the two
+    // bounded forms actually fires.
+    val plan = graft.queries.Registry
+      .queries("q188_vocab_coverage")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") ||
+      plan.contains("TakeOrderedAndProject(limit=20"),
+      s"rank-limit pushdown did not engage:\n$plan")
+  }
+
   test("q235 DBSCAN: cell equi-joins only — no pairwise scan anywhere") {
     val plan = graft.queries.Registry.queries("q235_dbscan")(spark, sf)
       .queryExecution.executedPlan.toString
