@@ -56,6 +56,136 @@ object Mp3Codec {
 
   import MediaCodecs.Audio
 
+  // ---- wild-bitstream frame census ------------------------------------
+
+  /** Structural census of an ARBITRARY real-world MP3 file — the
+    * interop-boundary companion to [[decode]] (COVERAGE.md "Interop
+    * boundary"): sample reconstruction is repo-canonical, but the
+    * CONTAINER layer (ID3v2 skip, frame headers across all three MPEG
+    * versions and layers, the published bitrate/sample-rate tables,
+    * Xing/Info/VBRI tag detection, resync over junk, ID3v1 tail) is
+    * implemented to the public spec and proven against a wild
+    * LAME-encoded fixture. This is what a 100 TB ingest needs first:
+    * census/partition/dedup keys for every MP3 in a crawl, whether or
+    * not its samples reconstruct. */
+  final case class Mp3Census(
+    version: String, layer: Int, sampleRate: Int, channels: Int,
+    nFrames: Int, bitrateMinKbps: Int, bitrateMaxKbps: Int,
+    vbr: Boolean, vbrTag: String, durationMs: Long,
+    id3v2Bytes: Int, resyncs: Int, trailingBytes: Int)
+
+  private val V1Bitrates = Array(
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448), // L1
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),    // L2
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))     // L3
+  private val V2Bitrates = Array(
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),    // L1
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),         // L2
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))         // L3
+  private val SampleRates = Map( // version id -> table
+    3 -> Array(44100, 48000, 32000), // MPEG-1
+    2 -> Array(22050, 24000, 16000), // MPEG-2
+    0 -> Array(11025, 12000, 8000))  // MPEG-2.5
+
+  /** Parsed header of one frame: (versionId, layer, bitrateKbps,
+    * sampleRate, channels, frameBytes, samplesPerFrame); None if the
+    * 4 bytes are not a valid frame header. */
+  private def parseHeader(b: Array[Byte], off: Int)
+      : Option[(Int, Int, Int, Int, Int, Int, Int)] = {
+    if (off + 4 > b.length) return None
+    val h = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    if ((h >>> 21) != 0x7ff) return None
+    val ver = (h >>> 19) & 3        // 3=MPEG-1, 2=MPEG-2, 0=MPEG-2.5
+    val layerBits = (h >>> 17) & 3  // 3=L1, 2=L2, 1=L3
+    if (ver == 1 || layerBits == 0) return None
+    val layer = 4 - layerBits       // 1..3
+    val brIdx = (h >>> 12) & 15
+    if (brIdx == 0 || brIdx == 15) return None // free-format/bad
+    val srIdx = (h >>> 10) & 3
+    if (srIdx == 3) return None
+    val pad = (h >>> 9) & 1
+    val mode = (h >>> 6) & 3
+    val channels = if (mode == 3) 1 else 2
+    val kbps = (if (ver == 3) V1Bitrates else V2Bitrates)(layer - 1)(brIdx)
+    val sr = SampleRates(ver)(srIdx)
+    val (bytes, samples) = layer match {
+      case 1 => ((12 * kbps * 1000 / sr + pad) * 4, 384)
+      case 2 => (144 * kbps * 1000 / sr + pad, 1152)
+      case _ =>
+        if (ver == 3) (144 * kbps * 1000 / sr + pad, 1152)
+        else (72 * kbps * 1000 / sr + pad, 576) // LSF
+    }
+    Some((ver, layer, kbps, sr, channels, bytes, samples))
+  }
+
+  /** Walk the whole byte stream; never throws on valid-length input. */
+  def census(bytes: Array[Byte]): Mp3Census = {
+    var off = 0
+    // ID3v2: 'ID3' + ver(2) + flags(1) + 4 synchsafe size bytes
+    var id3 = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      val footer = (bytes(5) & 0x10) != 0
+      id3 = 10 + size + (if (footer) 10 else 0)
+      off = math.min(id3, bytes.length)
+    }
+    // ID3v1 tail: trailing 128-byte 'TAG' block is not frame data
+    val end =
+      if (bytes.length >= off + 128 &&
+          bytes(bytes.length - 128) == 'T' &&
+          bytes(bytes.length - 127) == 'A' &&
+          bytes(bytes.length - 126) == 'G') bytes.length - 128
+      else bytes.length
+    var ver = -1; var layer = 0; var sr = 0; var ch = 0
+    var frames = 0; var brMin = Int.MaxValue; var brMax = 0
+    var resyncs = 0; var inJunk = false
+    var vbrTag = "none"
+    var samplesTotal = 0L
+    while (off < end) {
+      parseHeader(bytes, off) match {
+        case Some((v, l, kbps, s, c, flen, samples))
+            // lock version/layer/samplerate on the first frame: a
+            // "header" disagreeing with the stream is a false sync
+            if (ver == -1 || (v == ver && l == layer && s == sr)) &&
+              off + flen <= end =>
+          if (ver == -1) {
+            ver = v; layer = l; sr = s; ch = c
+            // Xing/Info/VBRI ride the FIRST frame's body
+            val body = new String(
+              bytes.slice(off + 4, math.min(off + flen, end)), "ISO-8859-1")
+            if (body.contains("Xing")) vbrTag = "Xing"
+            else if (body.contains("Info")) vbrTag = "Info"
+            else if (body.contains("VBRI")) vbrTag = "VBRI"
+          }
+          frames += 1
+          samplesTotal += samples
+          brMin = math.min(brMin, kbps); brMax = math.max(brMax, kbps)
+          off += flen
+          inJunk = false
+        case _ =>
+          if (!inJunk) { resyncs += 1; inJunk = true }
+          off += 1
+      }
+    }
+    val verName = ver match {
+      case 3 => "MPEG-1"
+      case 2 => "MPEG-2"
+      case 0 => "MPEG-2.5"
+      case _ => "none"
+    }
+    Mp3Census(verName, layer, sr, ch, frames,
+      if (frames == 0) 0 else brMin, brMax,
+      vbr = frames > 0 && (brMin != brMax || vbrTag == "Xing" ||
+        vbrTag == "VBRI"),
+      vbrTag,
+      durationMs = if (sr == 0) 0L else samplesTotal * 1000L / sr,
+      id3v2Bytes = id3, resyncs = resyncs,
+      trailingBytes = bytes.length - end)
+  }
+
   // ---- bit I/O (MSB first) --------------------------------------------
 
   private final class BitReader(data: Array[Byte], startByte: Int) {

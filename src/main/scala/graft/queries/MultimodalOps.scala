@@ -1043,5 +1043,52 @@ object MultimodalOps {
             AS n_clipped,
           CAST(sum(v) AS BIGINT) AS sum_out,
           CAST(sum((i + 1) * v) AS BIGINT) AS pos_checksum
-        FROM cl GROUP BY 1 ORDER BY media_id""")))
+        FROM cl GROUP BY 1 ORDER BY media_id""")),
+
+    // WILD-bitstream MP3 interop census — the committed fixture is a
+    // real LAME 3.98.2 encoding (MPEG-2 LSF Layer III, 22.05 kHz
+    // mono, ID3v2.4 prefix), i.e. bytes this repo did NOT produce.
+    // Mp3Codec.census walks it with the PUBLIC container spec: ID3v2
+    // synchsafe skip, per-version bitrate/sample-rate tables, LSF
+    // frame sizing (72·kbps/sr), Xing/Info/VBRI sniff, resync
+    // accounting. The oracle pins every census field as constants —
+    // independently hand-derivable from the spec (45 frames × 209
+    // bytes + 32 ID3 = 9437 ≈ file length; 45 × 576 / 22050 =
+    // 1.175 s). A wrong table entry, a mis-sized LSF frame, or a
+    // botched ID3 skip desyncs the walk and flips
+    // n_frames/resyncs/trailing. The census runs inside mapPartitions
+    // (the fixture ships in the jar), exactly where a 100 TB crawl
+    // would census its audio column.
+    Q("q253_mp3_wild_census",
+      (s, dir) => {
+        import s.implicits._
+        s.range(1).as[Long].mapPartitions { ids =>
+          ids.map { _ =>
+            val in = getClass.getResourceAsStream("/graft/wild_lame.mp3")
+            val bytes = try in.readAllBytes() finally in.close()
+            val c = graft.operators.Mp3Codec.census(bytes)
+            (c.version, c.layer.toLong, c.sampleRate.toLong,
+              c.channels.toLong, c.nFrames.toLong,
+              c.bitrateMinKbps.toLong, c.bitrateMaxKbps.toLong,
+              c.vbr, c.vbrTag, c.durationMs, c.id3v2Bytes.toLong,
+              c.resyncs.toLong, c.trailingBytes.toLong,
+              bytes.length.toLong)
+          }
+        }.toDF("version", "layer", "sample_rate", "channels",
+          "n_frames", "kbps_min", "kbps_max", "vbr", "vbr_tag",
+          "duration_ms", "id3v2_bytes", "resyncs", "trailing_bytes",
+          "file_bytes")
+      },
+      Some("""SELECT 'MPEG-2' AS version, CAST(3 AS BIGINT) AS layer,
+          CAST(22050 AS BIGINT) AS sample_rate,
+          CAST(1 AS BIGINT) AS channels,
+          CAST(45 AS BIGINT) AS n_frames,
+          CAST(64 AS BIGINT) AS kbps_min,
+          CAST(64 AS BIGINT) AS kbps_max,
+          false AS vbr, 'none' AS vbr_tag,
+          CAST(1175 AS BIGINT) AS duration_ms,
+          CAST(32 AS BIGINT) AS id3v2_bytes,
+          CAST(0 AS BIGINT) AS resyncs,
+          CAST(0 AS BIGINT) AS trailing_bytes,
+          CAST(9436 AS BIGINT) AS file_bytes""")))
 }

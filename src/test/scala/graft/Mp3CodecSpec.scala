@@ -120,4 +120,56 @@ class Mp3CodecSpec extends AnyFunSuite {
     val mean = a.samples.map(_.toLong).sum.toDouble / a.samples.length
     assert(math.abs(mean - level) <= 2.0, s"decoded mean $mean")
   }
+
+  // ---- wild-bitstream interop boundary (COVERAGE.md) ----------------
+
+  private lazy val wild: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/wild_lame.mp3")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("census walks a REAL LAME-encoded file end-to-end (the wild " +
+      "fixture this repo did not produce)") {
+    val c = Mp3Codec.census(wild)
+    // Every field independently derivable from the public spec:
+    // ID3v2.4 size 22 (+10 header) = 32; fff3 80 c4 -> MPEG-2 LSF
+    // Layer III, idx 8 = 64 kbps, 22050 Hz, mono; LSF frame =
+    // 72*64000/22050 = 209 bytes; 45 frames * 209 + 32 = 9437 vs
+    // file 9436 (last frame unpadded); 45*576/22050 = 1.175 s.
+    assert(c == Mp3Codec.Mp3Census("MPEG-2", 3, 22050, 1, 45, 64, 64,
+      false, "none", 1175L, 32, 0, 0))
+    // a clean walk: zero resyncs means every byte between the ID3
+    // skip and EOF was consumed by spec-sized frames
+  }
+
+  test("census handles junk, truncation and our own MPEG-1 streams") {
+    // own encoder output: census agrees with the encode parameters
+    val own = Mp3Codec.encode(Audio(32000, 1,
+      Array.fill[Short](1152 * 3)(1000)))
+    val co = Mp3Codec.census(own)
+    assert(co.version == "MPEG-1" && co.layer == 3 &&
+      co.sampleRate == 32000 && co.channels == 1 && co.resyncs == 0)
+    // leading junk: resync finds the frames anyway
+    val jun = Array.fill[Byte](37)(0x55) ++ own
+    val cj = Mp3Codec.census(jun)
+    assert(cj.nFrames == co.nFrames && cj.resyncs == 1)
+    // truncation mid-frame: never throws, tail counted as junk
+    val ct = Mp3Codec.census(wild.dropRight(100))
+    assert(ct.nFrames == 44 && ct.resyncs == 1)
+    // pure garbage: no frames, no crash
+    val cg = Mp3Codec.census(Array.fill[Byte](256)(0x11))
+    assert(cg.nFrames == 0 && cg.version == "none")
+  }
+
+  test("wild MP3 takes the documented opaque path, never a crash") {
+    // the sniffer requires an MPEG-1 Layer III sync at byte 0 (what
+    // decode() supports); an ID3-prefixed MPEG-2 file is not claimed
+    assert(MediaCodecs.decodeAudio(wild).isEmpty)
+    // and the strict decoder states its boundary rather than
+    // mis-decoding: stripping the ID3 makes it SEE the frame but
+    // REFUSE the version explicitly
+    val noId3 = wild.drop(32)
+    val ex = intercept[IllegalArgumentException](Mp3Codec.decode(noId3))
+    assert(ex.getMessage.contains("MPEG-1 only"))
+  }
 }
