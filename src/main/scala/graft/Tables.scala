@@ -122,4 +122,30 @@ object Tables {
     all.foreach { n =>
       load(spark, dir, n).createOrReplaceTempView(n)
     }
+
+  /** Tables actually PRESENT in a dataset directory (`<name>.parquet`
+    * entries) — the standard names first in canonical order, then any
+    * user tables sorted. The serving layer discovers instead of
+    * assuming [[all]], so a profile can point at any dataset dir. */
+  def discover(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Nil
+    val names = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet")).toSeq
+    all.filter(names.contains) ++ names.filterNot(all.contains).sorted
+  }
+
+  /** [[registerAll]] over [[discover]]ed tables (serving path). */
+  def registerDiscovered(spark: SparkSession, dir: String): Seq[String] = {
+    val names = discover(spark, dir)
+    names.foreach { n =>
+      // user tables outside the contract load as plain parquet
+      if (all.contains(n)) load(spark, dir, n).createOrReplaceTempView(n)
+      else spark.read.parquet(s"$dir/$n.parquet")
+        .createOrReplaceTempView(n)
+    }
+    names
+  }
 }

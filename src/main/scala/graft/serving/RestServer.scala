@@ -86,9 +86,9 @@ final class RestServer(
         else if (path == "/sql") rowsJson(grafanaSql(ex, dir, rawQuery))
         else {
           val table = path.stripPrefix("/")
-          if (!Tables.all.contains(table))
+          if (!Tables.discover(spark, dir).contains(table))
             throw new NotFound(s"unknown table '$table'")
-          rowsJson(RestQuery(Tables.load(spark, dir, table),
+          rowsJson(RestQuery(loadTable(dir, table),
             decodedParams(rawQuery)))
         }
       respond(ex, 200, body)
@@ -126,7 +126,7 @@ final class RestServer(
       params.getOrElse("interval", "1h"))
     synchronized {
       if (!sqlViewProfile.contains(dir)) {
-        Tables.registerAll(spark, dir)
+        Tables.registerDiscovered(spark, dir)
         sqlViewProfile = Some(dir)
       }
     }
@@ -145,9 +145,16 @@ final class RestServer(
   private def rowsJson(df: DataFrame): String =
     "[" + df.limit(maxRows).toJSON.collect().mkString(",") + "]"
 
+  /** Contract tables go through the adaptive loader; user tables in
+    * the profile dir read as plain parquet. */
+  private def loadTable(dir: String, name: String) =
+    if (Tables.all.contains(name)) Tables.load(spark, dir, name)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
   private def catalogJson(): String = {
     def arr(xs: Seq[String]) = xs.map(s => s""""$s"""").mkString("[", ",", "]")
-    s"""{"tables":${arr(Tables.all)},""" +
+    s"""{"tables":${arr(Tables.discover(spark,
+        profiles(defaultProfile)))},""" +
       s""""procedures":${arr(RpcRegistry.procedures.toSeq.sorted)},""" +
       s""""profiles":${arr(profiles.keySet.toSeq.sorted)}}"""
   }
