@@ -290,10 +290,16 @@ object MediaCodecs {
   /** Decode an 8-bit truecolor non-interlaced PNG: chunk walk
     * (multiple IDATs concatenate; ancillary chunks skipped), zlib
     * inflate, and full scanline de-filtering. */
+  /** PNG decode — all five standard 8-bit color types (grayscale,
+    * RGB, palette, gray+alpha, RGBA; alpha dropped, palette resolved
+    * via PLTE), non-interlaced. De-filtering operates on the CHANNEL
+    * bytes at the color type's bytes-per-pixel (the spec's filter
+    * distance), then pixels map to RGB. */
   def decodePng(bytes: Array[Byte]): Image = {
     require(sniff(bytes).contains("png"), "not a PNG")
     var pos = 8
-    var width = -1; var height = -1
+    var width = -1; var height = -1; var color = -1
+    var plte: Array[Byte] = null
     val idat = new ByteArrayOutputStream()
     var done = false
     while (!done && pos + 8 <= bytes.length) {
@@ -305,11 +311,14 @@ object MediaCodecs {
       typ match {
         case "IHDR" =>
           width = be32(bytes, body); height = be32(bytes, body + 4)
-          val depth = bytes(body + 8); val color = bytes(body + 9)
+          val depth = bytes(body + 8); color = bytes(body + 9)
           val interlace = bytes(body + 12)
-          require(depth == 8 && color == 2 && interlace == 0,
-            s"only 8-bit RGB non-interlaced supported " +
-              s"(depth=$depth color=$color interlace=$interlace)")
+          require(depth == 8 && interlace == 0 &&
+            (color == 0 || color == 2 || color == 3 || color == 4 ||
+              color == 6),
+            s"only 8-bit non-interlaced color types 0/2/3/4/6 " +
+              s"supported (depth=$depth color=$color interlace=$interlace)")
+        case "PLTE" => plte = bytes.slice(body, body + len)
         case "IDAT" => idat.write(bytes, body, len)
         case "IEND" => done = true
         case _ => // ancillary (tEXt, pHYs, …) — skip
@@ -317,9 +326,13 @@ object MediaCodecs {
       pos = body + len + 4 // skip CRC
     }
     require(width > 0 && height > 0, "missing IHDR")
+    require(color != 3 || plte != null, "palette PNG without PLTE")
+    val bpp = color match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
-    val stride = 1 + width * 3
+    val stride = 1 + width * bpp
     val raw = new Array[Byte](height * stride)
     var off = 0
     var stalled = false
@@ -334,20 +347,19 @@ object MediaCodecs {
     inflater.end()
     require(off == raw.length, s"short IDAT: $off of ${raw.length}")
     // de-filter, per the PNG spec's five filter types
-    val rgb = new Array[Byte](width * height * 3)
-    val bpp = 3
+    val chan = new Array[Byte](width * height * bpp)
     var y = 0
     while (y < height) {
       val filter = raw(y * stride) & 0xff
       val rowIn = y * stride + 1
-      val rowOut = y * width * 3
+      val rowOut = y * width * bpp
       var x = 0
-      while (x < width * 3) {
+      while (x < width * bpp) {
         val cur = raw(rowIn + x) & 0xff
-        val left = if (x >= bpp) rgb(rowOut + x - bpp) & 0xff else 0
-        val up = if (y > 0) rgb(rowOut - width * 3 + x) & 0xff else 0
+        val left = if (x >= bpp) chan(rowOut + x - bpp) & 0xff else 0
+        val up = if (y > 0) chan(rowOut - width * bpp + x) & 0xff else 0
         val upLeft =
-          if (y > 0 && x >= bpp) rgb(rowOut - width * 3 + x - bpp) & 0xff
+          if (y > 0 && x >= bpp) chan(rowOut - width * bpp + x - bpp) & 0xff
           else 0
         val recon = filter match {
           case 0 => cur
@@ -365,10 +377,31 @@ object MediaCodecs {
           case f => throw new IllegalArgumentException(
             s"unknown PNG filter $f")
         }
-        rgb(rowOut + x) = (recon & 0xff).toByte
+        chan(rowOut + x) = (recon & 0xff).toByte
         x += 1
       }
       y += 1
+    }
+    val rgb = new Array[Byte](width * height * 3)
+    var i = 0
+    val n = width * height
+    while (i < n) {
+      color match {
+        case 0 | 4 =>
+          val g = chan(i * bpp)
+          rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
+        case 2 | 6 =>
+          rgb(i * 3) = chan(i * bpp)
+          rgb(i * 3 + 1) = chan(i * bpp + 1)
+          rgb(i * 3 + 2) = chan(i * bpp + 2)
+        case 3 =>
+          val idx = (chan(i) & 0xff) * 3
+          require(idx + 2 < plte.length, s"palette index out of range")
+          rgb(i * 3) = plte(idx)
+          rgb(i * 3 + 1) = plte(idx + 1)
+          rgb(i * 3 + 2) = plte(idx + 2)
+      }
+      i += 1
     }
     Image(width, height, rgb)
   }

@@ -1090,5 +1090,52 @@ object MultimodalOps {
           CAST(32 AS BIGINT) AS id3v2_bytes,
           CAST(0 AS BIGINT) AS resyncs,
           CAST(0 AS BIGINT) AS trailing_bytes,
-          CAST(9436 AS BIGINT) AS file_bytes""")))
+          CAST(9436 AS BIGINT) AS file_bytes""")),
+
+    // WILD-image interop: three committed real-world fixtures that
+    // this repo did not produce run through the standard decodeStats
+    // dispatch. The baseline JPEG (a 161×161 photo-class file with
+    // encoder-supplied Huffman tables) decodes FULLY through the T.81
+    // path — pinning that the entropy decoder reads arbitrary DHT
+    // tables, not just our encoder's canonical ones; the RGBA PNG
+    // decodes through inflate + de-filter + alpha drop; the
+    // progressive JPEG (SOF2) takes the documented opaque path. The
+    // oracle pins exact pixel/byte sums as constants — one wrong
+    // Huffman decode step, IDCT coefficient, or PNG filter
+    // reconstruction anywhere in 26k pixels moves pixel_sum.
+    Q("q254_image_wild_decode",
+      (s, dir) => {
+        import s.implicits._
+        val names = Seq((1L, "wild_baseline.jpg"),
+          (2L, "wild_rgba.png"), (3L, "wild_progressive.jpg"))
+        val media = s.createDataset(names).mapPartitions { rows =>
+          rows.map { case (id, name) =>
+            val in = getClass.getResourceAsStream(s"/graft/$name")
+            val bytes = try in.readAllBytes() finally in.close()
+            Multimodal.MediaRow(id, "image", bytes, 0, 0)
+          }
+        }
+        Multimodal.decodeStats(media).toDF()
+          .select(col("media_id"), col("format"),
+            col("dim1").cast("long").as("width"),
+            col("dim2").cast("long").as("height"),
+            col("n_units"),
+            // sum/len*len can land 1 ulp under the integer — round,
+            // never truncate (the q*-codec floor-vs-cast lesson)
+            round(col("mean_value") * col("n_units"))
+              .cast("long").as("value_sum"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'jpeg', CAST(161 AS BIGINT),
+            CAST(161 AS BIGINT), CAST(77763 AS BIGINT),
+            CAST(16762233 AS BIGINT)),
+          (CAST(2 AS BIGINT), 'png', CAST(16 AS BIGINT),
+            CAST(16 AS BIGINT), CAST(768 AS BIGINT),
+            CAST(123194 AS BIGINT)),
+          (CAST(3 AS BIGINT), 'opaque', CAST(0 AS BIGINT),
+            CAST(0 AS BIGINT), CAST(6525 AS BIGINT),
+            CAST(777598 AS BIGINT)))
+          AS t(media_id, format, width, height, n_units, value_sum)
+        ORDER BY media_id""")))
 }

@@ -66,6 +66,28 @@ class CacheOpsSpec extends SparkSpec {
       s"Dbscan leaked RDDs: ${storedRdds()}")
   }
 
+  test("registry heavy-operator sweep: no query leaves more block " +
+      "storage than its own sealed result") {
+    // Regression guard for the round-9/10 bench mechanism: any future
+    // operator that persists without releasing, or checkpoints
+    // per-round without bounding retention, fails here — long before
+    // a 250-query driver run exposes it as a positional slowdown.
+    val heavy = Seq("q70_dup_clusters", "q208_label_propagation",
+      "q225_pagerank", "q228_bpe_train", "q229_dsir_selection",
+      "q235_dbscan", "q237_frequent_pairs", "q94_containment")
+    heavy.foreach { q =>
+      CacheOps.sweep(spark)
+      val df = graft.queries.Registry.queries(q)(spark, sf)
+      assert(df.count() >= 0)
+      val left = storedRdds()
+      assert(left.size <= 2,
+        s"$q left ${left.size} RDDs in block storage: $left " +
+          "(only its own sealed result is allowed)")
+    }
+    CacheOps.sweep(spark)
+    assert(storedRdds().isEmpty)
+  }
+
   test("sweep drops catalog caches AND orphaned checkpoint blocks") {
     val a = (1 to 5).toDF("x").persist(); a.count()
     val b = (1 to 5).toDF("y").localCheckpoint(true)

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{JpegCodec, MediaCodecs}
+
+/** Wild-bitstream interop (COVERAGE.md "Interop boundary"): the three
+  * committed image fixtures are REAL files produced by standard
+  * encoders outside this repo. The decoders must handle them — full
+  * pixel reconstruction where the format is in-set, a clean refusal
+  * (never a wrong answer, never a crash) where it is not. */
+class WildFixturesSpec extends AnyFunSuite {
+
+  private def res(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("a real-world baseline JPEG decodes fully — arbitrary DHT " +
+      "tables, not just our encoder's canonical ones") {
+    val img = JpegCodec.decode(res("wild_baseline.jpg"))
+    assert(img.width == 161 && img.height == 161)
+    var sum = 0L; var i = 0
+    while (i < img.rgb.length) { sum += (img.rgb(i) & 0xff); i += 1 }
+    // exact: one wrong Huffman step or IDCT coefficient anywhere in
+    // 26k pixels moves this
+    assert(img.rgb.length == 77763 && sum == 16762233L)
+  }
+
+  test("a real-world RGBA PNG decodes (inflate + de-filter + alpha " +
+      "drop); palette/gray types covered by the same path") {
+    val Some(("png", img)) = MediaCodecs.decodeImage(res("wild_rgba.png"))
+    assert(img.width == 16 && img.height == 16)
+    var sum = 0L; var i = 0
+    while (i < img.rgb.length) { sum += (img.rgb(i) & 0xff); i += 1 }
+    assert(sum == 123194L)
+  }
+
+  test("progressive JPEG refuses loudly and routes to the opaque path") {
+    val bytes = res("wild_progressive.jpg")
+    val ex = intercept[IllegalArgumentException](JpegCodec.decode(bytes))
+    assert(ex.getMessage.contains("progressive"))
+    assert(MediaCodecs.decodeImage(bytes).isEmpty)
+  }
+}
