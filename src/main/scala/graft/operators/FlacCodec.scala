@@ -14,11 +14,15 @@ import graft.operators.MediaCodecs.Audio
   *
   * Decoder: STREAMINFO + metadata-block walk, frame sync + header
   * (UTF-8-coded frame number, CRC-8), subframe types CONSTANT /
-  * VERBATIM / FIXED(0–4) with 4- or 5-bit Rice partitions (escape
-  * included), wasted bits, 8/12/16/20/24-bit samples, independent
-  * channels, frame CRC-16. LPC subframes and stereo decorrelation
-  * (left/right/mid-side) are rejected with a clear error — the
-  * encoder below never emits them.
+  * VERBATIM / FIXED(0–4) / LPC(1–32) (quantized coefficients at their
+  * published precision/shift widths, 64-bit accumulation) with 4- or
+  * 5-bit Rice partitions (escape included), wasted bits,
+  * 8/12/16/20/24-bit samples, independent channels AND the three
+  * stereo decorrelation modes (left/side, right/side, mid/side; the
+  * side channel at its extra bit of range) — i.e. the full subframe
+  * surface real-world `flac(1)` output uses. Frame CRC-16 enforced.
+  * The LPC/decorrelation paths are proven by hand-crafted
+  * spec-conformant bitstreams (FlacCodecSpec).
   *
   * Encoder: 16-bit samples, independent channels, FIXED predictor
   * order 0–2 chosen per subframe by residual magnitude, single Rice
@@ -349,9 +353,12 @@ object FlacCodec {
       val chAsgn = r.bits(4)
       val ssCode = r.bits(3)
       r.bits(1) // reserved
-      require(chAsgn < 8,
-        "stereo decorrelation (left/side, mid/side) not supported")
-      require(chAsgn + 1 == channels, "channel count mismatch")
+      // 0-7: independent; 8 left/side, 9 right/side, 10 mid/side
+      // (stereo decorrelation, reconstructed after subframe decode)
+      require(chAsgn < 8 || (chAsgn <= 10 && channels == 2),
+        s"bad channel assignment $chAsgn for $channels channels")
+      require(chAsgn >= 8 || chAsgn + 1 == channels,
+        "channel count mismatch")
       readUtf8Coded(r)
       val blockSize = bsCode match {
         case 6 => r.bits(8) + 1
@@ -379,7 +386,14 @@ object FlacCodec {
         val typ = r.bits(6)
         val wastedFlag = r.bits(1)
         val wasted = if (wastedFlag == 1) r.unary() + 1 else 0
-        val eff = bps - wasted
+        // the SIDE channel of a decorrelated pair carries one extra
+        // bit of range (L−R spans 17 bits for 16-bit input)
+        val sideBit = chAsgn match {
+          case 8 | 10 => if (c == 1) 1 else 0
+          case 9 => if (c == 0) 1 else 0
+          case _ => 0
+        }
+        val eff = bps - wasted + sideBit
         val s = new Array[Int](blockSize)
         if (typ == 0) { // CONSTANT
           val v = signExtend(r.bitsLong(eff), eff)
@@ -395,9 +409,30 @@ object FlacCodec {
           while (j < order) { s(j) = signExtend(r.bitsLong(eff), eff); j += 1 }
           readResiduals(r, s, order, blockSize)
           restore(s, order)
-        } else if (typ >= 32) {
-          throw new IllegalArgumentException(
-            "LPC subframes not supported (FIXED-only encoder family)")
+        } else if (typ >= 32) { // LPC(order), order = (typ & 31) + 1
+          val order = (typ & 31) + 1
+          var j = 0
+          while (j < order) { s(j) = signExtend(r.bitsLong(eff), eff); j += 1 }
+          val precision = r.bits(4) + 1
+          require(precision <= 15, "invalid LPC coefficient precision 16")
+          val shift = signExtend(r.bitsLong(5), 5)
+          require(shift >= 0, s"negative LPC shift $shift")
+          val coefs = new Array[Int](order)
+          j = 0
+          while (j < order) {
+            coefs(j) = signExtend(r.bitsLong(precision), precision); j += 1
+          }
+          readResiduals(r, s, order, blockSize)
+          // x[i] = (Σ c_j · x[i−1−j]) >> shift, + residual — 64-bit
+          // accumulation per the spec's reference decoder
+          var i2 = order
+          while (i2 < blockSize) {
+            var acc = 0L
+            var k = 0
+            while (k < order) { acc += coefs(k).toLong * s(i2 - 1 - k); k += 1 }
+            s(i2) = s(i2) + (acc >> shift).toInt
+            i2 += 1
+          }
         } else throw new IllegalArgumentException(s"bad subframe type $typ")
         if (wasted > 0) {
           var j = 0
@@ -410,6 +445,26 @@ object FlacCodec {
       val expectedCrc16 = r.bits(16)
       require(crc16(bytes, frameStart, r.pos - 2) == expectedCrc16,
         "frame CRC-16 mismatch")
+      // undo stereo decorrelation (in place, chans -> L/R)
+      if (chAsgn == 8) { // left/side: R = L − S
+        val l = chans(0); val sd = chans(1)
+        var j = 0
+        while (j < blockSize) { sd(j) = l(j) - sd(j); j += 1 }
+      } else if (chAsgn == 9) { // right/side: L = R + S (ch0 was side)
+        val sd = chans(0); val rr = chans(1)
+        var j = 0
+        while (j < blockSize) { sd(j) = rr(j) + sd(j); j += 1 }
+      } else if (chAsgn == 10) { // mid/side
+        val m = chans(0); val sd = chans(1)
+        var j = 0
+        while (j < blockSize) {
+          val side = sd(j)
+          val mid = (m(j) << 1) | (side & 1)
+          m(j) = (mid + side) >> 1
+          sd(j) = (mid - side) >> 1
+          j += 1
+        }
+      }
       pos = r.pos
       outPerCh += chans
       decoded += blockSize

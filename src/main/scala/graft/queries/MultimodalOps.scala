@@ -1137,5 +1137,41 @@ object MultimodalOps {
             CAST(0 AS BIGINT), CAST(6525 AS BIGINT),
             CAST(777598 AS BIGINT)))
           AS t(media_id, format, width, height, n_units, value_sum)
+        ORDER BY media_id""")),
+
+    // WILD-audio interop, same construction as q254: a real stereo
+    // PCM-16 WAV (CPython's test corpus) decodes bit-exactly through
+    // the RIFF chunk walk (signed sample sum pinned), while the wild
+    // LAME MP3 — whose entropy payload is out-of-set (q253's census
+    // covers its structure) — routes to the opaque byte-stats path.
+    Q("q255_audio_wild_decode",
+      (s, dir) => {
+        import s.implicits._
+        val names = Seq((1L, "wild_stereo.wav"), (2L, "wild_lame.mp3"))
+        val media = s.createDataset(names).mapPartitions { rows =>
+          rows.map { case (id, name) =>
+            val in = getClass.getResourceAsStream(s"/graft/$name")
+            val bytes = try in.readAllBytes() finally in.close()
+            Multimodal.MediaRow(id, "audio", bytes, 0, 0)
+          }
+        }
+        Multimodal.decodeStats(media).toDF()
+          .select(col("media_id"), col("format"),
+            col("dim1").cast("long").as("sample_rate"),
+            col("dim2").cast("long").as("channels"),
+            col("n_units"),
+            round(col("mean_value") * col("n_units"))
+              .cast("long").as("value_sum"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'wav', CAST(11025 AS BIGINT),
+            CAST(2 AS BIGINT), CAST(6614 AS BIGINT),
+            CAST(-463547 AS BIGINT)),
+          (CAST(2 AS BIGINT), 'opaque', CAST(0 AS BIGINT),
+            CAST(0 AS BIGINT), CAST(9436 AS BIGINT),
+            CAST(790905 AS BIGINT)))
+          AS t(media_id, format, sample_rate, channels, n_units,
+            value_sum)
         ORDER BY media_id""")))
 }

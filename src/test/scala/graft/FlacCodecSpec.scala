@@ -93,4 +93,112 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(FlacCodec.crc8(data, 0, data.length) == 0xf4)
     assert(FlacCodec.crc16(data, 0, data.length) == 0xfee8)
   }
+
+  // ---- crafted wild-feature frames: LPC + stereo decorrelation ------
+  // The repo encoder emits only FIXED/independent subframes, so the
+  // LPC and left/side//mid/side DECODE paths (what real-world flac(1)
+  // output uses) are exercised by hand-crafted spec-conformant
+  // bitstreams: every field written at its published width, CRC-8 and
+  // CRC-16 computed for real.
+
+  private final class Bw {
+    private val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0; private var n = 0
+    def write(v: Long, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1L).toInt
+        n += 1
+        if (n == 8) { out += cur.toByte; cur = 0; n = 0 }
+        i -= 1
+      }
+    }
+    def align(): Unit = if (n > 0) write(0, 8 - n)
+    def bytes: Array[Byte] = { require(n == 0, "unaligned"); out.toArray }
+    def size: Int = { require(n == 0, "unaligned"); out.length }
+  }
+
+  /** fLaC magic + last-block STREAMINFO for (sr, 2ch, 16-bit, total). */
+  private def streamInfo(w: Bw, sr: Int, total: Int): Unit = {
+    "fLaC".foreach(c => w.write(c.toLong, 8))
+    w.write(0x80, 8); w.write(34, 24) // last=1, type=0, len=34
+    w.write(8, 16); w.write(8, 16)    // min/max blocksize
+    w.write(0, 24); w.write(0, 24)    // min/max framesize
+    w.write(sr, 20); w.write(1, 3); w.write(15, 5) // 2ch, 16-bit
+    w.write(total, 36)
+    (0 until 16).foreach(_ => w.write(0, 8)) // md5 (unchecked)
+  }
+
+  /** Frame header for blockSize=8, srCode=0, ssCode=0, frame#0,
+    * with a real CRC-8 over its bytes. */
+  private def frameHeader(w: Bw, chAsgn: Int): Int = {
+    val start = w.size
+    w.write(0x3ffe, 14); w.write(0, 1); w.write(0, 1)
+    w.write(6, 4)       // bsCode 6: 8-bit blocksize-1 follows
+    w.write(0, 4)       // srCode 0: from STREAMINFO
+    w.write(chAsgn, 4)
+    w.write(0, 3); w.write(0, 1)
+    w.write(0, 8)       // UTF-8-coded frame number 0
+    w.write(7, 8)       // blockSize-1
+    val hdr = w.bytes
+    w.write(FlacCodec.crc8(hdr, start, hdr.length), 8)
+    start
+  }
+
+  private def finishFrame(w: Bw, start: Int): Unit = {
+    w.align()
+    val all = w.bytes
+    w.write(FlacCodec.crc16(all, start, all.length), 16)
+  }
+
+  test("mid/side frame with an LPC side subframe decodes to the " +
+      "exact L/R it encodes") {
+    val L = Array(100, 200, -50, 32767, -32768, 0, 5, -5)
+    val R = Array(90, 210, -60, 32760, -32768, 1, 5, -6)
+    val side = L.zip(R).map { case (l, r) => l - r }
+    val mid = L.zip(R).map { case (l, r) => (l + r) >> 1 }
+    val w = new Bw
+    streamInfo(w, 8000, 8)
+    val start = frameHeader(w, 10) // mid/side
+    // subframe 0 (mid, 16-bit): VERBATIM
+    w.write(0, 1); w.write(1, 6); w.write(0, 1)
+    mid.foreach(m => w.write(m.toLong & 0xffff, 16))
+    // subframe 1 (side, 17-bit): LPC order 1, c0=1, shift 0 ==
+    // side[i] = side[i-1] + res[i]
+    w.write(0, 1); w.write(32, 6); w.write(0, 1)
+    w.write(side(0).toLong & 0x1ffff, 17)   // warmup
+    w.write(3, 4)                           // precision-1 -> 4 bits
+    w.write(0, 5)                           // shift
+    w.write(1, 4)                           // c0 = 1
+    w.write(0, 2); w.write(0, 4)            // rice method 0, partOrder 0
+    w.write(2, 4)                           // rice k = 2
+    (1 until 8).foreach { i =>
+      val v = side(i) - side(i - 1)
+      val u = if (v >= 0) 2L * v else -2L * v - 1
+      val q = (u >>> 2).toInt
+      (0 until q).foreach(_ => w.write(0, 1))
+      w.write(1, 1)
+      w.write(u & 3, 2)
+    }
+    finishFrame(w, start)
+    val a = FlacCodec.decode(w.bytes)
+    assert(a.sampleRate == 8000 && a.channels == 2)
+    val got = a.samples.map(_.toInt)
+    assert(got.grouped(2).map(_(0)).toSeq == L.toSeq)
+    assert(got.grouped(2).map(_(1)).toSeq == R.toSeq)
+  }
+
+  test("left/side frame with CONSTANT subframes reconstructs R = L - S") {
+    val w = new Bw
+    streamInfo(w, 8000, 8)
+    val start = frameHeader(w, 8) // left/side
+    w.write(0, 1); w.write(0, 6); w.write(0, 1)
+    w.write(1000L & 0xffff, 16)           // L constant
+    w.write(0, 1); w.write(0, 6); w.write(0, 1)
+    w.write(25L & 0x1ffff, 17)            // S constant (17-bit side)
+    finishFrame(w, start)
+    val a = FlacCodec.decode(w.bytes)
+    val got = a.samples.map(_.toInt).grouped(2).toSeq
+    assert(got.forall(p => p(0) == 1000 && p(1) == 975))
+  }
 }

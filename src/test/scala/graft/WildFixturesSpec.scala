@@ -36,6 +36,14 @@ class WildFixturesSpec extends AnyFunSuite {
     assert(sum == 123194L)
   }
 
+  test("a real stereo PCM-16 WAV (CPython test corpus) decodes " +
+      "bit-exactly through the RIFF chunk walk") {
+    val Some(("wav", a)) = MediaCodecs.decodeAudio(res("wild_stereo.wav"))
+    assert(a.sampleRate == 11025 && a.channels == 2)
+    assert(a.samples.length == 6614)
+    assert(a.samples.map(_.toLong).sum == -463547L)
+  }
+
   test("progressive JPEG refuses loudly and routes to the opaque path") {
     val bytes = res("wild_progressive.jpg")
     val ex = intercept[IllegalArgumentException](JpegCodec.decode(bytes))
