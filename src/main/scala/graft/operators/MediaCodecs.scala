@@ -48,6 +48,11 @@ object MediaCodecs {
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'A' &&
       bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ') Some("avi")
+    else if (bytes.length >= 12 && bytes(0) == 'F' && bytes(1) == 'O' &&
+      bytes(2) == 'R' && bytes(3) == 'M' && bytes(8) == 'A' &&
+      bytes(9) == 'I' && bytes(10) == 'F' && bytes(11) == 'F') Some("aiff")
+    else if (bytes.length >= 24 && bytes(0) == '.' && bytes(1) == 's' &&
+      bytes(2) == 'n' && bytes(3) == 'd') Some("au")
     else if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
       bytes(2) == 'a' && bytes(3) == 'C') Some("flac")
     // MPEG-1 Layer III frame sync: FF FA (CRC) / FF FB (no CRC) —
@@ -75,6 +80,8 @@ object MediaCodecs {
   def decodeAudio(bytes: Array[Byte]): Option[(String, Audio)] =
     sniff(bytes).flatMap {
       case "wav" => tryDecode(("wav", decodeWav(bytes)))
+      case "aiff" => tryDecode(("aiff", decodeAiff(bytes)))
+      case "au" => tryDecode(("au", decodeAu(bytes)))
       case "flac" => tryDecode(("flac", FlacCodec.decode(bytes)))
       case "mp3" => tryDecode(("mp3", Mp3Codec.decode(bytes)))
       case _ => None
@@ -487,6 +494,106 @@ object MediaCodecs {
   // ---- G.711 mu-law ----------------------------------------------------
 
   /** Standard G.711 μ-law expansion (8-bit code → 16-bit linear). */
+  // ---- AIFF (big-endian IFF) and Sun AU -------------------------------
+
+  /** AIFF decode (PCM-16/8): FORM/AIFF chunk walk — COMM (channel
+    * count, frame count, sample size, the 80-bit extended-precision
+    * sample rate) + SSND, ancillary chunks (NAME/AUTH/ANNO/ID3…)
+    * skipped with the spec's odd-length pad byte. */
+  def decodeAiff(bytes: Array[Byte]): Audio = {
+    require(sniff(bytes).contains("aiff"), "not an AIFF stream")
+    var channels = -1; var frames = -1; var bits = -1
+    var sampleRate = -1
+    var samples: Array[Short] = null
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val cid = new String(bytes, i, 4, StandardCharsets.US_ASCII)
+      val len = be32(bytes, i + 4)
+      require(len >= 0, s"negative AIFF chunk length $len")
+      val body = i + 8
+      cid match {
+        case "COMM" =>
+          channels = ((bytes(body) & 0xff) << 8) | (bytes(body + 1) & 0xff)
+          frames = be32(bytes, body + 2)
+          bits = ((bytes(body + 6) & 0xff) << 8) | (bytes(body + 7) & 0xff)
+          // 80-bit IEEE extended: 1 sign, 15 exponent, 64 mantissa
+          // (explicit integer bit); value = mant · 2^(exp−16383−63)
+          val exp = (((bytes(body + 8) & 0x7f) << 8) |
+            (bytes(body + 9) & 0xff)) - 16383 - 63
+          var mant = 0L
+          var k = 0
+          while (k < 8) { mant = (mant << 8) | (bytes(body + 10 + k) & 0xffL); k += 1 }
+          // mantissa's explicit integer bit sets the Long sign —
+          // shift LOGICALLY or the rate sign-extends negative
+          sampleRate =
+            (if (exp >= 0) mant << exp else mant >>> -exp).toInt
+        case "SSND" =>
+          require(bits == 16 || bits == 8,
+            s"AIFF sample size $bits unsupported (8/16 only)")
+          val dataOff = body + 8 + be32(bytes, body) // skip offset+blockSize
+          val n = frames * channels
+          samples = new Array[Short](n)
+          var j = 0
+          if (bits == 16) while (j < n) {
+            samples(j) = (((bytes(dataOff + 2 * j) & 0xff) << 8) |
+              (bytes(dataOff + 2 * j + 1) & 0xff)).toShort
+            j += 1
+          } else while (j < n) {
+            // AIFF 8-bit is SIGNED (unlike WAV) — widen to 16
+            samples(j) = (bytes(dataOff + j) << 8).toShort
+            j += 1
+          }
+        case _ => // NAME/AUTH/ANNO/ID3/… ancillary
+      }
+      i = body + len + (len & 1) // chunks pad to even length
+    }
+    require(channels > 0 && sampleRate > 0 && samples != null,
+      "AIFF missing COMM/SSND")
+    Audio(sampleRate, channels, samples)
+  }
+
+  /** Sun AU decode: `.snd` header (data offset/size, encoding, rate,
+    * channels); encodings 1 (G.711 μ-law), 2 (8-bit linear), 3
+    * (16-bit linear big-endian). */
+  def decodeAu(bytes: Array[Byte]): Audio = {
+    require(sniff(bytes).contains("au"), "not an AU stream")
+    val off = be32(bytes, 4)
+    val size0 = be32(bytes, 8)
+    val enc = be32(bytes, 12)
+    val sampleRate = be32(bytes, 16)
+    val channels = be32(bytes, 20)
+    // size 0xffffffff = unknown → until EOF
+    val size = if (size0 == -1) bytes.length - off
+      else math.min(size0, bytes.length - off)
+    require(channels >= 1 && sampleRate > 0, "bad AU header")
+    enc match {
+      case 1 =>
+        val samples = new Array[Short](size)
+        var j = 0
+        while (j < size) {
+          samples(j) = mulawToLinear(bytes(off + j) & 0xff); j += 1
+        }
+        Audio(sampleRate, channels, samples)
+      case 2 =>
+        val samples = new Array[Short](size)
+        var j = 0
+        while (j < size) { samples(j) = (bytes(off + j) << 8).toShort; j += 1 }
+        Audio(sampleRate, channels, samples)
+      case 3 =>
+        val n = size / 2
+        val samples = new Array[Short](n)
+        var j = 0
+        while (j < n) {
+          samples(j) = (((bytes(off + 2 * j) & 0xff) << 8) |
+            (bytes(off + 2 * j + 1) & 0xff)).toShort
+          j += 1
+        }
+        Audio(sampleRate, channels, samples)
+      case e => throw new IllegalArgumentException(
+        s"AU encoding $e unsupported (1=mulaw, 2=pcm8, 3=pcm16)")
+    }
+  }
+
   def mulawToLinear(code: Int): Short = {
     val u = ~code & 0xff
     val exp = (u >> 4) & 7

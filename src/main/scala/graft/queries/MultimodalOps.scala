@@ -1139,15 +1139,22 @@ object MultimodalOps {
           AS t(media_id, format, width, height, n_units, value_sum)
         ORDER BY media_id""")),
 
-    // WILD-audio interop, same construction as q254: a real stereo
-    // PCM-16 WAV (CPython's test corpus) decodes bit-exactly through
-    // the RIFF chunk walk (signed sample sum pinned), while the wild
-    // LAME MP3 — whose entropy payload is out-of-set (q253's census
-    // covers its structure) — routes to the opaque byte-stats path.
+    // WILD-audio interop, same construction as q254: the same real
+    // recording from CPython's test corpus in THREE containers — WAV
+    // (RIFF little-endian), AIFF (IFF big-endian with the 80-bit
+    // extended sample rate and ancillary NAME/AUTH/ANNO/ID3 chunks),
+    // and Sun AU (big-endian) — plus its G.711 μ-law AU variant, all
+    // decoding to pinned exact signed sample sums that MATCH an
+    // independent reference decoder (CPython's wave/aifc/sunau +
+    // audioop readers produced the oracle constants). The wild LAME
+    // MP3 — entropy payload out-of-set (q253 censuses its structure)
+    // — routes to the opaque byte-stats path.
     Q("q255_audio_wild_decode",
       (s, dir) => {
         import s.implicits._
-        val names = Seq((1L, "wild_stereo.wav"), (2L, "wild_lame.mp3"))
+        val names = Seq((1L, "wild_stereo.wav"), (2L, "wild_lame.mp3"),
+          (3L, "wild_stereo.aiff"), (4L, "wild_stereo.au"),
+          (5L, "wild_ulaw.au"))
         val media = s.createDataset(names).mapPartitions { rows =>
           rows.map { case (id, name) =>
             val in = getClass.getResourceAsStream(s"/graft/$name")
@@ -1170,7 +1177,16 @@ object MultimodalOps {
             CAST(-463547 AS BIGINT)),
           (CAST(2 AS BIGINT), 'opaque', CAST(0 AS BIGINT),
             CAST(0 AS BIGINT), CAST(9436 AS BIGINT),
-            CAST(790905 AS BIGINT)))
+            CAST(790905 AS BIGINT)),
+          (CAST(3 AS BIGINT), 'aiff', CAST(11025 AS BIGINT),
+            CAST(2 AS BIGINT), CAST(6614 AS BIGINT),
+            CAST(-463555 AS BIGINT)),
+          (CAST(4 AS BIGINT), 'au', CAST(11025 AS BIGINT),
+            CAST(2 AS BIGINT), CAST(6614 AS BIGINT),
+            CAST(-463537 AS BIGINT)),
+          (CAST(5 AS BIGINT), 'au', CAST(11025 AS BIGINT),
+            CAST(2 AS BIGINT), CAST(6614 AS BIGINT),
+            CAST(-469976 AS BIGINT)))
           AS t(media_id, format, sample_rate, channels, n_units,
             value_sum)
         ORDER BY media_id""")))

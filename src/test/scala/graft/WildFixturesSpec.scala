@@ -44,6 +44,23 @@ class WildFixturesSpec extends AnyFunSuite {
     assert(a.samples.map(_.toLong).sum == -463547L)
   }
 
+  test("the same wild recording decodes from AIFF (80-bit extended " +
+      "rate, ancillary chunks) and Sun AU, sums matching an " +
+      "independent reference decoder") {
+    // oracle constants produced by CPython's aifc/sunau/audioop
+    // readers over the same files — a decoder this repo did not write
+    val Some(("aiff", a)) = MediaCodecs.decodeAudio(res("wild_stereo.aiff"))
+    assert(a.sampleRate == 11025 && a.channels == 2 &&
+      a.samples.length == 6614)
+    assert(a.samples.map(_.toLong).sum == -463555L)
+    val Some(("au", u)) = MediaCodecs.decodeAudio(res("wild_stereo.au"))
+    assert(u.samples.length == 6614 &&
+      u.samples.map(_.toLong).sum == -463537L)
+    // G.711 mu-law AU: our companding table agrees with audioop's
+    val Some(("au", ul)) = MediaCodecs.decodeAudio(res("wild_ulaw.au"))
+    assert(ul.samples.map(_.toLong).sum == -469976L)
+  }
+
   test("progressive JPEG refuses loudly and routes to the opaque path") {
     val bytes = res("wild_progressive.jpg")
     val ex = intercept[IllegalArgumentException](JpegCodec.decode(bytes))
