@@ -1107,7 +1107,9 @@ object MultimodalOps {
       (s, dir) => {
         import s.implicits._
         val names = Seq((1L, "wild_baseline.jpg"),
-          (2L, "wild_rgba.png"), (3L, "wild_progressive.jpg"))
+          (2L, "wild_rgba.png"), (3L, "wild_progressive.jpg"),
+          (4L, "wild_gray.png"), (5L, "wild_grayalpha.png"),
+          (6L, "wild_palette.png"))
         val media = s.createDataset(names).mapPartitions { rows =>
           rows.map { case (id, name) =>
             val in = getClass.getResourceAsStream(s"/graft/$name")
@@ -1135,7 +1137,16 @@ object MultimodalOps {
             CAST(123194 AS BIGINT)),
           (CAST(3 AS BIGINT), 'opaque', CAST(0 AS BIGINT),
             CAST(0 AS BIGINT), CAST(6525 AS BIGINT),
-            CAST(777598 AS BIGINT)))
+            CAST(777598 AS BIGINT)),
+          (CAST(4 AS BIGINT), 'png', CAST(11 AS BIGINT),
+            CAST(11 AS BIGINT), CAST(363 AS BIGINT),
+            CAST(78483 AS BIGINT)),
+          (CAST(5 AS BIGINT), 'png', CAST(48 AS BIGINT),
+            CAST(48 AS BIGINT), CAST(6912 AS BIGINT),
+            CAST(955113 AS BIGINT)),
+          (CAST(6 AS BIGINT), 'png', CAST(48 AS BIGINT),
+            CAST(48 AS BIGINT), CAST(6912 AS BIGINT),
+            CAST(1025981 AS BIGINT)))
           AS t(media_id, format, width, height, n_units, value_sum)
         ORDER BY media_id""")),
 

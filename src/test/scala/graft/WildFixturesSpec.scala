@@ -36,6 +36,22 @@ class WildFixturesSpec extends AnyFunSuite {
     assert(sum == 123194L)
   }
 
+  test("wild grayscale, gray+alpha, and palette PNGs decode — sums " +
+      "matching an independent filter-reconstruction oracle") {
+    // oracle sums computed by a separate pure-python PNG decoder
+    // (zlib + the five filters) over the same bytes
+    for ((name, w, h, sum) <- Seq(
+        ("wild_gray.png", 11, 11, 78483L),
+        ("wild_grayalpha.png", 48, 48, 955113L),
+        ("wild_palette.png", 48, 48, 1025981L))) {
+      val Some(("png", img)) = MediaCodecs.decodeImage(res(name))
+      assert(img.width == w && img.height == h, name)
+      var s = 0L; var i = 0
+      while (i < img.rgb.length) { s += (img.rgb(i) & 0xff); i += 1 }
+      assert(s == sum, s"$name: got $s")
+    }
+  }
+
   test("a real stereo PCM-16 WAV (CPython test corpus) decodes " +
       "bit-exactly through the RIFF chunk walk") {
     val Some(("wav", a)) = MediaCodecs.decodeAudio(res("wild_stereo.wav"))
