@@ -464,12 +464,35 @@ object MediaCodecs {
     require(format > 0 && dataOff >= 0, "missing fmt/data chunk")
     format match {
       case 1 =>
-        require(bits == 16, s"only 16-bit PCM supported (got $bits)")
-        val n = dataSize / 2
+        // PCM at the common wild depths, normalized to 16-bit: 8-bit
+        // WAV is UNSIGNED (offset-binary), 24/32-bit truncate their
+        // low bits (arithmetic shift — the standard narrowing)
+        require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
+          s"PCM bit depth $bits unsupported (8/16/24/32)")
+        val bpsB = bits / 8
+        val n = dataSize / bpsB
         val samples = new Array[Short](n)
         var i = 0
-        while (i < n) {
-          samples(i) = u16(bytes, dataOff + i * 2).toShort; i += 1
+        bits match {
+          case 8 => while (i < n) {
+            samples(i) = (((bytes(dataOff + i) & 0xff) - 128) << 8)
+              .toShort
+            i += 1
+          }
+          case 16 => while (i < n) {
+            samples(i) = u16(bytes, dataOff + i * 2).toShort; i += 1
+          }
+          case 24 => while (i < n) {
+            val o = dataOff + i * 3
+            val v = ((bytes(o) & 0xff)) | ((bytes(o + 1) & 0xff) << 8) |
+              (bytes(o + 2) << 16) // sign from the top byte
+            samples(i) = (v >> 8).toShort
+            i += 1
+          }
+          case 32 => while (i < n) {
+            samples(i) = (i32(bytes, dataOff + i * 4) >> 16).toShort
+            i += 1
+          }
         }
         Audio(sampleRate, channels, samples)
       case 7 =>

@@ -1165,7 +1165,8 @@ object MultimodalOps {
         import s.implicits._
         val names = Seq((1L, "wild_stereo.wav"), (2L, "wild_lame.mp3"),
           (3L, "wild_stereo.aiff"), (4L, "wild_stereo.au"),
-          (5L, "wild_ulaw.au"))
+          (5L, "wild_ulaw.au"), (6L, "wild_pcm8.wav"),
+          (7L, "wild_pcm24.wav"), (8L, "wild_pcm32.wav"))
         val media = s.createDataset(names).mapPartitions { rows =>
           rows.map { case (id, name) =>
             val in = getClass.getResourceAsStream(s"/graft/$name")
@@ -1197,7 +1198,16 @@ object MultimodalOps {
             CAST(-463537 AS BIGINT)),
           (CAST(5 AS BIGINT), 'au', CAST(11025 AS BIGINT),
             CAST(2 AS BIGINT), CAST(6614 AS BIGINT),
-            CAST(-469976 AS BIGINT)))
+            CAST(-469976 AS BIGINT)),
+          (CAST(6 AS BIGINT), 'wav', CAST(11025 AS BIGINT),
+            CAST(2 AS BIGINT), CAST(6614 AS BIGINT),
+            CAST(-1314304 AS BIGINT)),
+          (CAST(7 AS BIGINT), 'wav', CAST(11025 AS BIGINT),
+            CAST(2 AS BIGINT), CAST(6614 AS BIGINT),
+            CAST(-466871 AS BIGINT)),
+          (CAST(8 AS BIGINT), 'wav', CAST(11025 AS BIGINT),
+            CAST(2 AS BIGINT), CAST(6614 AS BIGINT),
+            CAST(-466871 AS BIGINT)))
           AS t(media_id, format, sample_rate, channels, n_units,
             value_sum)
         ORDER BY media_id""")))

@@ -77,6 +77,19 @@ class WildFixturesSpec extends AnyFunSuite {
     assert(ul.samples.map(_.toLong).sum == -469976L)
   }
 
+  test("wild 8/24/32-bit PCM WAVs decode with the standard 16-bit " +
+      "narrowing, sums matching an independent reference") {
+    // same recording at three more depths (CPython corpus); expected
+    // sums computed by python's wave reader + the identical narrowing
+    for ((name, sum) <- Seq(("wild_pcm8.wav", -1314304L),
+        ("wild_pcm24.wav", -466871L), ("wild_pcm32.wav", -466871L))) {
+      val Some(("wav", a)) = MediaCodecs.decodeAudio(res(name))
+      assert(a.sampleRate == 11025 && a.channels == 2 &&
+        a.samples.length == 6614, name)
+      assert(a.samples.map(_.toLong).sum == sum, name)
+    }
+  }
+
   test("progressive JPEG refuses loudly and routes to the opaque path") {
     val bytes = res("wild_progressive.jpg")
     val ex = intercept[IllegalArgumentException](JpegCodec.decode(bytes))
