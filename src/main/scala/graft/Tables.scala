@@ -137,15 +137,17 @@ object Tables {
     all.filter(names.contains) ++ names.filterNot(all.contains).sorted
   }
 
+  /** Load ANY table in a dataset dir: contract tables go through the
+    * adaptive loader; user tables read as plain parquet. The single
+    * rule both the REST table endpoint and view registration share. */
+  def loadAny(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (all.contains(name)) load(spark, dir, name)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
   /** [[registerAll]] over [[discover]]ed tables (serving path). */
   def registerDiscovered(spark: SparkSession, dir: String): Seq[String] = {
     val names = discover(spark, dir)
-    names.foreach { n =>
-      // user tables outside the contract load as plain parquet
-      if (all.contains(n)) load(spark, dir, n).createOrReplaceTempView(n)
-      else spark.read.parquet(s"$dir/$n.parquet")
-        .createOrReplaceTempView(n)
-    }
+    names.foreach(n => loadAny(spark, dir, n).createOrReplaceTempView(n))
     names
   }
 }

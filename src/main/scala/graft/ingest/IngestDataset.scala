@@ -138,13 +138,18 @@ final class IngestDataset(
         .hint("rebalance", col("date"))
         .write.mode(SaveMode.Overwrite).partitionBy("date")
         .parquet(tablePath(table))
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // drop the materialized replacement's checkpoint blocks on the
+      // FAILURE path too — a failed commit must not pin the full
+      // replacement dataset in block storage for the session
+      graft.operators.CacheOps.releaseCheckpoint(replacement)
     }
-    // the overwrite is committed — drop the materialized replacement's
-    // checkpoint blocks instead of leaving them to a future GC pass
-    graft.operators.CacheOps.releaseCheckpoint(replacement)
   }
 
   /** K-ops maintenance — small-file compaction. Long-running

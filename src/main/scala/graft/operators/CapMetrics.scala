@@ -36,7 +36,12 @@ object CapMetrics {
   private val seq = new AtomicLong()
 
   private val lastSeen = new ConcurrentHashMap[String, Row]()
-  @volatile private var installed = false
+  /** Metric names are sequence-numbered, so retention would otherwise
+    * grow monotonically over a long-lived session — bounded for the
+    * same reason the rest of this module exists. */
+  private val MaxRetained = 512
+  private val installedSessions =
+    ConcurrentHashMap.newKeySet[String]()
 
   /** Attach the cap metrics to `df` (which must already carry the
     * `widthCol` group-width column). Pure plan decoration — no job
@@ -78,10 +83,12 @@ object CapMetrics {
   }
 
   /** Register the listener that logs every `graft.cap.*` observation
-    * and retains the latest row per name for inspection. Idempotent;
-    * called lazily by [[observeCap]]. */
-  def install(spark: SparkSession): Unit = if (!installed) synchronized {
-    if (!installed) {
+    * and retains the latest row per name for inspection. Idempotent
+    * PER SESSION (a JVM-global flag would leave every session after
+    * the first without telemetry); called lazily by [[observeCap]]. */
+  def install(spark: SparkSession): Unit =
+    if (installedSessions.add(
+        System.identityHashCode(spark).toHexString)) {
       spark.listenerManager.register(new QueryExecutionListener {
         private def harvest(
             qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
@@ -90,6 +97,7 @@ object CapMetrics {
           catch { case _: Throwable => () }
           (qe.observedMetrics ++ found).foreach { case (name, row) =>
             if (name.startsWith("graft.cap.")) {
+              if (lastSeen.size >= MaxRetained) lastSeen.clear()
               lastSeen.put(name, row)
               val dropped = row.getAs[Long]("dropped_rows")
               if (dropped > 0)
@@ -110,9 +118,7 @@ object CapMetrics {
             qe: org.apache.spark.sql.execution.QueryExecution,
             exception: Exception): Unit = harvest(qe)
       })
-      installed = true
     }
-  }
 
   /** Latest observation per metric name (listener delivery is async —
     * poll with a deadline when asserting in tests). */

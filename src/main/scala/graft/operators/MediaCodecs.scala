@@ -554,7 +554,15 @@ object MediaCodecs {
           require(bits == 16 || bits == 8,
             s"AIFF sample size $bits unsupported (8/16 only)")
           val dataOff = body + 8 + be32(bytes, body) // skip offset+blockSize
-          val n = frames * channels
+          // bound the allocation by the bytes ACTUALLY present — a
+          // corrupt COMM frame count must not force a multi-GiB
+          // allocation (OutOfMemoryError is fatal and escapes the
+          // opaque-path NonFatal catch, killing the whole task)
+          val avail = math.max(0L,
+            math.min(len.toLong - 8 - be32(bytes, body),
+              bytes.length.toLong - dataOff)) / (bits / 8)
+          val n = math.min(frames.toLong * channels, avail).toInt
+          require(n >= 0, s"bad AIFF frame count $frames")
           samples = new Array[Short](n)
           var j = 0
           if (bits == 16) while (j < n) {

@@ -802,6 +802,9 @@ object AnalyticsOps {
             .localCheckpoint()
           n = frontier.count()
           if (n > 0) levels += frontier
+          // the empty terminal frontier never joins `levels` (the
+          // release list) — drop its registered blocks immediately
+          else CacheOps.releaseCheckpoint(frontier)
         }
         val walk = levels.reduce(_ unionAll _)
         // seal the |parts|-sized aggregate, then drop every level's

@@ -291,10 +291,14 @@ object DedupOps {
           .select(col("node").as("doc_id"),
             col("component").as("cluster_id"))
           .orderBy("doc_id")
-        // seal, then drop the shingle cache and BOTH CC runs' internal
-        // final checkpoints reachable through the plan
+        // seal, then drop the shingle cache and BOTH CC runs'
+        // internal final checkpoints. The FIRST run's checkpoint
+        // (labels1) is NOT reachable from res's plan — the second
+        // run's round-1 checkpoint truncated that lineage — so it
+        // must be released explicitly, not via the plan walk.
         graft.operators.CacheOps.sealThen(res) {
           graft.operators.CacheOps.releaseCheckpointExcept(res, docs)
+          graft.operators.CacheOps.releaseCheckpoint(labels1)
           shAll.unpersist(false)
         }
       },

@@ -79,16 +79,17 @@ final class RestServer(
         throw new BadRequest(s"unknown profile '$profile' " +
           s"(configured: ${profiles.keySet.toSeq.sorted.mkString(", ")})"))
       val body: String =
-        if (path == "/") catalogJson()
+        if (path == "/") catalogJson(dir)
         else if (path.startsWith("/rpc/"))
           rowsJson(RpcRegistry.dispatch(spark,
             if (rawQuery.isEmpty) path else s"$path?$rawQuery"))
         else if (path == "/sql") rowsJson(grafanaSql(ex, dir, rawQuery))
         else {
           val table = path.stripPrefix("/")
-          if (!Tables.discover(spark, dir).contains(table))
+          if (!tablesIn(dir).contains(table) &&
+              !tablesInRefreshed(dir).contains(table))
             throw new NotFound(s"unknown table '$table'")
-          rowsJson(RestQuery(loadTable(dir, table),
+          rowsJson(RestQuery(Tables.loadAny(spark, dir, table),
             decodedParams(rawQuery)))
         }
       respond(ex, 200, body)
@@ -145,16 +146,26 @@ final class RestServer(
   private def rowsJson(df: DataFrame): String =
     "[" + df.limit(maxRows).toJSON.collect().mkString(",") + "]"
 
-  /** Contract tables go through the adaptive loader; user tables in
-    * the profile dir read as plain parquet. */
-  private def loadTable(dir: String, name: String) =
-    if (Tables.all.contains(name)) Tables.load(spark, dir, name)
-    else spark.read.parquet(s"$dir/$name.parquet")
+  // per-profile table discovery, memoized: validating a table name
+  // must not pay a filesystem listing per request (a remote
+  // round-trip on object storage). Refreshed on a would-be 404 so a
+  // table added to the dir after startup is still found.
+  private val discovered =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def tablesIn(dir: String): Seq[String] = {
+    val cached = discovered.computeIfAbsent(dir,
+      d => Tables.discover(spark, d))
+    cached
+  }
+  private def tablesInRefreshed(dir: String): Seq[String] = {
+    val fresh = Tables.discover(spark, dir)
+    discovered.put(dir, fresh)
+    fresh
+  }
 
-  private def catalogJson(): String = {
+  private def catalogJson(dir: String): String = {
     def arr(xs: Seq[String]) = xs.map(s => s""""$s"""").mkString("[", ",", "]")
-    s"""{"tables":${arr(Tables.discover(spark,
-        profiles(defaultProfile)))},""" +
+    s"""{"tables":${arr(tablesInRefreshed(dir))},""" +
       s""""procedures":${arr(RpcRegistry.procedures.toSeq.sorted)},""" +
       s""""profiles":${arr(profiles.keySet.toSeq.sorted)}}"""
   }

@@ -201,4 +201,20 @@ class FlacCodecSpec extends AnyFunSuite {
     val got = a.samples.map(_.toInt).grouped(2).toSeq
     assert(got.forall(p => p(0) == 1000 && p(1) == 975))
   }
+
+  test("right/side frame reconstructs L = R + S with the side extra " +
+      "bit on channel 0") {
+    val w = new Bw
+    streamInfo(w, 8000, 8)
+    val start = frameHeader(w, 9) // right/side: ch0 = side, ch1 = right
+    w.write(0, 1); w.write(0, 6); w.write(0, 1)
+    w.write(-40000L & 0x1ffff, 17)        // S constant, needs 17 bits
+    w.write(0, 1); w.write(0, 6); w.write(0, 1)
+    w.write(20000L & 0xffff, 16)          // R constant
+    finishFrame(w, start)
+    val a = FlacCodec.decode(w.bytes)
+    val got = a.samples.map(_.toInt).grouped(2).toSeq
+    // L = R + S = 20000 - 40000 = -20000
+    assert(got.forall(p => p(0) == -20000 && p(1) == 20000))
+  }
 }
