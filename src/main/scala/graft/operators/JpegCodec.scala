@@ -423,6 +423,14 @@ object JpegCodec {
     val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
     val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
 
+    // Decompression-bomb guard: a corrupt SOF claiming huge dims on a
+    // tiny stream must fail cleanly (opaque path), never allocate
+    // gigabytes and OOM the task. Each 8x8 block costs >= 2 entropy
+    // bits (DC + EOB), so a legitimate stream has far more than one
+    // byte per 1024 pixels.
+    require(width.toLong * height <= bytes.length.toLong * 1024,
+      s"jpeg dims ${width}x$height implausible for ${bytes.length} bytes")
+
     // per-component pixel planes at the component's own resolution
     val planeW = comps.map(c => mcusX * c.h * 8)
     val planeH = comps.map(c => mcusY * c.v * 8)

@@ -176,6 +176,11 @@ object MediaCodecs {
       s"only 24bpp BI_RGB supported (got bpp=$bpp comp=$compression)")
     val rowBytes = width * 3
     val stride = rowBytes + (4 - rowBytes % 4) % 4
+    // uncompressed: the claimed pixel grid must FIT in the file —
+    // corrupt dims degrade to the opaque path, never an OOM
+    require(dataOffset.toLong + height.toLong * stride <=
+      bytes.length.toLong + stride,
+      s"bmp dims ${width}x$height exceed ${bytes.length} bytes")
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -227,6 +232,10 @@ object MediaCodecs {
     val maxval = nextToken()
     require(maxval == 255, s"only maxval 255 supported (got $maxval)")
     pos += 1 // exactly one whitespace byte after maxval, per spec
+    // long math: Int overflow on huge claimed dims must not wrap the
+    // bound check into a pass
+    require(width.toLong * height * 3 <= bytes.length.toLong,
+      s"ppm dims ${width}x$height exceed ${bytes.length} bytes")
     val n = width * height * 3
     require(bytes.length >= pos + n, "truncated PPM pixel data")
     Image(width, height,
@@ -340,6 +349,12 @@ object MediaCodecs {
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     val stride = 1 + width * bpp
+    // decompression-bomb guard: deflate expands at most 1032:1, so
+    // a corrupt IHDR claiming dims beyond that bound cannot be a
+    // real image — fail cleanly instead of allocating gigabytes
+    require(height.toLong * stride <= idat.size().toLong * 1032 + 4096,
+      s"png dims ${width}x$height implausible for ${idat.size()} " +
+        "compressed bytes")
     val raw = new Array[Byte](height * stride)
     var off = 0
     var stalled = false

@@ -90,6 +90,47 @@ class WildFixturesSpec extends AnyFunSuite {
     }
   }
 
+  test("decompression bombs fail cleanly: corrupt headers claiming " +
+      "huge dims route to the opaque path, never an OOM") {
+    // JPEG: patch the wild fixture's SOF dims to 65500x65500 — the
+    // 1024 pixels-per-byte plausibility bound must refuse before any
+    // allocation
+    val jb = res("wild_baseline.jpg").clone()
+    var i = 2
+    var sof = -1
+    while (sof < 0 && i + 4 < jb.length) {
+      if ((jb(i) & 0xff) == 0xff && (jb(i + 1) & 0xff) == 0xc0) sof = i
+      else i += 1
+    }
+    jb(sof + 5) = 0xff.toByte; jb(sof + 6) = 0xdc.toByte // height
+    jb(sof + 7) = 0xff.toByte; jb(sof + 8) = 0xdc.toByte // width
+    val je = intercept[IllegalArgumentException](JpegCodec.decode(jb))
+    assert(je.getMessage.contains("implausible"))
+    assert(MediaCodecs.decodeImage(jb).isEmpty)
+
+    // PNG: patch IHDR dims to 100000x100000 (way past deflate's
+    // 1032:1 expansion bound for a 286-byte file)
+    val pb = res("wild_rgba.png").clone()
+    val big = 100000
+    for ((b, k) <- Seq((big >> 24, 0), (big >> 16, 1), (big >> 8, 2),
+        (big, 3))) {
+      pb(16 + k) = (b & 0xff).toByte; pb(20 + k) = (b & 0xff).toByte
+    }
+    val pe = intercept[IllegalArgumentException](
+      MediaCodecs.decodePng(pb))
+    assert(pe.getMessage.contains("implausible"))
+    assert(MediaCodecs.decodeImage(pb).isEmpty)
+
+    // AIFF: a COMM frame count of 2^30 on a tiny file allocates only
+    // what the SSND bytes can actually hold
+    val ab = res("wild_stereo.aiff").clone()
+    // COMM chunk starts at offset 12; frames field at body+2
+    ab(12 + 8 + 2) = 0x40.toByte; ab(12 + 8 + 3) = 0; ab(12 + 8 + 4) = 0
+    ab(12 + 8 + 5) = 0
+    val a = MediaCodecs.decodeAiff(ab)
+    assert(a.samples.length == 6614) // bounded by bytes present
+  }
+
   test("progressive JPEG refuses loudly and routes to the opaque path") {
     val bytes = res("wild_progressive.jpg")
     val ex = intercept[IllegalArgumentException](JpegCodec.decode(bytes))
