@@ -315,6 +315,7 @@ object MediaCodecs {
     require(sniff(bytes).contains("png"), "not a PNG")
     var pos = 8
     var width = -1; var height = -1; var color = -1
+    var interlace = -1
     var plte: Array[Byte] = null
     val idat = new ByteArrayOutputStream()
     var done = false
@@ -328,11 +329,11 @@ object MediaCodecs {
         case "IHDR" =>
           width = be32(bytes, body); height = be32(bytes, body + 4)
           val depth = bytes(body + 8); color = bytes(body + 9)
-          val interlace = bytes(body + 12)
-          require(depth == 8 && interlace == 0 &&
+          interlace = bytes(body + 12)
+          require(depth == 8 && (interlace == 0 || interlace == 1) &&
             (color == 0 || color == 2 || color == 3 || color == 4 ||
               color == 6),
-            s"only 8-bit non-interlaced color types 0/2/3/4/6 " +
+            s"only 8-bit color types 0/2/3/4/6, interlace 0/1 " +
               s"supported (depth=$depth color=$color interlace=$interlace)")
         case "PLTE" => plte = bytes.slice(body, body + len)
         case "IDAT" => idat.write(bytes, body, len)
@@ -346,16 +347,29 @@ object MediaCodecs {
     val bpp = color match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
     }
-    val inflater = new java.util.zip.Inflater()
-    inflater.setInput(idat.toByteArray)
-    val stride = 1 + width * bpp
+    // Interlacing: Adam7's seven sub-images (x0, y0, dx, dy), each a
+    // self-contained scanline sequence inside ONE shared zlib stream;
+    // interlace 0 is the degenerate single full-size pass.
+    val passes =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val passDims = passes.map { case (x0, y0, dx, dy) =>
+      (math.max(0, (width - x0 + dx - 1) / dx),
+        math.max(0, (height - y0 + dy - 1) / dy))
+    }
+    val rawLen = passDims.map { case (wp, hp) =>
+      if (wp == 0 || hp == 0) 0L else hp.toLong * (1 + wp.toLong * bpp)
+    }.sum
     // decompression-bomb guard: deflate expands at most 1032:1, so
     // a corrupt IHDR claiming dims beyond that bound cannot be a
     // real image — fail cleanly instead of allocating gigabytes
-    require(height.toLong * stride <= idat.size().toLong * 1032 + 4096,
+    require(rawLen <= idat.size().toLong * 1032 + 4096,
       s"png dims ${width}x$height implausible for ${idat.size()} " +
         "compressed bytes")
-    val raw = new Array[Byte](height * stride)
+    val raw = new Array[Byte](rawLen.toInt)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
     var off = 0
     var stalled = false
     while (!inflater.finished() && off < raw.length && !stalled) {
@@ -368,41 +382,59 @@ object MediaCodecs {
     }
     inflater.end()
     require(off == raw.length, s"short IDAT: $off of ${raw.length}")
-    // de-filter, per the PNG spec's five filter types
+    // de-filter each pass independently (filters reference the pass's
+    // OWN previous row/pixel), then scatter into the full pixel grid
     val chan = new Array[Byte](width * height * bpp)
-    var y = 0
-    while (y < height) {
-      val filter = raw(y * stride) & 0xff
-      val rowIn = y * stride + 1
-      val rowOut = y * width * bpp
-      var x = 0
-      while (x < width * bpp) {
-        val cur = raw(rowIn + x) & 0xff
-        val left = if (x >= bpp) chan(rowOut + x - bpp) & 0xff else 0
-        val up = if (y > 0) chan(rowOut - width * bpp + x) & 0xff else 0
-        val upLeft =
-          if (y > 0 && x >= bpp) chan(rowOut - width * bpp + x - bpp) & 0xff
-          else 0
-        val recon = filter match {
-          case 0 => cur
-          case 1 => cur + left
-          case 2 => cur + up
-          case 3 => cur + (left + up) / 2
-          case 4 =>
-            val p = left + up - upLeft
-            val pa = math.abs(p - left); val pb = math.abs(p - up)
-            val pc = math.abs(p - upLeft)
-            val paeth =
-              if (pa <= pb && pa <= pc) left
-              else if (pb <= pc) up else upLeft
-            cur + paeth
-          case f => throw new IllegalArgumentException(
-            s"unknown PNG filter $f")
+    var rawOff = 0
+    passes.zip(passDims).foreach { case ((x0, y0, dx, dy), (wp, hp)) =>
+      if (wp > 0 && hp > 0) {
+        val p = new Array[Byte](wp * hp * bpp)
+        var y = 0
+        while (y < hp) {
+          val filter = raw(rawOff + y * (1 + wp * bpp)) & 0xff
+          val rowIn = rawOff + y * (1 + wp * bpp) + 1
+          val rowOut = y * wp * bpp
+          var x = 0
+          while (x < wp * bpp) {
+            val cur = raw(rowIn + x) & 0xff
+            val left = if (x >= bpp) p(rowOut + x - bpp) & 0xff else 0
+            val up = if (y > 0) p(rowOut - wp * bpp + x) & 0xff else 0
+            val upLeft =
+              if (y > 0 && x >= bpp) p(rowOut - wp * bpp + x - bpp) & 0xff
+              else 0
+            val recon = filter match {
+              case 0 => cur
+              case 1 => cur + left
+              case 2 => cur + up
+              case 3 => cur + (left + up) / 2
+              case 4 =>
+                val pr = left + up - upLeft
+                val pa = math.abs(pr - left); val pb = math.abs(pr - up)
+                val pc = math.abs(pr - upLeft)
+                val paeth =
+                  if (pa <= pb && pa <= pc) left
+                  else if (pb <= pc) up else upLeft
+                cur + paeth
+              case f => throw new IllegalArgumentException(
+                s"unknown PNG filter $f")
+            }
+            p(rowOut + x) = (recon & 0xff).toByte
+            x += 1
+          }
+          // scatter this pass row into the full grid
+          var i2 = 0
+          while (i2 < wp) {
+            val destPx = (y0 + y * dy) * width + (x0 + i2 * dx)
+            var b2 = 0
+            while (b2 < bpp) {
+              chan(destPx * bpp + b2) = p(rowOut + i2 * bpp + b2); b2 += 1
+            }
+            i2 += 1
+          }
+          y += 1
         }
-        chan(rowOut + x) = (recon & 0xff).toByte
-        x += 1
+        rawOff += hp * (1 + wp * bpp)
       }
-      y += 1
     }
     val rgb = new Array[Byte](width * height * 3)
     var i = 0

@@ -1109,7 +1109,7 @@ object MultimodalOps {
         val names = Seq((1L, "wild_baseline.jpg"),
           (2L, "wild_rgba.png"), (3L, "wild_progressive.jpg"),
           (4L, "wild_gray.png"), (5L, "wild_grayalpha.png"),
-          (6L, "wild_palette.png"))
+          (6L, "wild_palette.png"), (7L, "wild_interlaced.png"))
         val media = s.createDataset(names).mapPartitions { rows =>
           rows.map { case (id, name) =>
             val in = getClass.getResourceAsStream(s"/graft/$name")
@@ -1146,7 +1146,10 @@ object MultimodalOps {
             CAST(955113 AS BIGINT)),
           (CAST(6 AS BIGINT), 'png', CAST(48 AS BIGINT),
             CAST(48 AS BIGINT), CAST(6912 AS BIGINT),
-            CAST(1025981 AS BIGINT)))
+            CAST(1025981 AS BIGINT)),
+          (CAST(7 AS BIGINT), 'png', CAST(91 AS BIGINT),
+            CAST(69 AS BIGINT), CAST(18837 AS BIGINT),
+            CAST(687369 AS BIGINT)))
           AS t(media_id, format, width, height, n_units, value_sum)
         ORDER BY media_id""")),
 

@@ -36,14 +36,17 @@ class WildFixturesSpec extends AnyFunSuite {
     assert(sum == 123194L)
   }
 
-  test("wild grayscale, gray+alpha, and palette PNGs decode — sums " +
-      "matching an independent filter-reconstruction oracle") {
+  test("wild grayscale, gray+alpha, palette, and Adam7-INTERLACED " +
+      "PNGs decode — sums matching an independent " +
+      "filter-reconstruction oracle") {
     // oracle sums computed by a separate pure-python PNG decoder
-    // (zlib + the five filters) over the same bytes
+    // (zlib + the five filters + Adam7 scatter) over the same bytes;
+    // the interlaced fixture is libpng's own canonical pngtest.png
     for ((name, w, h, sum) <- Seq(
         ("wild_gray.png", 11, 11, 78483L),
         ("wild_grayalpha.png", 48, 48, 955113L),
-        ("wild_palette.png", 48, 48, 1025981L))) {
+        ("wild_palette.png", 48, 48, 1025981L),
+        ("wild_interlaced.png", 91, 69, 687369L))) {
       val Some(("png", img)) = MediaCodecs.decodeImage(res(name))
       assert(img.width == w && img.height == h, name)
       var s = 0L; var i = 0
