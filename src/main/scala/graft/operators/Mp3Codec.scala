@@ -119,6 +119,54 @@ object Mp3Codec {
     Some((ver, layer, kbps, sr, channels, bytes, samples))
   }
 
+  /** ID3v2.3/2.4 TEXT frames (T*** ids: title/artist/album/encoder…)
+    * as id → decoded string — the tag metadata a corpus curation
+    * pipeline keys on. Frame sizes are synchsafe in v2.4, plain
+    * big-endian in v2.3; text bodies carry a leading encoding byte
+    * (0 latin-1, 1 utf-16 BOM, 2 utf-16be, 3 utf-8). Non-text and
+    * malformed frames are skipped; never throws. */
+  def id3TextFrames(bytes: Array[Byte]): Map[String, String] = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+      bytes(2) != '3') return Map.empty
+    val major = bytes(3) & 0xff
+    val tagSize = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+      ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+    val end = math.min(10 + tagSize, bytes.length)
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    var p = 10
+    while (p + 10 <= end) {
+      val id = new String(bytes, p, 4, "ISO-8859-1")
+      if (!id.forall(c => c.isUpper || c.isDigit)) p = end // padding
+      else {
+        val size =
+          if (major >= 4)
+            ((bytes(p + 4) & 0x7f) << 21) | ((bytes(p + 5) & 0x7f) << 14) |
+              ((bytes(p + 6) & 0x7f) << 7) | (bytes(p + 7) & 0x7f)
+          else
+            ((bytes(p + 4) & 0xff) << 24) | ((bytes(p + 5) & 0xff) << 16) |
+              ((bytes(p + 6) & 0xff) << 8) | (bytes(p + 7) & 0xff)
+        if (size < 0 || p + 10 + size > end) p = end
+        else {
+          if (id.startsWith("T") && size >= 1) {
+            val enc = bytes(p + 10) & 0xff
+            val body = java.util.Arrays.copyOfRange(bytes, p + 11,
+              p + 10 + size)
+            val cs = enc match {
+              case 0 => "ISO-8859-1"
+              case 1 => "UTF-16"
+              case 2 => "UTF-16BE"
+              case _ => "UTF-8"
+            }
+            val text = new String(body, cs).takeWhile(_ != '\u0000')
+            if (text.nonEmpty) out(id) = text
+          }
+          p += 10 + size
+        }
+      }
+    }
+    out.toMap
+  }
+
   /** Walk the whole byte stream; never throws on valid-length input. */
   def census(bytes: Array[Byte]): Mp3Census = {
     var off = 0

@@ -1067,17 +1067,21 @@ object MultimodalOps {
             val in = getClass.getResourceAsStream("/graft/wild_lame.mp3")
             val bytes = try in.readAllBytes() finally in.close()
             val c = graft.operators.Mp3Codec.census(bytes)
+            // ID3v2 text frames: the tag metadata curation keys on
+            // (TSSE here = the encoder string the muxer wrote)
+            val tags = graft.operators.Mp3Codec.id3TextFrames(bytes)
             (c.version, c.layer.toLong, c.sampleRate.toLong,
               c.channels.toLong, c.nFrames.toLong,
               c.bitrateMinKbps.toLong, c.bitrateMaxKbps.toLong,
               c.vbr, c.vbrTag, c.durationMs, c.id3v2Bytes.toLong,
               c.resyncs.toLong, c.trailingBytes.toLong,
-              bytes.length.toLong)
+              bytes.length.toLong, tags.size.toLong,
+              tags.getOrElse("TSSE", ""))
           }
         }.toDF("version", "layer", "sample_rate", "channels",
           "n_frames", "kbps_min", "kbps_max", "vbr", "vbr_tag",
           "duration_ms", "id3v2_bytes", "resyncs", "trailing_bytes",
-          "file_bytes")
+          "file_bytes", "n_id3_text_frames", "encoder_tag")
       },
       Some("""SELECT 'MPEG-2' AS version, CAST(3 AS BIGINT) AS layer,
           CAST(22050 AS BIGINT) AS sample_rate,
@@ -1090,7 +1094,9 @@ object MultimodalOps {
           CAST(32 AS BIGINT) AS id3v2_bytes,
           CAST(0 AS BIGINT) AS resyncs,
           CAST(0 AS BIGINT) AS trailing_bytes,
-          CAST(9436 AS BIGINT) AS file_bytes""")),
+          CAST(9436 AS BIGINT) AS file_bytes,
+          CAST(1 AS BIGINT) AS n_id3_text_frames,
+          'Lavf53.5.0' AS encoder_tag""")),
 
     // WILD-image interop: three committed real-world fixtures that
     // this repo did not produce run through the standard decodeStats

@@ -172,4 +172,17 @@ class Mp3CodecSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](Mp3Codec.decode(noId3))
     assert(ex.getMessage.contains("MPEG-1 only"))
   }
+
+  test("ID3v2 text frames extract; malformed tags never throw") {
+    assert(Mp3Codec.id3TextFrames(wild) == Map("TSSE" -> "Lavf53.5.0"))
+    // v2.3-style plain-size frame with a NUL-terminated latin-1 body
+    val tag = Array[Byte]('I','D','3', 3, 0, 0, 0, 0, 0, 30,
+      'T','I','T','2', 0, 0, 0, 10, 0, 0,
+      0, 'A',' ','S','o','n','g', 0, 0, 0) ++ Array.fill[Byte](10)(0)
+    assert(Mp3Codec.id3TextFrames(tag) == Map("TIT2" -> "A Song"))
+    // garbage after the header: skipped, no exception
+    assert(Mp3Codec.id3TextFrames(
+      Array[Byte]('I','D','3', 4, 0, 0, 0, 0, 0, 5, 1, 2, 3, 4, 5)).isEmpty)
+    assert(Mp3Codec.id3TextFrames(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
