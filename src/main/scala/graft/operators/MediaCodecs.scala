@@ -38,6 +38,9 @@ object MediaCodecs {
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
       Some("ppm")
+    else if (bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8' &&
+      (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') Some("gif")
     else if (bytes.length >= 8 && bytes.take(8).sameElements(PngSig))
       Some("png")
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
@@ -97,6 +100,7 @@ object MediaCodecs {
       case "bmp" => tryDecode(("bmp", decodeBmp(bytes)))
       case "ppm" => tryDecode(("ppm", decodePpm(bytes)))
       case "png" => tryDecode(("png", decodePng(bytes)))
+      case "gif" => tryDecode(("gif", decodeGif(bytes)))
       case "jpeg" => tryDecode(("jpeg", JpegCodec.decode(bytes)))
       case _ => None
     }
@@ -564,6 +568,148 @@ object MediaCodecs {
   // ---- G.711 mu-law ----------------------------------------------------
 
   /** Standard G.711 μ-law expansion (8-bit code → 16-bit linear). */
+  // ---- GIF (LZW, 87a/89a) ---------------------------------------------
+
+  /** GIF decode, first image frame: global/local color tables, both
+    * 87a and 89a (extensions skipped via their sub-block chains), the
+    * 4-pass row interlace, and the real variable-width LSB-first LZW
+    * with clear/end codes and 12-bit dictionary growth. Animated GIFs
+    * yield their first frame. */
+  def decodeGif(bytes: Array[Byte]): Image = {
+    require(sniff(bytes).contains("gif"), "not a GIF")
+    val packed = bytes(10) & 0xff
+    var pos = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val sz = 3 * (1 << ((packed & 7) + 1))
+      gct = java.util.Arrays.copyOfRange(bytes, pos, pos + sz)
+      pos += sz
+    }
+    while (pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 0x21 => // extension: label byte then sub-block chain
+          pos += 2
+          while (pos < bytes.length && bytes(pos) != 0)
+            pos += 1 + (bytes(pos) & 0xff)
+          pos += 1
+        case 0x2c => // image descriptor
+          val iw = u16(bytes, pos + 5); val ih = u16(bytes, pos + 7)
+          val ip = bytes(pos + 9) & 0xff
+          val interlaced = (ip & 0x40) != 0
+          pos += 10
+          var ct = gct
+          if ((ip & 0x80) != 0) {
+            val sz = 3 * (1 << ((ip & 7) + 1))
+            ct = java.util.Arrays.copyOfRange(bytes, pos, pos + sz)
+            pos += sz
+          }
+          require(ct != null, "GIF image without a color table")
+          // decompression-bomb guard: a 12-bit LZW code can emit at
+          // most a 4096-pixel run, so pixels beyond bytes*4096
+          // cannot be a real stream
+          require(iw.toLong * ih <= bytes.length.toLong * 4096,
+            s"gif dims ${iw}x$ih implausible for ${bytes.length} bytes")
+          val minCode = bytes(pos) & 0xff
+          pos += 1
+          // concatenate the data sub-blocks
+          val data = new ByteArrayOutputStream()
+          while (pos < bytes.length && bytes(pos) != 0) {
+            val n = bytes(pos) & 0xff
+            data.write(bytes, pos + 1, n)
+            pos += 1 + n
+          }
+          val d = data.toByteArray
+          // LZW, codes LSB-first
+          val clear = 1 << minCode
+          val endCode = clear + 1
+          val prefix = new Array[Int](4096)
+          val suffix = new Array[Byte](4096)
+          val stack = new Array[Byte](4097)
+          var dictSize = endCode + 1
+          var codeSize = minCode + 1
+          val idx = new Array[Byte](iw * ih)
+          var out = 0
+          var bitPos = 0L
+          var prev = -1
+          var firstByte = 0
+          def nextCode(): Int = {
+            if ((bitPos + codeSize) > d.length.toLong * 8) return endCode
+            var v = 0; var k = 0
+            while (k < codeSize) {
+              val b = ((bitPos + k) / 8).toInt
+              if (((d(b) >> ((bitPos + k) % 8).toInt) & 1) != 0)
+                v |= 1 << k
+              k += 1
+            }
+            bitPos += codeSize
+            v
+          }
+          var running = true
+          while (running && out < idx.length) {
+            val code = nextCode()
+            if (code == clear) {
+              dictSize = endCode + 1; codeSize = minCode + 1; prev = -1
+            } else if (code == endCode) running = false
+            else {
+              var sp = 0
+              var c = code
+              if (c >= dictSize) { // KwKwK case
+                stack(sp) = firstByte.toByte; sp += 1
+                c = prev
+              }
+              require(c < dictSize, s"gif: invalid LZW code $code")
+              while (c >= clear) {
+                stack(sp) = suffix(c); sp += 1; c = prefix(c)
+              }
+              firstByte = c
+              stack(sp) = c.toByte; sp += 1
+              while (sp > 0 && out < idx.length) {
+                sp -= 1; idx(out) = stack(sp); out += 1
+              }
+              if (prev >= 0 && dictSize < 4096) {
+                prefix(dictSize) = prev
+                suffix(dictSize) = firstByte.toByte
+                dictSize += 1
+                if (dictSize == (1 << codeSize) && codeSize < 12)
+                  codeSize += 1
+              }
+              prev = code
+            }
+          }
+          require(out == idx.length,
+            s"gif: short LZW stream ($out of ${idx.length} pixels)")
+          // de-interlace (rows in passes 0/8, 4/8, 2/4, 1/2) + palette
+          val rowOrder = new Array[Int](ih)
+          if (interlaced) {
+            var r = 0
+            for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                y <- start until ih by step) { rowOrder(r) = y; r += 1 }
+          } else {
+            var y = 0
+            while (y < ih) { rowOrder(y) = y; y += 1 }
+          }
+          val rgb = new Array[Byte](iw * ih * 3)
+          var r2 = 0
+          while (r2 < ih) {
+            val destY = rowOrder(r2)
+            var x = 0
+            while (x < iw) {
+              val ci = (idx(r2 * iw + x) & 0xff) * 3
+              require(ci + 2 < ct.length, "gif: palette index out of range")
+              val o = (destY * iw + x) * 3
+              rgb(o) = ct(ci); rgb(o + 1) = ct(ci + 1); rgb(o + 2) = ct(ci + 2)
+              x += 1
+            }
+            r2 += 1
+          }
+          return Image(iw, ih, rgb)
+        case 0x3b => throw new IllegalArgumentException("GIF trailer before any image")
+        case b => throw new IllegalArgumentException(s"unknown GIF block $b")
+      }
+    }
+    throw new IllegalArgumentException("GIF ended without an image")
+  }
+
   // ---- AIFF (big-endian IFF) and Sun AU -------------------------------
 
   /** AIFF decode (PCM-16/8): FORM/AIFF chunk walk — COMM (channel

@@ -1115,7 +1115,9 @@ object MultimodalOps {
         val names = Seq((1L, "wild_baseline.jpg"),
           (2L, "wild_rgba.png"), (3L, "wild_progressive.jpg"),
           (4L, "wild_gray.png"), (5L, "wild_grayalpha.png"),
-          (6L, "wild_palette.png"), (7L, "wild_interlaced.png"))
+          (6L, "wild_palette.png"), (7L, "wild_interlaced.png"),
+          (8L, "wild_89a.gif"), (9L, "wild_87a.gif"),
+          (10L, "wild_interlaced.gif"))
         val media = s.createDataset(names).mapPartitions { rows =>
           rows.map { case (id, name) =>
             val in = getClass.getResourceAsStream(s"/graft/$name")
@@ -1155,7 +1157,16 @@ object MultimodalOps {
             CAST(1025981 AS BIGINT)),
           (CAST(7 AS BIGINT), 'png', CAST(91 AS BIGINT),
             CAST(69 AS BIGINT), CAST(18837 AS BIGINT),
-            CAST(687369 AS BIGINT)))
+            CAST(687369 AS BIGINT)),
+          (CAST(8 AS BIGINT), 'gif', CAST(180 AS BIGINT),
+            CAST(68 AS BIGINT), CAST(36720 AS BIGINT),
+            CAST(6050829 AS BIGINT)),
+          (CAST(9 AS BIGINT), 'gif', CAST(460 AS BIGINT),
+            CAST(497 AS BIGINT), CAST(685860 AS BIGINT),
+            CAST(164879396 AS BIGINT)),
+          (CAST(10 AS BIGINT), 'gif', CAST(100 AS BIGINT),
+            CAST(100 AS BIGINT), CAST(30000 AS BIGINT),
+            CAST(3598720 AS BIGINT)))
           AS t(media_id, format, width, height, n_units, value_sum)
         ORDER BY media_id""")),
 

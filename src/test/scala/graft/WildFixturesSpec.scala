@@ -55,6 +55,32 @@ class WildFixturesSpec extends AnyFunSuite {
     }
   }
 
+  test("wild GIFs decode — 87a, 89a, and row-interlaced — matching " +
+      "an independent LZW oracle") {
+    // plain sums pin the LZW + palette; the position-weighted
+    // checksum additionally pins the 4-pass DE-INTERLACE (a plain
+    // sum is invariant under row permutation). Oracle: a separate
+    // dict-of-lists python LZW decoder over the same bytes.
+    for ((name, w, h, sum, wsum) <- Seq(
+        ("wild_89a.gif", 180, 68, 6050829L, 71202269689L),
+        ("wild_87a.gif", 460, 497, 164879396L, 37691104258368L),
+        ("wild_interlaced.gif", 100, 100, 3598720L, 28853396190L))) {
+      val Some(("gif", img)) = MediaCodecs.decodeImage(res(name))
+      assert(img.width == w && img.height == h, name)
+      var s = 0L; var ws = 0L; var p = 0
+      while (p < w * h) {
+        val r = img.rgb(p * 3) & 0xff
+        val g = img.rgb(p * 3 + 1) & 0xff
+        val b = img.rgb(p * 3 + 2) & 0xff
+        s += r + g + b
+        ws += (p + 1).toLong * (r + 2 * g + 3 * b)
+        p += 1
+      }
+      assert(s == sum, s"$name sum: got $s")
+      assert(ws == wsum, s"$name weighted: got $ws")
+    }
+  }
+
   test("a real stereo PCM-16 WAV (CPython test corpus) decodes " +
       "bit-exactly through the RIFF chunk walk") {
     val Some(("wav", a)) = MediaCodecs.decodeAudio(res("wild_stereo.wav"))
