@@ -40,8 +40,15 @@ object CapMetrics {
     * grow monotonically over a long-lived session — bounded for the
     * same reason the rest of this module exists. */
   private val MaxRetained = 512
+  /** Sessions with the listener attached. Weak keys (identity —
+    * SparkSession does not override equals) so entries die with
+    * their session instead of accumulating, and no derived key like
+    * an identity hash whose collision/reuse could silently skip
+    * registration for a new session. */
   private val installedSessions =
-    ConcurrentHashMap.newKeySet[String]()
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Attach the cap metrics to `df` (which must already carry the
     * `widthCol` group-width column). Pure plan decoration — no job
@@ -87,8 +94,7 @@ object CapMetrics {
     * PER SESSION (a JVM-global flag would leave every session after
     * the first without telemetry); called lazily by [[observeCap]]. */
   def install(spark: SparkSession): Unit =
-    if (installedSessions.add(
-        System.identityHashCode(spark).toHexString)) {
+    if (installedSessions.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
         private def harvest(
             qe: org.apache.spark.sql.execution.QueryExecution): Unit = {

@@ -30,6 +30,14 @@ object MediaCodecs {
   final case class Audio(sampleRate: Int, channels: Int,
       samples: Array[Short])
 
+  /** Absolute pixel ceiling for any decoded image (~32 Mpixel ≈
+    * 100 MiB rgb). Ratio-based bomb guards bound expansion relative
+    * to file size, but a few-hundred-KiB crafted file can still
+    * claim ~2 GiB of pixels inside those ratios; with 32 decode
+    * tasks per executor that is fatal. Real corpus images sit far
+    * below this; also keeps width*height*3 inside Int. */
+  private val MaxImagePixels: Long = 32L * 1024 * 1024
+
   private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G',
     0x0d, 0x0a, 0x1a, 0x0a)
 
@@ -371,6 +379,8 @@ object MediaCodecs {
     require(rawLen <= idat.size().toLong * 1032 + 4096,
       s"png dims ${width}x$height implausible for ${idat.size()} " +
         "compressed bytes")
+    require(width.toLong * height <= MaxImagePixels,
+      s"png dims ${width}x$height exceed the $MaxImagePixels-pixel cap")
     val raw = new Array[Byte](rawLen.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
@@ -513,6 +523,11 @@ object MediaCodecs {
       pos = body + size + (size & 1) // chunks are word-aligned
     }
     require(format > 0 && dataOff >= 0, "missing fmt/data chunk")
+    // a hostile header can claim dataSize near 2^31 with a tiny file
+    // behind it; every sample-array allocation below sizes off this,
+    // so clamp to bytes actually present first (the decodeAu rule)
+    val dataLen = math.min(dataSize.toLong,
+      math.max(0L, bytes.length.toLong - dataOff)).toInt
     format match {
       case 1 =>
         // PCM at the common wild depths, normalized to 16-bit: 8-bit
@@ -521,7 +536,7 @@ object MediaCodecs {
         require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
           s"PCM bit depth $bits unsupported (8/16/24/32)")
         val bpsB = bits / 8
-        val n = dataSize / bpsB
+        val n = dataLen / bpsB
         val samples = new Array[Short](n)
         var i = 0
         bits match {
@@ -548,9 +563,9 @@ object MediaCodecs {
         Audio(sampleRate, channels, samples)
       case 7 =>
         require(bits == 8, s"mu-law is 8-bit (got $bits)")
-        val samples = new Array[Short](dataSize)
+        val samples = new Array[Short](dataLen)
         var i = 0
-        while (i < dataSize) {
+        while (i < dataLen) {
           samples(i) = mulawToLinear(bytes(dataOff + i) & 0xff); i += 1
         }
         Audio(sampleRate, channels, samples)
@@ -558,7 +573,7 @@ object MediaCodecs {
         require(bits == 4, s"IMA ADPCM is 4-bit (got $bits)")
         require(channels >= 1 && channels <= 2,
           s"IMA ADPCM: 1-2 channels (got $channels)")
-        decodeImaBlocks(bytes, dataOff, dataSize, blockAlign, channels,
+        decodeImaBlocks(bytes, dataOff, dataLen, blockAlign, channels,
           sampleRate)
       case f => throw new IllegalArgumentException(
         s"unsupported WAV format tag $f (PCM=1, mu-law=7, IMA ADPCM=17)")
@@ -606,9 +621,14 @@ object MediaCodecs {
           require(ct != null, "GIF image without a color table")
           // decompression-bomb guard: a 12-bit LZW code can emit at
           // most a 4096-pixel run, so pixels beyond bytes*4096
-          // cannot be a real stream
+          // cannot be a real stream — and even a plausible ratio
+          // must not admit multi-GiB buffers (or Int overflow in
+          // the iw*ih*3 rgb allocation), so an absolute pixel cap
+          // applies regardless of file size
           require(iw.toLong * ih <= bytes.length.toLong * 4096,
             s"gif dims ${iw}x$ih implausible for ${bytes.length} bytes")
+          require(iw.toLong * ih <= MaxImagePixels,
+            s"gif dims ${iw}x$ih exceed the $MaxImagePixels-pixel cap")
           val minCode = bytes(pos) & 0xff
           pos += 1
           // concatenate the data sub-blocks

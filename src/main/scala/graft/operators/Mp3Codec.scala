@@ -201,12 +201,26 @@ object Mp3Codec {
               off + flen <= end =>
           if (ver == -1) {
             ver = v; layer = l; sr = s; ch = c
-            // Xing/Info/VBRI ride the FIRST frame's body
-            val body = new String(
-              bytes.slice(off + 4, math.min(off + flen, end)), "ISO-8859-1")
-            if (body.contains("Xing")) vbrTag = "Xing"
-            else if (body.contains("Info")) vbrTag = "Info"
-            else if (body.contains("VBRI")) vbrTag = "VBRI"
+            // Xing/Info ride the FIRST frame at a spec-fixed spot:
+            // right after the side info (whose size follows from
+            // version/channel mode, plus 2 CRC bytes when the
+            // protection bit is clear); VBRI sits at a fixed 32
+            // bytes past the header. Checking the exact offset —
+            // not substring-searching the whole body — keeps
+            // entropy bytes that happen to spell "Info" from
+            // flipping a plain CBR file to VBR.
+            val crcBytes = if ((bytes(off + 1) & 1) == 0) 2 else 0
+            val si =
+              if (v == 3) { if (c == 1) 17 else 32 }
+              else { if (c == 1) 9 else 17 }
+            def tagAt(o: Int, t: String): Boolean =
+              o + 4 <= end && o + 4 <= off + flen &&
+                bytes(o) == t(0) && bytes(o + 1) == t(1) &&
+                bytes(o + 2) == t(2) && bytes(o + 3) == t(3)
+            val xingOff = off + 4 + crcBytes + si
+            if (tagAt(xingOff, "Xing")) vbrTag = "Xing"
+            else if (tagAt(xingOff, "Info")) vbrTag = "Info"
+            else if (tagAt(off + 36, "VBRI")) vbrTag = "VBRI"
           }
           frames += 1
           samplesTotal += samples

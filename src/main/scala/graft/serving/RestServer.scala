@@ -152,15 +152,29 @@ final class RestServer(
   // table added to the dir after startup is still found.
   private val discovered =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  /** Last wall-clock refresh per dir — the negative cache. Without
+    * it, every request naming a missing table (a 404 probe loop, a
+    * dashboard polling a bad name) re-runs the full filesystem
+    * listing, which is a remote LIST per request on object storage. */
+  private val lastRefreshMs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val RefreshIntervalMs = 5000L
   private def tablesIn(dir: String): Seq[String] = {
     val cached = discovered.computeIfAbsent(dir,
       d => Tables.discover(spark, d))
     cached
   }
   private def tablesInRefreshed(dir: String): Seq[String] = {
-    val fresh = Tables.discover(spark, dir)
-    discovered.put(dir, fresh)
-    fresh
+    val now = System.currentTimeMillis()
+    val last = lastRefreshMs.get(dir)
+    if (last != null && now - last < RefreshIntervalMs)
+      tablesIn(dir)
+    else {
+      val fresh = Tables.discover(spark, dir)
+      discovered.put(dir, fresh)
+      lastRefreshMs.put(dir, now)
+      fresh
+    }
   }
 
   private def catalogJson(dir: String): String = {

@@ -161,6 +161,35 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(cg.nFrames == 0 && cg.version == "none")
   }
 
+  test("VBR tag detection reads the spec offset, not a body search") {
+    // MPEG-1 Layer III, 128 kbps, 44100 Hz, mono, no CRC:
+    // frame = 144*128000/44100 = 417 bytes; side info (v1 mono) = 17,
+    // so Xing/Info sits at exactly 4 + 17 = 21
+    def frame(tag: Option[String], plantAt: Option[(Int, String)])
+        : Array[Byte] = {
+      val f = new Array[Byte](417)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte
+      f(2) = 0x90.toByte; f(3) = 0xc0.toByte
+      tag.foreach(t => System.arraycopy(
+        t.getBytes("US-ASCII"), 0, f, 21, 4))
+      plantAt.foreach { case (o, t) => System.arraycopy(
+        t.getBytes("US-ASCII"), 0, f, o, 4) }
+      f
+    }
+    // entropy bytes spelling "Info"/"Xing" OFF the spec offset must
+    // not flip a CBR file to VBR (the false-positive the substring
+    // search had)
+    val cbr = Mp3Codec.census(frame(None, Some(100 -> "Info")) ++
+      frame(None, Some(60 -> "Xing")))
+    assert(cbr.vbrTag == "none" && !cbr.vbr)
+    // the real thing at the real offset is still seen
+    assert(Mp3Codec.census(frame(Some("Xing"), None)).vbrTag == "Xing")
+    assert(Mp3Codec.census(frame(Some("Info"), None)).vbrTag == "Info")
+    // VBRI rides offset 36 regardless of side-info size
+    assert(Mp3Codec.census(
+      frame(None, Some(36 -> "VBRI"))).vbrTag == "VBRI")
+  }
+
   test("wild MP3 takes the documented opaque path, never a crash") {
     // the sniffer requires an MPEG-1 Layer III sync at byte 0 (what
     // decode() supports); an ID3-prefixed MPEG-2 file is not claimed

@@ -160,6 +160,44 @@ class WildFixturesSpec extends AnyFunSuite {
     assert(a.samples.length == 6614) // bounded by bytes present
   }
 
+  test("hostile size fields clamp or refuse before allocating: WAV " +
+      "dataSize near 2^31, GIF dims inside the LZW ratio") {
+    def patchDataSize(wav: Array[Byte]): Array[Byte] = {
+      var d = 12
+      while (!(wav(d) == 'd' && wav(d + 1) == 'a' && wav(d + 2) == 't' &&
+        wav(d + 3) == 'a')) d += 1
+      val p = wav.clone()
+      p(d + 4) = 0xf0.toByte; p(d + 5) = 0xff.toByte
+      p(d + 6) = 0xff.toByte; p(d + 7) = 0x7f.toByte
+      p
+    }
+    // PCM path: the claimed size must clamp to bytes present
+    val pcm = MediaCodecs.encodeWav(MediaCodecs.Audio(8000, 1,
+      Array.tabulate[Short](300)(i => (i * 7).toShort)))
+    assert(MediaCodecs.decodeWav(patchDataSize(pcm)).samples.length == 300)
+    // mu-law path sizes its array straight off dataSize too
+    val ml = MediaCodecs.encodeMulawWav(MediaCodecs.Audio(8000, 1,
+      Array.fill[Short](200)(1000)))
+    assert(MediaCodecs.decodeWav(patchDataSize(ml)).samples.length == 200)
+
+    // GIF: 40000x40000 on a 400 KB file passes the 4096-pixels-per-
+    // byte LZW expansion ratio, so only the absolute pixel cap
+    // stands between the header and a ~2 GiB index allocation
+    val gif = new Array[Byte](400000)
+    val hdr = "GIF89a".getBytes("US-ASCII")
+    System.arraycopy(hdr, 0, gif, 0, 6)
+    gif(6) = 1; gif(8) = 1          // 1x1 canvas
+    gif(10) = 0x80.toByte           // GCT present, 2 entries (6 bytes)
+    // GCT occupies 13..18; image descriptor follows
+    gif(19) = 0x2c
+    gif(24) = 0x40; gif(25) = 0x9c.toByte // width  40000 LE
+    gif(26) = 0x40; gif(27) = 0x9c.toByte // height 40000 LE
+    val ge = intercept[IllegalArgumentException](
+      MediaCodecs.decodeGif(gif))
+    assert(ge.getMessage.contains("pixel cap"))
+    assert(MediaCodecs.decodeImage(gif).isEmpty)
+  }
+
   test("progressive JPEG refuses loudly and routes to the opaque path") {
     val bytes = res("wild_progressive.jpg")
     val ex = intercept[IllegalArgumentException](JpegCodec.decode(bytes))
