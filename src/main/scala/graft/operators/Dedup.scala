@@ -141,8 +141,16 @@ object Dedup {
     * handling anyway, not pairwise output). `Int.MaxValue` = off. */
   def minHashLsh(
       docs: DataFrame, k: Int, numHashes: Int, bands: Int,
+      maxBucketWidth: Int = Int.MaxValue): DataFrame =
+    minHashLshOnShingles(shingleSets(docs, k), numHashes, bands,
+      maxBucketWidth)
+
+  /** [[minHashLsh]] over a pre-built (typically caller-persisted)
+    * shingle frame — see [[jaccardPrefixFilteredOnShingles]]. */
+  def minHashLshOnShingles(
+      shingles: DataFrame, numHashes: Int, bands: Int,
       maxBucketWidth: Int = Int.MaxValue): DataFrame = {
-    val sig = minHashSignatures(shingleSets(docs, k), numHashes)
+    val sig = minHashSignatures(shingles, numHashes)
     val rows = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
@@ -490,6 +498,21 @@ object Dedup {
     // or the shingle build re-executes per consumer (A/B at sf0.1:
     // 8.7 s recomputed vs 5.9 s persisted, array verification in both)
     val sh = shingleSets(docs, k).persist()
+    // seal the (small) verified-pair set and release the shingle cache
+    // NOW — three consumers are done with it, and a pinned shingle
+    // frame otherwise survives the whole session (r10 bench leak)
+    CacheOps.sealAndRelease(
+      jaccardPrefixFilteredOnShingles(sh, tNum, tDen), sh)
+  }
+
+  /** [[jaccardPrefixFiltered]] over a CALLER-persisted shingle frame
+    * — the seam that lets an evaluation run (q203) build shingles
+    * once and feed both the exact-truth pass and the LSH candidate
+    * pass, instead of paying the tokenize+distinct subtree twice.
+    * `sh` must already be persisted; ownership (release) stays with
+    * the caller, and the returned frame is LAZY. */
+  def jaccardPrefixFilteredOnShingles(sh: DataFrame,
+      tNum: Int, tDen: Int): DataFrame = {
     // Verification carries each doc's FULL sorted shingle array to the
     // candidate pair and intersects ARRAYS map-side — candidates join
     // the |docs|-row array table twice (cheap keyed joins), instead of
@@ -533,10 +556,7 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (col("na") + col("nb") - col("inter")).cast(DoubleType))
       .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
-    // seal the (small) verified-pair set and release the shingle cache
-    // NOW — three consumers are done with it, and a pinned shingle
-    // frame otherwise survives the whole session (r10 bench leak)
-    CacheOps.sealAndRelease(verified, sh)
+    verified
   }
 
   /** Per-document derivative-content score: the share of a doc's word

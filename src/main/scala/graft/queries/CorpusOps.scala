@@ -833,8 +833,91 @@ object CorpusOps {
         SELECT doc_id, cluster_id, lang, n_tokens,
           CAST(CASE WHEN (rank0 // 4) % 2 = 0 THEN rank0 % 4
                ELSE 3 - rank0 % 4 END AS BIGINT) AS shard
-        FROM rk ORDER BY doc_id"""))
+        FROM rk ORDER BY doc_id""")),
+
+    // Linear quality probe — the fastText-style weak-label classifier
+    // of a published LLM curation pipeline (GPT-3's WebText-similarity
+    // filter / LLaMA's reference classifier), trained HERE by
+    // full-batch gradient descent: 3 iterations, each ONE map-side-
+    // combinable aggregate over the persisted feature frame; the
+    // 4-double model lives on the driver and re-enters as literals
+    // (control-plane pulls, the q228 BPE convention). The whole
+    // optimization trace is under the oracle hash: the DuckDB side
+    // replays the identical 3 GD steps as staged CTEs (algebraic
+    // sigmoid + DECIMAL(38,6) gradient sums make every step
+    // bit-reproducible across engines — see LinearProbe's scaladoc).
+    // At 100 TB: iterations × one scan of the cached projection,
+    // reduced to 5 scalars each; scoring is map-side; the only
+    // shuffle is the presentation sort.
+    Q("q256_quality_classifier",
+      (s, dir) => {
+        val ws = split(col("text"), " ")
+        val feats = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            (size(ws).cast(DoubleType) / lit(100.0)).as("x1"),
+            (col("n_chars").cast(DoubleType) / lit(1000.0)).as("x2"),
+            (size(array_distinct(ws)).cast(DoubleType) /
+              greatest(size(ws), lit(1)).cast(DoubleType)).as("x3"),
+            when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+              .as("y"))
+          .persist() // 3 GD iterations + the scoring pass read it
+        val w = graft.operators.LinearProbe.train(
+          feats, Seq("x1", "x2", "x3"), "y", iterations = 3, lr = 0.1)
+        val scored = graft.operators.LinearProbe
+          .score(feats, w.toSeq, Seq("x1", "x2", "x3"))
+          .select(col("doc_id"), col("x1"), col("x2"), col("x3"),
+            col("y").as("label"), col("score"),
+            (col("score") >= 0.5).as("selected"))
+          .orderBy("doc_id")
+        graft.operators.CacheOps.sealAndRelease(scored, feats)
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x1,
+            CAST(n_chars AS DOUBLE) / 1000.0 AS x2,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / CAST(greatest(len(string_split(text, ' ')), 1)
+                AS DOUBLE) AS x3,
+            CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END
+              AS DOUBLE) AS y
+          FROM documents),
+        wc0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0,
+          CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2,
+          CAST(0.0 AS DOUBLE) AS w3),
+        ${probeStep(0)},
+        ${probeStep(1)},
+        ${probeStep(2)},
+        scored AS (SELECT f.doc_id, f.x1, f.x2, f.x3, f.y AS label,
+            $ProbeP AS score
+          FROM f, wc3)
+        SELECT doc_id, x1, x2, x3, label, score,
+          score >= 0.5 AS selected
+        FROM scored ORDER BY doc_id"""))
   ) ++ extraQs
+
+  /** Margin / surrogate-sigmoid SQL for the q256 GD replay — the
+    * EXACT expression trees LinearProbe builds (left-associated adds,
+    * same literal order), so both engines evaluate identical IEEE
+    * operations. */
+  private def ProbeM = "(w0 + w1 * x1 + w2 * x2 + w3 * x3)"
+  private def ProbeP =
+    s"(0.5 + $ProbeM / (2.0 * (1.0 + abs($ProbeM))))"
+
+  /** One GD step k → k+1: gradient means over f under weights wc{k}
+    * (decimal-exact sums, one double division), then the weight
+    * update — mirrors LinearProbe.train's iteration verbatim. */
+  private def probeStep(k: Int): String = {
+    def d(x: String, alias: String) =
+      s"CAST(sum(CAST((($ProbeP - y)$x) AS DECIMAL(38,6))) AS DOUBLE)" +
+        s" / CAST(count(*) AS DOUBLE) AS $alias"
+    s"""sc${k + 1} AS (SELECT ${d("", "d0")},
+          ${d(" * x1", "d1")},
+          ${d(" * x2", "d2")},
+          ${d(" * x3", "d3")}
+        FROM f, wc$k),
+        wc${k + 1} AS (SELECT w0 - 0.1 * d0 AS w0, w1 - 0.1 * d1 AS w1,
+          w2 - 0.1 * d2 AS w2, w3 - 0.1 * d3 AS w3
+        FROM wc$k, sc${k + 1})"""
+  }
 
   /** Shared oracle CTE chain for the BPE queries (q228/q233): word
     * frequencies → char symbols (s0) → three rounds of (pair counts

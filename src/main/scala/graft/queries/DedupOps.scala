@@ -687,6 +687,117 @@ object DedupOps {
             < '19999999' THEN 'test' ELSE 'train' END) <>
           (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
             < '19999999' THEN 'test' ELSE 'train' END) AS rescued
-        FROM comp ORDER BY doc_id"""))
+        FROM comp ORDER BY doc_id""")),
+
+    // URL canonicalization + keeper dedup — the first pass of every
+    // web-corpus pipeline (CommonCrawl-style): the same page arrives
+    // under scheme/host case variants, an explicit default port,
+    // tracking parameters (utm_*, fbclid), unordered query strings,
+    // /index.html vs trailing-slash path spellings, and fragments.
+    // Canonicalize (lowercase scheme+host, strip :443, drop fragment
+    // and tracking params, sort surviving params, normalize the path
+    // tail), then keep min(doc_id) per canonical URL. URLs are
+    // synthesized deterministically from doc_id (the documents table
+    // carries none — the packEncodedMedia convention), cycling
+    // through ALL the variant classes so each rule is exercised; the
+    // oracle re-canonicalizes from scratch in DuckDB, so every rule
+    // sits under the hash. Note both engines treat LIKE '_' as a
+    // single-char wildcard — identical on both sides, and the broader
+    // match is correct canonicalizer behavior anyway (utm.anything is
+    // tracking). Scale shape: synthesis + canonicalization are pure
+    // row-local expressions; the keeper pass is ONE map-side-
+    // combinable aggregate on the canonical key plus a keyed join —
+    // the exact-dedup shape (q21), no window, nothing corpus².
+    Q("q257_url_canonical_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{
+          concat, when, lower, regexp_extract, regexp_replace, expr,
+          element_at, split, coalesce, min}
+        val id = col("doc_id")
+        val url = concat(
+          lit("HTTPS://WWW.Site"), (id % 8).cast("string"),
+          lit(".EXAMPLE.com:443/cat/"), (id % 6).cast("string"),
+          when(id % 3 === 0, "/").when(id % 3 === 1, "")
+            .otherwise("/index.html"),
+          lit("?"),
+          when(id % 2 === 0, concat(lit("utm_source=feed&id="),
+            (id % 12).cast("string"), lit("&utm_medium=rss")))
+            .otherwise(concat(lit("id="), (id % 12).cast("string"),
+              lit("&fbclid=XYZ"), (id % 5).cast("string"))),
+          when(id % 4 === 0, "#sec").otherwise(""))
+        val canon = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("u", element_at(split(col("url"), "#"), 1))
+          .withColumn("pre", regexp_replace(
+            lower(regexp_extract(col("u"), "^([^/]*//[^/]*)", 1)),
+            ":443$", ""))
+          .withColumn("rest",
+            regexp_replace(col("u"), "^[^/]*//[^/]*", ""))
+          .withColumn("path", regexp_replace(regexp_replace(
+            element_at(split(col("rest"), "\\?"), 1),
+            "/index\\.html$", ""), "/$", ""))
+          .withColumn("cq", expr("array_join(array_sort(filter(" +
+            "split(coalesce(element_at(split(rest, '\\\\?'), 2), ''), " +
+            "'&'), x -> NOT (x LIKE 'utm_%' OR x LIKE 'fbclid=%' " +
+            "OR x LIKE 'gclid=%'))), '&')"))
+          .select(col("doc_id"), col("url"),
+            concat(col("pre"),
+              when(col("path") === "", "/").otherwise(col("path")),
+              when(col("cq") === "", "")
+                .otherwise(concat(lit("?"), col("cq"))))
+              .as("canonical_url"))
+        val keep = canon.groupBy("canonical_url")
+          .agg(min(col("doc_id")).as("keeper_id"),
+            count(lit(1)).as("dup_count"))
+        canon.join(keep, "canonical_url")
+          .select(col("doc_id"), col("url"), col("canonical_url"),
+            col("keeper_id"), col("dup_count"),
+            (col("doc_id") === col("keeper_id")).as("is_kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (SELECT doc_id,
+            'HTTPS://WWW.Site' || CAST(doc_id % 8 AS VARCHAR) ||
+            '.EXAMPLE.com:443/cat/' || CAST(doc_id % 6 AS VARCHAR) ||
+            (CASE WHEN doc_id % 3 = 0 THEN '/'
+                  WHEN doc_id % 3 = 1 THEN ''
+                  ELSE '/index.html' END) || '?' ||
+            (CASE WHEN doc_id % 2 = 0
+              THEN 'utm_source=feed&id=' || CAST(doc_id % 12 AS VARCHAR)
+                || '&utm_medium=rss'
+              ELSE 'id=' || CAST(doc_id % 12 AS VARCHAR)
+                || '&fbclid=XYZ' || CAST(doc_id % 5 AS VARCHAR) END) ||
+            (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END) AS url
+          FROM documents),
+        c1 AS (SELECT doc_id, url,
+            string_split(url, '#')[1] AS u
+          FROM raw),
+        c2 AS (SELECT doc_id, url, u,
+            regexp_replace(lower(regexp_extract(u,
+              '^([^/]*//[^/]*)', 1)), ':443$', '') AS pre,
+            regexp_replace(u, '^[^/]*//[^/]*', '') AS rest
+          FROM c1),
+        c3 AS (SELECT doc_id, url, pre,
+            regexp_replace(regexp_replace(
+              string_split(rest, '?')[1],
+              '/index\.html$', ''), '/$', '') AS path,
+            array_to_string(list_sort(list_filter(
+              string_split(coalesce(string_split(rest, '?')[2], ''),
+                '&'),
+              x -> NOT (x LIKE 'utm_%' OR x LIKE 'fbclid=%'
+                OR x LIKE 'gclid=%'))), '&') AS cq
+          FROM c2),
+        canon AS (SELECT doc_id, url,
+            pre || (CASE WHEN path = '' THEN '/' ELSE path END) ||
+              (CASE WHEN cq = '' THEN ''
+                    ELSE '?' || cq END) AS canonical_url
+          FROM c3),
+        keep AS (SELECT canonical_url,
+            CAST(min(doc_id) AS BIGINT) AS keeper_id,
+            CAST(count(*) AS BIGINT) AS dup_count
+          FROM canon GROUP BY 1)
+        SELECT c.doc_id, c.url, c.canonical_url, k.keeper_id,
+          k.dup_count, c.doc_id = k.keeper_id AS is_kept
+        FROM canon c JOIN keep k USING (canonical_url)
+        ORDER BY c.doc_id"""))
   )
 }

@@ -142,11 +142,15 @@ object EvalOps {
     Q("q203_lsh_recall",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        // both pair frames feed two consumers (their own count + the
-        // hit join) over expensive shingle subtrees — persist
-        val truth = Dedup.jaccardPrefixFiltered(docs, DedupOps.K, 1, 2)
+        // ONE shingle frame feeds both the exact-truth pass and the
+        // LSH candidate pass (the tokenize+distinct subtree is the
+        // shared prefix of both); both pair frames then feed two
+        // consumers each (their own count + the hit join) — persist
+        // all three, released with the seal below
+        val sh = Dedup.shingleSets(docs, DedupOps.K).persist()
+        val truth = Dedup.jaccardPrefixFilteredOnShingles(sh, 1, 2)
           .select("doc_a", "doc_b").persist()
-        val cand = Dedup.minHashLsh(docs, DedupOps.K, DedupOps.NumHashes,
+        val cand = Dedup.minHashLshOnShingles(sh, DedupOps.NumHashes,
             DedupOps.Bands, maxBucketWidth = DedupOps.MaxBucketWidth)
           .select("doc_a", "doc_b").persist()
         val nTrue = truth.agg(count(lit(1)).as("n_true"))
@@ -160,7 +164,7 @@ object EvalOps {
                 col("n_true").cast(DoubleType)).as("recall"),
               (col("n_hit").cast(DoubleType) /
                 col("n_cand").cast(DoubleType)).as("precision")),
-          truth, cand)
+          truth, cand, sh)
       },
       Some(s"""WITH ${DedupOps.lshCandidateCtes("documents")},
           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

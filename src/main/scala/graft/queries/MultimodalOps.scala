@@ -337,7 +337,11 @@ object MultimodalOps {
         val media = Multimodal.packEncodedMedia(
           Tables.load(s, dir, "documents")
             .filter(col("doc_id") % 3 =!= 1))
-        val hashes = Multimodal.dHash(media).toDF()
+        // two consumers over the full encode+decode subtree — the
+        // near-dup pairing AND the node universe (isolated images
+        // must come back as singleton clusters); without the persist
+        // the corpus decodes twice
+        val hashes = Multimodal.dHash(media).toDF().persist()
         val pairs = Multimodal.dHashNearDup(hashes, bands = 4,
           maxHamming = 3)
         val cc = graft.operators.ConnectedComponents.components(
@@ -345,11 +349,13 @@ object MultimodalOps {
           nodes = Some(hashes.select(col("media_id"))))
         val sizes = cc.groupBy("component")
           .agg(count(lit(1)).as("cluster_size"))
-        cc.join(sizes, "component")
-          .select(col("node").as("media_id"),
-            col("component").as("cluster_id"), col("cluster_size"),
-            (col("node") === col("component")).as("is_canonical"))
-          .orderBy("media_id")
+        graft.operators.CacheOps.sealAndRelease(
+          cc.join(sizes, "component")
+            .select(col("node").as("media_id"),
+              col("component").as("cluster_id"), col("cluster_size"),
+              (col("node") === col("component")).as("is_canonical"))
+            .orderBy("media_id"),
+          hashes)
       },
       Some("""WITH RECURSIVE g AS (SELECT doc_id,
             CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS w,

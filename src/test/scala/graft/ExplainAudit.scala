@@ -59,7 +59,8 @@ object ExplainAudit {
       "q248_association_rules", "q249_balanced_shards",
       "q250_curation_pipeline", "q251_dup_graph_assortativity",
       "q252_dup_flow_matrix", "q253_mp3_wild_census",
-      "q254_image_wild_decode", "q255_audio_wild_decode")
+      "q254_image_wild_decode", "q255_audio_wild_decode",
+      "q256_quality_classifier", "q257_url_canonical_dedup")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
