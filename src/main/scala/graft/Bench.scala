@@ -108,8 +108,13 @@ object Bench {
     val metrics = results.map { case (k, r) =>
       s""""$k":{"sec":${if (r.sec.isInfinite) -1 else r.sec},"gc_sec":${r.gc},"leaked_rdds":${r.leakedRdds},"leaked_bytes":${r.leakedBytes},"heap_mb":${r.heapMb}}"""
     }.mkString("{", ",", "}")
+    // Filtered iteration runs must not clobber the committed FULL-run
+    // records — divert their file output unless explicitly pointed
+    // somewhere (the console JSON is unaffected).
+    val filteredDefault =
+      if (only.isDefined) "/tmp/BENCH_partial" else ""
     val metricsFile = sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT",
-      "BENCH_metrics.json")
+      s"${filteredDefault}BENCH_metrics.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(metricsFile),
       (metrics + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
@@ -119,7 +124,8 @@ object Bench {
     // Also persist the FULL per-query map: the driver's console tail
     // truncates to ~2 KB, which silently drops the first ~90 entries —
     // round-over-round comparison needs every query's time on disk.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"${filteredDefault}BENCH_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>

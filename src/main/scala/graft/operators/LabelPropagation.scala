@@ -38,8 +38,17 @@ object LabelPropagation {
     val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
       // the per-round join reuses this frame `rounds` times
       .persist()
+    // Each round reads the previous label table TWICE (the adoption
+    // join and the carry-forward outer join), so without per-round
+    // materialization the plan tree doubles every round — exchange
+    // reuse hides most of the recompute but planning/codegen still
+    // walk a 2^rounds tree, and at a 10-round community run the
+    // lineage would be untenable. Same device as ConnectedComponents:
+    // eager localCheckpoint per round, previous round released as
+    // soon as the next is materialized — live storage is O(1) rounds.
     val init = nodes.select(col(nodeCol).as("node"))
       .withColumn("lbl", col("node"))
+      .localCheckpoint()
     val fin = (1 to rounds).foldLeft(init) { (labels, _) =>
       val adopted = und
         .join(labels.withColumnRenamed("node", "v"), Seq("v"))
@@ -51,15 +60,21 @@ object LabelPropagation {
         .agg(min(struct((-col("cnt")).as("neg"), col("lbl").as("l")))
           .as("m"))
         .select(col("u").as("node"), col("m.l").as("adopt"))
-      labels.join(adopted, Seq("node"), "left")
+      val next = labels.join(adopted, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("adopt"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      CacheOps.releaseCheckpoint(labels)
+      next
     }
-    // seal the (node, label) table and release the undirected-edge
-    // cache that each round re-joined — nothing re-reads it after the
-    // seal, and the pinned adjacency otherwise outlives the query
-    CacheOps.sealAndRelease(
-      fin.select(col("node"), col("lbl").as("label")), und)
+    // seal the (node, label) table, then release the final round's
+    // checkpoint and the undirected-edge cache that each round
+    // re-joined — nothing re-reads either after the seal
+    CacheOps.sealThen(
+      fin.select(col("node"), col("lbl").as("label"))) {
+      CacheOps.releaseCheckpoint(fin)
+      und.unpersist(false)
+    }
   }
 
   /** The DuckDB mirror of [[run]] as an unrolled CTE chain — ONE

@@ -851,48 +851,107 @@ object CorpusOps {
     // shuffle is the presentation sort.
     Q("q256_quality_classifier",
       (s, dir) => {
-        val ws = split(col("text"), " ")
-        val feats = Tables.load(s, dir, "documents")
-          .select(col("doc_id"),
-            (size(ws).cast(DoubleType) / lit(100.0)).as("x1"),
-            (col("n_chars").cast(DoubleType) / lit(1000.0)).as("x2"),
-            (size(array_distinct(ws)).cast(DoubleType) /
-              greatest(size(ws), lit(1)).cast(DoubleType)).as("x3"),
-            when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
-              .as("y"))
+        val feats = probeFeatures(Tables.load(s, dir, "documents"))
           .persist() // 3 GD iterations + the scoring pass read it
         val w = graft.operators.LinearProbe.train(
-          feats, Seq("x1", "x2", "x3"), "y", iterations = 3, lr = 0.1)
+          feats, ProbeFeats, "y", iterations = 3, lr = 0.1)
         val scored = graft.operators.LinearProbe
-          .score(feats, w.toSeq, Seq("x1", "x2", "x3"))
+          .score(feats, w.toSeq, ProbeFeats)
           .select(col("doc_id"), col("x1"), col("x2"), col("x3"),
             col("y").as("label"), col("score"),
             (col("score") >= 0.5).as("selected"))
           .orderBy("doc_id")
         graft.operators.CacheOps.sealAndRelease(scored, feats)
       },
-      Some(s"""WITH f AS (SELECT doc_id,
-            CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x1,
-            CAST(n_chars AS DOUBLE) / 1000.0 AS x2,
-            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-              / CAST(greatest(len(string_split(text, ' ')), 1)
-                AS DOUBLE) AS x3,
-            CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END
-              AS DOUBLE) AS y
-          FROM documents),
-        wc0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0,
-          CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2,
-          CAST(0.0 AS DOUBLE) AS w3),
-        ${probeStep(0)},
-        ${probeStep(1)},
-        ${probeStep(2)},
-        scored AS (SELECT f.doc_id, f.x1, f.x2, f.x3, f.y AS label,
-            $ProbeP AS score
-          FROM f, wc3)
+      Some(s"""WITH $ProbeScoredCtes
         SELECT doc_id, x1, x2, x3, label, score,
           score >= 0.5 AS selected
-        FROM scored ORDER BY doc_id"""))
+        FROM scored ORDER BY doc_id""")),
+
+    // Uncertainty sampling over the trained probe — the
+    // active-learning step that closes the weak-label loop: per
+    // source, the k documents the model is LEAST sure about
+    // (|score−0.5| smallest) are the ones a curator labels next.
+    // Selection runs through the bounded-state TopKAggregate (k
+    // pairs per source held map-side, merge-commutative), NOT a
+    // row_number window — at 100 TB the window form sorts every
+    // group's full membership to keep 5 rows. The oracle IS that
+    // window formulation, so the bounded aggregate is hash-proven
+    // equal to it; uncertainty doubles are bit-identical because the
+    // probe replay is (see LinearProbe).
+    Q("q259_uncertainty_sample",
+      (s, dir) => {
+        val feats = probeFeatures(Tables.load(s, dir, "documents"))
+          .persist()
+        val w = graft.operators.LinearProbe.train(
+          feats, ProbeFeats, "y", iterations = 3, lr = 0.1)
+        val scored = graft.operators.LinearProbe
+          .score(feats, w.toSeq, ProbeFeats)
+          .select(col("source"), col("doc_id"),
+            abs(col("score") - lit(0.5)).as("u"))
+        val picked = scored.groupBy("source")
+          .agg(graft.expressions.TopKAggregate
+            .bottomK(col("u"), col("doc_id"), 5).as("tk"))
+          .select(col("source"), posexplode(col("tk")))
+          .select(col("source"),
+            (col("pos") + 1).cast("long").as("rk"),
+            col("col._2").as("doc_id"),
+            col("col._1").as("uncertainty"))
+          .orderBy("source", "rk")
+        graft.operators.CacheOps.sealAndRelease(picked, feats)
+      },
+      Some(s"""WITH $ProbeScoredCtes,
+        u AS (SELECT d.source, s.doc_id, abs(s.score - 0.5) AS u
+          FROM scored s JOIN documents d USING (doc_id)),
+        rk AS (SELECT source, doc_id, u, row_number() OVER (
+            PARTITION BY source ORDER BY u, doc_id) AS rk FROM u)
+        SELECT source, CAST(rk AS BIGINT) AS rk, doc_id,
+          u AS uncertainty
+        FROM rk WHERE rk <= 5 ORDER BY source, rk"""))
   ) ++ extraQs
+
+  /** The q256 probe's feature projection — shared with the streaming
+    * twin (q258) so the trained model applies to a stream by
+    * CONSTRUCTION, not by a hand-kept copy. All expressions are
+    * stateless and deterministic (exact int→double casts, one
+    * correctly-rounded division each), so both engines — and the
+    * batch/stream sides — produce identical bits. */
+  private[queries] val ProbeFeats = Seq("x1", "x2", "x3")
+  private[queries] def probeFeatures(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ws = split(col("text"), " ")
+    df.select(col("doc_id"), col("source"),
+      (size(ws).cast(DoubleType) / lit(100.0)).as("x1"),
+      (col("n_chars").cast(DoubleType) / lit(1000.0)).as("x2"),
+      (size(array_distinct(ws)).cast(DoubleType) /
+        greatest(size(ws), lit(1)).cast(DoubleType)).as("x3"),
+      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+        .as("y"))
+  }
+
+  /** Shared oracle CTE chain for the probe (q256/q258): features →
+    * 3 staged GD steps → per-doc scores, ONE copy so the replay
+    * can't drift between the batch and streaming twins. Yields
+    * `scored(doc_id, x1, x2, x3, label, score)`. */
+  private[queries] def ProbeScoredCtes: String =
+    s"""f AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x1,
+          CAST(n_chars AS DOUBLE) / 1000.0 AS x2,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / CAST(greatest(len(string_split(text, ' ')), 1)
+              AS DOUBLE) AS x3,
+          CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END
+            AS DOUBLE) AS y
+        FROM documents),
+      wc0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0,
+        CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2,
+        CAST(0.0 AS DOUBLE) AS w3),
+      ${probeStep(0)},
+      ${probeStep(1)},
+      ${probeStep(2)},
+      scored AS (SELECT f.doc_id, f.x1, f.x2, f.x3, f.y AS label,
+          $ProbeP AS score
+        FROM f, wc3)"""
 
   /** Margin / surrogate-sigmoid SQL for the q256 GD replay — the
     * EXACT expression trees LinearProbe builds (left-associated adds,

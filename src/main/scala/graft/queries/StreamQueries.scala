@@ -786,7 +786,37 @@ object StreamQueries {
             .orderBy("doc_id"),
           occ)
       },
-      Some(CorpusOps.DsirOracle))
+      Some(CorpusOps.DsirOracle)),
+
+    // Streaming twin of q256 — the filter-at-ingest deployment of the
+    // trained quality probe: the model is learned offline on the
+    // static corpus (3 exact-GD iterations), then applied to the
+    // document STREAM as a pure stateless projection (features +
+    // surrogate sigmoid are row-local expressions, so the scoring
+    // needs no state store, no watermark, no shuffle — the cheapest
+    // possible streaming stage). Same oracle CTE chain as q256, so
+    // train-offline/score-online is hash-proven equal to
+    // train-offline/score-offline.
+    Q("q258_stream_quality_filter",
+      (s, dir) => {
+        val feats = CorpusOps.probeFeatures(
+          Tables.load(s, dir, "documents")).persist()
+        val w = graft.operators.LinearProbe.train(
+          feats, CorpusOps.ProbeFeats, "y", iterations = 3, lr = 0.1)
+        feats.unpersist(false)
+        val scoredS = graft.operators.LinearProbe
+          .score(CorpusOps.probeFeatures(documentsStream(s, dir)),
+            w.toSeq, CorpusOps.ProbeFeats)
+          .select(col("doc_id"), col("score"),
+            (col("score") >= 0.5).as("selected"))
+        s.catalog.dropTempView("q258_sink")
+        StreamOps.drainToMemory(scoredS, "q258_sink",
+          OutputMode.Append())
+        s.table("q258_sink").orderBy("doc_id")
+      },
+      Some(s"""WITH ${CorpusOps.ProbeScoredCtes}
+        SELECT doc_id, score, score >= 0.5 AS selected
+        FROM scored ORDER BY doc_id"""))
   )
 
   /** Documents landing zone (the eventsStream pattern): one parquet
