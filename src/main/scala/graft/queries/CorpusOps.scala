@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType}
 
 import graft.Tables
 import graft.functions.ExactAgg
@@ -907,7 +907,93 @@ object CorpusOps {
             PARTITION BY source ORDER BY u, doc_id) AS rk FROM u)
         SELECT source, CAST(rk AS BIGINT) AS rk, doc_id,
           u AS uncertainty
-        FROM rk WHERE rk <= 5 ORDER BY source, rk"""))
+        FROM rk WHERE rk <= 5 ORDER BY source, rk""")),
+
+    // Structured-data-to-text linearization — the example constructor
+    // for training LLMs on tabular facts (the public table-to-text
+    // corpus recipe: serialize each fact row through a template,
+    // count tokens for the mixture budget). Exercises the warehouse
+    // side of the engine inside the corpus pipeline: orders⨝customer
+    // is the real fact-dimension shuffle join, nation broadcasts, and
+    // everything after is row-local string assembly. Cross-engine
+    // exactness: money through DECIMAL(12,2)→string (fixed 2-digit
+    // rendering on both engines — raw double→string formatting is NOT
+    // portable), dates through DATE→string (ISO on both).
+    Q("q260_table_linearize",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val cust = Tables.load(s, dir, "customer")
+        val nation = Tables.load(s, dir, "nation")
+        val txt = concat(lit("Customer "), col("c_name"),
+          lit(" from "), col("n_name"),
+          lit(" placed order "), col("o_orderkey").cast("string"),
+          lit(" for $"),
+          col("o_totalprice").cast(DecimalType(12, 2)).cast("string"),
+          lit(" on "), col("o_orderdate").cast(DateType).cast("string"),
+          lit(" with priority "), col("o_orderpriority"), lit("."))
+        orders.join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("o_orderkey"), col("n_name").as("nation"),
+            txt.as("text"))
+          .withColumn("n_tokens",
+            size(split(col("text"), " ")).cast("long"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH t AS (SELECT o_orderkey, n_name AS nation,
+            'Customer ' || c_name || ' from ' || n_name ||
+              ' placed order ' || CAST(o_orderkey AS VARCHAR) ||
+              ' for $' ||
+              CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) ||
+              ' on ' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) ||
+              ' with priority ' || o_orderpriority || '.' AS text
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey)
+        SELECT o_orderkey, nation, text,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM t ORDER BY o_orderkey""")),
+
+    // Fill-in-middle example construction (the code-model training
+    // transform, Bavarian et al. 2022's public PSM format): split
+    // each document's token stream at deterministic 40%/70%
+    // boundaries (integer div — identical on both engines) and emit
+    // <PRE>prefix<SUF>suffix<MID>middle. Pure row-local expressions:
+    // at 100 TB this is a zero-shuffle map over the corpus (the only
+    // exchange below is the presentation sort), which is exactly how
+    // a FIM pass must behave — no state, no join, no window.
+    Q("q261_fim_split",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .withColumn("n", size(col("ws")))
+          .filter(col("n") >= 10)
+          .withColumn("p1", expr("(n * 2) div 5"))
+          .withColumn("p2", expr("(n * 7) div 10"))
+        d.select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+            col("p1").cast("long").as("p1"),
+            col("p2").cast("long").as("p2"),
+            concat(lit("<PRE>"),
+              array_join(expr("slice(ws, 1, p1)"), " "),
+              lit("<SUF>"),
+              array_join(expr("slice(ws, p2 + 1, n - p2)"), " "),
+              lit("<MID>"),
+              array_join(expr("slice(ws, p1 + 1, p2 - p1)"), " "))
+              .as("fim_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+            len(string_split(text, ' ')) AS n
+          FROM documents),
+        f AS (SELECT doc_id, ws, n, (n * 2) // 5 AS p1,
+            (n * 7) // 10 AS p2
+          FROM w WHERE n >= 10)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+          CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+          '<PRE>' || array_to_string(ws[1:p1], ' ') ||
+            '<SUF>' || array_to_string(ws[p2+1:n], ' ') ||
+            '<MID>' || array_to_string(ws[p1+1:p2], ' ') AS fim_text
+        FROM f ORDER BY doc_id"""))
   ) ++ extraQs
 
   /** The q256 probe's feature projection — shared with the streaming

@@ -9,6 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
 import graft.functions.{GrafanaMacros, TimeFuncs}
 import graft.operators.{RestQuery, RpcRegistry}
+import graft.serving.RestErrors.{BadRequest, NotFound}
 
 /** Optional thin HTTP read shim — demo parity with the reference's read
   * path, which serves the database over PostgREST (`compose.yml:38-49`,
@@ -197,6 +198,11 @@ final class RestServer(
     ex.getResponseBody.write(bytes)
   }
 
-  private final class NotFound(msg: String) extends RuntimeException(msg)
-  private final class BadRequest(msg: String) extends RuntimeException(msg)
+}
+
+/** Typed HTTP error signals — top-level (not inner classes) so the
+  * handler's type tests need no outer-instance check. */
+private object RestErrors {
+  final class NotFound(msg: String) extends RuntimeException(msg)
+  final class BadRequest(msg: String) extends RuntimeException(msg)
 }

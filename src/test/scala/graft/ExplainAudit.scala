@@ -61,7 +61,8 @@ object ExplainAudit {
       "q252_dup_flow_matrix", "q253_mp3_wild_census",
       "q254_image_wild_decode", "q255_audio_wild_decode",
       "q256_quality_classifier", "q257_url_canonical_dedup",
-      "q258_stream_quality_filter", "q259_uncertainty_sample")
+      "q258_stream_quality_filter", "q259_uncertainty_sample",
+      "q260_table_linearize", "q261_fim_split")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString

@@ -86,4 +86,27 @@ class LinearProbeSpec extends SparkSpec {
     assert(out.exists(r => r.getAs[String]("url").contains("utm_source")))
     assert(out.exists(r => r.getAs[String]("url").contains("fbclid")))
   }
+
+  test("q261 FIM splits are LOSSLESS: prefix+middle+suffix reassemble " +
+      "the original token stream, boundaries at 40%/70%") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val out = queries.Registry.queries("q261_fim_split")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val fim = r.getAs[String]("fim_text")
+      val n = r.getAs[Long]("n_tokens")
+      val (p1, p2) = (r.getAs[Long]("p1"), r.getAs[Long]("p2"))
+      assert(p1 == n * 2 / 5 && p2 == n * 7 / 10 && p1 >= 1 && p2 < n)
+      // reassemble PSM → original
+      val Array(pre, rest) = fim.stripPrefix("<PRE>").split("<SUF>", 2)
+      val Array(suf, mid) = rest.split("<MID>", 2)
+      val orig = docs(r.getAs[Long]("doc_id")).split(" ", -1)
+      assert((pre.split(" ", -1) ++ mid.split(" ", -1) ++
+        suf.split(" ", -1)).toSeq == orig.toSeq,
+        s"doc ${r.getAs[Long]("doc_id")} did not reassemble")
+    }
+  }
 }

@@ -569,4 +569,28 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Join"),
       s"sign lookup must be a literal array, not a join:\n$plan")
   }
+
+  test("q256 probe scoring is map-side only — the model rides as " +
+      "literals, no hash exchange anywhere before the output sort") {
+    val plan = graft.queries.Registry
+      .queries("q256_quality_classifier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"probe scoring must not shuffle (iterations aggregate to the " +
+        s"driver; scoring is row-local):\n$plan")
+    assert(!plan.contains("Join"),
+      s"the model must enter as literals, never a join:\n$plan")
+  }
+
+  test("q259 uncertainty sampling runs on the bounded top-k " +
+      "aggregate, never a rank window over full groups") {
+    val plan = graft.queries.Registry
+      .queries("q259_uncertainty_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the TopKAggregate object hash aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"per-source selection must not sort full groups through a " +
+        s"window:\n$plan")
+  }
 }
