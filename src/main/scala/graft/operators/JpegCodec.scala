@@ -430,6 +430,13 @@ object JpegCodec {
     // byte per 1024 pixels.
     require(width.toLong * height <= bytes.length.toLong * 1024,
       s"jpeg dims ${width}x$height implausible for ${bytes.length} bytes")
+    // absolute cap regardless of file size (MediaCodecs.MaxImagePixels
+    // rationale): a ~660 KB file claiming 26000x26000 passes the
+    // ratio above but would allocate a ~676 MB plane per component
+    // and a ~2 GB rgb buffer; larger dims overflow width*height*3
+    require(width.toLong * height <= MediaCodecs.MaxImagePixels,
+      s"jpeg dims ${width}x$height exceed the " +
+        s"${MediaCodecs.MaxImagePixels}-pixel cap")
 
     // per-component pixel planes at the component's own resolution
     val planeW = comps.map(c => mcusX * c.h * 8)

@@ -69,6 +69,10 @@ object LinearProbe {
         sum(g.cast(DecimalType(38, 6))).cast(DoubleType))
       val r = feats.agg(grads.head, grads.tail :+ count(lit(1)): _*)
         .head()
+      // empty input: decimal sums come back null and n = 0 — the
+      // gradient is undefined, so the probe stays at its current
+      // weights instead of silently going NaN
+      if (r.getLong(w.length) == 0L) return w
       val n = r.getLong(w.length).toDouble
       w = w.zipWithIndex.map { case (wj, j) =>
         wj - lr * (r.getDouble(j) / n)

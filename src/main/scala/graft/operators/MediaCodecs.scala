@@ -36,7 +36,7 @@ object MediaCodecs {
     * claim ~2 GiB of pixels inside those ratios; with 32 decode
     * tasks per executor that is fatal. Real corpus images sit far
     * below this; also keeps width*height*3 inside Int. */
-  private val MaxImagePixels: Long = 32L * 1024 * 1024
+  private[operators] val MaxImagePixels: Long = 32L * 1024 * 1024
 
   private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G',
     0x0d, 0x0a, 0x1a, 0x0a)

@@ -64,7 +64,7 @@ class LinearProbeSpec extends SparkSpec {
     val out = queries.Registry.queries("q257_url_canonical_dedup")(
       spark, sf).collect()
     // variants differ only in path spelling / tracking params /
-    // fragment when (id%37, id%11, id%13) agree — every group keeper
+    // fragment when (id%8, id%6, id%12) agree — every group keeper
     // is its minimum member, and groups do merge across variants
     val byCanon = out.groupBy(_.getAs[String]("canonical_url"))
     assert(byCanon.exists(_._2.length > 1), "no URL group merged")

@@ -137,6 +137,17 @@ class WildFixturesSpec extends AnyFunSuite {
     assert(je.getMessage.contains("implausible"))
     assert(MediaCodecs.decodeImage(jb).isEmpty)
 
+    // JPEG absolute cap: pad the file so 6000x6000 (36 Mpixels)
+    // passes the 1024 pixels-per-byte ratio — only the 32 Mpixel cap
+    // stands before a ~108 MB-per-plane allocation
+    val jc = res("wild_baseline.jpg").clone() ++
+      new Array[Byte](1 << 20)
+    jc(sof + 5) = 0x17; jc(sof + 6) = 0x70 // height 6000
+    jc(sof + 7) = 0x17; jc(sof + 8) = 0x70 // width  6000
+    val jce = intercept[IllegalArgumentException](JpegCodec.decode(jc))
+    assert(jce.getMessage.contains("pixel cap"))
+    assert(MediaCodecs.decodeImage(jc).isEmpty)
+
     // PNG: patch IHDR dims to 100000x100000 (way past deflate's
     // 1032:1 expansion bound for a 286-byte file)
     val pb = res("wild_rgba.png").clone()
