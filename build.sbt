@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's final JSON line from the console tail; with
+// fork=true sbt's default output strategy prefixes every forked-stdout
+// line with "[info] ", which defeats a per-line json.loads (BENCH_r02/
+// r03: complete line captured, still parsed:null). Inherit stdout so
+// forked output passes through byte-for-byte.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
