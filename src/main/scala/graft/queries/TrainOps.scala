@@ -1,0 +1,378 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.Tables
+import graft.functions.TextFuncs
+import graft.operators.Similarity
+
+/** Training-data curation operators, round 12: memorization/novelty
+  * audit, Heaps-law scaling fit, DPO preference-pair mining, token
+  * entropy quality filtering, and reciprocal-rank fusion. Every query
+  * is oracle-checked; float paths follow the repo's exactness rules
+  * (natural logs quantized to DECIMAL(18,6) — cross-engine ln differs
+  * in the last ulp; unordered double sums routed through
+  * DECIMAL(38,12) partials; final expressions mirrored shape-for-shape
+  * in the oracle SQL).
+  */
+object TrainOps {
+
+  /** ln quantized so both engines agree bit-for-bit (the q85 rule). */
+  private def lnq(c: org.apache.spark.sql.Column) =
+    log(c).cast(DecimalType(18, 6)).cast(DoubleType)
+
+  /** Mirrors [[lnq]] in DuckDB. */
+  private def lnqSql(e: String) =
+    s"CAST(CAST(ln($e) AS DECIMAL(18,6)) AS DOUBLE)"
+
+  /** Order-free exact sum of per-row double contributions (q134 rule). */
+  private def exactSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
+
+  private def exactSumSql(e: String) =
+    s"CAST(sum(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
+
+  val qs: Seq[Q] = Seq(
+
+    // Memorization / novelty audit (the public train-vs-held-out
+    // n-gram overlap measure): what fraction of each held-out
+    // document's distinct word 5-grams never appear in the training
+    // split? Low novelty = the "new" data is already memorized. Scale
+    // shape: the train side reduces to a DISTINCT gram set (hash
+    // aggregate, map-side combinable), the audit is ONE shuffled
+    // equi-join on the gram key — never doc×doc, never a broadcast of
+    // the corpus — and the per-doc roll-up is a second hash
+    // aggregate. This is the same asymmetric new-vs-corpus posture as
+    // q153's incremental near-dup.
+    Q("q262_ngram_novelty",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 5)
+        val grams = d.select(col("doc_id"),
+          explode(array_distinct(
+            TextFuncs.shingles(concat_ws(" ", col("ws")), 5))).as("gram"))
+        val train = grams.filter(col("doc_id") % 10 < 8)
+          .select("gram").distinct().withColumn("seen", lit(1))
+        grams.filter(col("doc_id") % 10 >= 8)
+          .join(train, Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("seen").isNull, lit(1L)).otherwise(lit(0L)))
+              .as("n_novel"))
+          .withColumn("novelty",
+            col("n_novel").cast(DoubleType) /
+              col("n_grams").cast(DoubleType))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+            len(string_split(text, ' ')) AS n
+          FROM documents),
+        g AS (SELECT DISTINCT doc_id,
+            array_to_string(ws[i:i+4], ' ') AS gram
+          FROM w, UNNEST(range(1, n - 3)) AS t(i) WHERE n >= 5),
+        train AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 < 8),
+        v AS (SELECT g.doc_id,
+            CASE WHEN t.gram IS NULL THEN 1 ELSE 0 END AS novel
+          FROM g LEFT JOIN train t USING (gram)
+          WHERE g.doc_id % 10 >= 8)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(novel) AS BIGINT) AS n_novel,
+          CAST(sum(novel) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            AS novelty
+        FROM v GROUP BY 1 ORDER BY 1""")),
+
+    // Heaps-law fit per source — the scaling-law primitive behind
+    // data-mixing decisions: regress ln(distinct tokens) on
+    // ln(total tokens) across each source's documents, closed-form
+    // OLS from five aggregate moments. The slope is the source's
+    // vocabulary-growth exponent (repetitive boilerplate sources fit
+    // flat; diverse prose fits near the textbook ~0.8). Everything
+    // before the single hash aggregate is row-local; the moments are
+    // map-side combinable, so at 100 TB this is one scan + a
+    // |sources|-row reduction. Slope/intercept/r² are computed from
+    // the exact moment sums with expression trees mirrored verbatim
+    // in the oracle.
+    Q("q263_heaps_fit",
+      (s, dir) => {
+        val ws = split(col("text"), " ")
+        val p = Tables.load(s, dir, "documents").select(
+          col("source"),
+          lnq(size(ws).cast(DoubleType)).as("x"),
+          lnq(size(array_distinct(ws)).cast(DoubleType)).as("y"))
+        val m = p.groupBy("source").agg(
+          count(lit(1)).as("n"),
+          exactSum(col("x")).as("sx"),
+          exactSum(col("y")).as("sy"),
+          exactSum(col("x") * col("y")).as("sxy"),
+          exactSum(col("x") * col("x")).as("sxx"),
+          exactSum(col("y") * col("y")).as("syy"))
+        val nD = col("n").cast(DoubleType)
+        val cov = nD * col("sxy") - col("sx") * col("sy")
+        val varX = nD * col("sxx") - col("sx") * col("sx")
+        val varY = nD * col("syy") - col("sy") * col("sy")
+        m.select(col("source"), col("n").as("n_docs"),
+            (cov / varX).as("slope"),
+            ((col("sy") - cov / varX * col("sx")) / nD).as("intercept"),
+            (cov * cov / (varX * varY)).as("r2"))
+          .orderBy("source")
+      },
+      Some(s"""WITH p AS (SELECT source,
+            ${lnqSql("CAST(len(string_split(text, ' ')) AS DOUBLE)")} AS x,
+            ${lnqSql(
+          "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)")} AS y
+          FROM documents),
+        m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+            ${exactSumSql("x")} AS sx, ${exactSumSql("y")} AS sy,
+            ${exactSumSql("x * y")} AS sxy,
+            ${exactSumSql("x * x")} AS sxx,
+            ${exactSumSql("y * y")} AS syy
+          FROM p GROUP BY 1)
+        SELECT source, n AS n_docs,
+          (CAST(n AS DOUBLE) * sxy - sx * sy)
+            / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+          (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+            / CAST(n AS DOUBLE) AS intercept,
+          ((CAST(n AS DOUBLE) * sxy - sx * sy)
+              * (CAST(n AS DOUBLE) * sxy - sx * sy))
+            / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+              * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+        FROM m ORDER BY source""")),
+
+    // DPO preference-pair mining: within each (source, lang) prompt
+    // group, pair the highest- and lowest-quality documents (lexical
+    // diversity score) and keep pairs whose score margin clears a
+    // threshold — the public preference-data construction recipe.
+    // Chosen/rejected are struct-min/max ARG-aggregates (a few bytes
+    // of state per group, map-side combinable) — deliberately NOT a
+    // row_number window, which would sort every group's full
+    // membership to keep two rows. The oracle IS that window
+    // formulation, so the bounded aggregate is hash-proven equal.
+    Q("q265_dpo_pairs",
+      (s, dir) => {
+        val ws = split(col("text"), " ")
+        val d = Tables.load(s, dir, "documents").select(
+          col("source"), col("lang"), col("doc_id"),
+          (size(array_distinct(ws)).cast(DoubleType) /
+            greatest(size(ws), lit(1)).cast(DoubleType)).as("s"))
+        d.groupBy("source", "lang")
+          .agg(max(struct(col("s"), col("doc_id"))).as("ch"),
+            min(struct(col("s"), col("doc_id"))).as("rj"))
+          .select(col("source"), col("lang"),
+            col("ch.doc_id").as("chosen_id"),
+            col("rj.doc_id").as("rejected_id"),
+            col("ch.s").as("chosen_score"),
+            col("rj.s").as("rejected_score"),
+            (col("ch.s") - col("rj.s")).as("margin"))
+          .filter(col("margin") >= 0.05)
+          .orderBy("source", "lang")
+      },
+      Some("""WITH d AS (SELECT source, lang, doc_id,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / CAST(greatest(len(string_split(text, ' ')), 1)
+                AS DOUBLE) AS s
+          FROM documents),
+        rk AS (SELECT source, lang, doc_id, s,
+            row_number() OVER (PARTITION BY source, lang
+              ORDER BY s DESC, doc_id DESC) AS rhi,
+            row_number() OVER (PARTITION BY source, lang
+              ORDER BY s ASC, doc_id ASC) AS rlo
+          FROM d),
+        p AS (SELECT hi.source, hi.lang,
+            hi.doc_id AS chosen_id, lo.doc_id AS rejected_id,
+            hi.s AS chosen_score, lo.s AS rejected_score,
+            hi.s - lo.s AS margin
+          FROM (SELECT * FROM rk WHERE rhi = 1) hi
+          JOIN (SELECT * FROM rk WHERE rlo = 1) lo
+            USING (source, lang))
+        SELECT * FROM p WHERE margin >= 0.05
+        ORDER BY source, lang""")),
+
+    // Unigram token entropy per document — the classic CCNet-family
+    // quality signal: near-zero entropy flags degenerate repetition,
+    // implausibly high entropy flags word salad. H = ln(n) −
+    // (Σ c·ln c)/n over per-document token counts c. One explode +
+    // one hash aggregate to (doc, token) counts + one roll-up — all
+    // map-side combinable, zero joins, zero windows: a pure
+    // scan-shaped pass at 100 TB. Logs quantized, the unordered
+    // Σ c·ln c routed through decimal partials.
+    Q("q266_token_entropy",
+      (s, dir) => {
+        val counts = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("c"))
+        counts.groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"),
+            exactSum(col("c").cast(DoubleType) *
+              lnq(col("c").cast(DoubleType))).as("clnc"))
+          .select(col("doc_id"), col("n_tokens"),
+            (lnq(col("n_tokens").cast(DoubleType)) -
+              col("clnc") / col("n_tokens").cast(DoubleType))
+              .as("entropy"))
+          .withColumn("keep", col("entropy") >= 2.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c AS (SELECT doc_id, tok,
+            CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+          GROUP BY 1, 2),
+        h AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+            ${exactSumSql(
+          s"CAST(c AS DOUBLE) * ${lnqSql("CAST(c AS DOUBLE)")}")} AS clnc
+          FROM c GROUP BY 1)
+        SELECT doc_id, n_tokens,
+          ${lnqSql("CAST(n_tokens AS DOUBLE)")}
+            - clnc / CAST(n_tokens AS DOUBLE) AS entropy,
+          (${lnqSql("CAST(n_tokens AS DOUBLE)")}
+            - clnc / CAST(n_tokens AS DOUBLE)) >= 2.5 AS keep
+        FROM h ORDER BY doc_id""")),
+
+    // Reciprocal-rank fusion of two retrieval rankings (the public
+    // RRF recipe, Cormack et al.): per source, ranking A orders by
+    // term frequency of "spark", ranking B by document length; fused
+    // score Σ 1/(60+rank) over the lists a document appears in, top
+    // 10 per source. Each ranking is TRUNCATED to its top 50 right at
+    // the row_number — the rank-limit filter lets the engine's
+    // WindowGroupLimit / TakeOrdered rewrite keep per-partition
+    // top-50s instead of sorting each source's full membership
+    // (ScaleSpec-pinned, the q188 lesson) — and the fusion join is
+    // then |sources|×50-sized, broadcastable at any corpus scale.
+    Q("q264_rank_fusion",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents").select(
+          col("source"), col("doc_id"),
+          expr("size(filter(split(text, ' '), t -> t = 'spark'))")
+            .as("tf"),
+          col("n_chars"))
+        val a = d.withColumn("ra", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("tf").desc, col("doc_id"))))
+          .filter(col("ra") <= 50).select("source", "doc_id", "ra")
+        val b = d.withColumn("rb", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .filter(col("rb") <= 50).select("source", "doc_id", "rb")
+        val fused = a.join(b, Seq("source", "doc_id"), "full")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60.0) + col("ra").cast(DoubleType)),
+              lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rb").cast(DoubleType)),
+              lit(0.0)))
+        fused.withColumn("rk", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("rrf").desc, col("doc_id"))).cast(LongType))
+          .filter(col("rk") <= 10)
+          .select("source", "rk", "doc_id", "rrf")
+          .orderBy("source", "rk")
+      },
+      Some("""WITH w AS (SELECT source, doc_id,
+            len(list_filter(string_split(text, ' '), t -> t = 'spark'))
+              AS tf, n_chars
+          FROM documents),
+        a AS (SELECT source, doc_id,
+            row_number() OVER (PARTITION BY source
+              ORDER BY tf DESC, doc_id) AS ra
+          FROM w QUALIFY ra <= 50),
+        b AS (SELECT source, doc_id,
+            row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS rb
+          FROM w QUALIFY rb <= 50),
+        f AS (SELECT source, doc_id,
+            COALESCE(1.0 / (60.0 + CAST(ra AS DOUBLE)), 0.0)
+              + COALESCE(1.0 / (60.0 + CAST(rb AS DOUBLE)), 0.0) AS rrf
+          FROM a FULL JOIN b USING (source, doc_id)),
+        r AS (SELECT source, doc_id, rrf,
+            row_number() OVER (PARTITION BY source
+              ORDER BY rrf DESC, doc_id) AS rk
+          FROM f QUALIFY rk <= 10)
+        SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, rrf
+        FROM r ORDER BY source, rk""")),
+
+    // Margin-based bitext mining (the public LASER/CCMatrix
+    // criterion, Artetxe & Schwenk): split the embedding collection
+    // into two "languages" by id parity, and for each even-side
+    // vector score its nearest odd-side neighbor by the RATIO margin
+    // — cos(x,y) over the mean of both endpoints' average top-k
+    // similarity — which cancels hubness that raw cosine thresholds
+    // can't. Both directions ride Similarity.annTopK's dispatch:
+    // exact brute force at fixture scale, the IVF cell-probe index
+    // above the threshold — never all-pairs at 100 TB. Cosines are
+    // decimal-exact (the q23 contract) and the top-4 means combine
+    // per-rank single-element aggregates left-associated, so the
+    // whole criterion is hash-checkable.
+    Q("q267_margin_bitext",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val a = emb.filter(col("vec_id") % 2 === 0)
+        val b = emb.filter(col("vec_id") % 2 === 1)
+        def centroids(side: org.apache.spark.sql.DataFrame) =
+          side.orderBy("vec_id").limit(16)
+        def avgK(tk: org.apache.spark.sql.DataFrame, out: String) =
+          tk.filter(col("rank") <= 4).groupBy("query_id")
+            .agg(((((max(when(col("rank") === 1, col("cosine"))) +
+              max(when(col("rank") === 2, col("cosine")))) +
+              max(when(col("rank") === 3, col("cosine")))) +
+              max(when(col("rank") === 4, col("cosine")))) / lit(4.0))
+              .as(out))
+        val fwd = Similarity.annTopK(a, b, k = 4,
+          centroids = centroids(b), nProbe = 4)
+        val bwd = Similarity.annTopK(b, a, k = 4,
+          centroids = centroids(a), nProbe = 4)
+        val ka = avgK(fwd, "ka")
+        val kb = avgK(bwd, "kb")
+          .withColumnRenamed("query_id", "cand_id")
+        fwd.filter(col("rank") === 1)
+          .select("query_id", "cand_id", "cosine")
+          .join(ka, "query_id").join(kb, "cand_id")
+          .withColumn("margin",
+            col("cosine") / ((col("ka") + col("kb")) / lit(2.0)))
+          .withColumn("accepted", col("margin") >= 1.05)
+          .select("query_id", "cand_id", "cosine", "margin", "accepted")
+          .orderBy("query_id")
+      },
+      Some("""WITH ex AS (SELECT vec_id,
+            CAST(unnest(embedding) AS DOUBLE) AS e,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+        nrm AS (SELECT vec_id,
+            CAST(sum(CAST(e * e AS DECIMAL(18,9))) AS DOUBLE) AS nn
+          FROM ex GROUP BY 1),
+        dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+            CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i
+          WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1 GROUP BY 1, 2),
+        cosf AS (SELECT qid, cid,
+            dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+          FROM dots JOIN nrm na ON na.vec_id = qid
+          JOIN nrm nb ON nb.vec_id = cid),
+        fr AS (SELECT qid, cid, cosine, row_number() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+          FROM cosf),
+        br AS (SELECT qid, cid, cosine, row_number() OVER (
+            PARTITION BY cid ORDER BY cosine DESC, qid) AS rk
+          FROM cosf),
+        favg AS (SELECT qid,
+            (((max(CASE WHEN rk = 1 THEN cosine END)
+              + max(CASE WHEN rk = 2 THEN cosine END))
+              + max(CASE WHEN rk = 3 THEN cosine END))
+              + max(CASE WHEN rk = 4 THEN cosine END)) / 4.0 AS ka
+          FROM fr WHERE rk <= 4 GROUP BY 1),
+        bavg AS (SELECT cid,
+            (((max(CASE WHEN rk = 1 THEN cosine END)
+              + max(CASE WHEN rk = 2 THEN cosine END))
+              + max(CASE WHEN rk = 3 THEN cosine END))
+              + max(CASE WHEN rk = 4 THEN cosine END)) / 4.0 AS kb
+          FROM br WHERE rk <= 4 GROUP BY 1),
+        best AS (SELECT qid, cid, cosine FROM fr WHERE rk = 1)
+        SELECT qid AS query_id, cid AS cand_id, cosine,
+          cosine / ((ka + kb) / 2.0) AS margin,
+          cosine / ((ka + kb) / 2.0) >= 1.05 AS accepted
+        FROM best JOIN favg USING (qid) JOIN bavg USING (cid)
+        ORDER BY query_id"""))
+  )
+}

@@ -62,7 +62,13 @@ object ExplainAudit {
       "q254_image_wild_decode", "q255_audio_wild_decode",
       "q256_quality_classifier", "q257_url_canonical_dedup",
       "q258_stream_quality_filter", "q259_uncertainty_sample",
-      "q260_table_linearize", "q261_fim_split")
+      "q260_table_linearize", "q261_fim_split",
+      "q262_ngram_novelty", "q263_heaps_fit", "q264_rank_fusion",
+      "q265_dpo_pairs", "q266_token_entropy", "q267_margin_bitext",
+      "q268_bradley_terry", "q269_boilerplate_paragraphs",
+      "q270_chi2_split_drift", "q271_curriculum_stages",
+      "q272_rouge_pairs", "q273_mattr", "q274_influence_select",
+      "q275_kneser_ney")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 training-data curation queries (TrainOps): plan-shape
+  * pins for the 100 TB postures the Scaladoc claims, plus semantic
+  * range checks the hash oracle can't express (the oracle proves
+  * equality, not that the numbers mean anything).
+  */
+class TrainOpsSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    queries.Registry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q262 novelty audit: keyed equi-join against the train gram " +
+      "set — never pairwise, never a corpus broadcast") {
+    val p = plan("q262_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty membership must ride the gram equi-join:\n$p")
+  }
+
+  test("q262 novelty values: held-out docs only, novelty in [0,1], " +
+      "and a fully-duplicated doc scores 0") {
+    val out = queries.Registry.queries("q262_ngram_novelty")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("doc_id") % 10 >= 8))
+    assert(out.forall { r =>
+      val n = r.getAs[Double]("novelty"); n >= 0.0 && n <= 1.0 })
+  }
+
+  test("q263 Heaps fit is one scan + one hash aggregate: no join, " +
+      "no window anywhere in the plan") {
+    val p = plan("q263_heaps_fit")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the moment reduction must stay scan-shaped:\n$p")
+  }
+
+  test("q263 fit quality: slopes in (0,1) (vocabulary grows " +
+      "sublinearly) and r2 in (0,1]") {
+    val out = queries.Registry.queries("q263_heaps_fit")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val slope = r.getAs[Double]("slope")
+      val r2 = r.getAs[Double]("r2")
+      assert(slope > 0.0 && slope < 1.0, s"Heaps slope $slope")
+      assert(r2 > 0.0 && r2 <= 1.0, s"r2 $r2")
+    }
+  }
+
+  test("q264 RRF rankings are limit-pruned: the rank<=50/10 filters " +
+      "keep per-partition top-k, never a full per-source sort") {
+    val p = plan("q264_rank_fusion")
+    assert(p.contains("WindowGroupLimit") ||
+      p.contains("TakeOrderedAndProject"),
+      s"rank-limit pushdown did not engage:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"fusion join must stay keyed:\n$p")
+  }
+
+  test("q265 DPO pairs come from struct-arg aggregates, not a " +
+      "window sort of each group") {
+    val p = plan("q265_dpo_pairs")
+    assert(!p.contains("Window"),
+      s"chosen/rejected must be bounded-state aggregates:\n$p")
+    assert(!p.contains("Join"),
+      s"one aggregate, no self-join:\n$p")
+  }
+
+  test("q265 margins: chosen strictly above rejected by the " +
+      "threshold, ids distinct") {
+    val out = queries.Registry.queries("q265_dpo_pairs")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("margin") >= 0.05)
+      assert(r.getAs[Long]("chosen_id") != r.getAs[Long]("rejected_id"))
+    }
+  }
+
+  test("q266 token entropy is scan-shaped: two hash aggregates, " +
+      "no join, no window") {
+    val p = plan("q266_token_entropy")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"entropy must reduce map-side:\n$p")
+  }
+
+  test("q266 entropy bounds: 0 <= H <= ln(n_tokens)") {
+    val out = queries.Registry.queries("q266_token_entropy")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val n = r.getAs[Long]("n_tokens")
+      assert(h >= -1e-9 && h <= math.log(n.toDouble) + 1e-6,
+        s"entropy $h outside [0, ln($n)]")
+    }
+  }
+
+  test("q267 margin criterion: margins positive, best-neighbor " +
+      "cosine at or above its own top-4 mean times the margin") {
+    val out = queries.Registry.queries("q267_margin_bitext")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    // parity split: queries even, candidates odd
+    assert(out.forall(r => r.getAs[Long]("query_id") % 2 == 0))
+    assert(out.forall(r => r.getAs[Long]("cand_id") % 2 == 1))
+    assert(out.forall(_.getAs[Double]("margin") > 0.0))
+    // the margin denominator averages the two endpoints' top-4 means,
+    // and cosine is the MAX of the query's top-4 — so margin can only
+    // fall below ~cos/1.0 when the candidate side is a hub; sanity:
+    // margin never exceeds cos / (cos/2) = 2 by construction here
+    assert(out.forall(_.getAs[Double]("margin") < 2.0))
+  }
+}
