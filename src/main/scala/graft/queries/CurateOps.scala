@@ -506,12 +506,21 @@ object CurateOps {
             lit(0L).as("w")))
           .groupBy("i", "j")
           .agg(sum("w").as("wij"))
+        // The match matrix and player totals are |sources|²-/
+        // |sources|-row frames, but they DERIVE from the full corpus:
+        // left lazy, every MM round's plan re-embeds the corpus
+        // aggregate and the final plan walks it 2^5 times (the LPA
+        // plan-doubling lesson). Eagerly checkpoint both ONCE — the
+        // corpus is scanned exactly once — then iterate on the tiny
+        // leaves and release the checkpoints after the seal.
         val nAll = dirAll
           .join(dirAll.select(col("j").as("i"), col("i").as("j"),
             col("wij").as("wji")), Seq("i", "j"))
           .withColumn("n", col("wij") + col("wji"))
+          .localCheckpoint()
         val players = nAll.groupBy("i")
           .agg(sum("wij").as("wins"), sum("n").as("matches"))
+          .localCheckpoint()
         var p = players.select(col("i"), lit(1.0).as("p"))
         for (_ <- 1 to 5) {
           val den = nAll
@@ -526,10 +535,14 @@ object CurateOps {
               (col("wins").cast(DoubleType) / col("den"))
                 .cast(DecimalType(18, 6)).cast(DoubleType).as("p"))
         }
-        players.join(p, Seq("i"))
+        val res = players.join(p, Seq("i"))
           .select(col("i").as("source"), col("matches"),
             col("wins"), col("p").as("strength"))
           .orderBy("source")
+        graft.operators.CacheOps.sealThen(res) {
+          graft.operators.CacheOps.releaseCheckpoint(nAll)
+          graft.operators.CacheOps.releaseCheckpoint(players)
+        }
       },
       Some {
         val mmRound = (prev: String, next: String) =>

@@ -18,7 +18,8 @@ object Registry {
       VectorOps.qs ++ GeoOps.qs ++ IngestOps.qs ++ MultimodalOps.qs ++
       ScalarOps.qs ++ WindowOps.qs ++ PipelineOps.qs ++ StreamQueries.qs ++
       SourceOps.qs ++ CorpusOps.qs ++ AnalyticsOps.qs ++ StatsOps.qs ++
-      EnergyOps.qs ++ EvalOps.qs ++ TrainOps.qs ++ CurateOps.qs
+      EnergyOps.qs ++ EvalOps.qs ++ TrainOps.qs ++ CurateOps.qs ++
+      WebOps.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -51,12 +51,16 @@ object TrainOps {
         val d = Tables.load(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
           .filter(size(col("ws")) >= 5)
+        // both the train-distinct side and the held-out audit side
+        // consume the gram table — persist the diamond (deserialized
+        // columnar, spills to disk at scale) and release on seal
         val grams = d.select(col("doc_id"),
           explode(array_distinct(
             TextFuncs.shingles(concat_ws(" ", col("ws")), 5))).as("gram"))
+          .persist()
         val train = grams.filter(col("doc_id") % 10 < 8)
           .select("gram").distinct().withColumn("seen", lit(1))
-        grams.filter(col("doc_id") % 10 >= 8)
+        val res = grams.filter(col("doc_id") % 10 >= 8)
           .join(train, Seq("gram"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_grams"),
@@ -66,6 +70,7 @@ object TrainOps {
             col("n_novel").cast(DoubleType) /
               col("n_grams").cast(DoubleType))
           .orderBy("doc_id")
+        graft.operators.CacheOps.sealAndRelease(res, grams)
       },
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
             len(string_split(text, ' ')) AS n

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 batch-three web/statistical queries (WebOps): S11 HTML
+  * extraction semantics the hash oracle proves equal but not
+  * "correct" — these pin the adversarial cases — plus plan shapes.
+  */
+class WebOpsSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    queries.Registry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q276 HTML extraction is a pure map: no join, no window, " +
+      "no aggregate before the final order") {
+    val p = plan("q276_html_extract")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"),
+      s"extraction must inline into the scan stage:\n$p")
+  }
+
+  test("q276 adversarial page semantics: script '</p>' never leaks, " +
+      "entities decode, unknown &copy; passes through") {
+    val out = queries.Registry.queries("q276_html_extract")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val lead = r.getAs[String]("lead80")
+      // the script body ("var t = ...") must be gone entirely
+      assert(!lead.contains("var t"), s"script leaked: $lead")
+      // title extracted with its entity decoded on the clean-text
+      // side is NOT asserted here (title keeps raw entities); but the
+      // title must carry the doc id
+      val title = r.getAs[String]("title")
+      assert(title == s"Doc ${r.getAs[Long]("doc_id")} &amp; notes")
+      assert(r.getAs[Long]("n_links") == 3L)
+      assert(r.getAs[Double]("text_ratio") > 0.0 &&
+        r.getAs[Double]("text_ratio") < 1.0)
+    }
+    // re-derive clean text directly to assert entity handling
+    val clean = Tables.load(spark, sf, "documents")
+      .select(functions.HtmlFuncs.htmlToText(
+        functions.HtmlFuncs.renderPage(
+          col("doc_id"), col("source"), col("text"))).as("c"))
+      .limit(1).collect().head.getAs[String]("c")
+    assert(clean.contains("Doc ") && clean.contains("& notes"),
+      s"&amp; must decode in clean text: $clean")
+    assert(clean.contains("&copy;"),
+      s"unknown entity must pass through untouched: $clean")
+    assert(clean.contains("'26"),
+      s"&#39; must decode to an apostrophe: $clean")
+    assert(!clean.contains("<") || !clean.contains("margin"),
+      s"style body must not leak: $clean")
+  }
+
+  test("q277 link hosts: fixture yields portal + the 7 mirror " +
+      "shards, with portal carrying 2 links per doc") {
+    val out = queries.Registry.queries("q277_link_hosts")(spark, sf)
+      .collect()
+    val hosts = out.map(_.getAs[String]("host")).toSet
+    assert(hosts.contains("portal.example.org"))
+    assert((0 to 6).forall(i => hosts.contains(s"mirror-$i.example.net")),
+      s"all 7 mirror shards expected: $hosts")
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    val portal = out.find(
+      _.getAs[String]("host") == "portal.example.org").get
+    assert(portal.getAs[Long]("n_links") == 2L * nDocs)
+    assert(portal.getAs[Long]("n_docs") == nDocs)
+  }
+
+  test("q278 Wilson LCB: bound strictly below the point estimate " +
+      "when 0<k<n, within [0,1], and small-n shrinks harder") {
+    val out = queries.Registry.queries("q278_wilson_quality")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (rate, lcb) = (r.getAs[Double]("keep_rate"),
+        r.getAs[Double]("wilson_lcb"))
+      assert(lcb >= 0.0 && lcb <= 1.0)
+      if (r.getAs[Long]("k") > 0) assert(lcb < rate + 1e-12,
+        s"LCB must not exceed the point estimate: $lcb vs $rate")
+    }
+  }
+
+  test("q279 KL: non-negative per source (corpus includes the " +
+      "source, so KL >= 0 up to log-quantization), and the token " +
+      "table is scanned once then reused") {
+    val out = queries.Registry.queries("q279_source_kl")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // each ln is quantized to 1e-6; contributions can dip a hair
+      // below zero only by accumulated quantization
+      assert(r.getAs[Double]("kl") >= -1e-4,
+        s"KL(source||corpus) must be ~non-negative: $r")
+      assert(r.getAs[Long]("n_types") > 0L)
+    }
+  }
+
+  test("q279 plan: corpus and source frequency tables derive from " +
+      "the persisted (source,token) aggregate, not re-scans") {
+    val prev = spark.conf.getOption("spark.graft.seal.enabled")
+    spark.conf.set("spark.graft.seal.enabled", "false")
+    try {
+      val df = queries.Registry.queries("q279_source_kl")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      // tf feeds the join probe, ctf, stot and ctot — every consumer
+      // must read the InMemory relation (4 scans of it), and the
+      // diamond must not multiply parquet scans
+      val mem = "InMemoryTableScan".r.findAllIn(p).length
+      assert(mem >= 3, s"tf must be reused via the cache:\n$p")
+    } finally {
+      graft.operators.CacheOps.sweep(spark)
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.seal.enabled", v)
+        case None => spark.conf.unset("spark.graft.seal.enabled")
+      }
+    }
+  }
+}
