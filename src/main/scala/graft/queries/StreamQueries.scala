@@ -816,7 +816,41 @@ object StreamQueries {
       },
       Some(s"""WITH ${CorpusOps.ProbeScoredCtes}
         SELECT doc_id, score, score >= 0.5 AS selected
-        FROM scored ORDER BY doc_id"""))
+        FROM scored ORDER BY doc_id""")),
+
+    // Streaming twin of q262's memorization audit — the deploy shape:
+    // the training gram set is STATIC (built offline from the %10<8
+    // split), incoming documents stream through a stream-static LEFT
+    // join on the gram key (no state: the static side is the join's
+    // build input each micro-batch) and a streaming per-doc aggregate
+    // (Update mode, one row of state per open document). At 100 TB
+    // the static side is a hashed gram table the join shuffles
+    // against — the same asymmetric new-vs-corpus posture as the
+    // incremental near-dup. Oracle = q262's verbatim: audit-online
+    // must equal audit-offline or the filter drifts from its spec.
+    Q("q282_stream_novelty",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val train = TrainOps.docGrams(docs)
+          .filter(col("doc_id") % 10 < 8)
+          .select("gram").distinct().withColumn("seen", lit(1))
+        val streamG = TrainOps.docGrams(documentsStream(s, dir))
+          .filter(col("doc_id") % 10 >= 8)
+        val nov = streamG.join(train, Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("seen").isNull, lit(1L)).otherwise(lit(0L)))
+              .as("n_novel"))
+          .withColumn("novelty",
+            col("n_novel").cast("double") / col("n_grams").cast("double"))
+        s.catalog.dropTempView("q282_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(nov, "q282_sink",
+            OutputMode.Update())
+        }
+        s.table("q282_sink").orderBy("doc_id")
+      },
+      Some(TrainOps.NoveltyOracle))
   )
 
   /** Documents landing zone (the eventsStream pattern): one parquet

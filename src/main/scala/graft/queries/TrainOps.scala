@@ -34,6 +34,39 @@ object TrainOps {
   private def exactSumSql(e: String) =
     s"CAST(sum(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
 
+  /** (doc_id, gram): each document's DISTINCT word 5-grams — shared
+    * by q262 and its streaming twin q282 so both walk the identical
+    * gram construction. */
+  def docGrams(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val d = df
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+    d.select(col("doc_id"),
+      explode(array_distinct(
+        TextFuncs.shingles(concat_ws(" ", col("ws")), 5))).as("gram"))
+  }
+
+  /** q262's DuckDB replay — also the oracle of the q282 stream twin
+    * (train-offline/audit-online must equal the batch audit). */
+  val NoveltyOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+            len(string_split(text, ' ')) AS n
+          FROM documents),
+        g AS (SELECT DISTINCT doc_id,
+            array_to_string(ws[i:i+4], ' ') AS gram
+          FROM w, UNNEST(range(1, n - 3)) AS t(i) WHERE n >= 5),
+        train AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 < 8),
+        v AS (SELECT g.doc_id,
+            CASE WHEN t.gram IS NULL THEN 1 ELSE 0 END AS novel
+          FROM g LEFT JOIN train t USING (gram)
+          WHERE g.doc_id % 10 >= 8)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(novel) AS BIGINT) AS n_novel,
+          CAST(sum(novel) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            AS novelty
+        FROM v GROUP BY 1 ORDER BY 1"""
+
   val qs: Seq[Q] = Seq(
 
     // Memorization / novelty audit (the public train-vs-held-out
@@ -48,15 +81,10 @@ object TrainOps {
     // q153's incremental near-dup.
     Q("q262_ngram_novelty",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .filter(size(col("ws")) >= 5)
         // both the train-distinct side and the held-out audit side
         // consume the gram table — persist the diamond (deserialized
         // columnar, spills to disk at scale) and release on seal
-        val grams = d.select(col("doc_id"),
-          explode(array_distinct(
-            TextFuncs.shingles(concat_ws(" ", col("ws")), 5))).as("gram"))
+        val grams = docGrams(Tables.load(s, dir, "documents"))
           .persist()
         val train = grams.filter(col("doc_id") % 10 < 8)
           .select("gram").distinct().withColumn("seen", lit(1))
@@ -72,22 +100,7 @@ object TrainOps {
           .orderBy("doc_id")
         graft.operators.CacheOps.sealAndRelease(res, grams)
       },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
-            len(string_split(text, ' ')) AS n
-          FROM documents),
-        g AS (SELECT DISTINCT doc_id,
-            array_to_string(ws[i:i+4], ' ') AS gram
-          FROM w, UNNEST(range(1, n - 3)) AS t(i) WHERE n >= 5),
-        train AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 < 8),
-        v AS (SELECT g.doc_id,
-            CASE WHEN t.gram IS NULL THEN 1 ELSE 0 END AS novel
-          FROM g LEFT JOIN train t USING (gram)
-          WHERE g.doc_id % 10 >= 8)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-          CAST(sum(novel) AS BIGINT) AS n_novel,
-          CAST(sum(novel) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-            AS novelty
-        FROM v GROUP BY 1 ORDER BY 1""")),
+      Some(NoveltyOracle)),
 
     // Heaps-law fit per source — the scaling-law primitive behind
     // data-mixing decisions: regress ln(distinct tokens) on
@@ -378,6 +391,75 @@ object TrainOps {
           cosine / ((ka + kb) / 2.0) AS margin,
           cosine / ((ka + kb) / 2.0) >= 1.05 AS accepted
         FROM best JOIN favg USING (qid) JOIN bavg USING (cid)
-        ORDER BY query_id"""))
+        ORDER BY query_id""")),
+
+    // Zipf rank-frequency fit per source — q263's Heaps complement:
+    // regress ln(freq) on ln(rank) over each source's top-100 tokens;
+    // the slope should sit near the textbook −1 for natural prose and
+    // collapses toward 0 for synthetic/repetitive sources. The rank
+    // window is truncated AT the row_number (rk ≤ 100, the q188
+    // lesson) so WindowGroupLimit keeps per-partition top-k instead
+    // of sorting each source's full vocabulary; the OLS then runs on
+    // ≤ |sources|×100 rows via the same five decimal-exact moments as
+    // q263.
+    Q("q281_zipf_fit",
+      (s, dir) => {
+        val tf = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok")
+          .agg(count(lit(1)).as("cnt"))
+        val ranked = tf.withColumn("rk", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("cnt").desc, col("tok"))))
+          .filter(col("rk") <= 100)
+        val m = ranked.select(col("source"),
+            lnq(col("rk").cast(DoubleType)).as("x"),
+            lnq(col("cnt").cast(DoubleType)).as("y"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n"),
+            exactSum(col("x")).as("sx"),
+            exactSum(col("y")).as("sy"),
+            exactSum(col("x") * col("y")).as("sxy"),
+            exactSum(col("x") * col("x")).as("sxx"),
+            exactSum(col("y") * col("y")).as("syy"))
+        val nD = col("n").cast(DoubleType)
+        val cov = nD * col("sxy") - col("sx") * col("sy")
+        val varX = nD * col("sxx") - col("sx") * col("sx")
+        val varY = nD * col("syy") - col("sy") * col("sy")
+        m.select(col("source"), col("n").as("n_ranks"),
+            (cov / varX).as("slope"),
+            ((col("sy") - cov / varX * col("sx")) / nD).as("intercept"),
+            (cov * cov / (varX * varY)).as("r2"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tf AS (SELECT source, t.tok AS tok,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+          GROUP BY 1, 2),
+        rk AS (SELECT source, cnt, row_number() OVER (
+            PARTITION BY source ORDER BY cnt DESC, tok) AS rk
+          FROM tf QUALIFY rk <= 100),
+        p AS (SELECT source,
+            ${lnqSql("CAST(rk AS DOUBLE)")} AS x,
+            ${lnqSql("CAST(cnt AS DOUBLE)")} AS y
+          FROM rk),
+        m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+            ${exactSumSql("x")} AS sx, ${exactSumSql("y")} AS sy,
+            ${exactSumSql("x * y")} AS sxy,
+            ${exactSumSql("x * x")} AS sxx,
+            ${exactSumSql("y * y")} AS syy
+          FROM p GROUP BY 1)
+        SELECT source, n AS n_ranks,
+          (CAST(n AS DOUBLE) * sxy - sx * sy)
+            / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+          (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+            / CAST(n AS DOUBLE) AS intercept,
+          ((CAST(n AS DOUBLE) * sxy - sx * sy)
+              * (CAST(n AS DOUBLE) * sxy - sx * sy))
+            / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+              * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+        FROM m ORDER BY source"""))
   )
 }

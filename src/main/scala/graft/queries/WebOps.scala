@@ -205,6 +205,66 @@ object WebOps {
           FROM tf JOIN ctf USING (tok) JOIN stot USING (source), ctot)
         SELECT source, CAST(count(*) AS BIGINT) AS n_types,
           ${exactSumSql("contrib")} AS kl
-        FROM j GROUP BY 1 ORDER BY source"""))
+        FROM j GROUP BY 1 ORDER BY source""")),
+
+    // Domain-suffix blocklist filtering — the RefinedWeb/CCNet URL
+    // gating step. Real blocklists run to millions of entries, far
+    // past regex alternation or a broadcast IN-list: the scalable
+    // recipe is to explode each host into its DNS suffix chain
+    // (≤ #labels rows per URL, row-local) and equi-join the suffix
+    // key against the blocklist — subdomains of a blocked domain
+    // match its suffix automatically. The match is a keyed semi/left
+    // join: never a scan of list × corpus. Fixture: q257's
+    // deterministic URL shapes with an ads. subdomain stripe; a
+    // 3-entry inline blocklist stands in for the list table.
+    Q("q280_url_blocklist",
+      (s, dir) => {
+        val id = col("doc_id")
+        val host = concat(
+          when(id % 5 === 0, "ads.").otherwise(""),
+          lit("site"), (id % 8).cast("string"), lit(".example.com"))
+        val blocked = Seq("site3.example.com", "ads.site1.example.com",
+          "tracker.example.net")
+        import s.implicits._
+        val bl = blocked.toDF("suffix")
+        val parts = split(col("host"), "\\.")
+        val sufs = transform(
+          sequence(lit(1), size(parts)),
+          i => concat_ws(".", slice(parts, i,
+            size(parts) - i + lit(1))))
+        val cand = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), host.as("host"))
+          .select(col("doc_id"), col("host"),
+            explode(sufs).as("suffix"))
+          .join(broadcast(bl.withColumn("hit", lit(1))),
+            Seq("suffix"), "left")
+          .groupBy("doc_id", "host")
+          .agg(min(when(col("hit").isNotNull, col("suffix")))
+            .as("matched_suffix"))
+          .withColumn("blocked", col("matched_suffix").isNotNull)
+          .orderBy("doc_id")
+        cand.select("doc_id", "host", "blocked", "matched_suffix")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+            (CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END)
+              || 'site' || CAST(doc_id % 8 AS VARCHAR)
+              || '.example.com' AS host
+          FROM documents),
+        bl AS (SELECT * FROM (VALUES ('site3.example.com'),
+            ('ads.site1.example.com'),
+            ('tracker.example.net')) t(suffix)),
+        p AS (SELECT doc_id, host, string_split(host, '.') AS parts,
+            len(string_split(host, '.')) AS n FROM u),
+        sfx AS (SELECT doc_id, host,
+            array_to_string(parts[i:n], '.') AS suffix
+          FROM p, UNNEST(range(1, n + 1)) AS t(i)),
+        m AS (SELECT sfx.doc_id, sfx.host,
+            min(CASE WHEN bl.suffix IS NOT NULL THEN sfx.suffix END)
+              AS matched_suffix
+          FROM sfx LEFT JOIN bl USING (suffix)
+          GROUP BY 1, 2)
+        SELECT doc_id, host,
+          matched_suffix IS NOT NULL AS blocked, matched_suffix
+        FROM m ORDER BY doc_id"""))
   )
 }

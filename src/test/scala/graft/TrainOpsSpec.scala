@@ -115,4 +115,39 @@ class TrainOpsSpec extends SparkSpec {
     // margin never exceeds cos / (cos/2) = 2 by construction here
     assert(out.forall(_.getAs[Double]("margin") < 2.0))
   }
+
+  test("q281 Zipf rank window is limit-pruned (rk<=100 keeps " +
+      "per-partition top-k, never each source's full vocabulary)") {
+    val p = plan("q281_zipf_fit")
+    assert(p.contains("WindowGroupLimit") ||
+      p.contains("TakeOrderedAndProject"),
+      s"rank-limit pushdown did not engage:\n$p")
+  }
+
+  test("q281 Zipf slopes are negative (frequency falls with rank) " +
+      "with a strong fit on natural-ish text") {
+    val out = queries.Registry.queries("q281_zipf_fit")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("slope") < 0.0,
+        s"Zipf slope must be negative: $r")
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 > 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("q282 streaming novelty equals the q262 batch audit row for " +
+      "row (train-offline/audit-online == audit-offline)") {
+    val batch = queries.Registry.queries("q262_ngram_novelty")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val stream = queries.Registry.queries("q282_stream_novelty")(
+      spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))).toSet
+    assert(stream == batch,
+      s"stream twin diverged: only-batch=${batch -- stream} " +
+        s"only-stream=${stream -- batch}")
+  }
 }

@@ -98,6 +98,35 @@ class WebOpsSpec extends SparkSpec {
     }
   }
 
+  test("q280 blocklist matching is a keyed suffix join against the " +
+      "broadcast list — never list × corpus") {
+    val p = plan("q280_url_blocklist")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"suffix membership must ride the equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 3-entry list should broadcast:\n$p")
+  }
+
+  test("q280 suffix semantics: subdomains of a blocked domain are " +
+      "blocked, exact non-listed hosts pass") {
+    val out = queries.Registry.queries("q280_url_blocklist")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val blocked = r.getAs[Boolean]("blocked")
+      val expectBlocked =
+        id % 8 == 3 || (id % 5 == 0 && id % 8 == 1)
+      assert(blocked == expectBlocked, s"doc $id host " +
+        s"${r.getAs[String]("host")}: blocked=$blocked")
+      if (id % 8 == 3 && id % 5 == 0)
+        // ads.site3: the DEEPEST matching suffix listed is
+        // site3.example.com — matched via the suffix chain
+        assert(r.getAs[String]("matched_suffix") == "site3.example.com")
+    }
+  }
+
   test("q279 plan: corpus and source frequency tables derive from " +
       "the persisted (source,token) aggregate, not re-scans") {
     val prev = spark.conf.getOption("spark.graft.seal.enabled")
