@@ -127,6 +127,10 @@ object Bench {
     // queries that fit the budget + the r7-overlap gate ratio computed
     // here from BENCH_full_r07.json — and point at BENCH_full.json for
     // the complete map.
+    // locale-free fixed-decimal rendering (Double.toString never emits
+    // comma decimals, unlike Formatter under de_DE-style locales)
+    def r1(x: Double): String = (math.round(x * 10) / 10.0).toString
+    def r2(x: Double): String = (math.round(x * 100) / 100.0).toString
     val overlapJson = try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val r7 = om.readTree(java.nio.file.Files.readAllBytes(
@@ -140,7 +144,10 @@ object Bench {
           a += r.sec; b += e.getValue.asDouble(); n += 1 }
       }
       if (b > 0)
-        f""","r7_overlap":{"n":$n,"sec":$a%.1f,"r7_sec":$b%.1f,"ratio":${a / b}%.2f}"""
+        // NOT the f-interpolator: Formatter uses the default locale,
+        // and a comma-decimal locale (de_DE…) would re-break the very
+        // json.loads this line exists to satisfy
+        s""","r7_overlap":{"n":$n,"sec":${r1(a)},"r7_sec":${r1(b)},"ratio":${r2(a / b)}}"""
       else ""
     } catch { case _: Throwable => "" }
     val budget = 1700 // chars; sbt's [success] trailer rides in the same tail
@@ -148,9 +155,16 @@ object Bench {
     val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries_total":${ok.size},"failed":$failedJson,"failed_count":${failed.size},"gc_sec":${math.round(gcTotal * 10) / 10.0}$overlapJson,"sf":"$sfDir","full":"BENCH_full.json","queries":"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = head.length + 2
-    slowest.foreach { case (k, r) =>
-      val e = f""""$k":${r.sec}%.2f"""
+    // an HONEST prefix of the slowest ordering: stop at the first
+    // entry that doesn't fit — admitting later (faster) queries after
+    // a skip would make a missing slow query read as "got faster"
+    val it2 = slowest.iterator
+    var full = false
+    while (it2.hasNext && !full) {
+      val (k, r) = it2.next()
+      val e = s""""$k":${r2(r.sec)}"""
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else full = true
     }
     val line = head + entries.mkString("{", ",", "}") + "}"
     // BENCH_r02/r03 prove the failure mode precisely: the COMPLETE line

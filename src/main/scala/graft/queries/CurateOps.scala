@@ -19,17 +19,12 @@ import graft.operators.Similarity
   */
 object CurateOps {
 
-  private def lnq(c: Column) =
-    log(c).cast(DecimalType(18, 6)).cast(DoubleType)
-
-  private def lnqSql(e: String) =
-    s"CAST(CAST(ln($e) AS DECIMAL(18,6)) AS DOUBLE)"
-
-  private def exactSum(c: Column) =
-    sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
-
+  // delegated to the one shared float-path contract (ExactAgg)
+  private def lnq(c: Column) = graft.functions.ExactAgg.lnq(c)
+  private def lnqSql(e: String) = graft.functions.ExactAgg.sqlLnq(e)
+  private def exactSum(c: Column) = graft.functions.ExactAgg.dsum12(c)
   private def exactSumSql(e: String) =
-    s"CAST(sum(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
+    graft.functions.ExactAgg.sqlSum12(e)
 
   /** Order-free exact mean of a double array column: decimal-fold the
     * terms, divide by length once, as a single row-local expression.
@@ -97,17 +92,28 @@ object CurateOps {
     // decimals.
     Q("q270_chi2_split_drift",
       (s, dir) => {
-        // ONE scan: the contingency table is a single hash aggregate,
-        // and the row/column/grand totals are windows over that tiny
-        // (|sources| x 10 rows) aggregated frame — no diamond, no
-        // re-scan of the corpus for marginals.
-        val o = Tables.load(s, dir, "documents")
+        // ONE scan: the contingency table is a single hash aggregate
+        // (persisted — sources, splits, and the probe side all derive
+        // from it), and the row/column/grand totals are windows over
+        // that tiny (|sources| x 10 rows) aggregated frame. The chi²
+        // statistic needs the DENSE table: a (source, split) cell a
+        // source never produced is an observation O=0 that still
+        // contributes E to the statistic — dropping it understates
+        // drift exactly for the most-drifted sources. Densify via
+        // sources x splits (splits ≤ 10 rows, a documented bounded
+        // broadcast) and left-join the observed counts back.
+        val obs = Tables.load(s, dir, "documents")
           .select(col("source"), (col("doc_id") % 10).as("split"))
           .groupBy("source", "split")
           .agg(count(lit(1)).as("o"))
+          .persist()
+        val dense = obs.select("source").distinct()
+          .crossJoin(broadcast(obs.select("split").distinct()))
+          .join(obs, Seq("source", "split"), "left")
+          .withColumn("o", coalesce(col("o"), lit(0L)))
         val e = col("rtot").cast(DoubleType) *
           col("ctot").cast(DoubleType) / col("n").cast(DoubleType)
-        o.withColumn("rtot",
+        val out = dense.withColumn("rtot",
             sum("o").over(Window.partitionBy("source")))
           .withColumn("ctot", sum("o").over(Window.partitionBy("split")))
           .withColumn("n", sum("o").over(
@@ -119,10 +125,17 @@ object CurateOps {
           .agg(count(lit(1)).as("n_cells"),
             exactSum(col("cell")).as("chi2_part"))
           .orderBy("source")
+        graft.operators.CacheOps.sealAndRelease(out, obs)
       },
-      Some(s"""WITH o AS (SELECT source, doc_id % 10 AS split,
+      Some(s"""WITH obs AS (SELECT source, doc_id % 10 AS split,
             CAST(count(*) AS BIGINT) AS o
           FROM documents GROUP BY 1, 2),
+        o AS (SELECT s.source, sp.split,
+            CAST(COALESCE(obs.o, 0) AS BIGINT) AS o
+          FROM (SELECT DISTINCT source FROM obs) s
+          CROSS JOIN (SELECT DISTINCT split FROM obs) sp
+          LEFT JOIN obs ON obs.source = s.source
+            AND obs.split = sp.split),
         rs AS (SELECT source, sum(o) AS rtot FROM o GROUP BY 1),
         cs AS (SELECT split, sum(o) AS ctot FROM o GROUP BY 1),
         nt AS (SELECT sum(o) AS n FROM o),

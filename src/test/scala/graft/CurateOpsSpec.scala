@@ -30,19 +30,34 @@ class CurateOpsSpec extends SparkSpec {
     }
   }
 
-  test("q270 chi² marginals are windows over the aggregated " +
-      "contingency frame — the corpus is scanned exactly once") {
-    val df = queries.Registry.queries("q270_chi2_split_drift")(spark, sf)
-    val scans = "Scan parquet".r
-      .findAllIn(df.queryExecution.executedPlan.toString).length
-    assert(scans == 1, s"expected one corpus scan, saw $scans")
+  test("q270 chi² marginals derive from the persisted contingency " +
+      "aggregate — the densify diamond must not re-scan the corpus") {
+    val prev = spark.conf.getOption("spark.graft.seal.enabled")
+    spark.conf.set("spark.graft.seal.enabled", "false")
+    try {
+      val df = queries.Registry.queries("q270_chi2_split_drift")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      // obs feeds sources-distinct, splits-distinct, and the left-join
+      // probe: all three must read the InMemory relation
+      val mem = "InMemoryTableScan".r.findAllIn(p).length
+      assert(mem >= 3, s"obs must be reused via the cache:\n$p")
+    } finally {
+      graft.operators.CacheOps.sweep(spark)
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.seal.enabled", v)
+        case None => spark.conf.unset("spark.graft.seal.enabled")
+      }
+    }
   }
 
-  test("q270 chi² contributions are non-negative, cells bounded by " +
-      "the 10 splits (tiny fixtures may leave splits empty)") {
+  test("q270 chi² table is DENSE: every source carries a cell for " +
+      "every observed split (O=0 cells contribute E), parts >= 0") {
     val out = queries.Registry.queries("q270_chi2_split_drift")(spark, sf)
       .collect()
     assert(out.nonEmpty)
+    val cellCounts = out.map(_.getAs[Long]("n_cells")).distinct
+    assert(cellCounts.length == 1,
+      s"densification must equalize cell counts, saw ${cellCounts.toSeq}")
     out.foreach { r =>
       val c = r.getAs[Long]("n_cells")
       assert(c >= 1L && c <= 10L)
