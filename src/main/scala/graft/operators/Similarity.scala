@@ -158,6 +158,29 @@ object Similarity {
         col("cosine"))
   }
 
+  /** Embedding-space decontamination support: the distinct probe ids
+    * carrying ANY exact cosine ≥ threshold against the reference set.
+    * The reference side is a FIXED benchmark corpus — small by
+    * construction — so it broadcasts and the probe side streams
+    * through the fused kernel exactly once; same two-phase
+    * prune/rescore contract as [[cosinePairsAbove]]. Input frames:
+    * (vec_id, embedding). */
+  def idsNearAny(probe: DataFrame, refSet: DataFrame,
+      threshold: Double): DataFrame = {
+    val parallelism =
+      probe.sparkSession.sparkContext.defaultParallelism
+    val a = probe.select(col("vec_id"), col("embedding").as("pa"))
+      .repartition(parallelism)
+    val b = refSet.select(col("vec_id").as("ref_id"),
+      col("embedding").as("pb"))
+    a.join(broadcast(b),
+        cosine(col("pa"), col("pb")) >= threshold - 1e-6)
+      .withColumn("cosine",
+        asNondetBarrier(exactCosine(col("pa"), col("pb"))))
+      .filter(col("cosine") >= threshold)
+      .select("vec_id").distinct()
+  }
+
   /** Random-hyperplane LSH bucketing: `nBits` sign bits from fixed
     * pseudo-random hyperplanes (deterministic, seeded by dimension
     * index — no RNG state to ship to executors). Vectors that share a

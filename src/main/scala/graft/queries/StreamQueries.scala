@@ -850,7 +850,27 @@ object StreamQueries {
         }
         s.table("q282_sink").orderBy("doc_id")
       },
-      Some(TrainOps.NoveltyOracle))
+      Some(TrainOps.NoveltyOracle)),
+
+    // Streaming twin of q280 — the URL-blocklist gate in its deploy
+    // shape: documents arrive as micro-batches, each host explodes
+    // into its DNS suffix chain row-locally, the chain stream-static
+    // joins the broadcast blocklist, and the per-doc verdict is an
+    // Update-mode aggregate (one state row per doc in flight). The
+    // gate logic is WebOps.suffixBlockGate — the SAME function q280
+    // runs in batch — and the oracle is q280's verbatim, so the
+    // deploy shape provably computes the batch semantics.
+    Q("q286_stream_blocklist",
+      (s, dir) => {
+        val gate = WebOps.suffixBlockGate(documentsStream(s, dir))
+        s.catalog.dropTempView("q286_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(gate, "q286_sink",
+            OutputMode.Update())
+        }
+        s.table("q286_sink").orderBy("doc_id")
+      },
+      Some(WebOps.BlocklistOracle))
   )
 
   /** Documents landing zone (the eventsStream pattern): one parquet

@@ -19,20 +19,15 @@ import graft.operators.Similarity
   */
 object TrainOps {
 
-  /** ln quantized so both engines agree bit-for-bit (the q85 rule). */
+  // one shared definition of the float-path contract (ExactAgg): a
+  // precision tweak applied there moves Spark and oracle together
   private def lnq(c: org.apache.spark.sql.Column) =
-    log(c).cast(DecimalType(18, 6)).cast(DoubleType)
-
-  /** Mirrors [[lnq]] in DuckDB. */
-  private def lnqSql(e: String) =
-    s"CAST(CAST(ln($e) AS DECIMAL(18,6)) AS DOUBLE)"
-
-  /** Order-free exact sum of per-row double contributions (q134 rule). */
+    graft.functions.ExactAgg.lnq(c)
+  private def lnqSql(e: String) = graft.functions.ExactAgg.sqlLnq(e)
   private def exactSum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
-
+    graft.functions.ExactAgg.dsum12(c)
   private def exactSumSql(e: String) =
-    s"CAST(sum(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
+    graft.functions.ExactAgg.sqlSum12(e)
 
   /** (doc_id, gram): each document's DISTINCT word 5-grams — shared
     * by q262 and its streaming twin q282 so both walk the identical
@@ -460,6 +455,123 @@ object TrainOps {
               * (CAST(n AS DOUBLE) * sxy - sx * sy))
             / ((CAST(n AS DOUBLE) * sxx - sx * sx)
               * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
-        FROM m ORDER BY source"""))
+        FROM m ORDER BY source""")),
+
+    // DoReMi-style domain reweighting (Xie et al. 2023, simplified
+    // deterministically): iterate multiplicative weights on each
+    // domain's excess loss against the current MIXTURE — here the
+    // proxy/reference gap is the unigram KL(p_domain ‖ p_mixture),
+    // which is ≥ 0 (Gibbs, the mixture covers every domain token) and
+    // shrinks for a domain as its weight grows, so the loop genuinely
+    // re-equilibrates each round rather than degenerating to one
+    // exponentiation. Deviation from the paper, documented: the
+    // update is the LINEARIZED Hedge rule w·(1 + η·excess) instead of
+    // w·exp(η·excess) — exp is not correctly rounded in every libm,
+    // and rational double arithmetic is the only cross-engine
+    // hash-exact path. Scale shape: the corpus collapses ONCE into
+    // the (source, token) frequency frame (vocabulary-bounded per
+    // source, checkpointed); all 3 rounds iterate on that leaf with
+    // |sources|-row weight frames riding broadcasts — 100 TB pays a
+    // single scan. Plan-doubling hygiene per the q268/LPA lesson:
+    // every round's weight frame is eagerly checkpointed, releases
+    // ride the seal.
+    Q("q283_doremi_mix",
+      (s, dir) => {
+        val tf = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok")
+          .agg(count(lit(1)).as("c"))
+          .persist()
+        val st = tf.groupBy("source").agg(sum("c").as("st"))
+        val p = tf.join(st, Seq("source"))
+          .select(col("source"), col("tok"),
+            (col("c").cast(DoubleType) / col("st").cast(DoubleType))
+              .as("p"))
+          .localCheckpoint()
+        val k = st.agg(count(lit(1)).as("k"))
+        var w = st.crossJoin(broadcast(k))
+          .select(col("source"),
+            (lit(1.0) / col("k").cast(DoubleType)).as("w"))
+          .localCheckpoint()
+        val spent = scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.DataFrame](w)
+        var lastKl: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 3) {
+          val mix = p.join(broadcast(w), Seq("source"))
+            .groupBy("tok")
+            .agg(exactSum(col("w") * col("p")).as("m"))
+          val kl = p.join(mix, Seq("tok"))
+            .groupBy("source")
+            .agg(exactSum(col("p") * lnq(col("p") / col("m")))
+              .as("kl"))
+            .localCheckpoint()
+          val wr = w.join(kl, Seq("source"))
+            .select(col("source"),
+              (col("w") * (lit(1.0) + lit(0.5) * col("kl")))
+                .cast(DecimalType(18, 6)).cast(DoubleType).as("wr"))
+          val tot = wr.agg(exactSum(col("wr")).as("twr"))
+          w = wr.crossJoin(broadcast(tot))
+            .select(col("source"),
+              (col("wr") / col("twr")).cast(DecimalType(18, 6))
+                .cast(DoubleType).as("w"))
+            .localCheckpoint()
+          spent += kl
+          spent += w
+          lastKl = kl
+        }
+        val stot = st.agg(sum("st").as("tot"))
+        val out = st.crossJoin(broadcast(stot))
+          .select(col("source"),
+            (col("st").cast(DoubleType) / col("tot").cast(DoubleType))
+              .as("token_share"))
+          .join(w, Seq("source"))
+          .join(lastKl, Seq("source"))
+          .select(col("source"), col("token_share"),
+            col("w").as("weight"), col("kl").as("excess_kl"))
+          .orderBy("source")
+        graft.operators.CacheOps.sealThen(out) {
+          tf.unpersist(false)
+          (spent :+ p).foreach(
+            graft.operators.CacheOps.releaseCheckpoint)
+        }
+      },
+      Some {
+        val round = (prev: String, t: Int) => s"""
+          mix$t AS (SELECT p.tok, ${exactSumSql("w.w * p.p")} AS m
+            FROM p JOIN $prev w USING (source) GROUP BY 1),
+          kl$t AS (SELECT p.source,
+              ${exactSumSql(s"p.p * ${lnqSql(s"p.p / mix$t.m")}")} AS kl
+            FROM p JOIN mix$t USING (tok) GROUP BY 1),
+          wr$t AS (SELECT w.source,
+              CAST(CAST(w.w * (1.0 + 0.5 * kl.kl) AS DECIMAL(18,6))
+                AS DOUBLE) AS wr
+            FROM $prev w JOIN kl$t kl USING (source)),
+          w$t AS (SELECT wr$t.source, kl$t.kl,
+              CAST(CAST(wr / (SELECT ${exactSumSql("wr")} FROM wr$t)
+                AS DECIMAL(18,6)) AS DOUBLE) AS w
+            FROM wr$t JOIN kl$t USING (source))"""
+        s"""WITH tf AS (SELECT source, t.tok AS tok,
+              CAST(count(*) AS BIGINT) AS c
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+            GROUP BY 1, 2),
+          st AS (SELECT source, CAST(sum(c) AS BIGINT) AS st
+            FROM tf GROUP BY 1),
+          p AS (SELECT tf.source, tok,
+              CAST(c AS DOUBLE) / CAST(st AS DOUBLE) AS p
+            FROM tf JOIN st USING (source)),
+          w0 AS (SELECT source,
+              CAST(1.0 AS DOUBLE)
+                / CAST((SELECT count(*) FROM st) AS DOUBLE) AS w
+            FROM st),
+          ${round("w0", 1)},
+          ${round("w1", 2)},
+          ${round("w2", 3)}
+        SELECT st.source,
+          CAST(st AS DOUBLE)
+            / CAST((SELECT sum(st) FROM st) AS DOUBLE) AS token_share,
+          w3.w AS weight, w3.kl AS excess_kl
+        FROM st JOIN w3 USING (source) ORDER BY source"""
+      })
   )
 }

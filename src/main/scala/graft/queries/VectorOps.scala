@@ -510,7 +510,54 @@ object VectorOps {
         SELECT query_id, hits5, p_at_5, first_rel_rank, rr_num,
           CAST(s AS DOUBLE) / (CAST(nq AS DOUBLE) * 2520.0)
             AS corpus_mrr
-        FROM per2, tot ORDER BY query_id"""))
+        FROM per2, tot ORDER BY query_id""")),
+
+    // Embedding-space decontamination — the semantic complement of
+    // q71's n-gram gate: a train vector is contaminated when ANY
+    // benchmark (eval) vector sits within cosine ≥ 0.35 of it, even
+    // with zero lexical overlap. Every 20th vec_id plays the held-out
+    // benchmark. 100 TB shape: the benchmark set is fixed-size by
+    // construction, so it broadcasts and the train side streams
+    // through the fused kernel once (the documented bounded-broadcast
+    // BNLJ); the double-kernel prune at τ−1e-6 can never drop a true
+    // ≥ τ survivor, and the decimal rescore decides the boundary
+    // identically to the oracle's long-form replay. Report: per-label
+    // contamination census.
+    Q("q285_embed_decontaminate",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val ev = emb.filter(col("vec_id") % 20 === 0)
+        val tr = emb.filter(col("vec_id") % 20 =!= 0)
+        val hits = Similarity.idsNearAny(tr, ev, 0.35)
+          .withColumn("hit", lit(1))
+        tr.select(col("vec_id"), col("label"))
+          .join(hits, Seq("vec_id"), "left")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_train"),
+            count(col("hit")).as("n_contaminated"))
+          .withColumn("contam_share",
+            col("n_contaminated").cast("double") /
+              col("n_train").cast("double"))
+          .orderBy("label")
+      },
+      Some(s"""WITH $exCte,
+        dots AS (SELECT a.vec_id AS tr_id, b.vec_id AS ev_id,
+            CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i
+          WHERE a.vec_id % 20 <> 0 AND b.vec_id % 20 = 0
+          GROUP BY 1, 2),
+        hits AS (SELECT DISTINCT tr_id FROM dots
+          JOIN nrm na ON na.vec_id = tr_id
+          JOIN nrm nb ON nb.vec_id = ev_id
+          WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.35),
+        tr AS (SELECT vec_id, label FROM embeddings
+          WHERE vec_id % 20 <> 0)
+        SELECT tr.label, CAST(count(*) AS BIGINT) AS n_train,
+          CAST(count(hits.tr_id) AS BIGINT) AS n_contaminated,
+          CAST(count(hits.tr_id) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS contam_share
+        FROM tr LEFT JOIN hits ON hits.tr_id = tr.vec_id
+        GROUP BY 1 ORDER BY label"""))
   )
 
   /** Two Lloyd iterations from the 8 lowest-id seeds, mirrored CTE by

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -19,17 +19,74 @@ import graft.functions.HtmlFuncs
   */
 object WebOps {
 
-  private def lnq(c: Column) =
-    log(c).cast(DecimalType(18, 6)).cast(DoubleType)
-
-  private def lnqSql(e: String) =
-    s"CAST(CAST(ln($e) AS DECIMAL(18,6)) AS DOUBLE)"
-
-  private def exactSum(c: Column) =
-    sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
-
+  // delegated to the one shared float-path contract (ExactAgg)
+  private def lnq(c: Column) = graft.functions.ExactAgg.lnq(c)
+  private def lnqSql(e: String) = graft.functions.ExactAgg.sqlLnq(e)
+  private def exactSum(c: Column) = graft.functions.ExactAgg.dsum12(c)
   private def exactSumSql(e: String) =
-    s"CAST(sum(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
+    graft.functions.ExactAgg.sqlSum12(e)
+
+  /** Deterministic per-doc host (the q257 URL stripe — every 5th doc
+    * lands on an ads. subdomain). Shared by q280/q284 and the
+    * streaming blocklist twin. */
+  private[queries] def docHost: Column = concat(
+    when(col("doc_id") % 5 === 0, "ads.").otherwise(""),
+    lit("site"), (col("doc_id") % 8).cast("string"),
+    lit(".example.com"))
+
+  /** q280's gate, reused verbatim by the streaming twin: explode each
+    * host into its DNS suffix chain (row-local, ≤ #labels rows) and
+    * equi-join the broadcast blocklist on the suffix key — subdomains
+    * of a blocked domain match by construction, and a million-entry
+    * list stays a keyed join, never a regex alternation or a
+    * list × corpus scan. */
+  private[queries] def suffixBlockGate(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bl = Seq("site3.example.com", "ads.site1.example.com",
+      "tracker.example.net").toDF("suffix")
+    val parts = split(col("host"), "\\.")
+    val sufs = transform(
+      sequence(lit(1), size(parts)),
+      i => concat_ws(".", slice(parts, i,
+        size(parts) - i + lit(1))))
+    docs
+      .select(col("doc_id"), docHost.as("host"))
+      .select(col("doc_id"), col("host"),
+        explode(sufs).as("suffix"))
+      .join(broadcast(bl.withColumn("hit", lit(1))),
+        Seq("suffix"), "left")
+      .groupBy("doc_id", "host")
+      .agg(min(when(col("hit").isNotNull, col("suffix")))
+        .as("matched_suffix"))
+      .withColumn("blocked", col("matched_suffix").isNotNull)
+      .select("doc_id", "host", "blocked", "matched_suffix")
+  }
+
+  /** q280's oracle — the streaming twin reuses it verbatim, proving
+    * the deploy shape computes the batch semantics. */
+  private[queries] val BlocklistOracle: String =
+    """WITH u AS (SELECT doc_id,
+          (CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END)
+            || 'site' || CAST(doc_id % 8 AS VARCHAR)
+            || '.example.com' AS host
+        FROM documents),
+      bl AS (SELECT * FROM (VALUES ('site3.example.com'),
+          ('ads.site1.example.com'),
+          ('tracker.example.net')) t(suffix)),
+      p AS (SELECT doc_id, host, string_split(host, '.') AS parts,
+          len(string_split(host, '.')) AS n FROM u),
+      sfx AS (SELECT doc_id, host,
+          array_to_string(parts[i:n], '.') AS suffix
+        FROM p, UNNEST(range(1, n + 1)) AS t(i)),
+      m AS (SELECT sfx.doc_id, sfx.host,
+          min(CASE WHEN bl.suffix IS NOT NULL THEN sfx.suffix END)
+            AS matched_suffix
+        FROM sfx LEFT JOIN bl USING (suffix)
+        GROUP BY 1, 2)
+      SELECT doc_id, host,
+        matched_suffix IS NOT NULL AS blocked, matched_suffix
+      FROM m ORDER BY doc_id"""
 
   val qs: Seq[Q] = Seq(
 
@@ -218,53 +275,93 @@ object WebOps {
     // deterministic URL shapes with an ads. subdomain stripe; a
     // 3-entry inline blocklist stands in for the list table.
     Q("q280_url_blocklist",
+      (s, dir) =>
+        suffixBlockGate(Tables.load(s, dir, "documents"))
+          .orderBy("doc_id"),
+      Some(BlocklistOracle)),
+
+    // robots.txt-style longest-prefix path gating — the
+    // crawl-politeness primitive that decides which URLs a pipeline
+    // may ingest at all. Real rule sets are per-host and deep, so the
+    // scalable shape mirrors q280's suffix chain: each URL explodes
+    // into its bounded path-prefix chain (root + one row per segment,
+    // all row-local) and the chain EQUI-JOINS the rule table on
+    // (host, prefix) — never rules × corpus. Precedence is the
+    // documented robots rule: the LONGEST matching prefix wins
+    // (allow-override of a broader deny works by construction);
+    // default allow when nothing matches. Winner selection is an
+    // arg-max struct aggregate — prefix lengths within one URL's
+    // chain are distinct, so the struct order is decided by length
+    // alone and the oracle's rank-by-length replay picks the same
+    // rule.
+    Q("q284_robots_gate",
       (s, dir) => {
-        val id = col("doc_id")
-        val host = concat(
-          when(id % 5 === 0, "ads.").otherwise(""),
-          lit("site"), (id % 8).cast("string"), lit(".example.com"))
-        val blocked = Seq("site3.example.com", "ads.site1.example.com",
-          "tracker.example.net")
         import s.implicits._
-        val bl = blocked.toDF("suffix")
-        val parts = split(col("host"), "\\.")
-        val sufs = transform(
-          sequence(lit(1), size(parts)),
-          i => concat_ws(".", slice(parts, i,
-            size(parts) - i + lit(1))))
-        val cand = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), host.as("host"))
-          .select(col("doc_id"), col("host"),
-            explode(sufs).as("suffix"))
-          .join(broadcast(bl.withColumn("hit", lit(1))),
-            Seq("suffix"), "left")
-          .groupBy("doc_id", "host")
-          .agg(min(when(col("hit").isNotNull, col("suffix")))
-            .as("matched_suffix"))
-          .withColumn("blocked", col("matched_suffix").isNotNull)
+        val rules = Seq(
+          ("site1.example.com", "/s3", false),
+          ("site1.example.com", "/s3/p4", true),
+          ("site2.example.com", "/s1", false),
+          ("ads.site1.example.com", "/", false),
+          ("site0.example.com", "/", true),
+          ("site0.example.com", "/s2", false)
+        ).toDF("host", "prefix", "r_allow")
+        val id = col("doc_id")
+        val u = Tables.load(s, dir, "documents")
+          .select(id, docHost.as("host"),
+            concat(lit("/s"), (id % 7).cast("string"),
+              lit("/p"), (id % 13).cast("string")).as("path"))
+        val parts = split(expr("substring(path, 2)"), "/")
+        val chain = concat(array(lit("/")),
+          transform(sequence(lit(1), size(parts)),
+            i => concat(lit("/"),
+              concat_ws("/", slice(parts, lit(1), i)))))
+        u.select(col("doc_id"), col("host"), col("path"),
+            explode(chain).as("prefix"))
+          .join(broadcast(rules), Seq("host", "prefix"), "left")
+          .groupBy("doc_id", "host", "path")
+          .agg(max(when(col("r_allow").isNotNull,
+            struct(length(col("prefix")).as("l"),
+              col("r_allow").as("a"),
+              col("prefix").as("pfx")))).as("win"))
+          .select(col("doc_id"), col("host"), col("path"),
+            coalesce(col("win.a"), lit(true)).as("allowed"),
+            col("win.pfx").as("matched_prefix"))
           .orderBy("doc_id")
-        cand.select("doc_id", "host", "blocked", "matched_suffix")
       },
       Some("""WITH u AS (SELECT doc_id,
             (CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END)
               || 'site' || CAST(doc_id % 8 AS VARCHAR)
-              || '.example.com' AS host
+              || '.example.com' AS host,
+            '/s' || CAST(doc_id % 7 AS VARCHAR)
+              || '/p' || CAST(doc_id % 13 AS VARCHAR) AS path
           FROM documents),
-        bl AS (SELECT * FROM (VALUES ('site3.example.com'),
-            ('ads.site1.example.com'),
-            ('tracker.example.net')) t(suffix)),
-        p AS (SELECT doc_id, host, string_split(host, '.') AS parts,
-            len(string_split(host, '.')) AS n FROM u),
-        sfx AS (SELECT doc_id, host,
-            array_to_string(parts[i:n], '.') AS suffix
-          FROM p, UNNEST(range(1, n + 1)) AS t(i)),
-        m AS (SELECT sfx.doc_id, sfx.host,
-            min(CASE WHEN bl.suffix IS NOT NULL THEN sfx.suffix END)
-              AS matched_suffix
-          FROM sfx LEFT JOIN bl USING (suffix)
-          GROUP BY 1, 2)
-        SELECT doc_id, host,
-          matched_suffix IS NOT NULL AS blocked, matched_suffix
-        FROM m ORDER BY doc_id"""))
+        r AS (SELECT * FROM (VALUES
+            ('site1.example.com', '/s3', false),
+            ('site1.example.com', '/s3/p4', true),
+            ('site2.example.com', '/s1', false),
+            ('ads.site1.example.com', '/', false),
+            ('site0.example.com', '/', true),
+            ('site0.example.com', '/s2', false))
+          t(host, prefix, r_allow)),
+        p AS (SELECT doc_id, host, path,
+            string_split(path[2:], '/') AS parts FROM u),
+        chain AS (SELECT doc_id, host, path, '/' AS prefix FROM p
+          UNION ALL
+          SELECT doc_id, host, path,
+            '/' || array_to_string(parts[1:i], '/') AS prefix
+          FROM p, UNNEST(range(1, len(parts) + 1)) AS t(i)),
+        m AS (SELECT c.doc_id, r.prefix, r.r_allow,
+            row_number() OVER (PARTITION BY c.doc_id
+              ORDER BY len(r.prefix) DESC) AS rn
+          FROM chain c
+          JOIN r ON r.host = c.host AND r.prefix = c.prefix)
+        SELECT u.doc_id, u.host, u.path,
+          COALESCE(m.r_allow, true) AS allowed,
+          m.prefix AS matched_prefix
+        FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+          USING (doc_id)
+        ORDER BY doc_id"""))
   )
+
+
 }

@@ -230,4 +230,32 @@ class SimilaritySpec extends SparkSpec {
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     assert(d2(q(0L).toSeq, q(2L).toSeq) > 0.0)
   }
+
+  test("q285 decontamination census: shares in [0,1], counts " +
+      "consistent, and the fixture actually carries contamination") {
+    val out = queries.Registry.queries("q285_embed_decontaminate")(
+      spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_train")
+      val c = r.getAs[Long]("n_contaminated")
+      assert(c >= 0L && c <= n)
+      val s = r.getAs[Double]("contam_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    // probed against DuckDB: 15 of 475 train vectors sit within
+    // cosine >= 0.35 of an eval vector on this corpus
+    assert(out.map(_.getAs[Long]("n_contaminated")).sum == 15L)
+    assert(out.map(_.getAs[Long]("n_train")).sum == 475L)
+  }
+
+  test("q285 plan: the benchmark side broadcasts (a documented " +
+      "bounded BNLJ — the eval set is fixed-size); the train side " +
+      "is never replicated") {
+    val p = queries.Registry.queries("q285_embed_decontaminate")(
+      spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the kernel prune must run inside the broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }

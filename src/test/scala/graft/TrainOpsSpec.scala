@@ -150,4 +150,21 @@ class TrainOpsSpec extends SparkSpec {
       s"stream twin diverged: only-batch=${batch -- stream} " +
         s"only-stream=${stream -- batch}")
   }
+
+  test("q283 DoReMi weights: a proper distribution (sum 1 within " +
+      "per-source quantization), every excess KL >= 0 (Gibbs), and " +
+      "the update actually moved mass off uniform") {
+    val out = queries.Registry.queries("q283_doremi_mix")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val ws = out.map(_.getAs[Double]("weight"))
+    assert(ws.forall(_ > 0.0))
+    val tol = 2e-6 * ws.length
+    assert(math.abs(ws.sum - 1.0) <= tol,
+      s"weights must renormalize to 1, got ${ws.sum}")
+    assert(ws.distinct.length > 1,
+      "multiplicative update left every weight identical")
+    assert(out.forall(_.getAs[Double]("excess_kl") >= 0.0),
+      "KL(p_source ‖ p_mixture) must be non-negative")
+  }
 }

@@ -147,4 +147,52 @@ class WebOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q284 robots precedence: longest matching prefix wins — " +
+      "allow-override of a broader deny, deny-override of a root " +
+      "allow, root deny, and the no-match default") {
+    val rows = queries.Registry.queries("q284_robots_gate")(spark, sf)
+      .filter(col("doc_id").isin(0, 8, 16, 17, 25, 129))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("allowed"),
+          Option(r.getAs[String]("matched_prefix"))))).toMap
+    // /s3/p4 allow overrides the /s3 deny (longest wins)
+    assert(rows(17L) == ((true, Some("/s3/p4"))))
+    // /s2 deny overrides site0's root allow
+    assert(rows(16L) == ((false, Some("/s2"))))
+    // root allow is itself a match
+    assert(rows(8L) == ((true, Some("/"))))
+    // whole-host root deny (the ads. stripe)
+    assert(rows(25L) == ((false, Some("/"))))
+    // /s3 deny with no deeper override
+    assert(rows(129L) == ((false, Some("/s3"))))
+    // nothing matches: default allow, no rule recorded
+    assert(rows(0L) == ((true, None)))
+  }
+
+  test("q284 plan: the rule match is a keyed broadcast join — " +
+      "never rules × corpus") {
+    val p = plan("q284_robots_gate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"rule matching must ride the (host, prefix) equi-join:\n$p")
+  }
+
+  test("q286 streaming blocklist equals the q280 batch gate row for " +
+      "row (the deploy shape computes the batch semantics)") {
+    val batch = queries.Registry.queries("q280_url_blocklist")(
+      spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("host"),
+        r.getAs[Boolean]("blocked"),
+        Option(r.getAs[String]("matched_suffix")))).toSet
+    val stream = queries.Registry.queries("q286_stream_blocklist")(
+      spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("host"),
+        r.getAs[Boolean]("blocked"),
+        Option(r.getAs[String]("matched_suffix")))).toSet
+    assert(stream == batch,
+      s"stream twin diverged: only-batch=${batch -- stream} " +
+        s"only-stream=${stream -- batch}")
+  }
 }
