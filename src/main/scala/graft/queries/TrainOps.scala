@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -572,6 +573,131 @@ object TrainOps {
             / CAST((SELECT sum(st) FROM st) AS DOUBLE) AS token_share,
           w3.w AS weight, w3.kl AS excess_kl
         FROM st JOIN w3 USING (source) ORDER BY source"""
-      })
+      }),
+
+    // Data-constrained epoch allocation (the Muennighoff et al. 2023
+    // setting): a token budget B = 2× the unique corpus under a
+    // 4-epoch repeat cap, filled greedily in quality order — high-
+    // quality sources repeat up to the cap, the marginal source takes
+    // the remainder, the tail gets nothing. Quality = source-level
+    // type/token ratio (one aggregate, deterministic division).
+    // Greedy-by-prefix is closed-form: alloc_i = clamp(B − Σ_{j<i}
+    // cap·t_j, 0, cap·t_i) over the quality-sorted PREFIX — a window
+    // over the |sources|-row aggregated frame (the q270 marginal
+    // pattern: the corpus itself never sorts; at 100 TB this frame is
+    // still |sources| rows). All-integer token arithmetic — the only
+    // doubles are the quality ratio and the epochs quotient, one
+    // division each, mirrored.
+    Q("q287_epoch_allocation",
+      (s, dir) => {
+        val tf = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("t"), countDistinct("tok").as("d"))
+          .withColumn("quality",
+            col("d").cast(DoubleType) / col("t").cast(DoubleType))
+        val tot = tf.agg(sum("t").as("st"))
+        val w = Window.orderBy(col("quality").desc, col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val alloc = greatest(lit(0L),
+          least(lit(4L) * col("t"), col("b") - col("pre")))
+        tf.crossJoin(broadcast(tot))
+          .withColumn("b", lit(2L) * col("st"))
+          .withColumn("pre",
+            coalesce(sum(lit(4L) * col("t")).over(w), lit(0L)))
+          .select(col("source"), col("t").as("tokens"), col("quality"),
+            alloc.as("alloc_tokens"),
+            (alloc.cast(DoubleType) / col("t").cast(DoubleType))
+              .as("epochs"))
+          .orderBy("source")
+      },
+      Some("""WITH tf AS (SELECT source,
+            CAST(count(*) AS BIGINT) AS t,
+            CAST(count(DISTINCT t2.tok) AS BIGINT) AS d
+          FROM documents,
+            UNNEST(string_split(text, ' ')) AS t2(tok)
+          GROUP BY 1),
+        q AS (SELECT source, t,
+            CAST(d AS DOUBLE) / CAST(t AS DOUBLE) AS quality FROM tf),
+        tot AS (SELECT CAST(sum(t) AS BIGINT) AS st FROM q),
+        w AS (SELECT source, t, quality,
+            COALESCE(CAST(sum(4 * t) OVER (ORDER BY quality DESC,
+              source ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING) AS BIGINT), 0) AS pre,
+            (SELECT 2 * st FROM tot) AS b
+          FROM q)
+        SELECT source, t AS tokens, quality,
+          greatest(CAST(0 AS BIGINT), least(4 * t, b - pre))
+            AS alloc_tokens,
+          CAST(greatest(CAST(0 AS BIGINT), least(4 * t, b - pre))
+            AS DOUBLE) / CAST(t AS DOUBLE) AS epochs
+        FROM w ORDER BY source""")),
+
+    // T5-style span corruption (Raffel et al. 2020) — the denoising-
+    // objective data transform, done entirely row-locally: tokens at
+    // positions i with (i div 3) mod 7 == 0 are masked (3-token spans
+    // every 21 positions, ~14% corruption, the T5 defaults' shape);
+    // each span is replaced by one numbered sentinel in the input and
+    // emitted after that sentinel in the target. Pure integer/string
+    // higher-order functions over the token array — no UDF, no
+    // shuffle before the presentation sort, and both engines walk the
+    // identical index arithmetic.
+    Q("q289_span_corruption",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val idx = sequence(lit(0), size(toks) - 1)
+        def tokAt(i: Column) = element_at(toks, i + 1)
+        // Spark `/` is DOUBLE division — floor() recovers the integer
+        // quotient DuckDB's `//` computes (exact: i < 2^53)
+        def masked(i: Column) = floor(i / 3) % 7 === 0
+        def sentinel(i: Column) =
+          concat(lit("<extra_id_"), floor(i / 21).cast("string"),
+            lit(">"))
+        val inputArr = filter(
+          transform(idx, i =>
+            when(i % 21 === 0, sentinel(i))
+              .when(!masked(i), tokAt(i))),
+          x => x.isNotNull)
+        val targetArr = transform(
+          filter(idx, i => masked(i)),
+          i => when(i % 21 === 0,
+            concat(sentinel(i), lit(" "), tokAt(i)))
+            .otherwise(tokAt(i)))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(toks).cast(LongType).as("n_tokens"),
+            size(filter(idx, i => masked(i))).cast(LongType)
+              .as("n_masked"),
+            size(filter(idx, i => masked(i) && i % 21 === 0))
+              .cast(LongType).as("n_spans"),
+            array_join(inputArr, " ").as("inputs"),
+            array_join(targetArr, " ").as("targets"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            string_split(text, ' ') AS toks,
+            range(0, len(string_split(text, ' '))) AS idx
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(idx,
+            i -> (i // 3) % 7 = 0)) AS BIGINT) AS n_masked,
+          CAST(len(list_filter(idx,
+            i -> (i // 3) % 7 = 0 AND i % 21 = 0)) AS BIGINT)
+            AS n_spans,
+          array_to_string(list_filter(list_transform(idx,
+            i -> CASE WHEN i % 21 = 0
+                THEN '<extra_id_' || CAST(i // 21 AS VARCHAR) || '>'
+              WHEN NOT ((i // 3) % 7 = 0) THEN toks[i + 1]
+              ELSE NULL END),
+            x -> x IS NOT NULL), ' ') AS inputs,
+          array_to_string(list_transform(
+            list_filter(idx, i -> (i // 3) % 7 = 0),
+            i -> CASE WHEN i % 21 = 0
+              THEN '<extra_id_' || CAST(i // 21 AS VARCHAR) || '>'
+                || ' ' || toks[i + 1]
+              ELSE toks[i + 1] END), ' ') AS targets
+        FROM d ORDER BY doc_id"""))
   )
 }

@@ -557,7 +557,65 @@ object VectorOps {
           CAST(count(hits.tr_id) AS DOUBLE)
             / CAST(count(*) AS DOUBLE) AS contam_share
         FROM tr LEFT JOIN hits ON hits.tr_id = tr.vec_id
-        GROUP BY 1 ORDER BY label"""))
+        GROUP BY 1 ORDER BY label""")),
+
+    // Topic-balance resampling — flatten a skewed topic distribution
+    // toward uniform: LSH signatures stand in for topic clusters
+    // (deterministic, oracle-mirrored bit for bit), each bucket gets
+    // keep probability min(1, target/size), and membership is decided
+    // by a multiplicative hash on the id — reproducible on any
+    // engine, no RNG state. 100 TB shape: the per-bucket histogram
+    // and thresholds are a |buckets|-row broadcast; the keep decision
+    // is row-local, so the corpus streams through one aggregate
+    // (the id is pre-reduced mod a prime so the hash product can
+    // never overflow BIGINT on either engine).
+    Q("q288_cluster_balance",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val b = Similarity.lshBuckets(emb, "vec_id", "embedding",
+          nBits = 4, dim = Dim)
+        val sizes = b.groupBy("bucket").agg(count(lit(1)).as("n"))
+        val tot = sizes.agg(sum("n").as("tot"),
+          count(lit(1)).as("k"))
+        val wp = sizes.crossJoin(broadcast(tot))
+          .withColumn("keep_prob",
+            least(lit(1.0),
+              (col("tot").cast("double") / col("k").cast("double"))
+                / col("n").cast("double")))
+          .withColumn("thresh",
+            floor(col("keep_prob") * lit(4294967296.0))
+              .cast("long"))
+        val h = ((col("vec_id") % 100000007L) * 2654435761L) %
+          4294967296L
+        b.join(broadcast(wp), Seq("bucket"))
+          .withColumn("kept", when(h < col("thresh"), 1L)
+            .otherwise(0L))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum("kept").as("n_kept"),
+            max("keep_prob").as("keep_prob"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH b AS (SELECT vec_id, ${bitsSql(4)} AS bucket
+          FROM embeddings),
+        sz AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+            CAST(count(*) AS BIGINT) AS k FROM sz),
+        wp AS (SELECT bucket, n,
+            least(CAST(1 AS DOUBLE),
+              (CAST(tot AS DOUBLE) / CAST(k AS DOUBLE))
+                / CAST(n AS DOUBLE)) AS keep_prob
+          FROM sz, t),
+        wt AS (SELECT bucket, n, keep_prob,
+            CAST(floor(keep_prob * 4294967296.0) AS BIGINT) AS thresh
+          FROM wp)
+        SELECT b.bucket, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN ((b.vec_id % 100000007) * 2654435761)
+              % 4294967296 < wt.thresh THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+          max(wt.keep_prob) AS keep_prob
+        FROM b JOIN wt USING (bucket)
+        GROUP BY 1 ORDER BY bucket"""))
   )
 
   /** Two Lloyd iterations from the 8 lowest-id seeds, mirrored CTE by

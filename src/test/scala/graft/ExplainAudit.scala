@@ -71,7 +71,8 @@ object ExplainAudit {
       "q275_kneser_ney", "q276_html_extract", "q277_link_hosts",
       "q278_wilson_quality", "q279_source_kl", "q280_url_blocklist",
       "q281_zipf_fit", "q283_doremi_mix", "q284_robots_gate",
-      "q285_embed_decontaminate")
+      "q285_embed_decontaminate", "q287_epoch_allocation",
+      "q288_cluster_balance", "q289_span_corruption")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString

@@ -258,4 +258,27 @@ class SimilaritySpec extends SparkSpec {
       s"the kernel prune must run inside the broadcast join:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("q288 topic balance: totals preserved, keep probabilities in " +
+      "(0,1], and under-target buckets keep every member") {
+    val out = queries.Registry.queries("q288_cluster_balance")(
+      spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n")).sum == 500L)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val kept = r.getAs[Long]("n_kept")
+      val p = r.getAs[Double]("keep_prob")
+      assert(kept >= 0L && kept <= n)
+      assert(p > 0.0 && p <= 1.0)
+      // keep_prob == 1 means thresh == 2^32: the hash can never miss
+      if (p == 1.0) assert(kept == n,
+        s"under-target bucket must keep all: $kept of $n")
+    }
+    // the balance must actually flatten: the kept-count spread is no
+    // wider than the input spread
+    val ns = out.map(_.getAs[Long]("n"))
+    val ks = out.map(_.getAs[Long]("n_kept"))
+    assert(ks.max - ks.min <= ns.max - ns.min)
+  }
 }

@@ -167,4 +167,51 @@ class TrainOpsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("excess_kl") >= 0.0),
       "KL(p_source ‖ p_mixture) must be non-negative")
   }
+
+  test("q287 greedy allocation: epochs are non-increasing in quality " +
+      "order, capped at 4, and the budget is spent exactly") {
+    val out = queries.Registry.queries("q287_epoch_allocation")(
+      spark, sf).collect()
+    assert(out.nonEmpty)
+    val byQ = out.sortBy(r => (-r.getAs[Double]("quality"),
+      r.getAs[String]("source")))
+    val eps = byQ.map(_.getAs[Double]("epochs"))
+    assert(eps.forall(e => e >= 0.0 && e <= 4.0))
+    assert(eps.zip(eps.tail).forall { case (a, b) => a >= b },
+      s"greedy fill must allocate top-quality first: ${eps.toSeq}")
+    val totTokens = out.map(_.getAs[Long]("tokens")).sum
+    val totAlloc = out.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(totAlloc == 2L * totTokens,
+      s"budget 2x corpus must be spent exactly: $totAlloc vs " +
+        s"${2L * totTokens}")
+  }
+
+  test("q289 span corruption: mask counts match the closed form, " +
+      "every span opens with its numbered sentinel") {
+    val out = queries.Registry.queries("q289_span_corruption")(
+      spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens").toInt
+      val expMasked = (0 until n).count(i => (i / 3) % 7 == 0)
+      val expSpans = (0 until n).count(i =>
+        (i / 3) % 7 == 0 && i % 21 == 0)
+      assert(r.getAs[Long]("n_masked") == expMasked.toLong)
+      assert(r.getAs[Long]("n_spans") == expSpans.toLong)
+      val inputs = r.getAs[String]("inputs")
+      val targets = r.getAs[String]("targets")
+      if (n > 0) {
+        assert(inputs.startsWith("<extra_id_0>"))
+        assert(targets.startsWith("<extra_id_0> "))
+      }
+      // inputs + targets partition the tokens: every token appears
+      // exactly once across the two sides (plus one sentinel pair
+      // per span)
+      val inToks = inputs.split(" ").count(!_.startsWith("<extra_id_"))
+      val tgToks = targets.split(" ")
+        .count(!_.startsWith("<extra_id_"))
+      assert(inToks + tgToks == n,
+        s"tokens must partition: $inToks + $tgToks != $n")
+    }
+  }
 }
