@@ -238,8 +238,13 @@ object CurateOps {
             col("doc_id").as("id_b"),
             col("u").as("ub"), col("b").as("bb"))
         def prf(ov: Column, na: Column, nb: Column) = {
-          val p = ov.cast(DoubleType) / na.cast(DoubleType)
-          val r = ov.cast(DoubleType) / nb.cast(DoubleType)
+          // a one-token doc has NO bigrams: its gram set is empty, so
+          // the precision/recall denominator is 0 — that's "no
+          // overlap measurable", reported as 0.0, never 0/0 = NaN
+          val p = when(na > 0,
+            ov.cast(DoubleType) / na.cast(DoubleType)).otherwise(0.0)
+          val r = when(nb > 0,
+            ov.cast(DoubleType) / nb.cast(DoubleType)).otherwise(0.0)
           val f = when(p + r > 0.0, lit(2.0) * p * r / (p + r))
             .otherwise(lit(0.0))
           (p, r, f)
@@ -297,8 +302,12 @@ object CurateOps {
                 + CAST(ov1 AS DOUBLE) / CAST(nb1 AS DOUBLE))
             ELSE 0.0 END AS f1,
           ov2,
-          CAST(ov2 AS DOUBLE) / CAST(na2 AS DOUBLE) AS p2,
-          CAST(ov2 AS DOUBLE) / CAST(nb2 AS DOUBLE) AS r2,
+          CASE WHEN na2 > 0
+            THEN CAST(ov2 AS DOUBLE) / CAST(na2 AS DOUBLE)
+            ELSE 0.0 END AS p2,
+          CASE WHEN nb2 > 0
+            THEN CAST(ov2 AS DOUBLE) / CAST(nb2 AS DOUBLE)
+            ELSE 0.0 END AS r2,
           CASE WHEN CAST(ov2 AS DOUBLE) / CAST(na2 AS DOUBLE)
               + CAST(ov2 AS DOUBLE) / CAST(nb2 AS DOUBLE) > 0
             THEN 2.0 * (CAST(ov2 AS DOUBLE) / CAST(na2 AS DOUBLE))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -29,6 +29,58 @@ object TrainOps {
     graft.functions.ExactAgg.dsum12(c)
   private def exactSumSql(e: String) =
     graft.functions.ExactAgg.sqlSum12(e)
+
+  // ---- shared closed-form OLS (q263 Heaps, q281 Zipf) --------------
+  // ONE definition of the five-moment reduction and the fit
+  // expression tree, mirrored once in SQL — a precision or
+  // degenerate-case tweak moves both fits and both oracles together.
+
+  /** (source, x, y) → decimal-exact moment sums per source. */
+  private def olsMoments(xy: DataFrame): DataFrame =
+    xy.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      exactSum(col("x")).as("sx"),
+      exactSum(col("y")).as("sy"),
+      exactSum(col("x") * col("y")).as("sxy"),
+      exactSum(col("x") * col("x")).as("sxx"),
+      exactSum(col("y") * col("y")).as("syy"))
+
+  /** Moments → (source, n as nName, slope, intercept, r2). */
+  private def olsFit(m: DataFrame, nName: String): DataFrame = {
+    val nD = col("n").cast(DoubleType)
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    val varX = nD * col("sxx") - col("sx") * col("sx")
+    val varY = nD * col("syy") - col("sy") * col("sy")
+    m.select(col("source"), col("n").as(nName),
+        (cov / varX).as("slope"),
+        ((col("sy") - cov / varX * col("sx")) / nD).as("intercept"),
+        (cov * cov / (varX * varY)).as("r2"))
+      .orderBy("source")
+  }
+
+  /** SQL mirror of [[olsMoments]]: the `m` CTE body over a CTE `p`
+    * with columns (source, x, y). */
+  private def olsMomentsSql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n,
+            ${exactSumSql("x")} AS sx, ${exactSumSql("y")} AS sy,
+            ${exactSumSql("x * y")} AS sxy,
+            ${exactSumSql("x * x")} AS sxx,
+            ${exactSumSql("y * y")} AS syy
+          FROM p GROUP BY 1"""
+
+  /** SQL mirror of [[olsFit]] over a CTE `m`. */
+  private def olsFitSql(nName: String): String =
+    s"""SELECT source, n AS $nName,
+          (CAST(n AS DOUBLE) * sxy - sx * sy)
+            / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+          (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+            / CAST(n AS DOUBLE) AS intercept,
+          ((CAST(n AS DOUBLE) * sxy - sx * sy)
+              * (CAST(n AS DOUBLE) * sxy - sx * sy))
+            / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+              * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+        FROM m ORDER BY source"""
 
   /** (doc_id, gram): each document's DISTINCT word 5-grams — shared
     * by q262 and its streaming twin q282 so both walk the identical
@@ -116,45 +168,15 @@ object TrainOps {
           col("source"),
           lnq(size(ws).cast(DoubleType)).as("x"),
           lnq(size(array_distinct(ws)).cast(DoubleType)).as("y"))
-        val m = p.groupBy("source").agg(
-          count(lit(1)).as("n"),
-          exactSum(col("x")).as("sx"),
-          exactSum(col("y")).as("sy"),
-          exactSum(col("x") * col("y")).as("sxy"),
-          exactSum(col("x") * col("x")).as("sxx"),
-          exactSum(col("y") * col("y")).as("syy"))
-        val nD = col("n").cast(DoubleType)
-        val cov = nD * col("sxy") - col("sx") * col("sy")
-        val varX = nD * col("sxx") - col("sx") * col("sx")
-        val varY = nD * col("syy") - col("sy") * col("sy")
-        m.select(col("source"), col("n").as("n_docs"),
-            (cov / varX).as("slope"),
-            ((col("sy") - cov / varX * col("sx")) / nD).as("intercept"),
-            (cov * cov / (varX * varY)).as("r2"))
-          .orderBy("source")
+        olsFit(olsMoments(p), "n_docs")
       },
       Some(s"""WITH p AS (SELECT source,
             ${lnqSql("CAST(len(string_split(text, ' ')) AS DOUBLE)")} AS x,
             ${lnqSql(
           "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)")} AS y
           FROM documents),
-        m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-            ${exactSumSql("x")} AS sx, ${exactSumSql("y")} AS sy,
-            ${exactSumSql("x * y")} AS sxy,
-            ${exactSumSql("x * x")} AS sxx,
-            ${exactSumSql("y * y")} AS syy
-          FROM p GROUP BY 1)
-        SELECT source, n AS n_docs,
-          (CAST(n AS DOUBLE) * sxy - sx * sy)
-            / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
-          (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
-              / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
-            / CAST(n AS DOUBLE) AS intercept,
-          ((CAST(n AS DOUBLE) * sxy - sx * sy)
-              * (CAST(n AS DOUBLE) * sxy - sx * sy))
-            / ((CAST(n AS DOUBLE) * sxx - sx * sx)
-              * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
-        FROM m ORDER BY source""")),
+        m AS ($olsMomentsSql)
+        ${olsFitSql("n_docs")}""")),
 
     // DPO preference-pair mining: within each (source, lang) prompt
     // group, pair the highest- and lowest-quality documents (lexical
@@ -409,25 +431,10 @@ object TrainOps {
             Window.partitionBy("source")
               .orderBy(col("cnt").desc, col("tok"))))
           .filter(col("rk") <= 100)
-        val m = ranked.select(col("source"),
-            lnq(col("rk").cast(DoubleType)).as("x"),
-            lnq(col("cnt").cast(DoubleType)).as("y"))
-          .groupBy("source").agg(
-            count(lit(1)).as("n"),
-            exactSum(col("x")).as("sx"),
-            exactSum(col("y")).as("sy"),
-            exactSum(col("x") * col("y")).as("sxy"),
-            exactSum(col("x") * col("x")).as("sxx"),
-            exactSum(col("y") * col("y")).as("syy"))
-        val nD = col("n").cast(DoubleType)
-        val cov = nD * col("sxy") - col("sx") * col("sy")
-        val varX = nD * col("sxx") - col("sx") * col("sx")
-        val varY = nD * col("syy") - col("sy") * col("sy")
-        m.select(col("source"), col("n").as("n_ranks"),
-            (cov / varX).as("slope"),
-            ((col("sy") - cov / varX * col("sx")) / nD).as("intercept"),
-            (cov * cov / (varX * varY)).as("r2"))
-          .orderBy("source")
+        val p = ranked.select(col("source"),
+          lnq(col("rk").cast(DoubleType)).as("x"),
+          lnq(col("cnt").cast(DoubleType)).as("y"))
+        olsFit(olsMoments(p), "n_ranks")
       },
       Some(s"""WITH tf AS (SELECT source, t.tok AS tok,
             CAST(count(*) AS BIGINT) AS cnt
@@ -440,23 +447,8 @@ object TrainOps {
             ${lnqSql("CAST(rk AS DOUBLE)")} AS x,
             ${lnqSql("CAST(cnt AS DOUBLE)")} AS y
           FROM rk),
-        m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-            ${exactSumSql("x")} AS sx, ${exactSumSql("y")} AS sy,
-            ${exactSumSql("x * y")} AS sxy,
-            ${exactSumSql("x * x")} AS sxx,
-            ${exactSumSql("y * y")} AS syy
-          FROM p GROUP BY 1)
-        SELECT source, n AS n_ranks,
-          (CAST(n AS DOUBLE) * sxy - sx * sy)
-            / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
-          (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
-              / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
-            / CAST(n AS DOUBLE) AS intercept,
-          ((CAST(n AS DOUBLE) * sxy - sx * sy)
-              * (CAST(n AS DOUBLE) * sxy - sx * sy))
-            / ((CAST(n AS DOUBLE) * sxx - sx * sx)
-              * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
-        FROM m ORDER BY source""")),
+        m AS ($olsMomentsSql)
+        ${olsFitSql("n_ranks")}""")),
 
     // DoReMi-style domain reweighting (Xie et al. 2023, simplified
     // deterministically): iterate multiplicative weights on each

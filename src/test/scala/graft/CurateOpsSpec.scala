@@ -6,9 +6,22 @@ package graft
   */
 class CurateOpsSpec extends SparkSpec {
 
-  private def plan(name: String): String =
-    queries.Registry.queries(name)(spark, sf)
+  // seal disabled while building: CacheOps.sealThen otherwise replaces
+  // the whole upstream plan with 'Scan ExistingRDD', making every
+  // assertion on a sealed query's plan vacuously true
+  private def plan(name: String): String = {
+    val prev = spark.conf.getOption("spark.graft.seal.enabled")
+    spark.conf.set("spark.graft.seal.enabled", "false")
+    try queries.Registry.queries(name)(spark, sf)
       .queryExecution.executedPlan.toString
+    finally {
+      graft.operators.CacheOps.sweep(spark)
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.seal.enabled", v)
+        case None => spark.conf.unset("spark.graft.seal.enabled")
+      }
+    }
+  }
 
   test("q269 boilerplate audit rides the sentence-key equi-join — " +
       "never doc×doc, never a corpus broadcast of text") {
@@ -101,9 +114,11 @@ class CurateOpsSpec extends SparkSpec {
       .collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      for (c <- Seq("p1", "r1", "f1")) {
+      // all six metrics bounded AND never NaN — a one-token doc has
+      // an empty bigram set, which must report 0.0, not 0/0
+      for (c <- Seq("p1", "r1", "f1", "p2", "r2", "f2")) {
         val v = r.getAs[Double](c)
-        assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+        assert(!v.isNaN && v >= 0.0 && v <= 1.0, s"$c=$v")
       }
       val (p1, r1, f1) = (r.getAs[Double]("p1"), r.getAs[Double]("r1"),
         r.getAs[Double]("f1"))

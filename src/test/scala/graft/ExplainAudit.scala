@@ -61,7 +61,12 @@ object ExplainAudit {
       "q252_dup_flow_matrix", "q253_mp3_wild_census",
       "q254_image_wild_decode", "q255_audio_wild_decode",
       "q256_quality_classifier", "q257_url_canonical_dedup",
-      "q258_stream_quality_filter", "q259_uncertainty_sample",
+      // streaming twins (q258/q282/q286) are deliberately NOT listed:
+      // their builders drain to a memory sink and return the sink
+      // table, so the audited plan would be a meaningless one-node
+      // scan — their join strategy is pinned by the batch==stream
+      // equality specs against their audited batch twins instead
+      "q259_uncertainty_sample",
       "q260_table_linearize", "q261_fim_split",
       "q262_ngram_novelty", "q263_heaps_fit", "q264_rank_fusion",
       "q265_dpo_pairs", "q266_token_entropy", "q267_margin_bitext",
