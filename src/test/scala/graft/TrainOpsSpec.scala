@@ -181,6 +181,20 @@ class TrainOpsSpec extends SparkSpec {
       "KL(p_source ‖ p_mixture) must be non-negative")
   }
 
+  test("q283 plan: the MW iteration's outputs are checkpointed " +
+      "leaves and the token table reads the cache — the final plan " +
+      "executes no fresh corpus scan") {
+    val p = plan("q283_doremi_mix")
+    // final weights + final KL: two ExistingRDD leaves (the plan
+    // STRING still renders the InMemoryRelation's cached child, so
+    // parquet-absence can't be asserted textually — the executed
+    // reads are the checkpoint and the cache)
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2,
+      s"round outputs must be checkpointed leaves:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the token table must read the persisted aggregate:\n$p")
+  }
+
   test("q287 greedy allocation: epochs are non-increasing in quality " +
       "order, capped at 4, and the budget is spent exactly") {
     val out = queries.Registry.queries("q287_epoch_allocation")(
