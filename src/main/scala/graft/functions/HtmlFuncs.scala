@@ -52,18 +52,24 @@ object HtmlFuncs {
     s"trim(regexp_replace($ent, '\\s+', ' ', 'g'))"
   }
 
-  /** Every double-quoted href value, in document order. */
+  /** Every double-quoted href value, in document order. Wild HTML
+    * (q293's DocBook fixture) writes `HREF="..."` — attribute names
+    * are case-insensitive per the HTML spec, so the match is too. */
   def links(html: Column): Column =
-    regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
+    regexp_extract_all(html, lit("(?i)href=\"([^\"]*)\""), lit(1))
 
   def linksSql(e: String): String =
-    s"regexp_extract_all($e, 'href=\"([^\"]*)\"', 1)"
+    s"regexp_extract_all($e, '(?i)href=\"([^\"]*)\"', 1)"
 
+  /** Wild HTML (the SGML-ish DocBook output in q293's fixture) puts
+    * NEWLINES inside the tag itself (`<TITLE\n>` ... `</TITLE\n>`),
+    * so both the open and close tags admit attribute/whitespace runs
+    * before `>`. */
   def title(html: Column): Column =
-    regexp_extract(html, "(?is)<title>(.*?)</title>", 1)
+    regexp_extract(html, "(?is)<title[^>]*>(.*?)</title[^>]*>", 1)
 
   def titleSql(e: String): String =
-    s"regexp_extract($e, '(?is)<title>(.*?)</title>', 1)"
+    s"regexp_extract($e, '(?is)<title[^>]*>(.*?)</title[^>]*>', 1)"
 
   /** Host of an absolute URL ('' when the URL is relative). */
   def host(url: Column): Column =

@@ -360,7 +360,47 @@ object WebOps {
           m.prefix AS matched_prefix
         FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
           USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Wild-HTML interop pin (the q253/q254 wild-fixture convention):
+    // a real Debian DocBook page the repo did not render —
+    // SGML-style markup with NEWLINES inside tags (`<TITLE\n>`),
+    // uppercase tag/attribute names, attributes on their own lines.
+    // The oracle is a constants row computed with an INDEPENDENT
+    // reference implementation (CPython's html.parser walked the
+    // same bytes: title text, href count/order, absolute-link count),
+    // so a regexp regression in the extractors cannot hide behind a
+    // mirrored oracle. Extraction itself is the same codegen'd
+    // HtmlFuncs pack every corpus query uses.
+    Q("q293_html_wild_extract",
+      (s, dir) => {
+        import s.implicits._
+        val page = s.range(1).as[Long].mapPartitions { ids =>
+          ids.map { _ =>
+            val in = getClass
+              .getResourceAsStream("/graft/wild_docbook.html")
+            val bytes = try in.readAllBytes() finally in.close()
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          }
+        }.toDF("html")
+        val ls = HtmlFuncs.links(col("html"))
+        page.select(
+          length(col("html")).cast(LongType).as("n_chars"),
+          HtmlFuncs.title(col("html")).as("title"),
+          size(ls).cast(LongType).as("n_links"),
+          element_at(ls, 1).as("first_href"),
+          element_at(ls, -1).as("last_href"),
+          size(filter(ls, u => HtmlFuncs.host(u) =!= ""))
+            .cast(LongType).as("n_absolute"),
+          size(array_distinct(ls)).cast(LongType).as("n_distinct"))
+      },
+      Some("""SELECT CAST(19984 AS BIGINT) AS n_chars,
+          'Users and Groups in the Debian System' AS title,
+          CAST(4 AS BIGINT) AS n_links,
+          '#INTRODUCTION' AS first_href,
+          'http://article.olduse.net/109@Autzoo.UUCP' AS last_href,
+          CAST(1 AS BIGINT) AS n_absolute,
+          CAST(4 AS BIGINT) AS n_distinct"""))
   )
 
 

@@ -184,6 +184,27 @@ class WebOpsSpec extends SparkSpec {
     assert(rows(0L) == ((true, None)))
   }
 
+  test("q293 wild DocBook page: clean text survives SGML-style " +
+      "markup (authors readable, entity boundary honest)") {
+    val html = {
+      val in = getClass.getResourceAsStream("/graft/wild_docbook.html")
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    import spark.implicits._
+    val clean = Seq(html).toDF("html")
+      .select(functions.HtmlFuncs.htmlToText(col("html")).as("c"))
+      .collect().head.getAs[String]("c")
+    assert(clean.startsWith("Users and Groups in the Debian System"),
+      s"lead text: ${clean.take(80)}")
+    assert(clean.contains("Joey Hess") && clean.contains("Colin Watson"))
+    // documented decoder boundary: &copy; passes through untouched
+    assert(clean.contains("&copy;"))
+    // tags with embedded newlines must not leak fragments
+    assert(!clean.contains("CLASS=") && !clean.contains("<"))
+  }
+
   test("q284 plan: the rule match is a keyed broadcast join — " +
       "never rules × corpus") {
     val p = plan("q284_robots_gate")
