@@ -63,20 +63,26 @@ object HtmlFuncs {
 
   /** Wild HTML (the SGML-ish DocBook output in q293's fixture) puts
     * NEWLINES inside the tag itself (`<TITLE\n>` ... `</TITLE\n>`),
-    * so both the open and close tags admit attribute/whitespace runs
-    * before `>`. */
+    * so both the open and close tags admit a whitespace-led
+    * attribute run before `>` — but ONLY whitespace-led: the tag
+    * name must end at whitespace or `>` (DocBook's `<TITLEABBREV>`
+    * must not match), per the HTML tag-name grammar. */
   def title(html: Column): Column =
-    regexp_extract(html, "(?is)<title[^>]*>(.*?)</title[^>]*>", 1)
+    regexp_extract(html,
+      "(?is)<title(?:\\s[^>]*)?>(.*?)</title(?:\\s[^>]*)?>", 1)
 
   def titleSql(e: String): String =
-    s"regexp_extract($e, '(?is)<title[^>]*>(.*?)</title[^>]*>', 1)"
+    s"regexp_extract($e, " +
+      "'(?is)<title(?:\\s[^>]*)?>(.*?)</title(?:\\s[^>]*)?>', 1)"
 
-  /** Host of an absolute URL ('' when the URL is relative). */
+  /** Host of an absolute URL ('' when the URL is relative). URI
+    * schemes are case-insensitive (RFC 3986) — wild markup writes
+    * `HTTP://`. */
   def host(url: Column): Column =
-    regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    regexp_extract(url, "^(?i)[a-z][a-z0-9+.-]*://([^/]+)", 1)
 
   def hostSql(e: String): String =
-    s"regexp_extract($e, '^[a-z][a-z0-9+.-]*://([^/]+)', 1)"
+    s"regexp_extract($e, '^(?i)[a-z][a-z0-9+.-]*://([^/]+)', 1)"
 
   /** Deterministic HTML page rendered from document columns — the
     * fixture side of the S11 queries (both engines build the

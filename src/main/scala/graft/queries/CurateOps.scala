@@ -308,8 +308,9 @@ object CurateOps {
           CASE WHEN nb2 > 0
             THEN CAST(ov2 AS DOUBLE) / CAST(nb2 AS DOUBLE)
             ELSE 0.0 END AS r2,
-          CASE WHEN CAST(ov2 AS DOUBLE) / CAST(na2 AS DOUBLE)
-              + CAST(ov2 AS DOUBLE) / CAST(nb2 AS DOUBLE) > 0
+          CASE WHEN na2 > 0 AND nb2 > 0
+              AND CAST(ov2 AS DOUBLE) / CAST(na2 AS DOUBLE)
+                + CAST(ov2 AS DOUBLE) / CAST(nb2 AS DOUBLE) > 0
             THEN 2.0 * (CAST(ov2 AS DOUBLE) / CAST(na2 AS DOUBLE))
               * (CAST(ov2 AS DOUBLE) / CAST(nb2 AS DOUBLE))
               / (CAST(ov2 AS DOUBLE) / CAST(na2 AS DOUBLE)

@@ -835,13 +835,14 @@ object DedupOps {
             j => array_min(slice(col("hs"), j + 1, lit(W))))))
           .otherwise(array().cast("array<string>"))
         val docFp = d.select(col("doc_id"), explode(fps).as("fp"))
-        // hot-fingerprint cap (the q70 convention: engaged so the
-        // bench measures the honest plan, far above any fixture df)
-        val rare = docFp.groupBy("fp")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= MaxDocFreq)
-        val keep = docFp.join(rare.select("fp"), Seq("fp"))
-        keep.select(col("doc_id").as("doc_a"), col("fp"))
+        // hot-fingerprint cap: the shared operator (q70 convention —
+        // engaged so the bench measures the honest plan, far above
+        // any fixture df), which also carries the CapMetrics
+        // telemetry; persisted because BOTH sides of the pair join
+        // read it (the winnowing HOF chain is too expensive to
+        // recompute for a diamond)
+        val keep = Dedup.capDocFreq(docFp, MaxDocFreq, "fp").persist()
+        val out = keep.select(col("doc_id").as("doc_a"), col("fp"))
           .join(keep.select(col("doc_id").as("doc_b"), col("fp")),
             Seq("fp"))
           .filter(col("doc_a") < col("doc_b"))
@@ -849,6 +850,7 @@ object DedupOps {
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 2)
           .orderBy("doc_a", "doc_b")
+        graft.operators.CacheOps.sealAndRelease(out, keep)
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
             len(string_split(text, ' ')) AS n FROM documents),

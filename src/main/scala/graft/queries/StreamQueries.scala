@@ -35,13 +35,17 @@ object StreamQueries {
     * (q79's dedup: a key re-arriving after its watermark-expired state
     * would re-emit under multi-batch chunking). */
   /** Sanitized source path + content fingerprint (file count, max
-    * mtime, total bytes of the source parquet): the key under which a
-    * dataset STATE gets its landing/state/checkpoint dirs — a dataset
-    * regenerated in place keys fresh instead of reusing stale copies,
-    * and two distinct dirs can never collide. */
-  private def datasetKey(dir: String): String = {
+    * mtime, total bytes) of the STREAMED table's parquet: the key
+    * under which a dataset STATE gets its landing/state/checkpoint
+    * dirs — a dataset regenerated in place keys fresh instead of
+    * reusing stale copies, two distinct dirs can never collide, and
+    * the fingerprint covers the table the stream actually reads
+    * (documents/embeddings twins were keyed off events.parquet
+    * before, silently reusing stale copies on in-place regens). */
+  private def datasetKey(dir: String, table: String = "events")
+      : String = {
     val srcFiles = Option(
-      new java.io.File(dir, "events.parquet").listFiles())
+      new java.io.File(dir, s"$table.parquet").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.isFile)
     val fingerprint =
@@ -919,7 +923,7 @@ object StreamQueries {
     val emb = Tables.load(s, dir, "embeddings")
     val landingDir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft-q290-landing-${datasetKey(dir)}")
+      s"graft-q290-landing-${datasetKey(dir, "embeddings")}")
     val landing = landingDir.toString
     if (!new java.io.File(landingDir, "_SUCCESS").exists()) {
       emb.coalesce(1).write.mode("overwrite").parquet(landing)
@@ -935,7 +939,7 @@ object StreamQueries {
     val docs = Tables.load(s, dir, "documents")
     val landingDir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft-q236-landing-${datasetKey(dir)}")
+      s"graft-q236-landing-${datasetKey(dir, "documents")}")
     val landing = landingDir.toString
     if (!new java.io.File(landingDir, "_SUCCESS").exists()) {
       docs.coalesce(1).write.mode("overwrite").parquet(landing)

@@ -6,23 +6,6 @@ package graft
   */
 class CurateOpsSpec extends SparkSpec {
 
-  // seal disabled while building: CacheOps.sealThen otherwise replaces
-  // the whole upstream plan with 'Scan ExistingRDD', making every
-  // assertion on a sealed query's plan vacuously true
-  private def plan(name: String): String = {
-    val prev = spark.conf.getOption("spark.graft.seal.enabled")
-    spark.conf.set("spark.graft.seal.enabled", "false")
-    try queries.Registry.queries(name)(spark, sf)
-      .queryExecution.executedPlan.toString
-    finally {
-      graft.operators.CacheOps.sweep(spark)
-      prev match {
-        case Some(v) => spark.conf.set("spark.graft.seal.enabled", v)
-        case None => spark.conf.unset("spark.graft.seal.enabled")
-      }
-    }
-  }
-
   test("q269 boilerplate audit rides the sentence-key equi-join — " +
       "never doc×doc, never a corpus broadcast of text") {
     val p = plan("q269_boilerplate_paragraphs")

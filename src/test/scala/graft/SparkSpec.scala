@@ -18,4 +18,24 @@ trait SparkSpec extends AnyFunSuite {
   }
 
   lazy val sf: String = "/root/testdata/sf0.001"
+
+  /** Executed-plan string of a registry query with sealing DISABLED
+    * while building: CacheOps.sealThen otherwise replaces the whole
+    * upstream plan with `Scan ExistingRDD`, making every plan
+    * assertion on a sealed query vacuously true. One shared
+    * definition — per-suite copies of this protocol is how the
+    * vacuous-assert bug crept in. */
+  protected def plan(name: String): String = {
+    val prev = spark.conf.getOption("spark.graft.seal.enabled")
+    spark.conf.set("spark.graft.seal.enabled", "false")
+    try queries.Registry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+    finally {
+      operators.CacheOps.sweep(spark)
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.seal.enabled", v)
+        case None => spark.conf.unset("spark.graft.seal.enabled")
+      }
+    }
+  }
 }

@@ -9,23 +9,6 @@ import org.apache.spark.sql.functions._
   */
 class TrainOpsSpec extends SparkSpec {
 
-  // seal disabled while building: CacheOps.sealThen otherwise replaces
-  // the whole upstream plan with 'Scan ExistingRDD', making every
-  // assertion on a sealed query's plan vacuously true
-  private def plan(name: String): String = {
-    val prev = spark.conf.getOption("spark.graft.seal.enabled")
-    spark.conf.set("spark.graft.seal.enabled", "false")
-    try queries.Registry.queries(name)(spark, sf)
-      .queryExecution.executedPlan.toString
-    finally {
-      graft.operators.CacheOps.sweep(spark)
-      prev match {
-        case Some(v) => spark.conf.set("spark.graft.seal.enabled", v)
-        case None => spark.conf.unset("spark.graft.seal.enabled")
-      }
-    }
-  }
-
   test("q262 novelty audit: keyed equi-join against the train gram " +
       "set — never pairwise, never a corpus broadcast") {
     val p = plan("q262_ngram_novelty")

@@ -8,23 +8,6 @@ import org.apache.spark.sql.functions._
   */
 class WebOpsSpec extends SparkSpec {
 
-  // seal disabled while building: CacheOps.sealThen otherwise replaces
-  // the whole upstream plan with 'Scan ExistingRDD', making every
-  // assertion on a sealed query's plan vacuously true
-  private def plan(name: String): String = {
-    val prev = spark.conf.getOption("spark.graft.seal.enabled")
-    spark.conf.set("spark.graft.seal.enabled", "false")
-    try queries.Registry.queries(name)(spark, sf)
-      .queryExecution.executedPlan.toString
-    finally {
-      graft.operators.CacheOps.sweep(spark)
-      prev match {
-        case Some(v) => spark.conf.set("spark.graft.seal.enabled", v)
-        case None => spark.conf.unset("spark.graft.seal.enabled")
-      }
-    }
-  }
-
   test("q276 HTML extraction is a pure map: no join, no window, " +
       "no aggregate before the final order") {
     val p = plan("q276_html_extract")
