@@ -922,6 +922,47 @@ object DedupOps {
           n_sample_docs,
           CAST(sample_dups AS DOUBLE) / CAST(n_sample_docs AS DOUBLE)
             AS sample_dup_rate
-        FROM fs, sm"""))
+        FROM fs, sm""")),
+
+    // Per-source duplication census — the report a mixture designer
+    // reads before weighting sources (q283/q216): how much of each
+    // source is redundant against the WHOLE corpus, not just itself.
+    // A doc is redundant when its fingerprint's canonical copy
+    // (min doc_id across ALL sources) is some other doc. Shape: one
+    // fingerprint aggregate, one keyed join back on the fingerprint
+    // (never source × source, never doc × doc), one per-source
+    // roll-up — at 100 TB the fingerprint table is the only wide
+    // frame and it shuffles once. Same bag-of-words fingerprint
+    // family as q292.
+    Q("q294_source_dup_census",
+      (s, dir) => {
+        val fp = md5(concat_ws(" ",
+          array_sort(array_distinct(split(col("text"), " ")))))
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), fp.as("fp"))
+        val canon = d.groupBy("fp").agg(min("doc_id").as("keeper"))
+        d.join(canon, Seq("fp"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") =!= col("keeper"), 1L)
+              .otherwise(0L)).as("n_redundant"))
+          .withColumn("dup_share",
+            col("n_redundant").cast(DoubleType) /
+              col("n_docs").cast(DoubleType))
+          .orderBy("source")
+      },
+      Some("""WITH f AS (SELECT doc_id, source,
+            md5(array_to_string(list_sort(list_distinct(
+              string_split(text, ' '))), ' ')) AS fp
+          FROM documents),
+        canon AS (SELECT fp, CAST(min(doc_id) AS BIGINT) AS keeper
+          FROM f GROUP BY 1)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_redundant,
+          CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_share
+        FROM f JOIN canon USING (fp)
+        GROUP BY 1 ORDER BY source"""))
   )
 }

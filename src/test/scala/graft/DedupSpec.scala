@@ -259,4 +259,32 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(sr - fr) < 0.25,
       s"estimator far off: sample $sr vs full $fr")
   }
+
+  test("q294 per-source census: redundancy counted against the WHOLE " +
+      "corpus (canonical copies live where they live), totals add up") {
+    val out = queries.Registry.queries("q294_source_dup_census")(
+      spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val d = r.getAs[Long]("n_redundant")
+      assert(d >= 0L && d < n, "a source cannot be 100% redundant " +
+        "against itself unless empty")
+      val sh = r.getAs[Double]("dup_share")
+      assert(sh >= 0.0 && sh < 1.0)
+    }
+    // corpus-level invariant: total redundant docs == docs - groups
+    val totalDocs = out.map(_.getAs[Long]("n_docs")).sum
+    val totalRedundant = out.map(_.getAs[Long]("n_redundant")).sum
+    assert(totalDocs == 500L)
+    assert(totalRedundant == totalDocs -
+      Tables.load(spark, sf, "documents")
+        .select(org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.concat_ws(" ",
+            org.apache.spark.sql.functions.array_sort(
+              org.apache.spark.sql.functions.array_distinct(
+                org.apache.spark.sql.functions.split(
+                  org.apache.spark.sql.functions.col("text"), " "))))))
+        .distinct().count())
+  }
 }

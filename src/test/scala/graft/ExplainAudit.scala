@@ -78,7 +78,8 @@ object ExplainAudit {
       "q281_zipf_fit", "q283_doremi_mix", "q284_robots_gate",
       "q285_embed_decontaminate", "q287_epoch_allocation",
       "q288_cluster_balance", "q289_span_corruption",
-      "q291_winnowing_pairs", "q292_sampled_dup_rate")
+      "q291_winnowing_pairs", "q292_sampled_dup_rate",
+      "q294_source_dup_census")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString
