@@ -20,9 +20,33 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // opt in to result-sealing: this long-lived multi-hundred-query
+      // session is exactly what the CacheOps hygiene exists for
+      // (library sessions default to lazy results — CacheOps scaladoc)
+      .config("spark.graft.seal.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
+
+    // Box-speed probe: the bench box is co-tenanted and same-code full
+    // runs have varied 225–298 s within hours (PLANS.md r12). A fixed
+    // single-thread integer loop — deterministic work, no allocation,
+    // no I/O — run before and after the suite gives every BENCH_rN a
+    // self-normalizing CPU baseline, so cross-round comparisons can
+    // divide out box phase instead of guessing from wall-clock.
+    def cpuProxySec(): Double = {
+      var x = 0x9e3779b97f4a7c15L
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 300000000) { // xorshift64*, ~0.5 s on an idle core
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        i += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (x == 0) System.err.println("unreachable") // defeat DCE
+      sec
+    }
+    val proxyPre = cpuProxySec()
 
     // warmup: touch the parquet reader, shuffle machinery and the noop
     // sink once so the first measured query doesn't pay init costs
@@ -91,6 +115,7 @@ object Bench {
         }
         name -> runs.minBy(_.sec)
     }
+    val proxyPost = cpuProxySec()
     val failed = results.collect { case (k, r) if r.sec.isInfinite => k }
     val ok = results.filter(!_._2.sec.isInfinite)
     val qs = ok.map { case (k, r) => "\"" + k + "\":" + r.sec }
@@ -100,7 +125,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // failed_count rides next to value so a partial total (failures
     // excluded from the sum) can't be mistaken for a comparable full run
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"gc_sec":$gcTotal,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"gc_sec":$gcTotal,"cpu_proxy_sec":[$proxyPre,$proxyPost],"sf":"$sfDir"}"""
     // Side-channel telemetry (separate file — the driver's console tail
     // truncates): per query, the measured run's GC seconds, how many
     // persisted RDDs and bytes it LEFT BEHIND in block storage (should
@@ -152,7 +177,7 @@ object Bench {
     } catch { case _: Throwable => "" }
     val budget = 1700 // chars; sbt's [success] trailer rides in the same tail
     val slowest = ok.sortBy(-_._2.sec)
-    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries_total":${ok.size},"failed":$failedJson,"failed_count":${failed.size},"gc_sec":${math.round(gcTotal * 10) / 10.0}$overlapJson,"sf":"$sfDir","full":"BENCH_full.json","queries":"""
+    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries_total":${ok.size},"failed":$failedJson,"failed_count":${failed.size},"gc_sec":${math.round(gcTotal * 10) / 10.0},"cpu_proxy_sec":[${r2(proxyPre)},${r2(proxyPost)}]$overlapJson,"sf":"$sfDir","full":"BENCH_full.json","queries":"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = head.length + 2
     // an HONEST prefix of the slowest ordering: stop at the first

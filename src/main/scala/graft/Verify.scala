@@ -15,6 +15,9 @@ object Verify {
       // micros (not INT96) so the dumped timestamps carry the same
       // logical type/resolution as the DuckDB oracle's output
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // opt in to result-sealing: the ~300-query dump is the long-lived
+      // session CacheOps' hygiene targets (library default is lazy)
+      .config("spark.graft.seal.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)

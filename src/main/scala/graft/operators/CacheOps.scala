@@ -35,16 +35,20 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object CacheOps {
 
-  /** Escape hatch for plan audits: sealing replaces a query's whole
-    * upstream plan with `Scan ExistingRDD`, which would blind
-    * ScaleSpec/ExplainAudit's join-strategy and pushdown assertions.
-    * Setting `spark.graft.seal.enabled=false` on the session makes
-    * [[sealAndRelease]]/[[sealThen]] return the LAZY frame with its
-    * caches intact, so `executedPlan` shows the real shape. Default
-    * true — Verify/Bench (the long-lived 252-query sessions the
-    * hygiene exists for) never touch it. */
+  /** Sealing is OPT-IN (`spark.graft.seal.enabled=true`), because it
+    * is long-suite hygiene, not query semantics: an eager
+    * MEMORY_AND_DISK localCheckpoint of every operator result is right
+    * for a session that runs hundreds of queries back-to-back
+    * (Verify/Bench set the flag in their builders), but a library
+    * caller composing one pipeline would pay an eager materialization
+    * of the LARGEST frame in the job — before they filter, limit, or
+    * write it — which at corpus scale doubles peak storage I/O.
+    * Default false: [[sealAndRelease]]/[[sealThen]] return the LAZY
+    * frame with its caches intact (also what plan audits need —
+    * sealing replaces the whole upstream plan with `Scan
+    * ExistingRDD`, blinding join-strategy and pushdown assertions). */
   def sealingEnabled(spark: SparkSession): Boolean =
-    spark.conf.get("spark.graft.seal.enabled", "true").toBoolean
+    spark.conf.get("spark.graft.seal.enabled", "false").toBoolean
 
   /** Eagerly materialize `result` as a localCheckpoint, then run the
     * caller's release actions (unpersists / checkpoint drops for

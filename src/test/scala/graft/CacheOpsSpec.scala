@@ -18,7 +18,47 @@ class CacheOpsSpec extends SparkSpec {
   private def storedRdds(): Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
+  /** Sealing is opt-in (Verify/Bench set it in their builders); the
+    * tests that exercise the seal/release machinery turn it on the
+    * same way, restoring the session's prior state after. */
+  private def withSealing[A](body: => A): A = {
+    val prev = spark.conf.getOption("spark.graft.seal.enabled")
+    spark.conf.set("spark.graft.seal.enabled", "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.seal.enabled", v)
+      case None => spark.conf.unset("spark.graft.seal.enabled")
+    }
+  }
+
+  test("default session: sealThen returns the LAZY frame and keeps " +
+      "caches — library callers never pay an eager materialization") {
+    CacheOps.sweep(spark)
+    assert(spark.conf.getOption("spark.graft.seal.enabled").isEmpty ||
+      !CacheOps.sealingEnabled(spark),
+      "suite session unexpectedly has sealing forced on")
+    val cached = (1 to 100).toDF("x").persist()
+    cached.count()
+    var released = false
+    val out = CacheOps.sealThen(cached.agg(sum($"x").as("s"))) {
+      released = true
+    }
+    // a corpus-sized operator result must come back lazy in a default
+    // session: no LogicalRDD leaf (= no eager localCheckpoint ran),
+    // and the release block did NOT run (only safe after a seal)
+    import org.apache.spark.sql.execution.LogicalRDD
+    val sealedLeaf = out.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRDD => lr
+    }
+    assert(sealedLeaf.isEmpty, "default session eagerly sealed the result")
+    assert(!released, "release actions ran without a seal pinning the data")
+    assert(storedRdds().nonEmpty, "input cache was dropped without a seal")
+    assert(out.as[Long].head() === 5050L)
+    cached.unpersist(true)
+  }
+
   test("sealAndRelease materializes the result and unpersists caches") {
+   withSealing {
     CacheOps.sweep(spark)
     val cached = (1 to 100).toDF("x").persist()
     cached.count()
@@ -32,6 +72,7 @@ class CacheOpsSpec extends SparkSpec {
     // only the sealed result's own checkpoint remains
     CacheOps.releaseCheckpoint(pinned)
     assert(storedRdds().isEmpty && left.size <= 1)
+   }
   }
 
   test("releaseCheckpointExcept keeps the protected frame's blocks") {
@@ -45,6 +86,7 @@ class CacheOpsSpec extends SparkSpec {
   }
 
   test("representative operators leave NO block storage behind") {
+   withSealing {
     CacheOps.sweep(spark)
     // LabelPropagation persists the undirected adjacency per round;
     // Dbscan persists four intermediates and runs CC (which
@@ -64,10 +106,12 @@ class CacheOpsSpec extends SparkSpec {
     CacheOps.releaseCheckpoint(db)
     assert(storedRdds().isEmpty,
       s"Dbscan leaked RDDs: ${storedRdds()}")
+   }
   }
 
   test("registry heavy-operator sweep: no query leaves more block " +
       "storage than its own sealed result") {
+   withSealing {
     // Regression guard for the round-9/10 bench mechanism: any future
     // operator that persists without releasing, or checkpoints
     // per-round without bounding retention, fails here — long before
@@ -86,6 +130,7 @@ class CacheOpsSpec extends SparkSpec {
     }
     CacheOps.sweep(spark)
     assert(storedRdds().isEmpty)
+   }
   }
 
   test("sweep drops catalog caches AND orphaned checkpoint blocks") {

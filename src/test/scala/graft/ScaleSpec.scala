@@ -16,9 +16,13 @@ class ScaleSpec extends SparkSpec {
   // every join-strategy assertion below vacuous. Disable sealing per
   // test, restore after (the session is JVM-shared across suites).
   override protected def withFixture(test: NoArgTest): org.scalatest.Outcome = {
+    val prev = spark.conf.getOption("spark.graft.seal.enabled")
     spark.conf.set("spark.graft.seal.enabled", "false")
     try super.withFixture(test)
-    finally spark.conf.set("spark.graft.seal.enabled", "true")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.seal.enabled", v)
+      case None => spark.conf.unset("spark.graft.seal.enabled")
+    }
   }
 
   test("AQE splits a skewed sort-merge join partition at runtime") {
