@@ -8,11 +8,13 @@ import graft.operators.MediaCodecs.Image
   * spec), closing the last honest media stub: the multimodal pipeline
   * can now decode the format real image corpora actually arrive in.
   *
-  * Decoder: baseline sequential DCT (SOF0), 8-bit precision, 1 or 3
-  * components, sampling factors 1–2 (covers 4:4:4, 4:2:2, 4:2:0),
-  * interleaved scan, byte stuffing, DRI/RSTn restart markers, multiple
-  * DQT/DHT segments, 8- and 16-bit quantization tables. Progressive
-  * (SOF2) and arithmetic coding are rejected with a clear error.
+  * Decoder: baseline sequential DCT (SOF0/1) and progressive DCT
+  * (SOF2, Annex G: spectral selection + successive approximation +
+  * EOB runs), 8-bit precision, 1 or 3 components, sampling factors
+  * 1–2 (covers 4:4:4, 4:2:2, 4:2:0), byte stuffing, DRI/RSTn restart
+  * markers, multiple DQT/DHT segments, 8- and 16-bit quantization
+  * tables. Arithmetic coding and hierarchical/lossless SOFs are
+  * rejected with a clear error.
   *
   * Encoder: baseline, JFIF APP0, Annex K quantization tables scaled by
   * the usual quality curve, Annex K huffman tables, 4:4:4 or 4:2:0
@@ -358,8 +360,7 @@ object JpegCodec {
               s"sampling factors ${c.h}x${c.v} unsupported (1-2 only)")
             c
           }
-        case 0xc2 => throw new IllegalArgumentException(
-          "progressive JPEG (SOF2) not supported — baseline only")
+        case 0xc2 => return decodeProgressive(bytes)
         case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
           throw new IllegalArgumentException(
             f"unsupported SOF marker 0x$m%02x — baseline only")
@@ -518,7 +519,15 @@ object JpegCodec {
       mcu += 1
     }
 
-    // upsample (nearest) + color convert
+    toRgb(comps, planes, planeW, width, height, maxH, maxV)
+  }
+
+  /** Upsample component planes (nearest) + YCbCr→RGB (or replicate a
+    * single gray plane) — shared by the baseline and progressive
+    * decode paths. */
+  private def toRgb(comps: Array[Component], planes: Array[Array[Byte]],
+      planeW: Array[Int], width: Int, height: Int,
+      maxH: Int, maxV: Int): Image = {
     val rgb = new Array[Byte](width * height * 3)
     if (comps.length == 1) {
       val pw = planeW(0)
@@ -560,6 +569,344 @@ object JpegCodec {
       }
     }
     Image(width, height, rgb)
+  }
+
+  // ---- progressive decoder (ITU-T T.81 Annex G) -----------------------
+
+  /** Decode a progressive-DCT JPEG (SOF2): spectral selection and
+    * successive approximation per Annex G. Coefficients accumulate in
+    * a per-component block store across scans — DC first/refinement
+    * (interleaved or single-component), AC first with EOB runs
+    * (G.1.2.2), AC refinement with correction bits (G.1.2.3) — then a
+    * single dequantize+IDCT pass reconstructs the planes. Restart
+    * markers reset DC predictors AND the EOB run, per G.1.2.
+    *
+    * Non-interleaved scans cover ceil(compW/8)×ceil(compH/8) blocks of
+    * the COMPONENT's own dimensions (A.2.2), not the MCU-padded grid —
+    * the store is MCU-padded so interleaved DC scans can write the
+    * padding blocks, and the unwritten padding simply IDCTs to flat
+    * gray that the crop discards. */
+  private def decodeProgressive(bytes: Array[Byte]): Image = {
+    var pos = 2
+    val qTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var width = -1; var height = -1
+    var comps: Array[Component] = null
+    var restartInterval = 0
+    var maxH = 1; var maxV = 1; var mcusX = 0; var mcusY = 0
+    // per component: MCU-padded block grid (storage) and the
+    // non-interleaved scan's own block grid (iteration bounds)
+    var blocksW: Array[Int] = null; var blocksH: Array[Int] = null
+    var nonIntW: Array[Int] = null; var nonIntH: Array[Int] = null
+    var coefs: Array[Array[Short]] = null
+    var sawScan = false
+
+    def u16(off: Int): Int =
+      ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+
+    /** One scan's entropy decode into the coefficient store. */
+    def decodeScan(reader: BitReader, scanComps: Array[Component],
+        ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      val dcPred = new Array[Int](scanComps.length)
+      var eobrun = 0
+      var expectedRst = 0
+
+      def restart(): Unit = {
+        val m = reader.restart()
+        require(m == 0xd0 + expectedRst,
+          f"expected RST$expectedRst, got marker 0x$m%02x")
+        expectedRst = (expectedRst + 1) & 7
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+      }
+
+      /** DC pass on one block (first or refinement). */
+      def dcBlock(sci: Int, coef: Array[Short], off: Int): Unit =
+        if (ah == 0) {
+          val t = reader.decodeHuff(dcTables(scanComps(sci).dcTable))
+          dcPred(sci) += extend(reader.bits(t), t)
+          coef(off) = (dcPred(sci) << al).toShort
+        } else if (reader.bit() == 1) {
+          coef(off) = (coef(off) | (1 << al)).toShort
+        }
+
+      /** AC first pass (Ah=0) on one block — G.1.2.2 with EOB runs. */
+      def acFirst(acT: HuffTable, coef: Array[Short], off: Int): Unit =
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          while (k <= se) {
+            val rs = reader.decodeHuff(acT)
+            val r = rs >> 4; val s = rs & 0xf
+            if (s == 0) {
+              if (r < 15) { // EOBn: this block ends, r more follow
+                eobrun = (1 << r) - 1 + (if (r > 0) reader.bits(r) else 0)
+                k = se + 1
+              } else k += 16 // ZRL
+            } else {
+              k += r
+              require(k <= se, "AC run past Se")
+              coef(off + Zigzag(k)) =
+                (extend(reader.bits(s), s) << al).toShort
+              k += 1
+            }
+          }
+        }
+
+      /** AC refinement pass (Ah>0) on one block — G.1.2.3: each
+        * already-nonzero coefficient in the band consumes a correction
+        * bit; zero-history coefficients count against the run and may
+        * become ±1<<Al. */
+      def acRefine(acT: HuffTable, coef: Array[Short], off: Int): Unit = {
+        val p1 = 1 << al; val m1 = -1 << al
+        def correct(z: Int): Unit =
+          if (reader.bit() == 1 && (coef(z) & p1) == 0)
+            coef(z) = (coef(z) + (if (coef(z) >= 0) p1 else m1)).toShort
+        var k = ss
+        if (eobrun == 0) {
+          var brk = false
+          while (k <= se && !brk) {
+            val rs = reader.decodeHuff(acT)
+            var r = rs >> 4; val s = rs & 0xf
+            var newVal = 0
+            if (s == 0) {
+              if (r < 15) { // EOBn: remaining coefs still get corrections
+                eobrun = (1 << r) + (if (r > 0) reader.bits(r) else 0)
+                brk = true
+              } // r == 15: ZRL — skip 16 zero-history coefs below
+            } else {
+              require(s == 1, s"AC refinement magnitude $s (must be 1)")
+              newVal = if (reader.bit() == 1) p1 else m1
+            }
+            if (!brk) {
+              var placed = false
+              while (k <= se && !placed) {
+                val z = off + Zigzag(k)
+                if (coef(z) != 0) correct(z)
+                else if (r == 0) {
+                  if (newVal != 0) coef(z) = newVal.toShort
+                  placed = true
+                } else r -= 1
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) { // EOB stretch: corrections only, then count down
+          while (k <= se) {
+            val z = off + Zigzag(k)
+            if (coef(z) != 0) correct(z)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      if (scanComps.length == 1) {
+        // non-interleaved: raster order over the component's own grid
+        val c = scanComps(0)
+        val ci = comps.indexWhere(_.id == c.id)
+        val bw = nonIntW(ci); val bh = nonIntH(ci)
+        val stride = blocksW(ci)
+        val acT = if (ss > 0) acTables(c.acTable) else null
+        require(ss == 0 || acT != null, "missing AC huffman table")
+        var blk = 0
+        val total = bw * bh
+        while (blk < total) {
+          if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0)
+            restart()
+          val off = ((blk / bw) * stride + (blk % bw)) * 64
+          if (ss == 0) dcBlock(0, coefs(ci), off)
+          else if (ah == 0) acFirst(acT, coefs(ci), off)
+          else acRefine(acT, coefs(ci), off)
+          blk += 1
+        }
+      } else {
+        // interleaved MCU order — only legal for DC scans (B.2.3)
+        require(ss == 0 && se == 0, "interleaved AC scan is invalid")
+        var mcu = 0
+        val totalMcus = mcusX * mcusY
+        while (mcu < totalMcus) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0)
+            restart()
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var sci = 0
+          while (sci < scanComps.length) {
+            val c = scanComps(sci)
+            val ci = comps.indexWhere(_.id == c.id)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                val off = ((my * c.v + by) * blocksW(ci) +
+                  (mx * c.h + bx)) * 64
+                dcBlock(sci, coefs(ci), off)
+                bx += 1
+              }
+              by += 1
+            }
+            sci += 1
+          }
+          mcu += 1
+        }
+      }
+    }
+
+    var done = false
+    while (!done && pos + 4 <= bytes.length) {
+      require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      val marker = bytes(pos + 1) & 0xff
+      val seg = pos + 4
+      val len = if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) 0
+        else u16(pos + 2)
+      var posSet = false
+      marker match {
+        case 0xc2 =>
+          require((bytes(seg) & 0xff) == 8, "only 8-bit precision supported")
+          height = u16(seg + 1); width = u16(seg + 3)
+          val n = bytes(seg + 5) & 0xff
+          require(n == 1 || n == 3, s"only 1 or 3 components (got $n)")
+          comps = Array.tabulate(n) { i =>
+            val o = seg + 6 + i * 3
+            val hv = bytes(o + 1) & 0xff
+            val c = Component(bytes(o) & 0xff, hv >> 4, hv & 0xf,
+              bytes(o + 2) & 0xff)
+            require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
+              s"sampling factors ${c.h}x${c.v} unsupported (1-2 only)")
+            c
+          }
+          // same bomb guards as baseline: entropy-bits plausibility
+          // ratio, then the absolute pixel cap — BEFORE the coefficient
+          // store (2 bytes/pixel/component) allocates anything
+          require(width.toLong * height <= bytes.length.toLong * 1024,
+            s"jpeg dims ${width}x$height implausible for " +
+              s"${bytes.length} bytes")
+          require(width.toLong * height <= MediaCodecs.MaxImagePixels,
+            s"jpeg dims ${width}x$height exceed the " +
+              s"${MediaCodecs.MaxImagePixels}-pixel cap")
+          maxH = comps.map(_.h).max; maxV = comps.map(_.v).max
+          mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+          mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+          blocksW = comps.map(c => mcusX * c.h)
+          blocksH = comps.map(c => mcusY * c.v)
+          nonIntW = comps.map(c => ((width * c.h + maxH - 1) / maxH + 7) / 8)
+          nonIntH = comps.map(c => ((height * c.v + maxV - 1) / maxV + 7) / 8)
+          coefs = comps.indices.map(i =>
+            new Array[Short](blocksW(i) * blocksH(i) * 64)).toArray
+        case 0xc4 =>
+          var o = seg
+          while (o < pos + 2 + len) {
+            val tcTh = bytes(o) & 0xff
+            val tc = tcTh >> 4; val th = tcTh & 0xf
+            val bits = new Array[Int](17)
+            var total = 0
+            var i = 1
+            while (i <= 16) {
+              bits(i) = bytes(o + i) & 0xff; total += bits(i); i += 1
+            }
+            val vals = new Array[Byte](total)
+            System.arraycopy(bytes, o + 17, vals, 0, total)
+            val t = new HuffTable(bits, vals)
+            if (tc == 0) dcTables(th) = t else acTables(th) = t
+            o += 17 + total
+          }
+        case 0xdb =>
+          var o = seg
+          while (o < pos + 2 + len) {
+            val pqTq = bytes(o) & 0xff
+            val pq = pqTq >> 4; val tq = pqTq & 0xf
+            val tab = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              val v = if (pq == 0) bytes(o + 1 + k) & 0xff
+                else u16(o + 1 + k * 2)
+              tab(Zigzag(k)) = v
+              k += 1
+            }
+            qTables(tq) = tab
+            o += 1 + (if (pq == 0) 64 else 128)
+          }
+        case 0xdd => restartInterval = u16(seg)
+        case 0xda =>
+          require(comps != null, "SOS before SOF2")
+          val n = bytes(seg) & 0xff
+          val scanComps = Array.tabulate(n) { i =>
+            val cid = bytes(seg + 1 + i * 2) & 0xff
+            val tdTa = bytes(seg + 2 + i * 2) & 0xff
+            val c = comps.find(_.id == cid).getOrElse(
+              throw new IllegalArgumentException(
+                s"SOS refers to unknown component $cid"))
+            c.dcTable = tdTa >> 4; c.acTable = tdTa & 0xf
+            c
+          }
+          val ss = bytes(seg + 1 + n * 2) & 0xff
+          val se = bytes(seg + 2 + n * 2) & 0xff
+          val ahal = bytes(seg + 3 + n * 2) & 0xff
+          require(ss <= 63 && se <= 63 && ss <= se &&
+            (ss == 0 || n == 1), s"invalid scan header Ss=$ss Se=$se")
+          val reader = new BitReader(bytes, pos + 2 + len)
+          decodeScan(reader, scanComps, ss, se, ahal >> 4, ahal & 0xf)
+          sawScan = true
+          // resume the marker walk at the next true marker (skip any
+          // unconsumed entropy bytes, stuffed FFs and RSTns)
+          var p = reader.pos
+          var found = false
+          while (!found && p + 1 < bytes.length) {
+            val m2 = bytes(p + 1) & 0xff
+            if ((bytes(p) & 0xff) == 0xff && m2 != 0x00 &&
+              !(m2 >= 0xd0 && m2 <= 0xd7)) found = true
+            else p += 1
+          }
+          pos = if (found) p else bytes.length
+          posSet = true
+        case 0xd9 => done = true
+        case _ => // APPn / COM — skip
+      }
+      if (!posSet && !done) pos += 2 + len
+    }
+    require(comps != null && sawScan, "missing SOF2/SOS")
+
+    // dequantize + IDCT every stored block into the component planes
+    val planes = new Array[Array[Byte]](comps.length)
+    val pws = new Array[Int](comps.length)
+    val freq = new Array[Double](64)
+    val pix = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = qTables(c.tq)
+      require(q != null, s"missing quantization table ${c.tq}")
+      val pw = blocksW(ci) * 8
+      pws(ci) = pw
+      val plane = new Array[Byte](pw * blocksH(ci) * 8)
+      val coef = coefs(ci)
+      var blk = 0
+      val total = blocksW(ci) * blocksH(ci)
+      while (blk < total) {
+        val off = blk * 64
+        var k = 0
+        while (k < 64) { freq(k) = coef(off + k).toDouble * q(k); k += 1 }
+        idct(freq, pix)
+        val px0 = (blk % blocksW(ci)) * 8
+        val py0 = (blk / blocksW(ci)) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            val v = math.round(pix(xx * 8 + yy) + 128.0).toInt
+            plane((py0 + xx) * pw + px0 + yy) =
+              (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        blk += 1
+      }
+      planes(ci) = plane
+      ci += 1
+    }
+    toRgb(comps, planes, pws, width, height, maxH, maxV)
   }
 
   // ---- encoder --------------------------------------------------------

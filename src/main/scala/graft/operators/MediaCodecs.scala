@@ -19,7 +19,7 @@ import java.nio.charset.StandardCharsets
   * tables) and MJPEG-in-AVI video ([[VideoCodec]] — real RIFF
   * container walk + per-frame JPEG entropy decode). Every modality now
   * has at least one real codec; payloads in formats outside this set
-  * (H.264-in-MP4, progressive JPEG, LPC FLAC, …) don't sniff or don't
+  * (H.264-in-MP4, arithmetic-coded JPEG, LPC FLAC, …) don't sniff or don't
   * decode and degrade per-payload to the deterministic opaque path —
   * a fallback, not a fake. All functions are executor-side pure byte
   * transforms.
@@ -73,8 +73,8 @@ object MediaCodecs {
     else None
 
   /** Run a decode thunk, mapping ANY failure to None: a sniffable
-    * magic does not guarantee a decodable payload (progressive JPEG
-    * sniffs as jpeg, LPC-predicted FLAC sniffs as flac, a truncated
+    * magic does not guarantee a decodable payload (arithmetic-coded
+    * JPEG sniffs as jpeg, LPC-predicted FLAC sniffs as flac, a truncated
     * BMP sniffs as bmp), and the pipeline contract is "decode what we
     * can, fall back deterministically for the rest" — one exotic
     * payload must degrade to the opaque path, not fail a corpus-wide
@@ -102,7 +102,7 @@ object MediaCodecs {
     * The single routing point for image payloads: adding a codec here
     * lights it up in every downstream operator (stats, channel stats,
     * dHash, near-dup, …). Sniffed-but-undecodable variants (e.g.
-    * progressive JPEG) return None. */
+    * arithmetic-coded JPEG) return None. */
   def decodeImage(bytes: Array[Byte]): Option[(String, Image)] =
     sniff(bytes).flatMap {
       case "bmp" => tryDecode(("bmp", decodeBmp(bytes)))
@@ -318,16 +318,19 @@ object MediaCodecs {
   /** Decode an 8-bit truecolor non-interlaced PNG: chunk walk
     * (multiple IDATs concatenate; ancillary chunks skipped), zlib
     * inflate, and full scanline de-filtering. */
-  /** PNG decode — all five standard 8-bit color types (grayscale,
-    * RGB, palette, gray+alpha, RGBA; alpha dropped, palette resolved
-    * via PLTE), non-interlaced. De-filtering operates on the CHANNEL
-    * bytes at the color type's bytes-per-pixel (the spec's filter
-    * distance), then pixels map to RGB. */
+  /** PNG decode — all five standard color types (grayscale, RGB,
+    * palette, gray+alpha, RGBA; alpha dropped, palette resolved via
+    * PLTE) at bit depth 8, plus depth 16 for the non-palette types
+    * (narrowed to 8 bits by taking each big-endian sample's high
+    * byte — libpng's `png_set_strip_16` convention), non-interlaced
+    * or Adam7. De-filtering operates on the CHANNEL bytes at the
+    * color type's bytes-per-pixel (the spec's filter distance —
+    * channels × bytes-per-sample), then pixels map to RGB. */
   def decodePng(bytes: Array[Byte]): Image = {
     require(sniff(bytes).contains("png"), "not a PNG")
     var pos = 8
     var width = -1; var height = -1; var color = -1
-    var interlace = -1
+    var interlace = -1; var depth = -1
     var plte: Array[Byte] = null
     val idat = new ByteArrayOutputStream()
     var done = false
@@ -340,13 +343,16 @@ object MediaCodecs {
       typ match {
         case "IHDR" =>
           width = be32(bytes, body); height = be32(bytes, body + 4)
-          val depth = bytes(body + 8); color = bytes(body + 9)
+          depth = bytes(body + 8); color = bytes(body + 9)
           interlace = bytes(body + 12)
-          require(depth == 8 && (interlace == 0 || interlace == 1) &&
-            (color == 0 || color == 2 || color == 3 || color == 4 ||
-              color == 6),
-            s"only 8-bit color types 0/2/3/4/6, interlace 0/1 " +
-              s"supported (depth=$depth color=$color interlace=$interlace)")
+          require((interlace == 0 || interlace == 1) &&
+            (depth == 8 && (color == 0 || color == 2 || color == 3 ||
+              color == 4 || color == 6) ||
+              depth == 16 && (color == 0 || color == 2 || color == 4 ||
+                color == 6)),
+            s"only color types 0/2/3/4/6 at depth 8 (0/2/4/6 at 16), " +
+              s"interlace 0/1 supported (depth=$depth color=$color " +
+              s"interlace=$interlace)")
         case "PLTE" => plte = bytes.slice(body, body + len)
         case "IDAT" => idat.write(bytes, body, len)
         case "IEND" => done = true
@@ -356,9 +362,10 @@ object MediaCodecs {
     }
     require(width > 0 && height > 0, "missing IHDR")
     require(color != 3 || plte != null, "palette PNG without PLTE")
-    val bpp = color match {
+    val bps = depth / 8 // bytes per sample (1 or 2, big-endian)
+    val bpp = bps * (color match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
-    }
+    })
     // Interlacing: Adam7's seven sub-images (x0, y0, dx, dy), each a
     // self-contained scanline sequence inside ONE shared zlib stream;
     // interlace 0 is the degenerate single full-size pass.
@@ -450,6 +457,9 @@ object MediaCodecs {
         rawOff += hp * (1 + wp * bpp)
       }
     }
+    // samples are big-endian, so at depth 16 a channel's HIGH byte is
+    // its first byte: indexing channel c at i*bpp + c*bps narrows
+    // 16→8 for free (png_set_strip_16's convention)
     val rgb = new Array[Byte](width * height * 3)
     var i = 0
     val n = width * height
@@ -460,8 +470,8 @@ object MediaCodecs {
           rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
         case 2 | 6 =>
           rgb(i * 3) = chan(i * bpp)
-          rgb(i * 3 + 1) = chan(i * bpp + 1)
-          rgb(i * 3 + 2) = chan(i * bpp + 2)
+          rgb(i * 3 + 1) = chan(i * bpp + bps)
+          rgb(i * 3 + 2) = chan(i * bpp + 2 * bps)
         case 3 =>
           val idx = (chan(i) & 0xff) * 3
           require(idx + 2 < plte.length, s"palette index out of range")

@@ -1104,17 +1104,20 @@ object MultimodalOps {
           CAST(1 AS BIGINT) AS n_id3_text_frames,
           'Lavf53.5.0' AS encoder_tag""")),
 
-    // WILD-image interop: three committed real-world fixtures that
-    // this repo did not produce run through the standard decodeStats
+    // WILD-image interop: committed real-world fixtures that this
+    // repo did not produce run through the standard decodeStats
     // dispatch. The baseline JPEG (a 161×161 photo-class file with
     // encoder-supplied Huffman tables) decodes FULLY through the T.81
     // path — pinning that the entropy decoder reads arbitrary DHT
-    // tables, not just our encoder's canonical ones; the RGBA PNG
-    // decodes through inflate + de-filter + alpha drop; the
-    // progressive JPEG (SOF2) takes the documented opaque path. The
-    // oracle pins exact pixel/byte sums as constants — one wrong
-    // Huffman decode step, IDCT coefficient, or PNG filter
-    // reconstruction anywhere in 26k pixels moves pixel_sum.
+    // tables, not just our encoder's canonical ones; the PROGRESSIVE
+    // JPEGs (SOF2) decode through the Annex G path (spectral
+    // selection on the wild 4:4:4 file; successive approximation +
+    // AC refinement + interleaved DC on the JDK-encoder 4:2:0 file),
+    // pixels proven against the JDK's independent ImageIO decoder in
+    // WildFixturesSpec; the PNGs decode through inflate + de-filter
+    // (8- AND 16-bit depths). The oracle pins exact pixel/byte sums
+    // as constants — one wrong Huffman decode step, IDCT coefficient,
+    // refinement bit, or PNG filter reconstruction moves value_sum.
     Q("q254_image_wild_decode",
       (s, dir) => {
         import s.implicits._
@@ -1123,7 +1126,8 @@ object MultimodalOps {
           (4L, "wild_gray.png"), (5L, "wild_grayalpha.png"),
           (6L, "wild_palette.png"), (7L, "wild_interlaced.png"),
           (8L, "wild_89a.gif"), (9L, "wild_87a.gif"),
-          (10L, "wild_interlaced.gif"))
+          (10L, "wild_interlaced.gif"),
+          (11L, "wild_progressive_sa.jpg"), (12L, "wild_16bit.png"))
         val media = s.createDataset(names).mapPartitions { rows =>
           rows.map { case (id, name) =>
             val in = getClass.getResourceAsStream(s"/graft/$name")
@@ -1149,9 +1153,9 @@ object MultimodalOps {
           (CAST(2 AS BIGINT), 'png', CAST(16 AS BIGINT),
             CAST(16 AS BIGINT), CAST(768 AS BIGINT),
             CAST(123194 AS BIGINT)),
-          (CAST(3 AS BIGINT), 'opaque', CAST(0 AS BIGINT),
-            CAST(0 AS BIGINT), CAST(6525 AS BIGINT),
-            CAST(777598 AS BIGINT)),
+          (CAST(3 AS BIGINT), 'jpeg', CAST(493 AS BIGINT),
+            CAST(58 AS BIGINT), CAST(85782 AS BIGINT),
+            CAST(20019719 AS BIGINT)),
           (CAST(4 AS BIGINT), 'png', CAST(11 AS BIGINT),
             CAST(11 AS BIGINT), CAST(363 AS BIGINT),
             CAST(78483 AS BIGINT)),
@@ -1172,7 +1176,13 @@ object MultimodalOps {
             CAST(164879396 AS BIGINT)),
           (CAST(10 AS BIGINT), 'gif', CAST(100 AS BIGINT),
             CAST(100 AS BIGINT), CAST(30000 AS BIGINT),
-            CAST(3598720 AS BIGINT)))
+            CAST(3598720 AS BIGINT)),
+          (CAST(11 AS BIGINT), 'jpeg', CAST(161 AS BIGINT),
+            CAST(161 AS BIGINT), CAST(77763 AS BIGINT),
+            CAST(16702542 AS BIGINT)),
+          (CAST(12 AS BIGINT), 'png', CAST(1052 AS BIGINT),
+            CAST(744 AS BIGINT), CAST(2348064 AS BIGINT),
+            CAST(569691488 AS BIGINT)))
           AS t(media_id, format, width, height, n_units, value_sum)
         ORDER BY media_id""")),
 

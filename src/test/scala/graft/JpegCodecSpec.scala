@@ -149,12 +149,15 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(fmt == "jpeg" && dec.width == 8 && dec.height == 8)
   }
 
-  test("progressive JPEG is rejected with a clear error") {
-    // SOI + minimal SOF2 header
+  test("a truncated progressive JPEG (SOF2 header, no scan) fails " +
+      "cleanly instead of decoding garbage") {
+    // SOI + minimal SOF2 header — routes to the Annex G path (full
+    // progressive decode is proven against ImageIO in
+    // WildFixturesSpec), which must refuse a stream with no SOS
     val sof2 = Array[Int](0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b,
       8, 0, 8, 0, 8, 1, 1, 0x11, 0).map(_.toByte)
     val e = intercept[IllegalArgumentException](JpegCodec.decode(sof2))
-    assert(e.getMessage.contains("progressive"))
+    assert(e.getMessage.contains("SOS"))
   }
 
   test("higher quality means lower error and bigger stream") {

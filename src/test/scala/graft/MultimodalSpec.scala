@@ -199,8 +199,9 @@ class MultimodalSpec extends SparkSpec {
 
   test("sniffed-but-undecodable payloads fall back to opaque, not throw") {
     import spark.implicits._
-    // progressive JPEG: valid FF D8 FF sniff prefix, SOF2 marker the
-    // baseline decoder rejects; truncated BMP: valid 'BM' magic, no
+    // truncated progressive JPEG: valid FF D8 FF sniff prefix, SOF2
+    // header but NO scan data, so the Annex G decoder refuses;
+    // truncated BMP: valid 'BM' magic, no
     // header; FLAC magic with garbage stream. Each must route to the
     // deterministic opaque path — one exotic payload in a 100 TB
     // corpus must degrade, not fail the whole query.

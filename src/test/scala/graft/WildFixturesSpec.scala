@@ -55,6 +55,27 @@ class WildFixturesSpec extends AnyFunSuite {
     }
   }
 
+  test("a wild 16-BIT RGBA PNG decodes with high-byte narrowing, " +
+      "sums matching an independent filter-reconstruction oracle") {
+    // a real 1052x744 depth-16 color-6 PNG shipped by GnuPG's docs
+    // (/usr/share/info); oracle sums from the same pure-python
+    // decoder as the 8-bit set, de-filtering at the 8-byte filter
+    // distance and taking each big-endian sample's high byte
+    val Some(("png", img)) = MediaCodecs.decodeImage(res("wild_16bit.png"))
+    assert(img.width == 1052 && img.height == 744)
+    var s = 0L; var ws = 0L; var p = 0
+    while (p < img.width * img.height) {
+      val r = img.rgb(p * 3) & 0xff
+      val g = img.rgb(p * 3 + 1) & 0xff
+      val b = img.rgb(p * 3 + 2) & 0xff
+      s += r + g + b
+      ws += (p + 1).toLong * (r + 2 * g + 3 * b)
+      p += 1
+    }
+    assert(s == 569691488L, s"sum: got $s")
+    assert(ws == 441898174691635L, s"weighted: got $ws")
+  }
+
   test("wild GIFs decode — 87a, 89a, and row-interlaced — matching " +
       "an independent LZW oracle") {
     // plain sums pin the LZW + palette; the position-weighted
@@ -209,10 +230,64 @@ class WildFixturesSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeImage(gif).isEmpty)
   }
 
-  test("progressive JPEG refuses loudly and routes to the opaque path") {
-    val bytes = res("wild_progressive.jpg")
-    val ex = intercept[IllegalArgumentException](JpegCodec.decode(bytes))
-    assert(ex.getMessage.contains("progressive"))
-    assert(MediaCodecs.decodeImage(bytes).isEmpty)
+  /** Decode `name` with BOTH this repo's decoder and the JDK's native
+    * ImageIO JPEG reader (an independent implementation shipped with
+    * the JVM), assert per-pixel agreement within `tol` (JPEG decoders
+    * legitimately differ by a few codes: integer vs double IDCT,
+    * chroma upsampling filter), and pin this decoder's exact sums so
+    * any regression moves a constant. */
+  private def progressiveCase(name: String, w: Int, h: Int, tol: Int,
+      meanTol: Double, sum: Long, wsum: Long): Unit = {
+    val bytes = res(name)
+    val Some(("jpeg", img)) = MediaCodecs.decodeImage(bytes)
+    assert(img.width == w && img.height == h, name)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ref.getWidth == w && ref.getHeight == h, s"$name oracle dims")
+    var s = 0L; var ws = 0L; var maxDiff = 0; var sumDiff = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = y * w + x
+        val r = img.rgb(p * 3) & 0xff
+        val g = img.rgb(p * 3 + 1) & 0xff
+        val b = img.rgb(p * 3 + 2) & 0xff
+        s += r + g + b
+        ws += (p + 1).toLong * (r + 2 * g + 3 * b)
+        val rp = ref.getRGB(x, y)
+        val dr = math.abs(r - ((rp >> 16) & 0xff))
+        val dg = math.abs(g - ((rp >> 8) & 0xff))
+        val db = math.abs(b - (rp & 0xff))
+        maxDiff = math.max(maxDiff, math.max(dr, math.max(dg, db)))
+        sumDiff += dr + dg + db
+        x += 1
+      }
+      y += 1
+    }
+    val meanDiff = sumDiff.toDouble / (w * h * 3)
+    assert(maxDiff <= tol, s"$name: max per-channel diff $maxDiff vs ImageIO")
+    assert(meanDiff <= meanTol,
+      s"$name: mean per-channel diff $meanDiff vs ImageIO")
+    assert(s == sum, s"$name sum: got $s")
+    assert(ws == wsum, s"$name weighted: got $ws")
+  }
+
+  test("a wild PROGRESSIVE JPEG (spectral selection, 4:4:4) decodes, " +
+      "pixels matching the JDK's independent ImageIO decoder") {
+    progressiveCase("wild_progressive.jpg", 493, 58,
+      tol = 4, meanTol = 0.5, sum = 20019719L, wsum = 605631819341L)
+  }
+
+  test("a SUCCESSIVE-APPROXIMATION progressive JPEG (4:2:0, " +
+      "interleaved DC first+refine, AC refine with EOB runs) decodes, " +
+      "pixels matching ImageIO") {
+    // written by the JDK's native JPEG encoder (MODE_DEFAULT scan
+    // script: DC Al=1 + refine, AC Al=2->0 refinements) — an encoder
+    // this repo did not write; wider tol than the 4:4:4 case because
+    // ImageIO's fancy (triangular) chroma upsampling differs from
+    // this decoder's nearest-neighbor at 4:2:0 chroma edges
+    progressiveCase("wild_progressive_sa.jpg", 161, 161,
+      tol = 64, meanTol = 2.5, sum = 16702542L, wsum = 433129243644L)
   }
 }
