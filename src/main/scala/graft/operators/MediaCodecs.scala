@@ -70,6 +70,10 @@ object MediaCodecs {
     // checked after JPEG, whose FF D8 FF prefix cannot collide
     else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xfe) == 0xfa) Some("mp3")
+    // ID3v2-tagged MP3 (how wild MP3s usually open); the frame sync
+    // follows the tag, located by Mp3Codec's census/decode walk
+    else if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+      bytes(2) == '3') Some("mp3")
     else None
 
   /** Run a decode thunk, mapping ANY failure to None: a sniffable
@@ -94,7 +98,10 @@ object MediaCodecs {
       case "aiff" => tryDecode(("aiff", decodeAiff(bytes)))
       case "au" => tryDecode(("au", decodeAu(bytes)))
       case "flac" => tryDecode(("flac", FlacCodec.decode(bytes)))
-      case "mp3" => tryDecode(("mp3", Mp3Codec.decode(bytes)))
+      case "mp3" => // repo-canonical streams first, then the wild
+        // empty-granule class (exact silence — Mp3Codec.decodeWild)
+        tryDecode(("mp3", Mp3Codec.decode(bytes)))
+          .orElse(Mp3Codec.decodeWild(bytes).map(("mp3", _)))
       case _ => None
     }
 

@@ -28,6 +28,11 @@ import java.io.ByteArrayOutputStream
   *    the actual Layer III power-law, which is where the lossiness
   *    lives
   *
+  * Wild-stream interop: [[census]] walks ANY real-world MP3's
+  * structure, and [[decodeWild]] reconstructs exact samples for the
+  * empty-granule class (see its scaladoc for why that boundary is
+  * where honest bit-exactness ends in this environment).
+  *
   * DOCUMENTED deviations (repo-canonical, deterministic — streams are
   * Layer III-STRUCTURED but not interop-certified):
   *  - Huffman code tables: ISO's 34 fixed tables are replaced by two
@@ -246,6 +251,100 @@ object Mp3Codec {
       durationMs = if (sr == 0) 0L else samplesTotal * 1000L / sr,
       id3v2Bytes = id3, resyncs = resyncs,
       trailingBytes = bytes.length - end)
+  }
+
+  /** Decode an ARBITRARY real-world MP3 whose granules carry NO
+    * entropy-coded data (part2_3_length == 0 everywhere) to its exact
+    * PCM: all-zero samples, one granule's worth per granule, at the
+    * stream's sample rate and channel count. Returns None the moment
+    * any granule carries spectral data.
+    *
+    * Why this exact boundary: a granule with part2_3_length == 0 has
+    * an EMPTY scalefactor+Huffman part, so every spectral coefficient
+    * is zero by construction and every conformant decoder—whatever
+    * its IMDCT/polyphase implementation—emits exactly silence for it
+    * (linear filterbanks map zero input to zero output; the overlap-
+    * add state stays zero when every granule is zero). That makes
+    * this the one wild-payload class whose SAMPLES this repo can
+    * reconstruct bit-exactly without ISO's tabular Huffman codes and
+    * 512-tap synthesis window — tables this environment has no
+    * verifiable source for and no reference decoder to validate a
+    * transcription against (COVERAGE.md interop row). The committed
+    * wild fixture (a Lavf/LAME encode of digital silence — q253's
+    * census proves p23==0 in all 45 granules) is exactly this class.
+    *
+    * Parses for real, per ISO 11172-3: ID3v2 skip, ID3v1 tail, frame
+    * headers across MPEG-1/2/2.5, full side-info layouts (MPEG-1:
+    * 17/32 bytes with 9-bit main_data_begin and scfsi; LSF: 9/17
+    * bytes with 8-bit main_data_begin, 9-bit scalefac_compress, no
+    * scfsi), window-switching fields at their spec widths, and both
+    * granule counts (2 for MPEG-1, 1 for LSF). A Xing/Info/VBRI tag
+    * frame is itself an empty-granule frame and decodes as the
+    * silence it is. */
+  def decodeWild(bytes: Array[Byte]): Option[Audio] = {
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      val footer = (bytes(5) & 0x10) != 0
+      off = math.min(10 + size + (if (footer) 10 else 0), bytes.length)
+    }
+    val end =
+      if (bytes.length >= off + 128 && bytes(bytes.length - 128) == 'T' &&
+          bytes(bytes.length - 127) == 'A' &&
+          bytes(bytes.length - 126) == 'G') bytes.length - 128
+      else bytes.length
+    var ver = -1; var sr = 0; var ch = 0
+    var totalSamples = 0L
+    while (off < end) {
+      parseHeader(bytes, off) match {
+        case Some((v, layer, _, s, c, flen, samples))
+            if (ver == -1 || (v == ver && s == sr && c == ch)) &&
+              off + flen <= end =>
+          if (layer != 3) return None // Layer I/II: different coding
+          if (ver == -1) { ver = v; sr = s; ch = c }
+          // side info sits right after the header (+2 CRC bytes when
+          // the protection bit is CLEAR)
+          val crc = if ((bytes(off + 1) & 1) == 0) 2 else 0
+          val br = new BitReader(bytes, off + 4 + crc)
+          val lsf = v != 3
+          br.bits(if (lsf) 8 else 9) // main_data_begin
+          br.bits(if (lsf) (if (c == 1) 1 else 2) else (if (c == 1) 5 else 3))
+          if (!lsf) br.bits(4 * c) // scfsi
+          val granules = if (lsf) 1 else 2
+          var g = 0
+          while (g < granules) {
+            var chn = 0
+            while (chn < c) {
+              val p23 = br.bits(12)
+              if (p23 != 0) return None // real spectral data: census-only
+              br.bits(9) // big_values
+              br.bits(8) // global_gain
+              br.bits(if (lsf) 9 else 4) // scalefac_compress
+              if (br.bits(1) == 1) { // window switching
+                br.bits(2); br.bits(1)       // block_type, mixed
+                br.bits(5); br.bits(5)       // table_select x2
+                br.bits(3); br.bits(3); br.bits(3) // subblock_gain
+              } else {
+                br.bits(5); br.bits(5); br.bits(5) // table_select x3
+                br.bits(4); br.bits(3)       // region counts
+              }
+              if (!lsf) br.bits(1) // preflag (inside scalefac_compress in LSF)
+              br.bits(1) // scalefac_scale
+              br.bits(1) // count1table_select
+              chn += 1
+            }
+            g += 1
+          }
+          totalSamples += samples
+          off += flen
+        case _ => off += 1 // junk between frames: resync, as in census
+      }
+    }
+    if (ver == -1 || totalSamples == 0L || totalSamples > Int.MaxValue / 4)
+      None
+    else Some(Audio(sr, ch, new Array[Short]((totalSamples * ch).toInt)))
   }
 
   // ---- bit I/O (MSB first) --------------------------------------------

@@ -1194,8 +1194,12 @@ object MultimodalOps {
     // decoding to pinned exact signed sample sums that MATCH an
     // independent reference decoder (CPython's wave/aifc/sunau +
     // audioop readers produced the oracle constants). The wild LAME
-    // MP3 — entropy payload out-of-set (q253 censuses its structure)
-    // — routes to the opaque byte-stats path.
+    // MP3 is an encode of DIGITAL SILENCE (q253's census proves
+    // part2_3_length == 0 in all 45 granules), which is the one wild
+    // entropy class whose samples reconstruct bit-exactly without
+    // ISO's tabular Huffman codes (Mp3Codec.decodeWild): 45 LSF
+    // granules x 576 = 25920 zero samples at 22050 Hz mono — what any
+    // conformant decoder emits for this file.
     Q("q255_audio_wild_decode",
       (s, dir) => {
         import s.implicits._
@@ -1223,9 +1227,9 @@ object MultimodalOps {
           (CAST(1 AS BIGINT), 'wav', CAST(11025 AS BIGINT),
             CAST(2 AS BIGINT), CAST(6614 AS BIGINT),
             CAST(-463547 AS BIGINT)),
-          (CAST(2 AS BIGINT), 'opaque', CAST(0 AS BIGINT),
-            CAST(0 AS BIGINT), CAST(9436 AS BIGINT),
-            CAST(790905 AS BIGINT)),
+          (CAST(2 AS BIGINT), 'mp3', CAST(22050 AS BIGINT),
+            CAST(1 AS BIGINT), CAST(25920 AS BIGINT),
+            CAST(0 AS BIGINT)),
           (CAST(3 AS BIGINT), 'aiff', CAST(11025 AS BIGINT),
             CAST(2 AS BIGINT), CAST(6614 AS BIGINT),
             CAST(-463555 AS BIGINT)),

@@ -190,16 +190,38 @@ class Mp3CodecSpec extends AnyFunSuite {
       frame(None, Some(36 -> "VBRI"))).vbrTag == "VBRI")
   }
 
-  test("wild MP3 takes the documented opaque path, never a crash") {
-    // the sniffer requires an MPEG-1 Layer III sync at byte 0 (what
-    // decode() supports); an ID3-prefixed MPEG-2 file is not claimed
-    assert(MediaCodecs.decodeAudio(wild).isEmpty)
-    // and the strict decoder states its boundary rather than
-    // mis-decoding: stripping the ID3 makes it SEE the frame but
-    // REFUSE the version explicitly
+  test("the wild LAME file DECODES to its exact samples: an encode " +
+      "of digital silence (every granule p23==0) reconstructs as " +
+      "25920 zeros — what any conformant decoder emits for it") {
+    // this is the one wild entropy class whose samples are bit-exact
+    // without ISO's tabular Huffman codes: an empty scalefactor+
+    // huffman part means all-zero spectra, and zero input through ANY
+    // linear filterbank is zero output (decodeWild scaladoc)
+    val Some(a) = Mp3Codec.decodeWild(wild)
+    assert(a.sampleRate == 22050 && a.channels == 1)
+    assert(a.samples.length == 45 * 576) // 45 LSF frames x 1 granule
+    assert(a.samples.forall(_ == 0))
+    // and the dispatch now routes it (ID3-prefixed sniff + fallback)
+    val Some(("mp3", d)) = MediaCodecs.decodeAudio(wild)
+    assert(d.samples.length == 25920)
+  }
+
+  test("decodeWild refuses the moment a granule carries spectral " +
+      "data — non-silent wild entropy stays census-only") {
+    // a repo-canonical encode has nonzero part2_3_length: decodeWild
+    // must return None (its samples need the huffman tables), while
+    // the canonical decoder handles it — and the strict decoder
+    // still states its version boundary on LSF streams
+    val tone = Mp3Codec.encode(MediaCodecs.Audio(44100, 1,
+      Array.tabulate[Short](1152)(i =>
+        (3000 * math.sin(i * 0.05)).toShort)))
+    assert(Mp3Codec.decodeWild(tone).isEmpty)
+    assert(Mp3Codec.decode(tone).samples.length == 1152)
     val noId3 = wild.drop(32)
     val ex = intercept[IllegalArgumentException](Mp3Codec.decode(noId3))
     assert(ex.getMessage.contains("MPEG-1 only"))
+    // truncated wild input: no crash, no bogus samples
+    assert(Mp3Codec.decodeWild(wild.take(40)).isEmpty)
   }
 
   test("ID3v2 text frames extract; malformed tags never throw") {
