@@ -525,4 +525,186 @@ class GrafanaCorpusSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
   }
+
+  // ---------------------------------------------------------------
+  // SEMANTIC goldens for the two flagship dashboards (entsoe,
+  // weather): reference-shaped fixtures (FIXTURES.md B1/B2/B3/B10)
+  // with HAND-COMPUTED expected values — a mis-bucketing, a wrong
+  // unit conversion (K→°C, ghi/3600, interval_ms scaling), a filter
+  // that stops excluding, or an avg-vs-sum swap moves a pinned
+  // number, which the stub-shaped row-count goldens above could miss.
+  // ---------------------------------------------------------------
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def entryWhere(dash: String, sqlMark: String): Entry =
+    corpus.find(e => e.dashboard == dash && e.sql.contains(sqlMark))
+      .getOrElse(fail(s"no $dash panel contains '$sqlMark'"))
+
+  private def runPanel(e: Entry): Seq[Row] =
+    spark.sql(expandEntry(e)).collect().toSeq
+
+  test("entsoe + weather flagship panels produce hand-checked values " +
+      "over reference-shaped fixtures") {
+    TimeFuncs.register(spark)
+    graft.functions.GeoFuncs.register(spark)
+    wipeFixtures()
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    import spark.implicits._
+    try {
+      spark.sql("CREATE DATABASE IF NOT EXISTS entsoe")
+      spark.sql("CREATE DATABASE IF NOT EXISTS weather")
+
+      // B1: long load fact. Two in-window countries share bucket 00,
+      // one IN-list country lands in bucket 01; an off-list country
+      // and an out-of-window row must both vanish.
+      Seq(
+        (ts("2024-01-01 00:15:00"), 100.0, "DE"),
+        (ts("2024-01-01 00:45:00"), 200.0, "FR"),
+        (ts("2024-01-01 01:30:00"), 50.0, "DE"),
+        (ts("2024-01-01 00:20:00"), 999.0, "XX"),
+        (ts("2023-12-31 10:00:00"), 777.0, "DE"))
+        .toDF("index", "actual_load", "country")
+        .write.mode("overwrite").saveAsTable("entsoe.query_load")
+
+      // At interval 1h, $__interval_ms/1000/3600 == 1, so the panel's
+      // "energy over the interval" arithmetic reduces to a plain sum.
+      val load = runPanel(entryWhere("entsoe", "sum(actual_load"))
+        .map(r => (r.getTimestamp(0), r.getDouble(1)))
+      assert(load == Seq(
+        (ts("2024-01-01 00:00:00"), 300.0),
+        (ts("2024-01-01 01:00:00"), 50.0)),
+        s"load panel: $load")
+
+      // B2: wide generation mix. The 14 summed techs carry 10k..140k
+      // (DE row 1), doubled (DE row 2), and 7 each (AT); the 15th
+      // column hydro_pumped_storage is NOT in the panel's sum — a
+      // huge value there proves the column algebra matches the panel.
+      val techs = Seq("biomass", "fossil_hard_coal", "geothermal",
+        "nuclear", "fossil_brown_coal/lignite", "fossil_coal-derived_gas",
+        "hydro_run-of-river_and_poundage", "waste", "solar",
+        "wind_offshore", "wind_onshore", "other_renewable",
+        "hydro_water_reservoir", "fossil_gas")
+      val genSchema = StructType(
+        StructField("index", TimestampType) +:
+          StructField("country", StringType) +:
+          (techs :+ "hydro_pumped_storage")
+            .map(c => StructField(c, DoubleType)))
+      val genRows = Seq(
+        Row.fromSeq(ts("2024-01-01 00:10:00") +: "DE" +:
+          ((1 to 14).map(_ * 10.0) :+ 100000.0)),
+        Row.fromSeq(ts("2024-01-01 00:40:00") +: "DE" +:
+          ((1 to 14).map(_ * 20.0) :+ 100000.0)),
+        Row.fromSeq(ts("2024-01-01 00:20:00") +: "AT" +:
+          (Seq.fill(14)(7.0) :+ 5.0)),
+        Row.fromSeq(ts("2023-12-01 00:00:00") +: "DE" +:
+          Seq.fill(15)(999.0)))
+      spark.createDataFrame(genRows.asJava, genSchema)
+        .write.mode("overwrite").saveAsTable("entsoe.query_generation")
+
+      // Σ(1..14)*10 = 1050, doubled = 2100, AT = 14*7 = 98 → 3248
+      val genSum = runPanel(entryWhere("entsoe", "generation_sum"))
+        .map(r => (r.getTimestamp(0), r.getDouble(1)))
+      assert(genSum == Seq((ts("2024-01-01 00:00:00"), 3248.0)),
+        s"generation_sum panel: $genSum")
+
+      // Stromerzeugung DE (expandEntry maps $country → DE): per-tech
+      // avg of (v, 2v) = 1.5v; the AT row and the out-of-window row
+      // must not contribute.
+      val mix = runPanel(corpus.find(e => e.dashboard == "entsoe" &&
+        e.panel.startsWith("Stromerzeugung")).get)
+      assert(mix.size == 1)
+      val mixRow = mix.head
+      assert(mixRow.getTimestamp(0) == ts("2024-01-01 00:00:00"))
+      techs.zipWithIndex.foreach { case (t, i) =>
+        assert(mixRow.getDouble(i + 1) == (i + 1) * 15.0,
+          s"avg($t) = ${mixRow.getDouble(i + 1)}, expected ${(i + 1) * 15.0}")
+      }
+
+      // B3: day-ahead prices with the value column literally named
+      // "0" (postgres-quoted). Two DE rows average inside bucket 00,
+      // AT keeps its own metric row, a later DE row opens bucket 01.
+      val dapSchema = StructType(Seq(StructField("index", TimestampType),
+        StructField("0", DoubleType), StructField("country", StringType)))
+      val dapRows = Seq(
+        Row(ts("2024-01-01 00:05:00"), 10.0, "DE"),
+        Row(ts("2024-01-01 00:55:00"), 20.0, "DE"),
+        Row(ts("2024-01-01 00:30:00"), 7.0, "AT"),
+        Row(ts("2024-01-01 01:10:00"), 40.0, "DE"))
+      spark.createDataFrame(dapRows.asJava, dapSchema)
+        .write.mode("overwrite")
+        .saveAsTable("entsoe.query_day_ahead_prices")
+
+      val dap = runPanel(entryWhere("entsoe", "country AS metric"))
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+      assert(dap == Seq(
+        (ts("2024-01-01 00:00:00"), "AT", 7.0),
+        (ts("2024-01-01 00:00:00"), "DE", 15.0),
+        (ts("2024-01-01 01:00:00"), "DE", 40.0)),
+        s"day-ahead panel: $dap")
+
+      // B10: ecmwf grid. The latest-snapshot panel takes MAX(time)
+      // WITHIN the dashboard window (a later out-of-window snapshot
+      // must not win), keeps only the lat/lon box, and converts K→°C.
+      val ecmwfCols = Seq("time", "temp_air", "ghi", "wind_meridional",
+        "wind_zonal", "wind_speed", "precipitation", "latitude",
+        "longitude")
+      val ecmwfSchema = StructType(StructField("time", TimestampType) +:
+        ecmwfCols.tail.map(c => StructField(c, DoubleType)))
+      val t1 = ts("2024-01-10 00:00:00"); val t2 = ts("2024-01-20 00:00:00")
+      val ecmwfRows = Seq(
+        Row(t2, 283.15, 7200.0, 3.0, 4.0, 6.0, 0.0, 50.5, 6.0),
+        Row(t2, 293.15, 3600.0, 0.0, 8.0, 10.0, 0.0, 52.0, 8.0), // off-box
+        Row(t1, 263.15, 0.0, 0.0, 0.0, 0.0, 0.0, 50.5, 6.0), // stale
+        Row(ts("2024-03-05 00:00:00"), 303.15, 0.0, 0.0, 0.0, 0.0, 0.0,
+          50.5, 6.0)) // later but OUTSIDE the window: must not win MAX
+      spark.createDataFrame(ecmwfRows.asJava, ecmwfSchema)
+        .write.mode("overwrite").saveAsTable("weather.ecmwf")
+
+      val wmap = runPanel(entryWhere("weather", "longitude > 5.5"))
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      assert(wmap.size == 1 && wmap.head._1 == 10.0 &&
+        wmap.head._2 == 6.0 && wmap.head._3 == 50.5,
+        s"weather map panel: $wmap")
+
+      // Weather Explorer over ecmwf_eu, nuts_id like 'DE%': two DE
+      // rows average in one bucket (K→°C, ghi/3600, the stored
+      // wind_speed AND the recomputed sqrt(u²+v²)); FR excluded.
+      val euSchema = StructType(ecmwfSchema.fields :+
+        StructField("nuts_id", StringType))
+      val euRows = Seq(
+        Row(ts("2024-01-05 00:20:00"), 283.15, 7200.0, 3.0, 4.0, 6.0,
+          0.0, 50.5, 6.0, "DE11"),
+        Row(ts("2024-01-05 00:50:00"), 293.15, 3600.0, 0.0, 8.0, 10.0,
+          0.0, 50.7, 6.2, "DE21"),
+        Row(ts("2024-01-05 00:30:00"), 999.0, 999.0, 9.0, 9.0, 9.0,
+          0.0, 48.0, 2.0, "FR10"))
+      spark.createDataFrame(euRows.asJava, euSchema)
+        .write.mode("overwrite").saveAsTable("weather.ecmwf_eu")
+
+      val expl = runPanel(entryWhere("weather", "nuts_id like 'DE%'"))
+        .map(r => (r.getTimestamp(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3)))
+      assert(expl == Seq((ts("2024-01-05 00:00:00"),
+        15.0,  // avg(283.15, 293.15) - 273.15
+        1.5,   // avg(7200/3600, 3600/3600)
+        8.0)), // avg(stored wind_speed 6, 10)
+        s"weather explorer panel: $expl")
+
+      // The $nuts_id variant (template → 'DE%') additionally
+      // RECOMPUTES wind speed as sqrt(u²+v²) next to the stored one.
+      val explVar = runPanel(entryWhere("weather",
+        "nuts_id like '$nuts_id%'"))
+        .map(r => (r.getTimestamp(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+      assert(explVar == Seq((ts("2024-01-05 00:00:00"),
+        15.0, 1.5, 8.0,
+        6.5)), // avg(sqrt(3²+4²)=5, sqrt(0²+8²)=8)
+        s"weather explorer $$nuts_id panel: $explVar")
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+      wipeFixtures()
+    }
+  }
 }
