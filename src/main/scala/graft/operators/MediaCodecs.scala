@@ -74,6 +74,11 @@ object MediaCodecs {
     // follows the tag, located by Mp3Codec's census/decode walk
     else if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
       bytes(2) == '3') Some("mp3")
+    // ISO-BMFF (MP4/MOV/3GP…): every conformant file opens with an
+    // ftyp box — size(4) then 'ftyp'. Frames don't decode (AVC/HEVC),
+    // but Mp4Census yields full container metadata.
+    else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+      bytes(6) == 'y' && bytes(7) == 'p') Some("mp4")
     else None
 
   /** Run a decode thunk, mapping ANY failure to None: a sniffable

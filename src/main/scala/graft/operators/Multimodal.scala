@@ -129,13 +129,32 @@ object Multimodal {
                 }
                 MediaStatsRow(m.media_id, m.kind, fmt, v.width, v.height,
                   v.frames.size.toLong, if (n == 0) 0.0 else sum.toDouble / n)
-              case _ =>
-                var sum = 0L; var i = 0
-                while (i < m.payload.length) { sum += (m.payload(i) & 0xff); i += 1 }
-                MediaStatsRow(m.media_id, m.kind, "opaque", m.width, m.height,
-                  m.payload.length.toLong,
-                  if (m.payload.length == 0) 0.0
-                  else sum.toDouble / m.payload.length)
+              // ISO-BMFF: frames don't decode (AVC/HEVC codecs are out
+              // of scope) but the container census yields real dims and
+              // the sample count — richer keys than the opaque path.
+              case _ => Mp4Census.census(m.payload) match {
+                case Some(c) =>
+                  val video = c.tracks.find(_.handler == "vide")
+                  var sum = 0L; var i = 0
+                  while (i < m.payload.length) {
+                    sum += (m.payload(i) & 0xff); i += 1
+                  }
+                  MediaStatsRow(m.media_id, m.kind, "mp4",
+                    video.map(_.width).getOrElse(0),
+                    video.map(_.height).getOrElse(0),
+                    video.map(_.nSamples).getOrElse(0L),
+                    if (m.payload.length == 0) 0.0
+                    else sum.toDouble / m.payload.length)
+                case _ =>
+                  var sum = 0L; var i = 0
+                  while (i < m.payload.length) {
+                    sum += (m.payload(i) & 0xff); i += 1
+                  }
+                  MediaStatsRow(m.media_id, m.kind, "opaque", m.width,
+                    m.height, m.payload.length.toLong,
+                    if (m.payload.length == 0) 0.0
+                    else sum.toDouble / m.payload.length)
+              }
             }
           }
         }

@@ -1250,5 +1250,70 @@ object MultimodalOps {
             CAST(-466871 AS BIGINT)))
           AS t(media_id, format, sample_rate, channels, n_units,
             value_sum)
-        ORDER BY media_id""")))
+        ORDER BY media_id""")),
+
+    // WILD-video interop census — the MP4 companion to q253: frames
+    // don't decode (AVC/HEVC are out of codec scope) but the ISO-BMFF
+    // CONTAINER walk (Mp4Census) yields the metadata a 100 TB crawl
+    // censuses first: brands, box tree, per-track codec/timing/sample
+    // accounting, keyframe density, encoder tag. The committed fixture
+    // was produced by an INDEPENDENT spec-written Python muxer whose
+    // own read-back walk emitted the golden layout (mp4_golden.json;
+    // Mp4CensusSpec pins the full 47-box tree node for node) — the two
+    // implementations share only ISO/IEC 14496-12. The oracle pins one
+    // row per track: a mis-sized FullBox skip, a wrong largesize read,
+    // or a botched stsz sum flips a constant. Census runs inside
+    // mapPartitions, exactly where an ingest would census its video
+    // column; payload bytes never shuffle.
+    Q("q295_video_wild_census",
+      (s, dir) => {
+        import s.implicits._
+        s.range(1).as[Long].mapPartitions { ids =>
+          ids.flatMap { _ =>
+            val in = getClass.getResourceAsStream("/graft/muxed_camera.mp4")
+            val bytes = try in.readAllBytes() finally in.close()
+            val c = graft.operators.Mp4Census.census(bytes)
+              .getOrElse(sys.error("census refused the committed fixture"))
+            c.tracks.map { t =>
+              (t.trackId, t.handler, t.codec, t.timescale, t.durationMs,
+                t.nSamples, t.sampleBytes, t.nChunks, t.nKeyframes,
+                t.width.toLong, t.height.toLong, t.channels.toLong,
+                t.sampleRate.toLong, c.brand,
+                c.compatibleBrands.size.toLong, c.nBoxes.toLong,
+                c.maxDepth.toLong, c.hasLargesize, c.mdatBytes,
+                c.movieDurationMs, c.encoderTag, bytes.length.toLong)
+            }
+          }
+        }.toDF("track_id", "handler", "codec", "timescale", "duration_ms",
+          "n_samples", "sample_bytes", "n_chunks", "n_keyframes",
+          "width", "height", "channels", "sample_rate", "brand",
+          "n_compat_brands", "n_boxes", "max_depth", "largesize",
+          "mdat_bytes", "movie_duration_ms", "encoder_tag", "file_bytes")
+          .orderBy("track_id")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'vide', 'avc1', CAST(30000 AS BIGINT),
+            CAST(1601 AS BIGINT), CAST(48 AS BIGINT),
+            CAST(36352 AS BIGINT), CAST(8 AS BIGINT),
+            CAST(4 AS BIGINT), CAST(640 AS BIGINT),
+            CAST(360 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(0 AS BIGINT), 'isom', CAST(4 AS BIGINT),
+            CAST(47 AS BIGINT), CAST(5 AS BIGINT), true,
+            CAST(56290 AS BIGINT), CAST(1602 AS BIGINT),
+            'graftmux 1.0', CAST(58192 AS BIGINT)),
+          (CAST(2 AS BIGINT), 'soun', 'mp4a', CAST(44100 AS BIGINT),
+            CAST(1602 AS BIGINT), CAST(69 AS BIGINT),
+            CAST(19938 AS BIGINT), CAST(8 AS BIGINT),
+            CAST(69 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+            CAST(44100 AS BIGINT), 'isom', CAST(4 AS BIGINT),
+            CAST(47 AS BIGINT), CAST(5 AS BIGINT), true,
+            CAST(56290 AS BIGINT), CAST(1602 AS BIGINT),
+            'graftmux 1.0', CAST(58192 AS BIGINT)))
+          AS t(track_id, handler, codec, timescale, duration_ms,
+            n_samples, sample_bytes, n_chunks, n_keyframes, width,
+            height, channels, sample_rate, brand, n_compat_brands,
+            n_boxes, max_depth, largesize, mdat_bytes,
+            movie_duration_ms, encoder_tag, file_bytes)
+        ORDER BY track_id""")))
 }

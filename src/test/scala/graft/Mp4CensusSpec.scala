@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.{MediaCodecs, Mp4Census}
+
+/** Mp4Census vs the committed ISO-BMFF fixture.
+  *
+  * `muxed_camera.mp4` was produced by an INDEPENDENT spec-written
+  * Python muxer (driver-side), which also emitted `mp4_golden.json` —
+  * the box tree (type/offset/size/depth of all 47 boxes) and every
+  * derived constant — from its own separate read-back walk. The census
+  * here must recover all of it exactly: the two implementations share
+  * only ISO/IEC 14496-12.
+  */
+class Mp4CensusSpec extends SparkSpec {
+
+  private def fixture: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/muxed_camera.mp4")
+    assert(in != null, "missing muxed_camera.mp4 fixture")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def golden = {
+    val in = getClass.getResourceAsStream("/graft/mp4_golden.json")
+    assert(in != null, "missing mp4_golden.json")
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(try in.readAllBytes() finally in.close())
+  }
+
+  test("census recovers the muxer's box tree node for node") {
+    val c = Mp4Census.census(fixture).getOrElse(fail("census refused"))
+    val g = golden
+    assert(c.nBoxes == g.get("n_boxes").asInt)
+    assert(c.maxDepth == g.get("max_depth").asInt)
+    assert(c.nTopLevel == g.get("n_top_level").asInt)
+    val gb = g.get("boxes")
+    assert(c.boxes.size == gb.size)
+    c.boxes.zipWithIndex.foreach { case (b, i) =>
+      val e = gb.get(i)
+      assert(b.typ == e.get("type").asText, s"box $i type")
+      assert(b.offset == e.get("offset").asLong, s"box $i offset")
+      assert(b.size == e.get("size").asLong, s"box $i size")
+      assert(b.depth == e.get("depth").asInt, s"box $i depth")
+    }
+  }
+
+  test("census recovers brands, timing, tracks, and the encoder tag") {
+    val c = Mp4Census.census(fixture).getOrElse(fail("census refused"))
+    val g = golden
+    assert(c.brand == "isom" && c.minorVersion == 512L)
+    assert(c.compatibleBrands == Seq("isom", "iso2", "avc1", "mp41"))
+    assert(c.hasLargesize, "mdat uses a 64-bit largesize header")
+    assert(c.mdatBytes == g.get("mdat_payload_bytes").asLong)
+    assert(c.movieTimescale == g.get("movie_timescale").asLong)
+    assert(c.movieDurationMs == g.get("movie_duration_ms").asLong)
+    assert(c.encoderTag == g.get("encoder_tag").asText)
+
+    assert(c.tracks.size == 2)
+    val Seq(v, a) = c.tracks
+    val gv = g.get("video"); val ga = g.get("audio")
+    assert(v.handler == "vide" && v.codec == "avc1")
+    assert(v.trackId == gv.get("track_id").asLong)
+    assert(v.timescale == gv.get("timescale").asLong)
+    assert(v.durationMs == gv.get("duration_ms").asLong)
+    assert(v.nSamples == gv.get("n_samples").asLong)
+    assert(v.sampleBytes == gv.get("sample_bytes").asLong)
+    assert(v.nChunks == gv.get("n_chunks").asLong)
+    assert(v.nKeyframes == gv.get("n_keyframes").asLong)
+    assert(v.width == gv.get("width").asInt)
+    assert(v.height == gv.get("height").asInt)
+    assert(a.handler == "soun" && a.codec == "mp4a")
+    assert(a.trackId == ga.get("track_id").asLong)
+    assert(a.timescale == ga.get("timescale").asLong)
+    assert(a.durationMs == ga.get("duration_ms").asLong)
+    assert(a.nSamples == ga.get("n_samples").asLong)
+    assert(a.sampleBytes == ga.get("sample_bytes").asLong)
+    assert(a.nChunks == ga.get("n_chunks").asLong)
+    assert(a.nKeyframes == a.nSamples, "no stss → every sample sync")
+    assert(a.channels == ga.get("channels").asInt)
+    assert(a.sampleRate == ga.get("sample_rate").asInt)
+  }
+
+  test("sniff claims ftyp payloads; corrupt trees refuse cleanly") {
+    val bytes = fixture
+    assert(MediaCodecs.sniff(bytes).contains("mp4"))
+
+    // truncation mid-box: clean None, not an exception
+    assert(Mp4Census.census(bytes.take(bytes.length / 2)).isEmpty)
+    assert(Mp4Census.census(bytes.take(10)).isEmpty)
+    assert(Mp4Census.census(Array.empty[Byte]).isEmpty)
+
+    // a box whose declared size overruns its parent: refuse
+    val overrun = bytes.clone()
+    // first box is ftyp at offset 0; inflate its size field
+    overrun(0) = 0x7f.toByte
+    assert(Mp4Census.census(overrun).isEmpty)
+
+    // stray trailing bytes after the last top-level box: refuse
+    assert(Mp4Census.census(bytes ++ Array[Byte](1, 2, 3)).isEmpty)
+
+    // not ISO-BMFF at all
+    assert(Mp4Census.census("RIFF....WAVE".getBytes).isEmpty)
+  }
+
+  test("bomb guard: a self-nested box tree caps recursion, not memory") {
+    // depth > MaxDepth of nested moov containers, sizes all consistent
+    val depth = 40
+    val inner = Array[Byte](0, 0, 0, 8, 'f', 'r', 'e', 'e')
+    var body = inner
+    (1 to depth).foreach { _ =>
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put("moov".getBytes).put(body)
+      body = b.array()
+    }
+    val ftyp = java.nio.ByteBuffer.allocate(16)
+      .putInt(16).put("ftyp".getBytes)
+      .put("isom".getBytes).putInt(512).array()
+    assert(Mp4Census.census(ftyp ++ body).isEmpty)
+  }
+
+  test("decodeStats routes ISO-BMFF to census-backed mp4 stats") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      graft.operators.Multimodal.MediaRow(1L, "video", fixture, 0, 0)))
+    val row = graft.operators.Multimodal.decodeStats(media).collect().head
+    assert(row.format == "mp4")
+    assert(row.dim1 == 640 && row.dim2 == 360)
+    assert(row.n_units == 48L) // video track sample count
+  }
+}
