@@ -99,4 +99,47 @@ object KMeans {
     // cache can be released on return rather than at a future GC
     CacheOps.sealAndRelease(assigned, ev)
   }
+
+  /** Like [[fitAssign]] but the final pass keeps the TWO nearest
+    * centroids: (vec_id, cluster, dist, cluster2, dist2). This is the
+    * centroid-silhouette input (a = dist to own centroid, b = dist to
+    * the nearest other) — still one map-side projection per row, no
+    * extra shuffle: a sorted struct array replaces the struct-min. */
+  def fitAssignTop2(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val ev = longForm(emb, "vec_id").cache()
+    def gather(centArr: DataFrame): DataFrame =
+      centArr.agg(collect_list(struct(col("cid"), col("carr")))
+        .as("cents"))
+    var cents = gather(toArrayForm(
+      longForm(emb.filter(col("vec_id") < k), "cid")
+        .select(col("cid"), col("i"), col("x").as("c"))))
+    for (_ <- 1 until iters) {
+      val assigned = emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), assignExpr.as("_m"))
+        .select(col("vec_id"), col("_m.cid").as("cluster"))
+      cents = gather(toArrayForm(assigned.join(ev, "vec_id")
+        .groupBy(col("cluster").as("cid"), col("i"))
+        .agg((sum(col("x").cast(termDec)).cast(DoubleType) /
+          count(lit(1))).as("c"))))
+    }
+    val top2 = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        expr("""slice(array_sort(transform(cents, ct -> struct(
+             CAST(aggregate(
+               zip_with(embedding, ct.carr, (x, c) ->
+                 CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+                   AS DECIMAL(18,9))),
+               CAST(0 AS DECIMAL(28,9)),
+               (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE) AS d,
+             ct.cid AS cid))), 1, 2)""").as("top2"))
+      .select(col("vec_id"),
+        col("top2")(0).getField("cid").as("cluster"),
+        col("top2")(0).getField("d").as("dist"),
+        col("top2")(1).getField("cid").as("cluster2"),
+        col("top2")(1).getField("d").as("dist2"))
+    CacheOps.sealAndRelease(top2, ev)
+  }
 }

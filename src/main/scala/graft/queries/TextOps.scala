@@ -1308,6 +1308,146 @@ object TextOps {
         SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS dup_pairs,
           CAST(sum(CAST(jaccard AS DECIMAL(38,12))) AS DOUBLE)
             / CAST(count(*) AS DOUBLE) AS mean_jaccard
-        FROM fl GROUP BY 1, 2 ORDER BY src_a, src_b"""))
+        FROM fl GROUP BY 1, 2 ORDER BY src_a, src_b""")),
+
+    // Mojibake (UTF-8-read-as-cp1252) detection + repair. The corpus
+    // is ASCII word-salad, so the eval arm first plants real non-ASCII
+    // punctuation/diacritics deterministically (docs ≡ 0,1 mod 3; docs
+    // ≡ 2 stay pure ASCII and MUST count zero), then corrupts them with
+    // the exact cp1252 digraph mapping a double-encoding produces, then
+    // detects and repairs. The full round trip — inject → corrupt →
+    // count → repair-equals-clean — is hash-checked per document, so a
+    // wrong digraph, a bad replace order, or an over-eager repair flips
+    // repaired_ok. Everything is codegen'd string algebra (replace +
+    // length differences): one scan, no shuffle, no UDF, no encoding
+    // library — the shape that survives 100 TB.
+    Q("q298_mojibake_repair",
+      (s, dir) => {
+        import graft.functions.MojibakeFuncs
+        val injected = when(col("doc_id") % 3 === 0,
+            call_function("replace", col("text"), lit("table"),
+              lit("tablé — ’fancy’")))
+          .when(col("doc_id") % 3 === 1,
+            call_function("replace", col("text"), lit("value"),
+              lit("“valüé”")))
+          .otherwise(col("text"))
+        Tables.load(s, dir, "documents")
+          .withColumn("clean", injected)
+          .withColumn("corrupted", MojibakeFuncs.corrupt(col("clean")))
+          .select(col("doc_id"),
+            MojibakeFuncs.count(col("corrupted")).as("n_mojibake"),
+            (length(col("corrupted")) - length(col("clean")))
+              .cast("long").as("bloat_chars"),
+            (MojibakeFuncs.repair(col("corrupted")) === col("clean"))
+              .as("repaired_ok"),
+            (MojibakeFuncs.count(col("clean")) === 0L)
+              .as("clean_is_clean"))
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.functions.MojibakeFuncs._
+        s"""WITH inj AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0
+                 THEN replace(text, 'table', 'tablé — ’fancy’')
+                 WHEN doc_id % 3 = 1
+                 THEN replace(text, 'value', '“valüé”')
+                 ELSE text END AS clean
+          FROM documents),
+        cor AS (SELECT doc_id, clean,
+            ${corruptSql("clean")} AS corrupted FROM inj)
+        SELECT doc_id,
+          CAST(${countSql("corrupted")} AS BIGINT) AS n_mojibake,
+          CAST(length(corrupted) - length(clean) AS BIGINT)
+            AS bloat_chars,
+          ${repairSql("corrupted")} = clean AS repaired_ok,
+          ${countSql("clean")} = 0 AS clean_is_clean
+        FROM cor ORDER BY doc_id"""
+      }),
+
+    // Unicode script histogram + mixed-script flag — the companion
+    // signal to q20's marker-word language ID: script ranges are the
+    // robust first-pass router (Cyrillic/Greek/Han/Arabic vs Latin)
+    // and a MIXED-script doc is a spoofing/boilerplate/quality signal.
+    // The eval arm plants one non-Latin word per residue class (docs ≡
+    // 0 mod 5 stay pure Latin), then counts characters per script
+    // range with length-difference algebra over regexp_replace — all
+    // codegen'd, one scan, no shuffle. Dominant script resolves by
+    // (count, fixed script order); the oracle mirrors the ranges with
+    // RE2 \x{...} classes.
+    Q("q299_script_mix",
+      (s, dir) => {
+        val injected = when(col("doc_id") % 5 === 1,
+            call_function("replace", col("text"), lit("data"),
+              lit("данные")))
+          .when(col("doc_id") % 5 === 2,
+            call_function("replace", col("text"), lit("query"),
+              lit("ερώτημα")))
+          .when(col("doc_id") % 5 === 3,
+            call_function("replace", col("text"), lit("table"),
+              lit("表格")))
+          .when(col("doc_id") % 5 === 4,
+            call_function("replace", col("text"), lit("row"),
+              lit("صف")))
+          .otherwise(col("text"))
+        def cnt(c: org.apache.spark.sql.Column, cls: String) =
+          (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+        Tables.load(s, dir, "documents")
+          .withColumn("t", injected)
+          .select(col("doc_id"),
+            cnt(col("t"), "[A-Za-z]").as("n_latin"),
+            cnt(col("t"), "[Ѐ-ӿ]").as("n_cyrillic"),
+            cnt(col("t"), "[Ͱ-Ͽ]").as("n_greek"),
+            cnt(col("t"), "[一-鿿]").as("n_han"),
+            cnt(col("t"), "[؀-ۿ]").as("n_arabic"))
+          .withColumn("dominant",
+            when(col("n_latin") >= greatest(col("n_cyrillic"),
+                col("n_greek"), col("n_han"), col("n_arabic")), "latin")
+              .when(col("n_cyrillic") >= greatest(col("n_greek"),
+                col("n_han"), col("n_arabic")), "cyrillic")
+              .when(col("n_greek") >= greatest(col("n_han"),
+                col("n_arabic")), "greek")
+              .when(col("n_han") >= col("n_arabic"), "han")
+              .otherwise("arabic"))
+          .withColumn("mixed",
+            (when(col("n_latin") > 0, 1).otherwise(0) +
+              when(col("n_cyrillic") > 0, 1).otherwise(0) +
+              when(col("n_greek") > 0, 1).otherwise(0) +
+              when(col("n_han") > 0, 1).otherwise(0) +
+              when(col("n_arabic") > 0, 1).otherwise(0)) >= 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH inj AS (SELECT doc_id,
+            CASE WHEN doc_id % 5 = 1 THEN replace(text, 'data', 'данные')
+                 WHEN doc_id % 5 = 2 THEN replace(text, 'query', 'ερώτημα')
+                 WHEN doc_id % 5 = 3 THEN replace(text, 'table', '表格')
+                 WHEN doc_id % 5 = 4 THEN replace(text, 'row', 'صف')
+                 ELSE text END AS t
+          FROM documents),
+        c AS (SELECT doc_id,
+            CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS n_latin,
+            CAST(length(t) - length(regexp_replace(t,
+              '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+            CAST(length(t) - length(regexp_replace(t,
+              '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+            CAST(length(t) - length(regexp_replace(t,
+              '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_han,
+            CAST(length(t) - length(regexp_replace(t,
+              '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic
+          FROM inj)
+        SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han, n_arabic,
+          CASE WHEN n_latin >= greatest(n_cyrillic, n_greek, n_han,
+              n_arabic) THEN 'latin'
+            WHEN n_cyrillic >= greatest(n_greek, n_han, n_arabic)
+              THEN 'cyrillic'
+            WHEN n_greek >= greatest(n_han, n_arabic) THEN 'greek'
+            WHEN n_han >= n_arabic THEN 'han'
+            ELSE 'arabic' END AS dominant,
+          ((CASE WHEN n_latin > 0 THEN 1 ELSE 0 END +
+            CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END +
+            CASE WHEN n_greek > 0 THEN 1 ELSE 0 END +
+            CASE WHEN n_han > 0 THEN 1 ELSE 0 END +
+            CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END) >= 2) AS mixed
+        FROM c ORDER BY doc_id"""))
   )
 }

@@ -637,7 +637,99 @@ object VectorOps {
             AS BIGINT) AS n_kept,
           max(wt.keep_prob) AS keep_prob
         FROM b JOIN wt USING (bucket)
-        GROUP BY 1 ORDER BY bucket"""))
+        GROUP BY 1 ORDER BY bucket""")),
+
+    // Centroid silhouette — the standard cluster-quality verdict on a
+    // k-means fit (is the clustering real, or did k slice one blob?).
+    // The exact O(n²) silhouette is off the table at scale; the
+    // centroid form (a = distance to own centroid, b = distance to the
+    // nearest OTHER centroid, s = (b−a)/max(a,b)) needs only the TWO
+    // nearest centroids per vector, which KMeans.fitAssignTop2 emits
+    // from the same single map-side projection as the assignment — the
+    // whole query adds zero shuffles beyond the fit. With argmin
+    // assignment a ≤ b always, so s ∈ [0,1]: near 0 = overlapping
+    // cells (k too large / blob sliced), near 1 = tight separation.
+    // sqrt/divide are single IEEE ops on decimal-exact operands; the
+    // per-cluster mean routes through DECIMAL(38,12) partials (the
+    // q134 rule) so the unordered sum hashes identically cross-engine.
+    Q("q296_silhouette",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val t2 = KMeans.fitAssignTop2(
+          Tables.load(s, dir, "embeddings"), k = 8, iters = 2)
+        t2.select(col("cluster"),
+            when(sqrt(col("dist2")) === 0d, lit(0d))
+              .otherwise((sqrt(col("dist2")) - sqrt(col("dist"))) /
+                sqrt(col("dist2"))).as("sil"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_vectors"),
+            (sum(col("sil").cast(DecimalType(38, 12))).cast(DoubleType) /
+              count(lit(1))).as("mean_silhouette"),
+            min(col("sil")).as("min_silhouette"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH $exCte,
+        $kmeansCtes,
+        sil AS (SELECT a.vec_id, a.cid AS cluster,
+            CASE WHEN sqrt(b.d) = 0 THEN 0.0
+                 ELSE (sqrt(b.d) - sqrt(a.d)) / sqrt(b.d) END AS sil
+          FROM (SELECT vec_id, cid, d FROM a2 WHERE rn = 1) a
+          JOIN (SELECT vec_id, d FROM a2 WHERE rn = 2) b
+            USING (vec_id))
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+          CAST(sum(CAST(sil AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS mean_silhouette,
+          min(sil) AS min_silhouette
+        FROM sil GROUP BY 1 ORDER BY cluster""")),
+
+    // Greedy k-center (Gonzalez farthest-point) — the DIVERSITY
+    // coreset: the k mutually-farthest documents as anchors/eval
+    // probes, the opposite selection pressure from density-seeking
+    // k-means. Each round is one map-side min-distance projection over
+    // the corpus (centers ride a 1-row broadcast) + a single-row
+    // struct-max; the oracle replays all six rounds as staged CTEs
+    // with the identical decimal-exact distances and the identical
+    // (d DESC, vec_id) tie rule, so the full greedy trajectory —
+    // center ids AND coverage radii — is hash-checked, not just the
+    // final set.
+    Q("q297_kcenter_coreset",
+      (s, dir) => graft.operators.KCenter.select(
+        Tables.load(s, dir, "embeddings"), k = 6),
+      Some {
+        val dist = (tbl: String) =>
+          s"""SELECT a.vec_id, CAST(sum(CAST((a.e - b.e) * (a.e - b.e)
+                AS DECIMAL(18,9))) AS DOUBLE) AS d
+              FROM ex a JOIN ex b ON a.i = b.i
+                AND b.vec_id = (SELECT c FROM $tbl)
+              GROUP BY 1"""
+        val stages = (1 to 5).map { t =>
+          val prev = if (t == 1) "d0" else s"m$t"
+          val minCte = if (t == 1) s"m1 AS (SELECT vec_id, d FROM d0)"
+            else s"m$t AS (SELECT m${t - 1}.vec_id, " +
+              s"least(m${t - 1}.d, dd${t - 1}.d) AS d " +
+              s"FROM m${t - 1} JOIN dd${t - 1} USING (vec_id))"
+          val pick = s"p$t AS (SELECT vec_id AS c, d AS r FROM m$t " +
+            "ORDER BY d DESC, vec_id LIMIT 1)"
+          val nextDist =
+            if (t < 5) s", dd$t AS (${dist(s"p$t")})" else ""
+          s"$minCte, $pick$nextDist"
+        }.mkString(",\n        ")
+        val rows = (1 to 5).map { t =>
+          s"UNION ALL SELECT CAST($t AS BIGINT), " +
+            s"(SELECT CAST(c AS BIGINT) FROM p$t), (SELECT r FROM p$t)"
+        }.mkString("\n        ")
+        s"""WITH ex AS (SELECT vec_id,
+            CAST(unnest(embedding) AS DOUBLE) AS e,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+        seed AS (SELECT min(vec_id) AS c FROM embeddings),
+        d0 AS (${dist("seed")}),
+        $stages
+        SELECT CAST(0 AS BIGINT) AS round,
+          (SELECT CAST(c AS BIGINT) FROM seed) AS center_id,
+          CAST(0.0 AS DOUBLE) AS radius
+        $rows
+        ORDER BY round"""
+      })
   )
 
   /** Two Lloyd iterations from the 8 lowest-id seeds, mirrored CTE by

@@ -79,7 +79,11 @@ object ExplainAudit {
       "q285_embed_decontaminate", "q287_epoch_allocation",
       "q288_cluster_balance", "q289_span_corruption",
       "q291_winnowing_pairs", "q292_sampled_dup_rate",
-      "q294_source_dup_census")
+      "q294_source_dup_census", "q295_video_wild_census",
+      "q296_silhouette",
+      // q297 is a driver-loop composite (k rounds, each its own tiny
+      // plan); its per-round plan shape is pinned by ClusterEvalSpec
+      "q298_mojibake_repair", "q299_script_mix")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString

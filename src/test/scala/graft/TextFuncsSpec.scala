@@ -83,4 +83,57 @@ class TextFuncsSpec extends SparkSpec {
     assert(soundex("a") == "A000")
     assert(soundex("") == "")
   }
+
+  test("mojibake corrupt→count→repair round-trips; ASCII counts zero") {
+    import graft.functions.MojibakeFuncs
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "café — “naïve” isn’t here, Müßiggang"), // é — “ ’ ü ß
+      (2L, "pure ascii text, untouched"),
+      (3L, "señor piñata"), // ñ twice
+      (4L, "")).toDF("id", "text")
+    val out = docs.select($"id",
+        MojibakeFuncs.corrupt($"text").as("c"))
+      .select($"id", $"c",
+        MojibakeFuncs.count($"c").as("n"),
+        MojibakeFuncs.repair($"c").as("r"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: é — “ ’ ü ß = 6 sequences. ï and the CLOSING ” are
+    // unmapped by design: their trailing UTF-8 bytes (0x8F / 0x9D)
+    // have no cp1252 codepoint, so that corruption class never
+    // round-trips through printable text in the wild either.
+    assert(out(1L)._2 == 6L, out(1L)._1)
+    assert(out(1L)._1.contains("Ã©") && out(1L)._1.contains("â€”") &&
+      out(1L)._1.contains("ÃŸ"))
+    assert(out(1L)._3 == "café — “naïve” isn’t here, Müßiggang")
+    assert(out(2L) == (("pure ascii text, untouched", 0L,
+      "pure ascii text, untouched")))
+    assert(out(3L)._2 == 2L && out(3L)._3 == "señor piñata")
+    assert(out(4L) == (("", 0L, "")))
+    // repair is a strict no-op on already-clean text
+    val reClean = docs.select(
+      (MojibakeFuncs.repair($"text") === $"text").as("ok"))
+      .collect().forall(_.getBoolean(0))
+    assert(reClean)
+  }
+
+  test("script counting covers the planted ranges and only them") {
+    import spark.implicits._
+    def cnt(c: org.apache.spark.sql.Column, cls: String) =
+      (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+    val row = Seq("abc данные ερώτημα 表格 صف 123!")
+      .toDF("t")
+      .select(cnt($"t", "[A-Za-z]").as("lat"),
+        cnt($"t", "[Ѐ-ӿ]").as("cyr"),
+        cnt($"t", "[Ͱ-Ͽ]").as("grk"),
+        cnt($"t", "[一-鿿]").as("han"),
+        cnt($"t", "[؀-ۿ]").as("ara"))
+      .head()
+    assert(row.getLong(0) == 3L) // digits/punct/spaces excluded
+    assert(row.getLong(1) == 6L) // данные
+    assert(row.getLong(2) == 7L) // ερώτημα
+    assert(row.getLong(3) == 2L) // 表格
+    assert(row.getLong(4) == 2L) // صف
+  }
 }
