@@ -690,6 +690,80 @@ object TrainOps {
               THEN '<extra_id_' || CAST(i // 21 AS VARCHAR) || '>'
                 || ' ' || toks[i + 1]
               ELSE toks[i + 1] END), ' ') AS targets
-        FROM d ORDER BY doc_id"""))
+        FROM d ORDER BY doc_id""")),
+
+    // Rendezvous (highest-random-weight) sharding stability — the
+    // operational cost of GROWING a shard set: mod-N reassigns ~all
+    // keys when N changes; HRW provably moves ONLY keys whose argmax
+    // lands on a new shard (≈ 2/10 here), which is what keeps shard
+    // caches, dedup state, and co-located buckets warm through a
+    // resize. Per doc, both schemes at 8 and at 10 shards; the HRW
+    // argmax is a codegen'd `greatest` chain over per-shard struct
+    // scores — row-local, zero shuffles before the 2-row census. The
+    // multiplicative hash pre-reduces doc_id mod 100000007 (the q288
+    // rule) so both engines stay inside BIGINT.
+    Q("q301_rendezvous_shards",
+      (s, dir) => {
+        // the shard index mixes BEFORE the multiplicative scatter —
+        // an additive-only h(s) is monotone in s and degenerates HRW
+        // to "always the newest shard"
+        def h(shard: Int): Column =
+          (((col("doc_id") % 100000007L) +
+            lit((shard + 1).toLong) * 40503L) * 2654435761L) %
+            4294967296L
+        def hrw(n: Int): Column =
+          greatest((0 until n).map(sh =>
+            struct(h(sh).as("h"), lit(-sh.toLong).as("ns"))): _*)
+            .getField("ns") * -1L
+        val assigned = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            (col("doc_id") % 8).as("mod8"),
+            (col("doc_id") % 10).as("mod10"),
+            hrw(8).as("hrw8"), hrw(10).as("hrw10"))
+        val census = assigned.agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("mod8") =!= col("mod10"), 1L).otherwise(0L))
+              .as("moved_mod"),
+            sum(when(col("hrw8") =!= col("hrw10"), 1L).otherwise(0L))
+              .as("moved_hrw"))
+        census.select(lit("mod").as("scheme"),
+            col("moved_mod").as("n_moved"), col("n_total"),
+            (col("moved_mod").cast("double") /
+              col("n_total").cast("double")).as("frac_moved"))
+          .unionAll(census.select(lit("hrw").as("scheme"),
+            col("moved_hrw").as("n_moved"), col("n_total"),
+            (col("moved_hrw").cast("double") /
+              col("n_total").cast("double")).as("frac_moved")))
+          .orderBy("scheme")
+      },
+      Some {
+        def hrwCte(n: Int) =
+          s"""h$n AS (SELECT doc_id, s,
+              (((doc_id % 100000007) + (s + 1) * 40503) * 2654435761)
+                % 4294967296 AS h
+            FROM documents, UNNEST(range(0, $n)) AS t(s)),
+          w$n AS (SELECT doc_id, s AS hrw$n FROM (
+              SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                ORDER BY h DESC, s) AS rn FROM h$n) WHERE rn = 1)"""
+        s"""WITH ${hrwCte(8)},
+        ${hrwCte(10)},
+        a AS (SELECT doc_id,
+            doc_id % 8 AS mod8, doc_id % 10 AS mod10, hrw8, hrw10
+          FROM documents JOIN w8 USING (doc_id)
+          JOIN w10 USING (doc_id)),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+            CAST(sum(CASE WHEN mod8 <> mod10 THEN 1 ELSE 0 END)
+              AS BIGINT) AS moved_mod,
+            CAST(sum(CASE WHEN hrw8 <> hrw10 THEN 1 ELSE 0 END)
+              AS BIGINT) AS moved_hrw
+          FROM a)
+        SELECT 'mod' AS scheme, moved_mod AS n_moved, n_total,
+          CAST(moved_mod AS DOUBLE) / CAST(n_total AS DOUBLE)
+            AS frac_moved FROM c
+        UNION ALL
+        SELECT 'hrw', moved_hrw, n_total,
+          CAST(moved_hrw AS DOUBLE) / CAST(n_total AS DOUBLE) FROM c
+        ORDER BY scheme"""
+      })
   )
 }

@@ -729,7 +729,87 @@ object VectorOps {
           CAST(0.0 AS DOUBLE) AS radius
         $rows
         ORDER BY round"""
-      })
+      }),
+
+    // Matryoshka truncation eval — modern embedding models train
+    // prefix dims to stand alone (MRL), and a 100 TB retrieval stack
+    // wants to know what recall it buys before storing 4× fewer
+    // floats. Per query: top-5 by full-dim exact cosine vs top-5 by
+    // PREFIX-16 cosine, scored as recall@5 plus the top-1 agreement —
+    // both retrievals ride the audited bruteForceTopK shape (broadcast
+    // query set, fast-kernel prune, exact decimal rescore), and the
+    // truncated arm is literally `slice(embedding, 1, 16)`: zero new
+    // machinery, which is the point — truncation must be free.
+    Q("q300_matryoshka_eval",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val qset = emb.filter(col("vec_id") < 10)
+        val tr = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+        val full = Similarity.bruteForceTopK(qset, emb, k = 5)
+          .select(col("query_id"), col("cand_id"), col("rank"))
+        val trunc = Similarity.bruteForceTopK(
+            tr.filter(col("vec_id") < 10), tr, k = 5)
+          .select(col("query_id"), col("cand_id").as("t_cand"),
+            col("rank").as("t_rank"))
+        val overlap = full.join(trunc,
+            full("query_id") === trunc("query_id") &&
+              full("cand_id") === trunc("t_cand"))
+          .groupBy(full("query_id").as("query_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+        val top1 = full.filter(col("rank") === 1L)
+          .select(col("query_id"), col("cand_id").as("full_top1"))
+          .join(trunc.filter(col("t_rank") === 1L)
+            .select(col("query_id"), col("t_cand").as("trunc_top1")),
+            "query_id")
+        top1.join(overlap, Seq("query_id"), "left")
+          .select(col("query_id"),
+            (coalesce(col("n_overlap"), lit(0L)).cast("double") / 5.0)
+              .as("recall_at_5"),
+            (col("full_top1") === col("trunc_top1")).as("top1_match"),
+            col("full_top1"), col("trunc_top1"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $exCte,
+        fdots AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+            CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i
+          WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+          GROUP BY 1, 2),
+        ftop AS (SELECT query_id, cand_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY
+              dot / (sqrt(na.nn) * sqrt(nb.nn)) DESC, cand_id) AS rank
+          FROM fdots
+          JOIN nrm na ON na.vec_id = query_id
+          JOIN nrm nb ON nb.vec_id = cand_id),
+        tnrm AS (SELECT vec_id,
+            CAST(sum(CAST(e * e AS DECIMAL(18,9))) AS DOUBLE) AS nn
+          FROM ex WHERE i <= 16 GROUP BY 1),
+        tdots AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+            CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i AND a.i <= 16
+          WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+          GROUP BY 1, 2),
+        ttop AS (SELECT query_id, cand_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY
+              dot / (sqrt(na.nn) * sqrt(nb.nn)) DESC, cand_id) AS rank
+          FROM tdots
+          JOIN tnrm na ON na.vec_id = query_id
+          JOIN tnrm nb ON nb.vec_id = cand_id),
+        ov AS (SELECT f.query_id, count(*) AS n_overlap
+          FROM (SELECT query_id, cand_id FROM ftop WHERE rank <= 5) f
+          JOIN (SELECT query_id, cand_id FROM ttop WHERE rank <= 5) t
+            ON f.query_id = t.query_id AND f.cand_id = t.cand_id
+          GROUP BY 1)
+        SELECT f1.query_id,
+          CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 5.0 AS recall_at_5,
+          f1.cand_id = t1.cand_id AS top1_match,
+          f1.cand_id AS full_top1, t1.cand_id AS trunc_top1
+        FROM (SELECT query_id, cand_id FROM ftop WHERE rank = 1) f1
+        JOIN (SELECT query_id, cand_id FROM ttop WHERE rank = 1) t1
+          USING (query_id)
+        LEFT JOIN ov USING (query_id)
+        ORDER BY query_id"""))
   )
 
   /** Two Lloyd iterations from the 8 lowest-id seeds, mirrored CTE by

@@ -83,7 +83,8 @@ object ExplainAudit {
       "q296_silhouette",
       // q297 is a driver-loop composite (k rounds, each its own tiny
       // plan); its per-round plan shape is pinned by ClusterEvalSpec
-      "q298_mojibake_repair", "q299_script_mix")
+      "q298_mojibake_repair", "q299_script_mix",
+      "q300_matryoshka_eval", "q301_rendezvous_shards")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString

@@ -224,4 +224,51 @@ class TrainOpsSpec extends SparkSpec {
         s"tokens must partition: $inToks + $tgToks != $n")
     }
   }
+
+  test("q301 HRW growth moves only onto the NEW shards; mod moves far more") {
+    // the provable rendezvous property: argmax over a superset either
+    // stays put or lands on an added shard — recompute both argmaxes
+    // here and assert containment doc by doc
+    def h(doc: Long, s: Int): Long =
+      (((doc % 100000007L) + (s + 1L) * 40503L) * 2654435761L) %
+        4294967296L
+    def hrw(doc: Long, n: Int): Int =
+      (0 until n).maxBy(s => (h(doc, s), -s))
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val moved = docs.filter(d => hrw(d, 8) != hrw(d, 10))
+    assert(moved.forall(d => hrw(d, 10) >= 8),
+      "an HRW-moved doc must land on shard 8 or 9")
+    val census = queries.Registry.queries("q301_rendezvous_shards")(
+      spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(census("hrw") == moved.length.toDouble / docs.length)
+    assert(census("hrw") < 0.5 * census("mod"),
+      s"HRW ${census("hrw")} should move far fewer than mod ${census("mod")}")
+  }
+
+  test("q300 matryoshka recall is in [0,1]; full-vs-full is exact 1") {
+    import org.apache.spark.sql.functions._
+    val out = queries.Registry.queries("q300_matryoshka_eval")(spark, sf)
+      .collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val rec = r.getDouble(1)
+      assert(rec >= 0.0 && rec <= 1.0)
+      // top1_match implies the top-1 ids agree
+      if (r.getBoolean(2)) assert(r.getLong(3) == r.getLong(4))
+    }
+    // control: truncating to the FULL 64 dims must reproduce the
+    // full-dim retrieval exactly (recall 1, top-1 agreement)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val full = graft.operators.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, k = 5)
+      .select("query_id", "cand_id", "rank").collect().toSet
+    val slice64 = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 64).as("embedding"))
+    val again = graft.operators.Similarity.bruteForceTopK(
+      slice64.filter(col("vec_id") < 5), slice64, k = 5)
+      .select("query_id", "cand_id", "rank").collect().toSet
+    assert(full == again)
+  }
 }
