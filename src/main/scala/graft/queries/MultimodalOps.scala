@@ -1315,5 +1315,60 @@ object MultimodalOps {
             height, channels, sample_rate, brand, n_compat_brands,
             n_boxes, max_depth, largesize, mdat_bytes,
             movie_duration_ms, encoder_tag, file_bytes)
-        ORDER BY track_id""")))
+        ORDER BY track_id""")),
+
+    // Energy-threshold VAD segmentation — the speech-corpus trimming
+    // pass that rides directly on q162's frame features: 32-sample
+    // frames → squared-energy gate → maximal runs of active frames
+    // (gaps-and-islands via frame_idx − row_number, the same pattern
+    // both engines express identically) → segments of ≥ 2 frames with
+    // start/end/energy. The WAV payload is encoded AND decoded
+    // executor-side (mapPartitions, payloads never shuffle); the
+    // oracle regenerates every sample from the closed-form signal and
+    // replays the gate + islands arithmetically, so frame boundaries,
+    // the 16-bit PCM round-trip, the threshold comparison, and the
+    // run-length grouping are all under the hash. Energy sums exact
+    // BIGINT.
+    Q("q303_audio_vad",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val media = Multimodal.packEncodedMedia(
+          Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 3 === 1))
+        val frames = Multimodal.audioFrameFeatures(media, frameSize = 32)
+          .toDF()
+        val w = Window.partitionBy("media_id").orderBy("frame_idx")
+        frames.filter(col("ssq") > 10000000L)
+          .withColumn("island",
+            col("frame_idx") - row_number().over(w))
+          .groupBy("media_id", "island")
+          .agg(min("frame_idx").cast("long").as("seg_start"),
+            max("frame_idx").cast("long").as("seg_end"),
+            count(lit(1)).as("n_frames"),
+            sum("ssq").as("energy"))
+          .filter(col("n_frames") >= 2L)
+          .select("media_id", "seg_start", "seg_end", "n_frames",
+            "energy")
+          .orderBy("media_id", "seg_start")
+      },
+      Some("""WITH s AS (SELECT doc_id, t.i,
+            (t.i * 37 + doc_id) % 2048 - 1024 AS v,
+            t.i // 32 AS frame_idx
+          FROM documents, UNNEST(range(0, 256)) AS t(i)
+          WHERE doc_id % 3 = 1),
+        fr AS (SELECT doc_id AS media_id, frame_idx,
+            sum(v * v) AS ssq
+          FROM s GROUP BY 1, 2),
+        act AS (SELECT media_id, frame_idx, ssq,
+            frame_idx - row_number() OVER (PARTITION BY media_id
+              ORDER BY frame_idx) AS island
+          FROM fr WHERE ssq > 10000000)
+        SELECT media_id,
+          CAST(min(frame_idx) AS BIGINT) AS seg_start,
+          CAST(max(frame_idx) AS BIGINT) AS seg_end,
+          CAST(count(*) AS BIGINT) AS n_frames,
+          CAST(sum(ssq) AS BIGINT) AS energy
+        FROM act GROUP BY media_id, island
+        HAVING count(*) >= 2
+        ORDER BY media_id, seg_start""")))
 }

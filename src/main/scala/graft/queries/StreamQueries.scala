@@ -913,7 +913,27 @@ object StreamQueries {
         }
         s.table("q290_sink").orderBy("vec_id")
       },
-      Some(VectorOps.decontaminateRowOracle))
+      Some(VectorOps.decontaminateRowOracle)),
+
+    // Streaming twin of q299 — script routing at the ingest edge:
+    // language/script gating is naturally a STREAMING concern (route
+    // each arriving doc before it lands), and the per-doc computation
+    // is a pure stateless projection (TextOps.scriptMix, the SAME
+    // function the batch query runs), so the twin is Append-mode with
+    // ZERO state rows — the cheapest possible deploy shape. Oracle:
+    // q299's verbatim, so the edge router provably computes the batch
+    // semantics.
+    Q("q302_stream_script_mix",
+      (s, dir) => {
+        val routed = TextOps.scriptMix(documentsStream(s, dir))
+        s.catalog.dropTempView("q302_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(routed, "q302_sink",
+            OutputMode.Append())
+        }
+        s.table("q302_sink").orderBy("doc_id")
+      },
+      Some(TextOps.ScriptMixOracle))
   )
 
   /** Embeddings landing zone (the documentsStream pattern): one

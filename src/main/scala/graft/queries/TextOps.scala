@@ -1375,48 +1375,62 @@ object TextOps {
     // (count, fixed script order); the oracle mirrors the ranges with
     // RE2 \x{...} classes.
     Q("q299_script_mix",
-      (s, dir) => {
-        val injected = when(col("doc_id") % 5 === 1,
-            call_function("replace", col("text"), lit("data"),
-              lit("данные")))
-          .when(col("doc_id") % 5 === 2,
-            call_function("replace", col("text"), lit("query"),
-              lit("ερώτημα")))
-          .when(col("doc_id") % 5 === 3,
-            call_function("replace", col("text"), lit("table"),
-              lit("表格")))
-          .when(col("doc_id") % 5 === 4,
-            call_function("replace", col("text"), lit("row"),
-              lit("صف")))
-          .otherwise(col("text"))
-        def cnt(c: org.apache.spark.sql.Column, cls: String) =
-          (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
-        Tables.load(s, dir, "documents")
-          .withColumn("t", injected)
-          .select(col("doc_id"),
-            cnt(col("t"), "[A-Za-z]").as("n_latin"),
-            cnt(col("t"), "[Ѐ-ӿ]").as("n_cyrillic"),
-            cnt(col("t"), "[Ͱ-Ͽ]").as("n_greek"),
-            cnt(col("t"), "[一-鿿]").as("n_han"),
-            cnt(col("t"), "[؀-ۿ]").as("n_arabic"))
-          .withColumn("dominant",
-            when(col("n_latin") >= greatest(col("n_cyrillic"),
-                col("n_greek"), col("n_han"), col("n_arabic")), "latin")
-              .when(col("n_cyrillic") >= greatest(col("n_greek"),
-                col("n_han"), col("n_arabic")), "cyrillic")
-              .when(col("n_greek") >= greatest(col("n_han"),
-                col("n_arabic")), "greek")
-              .when(col("n_han") >= col("n_arabic"), "han")
-              .otherwise("arabic"))
-          .withColumn("mixed",
-            (when(col("n_latin") > 0, 1).otherwise(0) +
-              when(col("n_cyrillic") > 0, 1).otherwise(0) +
-              when(col("n_greek") > 0, 1).otherwise(0) +
-              when(col("n_han") > 0, 1).otherwise(0) +
-              when(col("n_arabic") > 0, 1).otherwise(0)) >= 2)
-          .orderBy("doc_id")
-      },
-      Some("""WITH inj AS (SELECT doc_id,
+      (s, dir) => scriptMix(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(ScriptMixOracle))
+  )
+
+  /** The q299 per-document computation, factored so the streaming twin
+    * (q302) runs the IDENTICAL function on a streaming frame — it is a
+    * pure stateless projection, so the twin is Append-mode with zero
+    * state. */
+  private[queries] def scriptMix(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val injected = when(col("doc_id") % 5 === 1,
+        call_function("replace", col("text"), lit("data"),
+          lit("данные")))
+      .when(col("doc_id") % 5 === 2,
+        call_function("replace", col("text"), lit("query"),
+          lit("ερώτημα")))
+      .when(col("doc_id") % 5 === 3,
+        call_function("replace", col("text"), lit("table"),
+          lit("表格")))
+      .when(col("doc_id") % 5 === 4,
+        call_function("replace", col("text"), lit("row"),
+          lit("صف")))
+      .otherwise(col("text"))
+    def cnt(c: org.apache.spark.sql.Column, cls: String) =
+      (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+    docs
+      .withColumn("t", injected)
+      .select(col("doc_id"),
+        cnt(col("t"), "[A-Za-z]").as("n_latin"),
+        cnt(col("t"), "[Ѐ-ӿ]").as("n_cyrillic"),
+        cnt(col("t"), "[Ͱ-Ͽ]").as("n_greek"),
+        cnt(col("t"), "[一-鿿]").as("n_han"),
+        cnt(col("t"), "[؀-ۿ]").as("n_arabic"))
+      .withColumn("dominant",
+        when(col("n_latin") >= greatest(col("n_cyrillic"),
+            col("n_greek"), col("n_han"), col("n_arabic")), "latin")
+          .when(col("n_cyrillic") >= greatest(col("n_greek"),
+            col("n_han"), col("n_arabic")), "cyrillic")
+          .when(col("n_greek") >= greatest(col("n_han"),
+            col("n_arabic")), "greek")
+          .when(col("n_han") >= col("n_arabic"), "han")
+          .otherwise("arabic"))
+      .withColumn("mixed",
+        (when(col("n_latin") > 0, 1).otherwise(0) +
+          when(col("n_cyrillic") > 0, 1).otherwise(0) +
+          when(col("n_greek") > 0, 1).otherwise(0) +
+          when(col("n_han") > 0, 1).otherwise(0) +
+          when(col("n_arabic") > 0, 1).otherwise(0)) >= 2)
+  }
+
+  /** Shared by q299 and its streaming twin q302 so the oracle cannot
+    * drift from the batch construction. A def, not a val: object vals
+    * declared after `qs` are still null when qs captures them. */
+  private[queries] def ScriptMixOracle: String =
+    """WITH inj AS (SELECT doc_id,
             CASE WHEN doc_id % 5 = 1 THEN replace(text, 'data', 'данные')
                  WHEN doc_id % 5 = 2 THEN replace(text, 'query', 'ερώτημα')
                  WHEN doc_id % 5 = 3 THEN replace(text, 'table', '表格')
@@ -1448,6 +1462,5 @@ object TextOps {
             CASE WHEN n_greek > 0 THEN 1 ELSE 0 END +
             CASE WHEN n_han > 0 THEN 1 ELSE 0 END +
             CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END) >= 2) AS mixed
-        FROM c ORDER BY doc_id"""))
-  )
+        FROM c ORDER BY doc_id"""
 }

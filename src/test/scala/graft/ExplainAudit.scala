@@ -84,7 +84,9 @@ object ExplainAudit {
       // q297 is a driver-loop composite (k rounds, each its own tiny
       // plan); its per-round plan shape is pinned by ClusterEvalSpec
       "q298_mojibake_repair", "q299_script_mix",
-      "q300_matryoshka_eval", "q301_rendezvous_shards")
+      "q300_matryoshka_eval", "q301_rendezvous_shards",
+      // q302 is a streaming twin (see the q258 note above)
+      "q303_audio_vad")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString

@@ -453,4 +453,47 @@ class MultimodalSpec extends SparkSpec {
     assert(g.sum_out == -283L + 32767L + 121L)
     assert(g.pos_checksum == 1L * -283 + 2L * 32767 + 3L * 121)
   }
+
+  test("q303 VAD segments are exactly the maximal active runs of >= 2") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.packEncodedMedia(
+      Tables.load(spark, sf, "documents").filter(col("doc_id") % 3 === 1))
+    val frames = Multimodal.audioFrameFeatures(media, frameSize = 32)
+      .toDF().collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("ssq")))
+      .groupBy(_._1).map { case (m, fs) =>
+        m -> fs.sortBy(_._2).map(f => (f._2, f._3)) }
+
+    // reference segmentation computed imperatively from the frames
+    val expect = frames.flatMap { case (m, fs) =>
+      val runs = scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long, Long, Long)]()
+      var start = -1L; var n = 0L; var e = 0L; var prev = -2L
+      def flush(end: Long): Unit = {
+        if (start >= 0 && n >= 2) runs += ((m, start, end, n, e))
+        start = -1; n = 0; e = 0
+      }
+      fs.foreach { case (idx, ssq) =>
+        if (ssq > 10000000L) {
+          if (prev != idx - 1 || start < 0) { flush(prev); start = idx }
+          n += 1; e += ssq; prev = idx
+        } else { flush(prev); prev = -2 }
+      }
+      flush(prev)
+      runs
+    }.toSet
+
+    val got = queries.Registry.queries("q303_audio_vad")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("seg_start"),
+        r.getAs[Long]("seg_end"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("energy"))).toSet
+    assert(got == expect,
+      s"only-got=${(got -- expect).take(3)} only-exp=${(expect -- got).take(3)}")
+    assert(got.nonEmpty)
+    // every media has 8 frames; a segment cannot exceed that
+    assert(got.forall { case (_, s0, e0, n, _) =>
+      e0 - s0 + 1 == n && n >= 2 && n <= 8 })
+  }
 }

@@ -118,6 +118,21 @@ class TextFuncsSpec extends SparkSpec {
     assert(reClean)
   }
 
+  test("q302 streaming script router equals the q299 batch rows " +
+      "(the edge deploy shape computes the batch semantics)") {
+    def rows(name: String) =
+      queries.Registry.queries(name)(spark, sf).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_latin"),
+          r.getAs[Long]("n_cyrillic"), r.getAs[Long]("n_greek"),
+          r.getAs[Long]("n_han"), r.getAs[Long]("n_arabic"),
+          r.getAs[String]("dominant"), r.getAs[Boolean]("mixed"))).toSet
+    val batch = rows("q299_script_mix")
+    val stream = rows("q302_stream_script_mix")
+    assert(stream == batch,
+      s"stream twin diverged: only-batch=${(batch -- stream).take(3)} " +
+        s"only-stream=${(stream -- batch).take(3)}")
+  }
+
   test("script counting covers the planted ranges and only them") {
     import spark.implicits._
     def cnt(c: org.apache.spark.sql.Column, cls: String) =
