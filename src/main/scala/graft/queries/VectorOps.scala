@@ -809,7 +809,107 @@ object VectorOps {
         JOIN (SELECT query_id, cand_id FROM ttop WHERE rank = 1) t1
           USING (query_id)
         LEFT JOIN ov USING (query_id)
-        ORDER BY query_id"""))
+        ORDER BY query_id""")),
+
+    // HyperBall-style 2-hop neighborhood function over the near-dup
+    // graph (exact cosine ≥ 0.35 edges + self-loops): per node, the
+    // radius-2 ball size BOTH ways — exact (two edge joins + distinct,
+    // the eval arm) and via HLL REGISTER PROPAGATION (the 100 TB arm:
+    // round t+1's registers are the max over out-neighbors of round
+    // t's, so per-node state is 16 mergeable registers forever and
+    // each round is ONE equi-join shuffle on the edge list — no
+    // distinct-set explosion, which is the entire point of HyperBall).
+    // The register hash/rank/raw-estimator follow the q168 contract
+    // exactly (integer finalizer, length(bin()) rank, dyadic-rational
+    // Z — every piece hash-exact cross-engine; no bias corrections
+    // under the hash). At corpus scale you keep only the sketch arm.
+    Q("q304_reach_sketch",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val edges = Similarity.cosinePairsAbove(emb, 0.35)
+          .select(col("id_a"), col("id_b"))
+        val nodes = emb.select(col("vec_id"))
+        // directed closure: both edge directions + a self-loop per
+        // node, so "max over out-neighbors" includes keeping your own
+        // registers and the two-step join covers dist 0, 1, 2
+        val symSelf = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+          .unionAll(edges.select(col("id_b").as("a"), col("id_a").as("b")))
+          .unionAll(nodes.select(col("vec_id").as("a"),
+            col("vec_id").as("b")))
+          .cache()
+        val h0 = nodes
+          .withColumn("x", expr(
+            "(vec_id * 2654435761 + 1000003) % 4294967296"))
+          .withColumn("x2", expr("x ^ (x div 65536)"))
+          .withColumn("x3", expr("(x2 * 2145916205) % 4294967296"))
+          .withColumn("h", expr("x3 ^ (x3 div 8192)"))
+          .select(col("vec_id"),
+            expr("h % 16").as("j"),
+            when(expr("h div 16") === 0, lit(29))
+              .otherwise(lit(29) - length(expr("bin(h div 16)")))
+              .as("m"))
+        def propagate(regs: org.apache.spark.sql.DataFrame) =
+          symSelf.join(regs.select(col("vec_id").as("b"), col("j"),
+              col("m")), "b")
+            .groupBy(col("a").as("vec_id"), col("j"))
+            .agg(max(col("m")).as("m"))
+        val r2 = propagate(propagate(h0))
+        val est = r2.groupBy("vec_id")
+          .agg(count(lit(1)).as("n_regs"),
+            (sum(expr(
+              "1.0 / cast(shiftleft(cast(1 as bigint), m) as double)"))
+              + (lit(16) - count(lit(1))) * lit(1.0)).as("z"))
+          .select(col("vec_id"), col("n_regs"),
+            (lit(0.673) * lit(256.0) / col("z")).as("hll_estimate"))
+        val exact = symSelf.as("e1")
+          .join(symSelf.as("e2"), col("e1.b") === col("e2.a"))
+          .select(col("e1.a").as("vec_id"), col("e2.b").as("w"))
+          .distinct()
+          .groupBy("vec_id").agg(count(lit(1)).as("exact_ball2"))
+        graft.operators.CacheOps.sealAndRelease(
+          exact.join(est, "vec_id")
+            .select(col("vec_id"), col("exact_ball2"), col("n_regs"),
+              col("hll_estimate"))
+            .orderBy("vec_id"),
+          symSelf)
+      },
+      Some(s"""WITH $exCte,
+        dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2),
+        und AS (SELECT id_a, id_b FROM dots
+          JOIN nrm na ON na.vec_id = id_a
+          JOIN nrm nb ON nb.vec_id = id_b
+          WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.35),
+        sym AS (SELECT id_a AS a, id_b AS b FROM und
+          UNION ALL SELECT id_b, id_a FROM und
+          UNION ALL SELECT vec_id, vec_id FROM embeddings),
+        h0 AS (SELECT vec_id, h % 16 AS j,
+            CASE WHEN h // 16 = 0 THEN 29
+              ELSE 29 - length(bin(h // 16)) END AS m
+          FROM (SELECT vec_id,
+              xor(x3, x3 // 8192) AS h
+            FROM (SELECT vec_id,
+                (xor(x, x // 65536) * 2145916205) % 4294967296 AS x3
+              FROM (SELECT vec_id,
+                  (vec_id * 2654435761 + 1000003) % 4294967296 AS x
+                FROM embeddings)))),
+        r1 AS (SELECT sym.a AS vec_id, j, max(m) AS m
+          FROM sym JOIN h0 ON h0.vec_id = sym.b GROUP BY 1, 2),
+        r2 AS (SELECT sym.a AS vec_id, j, max(m) AS m
+          FROM sym JOIN r1 ON r1.vec_id = sym.b GROUP BY 1, 2),
+        est AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_regs,
+            sum(1.0 / CAST((1::BIGINT << m) AS DOUBLE))
+              + (16 - count(*)) * 1.0 AS z
+          FROM r2 GROUP BY 1),
+        ball AS (SELECT e1.a AS vec_id,
+            CAST(count(DISTINCT e2.b) AS BIGINT) AS exact_ball2
+          FROM sym e1 JOIN sym e2 ON e1.b = e2.a GROUP BY 1)
+        SELECT ball.vec_id, ball.exact_ball2, est.n_regs,
+          0.673 * 256.0 / est.z AS hll_estimate
+        FROM ball JOIN est USING (vec_id)
+        ORDER BY vec_id"""))
   )
 
   /** Two Lloyd iterations from the 8 lowest-id seeds, mirrored CTE by

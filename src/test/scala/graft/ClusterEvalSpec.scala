@@ -85,4 +85,38 @@ class ClusterEvalSpec extends SparkSpec {
       assert(b <= a, s"coverage radius grew: $a -> $b")
     }
   }
+
+  test("q304 reach: exact ball bounds, register monotonicity, " +
+      "isolated nodes estimate ~1") {
+    val out = queries.Registry.queries("q304_reach_sketch")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(out.length == n, "every node gets a ball row (self-loops)")
+    out.foreach { case (id, exact, nRegs, est) =>
+      assert(exact >= 1L && exact <= n, s"node $id ball $exact")
+      assert(nRegs >= 1L && nRegs <= 16L)
+      assert(est > 0.0)
+    }
+    // an isolated node's 2-ball is exactly {v}: one register, and the
+    // raw estimator of a 1-element set is a fixed constant
+    val iso = out.filter(_._2 == 1L)
+    assert(iso.nonEmpty, "the 0.35 graph leaves isolated nodes")
+    iso.foreach { case (_, _, nRegs, est) =>
+      assert(nRegs == 1L)
+      // 1-element raw estimate: z = 2^-m + 15, so αm·m²/z lives in
+      // (0.673·256/16, 0.673·256/15] ≈ (10.77, 11.48] depending on
+      // the element's rank — the small-range band the q168 contract
+      // leaves uncorrected
+      assert(est > 10.7 && est < 11.5, s"1-element estimate $est")
+    }
+    // sketch vs exact correlate: mean estimate over the densest decile
+    // exceeds the mean over isolated nodes (HyperBall's whole point)
+    val dense = out.sortBy(-_._2).take(out.length / 10)
+    val meanDense = dense.map(_._4).sum / dense.length
+    val meanIso = iso.map(_._4).sum / iso.length
+    assert(meanDense > meanIso,
+      s"dense-ball estimates $meanDense must exceed isolated $meanIso")
+  }
 }
