@@ -909,7 +909,205 @@ object VectorOps {
         SELECT ball.vec_id, ball.exact_ball2, est.n_regs,
           0.673 * 256.0 / est.z AS hll_estimate
         FROM ball JOIN est USING (vec_id)
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // PQ recall — the eval that closes the ANN quality matrix (LSH →
+    // q203, Matryoshka truncation → q300, PQ-ADC → here): per query,
+    // top-5 by the q64 PQ-ADC index vs top-5 by EXACT squared-L2
+    // (the metric PQ approximates), scored as recall@5 + top-1
+    // agreement. This is the number you tune m / codebook size by
+    // before committing a 100 TB embedding store to 8-byte codes. The
+    // exact arm is one broadcast of the 10-query set against the
+    // corpus with the decimal-exact L2 kernel (map-side, the KMeans
+    // distance shape); the PQ arm is the audited pqTopK.
+    Q("q305_pq_recall",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.load(s, dir, "embeddings")
+        val qset = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qe"))
+        val sq = expr(
+          """CAST(aggregate(
+               zip_with(embedding, qe, (x, c) ->
+                 CAST((CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) *
+                   (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))
+                   AS DECIMAL(18,9))),
+               CAST(0 AS DECIMAL(28,9)),
+               (acc, t) -> CAST(acc + t AS DECIMAL(28,9)))
+             AS DOUBLE)""")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("d"), col("cand_id"))
+        val exact = emb.select(col("vec_id").as("cand_id"),
+            col("embedding"))
+          .crossJoin(broadcast(qset))
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"), sq.as("d"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+        val pq = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+            emb.filter(col("vec_id") < 16), m = 8, dim = Dim, k = 5)
+          .select(col("query_id"), col("cand_id").as("p_cand"),
+            col("rank").as("p_rank"))
+        val overlap = exact.join(pq,
+            exact("query_id") === pq("query_id") &&
+              exact("cand_id") === pq("p_cand"))
+          .groupBy(exact("query_id").as("query_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+        exact.filter(col("rank") === 1)
+          .select(col("query_id"), col("cand_id").as("exact_top1"))
+          .join(pq.filter(col("p_rank") === 1L)
+            .select(col("query_id"), col("p_cand").as("pq_top1")),
+            "query_id")
+          .join(overlap, Seq("query_id"), "left")
+          .select(col("query_id"),
+            (coalesce(col("n_overlap"), lit(0L)).cast("double") / 5.0)
+              .as("recall_at_5"),
+            (col("exact_top1") === col("pq_top1")).as("top1_match"),
+            col("exact_top1"), col("pq_top1"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH ex AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+            generate_subscripts(embedding, 1) AS i FROM embeddings),
+        sub AS (SELECT vec_id, e, i,
+            CAST((i - 1) // ${Dim / 8} AS INT) AS sub FROM ex),
+        cw AS (SELECT vec_id AS cid, e AS ce, i, sub
+          FROM sub WHERE vec_id < 16),
+        cdist AS (SELECT a.vec_id AS vid, c.cid, a.sub,
+            CAST(sum(CAST((a.e - c.ce) * (a.e - c.ce) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM sub a JOIN cw c ON a.i = c.i
+          GROUP BY 1, 2, 3),
+        codes AS (SELECT vid AS cand_id, sub, cid FROM (
+            SELECT vid, sub, cid, row_number() OVER (PARTITION BY vid, sub
+              ORDER BY d, cid) AS rn
+            FROM cdist) WHERE rn = 1),
+        qd AS (SELECT vid AS query_id, sub, cid, d
+          FROM cdist WHERE vid < 10),
+        adc AS (SELECT q.query_id, c.cand_id,
+            CAST(sum(CAST(q.d AS DECIMAL(28,12))) AS DOUBLE) AS adc_dist
+          FROM codes c JOIN qd q ON q.sub = c.sub AND q.cid = c.cid
+          WHERE q.query_id <> c.cand_id
+          GROUP BY 1, 2),
+        ptop AS (SELECT query_id, cand_id, rank FROM (
+            SELECT query_id, cand_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist, cand_id) AS rank
+            FROM adc) WHERE rank <= 5),
+        edist AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+            CAST(sum(CAST((a.e - b.e) * (a.e - b.e) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM ex a JOIN ex b ON a.i = b.i
+          WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+          GROUP BY 1, 2),
+        etop AS (SELECT query_id, cand_id, rank FROM (
+            SELECT query_id, cand_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d, cand_id) AS rank
+            FROM edist) WHERE rank <= 5),
+        ov AS (SELECT e.query_id, count(*) AS n_overlap
+          FROM etop e JOIN ptop p
+            ON e.query_id = p.query_id AND e.cand_id = p.cand_id
+          GROUP BY 1)
+        SELECT e1.query_id,
+          CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 5.0 AS recall_at_5,
+          e1.cand_id = p1.cand_id AS top1_match,
+          e1.cand_id AS exact_top1, p1.cand_id AS pq_top1
+        FROM (SELECT query_id, cand_id FROM etop WHERE rank = 1) e1
+        JOIN (SELECT query_id, cand_id FROM ptop WHERE rank = 1) p1
+          USING (query_id)
+        LEFT JOIN ov USING (query_id)
+        ORDER BY query_id""")),
+
+    // Cell conductance — does the k-means partitioning RESPECT the
+    // near-dup graph? SemDeDup (q107) only compares pairs INSIDE a
+    // cell, so every near-dup edge CUT by a cell boundary is a
+    // duplicate the cheap pass can never see. Per cell: members,
+    // volume (Σ degree), cut edges (one endpoint outside), and
+    // conductance cut/min(vol, totalVol−vol) — the standard partition
+    // quality score. High conductance = the cell slices dup clusters
+    // = raise k-means iters or add a cross-cell pass. Everything is
+    // keyed equi-joins on the sparse edge list (assignment broadcast
+    // by AQE); the oracle replays the identical fit (kmeansCtes) and
+    // edge set, so the composite — fit + graph + score — is under the
+    // hash.
+    Q("q306_cell_conductance",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        val emb = Tables.load(s, dir, "embeddings")
+        val edges = Similarity.cosinePairsAbove(emb, 0.35)
+          .select(col("id_a"), col("id_b"))
+        val assign = KMeans.fitAssign(emb, k = 8, iters = 2)
+          .select(col("vec_id"), col("cluster")).cache()
+        val lab = edges
+          .join(assign.select(col("vec_id").as("id_a"),
+            col("cluster").as("ca")), "id_a")
+          .join(assign.select(col("vec_id").as("id_b"),
+            col("cluster").as("cb")), "id_b")
+        // vol(S) = Σ_{v∈S} deg(v): every edge adds 1 to each
+        // endpoint's cluster; cut edges count once per side
+        val perSide = lab.select(col("ca").as("cluster"),
+            when(col("ca") =!= col("cb"), 1L).otherwise(0L).as("cut"))
+          .unionAll(lab.select(col("cb").as("cluster"),
+            when(col("ca") =!= col("cb"), 1L).otherwise(0L).as("cut")))
+        val stats = perSide.groupBy("cluster")
+          .agg(count(lit(1)).as("volume"), sum("cut").as("cut_edges"))
+        val members = assign.groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"))
+        val total = stats.agg(sum("volume").as("total_vol"))
+        graft.operators.CacheOps.sealAndRelease(
+          members.join(stats, Seq("cluster"), "left")
+            .na.fill(0L, Seq("volume", "cut_edges"))
+            .crossJoin(broadcast(total))
+            .select(col("cluster"), col("n_members"), col("volume"),
+              col("cut_edges"),
+              when(least(col("volume"),
+                  col("total_vol") - col("volume")) === 0L, lit(0.0))
+                .otherwise(col("cut_edges").cast(DoubleType) /
+                  least(col("volume"), col("total_vol") - col("volume"))
+                    .cast(DoubleType))
+                .as("conductance"))
+            .orderBy("cluster"),
+          assign)
+      },
+      Some(s"""WITH $exCte,
+        $kmeansCtes,
+        assign AS (SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1),
+        dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            CAST(sum(CAST(a.e * b.e AS DECIMAL(18,9))) AS DOUBLE) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2),
+        und AS (SELECT id_a, id_b FROM dots
+          JOIN nrm na ON na.vec_id = id_a
+          JOIN nrm nb ON nb.vec_id = id_b
+          WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.35),
+        lab AS (SELECT aa.cluster AS ca, bb.cluster AS cb
+          FROM und
+          JOIN assign aa ON aa.vec_id = und.id_a
+          JOIN assign bb ON bb.vec_id = und.id_b),
+        side AS (SELECT ca AS cluster,
+            CASE WHEN ca <> cb THEN 1 ELSE 0 END AS cut FROM lab
+          UNION ALL SELECT cb,
+            CASE WHEN ca <> cb THEN 1 ELSE 0 END FROM lab),
+        stats AS (SELECT cluster, CAST(count(*) AS BIGINT) AS volume,
+            CAST(sum(cut) AS BIGINT) AS cut_edges
+          FROM side GROUP BY 1),
+        mem AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+          FROM assign GROUP BY 1),
+        tot AS (SELECT CAST(sum(volume) AS BIGINT) AS total_vol
+          FROM stats)
+        SELECT mem.cluster, mem.n_members,
+          coalesce(stats.volume, 0) AS volume,
+          coalesce(stats.cut_edges, 0) AS cut_edges,
+          CASE WHEN least(coalesce(stats.volume, 0),
+              tot.total_vol - coalesce(stats.volume, 0)) = 0 THEN 0.0
+            ELSE CAST(coalesce(stats.cut_edges, 0) AS DOUBLE)
+              / CAST(least(coalesce(stats.volume, 0),
+                  tot.total_vol - coalesce(stats.volume, 0)) AS DOUBLE)
+            END AS conductance
+        FROM mem LEFT JOIN stats USING (cluster), tot
+        ORDER BY mem.cluster"""))
   )
 
   /** Two Lloyd iterations from the 8 lowest-id seeds, mirrored CTE by

@@ -119,4 +119,25 @@ class ClusterEvalSpec extends SparkSpec {
     assert(meanDense > meanIso,
       s"dense-ball estimates $meanDense must exceed isolated $meanIso")
   }
+
+  test("q306 conductance: volume/cut identities against the raw edges") {
+    import org.apache.spark.sql.functions._
+    val out = queries.Registry.queries("q306_cell_conductance")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val emb = Tables.load(spark, sf, "embeddings")
+    val nEdges = graft.operators.Similarity.cosinePairsAbove(emb, 0.35)
+      .count()
+    val n = emb.count()
+    assert(out.map(_._2).sum == n, "members partition the corpus")
+    assert(out.map(_._3).sum == 2L * nEdges, "Σ volume = 2|E|")
+    // each cut edge contributes 1 to BOTH sides' cut counters
+    assert(out.map(_._4).sum % 2 == 0, "Σ cut is even")
+    out.foreach { case (c, _, vol, cut, phi) =>
+      assert(cut <= vol, s"cell $c: cut $cut > volume $vol")
+      assert(phi >= 0.0, s"cell $c: negative conductance")
+      if (vol > 0 && cut == 0) assert(phi == 0.0)
+    }
+  }
 }

@@ -597,4 +597,59 @@ class ScaleSpec extends SparkSpec {
       s"per-source selection must not sort full groups through a " +
         s"window:\n$plan")
   }
+
+  test("q298/q299 text passes are pure maps: zero hash exchanges") {
+    Seq("q298_mojibake_repair", "q299_script_mix").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle before the presentation order:\n$p")
+    }
+  }
+
+  test("q301 HRW census: row-local argmax, no hash exchange, no join") {
+    val p = plan("q301_rendezvous_shards")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the greatest-chain argmax must stay row-local:\n$p")
+    assert(!p.contains("Join"), s"no join anywhere:\n$p")
+  }
+
+  test("q296 silhouette adds at most the per-cluster aggregate " +
+      "beyond the k-means fit itself") {
+    val fitEx = "Exchange hashpartitioning".r
+      .findAllIn(plan("q75_kmeans")).length
+    val silEx = "Exchange hashpartitioning".r
+      .findAllIn(plan("q296_silhouette")).length
+    assert(silEx <= fitEx + 1,
+      s"silhouette exchanges $silEx vs fit $fitEx — the top-2 " +
+        "projection must not add shuffles beyond the tiny cluster agg")
+  }
+
+  test("q304 reach propagation: keyed equi-joins only; the only BNLJ " +
+      "is the documented q27 exact-pairs edge kernel") {
+    val p = plan("q304_reach_sketch")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the edge list comes from cosinePairsAbove — the q27 exact
+    // all-pairs BASELINE with the fused kernel prune (at corpus scale
+    // you build edges with the q56 LSH variant instead); every BNLJ
+    // in this plan must be that kernel, never the register
+    // propagation, whose joins are keyed on the edge endpoint
+    val bnljLines = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnljLines.forall(_.contains("cosinesimilarity")),
+      s"a BNLJ outside the edge kernel:\n${bnljLines.mkString("\n")}")
+  }
+
+  test("q305 PQ recall: the query set broadcasts; no cartesian") {
+    val p = plan("q305_pq_recall")
+    assert(p.contains("BroadcastExchange"),
+      s"the 10-query set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q303 VAD: per-media window, no join in the segmentation") {
+    val p = plan("q303_audio_vad")
+    assert(p.contains("Window"), s"islands need the frame window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"segmentation is window + aggregate, never a join:\n$p")
+  }
 }

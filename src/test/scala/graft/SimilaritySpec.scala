@@ -313,4 +313,28 @@ class SimilaritySpec extends SparkSpec {
       s"census diverged: only-batch=${batch -- census} " +
         s"only-stream=${census -- batch}")
   }
+
+  test("q305 PQ recall: bounds, top-1 consistency, and the exact arm " +
+      "agrees with a driver-side L2 recompute") {
+    val out = queries.Registry.queries("q305_pq_recall")(spark, sf)
+      .collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val rec = r.getDouble(1)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getBoolean(2) == (r.getLong(3) == r.getLong(4)))
+    }
+    // exact_top1 for query 0 recomputed imperatively
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q0 = vecs(0L)
+    val best = vecs.filter(_._1 != 0L).map { case (id, v) =>
+      val d = v.zip(q0).map { case (a, b) =>
+        (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum
+      (d, id)
+    }.min
+    assert(out.head.getLong(3) == best._2,
+      s"exact arm top-1 ${out.head.getLong(3)} != recompute ${best._2}")
+  }
 }
