@@ -400,7 +400,74 @@ object WebOps {
           '#INTRODUCTION' AS first_href,
           'http://article.olduse.net/109@Autzoo.UUCP' AS last_href,
           CAST(1 AS BIGINT) AS n_absolute,
-          CAST(4 AS BIGINT) AS n_distinct"""))
+          CAST(4 AS BIGINT) AS n_distinct""")),
+
+    // CIDR longest-prefix-match enrichment — the IP→network (ASN/geo)
+    // lookup every crawl pipeline runs on its fetch logs: each page's
+    // server IP matches the MOST SPECIFIC route in a routing table.
+    // The numeric cousin of the DNS suffix-chain gate (q280): derive
+    // the /8, /16 and /24 prefixes ROW-LOCALLY (three shifts — never
+    // an explode, never a range join), equi-join each against its
+    // broadcast prefix table, and coalesce most-specific-first. Three
+    // broadcast hash joins, zero shuffles of the fact side — the
+    // longest-prefix semantics entirely in the coalesce order. The
+    // deterministic per-doc IP is the multiplicative stripe hash, so
+    // the synthetic "fetch log" spreads uniformly over the space and
+    // the fixed 10-route table matches a realistic minority of docs.
+    Q("q307_cidr_enrich",
+      (s, dir) => {
+        import s.implicits._
+        // routes chosen so the coalesce ORDER is data-proven: doc 1's
+        // ip has entries at /24 AND /16 AND /8 (must resolve /24),
+        // doc 2's at /16 AND /8 (must resolve /16), doc 3's only /8
+        val routes8 = Seq((17L, "as-backbone"), (99L, "as-cdn"),
+          (158L, "as-stub-158"), (60L, "as-stub-60"), (218L, "as-law"))
+        val routes16 = Seq((40503L, "as-hoster-a"),
+          (15470L, "as-hoster-b"))
+        val routes24 = Seq((10368889L, "as-colo"),
+          (15748353L, "as-lab"))
+        val t8 = routes8.toDF("net8", "asn8")
+        val t16 = routes16.toDF("net16", "asn16")
+        val t24 = routes24.toDF("net24", "asn24")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            (((col("doc_id") % 100000007L) * 2654435761L) %
+              4294967296L).as("ip"))
+          .withColumn("net8", expr("ip div 16777216"))
+          .withColumn("net16", expr("ip div 65536"))
+          .withColumn("net24", expr("ip div 256"))
+          .join(broadcast(t24), Seq("net24"), "left")
+          .join(broadcast(t16), Seq("net16"), "left")
+          .join(broadcast(t8), Seq("net8"), "left")
+          .select(col("doc_id"), col("ip"),
+            when(col("asn24").isNotNull, 24L)
+              .when(col("asn16").isNotNull, 16L)
+              .when(col("asn8").isNotNull, 8L)
+              .otherwise(0L).as("prefix_len"),
+            coalesce(col("asn24"), col("asn16"), col("asn8"),
+              lit("unassigned")).as("asn"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ips AS (SELECT doc_id,
+            ((doc_id % 100000007) * 2654435761) % 4294967296 AS ip
+          FROM documents),
+        t8(net8, asn8) AS (VALUES (17, 'as-backbone'), (99, 'as-cdn'),
+          (158, 'as-stub-158'), (60, 'as-stub-60'), (218, 'as-law')),
+        t16(net16, asn16) AS (VALUES (40503, 'as-hoster-a'),
+          (15470, 'as-hoster-b')),
+        t24(net24, asn24) AS (VALUES (10368889, 'as-colo'),
+          (15748353, 'as-lab'))
+        SELECT doc_id, ip,
+          CAST(CASE WHEN asn24 IS NOT NULL THEN 24
+            WHEN asn16 IS NOT NULL THEN 16
+            WHEN asn8 IS NOT NULL THEN 8
+            ELSE 0 END AS BIGINT) AS prefix_len,
+          coalesce(asn24, asn16, asn8, 'unassigned') AS asn
+        FROM ips
+        LEFT JOIN t24 ON ip // 256 = net24
+        LEFT JOIN t16 ON ip // 65536 = net16
+        LEFT JOIN t8 ON ip // 16777216 = net8
+        ORDER BY doc_id"""))
   )
 
 

@@ -165,6 +165,7 @@ class PropertySpec extends SparkSpec {
       MediaCodecs.decodeImage(b)
       MediaCodecs.decodeAudio(b)
       MediaCodecs.decodeVideo(b)
+      graft.operators.Mp4Census.census(b)
     }
     // pure random bytes, all sizes incl. empty
     forAllSampled(for {
@@ -179,7 +180,9 @@ class PropertySpec extends SparkSpec {
       Array(0xff.toByte, 0xfb.toByte),
       "fLaC".getBytes("US-ASCII"),
       "RIFFxxxxWAVE".getBytes("US-ASCII"),
-      "RIFFxxxxAVI ".getBytes("US-ASCII"))
+      "RIFFxxxxAVI ".getBytes("US-ASCII"),
+      // ISO-BMFF: size(4) + 'ftyp' — routes into Mp4Census via sniff
+      Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p'))
     forAllSampled(for {
       m <- Gen.oneOf(magics)
       n <- Gen.chooseNum(0, 300)
@@ -195,7 +198,11 @@ class PropertySpec extends SparkSpec {
       graft.operators.FlacCodec.encode(MediaCodecs.Audio(8000, 1,
         Array.tabulate[Short](120)(i => (i * 41 % 2000 - 1000).toShort))),
       VideoCodec.encodeAviMjpeg(12, Seq(MediaCodecs.Image(16, 8,
-        Array.fill(16 * 8 * 3)(90.toByte)))))
+        Array.fill(16 * 8 * 3)(90.toByte)))),
+      { // the committed ISO-BMFF fixture: mutations drive Mp4Census
+        val in = getClass.getResourceAsStream("/graft/muxed_camera.mp4")
+        try in.readAllBytes() finally in.close()
+      })
     forAllSampled(for {
       p <- Gen.oneOf(real)
       at <- Gen.chooseNum(0, p.length - 1)
@@ -212,6 +219,10 @@ class PropertySpec extends SparkSpec {
         assert(vdo.frames.nonEmpty &&
           vdo.frames.forall(f => f.width == vdo.width &&
             f.height == vdo.height))
+      }
+      graft.operators.Mp4Census.census(c).foreach { r =>
+        assert(r.nBoxes >= 1 && r.boxes.forall(_.size >= 8L))
+        assert(r.tracks.forall(t => t.timescale > 0))
       }
     }
   }

@@ -212,4 +212,20 @@ class WebOpsSpec extends SparkSpec {
       s"stream twin diverged: only-batch=${batch -- stream} " +
         s"only-stream=${stream -- batch}")
   }
+
+  test("q307 CIDR: longest prefix wins and the fact side never shuffles") {
+    val out = queries.Registry.queries("q307_cidr_enrich")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // doc 1 has routes at /24, /16 AND /8 planted: /24 must win;
+    // doc 2 at /16 and /8: /16; doc 3 only /8
+    assert(out(1L) == ((24L, "as-colo")))
+    assert(out(2L) == ((16L, "as-hoster-b")))
+    assert(out(3L) == ((8L, "as-law")))
+    val p = plan("q307_cidr_enrich")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"route tables must broadcast; the fact side never shuffles:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3,
+      s"expected exactly three broadcast prefix joins:\n$p")
+  }
 }
