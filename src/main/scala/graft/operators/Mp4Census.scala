@@ -53,10 +53,14 @@ object Mp4Census {
     brand: String, minorVersion: Long, compatibleBrands: Seq[String],
     nBoxes: Int, maxDepth: Int, nTopLevel: Int, hasLargesize: Boolean,
     mdatBytes: Long, movieTimescale: Long, movieDurationMs: Long,
-    encoderTag: String, tracks: Seq[Mp4Track], boxes: Seq[Mp4Box])
+    encoderTag: String, tracks: Seq[Mp4Track], boxes: Seq[Mp4Box],
+    // fragmented (DASH/CMAF) accounting — zero for classic files
+    nFragments: Long = 0L, fragSamples: Long = 0L, fragBytes: Long = 0L,
+    fragDurationTicks: Long = 0L, firstTfdt: Long = -1L,
+    lastTfdt: Long = -1L)
 
   private val Containers = Set("moov", "trak", "edts", "mdia", "minf",
-    "dinf", "stbl", "udta", "ilst", "©too")
+    "dinf", "stbl", "udta", "ilst", "©too", "mvex", "moof", "traf")
   /** FullBox containers: 4 version/flags bytes precede the children. */
   private val FullContainers = Set("meta")
 
@@ -94,6 +98,10 @@ object Mp4Census {
     var hasLargesize = false; var mdatBytes = 0L
     var movieTimescale = 1L; var movieDuration = 0L
     var encoderTag = ""
+    // fragment accounting (fMP4): trex defaults feed trun sums
+    var nFragments = 0L; var fragSamples = 0L; var fragBytes = 0L
+    var fragDuration = 0L; var firstTfdt = -1L; var lastTfdt = -1L
+    private var trexDefaultSize = 0L; private var trexDefaultDelta = 0L
     private var track: TrackState = null
     private var inIlstToo = false
 
@@ -155,6 +163,24 @@ object Mp4Census {
             // iTunes data box: version/flags (type indicator) + locale
             if (stop - body >= 8)
               encoderTag = new String(b, body + 8, stop - body - 8, "UTF-8")
+          case "mfhd" => nFragments += 1
+          case "trex" =>
+            // track_id, default_description, default_duration,
+            // default_size, default_flags
+            if (stop - body < 24) return false
+            trexDefaultDelta = u32(b, body + 12)
+            trexDefaultSize = u32(b, body + 16)
+          case "tfdt" =>
+            if (stop - body < 8) return false
+            val v = b(body) & 0xff
+            val t = if (v == 1) {
+              if (stop - body < 12) return false
+              u64(b, body + 4)
+            } else u32(b, body + 4)
+            if (firstTfdt < 0) firstTfdt = t
+            lastTfdt = t
+          case "trun" =>
+            if (!parseTrun(body, stop)) return false
           case _ => () // leaf we don't interpret (stts/stsc/elst/...)
         }
         off = stop
@@ -219,6 +245,38 @@ object Mp4Census {
       true
     }
 
+    /** trun (ISO 14496-12 §8.8.8): flags gate data_offset (0x1),
+      * first_sample_flags (0x4), then per sample: duration (0x100),
+      * size (0x200), flags (0x400), cts offset (0x800) — each 4
+      * bytes, in that order. Sizes/durations fall back to the trex
+      * defaults when absent. */
+    private def parseTrun(body: Int, stop: Int): Boolean = {
+      if (stop - body < 8) return false
+      val flags = (u32(b, body) & 0xffffffL).toInt
+      val count = u32(b, body + 4)
+      var off = body + 8
+      if ((flags & 0x1) != 0) off += 4   // data_offset
+      if ((flags & 0x4) != 0) off += 4   // first_sample_flags
+      val perSample = Seq(0x100, 0x200, 0x400, 0x800)
+        .count(f => (flags & f) != 0)
+      if (count > Int.MaxValue / 16 ||
+        off + count * 4L * perSample > stop) return false
+      fragSamples += count
+      var i = 0
+      var bytes = 0L; var dur = 0L
+      while (i < count.toInt) {
+        var o = off + i * 4 * perSample
+        if ((flags & 0x100) != 0) { dur += u32(b, o); o += 4 }
+        else dur += trexDefaultDelta
+        if ((flags & 0x200) != 0) { bytes += u32(b, o); o += 4 }
+        else bytes += trexDefaultSize
+        i += 1
+      }
+      fragBytes += bytes
+      fragDuration += dur
+      true
+    }
+
     private def parseStsz(body: Int, stop: Int): Boolean = {
       if (stop - body < 12) return false
       val uniform = u32(b, body + 4)
@@ -246,6 +304,8 @@ object Mp4Census {
       w.hasLargesize, w.mdatBytes, w.movieTimescale,
       if (w.movieTimescale <= 0) 0L
       else w.movieDuration * 1000L / w.movieTimescale,
-      w.encoderTag, w.tracks.toSeq, w.boxes.toSeq))
+      w.encoderTag, w.tracks.toSeq, w.boxes.toSeq,
+      w.nFragments, w.fragSamples, w.fragBytes, w.fragDuration,
+      w.firstTfdt, w.lastTfdt))
   }
 }

@@ -1370,5 +1370,57 @@ object MultimodalOps {
           CAST(sum(ssq) AS BIGINT) AS energy
         FROM act GROUP BY media_id, island
         HAVING count(*) >= 2
-        ORDER BY media_id, seg_start""")))
+        ORDER BY media_id, seg_start""")),
+
+    // FRAGMENTED MP4 census — wild streaming video is mostly fMP4
+    // (DASH/HLS/CMAF segments: an unfragmented moov with an EMPTY
+    // stbl, then moof/traf/trun + mdat per segment), so a census that
+    // only reads stbl sees zero samples in exactly the files a video
+    // crawl most often meets. Mp4Census walks the fragment layer:
+    // mvex/trex defaults, per-trun sample counts/sizes/durations
+    // (flag-gated field layout per §8.8.8), tfdt decode times across
+    // fragments. Fixture provenance as q295: an independent
+    // spec-written Python muxer + its own read-back golden
+    // (fmp4_golden.json; Mp4CensusSpec pins the 48-box tree and every
+    // fragment sum). One row; a wrong trun flag decode, a missed trex
+    // default, or a tfdt v1 misread flips a constant.
+    Q("q308_fmp4_census",
+      (s, dir) => {
+        import s.implicits._
+        s.range(1).as[Long].mapPartitions { ids =>
+          ids.map { _ =>
+            val in = getClass.getResourceAsStream("/graft/muxed_dash.mp4")
+            val bytes = try in.readAllBytes() finally in.close()
+            val c = graft.operators.Mp4Census.census(bytes)
+              .getOrElse(sys.error("census refused the committed fixture"))
+            val t = c.tracks.head
+            (c.brand, c.nBoxes.toLong, c.maxDepth.toLong,
+              c.nTopLevel.toLong, c.nFragments, c.fragSamples,
+              c.fragBytes, c.fragDurationTicks, c.firstTfdt, c.lastTfdt,
+              t.trackId, t.handler, t.codec, t.timescale,
+              t.width.toLong, t.height.toLong, t.nSamples,
+              bytes.length.toLong)
+          }
+        }.toDF("brand", "n_boxes", "max_depth", "n_top_level",
+          "n_fragments", "frag_samples", "frag_bytes",
+          "frag_duration_ticks", "first_tfdt", "last_tfdt", "track_id",
+          "handler", "codec", "timescale", "width", "height",
+          "stbl_samples", "file_bytes")
+      },
+      Some("""SELECT 'iso5' AS brand, CAST(48 AS BIGINT) AS n_boxes,
+          CAST(5 AS BIGINT) AS max_depth,
+          CAST(10 AS BIGINT) AS n_top_level,
+          CAST(4 AS BIGINT) AS n_fragments,
+          CAST(24 AS BIGINT) AS frag_samples,
+          CAST(17000 AS BIGINT) AS frag_bytes,
+          CAST(24024 AS BIGINT) AS frag_duration_ticks,
+          CAST(0 AS BIGINT) AS first_tfdt,
+          CAST(18018 AS BIGINT) AS last_tfdt,
+          CAST(1 AS BIGINT) AS track_id,
+          'vide' AS handler, 'avc1' AS codec,
+          CAST(30000 AS BIGINT) AS timescale,
+          CAST(320 AS BIGINT) AS width,
+          CAST(180 AS BIGINT) AS height,
+          CAST(0 AS BIGINT) AS stbl_samples,
+          CAST(18142 AS BIGINT) AS file_bytes""")))
 }

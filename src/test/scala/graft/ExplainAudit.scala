@@ -87,7 +87,7 @@ object ExplainAudit {
       "q300_matryoshka_eval", "q301_rendezvous_shards",
       // q302 is a streaming twin (see the q258 note above)
       "q303_audio_vad", "q304_reach_sketch", "q305_pq_recall", "q306_cell_conductance",
-      "q307_cidr_enrich")
+      "q307_cidr_enrich", "q308_fmp4_census")
     for (q <- qs) {
       val plan = graft.queries.Registry.queries(q)(
         spark, dataDir).queryExecution.executedPlan.toString

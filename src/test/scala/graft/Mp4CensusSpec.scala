@@ -79,6 +79,55 @@ class Mp4CensusSpec extends SparkSpec {
     assert(a.sampleRate == ga.get("sample_rate").asInt)
   }
 
+  private def fmp4: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/muxed_dash.mp4")
+    assert(in != null, "missing muxed_dash.mp4 fixture")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def fmp4Golden = {
+    val in = getClass.getResourceAsStream("/graft/fmp4_golden.json")
+    assert(in != null, "missing fmp4_golden.json")
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(try in.readAllBytes() finally in.close())
+  }
+
+  test("fragmented MP4 (DASH/CMAF): box tree + moof/traf/trun sums " +
+      "match the independent muxer's golden") {
+    val c = Mp4Census.census(fmp4).getOrElse(fail("census refused"))
+    val g = fmp4Golden
+    assert(c.brand == g.get("brand").asText)
+    assert(c.nBoxes == g.get("n_boxes").asInt)
+    assert(c.maxDepth == g.get("max_depth").asInt)
+    assert(c.nTopLevel == g.get("n_top_level").asInt)
+    val gb = g.get("boxes")
+    c.boxes.zipWithIndex.foreach { case (bx, i) =>
+      val e = gb.get(i)
+      assert(bx.typ == e.get("type").asText, s"box $i type")
+      assert(bx.offset == e.get("offset").asLong, s"box $i offset")
+      assert(bx.size == e.get("size").asLong, s"box $i size")
+      assert(bx.depth == e.get("depth").asInt, s"box $i depth")
+    }
+    assert(c.nFragments == g.get("n_fragments").asLong)
+    assert(c.fragSamples == g.get("frag_samples").asLong)
+    assert(c.fragBytes == g.get("frag_bytes").asLong)
+    assert(c.fragDurationTicks == g.get("frag_duration_ticks").asLong)
+    assert(c.firstTfdt == g.get("first_tfdt").asLong)
+    assert(c.lastTfdt == g.get("last_tfdt").asLong)
+    // the moov carries an EMPTY stbl (all samples live in fragments)
+    assert(c.tracks.size == 1)
+    val t = c.tracks.head
+    assert(t.handler == "vide" && t.codec == "avc1")
+    assert(t.nSamples == 0L && t.nChunks == 0L)
+    assert(t.timescale == g.get("timescale").asLong)
+    assert(t.width == g.get("width").asInt)
+    assert(t.height == g.get("height").asInt)
+    // a CLASSIC file reports zero fragment state
+    val classic = Mp4Census.census(fixture).get
+    assert(classic.nFragments == 0L && classic.fragSamples == 0L &&
+      classic.firstTfdt == -1L)
+  }
+
   test("sniff claims ftyp payloads; corrupt trees refuse cleanly") {
     val bytes = fixture
     assert(MediaCodecs.sniff(bytes).contains("mp4"))

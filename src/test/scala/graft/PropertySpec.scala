@@ -202,6 +202,10 @@ class PropertySpec extends SparkSpec {
       { // the committed ISO-BMFF fixture: mutations drive Mp4Census
         val in = getClass.getResourceAsStream("/graft/muxed_camera.mp4")
         try in.readAllBytes() finally in.close()
+      },
+      { // the fragmented fixture: mutations drive the moof/trun paths
+        val in = getClass.getResourceAsStream("/graft/muxed_dash.mp4")
+        try in.readAllBytes() finally in.close()
       })
     forAllSampled(for {
       p <- Gen.oneOf(real)
