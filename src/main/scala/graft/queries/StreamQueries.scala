@@ -933,7 +933,25 @@ object StreamQueries {
         }
         s.table("q302_sink").orderBy("doc_id")
       },
-      Some(TextOps.ScriptMixOracle))
+      Some(TextOps.ScriptMixOracle)),
+
+    // Streaming twin of q298 — mojibake repair at the ingest edge,
+    // where the fix belongs (repair BEFORE the corrupt text lands in
+    // the corpus and fans out to shards/dedup/tokenization). Same
+    // construction as q302: TextOps.mojibakeRepair verbatim, pure
+    // stateless projection, Append-mode, zero state rows; q298's
+    // oracle verbatim.
+    Q("q309_stream_mojibake",
+      (s, dir) => {
+        val repaired = TextOps.mojibakeRepair(documentsStream(s, dir))
+        s.catalog.dropTempView("q309_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(repaired, "q309_sink",
+            OutputMode.Append())
+        }
+        s.table("q309_sink").orderBy("doc_id")
+      },
+      Some(TextOps.MojibakeOracle))
   )
 
   /** Embeddings landing zone (the documentsStream pattern): one

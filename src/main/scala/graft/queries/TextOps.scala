@@ -1322,47 +1322,9 @@ object TextOps {
     // length differences): one scan, no shuffle, no UDF, no encoding
     // library — the shape that survives 100 TB.
     Q("q298_mojibake_repair",
-      (s, dir) => {
-        import graft.functions.MojibakeFuncs
-        val injected = when(col("doc_id") % 3 === 0,
-            call_function("replace", col("text"), lit("table"),
-              lit("tablé — ’fancy’")))
-          .when(col("doc_id") % 3 === 1,
-            call_function("replace", col("text"), lit("value"),
-              lit("“valüé”")))
-          .otherwise(col("text"))
-        Tables.load(s, dir, "documents")
-          .withColumn("clean", injected)
-          .withColumn("corrupted", MojibakeFuncs.corrupt(col("clean")))
-          .select(col("doc_id"),
-            MojibakeFuncs.count(col("corrupted")).as("n_mojibake"),
-            (length(col("corrupted")) - length(col("clean")))
-              .cast("long").as("bloat_chars"),
-            (MojibakeFuncs.repair(col("corrupted")) === col("clean"))
-              .as("repaired_ok"),
-            (MojibakeFuncs.count(col("clean")) === 0L)
-              .as("clean_is_clean"))
-          .orderBy("doc_id")
-      },
-      Some {
-        import graft.functions.MojibakeFuncs._
-        s"""WITH inj AS (SELECT doc_id,
-            CASE WHEN doc_id % 3 = 0
-                 THEN replace(text, 'table', 'tablé — ’fancy’')
-                 WHEN doc_id % 3 = 1
-                 THEN replace(text, 'value', '“valüé”')
-                 ELSE text END AS clean
-          FROM documents),
-        cor AS (SELECT doc_id, clean,
-            ${corruptSql("clean")} AS corrupted FROM inj)
-        SELECT doc_id,
-          CAST(${countSql("corrupted")} AS BIGINT) AS n_mojibake,
-          CAST(length(corrupted) - length(clean) AS BIGINT)
-            AS bloat_chars,
-          ${repairSql("corrupted")} = clean AS repaired_ok,
-          ${countSql("clean")} = 0 AS clean_is_clean
-        FROM cor ORDER BY doc_id"""
-      }),
+      (s, dir) => mojibakeRepair(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(MojibakeOracle)),
 
     // Unicode script histogram + mixed-script flag — the companion
     // signal to q20's marker-word language ID: script ranges are the
@@ -1379,6 +1341,54 @@ object TextOps {
         .orderBy("doc_id"),
       Some(ScriptMixOracle))
   )
+
+  /** The q298 per-document computation, factored (like scriptMix) so
+    * the streaming twin q309 runs the IDENTICAL function — a pure
+    * stateless projection, Append-mode with zero state. */
+  private[queries] def mojibakeRepair(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.MojibakeFuncs
+    val injected = when(col("doc_id") % 3 === 0,
+        call_function("replace", col("text"), lit("table"),
+          lit("tablé — ’fancy’")))
+      .when(col("doc_id") % 3 === 1,
+        call_function("replace", col("text"), lit("value"),
+          lit("“valüé”")))
+      .otherwise(col("text"))
+    docs
+      .withColumn("clean", injected)
+      .withColumn("corrupted", MojibakeFuncs.corrupt(col("clean")))
+      .select(col("doc_id"),
+        MojibakeFuncs.count(col("corrupted")).as("n_mojibake"),
+        (length(col("corrupted")) - length(col("clean")))
+          .cast("long").as("bloat_chars"),
+        (MojibakeFuncs.repair(col("corrupted")) === col("clean"))
+          .as("repaired_ok"),
+        (MojibakeFuncs.count(col("clean")) === 0L)
+          .as("clean_is_clean"))
+  }
+
+  /** Shared by q298 and its streaming twin q309 (a def — see
+    * ScriptMixOracle). */
+  private[queries] def MojibakeOracle: String = {
+    import graft.functions.MojibakeFuncs._
+    s"""WITH inj AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+             THEN replace(text, 'table', 'tablé — ’fancy’')
+             WHEN doc_id % 3 = 1
+             THEN replace(text, 'value', '“valüé”')
+             ELSE text END AS clean
+      FROM documents),
+    cor AS (SELECT doc_id, clean,
+        ${corruptSql("clean")} AS corrupted FROM inj)
+    SELECT doc_id,
+      CAST(${countSql("corrupted")} AS BIGINT) AS n_mojibake,
+      CAST(length(corrupted) - length(clean) AS BIGINT)
+        AS bloat_chars,
+      ${repairSql("corrupted")} = clean AS repaired_ok,
+      ${countSql("clean")} = 0 AS clean_is_clean
+    FROM cor ORDER BY doc_id"""
+  }
 
   /** The q299 per-document computation, factored so the streaming twin
     * (q302) runs the IDENTICAL function on a streaming frame — it is a

@@ -133,6 +133,22 @@ class TextFuncsSpec extends SparkSpec {
         s"only-stream=${(stream -- batch).take(3)}")
   }
 
+  test("q309 streaming mojibake repair equals the q298 batch rows") {
+    def rows(name: String) =
+      queries.Registry.queries(name)(spark, sf).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_mojibake"),
+          r.getAs[Long]("bloat_chars"), r.getAs[Boolean]("repaired_ok"),
+          r.getAs[Boolean]("clean_is_clean"))).toSet
+    val batch = rows("q298_mojibake_repair")
+    val stream = rows("q309_stream_mojibake")
+    assert(stream == batch,
+      s"twin diverged: only-batch=${(batch -- stream).take(3)} " +
+        s"only-stream=${(stream -- batch).take(3)}")
+    // every row round-trips: repair(corrupt(clean)) == clean
+    assert(batch.forall(_._4), "repaired_ok must hold corpus-wide")
+    assert(batch.forall(_._5), "clean text must count zero")
+  }
+
   test("script counting covers the planted ranges and only them") {
     import spark.implicits._
     def cnt(c: org.apache.spark.sql.Column, cls: String) =
