@@ -46,7 +46,25 @@ object Bench {
       if (x == 0) System.err.println("unreachable") // defeat DCE
       sec
     }
+    // The single-thread loop run on EVERY core concurrently: round 13
+    // showed same-code closing runs at 343–349 s vs 288 s mid-session
+    // with the single-thread proxy FLAT at ~0.61 s — host-level
+    // co-tenancy squeezes parallel throughput without touching a lone
+    // core, so normalization needs both axes. Reports the MEAN of the
+    // per-thread times (the parallel-efficiency-degraded figure).
+    def cpuProxyParSec(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val times = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      val threads = (0 until n).map { _ =>
+        new Thread(() => times.add(cpuProxySec()))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val ts = times.asScala.toSeq
+      ts.sum / ts.size
+    }
     val proxyPre = cpuProxySec()
+    val proxyParPre = cpuProxyParSec()
 
     // warmup: touch the parquet reader, shuffle machinery and the noop
     // sink once so the first measured query doesn't pay init costs
@@ -116,6 +134,7 @@ object Bench {
         name -> runs.minBy(_.sec)
     }
     val proxyPost = cpuProxySec()
+    val proxyParPost = cpuProxyParSec()
     val failed = results.collect { case (k, r) if r.sec.isInfinite => k }
     val ok = results.filter(!_._2.sec.isInfinite)
     val qs = ok.map { case (k, r) => "\"" + k + "\":" + r.sec }
@@ -125,7 +144,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // failed_count rides next to value so a partial total (failures
     // excluded from the sum) can't be mistaken for a comparable full run
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"gc_sec":$gcTotal,"cpu_proxy_sec":[$proxyPre,$proxyPost],"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"gc_sec":$gcTotal,"cpu_proxy_sec":[$proxyPre,$proxyPost],"cpu_proxy_par_sec":[$proxyParPre,$proxyParPost],"sf":"$sfDir"}"""
     // Side-channel telemetry (separate file — the driver's console tail
     // truncates): per query, the measured run's GC seconds, how many
     // persisted RDDs and bytes it LEFT BEHIND in block storage (should
@@ -177,7 +196,7 @@ object Bench {
     } catch { case _: Throwable => "" }
     val budget = 1700 // chars; sbt's [success] trailer rides in the same tail
     val slowest = ok.sortBy(-_._2.sec)
-    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries_total":${ok.size},"failed":$failedJson,"failed_count":${failed.size},"gc_sec":${math.round(gcTotal * 10) / 10.0},"cpu_proxy_sec":[${r2(proxyPre)},${r2(proxyPost)}]$overlapJson,"sf":"$sfDir","full":"BENCH_full.json","queries":"""
+    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries_total":${ok.size},"failed":$failedJson,"failed_count":${failed.size},"gc_sec":${math.round(gcTotal * 10) / 10.0},"cpu_proxy_sec":[${r2(proxyPre)},${r2(proxyPost)}],"cpu_proxy_par_sec":[${r2(proxyParPre)},${r2(proxyParPost)}]$overlapJson,"sf":"$sfDir","full":"BENCH_full.json","queries":"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = head.length + 2
     // an HONEST prefix of the slowest ordering: stop at the first
