@@ -12,6 +12,53 @@ import org.apache.spark.sql.SparkSession
   * session/codegen startup.
   */
 object Bench {
+
+  /** Outlier selection for the end-of-suite re-measurement pass.
+    *
+    * The main pass times each query as min-of-two back-to-back runs,
+    * but a host co-tenancy phase can outlast both (round 13: the
+    * driver's single capture recorded q71 at 125.5 s where four
+    * same-code runs measured 2.4–2.7 s, pushing the official gate
+    * artifact to 2.74× on weather alone). A query is an outlier when
+    * its measured time exceeds max(2× its reference recording, 1 s) —
+    * the same threshold the round-13 verdict prescribed — where the
+    * reference is its BENCH_full_r07 entry, falling back to the prior
+    * round's committed full run for queries newer than r7. Slowest
+    * first, capped so a whole-suite squeeze can't double the run.
+    * Queries with no reference at all are never selected (nothing to
+    * compare against; their first recording becomes the next prior).
+    */
+  def selectOutliers(measured: Map[String, Double],
+      ref: Map[String, Double], cap: Int = 20): Seq[String] =
+    measured.toSeq
+      .flatMap { case (name, sec) =>
+        ref.get(name).collect {
+          case r if sec > math.max(2.0 * r, 1.0) => (name, sec)
+        }
+      }
+      .sortBy(-_._2)
+      .take(cap)
+      .map(_._1)
+
+  /** Per-query seconds from a committed BENCH_full json (`queries`
+    * field). Missing/unparseable file → empty map (first round, or a
+    * fresh clone): the re-run pass then simply never triggers. */
+  def loadRefMap(path: String): Map[String, Double] = try {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val qs = om.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))).get("queries")
+    if (qs == null) Map.empty
+    else {
+      val b = Map.newBuilder[String, Double]
+      val it = qs.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+      }
+      b.result()
+    }
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -95,6 +142,28 @@ object Bench {
     if (selected.isEmpty)
       System.err.println("[bench] no queries selected — emitting empty run")
 
+    // Filtered-iteration priming: in a full run the suite itself warms
+    // every table's file/page cache, but under SPARK_GRAFT_ONLY the one
+    // measured query absorbs the first-touch of every table it reads
+    // (q1 runs 110th alphabetically in full suites yet paid first-touch
+    // in one-query loops — r13 verdict item #8). Prime all contract
+    // tables through the same adaptive loader the queries use, before
+    // any timing starts.
+    if (only.isDefined)
+      Tables.all.foreach { n =>
+        try Tables.load(spark, sfDir, n)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] prime $n failed: ${e.getMessage}")
+        }
+      }
+
+    // Reference recordings for the outlier re-run pass: r7 entries are
+    // the gate contract; queries added since r7 fall back to the prior
+    // round's committed full run.
+    val r7Map = loadRefMap("BENCH_full_r07.json")
+    val refMap = loadRefMap("BENCH_full.json") ++ r7Map
+
     // Cumulative JVM GC time — the per-query delta tells a positional
     // slowdown (GC trough from accumulated block storage) apart from a
     // genuinely expensive plan.
@@ -107,8 +176,22 @@ object Bench {
     // clearCache and otherwise linger until a GC-driven ContextCleaner
     // pass: the round-9/10 positional-cluster mechanism), then time the
     // query, then snapshot what it left behind in block storage.
+    // Heap actually RETAINED (live set after the last collection, from
+    // the pools' collection-usage counters — free to read, no forced
+    // GC): the r13 driver run showed per-query heap_mb drifting to
+    // 19.4 GB, but that number includes garbage not yet collected;
+    // this one distinguishes a cache plateau from a real drift.
+    def heapAfterGcMb(): Long = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .flatMap(p => Option(p.getCollectionUsage))
+      .map(_.getUsed).sum / (1024 * 1024)
+    // Session storage-memory watermark: max block-storage footprint
+    // observed at any post-query snapshot.
+    var storageWatermark = 0L
+
     case class Run(sec: Double, gc: Double, leakedRdds: Int,
-      leakedBytes: Long, heapMb: Long)
+      leakedBytes: Long, heapMb: Long, heapAfterGc: Long)
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         // a failed run records +Inf so min() only ever reports the time
@@ -126,31 +209,80 @@ object Bench {
             Double.PositiveInfinity
           }
           val infos = spark.sparkContext.getRDDStorageInfo
+          val leaked = infos.map(i => i.memSize + i.diskSize).sum
+          storageWatermark = math.max(storageWatermark, leaked)
           val rt = Runtime.getRuntime
-          Run(sec, gcSec() - g0, infos.length,
-            infos.map(i => i.memSize + i.diskSize).sum,
-            (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
+          Run(sec, gcSec() - g0, infos.length, leaked,
+            (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024),
+            heapAfterGcMb())
         }
         name -> runs.minBy(_.sec)
     }
+
+    // Outlier re-measurement pass (r13 verdict item #1): a co-tenancy
+    // phase can outlast both back-to-back main-pass runs and poison the
+    // ONE artifact the driver records — r13's official capture failed
+    // the 2× gate at 2.74× while four same-code runs measured
+    // 1.14–1.60×. Any query whose main-pass time exceeds
+    // max(2× reference, 1 s) is re-run once at suite end, when the
+    // phase has had the length of the suite to pass; the artifact
+    // reports min-of-runs (the gate number) ALONGSIDE first-shot, and a
+    // parallel CPU probe sampled immediately before each re-run puts
+    // phase attribution in the artifact itself rather than in a
+    // post-hoc adjudication. The symmetric failure is also covered: a
+    // lucky first shot can't mask a regression, because a genuinely
+    // slow query stays slow in the re-run and min-of-runs keeps it.
+    case class Rerun(first: Double, rerun: Double, probe: Double)
+    val firstShotSec = results.collect {
+      case (k, r) if !r.sec.isInfinite => k -> r.sec }.toMap
+    val outliers = selectOutliers(firstShotSec, refMap)
+    val reruns: Map[String, Rerun] = outliers.map { name =>
+      val probe = cpuProxyParSec()
+      graft.operators.CacheOps.sweep(spark, blocking = true)
+      val t0 = System.nanoTime()
+      val sec = try {
+        selected(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] rerun $name failed: ${e.getMessage}")
+        Double.PositiveInfinity
+      }
+      name -> Rerun(firstShotSec(name), sec, probe)
+    }.toMap
+    if (reruns.nonEmpty)
+      System.err.println(s"[bench] re-measured ${reruns.size} outliers: " +
+        reruns.map { case (k, r) =>
+          s"$k ${r.first}->${r.rerun} (par-probe ${r.probe})"
+        }.mkString("; "))
+
     val proxyPost = cpuProxySec()
     val proxyParPost = cpuProxyParSec()
     val failed = results.collect { case (k, r) if r.sec.isInfinite => k }
+    // gate numbers are min-of-runs (main-pass min, improved by any
+    // re-run); first-shot rides alongside in the `rerun` field
+    def finalSec(name: String, r: Run): Double =
+      reruns.get(name).map(x => math.min(r.sec, x.rerun)).getOrElse(r.sec)
     val ok = results.filter(!_._2.sec.isInfinite)
+      .map { case (k, r) => k -> r.copy(sec = finalSec(k, r)) }
     val qs = ok.map { case (k, r) => "\"" + k + "\":" + r.sec }
       .mkString("{", ",", "}")
     val total = ok.map(_._2.sec).sum
     val gcTotal = ok.map(_._2.gc).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rerunJson = reruns.toSeq.sortBy(_._1).map { case (k, r) =>
+      val re = if (r.rerun.isInfinite) "-1" else r.rerun.toString
+      s""""$k":{"first":${r.first},"rerun":$re,"par_probe":${r.probe}}"""
+    }.mkString("{", ",", "}")
     // failed_count rides next to value so a partial total (failures
     // excluded from the sum) can't be mistaken for a comparable full run
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"gc_sec":$gcTotal,"cpu_proxy_sec":[$proxyPre,$proxyPost],"cpu_proxy_par_sec":[$proxyParPre,$proxyParPost],"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"rerun":$rerunJson,"gc_sec":$gcTotal,"storage_watermark_mb":${storageWatermark / (1024 * 1024)},"cpu_proxy_sec":[$proxyPre,$proxyPost],"cpu_proxy_par_sec":[$proxyParPre,$proxyParPost],"sf":"$sfDir"}"""
     // Side-channel telemetry (separate file — the driver's console tail
     // truncates): per query, the measured run's GC seconds, how many
     // persisted RDDs and bytes it LEFT BEHIND in block storage (should
     // be 0 for a hygienic operator), and heap in use after it.
     val metrics = results.map { case (k, r) =>
-      s""""$k":{"sec":${if (r.sec.isInfinite) -1 else r.sec},"gc_sec":${r.gc},"leaked_rdds":${r.leakedRdds},"leaked_bytes":${r.leakedBytes},"heap_mb":${r.heapMb}}"""
+      s""""$k":{"sec":${if (r.sec.isInfinite) -1 else r.sec},"gc_sec":${r.gc},"leaked_rdds":${r.leakedRdds},"leaked_bytes":${r.leakedBytes},"heap_mb":${r.heapMb},"heap_after_gc_mb":${r.heapAfterGc}}"""
     }.mkString("{", ",", "}")
     // Filtered iteration runs must not clobber the committed FULL-run
     // records — divert their file output unless explicitly pointed
@@ -175,28 +307,29 @@ object Bench {
     // comma decimals, unlike Formatter under de_DE-style locales)
     def r1(x: Double): String = (math.round(x * 10) / 10.0).toString
     def r2(x: Double): String = (math.round(x * 100) / 100.0).toString
-    val overlapJson = try {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val r7 = om.readTree(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_full_r07.json"))).get("queries")
+    val overlapJson = {
       val now = ok.toMap
-      var (a, b, n) = (0.0, 0.0, 0)
-      val it = r7.fields()
-      while (it.hasNext) {
-        val e = it.next()
-        now.get(e.getKey).foreach { r =>
-          a += r.sec; b += e.getValue.asDouble(); n += 1 }
+      var (a, aFirst, b, n) = (0.0, 0.0, 0.0, 0)
+      r7Map.foreach { case (k, r7sec) =>
+        now.get(k).foreach { r =>
+          a += r.sec; aFirst += firstShotSec.getOrElse(k, r.sec)
+          b += r7sec; n += 1
+        }
       }
       if (b > 0)
+        // the gate ratio is computed from per-query MINS (main-pass min
+        // improved by any outlier re-run); ratio_first is the
+        // single-shot figure the pre-r14 harness would have recorded —
+        // the pair makes a host phase visible in the artifact itself.
         // NOT the f-interpolator: Formatter uses the default locale,
         // and a comma-decimal locale (de_DE…) would re-break the very
         // json.loads this line exists to satisfy
-        s""","r7_overlap":{"n":$n,"sec":${r1(a)},"r7_sec":${r1(b)},"ratio":${r2(a / b)}}"""
+        s""","r7_overlap":{"n":$n,"sec":${r1(a)},"r7_sec":${r1(b)},"ratio":${r2(a / b)},"first_sec":${r1(aFirst)},"ratio_first":${r2(aFirst / b)}}"""
       else ""
-    } catch { case _: Throwable => "" }
+    }
     val budget = 1700 // chars; sbt's [success] trailer rides in the same tail
     val slowest = ok.sortBy(-_._2.sec)
-    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries_total":${ok.size},"failed":$failedJson,"failed_count":${failed.size},"gc_sec":${math.round(gcTotal * 10) / 10.0},"cpu_proxy_sec":[${r2(proxyPre)},${r2(proxyPost)}],"cpu_proxy_par_sec":[${r2(proxyParPre)},${r2(proxyParPost)}]$overlapJson,"sf":"$sfDir","full":"BENCH_full.json","queries":"""
+    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries_total":${ok.size},"failed":$failedJson,"failed_count":${failed.size},"rerun_count":${reruns.size},"gc_sec":${math.round(gcTotal * 10) / 10.0},"cpu_proxy_sec":[${r2(proxyPre)},${r2(proxyPost)}],"cpu_proxy_par_sec":[${r2(proxyParPre)},${r2(proxyParPost)}]$overlapJson,"sf":"$sfDir","full":"BENCH_full.json","queries":"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = head.length + 2
     // an HONEST prefix of the slowest ordering: stop at the first

@@ -341,6 +341,12 @@ object JpegCodec {
     var scanStart = -1
     while (scanStart < 0 && pos + 4 <= bytes.length) {
       require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      // T.81 B.1.1.2: any marker may be preceded by any number of
+      // optional 0xFF fill bytes — skip to the first non-0xFF code
+      // byte, else a conformant padded stream misparses a fill byte as
+      // a marker and reads a bogus segment length
+      while (pos + 4 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff)
+        pos += 1
       val marker = bytes(pos + 1) & 0xff
       val seg = pos + 4
       val len = if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) 0
@@ -756,6 +762,12 @@ object JpegCodec {
     var done = false
     while (!done && pos + 4 <= bytes.length) {
       require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      // T.81 B.1.1.2: any marker may be preceded by any number of
+      // optional 0xFF fill bytes — skip to the first non-0xFF code
+      // byte, else a conformant padded stream misparses a fill byte as
+      // a marker and reads a bogus segment length
+      while (pos + 4 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff)
+        pos += 1
       val marker = bytes(pos + 1) & 0xff
       val seg = pos + 4
       val len = if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) 0

@@ -105,8 +105,14 @@ object MediaCodecs {
       case "flac" => tryDecode(("flac", FlacCodec.decode(bytes)))
       case "mp3" => // repo-canonical streams first, then the wild
         // empty-granule class (exact silence — Mp3Codec.decodeWild)
+        // the fallback rides inside tryDecode like every other decode
+        // path: decodeWild returning None is the documented "not this
+        // class" signal, but an unexpected throw (a BitReader require
+        // on a pathological frame) must also degrade to opaque, not
+        // fail the corpus-wide query
         tryDecode(("mp3", Mp3Codec.decode(bytes)))
-          .orElse(Mp3Codec.decodeWild(bytes).map(("mp3", _)))
+          .orElse(tryDecode(Mp3Codec.decodeWild(bytes)).flatten
+            .map(("mp3", _)))
       case _ => None
     }
 

@@ -262,6 +262,17 @@ object Mp4Census {
       if (count > Int.MaxValue / 16 ||
         off + count * 4L * perSample > stop) return false
       fragSamples += count
+      // No per-sample duration/size fields → nothing to read per
+      // sample: accumulate by multiplication. The bounds check above
+      // degenerates to `off > stop` when perSample == 0, so the loop
+      // below would otherwise run count times (up to ~134M per trun ×
+      // MaxBoxes truns) on a small hostile fragment — the one shape
+      // that escaped the bomb-guard contract on this untrusted path.
+      if (perSample == 0) {
+        fragBytes += trexDefaultSize * count
+        fragDuration += trexDefaultDelta * count
+        return true
+      }
       var i = 0
       var bytes = 0L; var dur = 0L
       while (i < count.toInt) {
@@ -282,7 +293,14 @@ object Mp4Census {
       val uniform = u32(b, body + 4)
       val count = u32(b, body + 8)
       track.nSamples = count
-      if (uniform != 0L) { track.sampleBytes = uniform * count; return true }
+      if (uniform != 0L) {
+        // two hostile u32s can overflow the Long product (and any
+        // honest total is bounded by the file itself) — reject rather
+        // than record a negative byte count
+        if (count != 0L && uniform > b.length.toLong.max(1L) / count)
+          return false
+        track.sampleBytes = uniform * count; return true
+      }
       if (count > Int.MaxValue / 4 || body + 12 + count * 4 > stop)
         return false
       var i = 0; var sum = 0L

@@ -89,12 +89,15 @@ object ExplainAudit {
       "q303_audio_vad", "q304_reach_sketch", "q305_pq_recall", "q306_cell_conductance",
       "q307_cidr_enrich", "q308_fmp4_census")
     for (q <- qs) {
-      val plan = graft.queries.Registry.queries(q)(
-        spark, dataDir).queryExecution.executedPlan.toString
-      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
-      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
-      val cart = "CartesianProduct".r.findAllIn(plan).length
-      println(s"AUDIT $q hashEx=$hashEx bnlj=$bnlj cartesian=$cart")
+      // tree-walk audit (PlanAudit): the old text grep printed a cached
+      // subtree's plan at every scan site, inflating counts (q306's one
+      // BNLJ kernel read as 23) — and a real stray BNLJ could hide in
+      // that noise; dup= flags unpersisted diamonds by canonical
+      // subtree equality
+      val c = PlanAudit.audit(
+        graft.queries.Registry.queries(q)(spark, dataDir))
+      println(s"AUDIT $q hashEx=${c.hashExchanges} bnlj=${c.bnlj} " +
+        s"cartesian=${c.cartesian} dup=${c.largestDupSubtree}")
     }
     spark.stop()
   }

@@ -172,4 +172,26 @@ class JpegCodecSpec extends AnyFunSuite {
     val errHi = meanAbsDiff(rgb, JpegCodec.decode(hi).rgb)
     assert(errHi < errLo)
   }
+
+  test("T.81 B.1.1.2: optional 0xFF fill bytes before a marker parse " +
+      "as padding, not as a marker with a bogus length") {
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/$name")
+      assert(in != null, s"missing $name fixture")
+      try in.readAllBytes() finally in.close()
+    }
+    // insert fill bytes after SOI, so the next marker reads FF FF FF E0:
+    // a conformant encoder may pad like this and the walk must skip to
+    // the first non-FF code byte in both the baseline and progressive
+    // paths
+    def pad(bytes: Array[Byte]): Array[Byte] =
+      bytes.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ bytes.drop(2)
+    for (name <- Seq("wild_baseline.jpg", "wild_progressive.jpg")) {
+      val plain = JpegCodec.decode(res(name))
+      val padded = JpegCodec.decode(pad(res(name)))
+      assert(padded.width == plain.width && padded.height == plain.height,
+        name)
+      assert(java.util.Arrays.equals(padded.rgb, plain.rgb), name)
+    }
+  }
 }

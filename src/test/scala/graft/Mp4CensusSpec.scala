@@ -166,6 +166,51 @@ class Mp4CensusSpec extends SparkSpec {
     assert(Mp4Census.census(ftyp ++ body).isEmpty)
   }
 
+  // box-builder for hostile fixtures: size+type header, raw body
+  private def hbox(typ: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+    bb.array()
+  }
+  private def be32(v: Long): Array[Byte] = java.nio.ByteBuffer
+    .allocate(4).putInt(v.toInt).array()
+  private def hftyp: Array[Byte] = java.nio.ByteBuffer.allocate(16)
+    .putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(512)
+    .array()
+
+  test("bomb guard: a trun with NO per-sample fields accumulates by " +
+      "multiplication, not a count-length loop") {
+    // flags=0 → perSample=0, so the byte-bounds check degenerates and a
+    // 16-byte trun may claim ~134M samples; 10000 of them in one traf
+    // is ~1.3e12 loop iterations under the pre-r14 code (minutes of
+    // CPU from a 160 KB hostile file) vs constant work now
+    val count = Int.MaxValue / 16L // the largest count the guard admits
+    val trun = hbox("trun", be32(0) ++ be32(count))
+    val traf = hbox("traf", Array.fill(10000)(trun).flatten)
+    val moof = hbox("moof", hbox("mfhd", be32(0) ++ be32(1)) ++ traf)
+    val t0 = System.nanoTime()
+    val c = Mp4Census.census(hftyp ++ moof)
+      .getOrElse(fail("hostile-but-consistent tree should census"))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(c.fragSamples == count * 10000L)
+    assert(c.fragBytes == 0L && c.fragDurationTicks == 0L) // no trex defaults
+    assert(sec < 10.0, s"trun walk took ${sec}s — count loop is back")
+  }
+
+  test("bomb guard: uniform stsz whose u32 product overflows Long (or " +
+      "exceeds the file) refuses instead of recording negative bytes") {
+    def stszFile(uniform: Long, count: Long): Array[Byte] = {
+      val stsz = hbox("stsz", be32(0) ++ be32(uniform) ++ be32(count))
+      hftyp ++ hbox("moov", hbox("trak", stsz))
+    }
+    // 2^32-1 × 2^32-1 overflows Long into a negative sampleBytes
+    assert(Mp4Census.census(stszFile(0xffffffffL, 0xffffffffL)).isEmpty)
+    // honest totals bounded by the file itself still census
+    val ok = Mp4Census.census(stszFile(4L, 3L))
+      .getOrElse(fail("legit uniform stsz should census"))
+    assert(ok.tracks.head.sampleBytes == 12L)
+  }
+
   test("decodeStats routes ISO-BMFF to census-backed mp4 stats") {
     import spark.implicits._
     val media = spark.createDataset(Seq(
