@@ -59,6 +59,7 @@ object MediaCodecs {
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'A' &&
       bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ') Some("avi")
+    else if (WebpCodec.sniff(bytes)) Some("webp")
     else if (bytes.length >= 12 && bytes(0) == 'F' && bytes(1) == 'O' &&
       bytes(2) == 'R' && bytes(3) == 'M' && bytes(8) == 'A' &&
       bytes(9) == 'I' && bytes(10) == 'F' && bytes(11) == 'F') Some("aiff")
@@ -128,6 +129,9 @@ object MediaCodecs {
       case "png" => tryDecode(("png", decodePng(bytes)))
       case "gif" => tryDecode(("gif", decodeGif(bytes)))
       case "jpeg" => tryDecode(("jpeg", JpegCodec.decode(bytes)))
+      case "webp" => // lossless (VP8L) decodes to pixels; lossy VP8
+        // returns None here and takes the census route downstream
+        tryDecode(WebpCodec.decode(bytes)).flatten.map(("webp", _))
       case _ => None
     }
 

@@ -145,15 +145,43 @@ object Multimodal {
                     video.map(_.nSamples).getOrElse(0L),
                     if (m.payload.length == 0) 0.0
                     else sum.toDouble / m.payload.length)
-                case _ =>
-                  var sum = 0L; var i = 0
-                  while (i < m.payload.length) {
-                    sum += (m.payload(i) & 0xff); i += 1
-                  }
-                  MediaStatsRow(m.media_id, m.kind, "opaque", m.width,
-                    m.height, m.payload.length.toLong,
-                    if (m.payload.length == 0) 0.0
-                    else sum.toDouble / m.payload.length)
+                // lossy WebP: the VP8 entropy layer stays opaque (the
+                // MP4/AVC boundary), but the container census yields
+                // real canvas dims and the ALPH alpha plane decodes
+                // EXACTLY (lossless-coded) — n_units/mean report the
+                // alpha plane when present, else the payload bytes
+                case _ => WebpCodec.census(m.payload) match {
+                  case Some(c) =>
+                    WebpCodec.alphaPlane(m.payload) match {
+                      case Some((_, _, plane)) =>
+                        var asum = 0L; var i = 0
+                        while (i < plane.length) {
+                          asum += (plane(i) & 0xff); i += 1
+                        }
+                        MediaStatsRow(m.media_id, m.kind, "webp-" + c.format,
+                          c.width, c.height, plane.length.toLong,
+                          if (plane.isEmpty) 0.0
+                          else asum.toDouble / plane.length)
+                      case None =>
+                        var sum = 0L; var i = 0
+                        while (i < m.payload.length) {
+                          sum += (m.payload(i) & 0xff); i += 1
+                        }
+                        MediaStatsRow(m.media_id, m.kind, "webp-" + c.format,
+                          c.width, c.height, m.payload.length.toLong,
+                          if (m.payload.length == 0) 0.0
+                          else sum.toDouble / m.payload.length)
+                    }
+                  case _ =>
+                    var sum = 0L; var i = 0
+                    while (i < m.payload.length) {
+                      sum += (m.payload(i) & 0xff); i += 1
+                    }
+                    MediaStatsRow(m.media_id, m.kind, "opaque", m.width,
+                      m.height, m.payload.length.toLong,
+                      if (m.payload.length == 0) 0.0
+                      else sum.toDouble / m.payload.length)
+                }
               }
             }
           }

@@ -1,0 +1,682 @@
+package graft.operators
+
+import graft.operators.MediaCodecs.Image
+
+/** Pure-JVM WebP container walk + VP8L (lossless) decoder + ALPH alpha
+  * decoder, from the public WebP container / WebP Lossless bitstream
+  * specifications (RFC 9649).
+  *
+  * Closes the biggest wild-web image gap in the decode boundary
+  * (reference ingest pipelines see WebP ahead of GIF in crawled
+  * corpora; `crawler/` side the reference stores such payloads opaque).
+  * Scope is the same honest line the MP4 census draws for video: the
+  * LOSSLESS stream (VP8L) decodes to exact pixels, the lossless-coded
+  * ALPH alpha plane of a lossy file decodes exactly, and the lossy VP8
+  * entropy layer (boolean-coder DCT) stays a census — dims, chunk
+  * layout, feature flags — routed like AVC/HEVC payloads.
+  *
+  * Verification (the q295 two-transcription standard): this file and
+  * the driver-side `scripts/webp_ref.py` are INDEPENDENT spec
+  * transcriptions, each proven pixel-exact against the system
+  * reference implementation (libwebp 1.2.4) on real encoder output —
+  * a wild CPython-corpus file plus libwebp-encoded fixtures
+  * (WebpCodecSpec / webp_golden.json). The 120-entry distance map is
+  * not transcribed at all: `scripts/vp8l_probe.py` DERIVES it from
+  * libwebp by hand-crafting one-copy streams per plane code and
+  * observing where the copy lands.
+  *
+  * Executor-side pure byte transforms; payloads never shuffle (the
+  * [[Multimodal]] discipline). Bomb guards on every untrusted path:
+  * pixel cap, huffman completeness, LZ77 bounds, group-count cap,
+  * chunk-walk bounds.
+  */
+object WebpCodec {
+
+  /** Plane-code (1..120) → (dx, dy), packed (dy<<5 | dx+8); derived
+    * empirically from libwebp by scripts/vp8l_probe.py. */
+  private val DistMap: Array[Int] = {
+    val pairs = Array(
+      (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+      (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+      (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+      (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+      (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+      (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+      (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+      (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+      (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+      (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+      (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+      (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+      (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+      (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+      (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+    pairs.map { case (dx, dy) => (dy << 5) | (dx + 8) }
+  }
+
+  /** Code-length-code transmission order (spec §"normal code length
+    * code"); validated end-to-end against libwebp by the probe. */
+  private val ClOrder: Array[Int] =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  // ---- LSB-first bit reader -------------------------------------------
+
+  private final class BitReader(d: Array[Byte], start: Int) {
+    private var pos: Long = start.toLong * 8
+    def read(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val b = (pos >>> 3).toInt
+        require(b < d.length, "truncated VP8L bitstream")
+        v |= ((d(b) >> (pos & 7).toInt) & 1) << i
+        pos += 1; i += 1
+      }
+      v
+    }
+  }
+
+  // ---- canonical prefix codes -----------------------------------------
+
+  /** Canonical huffman decoder (per-length first-code tables, the
+    * Annex-F-style walk the JPEG codec also uses). A single-symbol
+    * code consumes zero bits. Over/under-subscribed codes are rejected
+    * (ambiguous trees on hostile input). Max VP8L code length is 15. */
+  private final class Huff(lengths: Array[Int], nSyms: Int) {
+    val single: Int = {
+      var cnt = 0; var s = -1; var i = 0
+      while (i < nSyms) { if (lengths(i) > 0) { cnt += 1; s = i }; i += 1 }
+      if (cnt == 1) s else -1
+    }
+    private val count = new Array[Int](16)
+    private val firstCode = new Array[Int](16)
+    private val firstIdx = new Array[Int](16)
+    private val syms: Array[Int] = {
+      if (single < 0) {
+        var i = 0
+        while (i < nSyms) {
+          val l = lengths(i)
+          require(l <= 15, "huffman length > 15")
+          if (l > 0) count(l) += 1
+          i += 1
+        }
+        var kraft = 0L; var code = 0; var idx = 0; var l = 1
+        while (l <= 15) {
+          firstCode(l) = code
+          firstIdx(l) = idx
+          kraft += count(l).toLong << (15 - l)
+          code = (code + count(l)) << 1
+          idx += count(l)
+          l += 1
+        }
+        require(kraft == (1L << 15),
+          "incomplete/oversubscribed huffman code")
+        val out = new Array[Int](idx)
+        val next = firstIdx.clone()
+        i = 0
+        while (i < nSyms) { // symbol order within a length = canonical
+          val len = lengths(i)
+          if (len > 0) { out(next(len)) = i; next(len) += 1 }
+          i += 1
+        }
+        out
+      } else null
+    }
+    def read(br: BitReader): Int = {
+      if (single >= 0) return single
+      var code = 0; var l = 0
+      while (l < 15) {
+        code = (code << 1) | br.read(1)
+        l += 1
+        val c = count(l)
+        if (c > 0 && code >= firstCode(l) && code - firstCode(l) < c)
+          return syms(firstIdx(l) + code - firstCode(l))
+      }
+      throw new IllegalArgumentException("invalid huffman code")
+    }
+  }
+
+  private def readCode(br: BitReader, alphabet: Int): Huff = {
+    val lengths = new Array[Int](alphabet)
+    if (br.read(1) == 1) { // simple: 1-2 symbols, lengths 0/1
+      val n = br.read(1) + 1
+      val s0 = if (br.read(1) == 1) br.read(8) else br.read(1)
+      require(s0 < alphabet, "simple-code symbol out of range")
+      lengths(s0) = 1
+      if (n == 2) {
+        val s1 = br.read(8)
+        require(s1 < alphabet, "simple-code symbol out of range")
+        lengths(s1) = 1
+      }
+      return new Huff(lengths, alphabet)
+    }
+    val numCl = 4 + br.read(4)
+    val clLens = new Array[Int](19)
+    var i = 0
+    while (i < numCl) { clLens(ClOrder(i)) = br.read(3); i += 1 }
+    val cl = new Huff(clLens, 19)
+    var maxSymbol =
+      if (br.read(1) == 1) {
+        val nb = 2 + 2 * br.read(3)
+        2 + br.read(nb)
+      } else alphabet
+    i = 0
+    var prev = 8
+    while (i < alphabet && maxSymbol > 0) {
+      maxSymbol -= 1
+      val s = cl.read(br)
+      if (s < 16) {
+        lengths(i) = s; i += 1
+        if (s != 0) prev = s
+      } else if (s == 16) {
+        var rep = 3 + br.read(2)
+        while (rep > 0 && i < alphabet) { lengths(i) = prev; i += 1; rep -= 1 }
+      } else if (s == 17) i += 3 + br.read(3)
+      else i += 11 + br.read(7)
+    }
+    require(i <= alphabet, "code lengths overflow alphabet")
+    new Huff(lengths, alphabet)
+  }
+
+  // ---- entropy-coded image stream --------------------------------------
+
+  private def subsample(size: Int, bits: Int): Int =
+    (size + (1 << bits) - 1) >> bits
+
+  private final case class Xform(
+    typ: Int, bits: Int, data: Array[Int], xsize: Int)
+
+  /** Decode one image stream; `level0` admits transforms + meta
+    * huffman. Returns the (possibly width-reduced) ARGB plane and the
+    * transforms in read order, unapplied. */
+  private def decodeImageStream(br: BitReader, w: Int, h: Int,
+      level0: Boolean, fileLen: Int): (Array[Int], List[Xform]) = {
+    require(w > 0 && h > 0, "empty image stream")
+    require(w.toLong * h <= MediaCodecs.MaxImagePixels,
+      s"webp dims ${w}x$h exceed the ${MediaCodecs.MaxImagePixels}-pixel cap")
+    var transforms = List.empty[Xform]
+    var xsize = w
+    if (level0) {
+      var seen = 0
+      while (br.read(1) == 1) {
+        val t = br.read(2)
+        require((seen & (1 << t)) == 0, "duplicate transform")
+        seen |= 1 << t
+        t match {
+          case 0 | 1 => // predictor / color: sub-resolution element image
+            val bits = br.read(3) + 2
+            val sub = decodeImageStream(br, subsample(xsize, bits),
+              subsample(h, bits), level0 = false, fileLen)._1
+            transforms ::= Xform(t, bits, sub, xsize)
+          case 2 =>
+            transforms ::= Xform(2, 0, null, xsize)
+          case _ => // color indexing: palette + packed indices
+            val nColors = br.read(8) + 1
+            val pal = decodeImageStream(br, nColors, 1,
+              level0 = false, fileLen)._1
+            var i = 1
+            while (i < nColors) { // palette entries are delta-coded
+              pal(i) = addPixels(pal(i), pal(i - 1))
+              i += 1
+            }
+            val wb = if (nColors <= 2) 3 else if (nColors <= 4) 2
+              else if (nColors <= 16) 1 else 0
+            transforms ::= Xform(3, wb, pal, xsize)
+            xsize = subsample(xsize, wb)
+        }
+      }
+    }
+    var cacheBits = 0
+    if (br.read(1) == 1) {
+      cacheBits = br.read(4)
+      require(cacheBits >= 1 && cacheBits <= 11, "bad color cache size")
+    }
+    val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
+
+    var meta: Array[Int] = null
+    var metaBits = 0
+    var nGroups = 1
+    if (level0 && br.read(1) == 1) {
+      metaBits = br.read(3) + 2
+      meta = decodeImageStream(br, subsample(xsize, metaBits),
+        subsample(h, metaBits), level0 = false, fileLen)._1
+      var mx = 0; var i = 0
+      while (i < meta.length) {
+        val g = (meta(i) >>> 8) & 0xffff
+        if (g > mx) mx = g
+        i += 1
+      }
+      nGroups = mx + 1
+      // each group costs real bitstream bytes to define; a tiny file
+      // declaring 65k groups is a memory bomb, not an image
+      require(nGroups <= math.max(16, fileLen), "meta group-count bomb")
+    }
+    val greenAlphabet = 256 + 24 + (if (cacheBits > 0) 1 << cacheBits else 0)
+    val groups = Array.fill(nGroups)(Array(
+      readCode(br, greenAlphabet), readCode(br, 256), readCode(br, 256),
+      readCode(br, 256), readCode(br, 40)))
+
+    def prefixValue(code: Int): Int = {
+      if (code < 4) return code + 1
+      val extra = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << extra
+      offset + br.read(extra) + 1
+    }
+
+    val metaW = if (meta != null) subsample(xsize, metaBits) else 0
+    val npix = xsize * h
+    val out = new Array[Int](npix)
+    var pos = 0
+    while (pos < npix) {
+      val g =
+        if (meta == null) groups(0)
+        else {
+          val x = pos % xsize; val y = pos / xsize
+          groups((meta((y >> metaBits) * metaW + (x >> metaBits)) >>> 8)
+            & 0xffff)
+        }
+      val s = g(0).read(br)
+      if (s < 256) {
+        val r = g(1).read(br); val b = g(2).read(br); val a = g(3).read(br)
+        val px = (a << 24) | (r << 16) | (s << 8) | b
+        out(pos) = px
+        if (cache != null)
+          cache(((0x1e35a7bd * px) >>> (32 - cacheBits))) = px
+        pos += 1
+      } else if (s < 280) {
+        val length = prefixValue(s - 256)
+        val dval = prefixValue(g(4).read(br))
+        val dist = math.max(1,
+          if (dval > 120) dval - 120
+          else {
+            val p = DistMap(dval - 1)
+            (p >> 5) * xsize + ((p & 31) - 8)
+          })
+        require(dist <= pos && pos + length <= npix,
+          "LZ77 copy out of bounds")
+        var k = 0
+        while (k < length) {
+          val px = out(pos - dist)
+          out(pos) = px
+          if (cache != null)
+            cache(((0x1e35a7bd * px) >>> (32 - cacheBits))) = px
+          pos += 1; k += 1
+        }
+      } else {
+        require(cache != null && s - 280 < cache.length, "bad cache ref")
+        out(pos) = cache(s - 280)
+        pos += 1
+      }
+    }
+    (out, transforms.reverse)
+  }
+
+  // ---- inverse transforms ----------------------------------------------
+
+  /** Componentwise byte-lane add without carry across lanes. */
+  private def addPixels(a: Int, b: Int): Int =
+    (((a & 0xff00ff00) + (b & 0xff00ff00)) & 0xff00ff00) |
+      (((a & 0x00ff00ff) + (b & 0x00ff00ff)) & 0x00ff00ff)
+
+  /** Per-channel floor average (carry-free bit trick). */
+  private def avg2(a: Int, b: Int): Int =
+    (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def select(t: Int, l: Int, tl: Int): Int = {
+    var pl = 0; var pt = 0; var sh = 0
+    while (sh < 32) {
+      val pc = ((l >>> sh) & 0xff) + ((t >>> sh) & 0xff) - ((tl >>> sh) & 0xff)
+      pl += math.abs(pc - ((l >>> sh) & 0xff))
+      pt += math.abs(pc - ((t >>> sh) & 0xff))
+      sh += 8
+    }
+    if (pl < pt) l else t
+  }
+
+  private def clampAddSubtractFull(l: Int, t: Int, tl: Int): Int = {
+    var out = 0; var sh = 0
+    while (sh < 32) {
+      val c = clamp255(
+        ((l >>> sh) & 0xff) + ((t >>> sh) & 0xff) - ((tl >>> sh) & 0xff))
+      out |= c << sh
+      sh += 8
+    }
+    out
+  }
+
+  private def clampAddSubtractHalf(l: Int, t: Int, tl: Int): Int = {
+    val ave = avg2(l, t)
+    var out = 0; var sh = 0
+    while (sh < 32) {
+      val a = (ave >>> sh) & 0xff
+      val b = (tl >>> sh) & 0xff
+      // (a - b) / 2 with C truncation-toward-zero semantics
+      val c = clamp255(a + (a - b) / 2)
+      out |= c << sh
+      sh += 8
+    }
+    out
+  }
+
+  private def applyPredictor(out: Array[Int], w: Int, h: Int,
+      bits: Int, sub: Array[Int]): Unit = {
+    val sw = subsample(w, bits)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val pred =
+          if (x == 0 && y == 0) 0xff000000
+          else if (y == 0) out(i - 1)
+          else if (x == 0) out(i - w)
+          else {
+            val mode = (sub((y >> bits) * sw + (x >> bits)) >>> 8) & 0xff
+            val l = out(i - 1); val t = out(i - w); val tl = out(i - w - 1)
+            // top-right of the last column reads the CURRENT row's
+            // first pixel (upper[w] in the reference's flat layout)
+            val tr = if (x + 1 < w) out(i - w + 1) else out(y * w)
+            mode match {
+              case 0 => 0xff000000
+              case 1 => l
+              case 2 => t
+              case 3 => tr
+              case 4 => tl
+              case 5 => avg2(avg2(l, tr), t)
+              case 6 => avg2(l, tl)
+              case 7 => avg2(l, t)
+              case 8 => avg2(tl, t)
+              case 9 => avg2(t, tr)
+              case 10 => avg2(avg2(l, tl), avg2(t, tr))
+              case 11 => select(t, l, tl)
+              case 12 => clampAddSubtractFull(l, t, tl)
+              case 13 => clampAddSubtractHalf(l, t, tl)
+              case m => throw new IllegalArgumentException(
+                s"bad predictor mode $m")
+            }
+          }
+        out(i) = addPixels(out(i), pred)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Signed 3.5-fixed color-transform delta: (int8 t * int8 c) >> 5. */
+  private def ctDelta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+
+  private def applyColor(out: Array[Int], w: Int, h: Int,
+      bits: Int, sub: Array[Int]): Unit = {
+    val sw = subsample(w, bits)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val cte = sub((y >> bits) * sw + (x >> bits))
+        val g2r = cte & 0xff           // blue channel of the element
+        val g2b = (cte >>> 8) & 0xff   // green channel
+        val r2b = (cte >>> 16) & 0xff  // red channel
+        val px = out(i)
+        val g = (px >>> 8) & 0xff
+        val r = (((px >>> 16) & 0xff) + ctDelta(g2r, g)) & 0xff
+        val b = ((px & 0xff) + ctDelta(g2b, g) + ctDelta(r2b, r)) & 0xff
+        out(i) = (px & 0xff00ff00) | (r << 16) | b
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def applySubtractGreen(out: Array[Int]): Unit = {
+    var i = 0
+    while (i < out.length) {
+      val px = out(i)
+      val g = (px >>> 8) & 0xff
+      val r = (((px >>> 16) & 0xff) + g) & 0xff
+      val b = ((px & 0xff) + g) & 0xff
+      out(i) = (px & 0xff00ff00) | (r << 16) | b
+      i += 1
+    }
+  }
+
+  private def applyColorIndex(out: Array[Int], w: Int, h: Int,
+      wb: Int, pal: Array[Int]): Array[Int] = {
+    val packedW = subsample(w, wb)
+    val bpp = 8 >> wb
+    val mask = (1 << bpp) - 1
+    val res = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val src = out(y * packedW + (x >> wb))
+        var idx = (src >>> 8) & 0xff
+        if (wb > 0) idx = (idx >> ((x & ((1 << wb) - 1)) * bpp)) & mask
+        res(y * w + x) = if (idx < pal.length) pal(idx) else 0
+        x += 1
+      }
+      y += 1
+    }
+    res
+  }
+
+  /** Decode a VP8L payload to ARGB. `dims`: Some((w,h)) decodes a
+    * HEADERLESS stream of implicit dimensions (the ALPH case). */
+  private def decodeVp8l(data: Array[Byte],
+      dims: Option[(Int, Int)]): (Int, Int, Array[Int]) = {
+    val br = new BitReader(data, 0)
+    val (w, h) = dims.getOrElse {
+      require(br.read(8) == 0x2f, "bad VP8L signature")
+      val w = br.read(14) + 1
+      val h = br.read(14) + 1
+      br.read(1) // alpha-is-used hint
+      require(br.read(3) == 0, "bad VP8L version")
+      (w, h)
+    }
+    var (out, transforms) =
+      decodeImageStream(br, w, h, level0 = true, data.length)
+    transforms.reverse.foreach { xf =>
+      xf.typ match {
+        case 0 => applyPredictor(out, xf.xsize, h, xf.bits, xf.data)
+        case 1 => applyColor(out, xf.xsize, h, xf.bits, xf.data)
+        case 2 => applySubtractGreen(out)
+        case _ => out = applyColorIndex(out, xf.xsize, h, xf.bits, xf.data)
+      }
+    }
+    (w, h, out)
+  }
+
+  // ---- container walk ---------------------------------------------------
+
+  def sniff(bytes: Array[Byte]): Boolean =
+    bytes.length >= 16 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+      bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P'
+
+  private def u24le(d: Array[Byte], o: Int): Int =
+    (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) | ((d(o + 2) & 0xff) << 16)
+
+  private def u32le(d: Array[Byte], o: Int): Long =
+    (u24le(d, o).toLong) | ((d(o + 3) & 0xff).toLong << 24)
+
+  /** First payload per chunk fourcc, in file order. */
+  private def chunks(bytes: Array[Byte]): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val tag = new String(bytes, off, 4, "ISO-8859-1")
+      val size = u32le(bytes, off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        "webp chunk overruns file")
+      out += ((tag, off + 8, size.toInt))
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    out.result()
+  }
+
+  final case class Census(
+    format: String, // lossless | lossy | lossy-alpha | animation
+    width: Int, height: Int,
+    hasAlpha: Boolean, hasAnim: Boolean, hasIcc: Boolean,
+    hasExif: Boolean, hasXmp: Boolean,
+    chunkTags: Seq[String], lossyBytes: Long,
+    vp8Version: Int, keyframe: Boolean)
+
+  /** Container census for ANY WebP (incl. lossy/animated payloads the
+    * pixel decoder does not claim). None = not a clean RIFF/WEBP. */
+  def census(bytes: Array[Byte]): Option[Census] = {
+    if (!sniff(bytes)) return None
+    try {
+      val cs = chunks(bytes)
+      val tags = cs.map(_._1)
+      val byTag = cs.groupBy(_._1).map { case (k, v) => k -> v.head }
+      var w = 0; var h = 0
+      var alpha = byTag.contains("ALPH")
+      var anim = false; var icc = false; var exif = false; var xmp = false
+      byTag.get("VP8X").foreach { case (_, o, len) =>
+        require(len >= 10, "short VP8X")
+        val flags = bytes(o) & 0xff
+        icc = (flags & 0x20) != 0; alpha |= (flags & 0x10) != 0
+        exif = (flags & 0x08) != 0; xmp = (flags & 0x04) != 0
+        anim = (flags & 0x02) != 0
+        w = u24le(bytes, o + 4) + 1
+        h = u24le(bytes, o + 7) + 1
+      }
+      var vp8Version = -1; var keyframe = false; var lossyBytes = 0L
+      byTag.get("VP8 ").foreach { case (_, o, len) =>
+        require(len >= 10, "short VP8 frame")
+        lossyBytes = len.toLong
+        val tag = u24le(bytes, o)
+        keyframe = (tag & 1) == 0
+        vp8Version = (tag >> 1) & 7
+        if (keyframe) {
+          require((bytes(o + 3) & 0xff) == 0x9d &&
+            (bytes(o + 4) & 0xff) == 0x01 &&
+            (bytes(o + 5) & 0xff) == 0x2a, "bad VP8 keyframe start code")
+          if (w == 0) {
+            w = ((bytes(o + 6) & 0xff) | ((bytes(o + 7) & 0x3f) << 8)) + 0
+            h = ((bytes(o + 8) & 0xff) | ((bytes(o + 9) & 0x3f) << 8)) + 0
+          }
+        }
+      }
+      byTag.get("VP8L").foreach { case (_, o, len) =>
+        require(len >= 5, "short VP8L")
+        require((bytes(o) & 0xff) == 0x2f, "bad VP8L signature")
+        val b1 = bytes(o + 1) & 0xff; val b2 = bytes(o + 2) & 0xff
+        val b3 = bytes(o + 3) & 0xff; val b4 = bytes(o + 4) & 0xff
+        if (w == 0) {
+          w = ((b1 | ((b2 & 0x3f) << 8)) & 0x3fff) + 1
+          h = (((b2 >> 6) | (b3 << 2) | ((b4 & 0xf) << 10)) & 0x3fff) + 1
+        }
+        alpha |= ((b4 >> 4) & 1) == 1
+      }
+      val format =
+        if (anim) "animation"
+        else if (tags.contains("VP8L")) "lossless"
+        else if (tags.contains("VP8 ") && alpha) "lossy-alpha"
+        else if (tags.contains("VP8 ")) "lossy"
+        else return None
+      Some(Census(format, w, h, alpha, anim, icc, exif, xmp, tags,
+        lossyBytes, vp8Version, keyframe))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Raw ARGB decode of a VP8L payload (bare or VP8X-wrapped) — the
+    * full four-channel result, for verification against the reference
+    * implementation's RGBA output (WebpCodecSpec CRCs the whole
+    * buffer against webp_golden.json). */
+  private[graft] def decodeArgb(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (!sniff(bytes)) return None
+    chunks(bytes).find(_._1 == "VP8L").map { case (_, o, len) =>
+      decodeVp8l(java.util.Arrays.copyOfRange(bytes, o, o + len), None)
+    }
+  }
+
+  /** Full pixel decode — VP8L payloads only (bare or VP8X-wrapped).
+    * Alpha is composited away exactly as the PNG RGBA path does
+    * (dropped; the rgb bytes are the stored values). Lossy VP8 returns
+    * None and takes the census route. */
+  def decode(bytes: Array[Byte]): Option[Image] = {
+    if (!sniff(bytes)) return None
+    chunks(bytes).find(_._1 == "VP8L").map { case (_, o, len) =>
+      val payload = java.util.Arrays.copyOfRange(bytes, o, o + len)
+      val (w, h, argb) = decodeVp8l(payload, None)
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        rgb(i * 3) = ((argb(i) >>> 16) & 0xff).toByte
+        rgb(i * 3 + 1) = ((argb(i) >>> 8) & 0xff).toByte
+        rgb(i * 3 + 2) = (argb(i) & 0xff).toByte
+        i += 1
+      }
+      Image(w, h, rgb)
+    }
+  }
+
+  /** ALPH alpha-plane decode for lossy-with-alpha files: lossless
+    * method (a headerless VP8L stream whose GREEN channel is alpha,
+    * dims implicit from VP8X) or raw, then the spec's
+    * horizontal/vertical/gradient unfilter. None when the file has no
+    * ALPH or the plane doesn't decode. */
+  def alphaPlane(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val c = census(bytes).getOrElse(return None)
+    if (c.width <= 0 || c.height <= 0) return None
+    chunks(bytes).find(_._1 == "ALPH").flatMap { case (_, o, len) =>
+      if (len < 1) return None
+      val head = bytes(o) & 0xff
+      val comp = head & 3
+      val filt = (head >> 2) & 3
+      val w = c.width; val h = c.height
+      val plane: Array[Byte] =
+        if (comp == 0) {
+          if (len - 1 < w * h) return None
+          java.util.Arrays.copyOfRange(bytes, o + 1, o + 1 + w * h)
+        } else if (comp == 1) {
+          val payload = java.util.Arrays.copyOfRange(bytes, o + 1, o + len)
+          val (_, _, argb) = decodeVp8l(payload, Some((w, h)))
+          val p = new Array[Byte](w * h)
+          var i = 0
+          while (i < p.length) {
+            p(i) = ((argb(i) >>> 8) & 0xff).toByte
+            i += 1
+          }
+          p
+        } else return None
+      Some((w, h, unfilterAlpha(plane, w, h, filt)))
+    }
+  }
+
+  /** Spec alpha filters (horizontal / vertical / gradient), inverse. */
+  private def unfilterAlpha(plane: Array[Byte], w: Int, h: Int,
+      method: Int): Array[Byte] = {
+    if (method == 0) return plane
+    val out = plane.clone()
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val pred = method match {
+          case 1 => // horizontal; first column seeds from the row above
+            if (x > 0) out(i - 1) & 0xff
+            else if (y > 0) out(i - w) & 0xff else 0
+          case 2 => // vertical; first row degrades to horizontal
+            if (y > 0) out(i - w) & 0xff
+            else if (x > 0) out(i - 1) & 0xff else 0
+          case _ => // gradient
+            if (y == 0) { if (x > 0) out(i - 1) & 0xff else 0 }
+            else if (x == 0) out(i - w) & 0xff
+            else clamp255((out(i - 1) & 0xff) + (out(i - w) & 0xff) -
+              (out(i - w - 1) & 0xff))
+        }
+        out(i) = ((out(i) & 0xff) + pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}

@@ -1252,6 +1252,63 @@ object MultimodalOps {
             value_sum)
         ORDER BY media_id""")),
 
+    // WILD-WebP interop, same construction as q254: WebP is the
+    // largest wild-web image format previously absent from the decode
+    // boundary. The LOSSLESS (VP8L) fixtures — real libwebp encoder
+    // output over deterministic images — decode to exact pixels
+    // through the full spec surface (canonical huffman + LZ77 + color
+    // cache, predictor/color/subtract-green transforms on the photo
+    // file, 4-bit-packed color indexing on the palette file); the two
+    // VP8X lossy files route to the census path where the canvas dims
+    // come from the container and the VP8L-COMPRESSED ALPHA PLANE
+    // decodes exactly (wild_vp8x_alpha.webp is CPython's test-corpus
+    // python.webp verbatim; the lossy-alpha fixture additionally
+    // exercises the spec's vertical alpha unfilter). Every constant
+    // below is libwebp 1.2.4's own decode of the same bytes
+    // (webp_golden.json), and a SECOND independent spec transcription
+    // (scripts/webp_ref.py) reproduces them pixel-exact — one wrong
+    // huffman step, distance-map entry, transform inverse, or filter
+    // reconstruction moves value_sum. The distance map itself was
+    // DERIVED from libwebp by probing (scripts/vp8l_probe.py), not
+    // transcribed from memory.
+    Q("q310_webp_wild_decode",
+      (s, dir) => {
+        import s.implicits._
+        val names = Seq((1L, "wild_lossless.webp"),
+          (2L, "wild_palette.webp"), (3L, "wild_vp8x_alpha.webp"),
+          (4L, "wild_lossy_alpha.webp"))
+        val media = s.createDataset(names).mapPartitions { rows =>
+          rows.map { case (id, name) =>
+            val in = getClass.getResourceAsStream(s"/graft/$name")
+            val bytes = try in.readAllBytes() finally in.close()
+            Multimodal.MediaRow(id, "image", bytes, 0, 0)
+          }
+        }
+        Multimodal.decodeStats(media).toDF()
+          .select(col("media_id"), col("format"),
+            col("dim1").cast("long").as("width"),
+            col("dim2").cast("long").as("height"),
+            col("n_units"),
+            round(col("mean_value") * col("n_units"))
+              .cast("long").as("value_sum"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'webp', CAST(97 AS BIGINT),
+            CAST(61 AS BIGINT), CAST(17751 AS BIGINT),
+            CAST(2229085 AS BIGINT)),
+          (CAST(2 AS BIGINT), 'webp', CAST(48 AS BIGINT),
+            CAST(32 AS BIGINT), CAST(4608 AS BIGINT),
+            CAST(530952 AS BIGINT)),
+          (CAST(3 AS BIGINT), 'webp-lossy-alpha', CAST(16 AS BIGINT),
+            CAST(16 AS BIGINT), CAST(256 AS BIGINT),
+            CAST(38971 AS BIGINT)),
+          (CAST(4 AS BIGINT), 'webp-lossy-alpha', CAST(64 AS BIGINT),
+            CAST(48 AS BIGINT), CAST(3072 AS BIGINT),
+            CAST(380928 AS BIGINT)))
+          AS t(media_id, format, width, height, n_units, value_sum)
+        ORDER BY media_id""")),
+
     // WILD-video interop census — the MP4 companion to q253: frames
     // don't decode (AVC/HEVC are out of codec scope) but the ISO-BMFF
     // CONTAINER walk (Mp4Census) yields the metadata a 100 TB crawl

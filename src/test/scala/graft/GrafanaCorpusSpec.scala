@@ -707,4 +707,186 @@ class GrafanaCorpusSpec extends SparkSpec {
       wipeFixtures()
     }
   }
+
+  /** Finder that can also EXCLUDE a mark — several open_nrw panels
+    * differ only by a `where` clause added to the same SELECT. */
+  private def entryWhereNot(dash: String, mark: String,
+      notMark: String): Entry =
+    corpus.find(e => e.dashboard == dash && e.sql.contains(mark) &&
+      !e.sql.contains(notMark))
+      .getOrElse(fail(s"no $dash panel has '$mark' without '$notMark'"))
+
+  test("gie + open_nrw panels produce hand-checked values over " +
+      "reference-shaped fixtures (geo joins, ST_AsGeoJSON, subquery " +
+      "dims, scalar-subquery snapshots)") {
+    TimeFuncs.register(spark)
+    graft.functions.GeoFuncs.register(spark)
+    wipeFixtures()
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    import spark.implicits._
+    try {
+      spark.sql("CREATE DATABASE IF NOT EXISTS gie")
+      spark.sql("CREATE DATABASE IF NOT EXISTS weather")
+
+      // ---- gie (FIXTURES.md B12): flattened 3-level AGSI/ALSI JSON.
+      // Every gie.* table shares the flattened column set; unused
+      // measures ride as zeros.
+      def gieRows(rows: Seq[(String, String, String, String, Double,
+          Double, Double, Double, Double, Double)], table: String): Unit =
+        rows.map { case (t, name, code, parent, gis, inj, wd, cons, so,
+            dtrs) =>
+          (ts(t), name, code, parent, gis, inj, wd, cons, so, dtrs)
+        }.toDF("gasdaystart", "name", "code", "parent", "gasinstorage",
+          "injection", "withdrawal", "consumption", "sendout", "dtrs")
+          .write.mode("overwrite").saveAsTable(table)
+
+      // ALSI country: two DE rows share the 1h bucket (avg), FR keeps
+      // its own series, an out-of-window row must vanish.
+      gieRows(Seq(
+        ("2024-01-05 00:00:00", "Germany", "DE", "", 0, 0, 0, 0, 100, 10),
+        ("2024-01-05 00:30:00", "Germany", "DE", "", 0, 0, 0, 0, 200, 30),
+        ("2024-01-05 00:15:00", "France", "FR", "", 0, 0, 0, 0, 50, 7),
+        ("2023-12-01 00:00:00", "Germany", "DE", "", 0, 0, 0, 0, 999, 999)),
+        "gie.gie_alsi_country")
+      val sendout = runPanel(entryWhere("gie", "avg(sendout)"))
+        .map(r => (r.getTimestamp(0), r.getDouble(1), r.getString(2)))
+        .sortBy(r => (r._1.getTime, r._3))
+      assert(sendout == Seq(
+        (ts("2024-01-05 00:00:00"), 150.0, "DE"),
+        (ts("2024-01-05 00:00:00"), 50.0, "FR")),
+        s"ALSI sendout panel: $sendout")
+
+      // AGSI country: injection AND withdrawal avg side by side.
+      gieRows(Seq(
+        ("2024-01-06 00:00:00", "Germany", "DE", "", 1000, 10, 5, 100, 0, 0),
+        ("2024-01-06 00:30:00", "Germany", "DE", "", 2000, 30, 15, 300, 0, 0),
+        ("2023-11-01 00:00:00", "Germany", "DE", "", 9999, 999, 999, 999,
+          0, 0)),
+        "gie.gie_agsi_country")
+      val injwd = runPanel(entryWhere("gie", "avg(injection)"))
+        .map(r => (r.getTimestamp(0), r.getDouble(1), r.getDouble(2),
+          r.getString(3)))
+      assert(injwd == Seq((ts("2024-01-06 00:00:00"), 20.0, 10.0, "DE")),
+        s"AGSI injection/withdrawal panel: $injwd")
+
+      // AGSI by-company: parent = '$country' (template → DE) filters
+      // the FR company out; two in-bucket rows average.
+      gieRows(Seq(
+        ("2024-01-07 00:00:00", "StorCo", "", "DE", 500, 0, 0, 0, 0, 0),
+        ("2024-01-07 00:40:00", "StorCo", "", "DE", 700, 0, 0, 0, 0, 0),
+        ("2024-01-07 00:10:00", "OtherCo", "", "FR", 999, 0, 0, 0, 0, 0)),
+        "gie.gie_agsi_company")
+      val byCompany = runPanel(entryWhere("gie", "FROM gie.gie_agsi_company"))
+        .map(r => (r.getTimestamp(0), r.getDouble(1), r.getString(2)))
+      assert(byCompany == Seq((ts("2024-01-07 00:00:00"), 600.0, "StorCo")),
+        s"AGSI by-company panel: $byCompany")
+
+      // ALSI by-location (gie.json's J7 subquery-dim join): the
+      // company subquery (DISTINCT parent,name WITHIN the window)
+      // keys location.parent by company NAME and filters by company
+      // PARENT = country. CompB is French (filtered), CompC's rows
+      // are out-of-window (its location must vanish even though the
+      // LOCATION rows are in-window).
+      gieRows(Seq(
+        ("2024-01-08 00:00:00", "CompA", "", "DE", 0, 0, 0, 0, 0, 0),
+        ("2024-01-08 00:00:00", "CompA", "", "DE", 0, 0, 0, 0, 0, 0),
+        ("2024-01-08 00:00:00", "CompB", "", "FR", 0, 0, 0, 0, 0, 0),
+        ("2023-06-01 00:00:00", "CompC", "", "DE", 0, 0, 0, 0, 0, 0)),
+        "gie.gie_alsi_company")
+      gieRows(Seq(
+        ("2024-01-08 00:00:00", "Loc1", "", "CompA", 0, 0, 0, 0, 0, 40),
+        ("2024-01-08 00:20:00", "Loc1", "", "CompA", 0, 0, 0, 0, 0, 60),
+        ("2024-01-08 00:00:00", "Loc2", "", "CompB", 0, 0, 0, 0, 0, 999),
+        ("2024-01-08 00:00:00", "Loc3", "", "CompC", 0, 0, 0, 0, 0, 777)),
+        "gie.gie_alsi_location")
+      val byLoc = runPanel(entryWhere("gie", "companies ON companies.name"))
+        .map(r => (r.getTimestamp(0), r.getDouble(1), r.getString(2)))
+      assert(byLoc == Seq((ts("2024-01-08 00:00:00"), 50.0, "Loc1")),
+        s"ALSI by-location panel: $byLoc")
+
+      // ---- open_nrw (FIXTURES.md B11): geo dims + PV/heat facts.
+      val gDE = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+      val gXX = "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"
+      Seq(("DE", gDE), ("XX", gXX)).toDF("nuts_id", "geometry")
+        .write.mode("overwrite").saveAsTable("nuts")
+      Seq(("DE", 10.0, 180.0, 30.0), ("DE", 30.0, 0.0, 45.0),
+        ("DE", 60.0, 90.0, 0.0), ("XX", 5.0, 120.0, 20.0))
+        .toDF("nuts_id", "power", "azimuth", "tilt")
+        .write.mode("overwrite").saveAsTable("solar")
+      Seq(("DE", 7.0), ("DE", 13.0), ("XX", 100.0))
+        .toDF("nuts_id", "demand")
+        .write.mode("overwrite").saveAsTable("heat")
+
+      val jDE = graft.functions.GeoFuncs.toGeoJson(gDE)
+      val jXX = graft.functions.GeoFuncs.toGeoJson(gXX)
+
+      // PV potential by NUTS3 (geo join + ST_AsGeoJSON + sum)
+      val pv = runPanel(entryWhereNot("open_nrw", "sum(power) as power",
+        "$NUTS3"))
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(pv == Seq(("DE", jDE, 100.0), ("XX", jXX, 5.0)),
+        s"PV potential panel: $pv")
+
+      // heat demand mirror
+      val heat = runPanel(entryWhereNot("open_nrw", "sum(demand) as demand",
+        "$NUTS3"))
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(heat == Seq(("DE", jDE, 20.0), ("XX", jXX, 100.0)),
+        s"heat demand panel: $heat")
+
+      // stat tiles: kWp→MWp scaling and system count for $NUTS3 → DE
+      val pot = runPanel(entryWhere("open_nrw", "Potential $NUTS3"))
+      assert(pot.size == 1 && pot.head.getString(0) == "DE" &&
+        pot.head.getDouble(1) == 0.1, s"potential stat: $pot")
+      val cnt = runPanel(entryWhere("open_nrw", "possible Systems"))
+      assert(cnt.size == 1 && cnt.head.getLong(1) == 3L,
+        s"system count stat: $cnt")
+
+      // histograms: positive-only / upper-bound filters, ordered
+      val az = runPanel(entryWhere("open_nrw", "azimuth > 0"))
+        .map(_.getDouble(0))
+      assert(az == Seq(90.0, 180.0), s"azimuth histogram: $az")
+      val tilt = runPanel(entryWhere("open_nrw", "tilt > 0"))
+        .map(_.getDouble(0))
+      assert(tilt == Seq(30.0, 45.0), s"tilt histogram: $tilt")
+      val pw = runPanel(entryWhere("open_nrw", "power < 50"))
+        .map(_.getDouble(0))
+      assert(pw == Seq(10.0, 30.0), s"power histogram: $pw")
+
+      // irradiation panels share one ecmwf_eu fixture: the Europe
+      // panel has NO time filter (averages ALL rows incl. the stale
+      // snapshot), while the map panel keeps only the LATEST
+      // IN-WINDOW snapshot via the scalar subquery over the OTHER
+      // table (weather.ecmwf) and scales J/m² → W/m².
+      val t1 = ts("2024-01-10 00:00:00"); val t2 = ts("2024-01-20 00:00:00")
+      Seq((t1, 0.0), (t2, 0.0), (ts("2024-03-05 00:00:00"), 0.0))
+        .toDF("time", "ghi")
+        .write.mode("overwrite").saveAsTable("weather.ecmwf")
+      Seq(
+        (t2, 7200.0, 6.0, 50.5, "DE"),
+        (t2, 3600.0, 6.0, 50.5, "DE"),
+        (t1, 99000.0, 6.0, 50.5, "DE"), // stale: map excludes, Europe keeps
+        (t2, 1800.0, 9.0, 52.0, "XX"))
+        .toDF("time", "ghi", "longitude", "latitude", "nuts_id")
+        .write.mode("overwrite").saveAsTable("weather.ecmwf_eu")
+
+      val eu = runPanel(entryWhere("open_nrw", "FROM weather.ecmwf_eu eu"))
+        .map(r => (r.getDouble(0), r.getString(1)))
+      assert(eu == Seq((1800.0, jXX), (36600.0, jDE)), // ORDER BY avg asc
+        s"Europe irradiation panel: $eu")
+
+      val map = runPanel(entryWhere("open_nrw", "SELECT MAX(\"time\")"))
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+          r.getString(3)))
+        .sortBy(_._1)
+      assert(map == Seq((0.5, 9.0, 52.0, "XX"), (1.5, 6.0, 50.5, "DE")),
+        s"irradiation map panel: $map")
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+      wipeFixtures()
+    }
+  }
 }

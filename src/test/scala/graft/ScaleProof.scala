@@ -1,0 +1,72 @@
+package graft
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scale proof (r14 verdict #5): run the five flagship
+  * pipeline composites at sf0.1 and at a 10x corpus
+  * (scripts/make_scale10.py -> /tmp/scale10) and report wall time,
+  * total shuffle read/write bytes and per-task peak execution memory.
+  * The 100 TB posture claims are plan-shape arguments; this measures
+  * whether wall-time stays ~linear and whether any stage's shuffle
+  * volume or memory bends quadratically when the fact tables grow 10x.
+  *
+  * `sbt "Test/runMain graft.ScaleProof <dir>"` — one PROOF line per
+  * query, machine-grepable; results tabulated in PLANS.md r14.
+  */
+object ScaleProof {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.graft.seal.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
+
+    val shufRead = new LongAdder
+    val shufWrite = new LongAdder
+    val peakMem = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shufRead.add(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.add(m.shuffleWriteMetrics.bytesWritten)
+          peakMem.accumulateAndGet(m.peakExecutionMemory, math.max)
+        }
+      }
+    })
+
+    val five = Seq("q69_corpus_filter_pipeline", "q200_corpus_pipeline_v2",
+      "q250_curation_pipeline", "q192_image_dedup_pipeline",
+      "q110_training_mix_pipeline")
+    // prime table file caches so the first query isn't charged IO warmup
+    Tables.all.foreach { n =>
+      Tables.load(spark, dir, n).write.format("noop").mode("overwrite").save()
+    }
+    for (q <- five) {
+      graft.operators.CacheOps.sweep(spark, blocking = true)
+      shufRead.reset(); shufWrite.reset(); peakMem.set(0)
+      val t0 = System.nanoTime()
+      val rows = {
+        val df = graft.queries.Registry.queries(q)(spark, dir)
+        val n = df.count() // count AND noop: rows prove the 10x bite
+        df.write.format("noop").mode("overwrite").save()
+        n
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(600) // let the async listener bus drain
+      println(f"PROOF $q rows=$rows sec=$sec%.2f " +
+        f"shuffle_read_mb=${shufRead.sum() / 1048576.0}%.1f " +
+        f"shuffle_write_mb=${shufWrite.sum() / 1048576.0}%.1f " +
+        f"peak_task_mem_mb=${peakMem.get() / 1048576.0}%.1f")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,190 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MediaCodecs, WebpCodec}
+
+/** WebpCodec vs the reference implementation.
+  *
+  * `webp_golden.json` records libwebp 1.2.4's own decode (RGBA CRC32 +
+  * channel sums) of each committed fixture: `wild_vp8x_alpha.webp` is
+  * CPython's test-corpus python.webp verbatim (a real-world VP8X file
+  * this repo did not produce — lossy VP8 pixels + VP8L-compressed
+  * alpha); the others are libwebp's own lossless/lossy encoder output
+  * over deterministic images (scripts/make_webp_fixtures.py). The
+  * driver-side independent spec transcription (scripts/webp_ref.py)
+  * is cross-checked against the same goldens at generation time, so
+  * Scala, Python and libwebp agree pixel-exact on every stream — the
+  * q295 two-transcription evidence standard.
+  */
+class WebpCodecSpec extends AnyFunSuite {
+
+  private def res(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/$name")
+    assert(in != null, s"missing $name fixture")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private lazy val golden: Map[String, com.fasterxml.jackson.databind.JsonNode] = {
+    val in = getClass.getResourceAsStream("/graft/webp_golden.json")
+    assert(in != null, "missing webp_golden.json")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(try in.readAllBytes() finally in.close())
+    (0 until root.size()).map { i =>
+      root.get(i).get("file").asText -> root.get(i)
+    }.toMap
+  }
+
+  private def rgbaOf(argb: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](argb.length * 4)
+    var i = 0
+    while (i < argb.length) {
+      out(i * 4) = ((argb(i) >>> 16) & 0xff).toByte
+      out(i * 4 + 1) = ((argb(i) >>> 8) & 0xff).toByte
+      out(i * 4 + 2) = (argb(i) & 0xff).toByte
+      out(i * 4 + 3) = ((argb(i) >>> 24) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def crc32(b: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(b)
+    c.getValue
+  }
+
+  test("VP8L lossless decode is pixel-exact vs libwebp (photo-class: " +
+      "predictor/color/subtract-green transforms, LZ77, color cache)") {
+    val g = golden("wild_lossless.webp")
+    val (w, h, argb) = WebpCodec.decodeArgb(res("wild_lossless.webp"))
+      .getOrElse(fail("VP8L payload refused"))
+    assert(w == g.get("width").asInt && h == g.get("height").asInt)
+    val rgba = rgbaOf(argb)
+    assert(crc32(rgba) == g.get("rgba_crc32").asLong,
+      "pixel buffer != libwebp's decode")
+    assert(rgba.indices.collect { case i if i % 4 == 0 => rgba(i) & 0xff }
+      .map(_.toLong).sum == g.get("sum_r").asLong)
+  }
+
+  test("VP8L color-indexing transform (13-color palette, 4-bit packed) " +
+      "is pixel-exact vs libwebp") {
+    val g = golden("wild_palette.webp")
+    val (w, h, argb) = WebpCodec.decodeArgb(res("wild_palette.webp"))
+      .getOrElse(fail("palette payload refused"))
+    assert(w == g.get("width").asInt && h == g.get("height").asInt)
+    assert(crc32(rgbaOf(argb)) == g.get("rgba_crc32").asLong)
+  }
+
+  test("the wild CPython VP8X fixture: census + EXACT VP8L alpha plane") {
+    val bytes = res("wild_vp8x_alpha.webp")
+    val g = golden("wild_vp8x_alpha.webp")
+    val c = WebpCodec.census(bytes).getOrElse(fail("census refused"))
+    assert(c.format == "lossy-alpha")
+    assert(c.width == 16 && c.height == 16)
+    assert(c.hasAlpha && !c.hasAnim)
+    assert(c.chunkTags == Seq("VP8X", "ALPH", "VP8 "))
+    assert(c.keyframe && c.vp8Version >= 0)
+    val (w, h, plane) = WebpCodec.alphaPlane(bytes)
+      .getOrElse(fail("ALPH refused"))
+    assert(w == 16 && h == 16)
+    assert(plane.map(_ & 0xff).map(_.toLong).sum == g.get("sum_a").asLong,
+      "alpha plane != libwebp's decode")
+    // lossy RGB stays out of scope: the pixel decoder must NOT claim it
+    assert(WebpCodec.decode(bytes).isEmpty)
+    assert(MediaCodecs.decodeImage(bytes).isEmpty)
+  }
+
+  test("lossy-alpha fixture: FILTERED alpha plane (vertical, method 2) " +
+      "unfilters to libwebp's exact plane") {
+    val bytes = res("wild_lossy_alpha.webp")
+    val g = golden("wild_lossy_alpha.webp")
+    // header byte of ALPH: compression=1 (lossless), filter=2
+    val alphOff = {
+      var off = 12; var found = -1
+      while (found < 0 && off + 8 <= bytes.length) {
+        if (new String(bytes, off, 4, "ISO-8859-1") == "ALPH") found = off + 8
+        else {
+          val sz = java.nio.ByteBuffer.wrap(bytes, off + 4, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+          off += 8 + sz + (sz & 1)
+        }
+      }
+      found
+    }
+    assert(((bytes(alphOff) & 0xff) & 3) == 1, "fixture not lossless-coded")
+    assert((((bytes(alphOff) & 0xff) >> 2) & 3) == 2, "fixture not filter=2")
+    val (w, h, plane) = WebpCodec.alphaPlane(bytes)
+      .getOrElse(fail("ALPH refused"))
+    assert(w == g.get("width").asInt && h == g.get("height").asInt)
+    assert(plane.map(_ & 0xff).map(_.toLong).sum == g.get("sum_a").asLong,
+      "unfiltered alpha != libwebp")
+  }
+
+  test("sniff claims RIFF....WEBP; decodeImage routes VP8L to pixels") {
+    val bytes = res("wild_lossless.webp")
+    assert(MediaCodecs.sniff(bytes).contains("webp"))
+    val Some(("webp", img)) = MediaCodecs.decodeImage(bytes)
+    val g = golden("wild_lossless.webp")
+    assert(img.width == g.get("width").asInt)
+    var sum = 0L
+    img.rgb.foreach(b => sum += (b & 0xff))
+    val expected = g.get("sum_r").asLong + g.get("sum_g").asLong +
+      g.get("sum_b").asLong
+    assert(sum == expected, "rgb sum != libwebp's decode")
+    // RIFF sub-formats must not shadow each other
+    assert(MediaCodecs.sniff(res("wild_stereo.wav")).contains("wav"))
+  }
+
+  test("hostile inputs refuse cleanly: truncation, dimension bomb, " +
+      "oversubscribed huffman, chunk overrun") {
+    val good = res("wild_lossless.webp")
+    // truncations at every prefix length must throw/None, never hang
+    for (n <- Seq(4, 12, 20, 30, good.length / 2)) {
+      val cut = java.util.Arrays.copyOf(good, n)
+      assert(MediaCodecs.decodeImage(cut).isEmpty, s"truncated at $n")
+    }
+    // VP8L header claiming 16383x16383 (268M pixels) over 30 bytes:
+    // the pixel cap must fire before any allocation
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write("RIFF".getBytes); bomb.write(Array[Byte](30, 0, 0, 0))
+    bomb.write("WEBP".getBytes); bomb.write("VP8L".getBytes)
+    bomb.write(Array[Byte](18, 0, 0, 0))
+    bomb.write(0x2f)
+    bomb.write(Array[Byte](-1, -1, -1, 0x0f)) // w-1 = h-1 = 0x3fff
+    bomb.write(new Array[Byte](13))
+    val t0 = System.nanoTime()
+    assert(MediaCodecs.decodeImage(bomb.toByteArray).isEmpty)
+    assert((System.nanoTime() - t0) / 1e9 < 2.0, "dimension bomb not capped")
+    // chunk size overrunning the file
+    val overrun = good.clone()
+    overrun(16) = -1; overrun(17) = -1 // VP8L chunk size becomes huge
+    assert(MediaCodecs.decodeImage(overrun).isEmpty)
+    assert(WebpCodec.census("RIFFxxxxWAVE....".getBytes).isEmpty)
+  }
+
+  test("decodeStats routes webp: VP8L to pixel stats, lossy to " +
+      "census-backed alpha stats") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      graft.operators.Multimodal.MediaRow(1L, "image",
+        res("wild_lossless.webp"), 0, 0),
+      graft.operators.Multimodal.MediaRow(2L, "image",
+        res("wild_vp8x_alpha.webp"), 0, 0)))
+    val rows = graft.operators.Multimodal.decodeStats(media)
+      .collect().sortBy(_.media_id)
+    val g1 = golden("wild_lossless.webp")
+    assert(rows(0).format == "webp")
+    assert(rows(0).dim1 == g1.get("width").asInt)
+    assert(rows(0).n_units == g1.get("width").asInt.toLong *
+      g1.get("height").asInt * 3)
+    val g2 = golden("wild_vp8x_alpha.webp")
+    assert(rows(1).format == "webp-lossy-alpha")
+    assert(rows(1).dim1 == 16 && rows(1).dim2 == 16)
+    assert(rows(1).n_units == 256L)
+    assert(math.round(rows(1).mean_value * 256) == g2.get("sum_a").asLong)
+  }
+}
