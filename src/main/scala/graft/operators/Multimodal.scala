@@ -517,6 +517,63 @@ object Multimodal {
     result
   }
 
+  /** Near-dup edge set sufficient for CONNECTED COMPONENTS — same
+    * components as [[dHashNearDup]]'s full pair list, linearly many
+    * edges. The full pair contract is inherently quadratic in
+    * duplication: m copies of one image are m(m-1)/2 pairs, and the
+    * r14 10× scale run measured exactly that (q192's shuffle grew 94×
+    * on 10× data — output growth, not wasted work). Clustering never
+    * needs the cliques: a STAR per hash group (each member → the
+    * group's min id) plus ONE representative edge per cross-hash
+    * candidate pair spans the identical components, so edges grow
+    * with the corpus, not with duplication². Use this for component
+    * building; use [[dHashNearDup]] when the pairs themselves are the
+    * deliverable (q185's pair listing). */
+  def dHashNearDupEdges(hashes: DataFrame, bands: Int,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming >= bands=$bands loses pigeonhole " +
+        "completeness")
+    val groups = hashes.select(col("media_id"), col("dhash"))
+      .groupBy("dhash")
+      .agg(sort_array(collect_list(col("media_id"))).as("ids"))
+      .persist()
+    // star: group min -> every other member (m-1 edges, not m(m-1)/2)
+    val starEdges = groups
+      .select(explode(expr(
+        "transform(slice(ids, 2, size(ids)), " +
+          "y -> struct(ids[0] AS media_a, y AS media_b))")).as("p"))
+      .select(col("p.media_a"), col("p.media_b"))
+    val d = groups.select(col("dhash"))
+      .withColumn("len", length(col("dhash")))
+    val bk = d.select(col("dhash"), col("len"),
+        explode(expr(s"transform(sequence(0, $bands - 1), b -> " +
+          s"struct(b AS band, substring(dhash, " +
+          s"b * (len div $bands) + 1, len div $bands) AS bkey))"))
+          .as("bk"))
+      .select(col("dhash"), col("len"), col("bk.band"), col("bk.bkey"))
+    // one representative edge per qualifying hash pair: group A's
+    // members all reach ids_a[0] via the star, so rep-to-rep connects
+    // everything the full |A|×|B| expansion would
+    val crossEdges = bk.as("a").join(bk.as("b"),
+        col("a.len") === col("b.len") && col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.dhash") < col("b.dhash"))
+      .select(col("a.dhash").as("da"), col("b.dhash").as("db"))
+      .distinct()
+      .withColumn("hamming",
+        graft.expressions.HammingDistance.hamming(col("da"), col("db")))
+      .filter(col("hamming") <= maxHamming)
+      .join(groups.select(col("dhash").as("da"),
+        expr("ids[0]").as("media_a")), Seq("da"))
+      .join(groups.select(col("dhash").as("db"),
+        expr("ids[0]").as("media_b")), Seq("db"))
+      .select(col("media_a"), col("media_b"))
+    val result = starEdges.unionByName(crossEdges).localCheckpoint()
+    groups.unpersist()
+    result
+  }
+
   final case class VideoHashRow(
       media_id: Long, format: String, n_frames: Long, thash: String)
 

@@ -488,6 +488,113 @@ object WebpCodec {
     (w, h, out)
   }
 
+  // ---- encoder ----------------------------------------------------------
+
+  /** LSB-first bit writer (the VP8L convention; mirror of BitReader). */
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var n = 0
+    def write(value: Int, nbits: Int): Unit = {
+      acc |= (value.toLong & ((1L << nbits) - 1)) << n
+      n += nbits
+      while (n >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; n -= 8 }
+    }
+    /** Huffman code bits are consumed MSB-first by the tree walk. */
+    def writeCode(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { write((code >> i) & 1, 1); i -= 1 }
+    }
+    def bytes(): Array[Byte] = {
+      if (n > 0) { out.write((acc & 0xff).toInt); acc = 0; n = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** Lossless "store-mode" WebP encoder: a conformant VP8L stream with
+    * flat complete prefix codes and no transforms — the sink analog of
+    * encodeBmp/encodePng (~25 bits/pixel: green literals ride a 9-bit
+    * code sharing the alphabet with an unused 1-bit length symbol,
+    * red/blue flat 8-bit codes, constant alpha and distance collapse
+    * to zero-bit single-symbol codes). Decodes bit-exactly in this
+    * repo's decoder, the independent Python transcription, AND libwebp
+    * (golden recorded by scripts/verify_webp_encode.py — same
+    * three-way evidence as the decoder). */
+  def encode(img: Image): Array[Byte] = {
+    require(img.width >= 1 && img.width <= 16384 &&
+      img.height >= 1 && img.height <= 16384,
+      s"webp dims ${img.width}x${img.height} outside VP8L's 14-bit range")
+    val bw = new BitWriter
+    bw.write(0x2f, 8)
+    bw.write(img.width - 1, 14)
+    bw.write(img.height - 1, 14)
+    bw.write(0, 1) // alpha unused
+    bw.write(0, 3) // version
+    bw.write(0, 1) // no transforms
+    bw.write(0, 1) // no color cache
+    bw.write(0, 1) // no meta huffman
+
+    // green+length code: literals 0..255 at length 9, symbol 256 at
+    // length 1 (never emitted; completes the kraft sum: 256/512 + 1/2).
+    // Canonical assignment: sym 256 -> code 0 (1 bit); literal g ->
+    // code 256+g (9 bits). Transmitted as code-length-coded lengths
+    // with the max_symbol shortcut stopping after entry 257.
+    bw.write(0, 1)      // not simple
+    bw.write(19 - 4, 4) // all 19 code-length-code entries
+    // CL lengths: {9 -> 1, 1 -> 2, 14 -> 3, 15 -> 3}, rest 0
+    val clLens = Array.fill(19)(0)
+    clLens(9) = 1; clLens(1) = 2; clLens(14) = 3; clLens(15) = 3
+    ClOrder.foreach(sym => bw.write(clLens(sym), 3))
+    bw.write(1, 1)      // use max_symbol
+    bw.write(3, 3)      // length_nbits = 2 + 2*3 = 8
+    bw.write(255, 8)    // max_symbol = 2 + 255 = 257 entries
+    // canonical CL codes: 9 -> 0 (1 bit); 1 -> 10 (2); 14 -> 110; 15 -> 111
+    var i = 0
+    while (i < 256) { bw.writeCode(0, 1); i += 1 } // literal lengths: 9
+    bw.writeCode(2, 2) // symbol 256: length 1
+
+    // red / blue: flat complete 8-bit codes (canonical code of s IS s)
+    def writeFlat256(): Unit = {
+      bw.write(0, 1)
+      bw.write(19 - 4, 4)
+      val cl = Array.fill(19)(0)
+      cl(8) = 1; cl(14) = 2; cl(15) = 2
+      ClOrder.foreach(sym => bw.write(cl(sym), 3))
+      bw.write(0, 1) // no max_symbol: exactly 256 entries follow
+      var k = 0
+      while (k < 256) { bw.writeCode(0, 1); k += 1 } // all length 8
+    }
+    writeFlat256() // red
+    writeFlat256() // blue
+    // alpha: single-symbol 255 (zero bits per pixel)
+    bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(255, 8)
+    // distance: single-symbol prefix code 0 (never consulted)
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+
+    var p = 0
+    val npix = img.width * img.height
+    while (p < npix) {
+      bw.writeCode(256 + (img.rgb(p * 3 + 1) & 0xff), 9) // green
+      bw.writeCode(img.rgb(p * 3) & 0xff, 8)             // red
+      bw.writeCode(img.rgb(p * 3 + 2) & 0xff, 8)         // blue
+      p += 1
+    }
+    val payload = bw.bytes()
+    val out = new java.io.ByteArrayOutputStream()
+    def u32le(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val chunkLen = payload.length + (payload.length & 1)
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(u32le(4 + 8 + chunkLen))
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write("VP8L".getBytes("US-ASCII"))
+    out.write(u32le(payload.length))
+    out.write(payload)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
   // ---- container walk ---------------------------------------------------
 
   def sniff(bytes: Array[Byte]): Boolean =
@@ -621,7 +728,7 @@ object WebpCodec {
     * dims implicit from VP8X) or raw, then the spec's
     * horizontal/vertical/gradient unfilter. None when the file has no
     * ALPH or the plane doesn't decode. */
-  def alphaPlane(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  def alphaPlane(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
     val c = census(bytes).getOrElse(return None)
     if (c.width <= 0 || c.height <= 0) return None
     chunks(bytes).find(_._1 == "ALPH").flatMap { case (_, o, len) =>
@@ -647,7 +754,11 @@ object WebpCodec {
         } else return None
       Some((w, h, unfilterAlpha(plane, w, h, filt)))
     }
-  }
+    // total, like census: decodeStats calls this on UNTRUSTED payloads
+    // directly — a hostile ALPH (corrupt VP8L stream, truncated plane)
+    // must degrade to the opaque stats route, never fail the
+    // corpus-wide query (the Mp3 decodeWild lesson, r14 ADVICE)
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Spec alpha filters (horizontal / vertical / gradient), inverse. */
   private def unfilterAlpha(plane: Array[Byte], w: Int, h: Int,

@@ -40,6 +40,90 @@ object CurateOps {
         .cast(DecimalType(28, 12)))
       .cast(DoubleType) / size(arr).cast(DoubleType)
 
+
+  /** Per-held-out-document Kneser-Ney bigram scoring (d = 0.75):
+    * (doc_id, n_bigrams, avg_ll) for the %10>=8 split under the model
+    * trained on %10<8 — ONE definition shared by q275 (the raw scores)
+    * and q313 (CCNet-style per-lang perplexity bucketing), so a
+    * smoothing tweak moves both queries and both oracles together.
+    * Scale shape unchanged from q275: three token-keyed hash
+    * aggregates for the model, three shuffled equi-joins to score. */
+  private def knDocScores(docs: DataFrame): DataFrame = {
+        val base = docs
+          .select(col("doc_id"), col("text"),
+            split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+        val bg = base
+          .select(col("doc_id"), col("ws"),
+            explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+          .select(col("doc_id"),
+            element_at(col("ws"), col("i")).as("w1"),
+            element_at(col("ws"), col("i") + 1).as("w2"))
+        val train = bg.filter(col("doc_id") % 10 < 8)
+        val cb = train.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        val cu = cb.groupBy("w1")
+          .agg(sum("cb").as("cu"), count(lit(1)).as("fw"))
+        val pc = cb.groupBy("w2").agg(count(lit(1)).as("pcnt"))
+        val bTot = cb.agg(count(lit(1)).as("btot"))
+        val test = bg.filter(col("doc_id") % 10 >= 8)
+        val d = lit(0.75)
+        val scored = test
+          .join(cb, Seq("w1", "w2"), "left")
+          .join(cu, Seq("w1"), "left")
+          .join(pc, Seq("w2"), "left")
+          .crossJoin(broadcast(bTot))
+          .withColumn("pcont",
+            coalesce(col("pcnt").cast(DoubleType), lit(0.0)) /
+              col("btot").cast(DoubleType))
+          .withColumn("pkn",
+            when(col("cu").isNotNull,
+              (greatest(coalesce(col("cb").cast(DoubleType), lit(0.0)) -
+                d, lit(0.0)) +
+                d * col("fw").cast(DoubleType) * col("pcont")) /
+                col("cu").cast(DoubleType))
+              .otherwise(col("pcont")))
+          .withColumn("p", greatest(col("pkn"), lit(1e-10)))
+        scored.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            (exactSum(lnq(col("p"))) /
+              count(lit(1)).cast(DoubleType)).as("avg_ll"))
+  }
+
+  /** SQL mirror of [[knDocScores]]: WITH-chain ending in a CTE
+    * `perdoc(doc_id, n_bigrams, avg_ll)` (callers append their own
+    * final SELECT, optionally with more CTEs first). */
+  private val KnPerDocSql: String = s"""WITH wn AS (SELECT doc_id, string_split(text, ' ') AS ws,
+            len(string_split(text, ' ')) AS n FROM documents),
+        bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+          FROM wn, UNNEST(range(1, n)) AS t(i) WHERE n >= 2),
+        cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+          FROM bg WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+        cu AS (SELECT w1, sum(cb) AS cu, CAST(count(*) AS BIGINT) AS fw
+          FROM cb GROUP BY 1),
+        pc AS (SELECT w2, CAST(count(*) AS BIGINT) AS pcnt
+          FROM cb GROUP BY 1),
+        bt AS (SELECT CAST(count(*) AS BIGINT) AS btot FROM cb),
+        sc AS (SELECT t.doc_id,
+            greatest(CASE WHEN cu.cu IS NOT NULL
+              THEN (greatest(COALESCE(CAST(cb.cb AS DOUBLE), 0.0)
+                  - 0.75, 0.0)
+                + 0.75 * CAST(cu.fw AS DOUBLE)
+                  * (COALESCE(CAST(pc.pcnt AS DOUBLE), 0.0)
+                    / CAST(bt.btot AS DOUBLE)))
+                / CAST(cu.cu AS DOUBLE)
+              ELSE COALESCE(CAST(pc.pcnt AS DOUBLE), 0.0)
+                / CAST(bt.btot AS DOUBLE) END, 1e-10) AS p
+          FROM bg t
+          LEFT JOIN cb ON cb.w1 = t.w1 AND cb.w2 = t.w2
+          LEFT JOIN cu ON cu.w1 = t.w1
+          LEFT JOIN pc ON pc.w2 = t.w2, bt
+          WHERE t.doc_id % 10 >= 8),
+        perdoc AS (SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_bigrams,
+          ${exactSumSql(lnqSql("p"))} / CAST(count(*) AS DOUBLE)
+            AS avg_ll
+        FROM sc GROUP BY doc_id)"""
+
   val qs: Seq[Q] = Seq(
 
     // Boilerplate-paragraph audit — the CCNet/RefinedWeb shared-line
@@ -420,77 +504,57 @@ object CurateOps {
     // equi-joins on those keys (bigram, context, continuation) — the
     // model never broadcasts whole and nothing is quadratic.
     Q("q275_kneser_ney",
+      (s, dir) => knDocScores(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(KnPerDocSql +
+        " SELECT doc_id, n_bigrams, avg_ll FROM perdoc ORDER BY doc_id")),
+
+    // CCNet-style perplexity bucketing — the canonical LM quality
+    // filter: score each held-out document under the KN bigram model
+    // trained on the %10<8 split (the q275 machinery, ONE shared
+    // definition), then cut each language into head / middle / tail
+    // thirds by model log-likelihood (ntile over (avg_ll DESC,
+    // doc_id) — the deterministic tiebreak both engines share). The
+    // census per (lang, bucket) carries doc and bigram mass plus the
+    // decimal-exact mean log-likelihood, so a wrong smoothing term, a
+    // drifted split, or an off-by-one ntile moves a pinned number.
+    // Scale shape: scoring is the audited three keyed joins; the
+    // bucketing is a |held-out docs|-row window per lang — never the
+    // corpus, never a global sort of raw text.
+    Q("q313_ccnet_buckets",
       (s, dir) => {
-        val base = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("text"),
-            split(col("text"), " ").as("ws"))
-          .filter(size(col("ws")) >= 2)
-        val bg = base
-          .select(col("doc_id"), col("ws"),
-            explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
-          .select(col("doc_id"),
-            element_at(col("ws"), col("i")).as("w1"),
-            element_at(col("ws"), col("i") + 1).as("w2"))
-        val train = bg.filter(col("doc_id") % 10 < 8)
-        val cb = train.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-        val cu = cb.groupBy("w1")
-          .agg(sum("cb").as("cu"), count(lit(1)).as("fw"))
-        val pc = cb.groupBy("w2").agg(count(lit(1)).as("pcnt"))
-        val bTot = cb.agg(count(lit(1)).as("btot"))
-        val test = bg.filter(col("doc_id") % 10 >= 8)
-        val d = lit(0.75)
-        val scored = test
-          .join(cb, Seq("w1", "w2"), "left")
-          .join(cu, Seq("w1"), "left")
-          .join(pc, Seq("w2"), "left")
-          .crossJoin(broadcast(bTot))
-          .withColumn("pcont",
-            coalesce(col("pcnt").cast(DoubleType), lit(0.0)) /
-              col("btot").cast(DoubleType))
-          .withColumn("pkn",
-            when(col("cu").isNotNull,
-              (greatest(coalesce(col("cb").cast(DoubleType), lit(0.0)) -
-                d, lit(0.0)) +
-                d * col("fw").cast(DoubleType) * col("pcont")) /
-                col("cu").cast(DoubleType))
-              .otherwise(col("pcont")))
-          .withColumn("p", greatest(col("pkn"), lit(1e-10)))
-        scored.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            (exactSum(lnq(col("p"))) /
-              count(lit(1)).cast(DoubleType)).as("avg_ll"))
-          .orderBy("doc_id")
+        val docs = Tables.load(s, dir, "documents")
+        val w = Window.partitionBy("lang")
+          .orderBy(col("avg_ll").desc, col("doc_id"))
+        knDocScores(docs)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .withColumn("t", ntile(3).over(w))
+          .withColumn("bucket",
+            when(col("t") === 1, "head")
+              .when(col("t") === 2, "middle").otherwise("tail"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bigrams")).cast(LongType).as("n_bigrams"),
+            (exactSum(col("avg_ll")) /
+              count(lit(1)).cast(DoubleType)).as("mean_ll"))
+          .orderBy("lang", "bucket")
       },
-      Some(s"""WITH wn AS (SELECT doc_id, string_split(text, ' ') AS ws,
-            len(string_split(text, ' ')) AS n FROM documents),
-        bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-          FROM wn, UNNEST(range(1, n)) AS t(i) WHERE n >= 2),
-        cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
-          FROM bg WHERE doc_id % 10 < 8 GROUP BY 1, 2),
-        cu AS (SELECT w1, sum(cb) AS cu, CAST(count(*) AS BIGINT) AS fw
-          FROM cb GROUP BY 1),
-        pc AS (SELECT w2, CAST(count(*) AS BIGINT) AS pcnt
-          FROM cb GROUP BY 1),
-        bt AS (SELECT CAST(count(*) AS BIGINT) AS btot FROM cb),
-        sc AS (SELECT t.doc_id,
-            greatest(CASE WHEN cu.cu IS NOT NULL
-              THEN (greatest(COALESCE(CAST(cb.cb AS DOUBLE), 0.0)
-                  - 0.75, 0.0)
-                + 0.75 * CAST(cu.fw AS DOUBLE)
-                  * (COALESCE(CAST(pc.pcnt AS DOUBLE), 0.0)
-                    / CAST(bt.btot AS DOUBLE)))
-                / CAST(cu.cu AS DOUBLE)
-              ELSE COALESCE(CAST(pc.pcnt AS DOUBLE), 0.0)
-                / CAST(bt.btot AS DOUBLE) END, 1e-10) AS p
-          FROM bg t
-          LEFT JOIN cb ON cb.w1 = t.w1 AND cb.w2 = t.w2
-          LEFT JOIN cu ON cu.w1 = t.w1
-          LEFT JOIN pc ON pc.w2 = t.w2, bt
-          WHERE t.doc_id % 10 >= 8)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-          ${exactSumSql(lnqSql("p"))} / CAST(count(*) AS DOUBLE)
-            AS avg_ll
-        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+      Some(KnPerDocSql + """,
+        wl AS (SELECT p.doc_id, p.n_bigrams, p.avg_ll, d.lang
+          FROM perdoc p JOIN documents d USING (doc_id)),
+        nt AS (SELECT lang, n_bigrams, avg_ll,
+            ntile(3) OVER (PARTITION BY lang
+              ORDER BY avg_ll DESC, doc_id) AS t
+          FROM wl)
+        SELECT lang,
+          CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+          """ + exactSumSql("avg_ll") + """ / CAST(count(*) AS DOUBLE)
+            AS mean_ll
+        FROM nt GROUP BY 1, 2 ORDER BY lang, bucket""")),
+
 
     // Bradley-Terry source rating from pairwise quality matches — the
     // arena-eval primitive. Matches pair consecutive doc ids; the

@@ -342,7 +342,12 @@ object MultimodalOps {
         // must come back as singleton clusters); without the persist
         // the corpus decodes twice
         val hashes = Multimodal.dHash(media).toDF().persist()
-        val pairs = Multimodal.dHashNearDup(hashes, bands = 4,
+        // edge variant, NOT the full pair list: components are the
+        // deliverable here, and the m² duplicate cliques the pair
+        // contract implies grew shuffle 94× on 10×-replicated data
+        // (PLANS.md r14 scale proof); stars + rep edges span the
+        // identical components with linear edge growth
+        val pairs = Multimodal.dHashNearDupEdges(hashes, bands = 4,
           maxHamming = 3)
         val cc = graft.operators.ConnectedComponents.components(
           pairs, "media_a", "media_b",

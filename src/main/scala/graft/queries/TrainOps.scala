@@ -764,6 +764,176 @@ object TrainOps {
         SELECT 'hrw', moved_hrw, n_total,
           CAST(moved_hrw AS DOUBLE) / CAST(n_total AS DOUBLE) FROM c
         ORDER BY scheme"""
-      })
+      }),
+
+    // SFT chat-transcript lint: instruction-tuning corpora arrive as
+    // role/content turn arrays, and the FIRST pipeline stage is format
+    // validation plus loss-mask accounting (how many tokens actually
+    // train, i.e. sit in assistant turns). Transcripts derive
+    // deterministically from documents (the packMedia convention) with
+    // controlled corruptions — a wrong role (doc_id%13), a broken
+    // user/assistant alternation (%7), an empty turn (%11), an odd
+    // turn count (%5) — then the Spark side round-trips through REAL
+    // JSON (to_json -> from_json) and computes everything from the
+    // PARSED array with codegen'd higher-order functions (aggregate /
+    // transform / element_at; no UDF, no shuffle before the final
+    // group). The violation is the FIRST in turn order (role checked
+    // before emptiness at the same index; parity last) — the oracle
+    // replays the same scan via argmin over an unnested turn table and
+    // parses ITS OWN json with DuckDB's extractor, so both engines
+    // prove a real parse, not a string compare.
+    Q("q311_chat_format_lint",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val withTurns = docs.select(col("doc_id"), col("source"),
+            split(trim(regexp_replace(regexp_replace(col("text"),
+              "[^A-Za-z0-9 ]+", ""), " +", " ")), " ").as("words"),
+            (lit(2) * (lit(1) + pmod(col("doc_id"), lit(2))) +
+              when(pmod(col("doc_id"), lit(5)) === 0, 1).otherwise(0))
+              .as("n"))
+          .withColumn("turns", expr(
+            """transform(sequence(0, int(n) - 1), i -> named_struct(
+               'role', CASE
+                 WHEN doc_id % 13 = 0 AND i = 0 THEN 'tool'
+                 WHEN doc_id % 7 = 0 AND i = 1 THEN 'user'
+                 WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
+               'content', CASE WHEN doc_id % 11 = 0 AND i = 1 THEN ''
+                 ELSE array_join(slice(words, i * 3 + 1, 3), ' ')
+                 END))"""))
+          .withColumn("js", to_json(col("turns")))
+        val parsed = withTurns.select(col("doc_id"), col("source"),
+          from_json(col("js"), org.apache.spark.sql.types.DataType
+            .fromDDL("array<struct<role:string,content:string>>"))
+            .as("p"))
+        val linted = parsed.select(col("source"),
+            size(col("p")).cast("long").as("n_turns"),
+            expr("""aggregate(sequence(0, size(p) - 1), '',
+              (acc, i) -> CASE WHEN acc <> '' THEN acc
+                WHEN element_at(p, i + 1).role <>
+                  (CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END)
+                  THEN 'role'
+                WHEN element_at(p, i + 1).content = '' THEN 'empty'
+                ELSE acc END)""").as("scan"),
+            expr("""aggregate(sequence(0, size(p) - 1), 0L,
+              (acc, i) -> acc + CASE
+                WHEN i % 2 = 1 AND element_at(p, i + 1).content <> ''
+                THEN size(split(element_at(p, i + 1).content, ' '))
+                ELSE 0 END)""").as("assistant_tokens"))
+          .withColumn("violation",
+            when(col("scan") =!= "", col("scan"))
+              .when(pmod(col("n_turns"), lit(2)) === 1, "parity")
+              .otherwise("ok"))
+        linted.groupBy(col("source"), col("violation"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("assistant_tokens")).cast("long")
+              .as("assistant_tokens"),
+            sum(col("n_turns")).cast("long").as("n_turns"))
+          .orderBy("source", "violation")
+      },
+      Some("""WITH w AS (SELECT doc_id, source,
+            string_split(trim(regexp_replace(regexp_replace(text,
+              '[^A-Za-z0-9 ]+', '', 'g'), ' +', ' ', 'g')), ' ')
+              AS words,
+            2 * (1 + doc_id % 2)
+              + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n
+          FROM documents),
+        turns AS (SELECT doc_id, source, n, i,
+            CASE WHEN doc_id % 13 = 0 AND i = 0 THEN 'tool'
+                 WHEN doc_id % 7 = 0 AND i = 1 THEN 'user'
+                 WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+            CASE WHEN doc_id % 11 = 0 AND i = 1 THEN ''
+                 -- out-of-range slices: duckdb's array_to_string
+                 -- returns NULL where spark's array_join returns ''
+                 ELSE coalesce(array_to_string(
+                   list_slice(words, CAST(i * 3 + 1 AS BIGINT),
+                     CAST(i * 3 + 3 AS BIGINT)), ' '), '') END
+              AS content
+          FROM w, UNNEST(range(0, CAST(n AS BIGINT))) AS t(i)),
+        j AS (SELECT doc_id, source, n,
+            '[' || string_agg('{"role":"' || role || '","content":"'
+              || content || '"}', ',' ORDER BY i) || ']' AS js
+          FROM turns GROUP BY 1, 2, 3),
+        parsed AS (SELECT doc_id, source, n, i,
+            json_extract_string(js, '$[' || i || '].role') AS role,
+            json_extract_string(js, '$[' || i || '].content') AS content
+          FROM j, UNNEST(range(0, CAST(n AS BIGINT))) AS t(i)),
+        perdoc AS (SELECT doc_id, source, n AS n_turns,
+            arg_min(CASE
+                WHEN role <> (CASE WHEN i % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END) THEN 'role'
+                WHEN content = '' THEN 'empty' END, i)
+              FILTER (WHERE role <> (CASE WHEN i % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END) OR content = '') AS scan,
+            CAST(sum(CASE WHEN i % 2 = 1 AND content <> ''
+              THEN len(string_split(content, ' ')) ELSE 0 END)
+              AS BIGINT) AS assistant_tokens
+          FROM parsed GROUP BY 1, 2, 3),
+        lint AS (SELECT source, n_turns, assistant_tokens,
+            CASE WHEN scan IS NOT NULL THEN scan
+                 WHEN n_turns % 2 = 1 THEN 'parity'
+                 ELSE 'ok' END AS violation
+          FROM perdoc)
+        SELECT source, violation,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(assistant_tokens) AS BIGINT) AS assistant_tokens,
+          CAST(sum(n_turns) AS BIGINT) AS n_turns
+        FROM lint GROUP BY 1, 2 ORDER BY source, violation""")),
+
+    // Fleiss' kappa over a 3-rater labeling derived deterministically
+    // from (doc_id, n_chars) — the agreement statistic every
+    // human-labeled curation set reports before its labels are trusted
+    // as training signal. The kappa is computed as ONE division of two
+    // EXACT integers — multiplying P-bar = (S - 3N) / 6N and
+    // P_e = C / 9N^2 through by 18N^2 gives
+    // kappa = (3N(S - 3N) - 2C) / (18N^2 - 2C) with S = Sigma n_ij^2
+    // and C = Sigma col_j^2 both exact BIGINT sums — so the double is
+    // bit-identical across engines with no float-summation-order risk
+    // (the ExactAgg lesson applied by construction rather than by
+    // decimal partials).
+    Q("q312_fleiss_kappa",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val long = docs.select(col("doc_id"), col("n_chars"))
+          .select(col("doc_id"),
+            explode(array(
+              pmod(col("doc_id") * 7 + col("n_chars"), lit(3)),
+              pmod(col("doc_id") * 13 + col("n_chars") * 5, lit(3)),
+              pmod(col("doc_id") * 29 + lit(11), lit(3)))).as("cat"))
+        val cell = long.groupBy("doc_id", "cat")
+          .agg(count(lit(1)).as("nij"))
+        val stats = cell.agg(
+          count_distinct(col("doc_id")).as("n_items"),
+          sum(col("nij") * col("nij")).cast("long").as("s_sum"))
+        val colSums = long.groupBy("cat")
+          .agg(count(lit(1)).as("cj"))
+          .agg(sum(col("cj") * col("cj")).cast("long").as("c_sum"))
+        stats.crossJoin(colSums) // 1 row x 1 row: control-plane join
+          .select(col("n_items"), col("s_sum"), col("c_sum"),
+            ((lit(3) * col("n_items") * (col("s_sum")
+                - lit(3) * col("n_items"))
+              - lit(2) * col("c_sum")).cast("double") /
+             (lit(18) * col("n_items") * col("n_items")
+              - lit(2) * col("c_sum")).cast("double")).as("kappa"))
+      },
+      Some("""WITH long AS (
+          SELECT doc_id, (doc_id * 7 + n_chars) % 3 AS cat
+            FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 13 + n_chars * 5) % 3 FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 29 + 11) % 3 FROM documents),
+        cell AS (SELECT doc_id, cat, count(*) AS nij
+          FROM long GROUP BY 1, 2),
+        stats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+              AS n_items,
+            CAST(sum(nij * nij) AS BIGINT) AS s_sum FROM cell),
+        cols AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS c_sum FROM
+          (SELECT cat, count(*) AS cj FROM long GROUP BY 1)),
+        k AS (SELECT n_items, s_sum, c_sum FROM stats, cols)
+        SELECT n_items, s_sum, c_sum,
+          CAST(3 * n_items * (s_sum - 3 * n_items) - 2 * c_sum
+            AS DOUBLE) /
+          CAST(18 * n_items * n_items - 2 * c_sum AS DOUBLE) AS kappa
+        FROM k"""))
   )
 }

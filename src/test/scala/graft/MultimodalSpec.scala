@@ -310,6 +310,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dHashNearDupEdges spans the SAME components as the full pair " +
+      "list, with linear (not quadratic) edges in duplication") {
+    import spark.implicits._
+    val base = "10110011" * 4
+    def flip(s: String, at: Seq[Int]): String =
+      s.zipWithIndex.map { case (c, i) =>
+        if (at.contains(i)) (if (c == '1') '0' else '1') else c
+      }.mkString
+    // 6 copies of one hash + a 1-bit neighbor + an isolated geometry:
+    // the full pair contract emits 15 same-hash pairs + 6 cross pairs;
+    // the edge variant emits 5 star edges + 1 rep edge
+    val hashes = ((0L to 5L).map(i => (i, base)) ++ Seq(
+      (6L, flip(base, Seq(3))), (7L, "1011"))).toDF("media_id", "dhash")
+    def comps(edges: org.apache.spark.sql.DataFrame) =
+      graft.operators.ConnectedComponents
+        .components(edges, "media_a", "media_b",
+          nodes = Some(hashes.select($"media_id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.operators.Multimodal
+      .dHashNearDup(hashes, bands = 4, maxHamming = 3)
+    val lean = graft.operators.Multimodal
+      .dHashNearDupEdges(hashes, bands = 4, maxHamming = 3)
+    assert(comps(full) == comps(lean),
+      "edge variant must cluster identically to the pair contract")
+    assert(full.count() == 21L, s"pair contract: ${full.count()}")
+    assert(lean.count() == 6L, s"edge variant: ${lean.count()}")
+    // node 7 (different geometry) stays a singleton either way
+    assert(comps(lean).toMap.apply(7L) == 7L)
+  }
+
   test("videoTemporalHash is invariant to re-encode quality and brightness") {
     import spark.implicits._
     def solid(c: Int) = graft.operators.MediaCodecs.Image(

@@ -181,6 +181,7 @@ class PropertySpec extends SparkSpec {
       "fLaC".getBytes("US-ASCII"),
       "RIFFxxxxWAVE".getBytes("US-ASCII"),
       "RIFFxxxxAVI ".getBytes("US-ASCII"),
+      "RIFFxxxxWEBP".getBytes("US-ASCII"),
       // ISO-BMFF: size(4) + 'ftyp' — routes into Mp4Census via sniff
       Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p'))
     forAllSampled(for {
@@ -206,6 +207,14 @@ class PropertySpec extends SparkSpec {
       { // the fragmented fixture: mutations drive the moof/trun paths
         val in = getClass.getResourceAsStream("/graft/muxed_dash.mp4")
         try in.readAllBytes() finally in.close()
+      },
+      { // VP8L lossless: mutations drive huffman/LZ77/transform guards
+        val in = getClass.getResourceAsStream("/graft/wild_lossless.webp")
+        try in.readAllBytes() finally in.close()
+      },
+      { // VP8X + lossless-coded ALPH: mutations drive census+alphaPlane
+        val in = getClass.getResourceAsStream("/graft/wild_vp8x_alpha.webp")
+        try in.readAllBytes() finally in.close()
       })
     forAllSampled(for {
       p <- Gen.oneOf(real)
@@ -227,6 +236,14 @@ class PropertySpec extends SparkSpec {
       graft.operators.Mp4Census.census(c).foreach { r =>
         assert(r.nBoxes >= 1 && r.boxes.forall(_.size >= 8L))
         assert(r.tracks.forall(t => t.timescale > 0))
+      }
+      graft.operators.WebpCodec.census(c).foreach { r =>
+        assert(r.width >= 0 && r.height >= 0 && r.chunkTags.nonEmpty)
+      }
+      // alphaPlane is TOTAL on untrusted bytes (decodeStats calls it
+      // raw); a surviving decode must still be a full plane
+      graft.operators.WebpCodec.alphaPlane(c).foreach { case (w, h, pl) =>
+        assert(pl.length == w * h)
       }
     }
   }

@@ -67,6 +67,29 @@ object ScaleProof {
         f"shuffle_write_mb=${shufWrite.sum() / 1048576.0}%.1f " +
         f"peak_task_mem_mb=${peakMem.get() / 1048576.0}%.1f")
     }
+
+    // q250's stage-1 bend isolated: inverted-index jaccard candidate
+    // pairs are Σ df² per shingle, so 10× near-replication grows them
+    // ~100×. maxDocFreq is the designed cap (drops shingles hotter
+    // than the cap from the pair universe — Dedup.scala:231); this
+    // measures the SAME stage with the cap off vs biting, proving the
+    // knob controls the quadratic term.
+    for ((label, cap) <- Seq(("ngram_pairs_uncapped", 1 << 20),
+        ("ngram_pairs_df_capped_100", 100))) {
+      graft.operators.CacheOps.sweep(spark, blocking = true)
+      shufRead.reset(); shufWrite.reset(); peakMem.set(0)
+      val t0 = System.nanoTime()
+      val docs = Tables.load(spark, dir, "documents")
+      val n = graft.operators.Dedup
+        .ngramJaccardPairs(docs, 3, minJaccard = 0.3, maxDocFreq = cap)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(600)
+      println(f"PROOF $label rows=$n sec=$sec%.2f " +
+        f"shuffle_read_mb=${shufRead.sum() / 1048576.0}%.1f " +
+        f"shuffle_write_mb=${shufWrite.sum() / 1048576.0}%.1f " +
+        f"peak_task_mem_mb=${peakMem.get() / 1048576.0}%.1f")
+    }
     spark.stop()
   }
 }

@@ -163,6 +163,31 @@ class WebpCodecSpec extends AnyFunSuite {
     assert(WebpCodec.census("RIFFxxxxWAVE....".getBytes).isEmpty)
   }
 
+  test("store-mode encoder: bit-exact vs the libwebp-verified golden, " +
+      "and round-trips through this decoder") {
+    // scripts/verify_webp_encode.py decoded EXACTLY these bytes with
+    // libwebp 1.2.4 AND the independent Python transcription and
+    // recorded the CRC — pinning the bytes here keeps the encoder
+    // deterministic and keeps that three-way evidence valid
+    val g = golden("scala_encode_sample")
+    val img = WebpEncodeEmit.sample
+    val enc = WebpCodec.encode(img)
+    assert(enc.length == g.get("bytes").asInt)
+    assert(crc32(enc) == g.get("encode_crc32").asLong,
+      "encoder bytes drifted — rerun scripts/verify_webp_encode.py " +
+        "to re-establish the libwebp evidence before accepting")
+    val Some(("webp", dec)) = MediaCodecs.decodeImage(enc)
+    assert(dec.width == img.width && dec.height == img.height)
+    assert(java.util.Arrays.equals(dec.rgb, img.rgb),
+      "encode->decode must be pixel-exact (store mode)")
+    // single-pixel and max-channel-value edges
+    for (px <- Seq(Array[Byte](0, 0, 0), Array[Byte](-1, -1, -1))) {
+      val one = WebpCodec.encode(MediaCodecs.Image(1, 1, px))
+      val Some(("webp", d1)) = MediaCodecs.decodeImage(one)
+      assert(java.util.Arrays.equals(d1.rgb, px))
+    }
+  }
+
   test("decodeStats routes webp: VP8L to pixel stats, lossy to " +
       "census-backed alpha stats") {
     val spark = org.apache.spark.sql.SparkSession.builder()
