@@ -951,7 +951,33 @@ object StreamQueries {
         }
         s.table("q309_sink").orderBy("doc_id")
       },
-      Some(TextOps.MojibakeOracle))
+      Some(TextOps.MojibakeOracle)),
+
+    // Chat-format lint at the ingest edge (the q309 convention): SFT
+    // transcripts should be linted BEFORE they land and fan out to
+    // packing/masking/mixing, and the per-doc lint is a pure stateless
+    // projection (real to_json/from_json + codegen'd HOFs, no
+    // aggregation, no state rows) — the q311 batch census and this
+    // twin share ONE definition (TrainOps.chatLintPerDoc), and the
+    // oracle replays the identical per-doc scan.
+    Q("q314_stream_chat_lint",
+      (s, dir) => {
+        val linted = TrainOps.chatLintPerDoc(documentsStream(s, dir))
+          .select(col("doc_id"), col("source"),
+            col("n_turns").cast("long").as("n_turns"),
+            col("violation"),
+            col("assistant_tokens").cast("long").as("assistant_tokens"))
+        s.catalog.dropTempView("q314_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(linted, "q314_sink",
+            OutputMode.Append())
+        }
+        s.table("q314_sink").orderBy("doc_id")
+      },
+      Some(TrainOps.ChatLintPerDocSql + """
+        SELECT doc_id, source, CAST(n_turns AS BIGINT) AS n_turns,
+          violation, assistant_tokens
+        FROM lint ORDER BY doc_id"""))
   )
 
   /** Embeddings landing zone (the documentsStream pattern): one

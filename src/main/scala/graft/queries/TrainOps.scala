@@ -115,6 +115,101 @@ object TrainOps {
             AS novelty
         FROM v GROUP BY 1 ORDER BY 1"""
 
+
+  /** Per-document chat-transcript lint — (doc_id, source, n_turns,
+    * scan, assistant_tokens, violation) via a REAL to_json/from_json
+    * round-trip and codegen'd higher-order functions. A pure stateless
+    * projection (no aggregation), so the SAME definition serves q311's
+    * batch census and the q314 streaming twin at the ingest edge. */
+  def chatLintPerDoc(docs: DataFrame): DataFrame = {
+        val docs0 = docs
+        val withTurns = docs0.select(col("doc_id"), col("source"),
+            split(trim(regexp_replace(regexp_replace(col("text"),
+              "[^A-Za-z0-9 ]+", ""), " +", " ")), " ").as("words"),
+            (lit(2) * (lit(1) + pmod(col("doc_id"), lit(2))) +
+              when(pmod(col("doc_id"), lit(5)) === 0, 1).otherwise(0))
+              .as("n"))
+          .withColumn("turns", expr(
+            """transform(sequence(0, int(n) - 1), i -> named_struct(
+               'role', CASE
+                 WHEN doc_id % 13 = 0 AND i = 0 THEN 'tool'
+                 WHEN doc_id % 7 = 0 AND i = 1 THEN 'user'
+                 WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
+               'content', CASE WHEN doc_id % 11 = 0 AND i = 1 THEN ''
+                 ELSE array_join(slice(words, i * 3 + 1, 3), ' ')
+                 END))"""))
+          .withColumn("js", to_json(col("turns")))
+        val parsed = withTurns.select(col("doc_id"), col("source"),
+          from_json(col("js"), org.apache.spark.sql.types.DataType
+            .fromDDL("array<struct<role:string,content:string>>"))
+            .as("p"))
+        val linted = parsed.select(col("doc_id"), col("source"),
+            size(col("p")).cast("long").as("n_turns"),
+            expr("""aggregate(sequence(0, size(p) - 1), '',
+              (acc, i) -> CASE WHEN acc <> '' THEN acc
+                WHEN element_at(p, i + 1).role <>
+                  (CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END)
+                  THEN 'role'
+                WHEN element_at(p, i + 1).content = '' THEN 'empty'
+                ELSE acc END)""").as("scan"),
+            expr("""aggregate(sequence(0, size(p) - 1), 0L,
+              (acc, i) -> acc + CASE
+                WHEN i % 2 = 1 AND element_at(p, i + 1).content <> ''
+                THEN size(split(element_at(p, i + 1).content, ' '))
+                ELSE 0 END)""").as("assistant_tokens"))
+          .withColumn("violation",
+            when(col("scan") =!= "", col("scan"))
+              .when(pmod(col("n_turns"), lit(2)) === 1, "parity")
+              .otherwise("ok"))
+        linted
+      }
+
+  /** SQL mirror: WITH-chain ending in CTE
+    * `lint(doc_id, source, n_turns, assistant_tokens, violation)`. */
+  val ChatLintPerDocSql: String = """WITH w AS (SELECT doc_id, source,
+            string_split(trim(regexp_replace(regexp_replace(text,
+              '[^A-Za-z0-9 ]+', '', 'g'), ' +', ' ', 'g')), ' ')
+              AS words,
+            2 * (1 + doc_id % 2)
+              + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n
+          FROM documents),
+        turns AS (SELECT doc_id, source, n, i,
+            CASE WHEN doc_id % 13 = 0 AND i = 0 THEN 'tool'
+                 WHEN doc_id % 7 = 0 AND i = 1 THEN 'user'
+                 WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+            CASE WHEN doc_id % 11 = 0 AND i = 1 THEN ''
+                 -- out-of-range slices: duckdb's array_to_string
+                 -- returns NULL where spark's array_join returns ''
+                 ELSE coalesce(array_to_string(
+                   list_slice(words, CAST(i * 3 + 1 AS BIGINT),
+                     CAST(i * 3 + 3 AS BIGINT)), ' '), '') END
+              AS content
+          FROM w, UNNEST(range(0, CAST(n AS BIGINT))) AS t(i)),
+        j AS (SELECT doc_id, source, n,
+            '[' || string_agg('{"role":"' || role || '","content":"'
+              || content || '"}', ',' ORDER BY i) || ']' AS js
+          FROM turns GROUP BY 1, 2, 3),
+        parsed AS (SELECT doc_id, source, n, i,
+            json_extract_string(js, '$[' || i || '].role') AS role,
+            json_extract_string(js, '$[' || i || '].content') AS content
+          FROM j, UNNEST(range(0, CAST(n AS BIGINT))) AS t(i)),
+        perdoc AS (SELECT doc_id, source, n AS n_turns,
+            arg_min(CASE
+                WHEN role <> (CASE WHEN i % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END) THEN 'role'
+                WHEN content = '' THEN 'empty' END, i)
+              FILTER (WHERE role <> (CASE WHEN i % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END) OR content = '') AS scan,
+            CAST(sum(CASE WHEN i % 2 = 1 AND content <> ''
+              THEN len(string_split(content, ' ')) ELSE 0 END)
+              AS BIGINT) AS assistant_tokens
+          FROM parsed GROUP BY 1, 2, 3),
+        lint AS (SELECT doc_id, source, n_turns, assistant_tokens,
+            CASE WHEN scan IS NOT NULL THEN scan
+                 WHEN n_turns % 2 = 1 THEN 'parity'
+                 ELSE 'ok' END AS violation
+          FROM perdoc)"""
+
   val qs: Seq[Q] = Seq(
 
     // Memorization / novelty audit (the public train-vs-held-out
@@ -783,101 +878,20 @@ object TrainOps {
     // parses ITS OWN json with DuckDB's extractor, so both engines
     // prove a real parse, not a string compare.
     Q("q311_chat_format_lint",
-      (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        val withTurns = docs.select(col("doc_id"), col("source"),
-            split(trim(regexp_replace(regexp_replace(col("text"),
-              "[^A-Za-z0-9 ]+", ""), " +", " ")), " ").as("words"),
-            (lit(2) * (lit(1) + pmod(col("doc_id"), lit(2))) +
-              when(pmod(col("doc_id"), lit(5)) === 0, 1).otherwise(0))
-              .as("n"))
-          .withColumn("turns", expr(
-            """transform(sequence(0, int(n) - 1), i -> named_struct(
-               'role', CASE
-                 WHEN doc_id % 13 = 0 AND i = 0 THEN 'tool'
-                 WHEN doc_id % 7 = 0 AND i = 1 THEN 'user'
-                 WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
-               'content', CASE WHEN doc_id % 11 = 0 AND i = 1 THEN ''
-                 ELSE array_join(slice(words, i * 3 + 1, 3), ' ')
-                 END))"""))
-          .withColumn("js", to_json(col("turns")))
-        val parsed = withTurns.select(col("doc_id"), col("source"),
-          from_json(col("js"), org.apache.spark.sql.types.DataType
-            .fromDDL("array<struct<role:string,content:string>>"))
-            .as("p"))
-        val linted = parsed.select(col("source"),
-            size(col("p")).cast("long").as("n_turns"),
-            expr("""aggregate(sequence(0, size(p) - 1), '',
-              (acc, i) -> CASE WHEN acc <> '' THEN acc
-                WHEN element_at(p, i + 1).role <>
-                  (CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END)
-                  THEN 'role'
-                WHEN element_at(p, i + 1).content = '' THEN 'empty'
-                ELSE acc END)""").as("scan"),
-            expr("""aggregate(sequence(0, size(p) - 1), 0L,
-              (acc, i) -> acc + CASE
-                WHEN i % 2 = 1 AND element_at(p, i + 1).content <> ''
-                THEN size(split(element_at(p, i + 1).content, ' '))
-                ELSE 0 END)""").as("assistant_tokens"))
-          .withColumn("violation",
-            when(col("scan") =!= "", col("scan"))
-              .when(pmod(col("n_turns"), lit(2)) === 1, "parity")
-              .otherwise("ok"))
-        linted.groupBy(col("source"), col("violation"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("assistant_tokens")).cast("long")
-              .as("assistant_tokens"),
-            sum(col("n_turns")).cast("long").as("n_turns"))
-          .orderBy("source", "violation")
-      },
-      Some("""WITH w AS (SELECT doc_id, source,
-            string_split(trim(regexp_replace(regexp_replace(text,
-              '[^A-Za-z0-9 ]+', '', 'g'), ' +', ' ', 'g')), ' ')
-              AS words,
-            2 * (1 + doc_id % 2)
-              + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n
-          FROM documents),
-        turns AS (SELECT doc_id, source, n, i,
-            CASE WHEN doc_id % 13 = 0 AND i = 0 THEN 'tool'
-                 WHEN doc_id % 7 = 0 AND i = 1 THEN 'user'
-                 WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
-            CASE WHEN doc_id % 11 = 0 AND i = 1 THEN ''
-                 -- out-of-range slices: duckdb's array_to_string
-                 -- returns NULL where spark's array_join returns ''
-                 ELSE coalesce(array_to_string(
-                   list_slice(words, CAST(i * 3 + 1 AS BIGINT),
-                     CAST(i * 3 + 3 AS BIGINT)), ' '), '') END
-              AS content
-          FROM w, UNNEST(range(0, CAST(n AS BIGINT))) AS t(i)),
-        j AS (SELECT doc_id, source, n,
-            '[' || string_agg('{"role":"' || role || '","content":"'
-              || content || '"}', ',' ORDER BY i) || ']' AS js
-          FROM turns GROUP BY 1, 2, 3),
-        parsed AS (SELECT doc_id, source, n, i,
-            json_extract_string(js, '$[' || i || '].role') AS role,
-            json_extract_string(js, '$[' || i || '].content') AS content
-          FROM j, UNNEST(range(0, CAST(n AS BIGINT))) AS t(i)),
-        perdoc AS (SELECT doc_id, source, n AS n_turns,
-            arg_min(CASE
-                WHEN role <> (CASE WHEN i % 2 = 0 THEN 'user'
-                  ELSE 'assistant' END) THEN 'role'
-                WHEN content = '' THEN 'empty' END, i)
-              FILTER (WHERE role <> (CASE WHEN i % 2 = 0 THEN 'user'
-                  ELSE 'assistant' END) OR content = '') AS scan,
-            CAST(sum(CASE WHEN i % 2 = 1 AND content <> ''
-              THEN len(string_split(content, ' ')) ELSE 0 END)
-              AS BIGINT) AS assistant_tokens
-          FROM parsed GROUP BY 1, 2, 3),
-        lint AS (SELECT source, n_turns, assistant_tokens,
-            CASE WHEN scan IS NOT NULL THEN scan
-                 WHEN n_turns % 2 = 1 THEN 'parity'
-                 ELSE 'ok' END AS violation
-          FROM perdoc)
+      (s, dir) => chatLintPerDoc(Tables.load(s, dir, "documents"))
+        .groupBy(col("source"), col("violation"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("assistant_tokens")).cast(LongType)
+            .as("assistant_tokens"),
+          sum(col("n_turns")).cast(LongType).as("n_turns"))
+        .orderBy("source", "violation"),
+      Some(ChatLintPerDocSql + """
         SELECT source, violation,
           CAST(count(*) AS BIGINT) AS n_docs,
           CAST(sum(assistant_tokens) AS BIGINT) AS assistant_tokens,
           CAST(sum(n_turns) AS BIGINT) AS n_turns
         FROM lint GROUP BY 1, 2 ORDER BY source, violation""")),
+
 
     // Fleiss' kappa over a 3-rater labeling derived deterministically
     // from (doc_id, n_chars) — the agreement statistic every

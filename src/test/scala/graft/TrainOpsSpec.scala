@@ -271,4 +271,32 @@ class TrainOpsSpec extends SparkSpec {
       .select("query_id", "cand_id", "rank").collect().toSet
     assert(full == again)
   }
+
+  test("q314 streaming chat lint equals the q311 batch census when " +
+      "re-aggregated (shared per-doc definition, proven end-to-end)") {
+    val stream = queries.Registry.queries("q314_stream_chat_lint")(
+      spark, sf)
+    val reagg = stream.groupBy("source", "violation")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("assistant_tokens")).cast("long").as("assistant_tokens"),
+        sum(col("n_turns")).cast("long").as("n_turns"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = queries.Registry.queries("q311_chat_format_lint")(
+      spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(reagg == batch,
+      s"twin diverged: only-batch=${(batch -- reagg).take(3)} " +
+        s"only-stream=${(reagg -- batch).take(3)}")
+    // semantic ranges the hash oracle can't see: every violation class
+    // the corruption plan plants must actually occur, and 'ok' docs
+    // must carry trainable (assistant) tokens
+    val viols = batch.map(_._2)
+    assert(Set("ok", "role", "empty", "parity").subsetOf(viols),
+      s"planted violation classes missing: $viols")
+    assert(batch.filter(_._2 == "ok").forall(_._4 > 0L),
+      "an ok transcript with zero assistant tokens is a lint gap")
+  }
 }
