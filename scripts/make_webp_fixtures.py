@@ -109,6 +109,31 @@ def palette_image(w=48, h=32):
     return px, w, h
 
 
+def gray_image(w=120, h=80):
+    """r==g strongly correlated -> libwebp picks SUBTRACT_GREEN
+    (probed), the one transform the other fixtures don't hit."""
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (x * 7 + y * 13) % 256
+            px += bytes((v, v, (v + 3) % 256, 255))
+    return px, w, h
+
+
+def meta_image(w=200, h=150):
+    """Smooth sine-mix photo at this size drives libwebp into META
+    HUFFMAN blocks (2 entropy groups, probed) + a color cache —
+    the spatially-varying-entropy path the smaller photo misses."""
+    import math
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            r = int(127 + 120 * math.sin(x / 17) + ((x * y) % 7)) % 256
+            g = int(127 + 120 * math.sin(y / 23) + ((x + y) % 5)) % 256
+            px += bytes((r, g, (r + g) // 2, 255))
+    return px, w, h
+
+
 def alpha_image(w=64, h=48):
     # (x²+y²) mod 256 drives libwebp's alpha-filter heuristic to pick
     # the VERTICAL filter (probed), so the committed fixture exercises
@@ -144,6 +169,10 @@ def main():
     fixtures["wild_lossless.webp"] = encode_lossless(px, w, h)
     ppx, pw, ph = palette_image()
     fixtures["wild_palette.webp"] = encode_lossless(ppx, pw, ph)
+    gpx, gw, gh = gray_image()
+    fixtures["wild_gray_sg.webp"] = encode_lossless(gpx, gw, gh)
+    mpx, mw, mh = meta_image()
+    fixtures["wild_meta.webp"] = encode_lossless(mpx, mw, mh)
     apx, aw, ah = alpha_image()
     fixtures["wild_lossy_alpha.webp"] = encode_lossy(apx, aw, ah)
 
@@ -154,6 +183,10 @@ def main():
         g = golden_entry(name, data)
         chunks = [t for t, _ in webp_ref.walk(data)]
         g["chunks"] = chunks
+        if "VP8L" in chunks:  # feature coverage, from the spec decoder
+            webp_ref.TRACE.clear()
+            webp_ref.decode(data)
+            g["features"] = list(webp_ref.TRACE)
         goldens.append(g)
         print(f"{name}: {g['width']}x{g['height']} {g['bytes']}B "
               f"chunks={chunks}")

@@ -151,6 +151,9 @@ def subsample(size, bits):
     return (size + (1 << bits) - 1) >> bits
 
 
+TRACE = []  # feature trace of the last decode (debugging/coverage aid)
+
+
 def decode_image_stream(br, w, h, level0):
     """Returns (argb list of w*h ints, transforms list) — transforms are
     returned unapplied only at level0 (sub-images have none)."""
@@ -163,6 +166,8 @@ def decode_image_stream(br, w, h, level0):
             if t in seen:
                 raise ValueError("duplicate transform")
             seen.add(t)
+            TRACE.append(['predictor', 'color', 'subtract_green',
+                          'color_index'][t])
             if t == 0 or t == 1:  # predictor / color
                 bits = br.read(3) + 2
                 sub = decode_image_stream(
@@ -190,6 +195,7 @@ def decode_image_stream(br, w, h, level0):
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("bad color cache size")
+        TRACE.append(f"color_cache({cache_bits})")
     cache = [0] * (1 << cache_bits) if cache_bits else None
 
     meta = None
@@ -201,6 +207,7 @@ def decode_image_stream(br, w, h, level0):
             br, subsample(xsize, meta_bits), subsample(h, meta_bits),
             False)[0]
         n_groups = max(((p >> 8) & 0xFFFF) for p in meta) + 1
+        TRACE.append(f"meta_huffman({n_groups})")
 
     green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
     groups = [[read_code(br, green_alpha), read_code(br, 256),

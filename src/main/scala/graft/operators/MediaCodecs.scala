@@ -143,6 +143,16 @@ object MediaCodecs {
   def decodeVideo(bytes: Array[Byte]): Option[(String, VideoCodec.Video)] =
     sniff(bytes).flatMap {
       case "avi" => tryDecode(("avi", VideoCodec.decode(bytes)))
+      case "webp" => // animated WebP whose frames are all full-canvas
+        // non-blending VP8L: each frame IS a canvas state (the
+        // compositing-free class); anything else routes to the census
+        tryDecode(WebpCodec.decodeAnimation(bytes)).flatten.map {
+          case (c, frames) =>
+            val fps = math.max(1, math.round(frames.size * 1000.0 /
+              math.max(1L, c.totalDurationMs)).toInt)
+            ("webp", VideoCodec.Video(fps, c.canvasWidth, c.canvasHeight,
+              frames))
+        }
       case _ => None
     }
 

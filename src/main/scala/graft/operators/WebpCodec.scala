@@ -723,6 +723,98 @@ object WebpCodec {
     }
   }
 
+  // ---- animation (ANIM/ANMF) --------------------------------------------
+
+  final case class AnimFrame(
+    x: Int, y: Int, width: Int, height: Int, durationMs: Int,
+    noBlend: Boolean, disposeBg: Boolean, codec: String,
+    payloadBytes: Int)
+
+  final case class AnimCensus(
+    canvasWidth: Int, canvasHeight: Int, loopCount: Int, bgColor: Long,
+    totalDurationMs: Long, frames: Seq[AnimFrame])
+
+  /** Frame-level census of an animated WebP (VP8X ANIM flag + ANIM +
+    * ANMF chain): loop count, background color, per-frame placement /
+    * timing / blend-dispose flags / codec. None when the file is not a
+    * clean animation. */
+  def animCensus(bytes: Array[Byte]): Option[AnimCensus] = try {
+    if (!sniff(bytes)) return None
+    val cs = chunks(bytes)
+    val vp8x = cs.find(_._1 == "VP8X").getOrElse(return None)
+    if ((bytes(vp8x._2) & 0x02) == 0) return None // ANIM flag
+    val canvasW = u24le(bytes, vp8x._2 + 4) + 1
+    val canvasH = u24le(bytes, vp8x._2 + 7) + 1
+    val anim = cs.find(_._1 == "ANIM").getOrElse(return None)
+    require(anim._3 >= 6, "short ANIM")
+    val bg = u32le(bytes, anim._2)
+    val loops = (bytes(anim._2 + 4) & 0xff) |
+      ((bytes(anim._2 + 5) & 0xff) << 8)
+    val frames = cs.filter(_._1 == "ANMF").map { case (_, o, len) =>
+      require(len >= 16 + 8, "short ANMF")
+      val flags = bytes(o + 15) & 0xff
+      // first sub-chunk carrying the frame's image data (skip ALPH)
+      var so = o + 16
+      var codec = "?"
+      var payload = 0
+      var found = false
+      while (!found && so + 8 <= o + len) {
+        val tag = new String(bytes, so, 4, "ISO-8859-1")
+        val sz = u32le(bytes, so + 4)
+        require(sz >= 0 && so + 8 + sz <= o + len, "ANMF subchunk overrun")
+        if (tag == "VP8L" || tag == "VP8 ") {
+          codec = tag.trim; payload = sz.toInt; found = true
+        } else so += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      AnimFrame(u24le(bytes, o) * 2, u24le(bytes, o + 3) * 2,
+        u24le(bytes, o + 6) + 1, u24le(bytes, o + 9) + 1,
+        u24le(bytes, o + 12), (flags & 0x02) != 0, (flags & 0x01) != 0,
+        codec, payload)
+    }
+    if (frames.isEmpty) return None
+    Some(AnimCensus(canvasW, canvasH, loops, bg,
+      frames.map(_.durationMs.toLong).sum, frames))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode an animation's frames to pixels — claimed ONLY when every
+    * frame is a FULL-CANVAS, non-blending VP8L frame (each frame then
+    * IS a canvas state; sub-canvas placement or blending would need
+    * compositing, and lossy VP8 frames don't decode — both route to
+    * the census). The video analog of the MJPEG-in-AVI boundary. */
+  def decodeAnimation(
+      bytes: Array[Byte]): Option[(AnimCensus, Vector[Image])] = try {
+    val c = animCensus(bytes).getOrElse(return None)
+    val full = c.frames.forall(f => f.codec == "VP8L" && f.x == 0 &&
+      f.y == 0 && f.width == c.canvasWidth && f.height == c.canvasHeight &&
+      f.noBlend)
+    if (!full) return None
+    val frames = Vector.newBuilder[Image]
+    chunks(bytes).filter(_._1 == "ANMF").foreach { case (_, o, len) =>
+      var so = o + 16
+      var done = false
+      while (!done && so + 8 <= o + len) {
+        val tag = new String(bytes, so, 4, "ISO-8859-1")
+        val sz = u32le(bytes, so + 4).toInt
+        if (tag == "VP8L") {
+          val (w, h, argb) = decodeVp8l(
+            java.util.Arrays.copyOfRange(bytes, so + 8, so + 8 + sz), None)
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            rgb(i * 3) = ((argb(i) >>> 16) & 0xff).toByte
+            rgb(i * 3 + 1) = ((argb(i) >>> 8) & 0xff).toByte
+            rgb(i * 3 + 2) = (argb(i) & 0xff).toByte
+            i += 1
+          }
+          frames += Image(w, h, rgb)
+          done = true
+        } else so += 8 + sz + (sz & 1)
+      }
+    }
+    val out = frames.result()
+    if (out.size == c.frames.size) Some((c, out)) else None
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** ALPH alpha-plane decode for lossy-with-alpha files: lossless
     * method (a headerless VP8L stream whose GREEN channel is alpha,
     * dims implicit from VP8X) or raw, then the spec's

@@ -608,7 +608,15 @@ object CurateOps {
         val players = nAll.groupBy("i")
           .agg(sum("wij").as("wins"), sum("n").as("matches"))
           .localCheckpoint()
+        // each MM round consumes p TWICE (the pi and pj joins), so an
+        // UNcheckpointed p doubles the plan per round — 2^5 copies of
+        // round 1 by the end (157 planned exchanges, a 363-node
+        // duplicated subtree in the r14 PlanAudit; exchange reuse hid
+        // it at runtime but a reuse-miss would execute all 32).
+        // Checkpointing the |sources|-row iterate per round keeps every
+        // round's plan a join of tiny materialized leaves.
         var p = players.select(col("i"), lit(1.0).as("p"))
+        val rounds = scala.collection.mutable.Buffer.empty[DataFrame]
         for (_ <- 1 to 5) {
           val den = nAll
             .join(p.select(col("i"), col("p").as("pi")), Seq("i"))
@@ -621,6 +629,8 @@ object CurateOps {
             .select(col("i"),
               (col("wins").cast(DoubleType) / col("den"))
                 .cast(DecimalType(18, 6)).cast(DoubleType).as("p"))
+            .localCheckpoint()
+          rounds += p
         }
         val res = players.join(p, Seq("i"))
           .select(col("i").as("source"), col("matches"),
@@ -629,6 +639,7 @@ object CurateOps {
         graft.operators.CacheOps.sealThen(res) {
           graft.operators.CacheOps.releaseCheckpoint(nAll)
           graft.operators.CacheOps.releaseCheckpoint(players)
+          rounds.foreach(graft.operators.CacheOps.releaseCheckpoint)
         }
       },
       Some {

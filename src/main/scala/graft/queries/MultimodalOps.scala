@@ -1281,7 +1281,11 @@ object MultimodalOps {
         import s.implicits._
         val names = Seq((1L, "wild_lossless.webp"),
           (2L, "wild_palette.webp"), (3L, "wild_vp8x_alpha.webp"),
-          (4L, "wild_lossy_alpha.webp"))
+          (4L, "wild_lossy_alpha.webp"),
+          // the two fixtures probed to exercise the remaining VP8L
+          // features: SUBTRACT_GREEN, and META-HUFFMAN blocks (2
+          // entropy groups) + color cache on a 200x150 photo
+          (5L, "wild_gray_sg.webp"), (6L, "wild_meta.webp"))
         val media = s.createDataset(names).mapPartitions { rows =>
           rows.map { case (id, name) =>
             val in = getClass.getResourceAsStream(s"/graft/$name")
@@ -1310,9 +1314,72 @@ object MultimodalOps {
             CAST(38971 AS BIGINT)),
           (CAST(4 AS BIGINT), 'webp-lossy-alpha', CAST(64 AS BIGINT),
             CAST(48 AS BIGINT), CAST(3072 AS BIGINT),
-            CAST(380928 AS BIGINT)))
+            CAST(380928 AS BIGINT)),
+          (CAST(5 AS BIGINT), 'webp', CAST(120 AS BIGINT),
+            CAST(80 AS BIGINT), CAST(28800 AS BIGINT),
+            CAST(3668864 AS BIGINT)),
+          (CAST(6 AS BIGINT), 'webp', CAST(200 AS BIGINT),
+            CAST(150 AS BIGINT), CAST(90000 AS BIGINT),
+            CAST(11748830 AS BIGINT)))
           AS t(media_id, format, width, height, n_units, value_sum)
         ORDER BY media_id""")),
+
+    // Animated-WebP frame census + decode (the ANIM/ANMF layer the
+    // still-image q310 boundary left at flags-only): wild_anim.webp is
+    // a VP8X+ANIM+ANMF container written by an INDEPENDENT spec
+    // muxer (scripts/make_webp_anim_fixture.py, the q295 convention)
+    // whose FRAME payloads are real libwebp encoder output; every
+    // frame is full-canvas non-blending VP8L, the compositing-free
+    // class the video decode route claims. One row per frame pins
+    // placement, timing, flags, payload size AND the decoded pixel
+    // sum (libwebp-verified at fixture build) next to the canvas /
+    // loop-count / total-duration census. Decode runs in
+    // mapPartitions; frame payloads never shuffle.
+    Q("q315_webp_anim",
+      (s, dir) => {
+        import s.implicits._
+        s.range(1).as[Long].mapPartitions(_.flatMap { _ =>
+          val in = getClass.getResourceAsStream("/graft/wild_anim.webp")
+          val bytes = try in.readAllBytes() finally in.close()
+          val (c, frames) = graft.operators.WebpCodec
+            .decodeAnimation(bytes)
+            .getOrElse(sys.error("anim fixture refused"))
+          c.frames.zip(frames).zipWithIndex.iterator.map {
+            case ((f, img), i) =>
+              var sum = 0L
+              img.rgb.foreach(b => sum += (b & 0xff))
+              (i.toLong, f.durationMs.toLong, f.payloadBytes.toLong,
+                sum, f.width.toLong, f.height.toLong,
+                c.canvasWidth.toLong, c.canvasHeight.toLong,
+                c.loopCount.toLong, c.totalDurationMs,
+                c.frames.size.toLong)
+          }
+        }).toDF("frame_idx", "duration_ms", "payload_bytes", "sum_rgb",
+          "width", "height", "canvas_w", "canvas_h", "loop_count",
+          "total_duration_ms", "n_frames")
+          .orderBy("frame_idx")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), CAST(100 AS BIGINT), CAST(42 AS BIGINT),
+            CAST(104832 AS BIGINT), CAST(24 AS BIGINT),
+            CAST(16 AS BIGINT), CAST(24 AS BIGINT), CAST(16 AS BIGINT),
+            CAST(3 AS BIGINT), CAST(700 AS BIGINT), CAST(4 AS BIGINT)),
+          (CAST(1 AS BIGINT), CAST(200 AS BIGINT), CAST(48 AS BIGINT),
+            CAST(137216 AS BIGINT), CAST(24 AS BIGINT),
+            CAST(16 AS BIGINT), CAST(24 AS BIGINT), CAST(16 AS BIGINT),
+            CAST(3 AS BIGINT), CAST(700 AS BIGINT), CAST(4 AS BIGINT)),
+          (CAST(2 AS BIGINT), CAST(150 AS BIGINT), CAST(50 AS BIGINT),
+            CAST(179840 AS BIGINT), CAST(24 AS BIGINT),
+            CAST(16 AS BIGINT), CAST(24 AS BIGINT), CAST(16 AS BIGINT),
+            CAST(3 AS BIGINT), CAST(700 AS BIGINT), CAST(4 AS BIGINT)),
+          (CAST(3 AS BIGINT), CAST(250 AS BIGINT), CAST(49 AS BIGINT),
+            CAST(124160 AS BIGINT), CAST(24 AS BIGINT),
+            CAST(16 AS BIGINT), CAST(24 AS BIGINT), CAST(16 AS BIGINT),
+            CAST(3 AS BIGINT), CAST(700 AS BIGINT), CAST(4 AS BIGINT)))
+          AS t(frame_idx, duration_ms, payload_bytes, sum_rgb, width,
+            height, canvas_w, canvas_h, loop_count, total_duration_ms,
+            n_frames)
+        ORDER BY frame_idx""")),
 
     // WILD-video interop census — the MP4 companion to q253: frames
     // don't decode (AVC/HEVC are out of codec scope) but the ISO-BMFF

@@ -87,7 +87,11 @@ object ExplainAudit {
       "q300_matryoshka_eval", "q301_rendezvous_shards",
       // q302 is a streaming twin (see the q258 note above)
       "q303_audio_vad", "q304_reach_sketch", "q305_pq_recall", "q306_cell_conductance",
-      "q307_cidr_enrich", "q308_fmp4_census")
+      "q307_cidr_enrich", "q308_fmp4_census",
+      // round 14 — q312's one BNLJ is the documented 1-row×1-row
+      // control-plane crossJoin; q314 is a streaming twin (q258 note)
+      "q310_webp_wild_decode", "q311_chat_format_lint",
+      "q312_fleiss_kappa", "q313_ccnet_buckets")
     for (q <- qs) {
       // tree-walk audit (PlanAudit): the old text grep printed a cached
       // subtree's plan at every scan site, inflating counts (q306's one

@@ -215,6 +215,10 @@ class PropertySpec extends SparkSpec {
       { // VP8X + lossless-coded ALPH: mutations drive census+alphaPlane
         val in = getClass.getResourceAsStream("/graft/wild_vp8x_alpha.webp")
         try in.readAllBytes() finally in.close()
+      },
+      { // animated WebP: mutations drive the ANMF walk + frame decode
+        val in = getClass.getResourceAsStream("/graft/wild_anim.webp")
+        try in.readAllBytes() finally in.close()
       })
     forAllSampled(for {
       p <- Gen.oneOf(real)
@@ -244,6 +248,10 @@ class PropertySpec extends SparkSpec {
       // raw); a surviving decode must still be a full plane
       graft.operators.WebpCodec.alphaPlane(c).foreach { case (w, h, pl) =>
         assert(pl.length == w * h)
+      }
+      graft.operators.WebpCodec.animCensus(c).foreach { r =>
+        assert(r.frames.nonEmpty && r.frames.forall(f =>
+          f.width >= 1 && f.height >= 1 && f.durationMs >= 0))
       }
     }
   }
