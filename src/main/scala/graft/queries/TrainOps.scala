@@ -948,6 +948,64 @@ object TrainOps {
           CAST(3 * n_items * (s_sum - 3 * n_items) - 2 * c_sum
             AS DOUBLE) /
           CAST(18 * n_items * n_items - 2 * c_sum AS DOUBLE) AS kappa
+        FROM k""")),
+
+    // Krippendorff's alpha over the SAME 3-rater labeling as q312 —
+    // the other agreement statistic label audits report, deliberately
+    // on identical data so the two are directly comparable (they
+    // differ only in expected-disagreement normalization: alpha uses
+    // T(T-1) sampling WITHOUT replacement where Fleiss squares margin
+    // proportions). Same exactness discipline: for nominal data with
+    // m = 3 raters, D_o = (9N - S) / 6N and D_e = (9N² - C) / 3N(3N-1)
+    // reduce alpha = 1 - D_o/D_e to ONE division of exact BIGINTs,
+    // alpha = (2(9N² - C) - (9N - S)(3N - 1)) / (2(9N² - C)) with
+    // S = Σ n_uc², C = Σ col_c² — bit-identical across engines by
+    // construction.
+    Q("q316_krippendorff_alpha",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val long = docs.select(col("doc_id"), col("n_chars"))
+          .select(col("doc_id"),
+            explode(array(
+              pmod(col("doc_id") * 7 + col("n_chars"), lit(3)),
+              pmod(col("doc_id") * 13 + col("n_chars") * 5, lit(3)),
+              pmod(col("doc_id") * 29 + lit(11), lit(3)))).as("cat"))
+        val cell = long.groupBy("doc_id", "cat")
+          .agg(count(lit(1)).as("nij"))
+        val stats = cell.agg(
+          count_distinct(col("doc_id")).as("n_items"),
+          sum(col("nij") * col("nij")).cast(LongType).as("s_sum"))
+        val colSums = long.groupBy("cat")
+          .agg(count(lit(1)).as("cj"))
+          .agg(sum(col("cj") * col("cj")).cast(LongType).as("c_sum"))
+        stats.crossJoin(colSums) // 1 row x 1 row: control-plane join
+          .select(col("n_items"), col("s_sum"), col("c_sum"),
+            ((lit(2) * (lit(9) * col("n_items") * col("n_items")
+                - col("c_sum"))
+              - (lit(9) * col("n_items") - col("s_sum"))
+                * (lit(3) * col("n_items") - lit(1))).cast("double") /
+             (lit(2) * (lit(9) * col("n_items") * col("n_items")
+                - col("c_sum"))).cast("double")).as("alpha"))
+      },
+      Some("""WITH long AS (
+          SELECT doc_id, (doc_id * 7 + n_chars) % 3 AS cat
+            FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 13 + n_chars * 5) % 3 FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 29 + 11) % 3 FROM documents),
+        cell AS (SELECT doc_id, cat, count(*) AS nij
+          FROM long GROUP BY 1, 2),
+        stats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+              AS n_items,
+            CAST(sum(nij * nij) AS BIGINT) AS s_sum FROM cell),
+        cols AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS c_sum FROM
+          (SELECT cat, count(*) AS cj FROM long GROUP BY 1)),
+        k AS (SELECT n_items, s_sum, c_sum FROM stats, cols)
+        SELECT n_items, s_sum, c_sum,
+          CAST(2 * (9 * n_items * n_items - c_sum)
+              - (9 * n_items - s_sum) * (3 * n_items - 1) AS DOUBLE) /
+          CAST(2 * (9 * n_items * n_items - c_sum) AS DOUBLE) AS alpha
         FROM k"""))
   )
 }
