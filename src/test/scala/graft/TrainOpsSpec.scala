@@ -299,4 +299,66 @@ class TrainOpsSpec extends SparkSpec {
     assert(batch.filter(_._2 == "ok").forall(_._4 > 0L),
       "an ok transcript with zero assistant tokens is a lint gap")
   }
+
+  test("q312/q316 closed forms equal the TEXTBOOK formulas recomputed " +
+      "imperatively (theory check the hash oracle cannot provide)") {
+    // the queries compute kappa/alpha as one division of exact
+    // integers derived by algebra; both engines agreeing proves
+    // nothing if the ALGEBRA is wrong. Recompute from the textbook
+    // definitions (P_i mean / P_e for Fleiss; D_o / D_e for
+    // Krippendorff) over the same deterministic rater assignment.
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ratings = docs.map { case (id, nc) =>
+      Seq(((id * 7 + nc) % 3).toInt, ((id * 13 + nc * 5) % 3).toInt,
+        ((id * 29 + 11) % 3).toInt)
+    }
+    val n = ratings.length
+    val counts = ratings.map(r => (0 to 2).map(c => r.count(_ == c)))
+    // Fleiss: P_i = (sum n_ic^2 - m) / (m(m-1)), m = 3
+    val pBar = counts.map(cs =>
+      (cs.map(x => x * x).sum - 3).toDouble / 6.0).sum / n
+    val colTot = (0 to 2).map(c => counts.map(_(c)).sum)
+    val pE = colTot.map(t => math.pow(t.toDouble / (3.0 * n), 2)).sum
+    val kappaText = (pBar - pE) / (1.0 - pE)
+    val kappaQ = queries.Registry.queries("q312_fleiss_kappa")(spark, sf)
+      .collect().head.getAs[Double]("kappa")
+    assert(math.abs(kappaQ - kappaText) < 1e-9,
+      s"fleiss algebra drifted: query $kappaQ vs textbook $kappaText")
+
+    // Krippendorff (nominal, complete): D_o over units, D_e over the
+    // pooled values without replacement
+    val dO = counts.map(cs => cs.map(x => x * (3 - x)).sum.toDouble /
+      (3.0 * 2.0)).sum / n
+    val t = 3.0 * n
+    val dE = colTot.map(c => c.toDouble * (t - c)).sum / (t * (t - 1.0))
+    val alphaText = 1.0 - dO / dE
+    val alphaQ = queries.Registry
+      .queries("q316_krippendorff_alpha")(spark, sf)
+      .collect().head.getAs[Double]("alpha")
+    assert(math.abs(alphaQ - alphaText) < 1e-9,
+      s"alpha algebra drifted: query $alphaQ vs textbook $alphaText")
+    // the two statistics must bracket sanely on identical data
+    assert(alphaQ > -1.0 && alphaQ < 1.0 && kappaQ > -1.0 && kappaQ < 1.0)
+  }
+
+  test("q313 ntile buckets: per-lang thirds differ by <= 1 doc and " +
+      "mean log-likelihood is monotone head >= middle >= tail") {
+    val rows = queries.Registry.queries("q313_ccnet_buckets")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getAs[Double]("mean_ll")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      val byBucket = bs.map(b => b._2 -> b).toMap
+      val sizes = bs.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang ntile sizes: $sizes")
+      for (Seq(a, b) <- Seq("head", "middle", "tail").sliding(2)
+          if byBucket.contains(a) && byBucket.contains(b)) {
+        assert(byBucket(a)._4 >= byBucket(b)._4,
+          s"$lang: mean_ll($a) < mean_ll($b)")
+      }
+    }
+  }
 }
