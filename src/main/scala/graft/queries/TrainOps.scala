@@ -1006,6 +1006,72 @@ object TrainOps {
           CAST(2 * (9 * n_items * n_items - c_sum)
               - (9 * n_items - s_sum) * (3 * n_items - 1) AS DOUBLE) /
           CAST(2 * (9 * n_items * n_items - c_sum) AS DOUBLE) AS alpha
-        FROM k"""))
+        FROM k""")),
+
+    // Padding-waste census — the batching decision every training run
+    // makes: with per-sequence padding, how much of each batch is pad
+    // tokens under (a) a power-of-two length-bucket grid (16..2048,
+    // wide enough to spread ANY corpus) vs (b) flat padding to the
+    // 2048 context? One codegen'd scan computes token
+    // lengths (whitespace tokens, clipped at the context), assigns the
+    // smallest covering bucket, and two hash aggregates produce the
+    // per-bucket and flat census; waste is ONE division of exact
+    // BIGINT masses, so the doubles are bit-identical across engines.
+    // Scale shape: a |buckets|-row reduction — 100 TB of text never
+    // shuffles anything but the 5-row census.
+    Q("q317_padding_waste",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = least(size(split(col("text"), " ")).cast(LongType),
+          lit(2048L))
+        val bucket = when(toks <= 16, 16L).when(toks <= 32, 32L)
+          .when(toks <= 64, 64L).when(toks <= 128, 128L)
+          .when(toks <= 256, 256L).when(toks <= 512, 512L)
+          .when(toks <= 1024, 1024L).otherwise(2048L)
+        val base = docs.select(toks.as("toks"), bucket.as("bucket"))
+        val bucketed = base.groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).cast(LongType).as("token_sum"))
+          .select(lit("bucketed").as("scenario"), col("bucket"),
+            col("n_docs"),
+            col("token_sum"),
+            (col("bucket") * col("n_docs")).cast(LongType)
+              .as("padded_sum"))
+        val flat = base.agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).cast(LongType).as("token_sum"))
+          .select(lit("flat2048").as("scenario"), lit(2048L).as("bucket"),
+            col("n_docs"), col("token_sum"),
+            (lit(2048L) * col("n_docs")).cast(LongType).as("padded_sum"))
+        bucketed.unionByName(flat)
+          .withColumn("waste",
+            (col("padded_sum") - col("token_sum")).cast("double") /
+              col("padded_sum").cast("double"))
+          .orderBy("scenario", "bucket")
+      },
+      Some("""WITH t AS (SELECT least(CAST(len(string_split(text, ' '))
+              AS BIGINT), 2048) AS toks
+          FROM documents),
+        b AS (SELECT toks, CASE WHEN toks <= 16 THEN 16
+            WHEN toks <= 32 THEN 32 WHEN toks <= 64 THEN 64
+            WHEN toks <= 128 THEN 128 WHEN toks <= 256 THEN 256
+            WHEN toks <= 512 THEN 512 WHEN toks <= 1024 THEN 1024
+            ELSE 2048 END AS bucket
+          FROM t),
+        bucketed AS (SELECT 'bucketed' AS scenario, bucket,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(toks) AS BIGINT) AS token_sum,
+            CAST(bucket * count(*) AS BIGINT) AS padded_sum
+          FROM b GROUP BY bucket),
+        flat AS (SELECT 'flat2048' AS scenario, CAST(2048 AS BIGINT)
+              AS bucket,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(toks) AS BIGINT) AS token_sum,
+            CAST(2048 * count(*) AS BIGINT) AS padded_sum
+          FROM b)
+        SELECT scenario, bucket, n_docs, token_sum, padded_sum,
+          CAST(padded_sum - token_sum AS DOUBLE)
+            / CAST(padded_sum AS DOUBLE) AS waste
+        FROM (SELECT * FROM bucketed UNION ALL SELECT * FROM flat)
+        ORDER BY scenario, bucket"""))
   )
 }

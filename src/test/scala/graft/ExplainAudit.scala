@@ -91,7 +91,8 @@ object ExplainAudit {
       // round 14 — q312's one BNLJ is the documented 1-row×1-row
       // control-plane crossJoin; q314 is a streaming twin (q258 note)
       "q310_webp_wild_decode", "q311_chat_format_lint",
-      "q312_fleiss_kappa", "q313_ccnet_buckets")
+      "q312_fleiss_kappa", "q313_ccnet_buckets",
+      "q316_krippendorff_alpha", "q317_padding_waste")
     for (q <- qs) {
       // tree-walk audit (PlanAudit): the old text grep printed a cached
       // subtree's plan at every scan site, inflating counts (q306's one
