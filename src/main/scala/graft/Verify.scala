@@ -18,6 +18,10 @@ object Verify {
       // opt in to result-sealing: the ~300-query dump is the long-lived
       // session CacheOps' hygiene targets (library default is lazy)
       .config("spark.graft.seal.enabled", "true")
+      // hold the whole suite's generated classes (default 100 entries
+      // evicts-and-recompiles constantly across 300+ queries — see
+      // Bench.scala for the measured r14 q203 regression this caused)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)

@@ -59,6 +59,24 @@ object CacheOps {
     if (!sealingEnabled(result.sparkSession)) result
     else {
       val out = result.localCheckpoint(true)
+      // Footprint telemetry (r14 verdict #8): the q203 hunt would have
+      // pointed straight at its suspect if every seal reported what it
+      // pinned. A >512 MB seal is worth a line — either the result
+      // really is that big (fine, but now it's on record) or an
+      // operator sealed something it should have aggregated first.
+      val sc = result.sparkSession.sparkContext
+      val ckptIds = out.queryExecution.analyzed.collect {
+        case lr: LogicalRDD => lr.rdd.id
+      }.toSet
+      val pinned = sc.getRDDStorageInfo
+        .filter(i => ckptIds(i.id)).map(i => i.memSize + i.diskSize).sum
+      if (pinned > 512L * 1024 * 1024)
+        System.err.println(s"[cacheops] seal pinned ${pinned / 1048576} MB " +
+          s"(rdds ${ckptIds.mkString(",")}) at " +
+          Thread.currentThread.getStackTrace
+            .drop(2).find(e => !e.getClassName.startsWith("graft.operators.CacheOps"))
+            .map(e => s"${e.getClassName}.${e.getMethodName}")
+            .getOrElse("?"))
       release
       out
     }

@@ -164,13 +164,20 @@ object Dedup {
       .select(col("doc_id") +: col("bk.band") +: col("bk.bkey") +:
         (0 until numHashes).map(i => col(s"mh$i")): _*)
     // bucket-width prune rides the join's own (band, bkey)
-    // partitioning; both self-join sides stay the identical subplan
-    // (exchange reuse)
+    // partitioning. The band frame is PERSISTED: the self-join's two
+    // sides are the identical subplan, but AQE compiles each side into
+    // its own query stage (measured r15: the signature groupBy ran
+    // TWICE, ~2×1 s warm / 2×20 s JIT-cold at sf0.1) — exchange reuse
+    // across AQE stages is not a contract to lean on; a persisted
+    // 5-column frame of |docs|×bands rows is. Released by the sealed
+    // result below (lazy library sessions release at the caller's
+    // sweep — same contract as [[jaccardPrefixFiltered]]'s shingles).
     val bk = capWidth(bkAll, maxBucketWidth, "minhash", "band", "bkey")
+      .persist()
     val agree = (0 until numHashes).map(i =>
       when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
-    bk.as("a")
+    val pairs = bk.as("a")
       .join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -178,6 +185,7 @@ object Dedup {
         (agree.cast(DoubleType) / lit(numHashes.toDouble)).as("est"))
       .groupBy("doc_a", "doc_b")
       .agg(max(col("est")).as("est_jaccard"))
+    CacheOps.sealAndRelease(pairs, bk)
   }
 
   /** Asymmetric LSH — the DAILY-INGEST dedup path: candidates only
@@ -282,6 +290,60 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Size-dispatched near-duplicate pairs — the routing layer that
+    * keeps the exact inverted-index pass from ever running at corpus
+    * scale (the [[Similarity.annTopK]] / `SpatialJoin.nearestJoin`
+    * discipline): at or below `exactThreshold` documents,
+    * [[ngramJaccardPairs]] — exact, Σ df² bounded by the small corpus;
+    * above it, MinHash-LSH candidate generation followed by an exact
+    * Jaccard verify on the candidates only, so the output contract is
+    * unchanged (pairs with TRUE jaccard ≥ `minJaccard`) and the only
+    * approximation is LSH recall on the candidate set. The r14
+    * ScaleProof measured the exact pass's shuffle growing 50× at 10×
+    * data (pair volume is quadratic in replication) while the LSH
+    * family stays linear — this seam makes the documented "at 100 TB
+    * the LSH family is the first pass" dispatch real instead of a
+    * PLANS.md promise.
+    *
+    * Differences above the threshold, both inherent to the scale path:
+    * recall < 1 for pairs whose band signatures never collide (8
+    * hashes / 4 bands ⇒ ~97% at J=0.5, lower near the threshold), and
+    * `maxDocFreq` does not apply (hot-shingle skew is bounded by
+    * `maxBucketWidth` on the band buckets instead, so the verified
+    * jaccard is over the FULL shingle universe, not the capped one). */
+  def nearDupPairsAuto(docs: DataFrame, k: Int, minJaccard: Double,
+      maxDocFreq: Int = Int.MaxValue,
+      numHashes: Int = 8, bands: Int = 4,
+      maxBucketWidth: Int = 1 << 20,
+      exactThreshold: Long = 20000L): DataFrame =
+    if (docs.count() <= exactThreshold)
+      ngramJaccardPairs(docs, k, minJaccard, maxDocFreq)
+    else {
+      // hashed shingle ids: the minhash family is equally valid over
+      // the 64-bit ids, the verify arrays intersect longs instead of
+      // strings, and the shuffle halves (the ngramJaccardPairs trick)
+      val sh = shingleSets(docs, k)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+        .persist()
+      val cand = minHashLshOnShingles(sh, numHashes, bands,
+        maxBucketWidth).select("doc_a", "doc_b")
+      val docArrs = sh.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("shingle"))).as("arr"),
+          count(lit(1)).as("n"))
+      val verified = cand
+        .join(docArrs.select(col("doc_id").as("doc_a"),
+          col("arr").as("arr_a"), col("n").as("na")), Seq("doc_a"))
+        .join(docArrs.select(col("doc_id").as("doc_b"),
+          col("arr").as("arr_b"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("inter",
+          size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+        .withColumn("jaccard", col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType))
+        .filter(col("jaccard") >= minJaccard)
+        .select("doc_a", "doc_b", "jaccard")
+      CacheOps.sealAndRelease(verified, sh)
+    }
 
   /** Shingle containment (|A∩B| / min(|A|,|B|)) for every pair sharing
     * ≥1 shingle, kept when ≥ `minContainment` — the ASYMMETRIC near-dup
@@ -467,7 +529,14 @@ object Dedup {
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("shingle"))
     sh.join(freq, "shingle")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      // the doc-size count deliberately shares byRarity's ORDER (with
+      // an explicit unbounded frame, so it still sees the whole
+      // partition): same (partition, order) spec → Spark evaluates
+      // both windows in ONE WindowExec over ONE sort, instead of two
+      // window operators with two sorts of the joined frame
+      .withColumn("n", count(lit(1)).over(
+        byRarity.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
       .withColumn("rk", row_number().over(byRarity))
       // prefix length L = n - ceil(t·n) + 1, in pure integer
       // arithmetic (`div`, not `/` — Column./ is double division)
@@ -513,6 +582,12 @@ object Dedup {
     * the caller, and the returned frame is LAZY. */
   def jaccardPrefixFilteredOnShingles(sh: DataFrame,
       tNum: Int, tDen: Int): DataFrame = {
+    // The prefix frame feeds BOTH sides of the candidate self-join;
+    // without a persist each side re-executes the whole
+    // freq-join+window subtree (AQE plans the two sides as separate
+    // query stages — measured r15 at sf0.1: the 260k-row join and the
+    // 27k-row frequency aggregate each ran twice). Persist it;
+    // released once the verified pairs are sealed.
     // Verification carries each doc's FULL sorted shingle array to the
     // candidate pair and intersects ARRAYS map-side — candidates join
     // the |docs|-row array table twice (cheap keyed joins), instead of
@@ -523,7 +598,7 @@ object Dedup {
     val docArrs = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("shingle"))).as("arr"),
         count(lit(1)).as("n"))
-    val pref = prefixShingles(sh, tNum, tDen)
+    val pref = prefixShingles(sh, tNum, tDen).persist()
     // Two further lossless PPJoin prunings ride the collision join,
     // BEFORE the distinct and the array-verify joins:
     //  - length filter: J ≥ t forces t·max(na,nb) ≤ min(na,nb);
@@ -556,7 +631,7 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (col("na") + col("nb") - col("inter")).cast(DoubleType))
       .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
-    verified
+    CacheOps.sealAndRelease(verified, pref)
   }
 
   /** Per-document derivative-content score: the share of a doc's word

@@ -269,8 +269,20 @@ object Mp4Census {
       // MaxBoxes truns) on a small hostile fragment — the one shape
       // that escaped the bomb-guard contract on this untrusted path.
       if (perSample == 0) {
+        // the multiplied fast-path needs the same hostile-input bound
+        // as the uniform-stsz guard: an honest byte total is bounded
+        // by the file itself, and ~16 maximal 16-byte truns would
+        // otherwise overflow the Long accumulator (r14 ADVICE)
+        if (trexDefaultSize != 0L && count != 0L &&
+          trexDefaultSize > b.length.toLong.max(1L) / count) return false
         fragBytes += trexDefaultSize * count
-        fragDuration += trexDefaultDelta * count
+        // durations have no file-size bound — saturate instead of
+        // wrapping negative across accumulated truns
+        val d = trexDefaultDelta * count
+        fragDuration =
+          if (count != 0L && (trexDefaultDelta > Long.MaxValue / count ||
+            fragDuration > Long.MaxValue - d)) Long.MaxValue
+          else fragDuration + d
         return true
       }
       var i = 0

@@ -829,9 +829,13 @@ object WebpCodec {
       val comp = head & 3
       val filt = (head >> 2) & 3
       val w = c.width; val h = c.height
+      // VP8X dims are 24-bit fields: a hostile 65536×65536 wraps w*h
+      // to 0 in Int arithmetic, sneaking an empty plane past the
+      // length check below — bound the Long product first (r14 ADVICE)
+      if (w.toLong * h > MediaCodecs.MaxImagePixels) return None
       val plane: Array[Byte] =
         if (comp == 0) {
-          if (len - 1 < w * h) return None
+          if ((len - 1).toLong < w.toLong * h) return None
           java.util.Arrays.copyOfRange(bytes, o + 1, o + 1 + w * h)
         } else if (comp == 1) {
           val payload = java.util.Arrays.copyOfRange(bytes, o + 1, o + len)

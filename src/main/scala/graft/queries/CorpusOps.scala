@@ -736,8 +736,15 @@ object CorpusOps {
     Q("q250_curation_pipeline",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        // stage 1: clusters + cluster-hash split (q232 machinery)
-        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        // stage 1: clusters + cluster-hash split (q232 machinery).
+        // The pair pass is SIZE-DISPATCHED (r14 verdict #2): exact
+        // inverted-index Jaccard at or below 20k docs — the oracle
+        // gate (500 docs) and the sf0.1 bench (5k) both take it, so
+        // the hash check stays exact — and MinHash-LSH candidates +
+        // exact verify above, where the r14 ScaleProof measured the
+        // exact pass's shuffle bending 50× at 10× data. The 10× proof
+        // corpus (50k docs) flips to the LSH path.
+        val pairs = graft.operators.Dedup.nearDupPairsAuto(
           docs, 3, minJaccard = 0.3, maxDocFreq = 1 << 20)
         val comp = graft.operators.ConnectedComponents
           .components(pairs, "doc_a", "doc_b",

@@ -144,27 +144,30 @@ object EvalOps {
         val docs = Tables.load(s, dir, "documents")
         // ONE shingle frame feeds both the exact-truth pass and the
         // LSH candidate pass (the tokenize+distinct subtree is the
-        // shared prefix of both); both pair frames then feed two
-        // consumers each (their own count + the hit join) — persist
-        // all three, released with the seal below
+        // shared prefix of both); the pair frames each feed exactly
+        // ONE consumer — the confusion counts come from a single
+        // full-outer join of the two pair sets (both are distinct on
+        // (doc_a, doc_b) by construction), not three separate
+        // aggregate jobs cross-joined back together (r15: that shape
+        // cost 4 extra jobs and re-read both persisted pair frames)
         val sh = Dedup.shingleSets(docs, DedupOps.K).persist()
         val truth = Dedup.jaccardPrefixFilteredOnShingles(sh, 1, 2)
-          .select("doc_a", "doc_b").persist()
+          .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
         val cand = Dedup.minHashLshOnShingles(sh, DedupOps.NumHashes,
             DedupOps.Bands, maxBucketWidth = DedupOps.MaxBucketWidth)
-          .select("doc_a", "doc_b").persist()
-        val nTrue = truth.agg(count(lit(1)).as("n_true"))
-        val nCand = cand.agg(count(lit(1)).as("n_cand"))
-        val nHit = truth.join(cand, Seq("doc_a", "doc_b"))
-          .agg(count(lit(1)).as("n_hit"))
+          .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
         CacheOps.sealAndRelease(
-          nTrue.crossJoin(nCand).crossJoin(nHit)
+          truth.join(cand, Seq("doc_a", "doc_b"), "full")
+            .agg(count(col("t")).as("n_true"),
+              count(col("c")).as("n_cand"),
+              count(when(col("t").isNotNull &&
+                col("c").isNotNull, 1)).as("n_hit"))
             .select(col("n_true"), col("n_cand"), col("n_hit"),
               (col("n_hit").cast(DoubleType) /
                 col("n_true").cast(DoubleType)).as("recall"),
               (col("n_hit").cast(DoubleType) /
                 col("n_cand").cast(DoubleType)).as("precision")),
-          truth, cand, sh)
+          sh)
       },
       Some(s"""WITH ${DedupOps.lshCandidateCtes("documents")},
           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

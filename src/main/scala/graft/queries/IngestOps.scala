@@ -262,6 +262,108 @@ object IngestOps {
       Some("""SELECT event_type, date_trunc('hour', ts) AS bucket,
           count(*) AS n,
           CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // K6 — the metadata-catalog MERGE (ON CONFLICT (schema_name) DO
+    // UPDATE, reference init.sql:10-23 / base_crawler.py:25-64) as an
+    // oracle row instead of a spec-only surface (r14 verdict #5): a
+    // three-upsert replay — insert A, insert B, conflict-update A —
+    // read back as the final catalog state. The oracle replays the
+    // same upsert sequence relationally: last-writer-wins per key over
+    // the insertion-ordered VALUES.
+    Q("q319_metadata_merge",
+      (s, dir) => {
+        val cat = new graft.ingest.MetadataCatalog(s, scratch())
+        cat.upsert(graft.ingest.MetadataRow("entsoe",
+          java.sql.Date.valueOf("2024-01-05"),
+          java.sql.Date.valueOf("2024-01-04"),
+          "https://transparency.entsoe.eu", "CC-BY-4.0",
+          "ENTSO-E transparency", "ops@example.org", 12, 100L))
+        cat.upsert(graft.ingest.MetadataRow("mastr",
+          java.sql.Date.valueOf("2024-01-06"),
+          java.sql.Date.valueOf("2024-01-06"),
+          "https://www.marktstammdatenregister.de", "DL-DE-BY-2.0",
+          "Marktstammdatenregister", "ops@example.org", 4, 55L))
+        cat.upsert(graft.ingest.MetadataRow("entsoe",
+          java.sql.Date.valueOf("2024-02-05"),
+          java.sql.Date.valueOf("2024-02-04"),
+          "https://transparency.entsoe.eu", "CC-BY-4.0",
+          "ENTSO-E transparency v2", "ops@example.org", 13, 140L))
+        cat.read()
+          .select(col("schema_name"),
+            // as TIMESTAMP: pandas maps Spark DATE to object vs
+            // DuckDB DATE to datetime64 — the dtype gate needs one type
+            col("crawl_date").cast("timestamp").as("crawl_ts"),
+            col("data_source"), col("description"),
+            col("tables").cast("long").as("tables"), col("size"))
+          .orderBy("schema_name")
+      },
+      Some("""SELECT schema_name,
+          CAST(crawl_date AS TIMESTAMP) AS crawl_ts,
+          data_source, description, tables, size
+        FROM (SELECT *, row_number() OVER (PARTITION BY schema_name
+            ORDER BY seq DESC) AS rn
+          FROM (VALUES
+            (1, 'entsoe', DATE '2024-01-05',
+             'https://transparency.entsoe.eu',
+             'ENTSO-E transparency', CAST(12 AS BIGINT),
+             CAST(100 AS BIGINT)),
+            (2, 'mastr', DATE '2024-01-06',
+             'https://www.marktstammdatenregister.de',
+             'Marktstammdatenregister', CAST(4 AS BIGINT),
+             CAST(55 AS BIGINT)),
+            (3, 'entsoe', DATE '2024-02-05',
+             'https://transparency.entsoe.eu',
+             'ENTSO-E transparency v2', CAST(13 AS BIGINT),
+             CAST(140 AS BIGINT)))
+            AS t(seq, schema_name, crawl_date, data_source,
+                 description, tables, size))
+        WHERE rn = 1 ORDER BY schema_name""")),
+
+    // S9/I3/I4 — the chunked work-list planners as a deterministic
+    // TABLE (r14 verdict #5): forward [from, to) in fixed steps with a
+    // short tail chunk, and backward from a watermark down to a floor.
+    // The oracle recomputes both with generate_series arithmetic — the
+    // planner is correct iff the sequence algebra matches exactly.
+    Q("q320_chunk_worklists",
+      (s, dir) => {
+        import s.implicits._
+        val step = 36L * 3600 * 1000 // 36 h: forces an uneven tail
+        val fwd = Watermark.forwardChunks(
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), step)
+        val bwd = Watermark.backwardChunks(
+          java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), step)
+        (fwd.zipWithIndex.map { case ((a, b), i) =>
+          ("forward", i.toLong, a, b) } ++
+         bwd.zipWithIndex.map { case ((a, b), i) =>
+          ("backward", i.toLong, a, b) })
+          .toDF("direction", "chunk_idx", "chunk_start", "chunk_end")
+          .orderBy("direction", "chunk_idx")
+      },
+      Some("""WITH f AS (SELECT 'forward' AS direction,
+            CAST(k AS BIGINT) AS chunk_idx,
+            TIMESTAMP '2024-01-01 00:00:00' + k * INTERVAL 36 HOUR
+              AS chunk_start,
+            least(TIMESTAMP '2024-01-01 00:00:00'
+                + (k + 1) * INTERVAL 36 HOUR,
+              TIMESTAMP '2024-01-10 00:00:00') AS chunk_end
+          FROM generate_series(0, 99) t(k)
+          WHERE TIMESTAMP '2024-01-01 00:00:00' + k * INTERVAL 36 HOUR
+            < TIMESTAMP '2024-01-10 00:00:00'),
+        b AS (SELECT 'backward' AS direction,
+            CAST(k AS BIGINT) AS chunk_idx,
+            greatest(TIMESTAMP '2024-01-10 00:00:00'
+                - (k + 1) * INTERVAL 36 HOUR,
+              TIMESTAMP '2024-01-01 00:00:00') AS chunk_start,
+            TIMESTAMP '2024-01-10 00:00:00' - k * INTERVAL 36 HOUR
+              AS chunk_end
+          FROM generate_series(0, 99) t(k)
+          WHERE TIMESTAMP '2024-01-10 00:00:00' - k * INTERVAL 36 HOUR
+            > TIMESTAMP '2024-01-01 00:00:00')
+        SELECT direction, chunk_idx, chunk_start, chunk_end
+        FROM (SELECT * FROM f UNION ALL SELECT * FROM b)
+        ORDER BY direction, chunk_idx"""))
   )
 }

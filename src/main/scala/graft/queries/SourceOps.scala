@@ -358,6 +358,57 @@ object SourceOps {
           ${ExactAgg.sqlSum("l_quantity")} AS sum_qty,
           ${ExactAgg.sqlSum("l_extendedprice")} AS sum_price,
           CAST(max(l_orderkey) AS BIGINT) AS max_key
-        FROM lineitem GROUP BY 1 ORDER BY 1"""))
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // S10 — filesystem-tree scan with PATH-derived labels (the
+    // eex.py:135-184 / enet.py:69-92 shape) as an oracle row instead
+    // of a spec-only surface (r14 verdict #5): the nation table is
+    // landed as one headered CSV per `rk=<region>` subdirectory, the
+    // tree is read back through ONE glob scan whose label column comes
+    // from input_file_name(), and the per-label aggregate must equal
+    // DuckDB grouping the parquet original by the same key the paths
+    // encode.
+    Q("q318_tree_scan",
+      (s, dir) => {
+        val nat = Tables.load(s, dir, "nation")
+          .selectExpr("CAST(n_nationkey AS LONG) AS k", "n_name",
+            "CAST(n_regionkey AS LONG) AS rk")
+          .orderBy("k").collect()
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft-q318-" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+        if (!new java.io.File(base, "_SUCCESS").exists()) {
+          val staging = java.nio.file.Files.createTempDirectory(
+            base.getParentFile.toPath, "graft-q318-").toFile
+          nat.groupBy(_.getLong(2)).foreach { case (rk, rows) =>
+            val sub = new java.io.File(staging, s"rk=$rk")
+            sub.mkdirs()
+            val lines = "n_nationkey,n_name\n" + rows.map(r =>
+              s"${r.getLong(0)},${r.getString(1)}").mkString("\n")
+            java.nio.file.Files.write(
+              new java.io.File(sub, "nations.csv").toPath,
+              lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          java.nio.file.Files.write(
+            new java.io.File(staging, "_SUCCESS").toPath, Array.empty[Byte])
+          try java.nio.file.Files.move(staging.toPath, base.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileSystemException =>
+            // lost the landing race — the winner's tree is identical
+            org.apache.commons.io.FileUtils.deleteDirectory(staging)
+          }
+        }
+        graft.sources.CsvDialects.treeScan(s, base.toString + "/*/*.csv",
+            path => raw"rk=(\d+)".r.findFirstMatchIn(path)
+              .map(_.group(1)).getOrElse("?"))
+          .groupBy(col("source_label").cast("long").as("region_key"))
+          .agg(count(lit(1)).as("n_nations"),
+            min(col("n_name")).as("first_name"),
+            max(col("n_nationkey").cast("long")).as("max_key"))
+          .orderBy("region_key")
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+          count(*) AS n_nations, min(n_name) AS first_name,
+          CAST(max(n_nationkey) AS BIGINT) AS max_key
+        FROM nation GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -197,6 +197,34 @@ class Mp4CensusSpec extends SparkSpec {
     assert(sec < 10.0, s"trun walk took ${sec}s — count loop is back")
   }
 
+  test("bomb guard: multiplied trun fast-path bounds bytes by the file " +
+      "and saturates durations instead of wrapping negative") {
+    // trex body: version/flags, track_id, desc_idx, default_duration,
+    // default_size, default_flags (Mp4Census reads +12 / +16)
+    def trex(delta: Long, size: Long) = hbox("trex",
+      be32(0) ++ be32(1) ++ be32(1) ++ be32(delta) ++ be32(size) ++ be32(0))
+    def file(delta: Long, size: Long, truns: Int, count: Long) = {
+      val trun = hbox("trun", be32(0) ++ be32(count)) // flags=0 → perSample=0
+      val traf = hbox("traf", Array.fill(truns)(trun).flatten)
+      val moof = hbox("moof", hbox("mfhd", be32(0) ++ be32(1)) ++ traf)
+      hftyp ++ hbox("moov", hbox("mvex", trex(delta, size))) ++ moof
+    }
+    // ~16 maximal truns × (2^32-1 size × 134M count) wrapped the Long
+    // byte accumulator negative pre-r15; an honest total is bounded by
+    // the file, so this must refuse (the uniform-stsz standard)
+    assert(Mp4Census.census(
+      file(0L, 0xffffffffL, 32, Int.MaxValue / 16L)).isEmpty)
+    // durations have no file-size bound: saturate, never go negative
+    val sat = Mp4Census.census(
+      file(0xffffffffL, 0L, 32, Int.MaxValue / 16L))
+      .getOrElse(fail("size-0 hostile durations should census"))
+    assert(sat.fragDurationTicks == Long.MaxValue)
+    // honest defaults still accumulate exactly
+    val ok = Mp4Census.census(file(3L, 4L, 2, 5L))
+      .getOrElse(fail("legit trex-default truns should census"))
+    assert(ok.fragBytes == 40L && ok.fragDurationTicks == 30L)
+  }
+
   test("bomb guard: uniform stsz whose u32 product overflows Long (or " +
       "exceeds the file) refuses instead of recording negative bytes") {
     def stszFile(uniform: Long, count: Long): Array[Byte] = {

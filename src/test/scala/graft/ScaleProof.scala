@@ -45,7 +45,14 @@ object ScaleProof {
 
     val five = Seq("q69_corpus_filter_pipeline", "q200_corpus_pipeline_v2",
       "q250_curation_pipeline", "q192_image_dedup_pipeline",
-      "q110_training_mix_pipeline")
+      "q110_training_mix_pipeline",
+      // r14 verdict #4: the heaviest STANDALONE operators too — the
+      // pair- and iteration-shaped contracts where quadratics hide
+      // (the method found one in q192's composite; point it at the
+      // raw operators as well)
+      "q203_lsh_recall", "q238_incremental_components", "q235_dbscan",
+      "q183_jaccard_prefix_join", "q208_label_propagation",
+      "q174_dup_spans")
     // prime table file caches so the first query isn't charged IO warmup
     Tables.all.foreach { n =>
       Tables.load(spark, dir, n).write.format("noop").mode("overwrite").save()

@@ -365,6 +365,37 @@ class ScaleSpec extends SparkSpec {
       s"profiler is aggregate-only, no join:\n$plan")
   }
 
+  test("nearDupPairsAuto dispatch flips from exact to LSH+verify at " +
+      "the threshold, and agrees where LSH recall is total") {
+    // clusters of IDENTICAL docs (J=1.0 → every band collides →
+    // recall 1) plus unrelated singletons: the two branches must
+    // return the same verified pair set
+    val docs = Seq.tabulate(30) { i =>
+      val cluster = i % 10
+      val text =
+        if (cluster < 5) s"alpha bravo charlie delta echo foxtrot c$cluster x y z"
+        else s"unique words only for doc $i " +
+          s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    def run(threshold: Long) = graft.operators.Dedup.nearDupPairsAuto(
+      docs, 3, minJaccard = 0.5, exactThreshold = threshold)
+    val exact = run(1000L)
+    val lsh = run(0L)
+    // the LSH branch joins band keys — that column never appears in
+    // the exact inverted-index plan
+    assert(lsh.queryExecution.analyzed.toString.contains("bkey"),
+      "above-threshold dispatch must take the LSH candidate path")
+    assert(!exact.queryExecution.analyzed.toString.contains("bkey"),
+      "below-threshold dispatch must take the exact path")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val e = norm(exact)
+    assert(e.nonEmpty, "fixture must actually produce near-dup pairs")
+    assert(norm(lsh) == e)
+  }
+
   test("annTopK dispatch flips from brute force to IVF at the threshold") {
     val emb = Tables.load(spark, sf, "embeddings")
       .filter(col("vec_id") < 40)

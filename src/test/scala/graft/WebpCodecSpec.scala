@@ -183,6 +183,29 @@ class WebpCodecSpec extends AnyFunSuite {
     overrun(16) = -1; overrun(17) = -1 // VP8L chunk size becomes huge
     assert(MediaCodecs.decodeImage(overrun).isEmpty)
     assert(WebpCodec.census("RIFFxxxxWAVE....".getBytes).isEmpty)
+    // raw-ALPH dimension bomb: VP8X claiming 65536×65536 wraps w*h to
+    // 0 in Int arithmetic, so a 1-byte raw plane would pass `len-1 <
+    // w*h` and come back as a Some with empty data (r14 ADVICE) — the
+    // Long-product pixel cap must refuse it instead
+    def le24(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+    val alphaBomb = new java.io.ByteArrayOutputStream()
+    val vp8x = "VP8X".getBytes ++ Array[Byte](10, 0, 0, 0) ++
+      Array[Byte](0x10, 0, 0, 0) ++ le24(65535) ++ le24(65535) // w-1, h-1
+    val alph = "ALPH".getBytes ++ Array[Byte](2, 0, 0, 0) ++
+      Array[Byte](0, 0) // comp=0 (raw), 1 plane byte
+    // minimal lossy keyframe chunk so the census accepts the file and
+    // alphaPlane reaches the raw-plane path (the ADVICE scenario is a
+    // lossy-with-alpha file whose VP8X dims are hostile)
+    val vp8 = "VP8 ".getBytes ++ Array[Byte](10, 0, 0, 0) ++
+      Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a, 1, 0, 1, 0)
+    val body = "WEBP".getBytes ++ vp8x ++ alph ++ vp8
+    alphaBomb.write("RIFF".getBytes)
+    alphaBomb.write(Array[Byte]((body.length & 0xff).toByte,
+      ((body.length >> 8) & 0xff).toByte, 0, 0))
+    alphaBomb.write(body)
+    assert(WebpCodec.alphaPlane(alphaBomb.toByteArray).isEmpty,
+      "65536×65536 raw ALPH must refuse, not return an empty plane")
   }
 
   test("animated WebP: frame-level census + full-canvas VP8L decode, " +
