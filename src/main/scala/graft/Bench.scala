@@ -40,6 +40,22 @@ object Bench {
       .take(cap)
       .map(_._1)
 
+  /** Shuffle-drift selection (r14 verdict #3): queries whose total
+    * shuffle volume grew >1.5× vs the prior round's committed
+    * recording, on priors ≥1 MB (tiny control-plane queries jitter).
+    * Shuffle bytes are the plan-shape signal wall-clock isn't — they
+    * don't move with box phase, so growth means the PLAN changed.
+    * Largest current volume first. */
+  def selectDrift(current: Map[String, Double],
+      prior: Map[String, Double]): Seq[(String, Double, Double)] =
+    current.toSeq
+      .flatMap { case (k, cur) =>
+        prior.get(k).collect {
+          case p if p >= 1.0 && cur > 1.5 * p => (k, p, cur)
+        }
+      }
+      .sortBy(-_._3)
+
   /** Per-query seconds from a committed BENCH_full json (`queries`
     * field). Missing/unparseable file → empty map (first round, or a
     * fresh clone): the re-run pass then simply never triggers. */
@@ -350,13 +366,10 @@ object Bench {
       }
       b.result()
     } catch { case _: Throwable => Map.empty }
-    val drift = results.flatMap { case (k, r) =>
-      val cur = mb(r.shufReadB) + mb(r.shufWriteB)
-      priorShuffle.get(k).collect {
-        case prior if prior >= 1.0 && cur > 1.5 * prior =>
-          (k, prior, cur)
-      }
-    }.sortBy(-_._3)
+    val drift = selectDrift(
+      results.map { case (k, r) =>
+        k -> (mb(r.shufReadB) + mb(r.shufWriteB)) }.toMap,
+      priorShuffle)
     if (drift.nonEmpty)
       System.err.println(s"[bench] SHUFFLE DRIFT >1.5x vs prior round: " +
         drift.map { case (k, p, c) => s"$k ${p}->${c} MB" }.mkString("; "))

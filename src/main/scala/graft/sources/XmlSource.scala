@@ -63,9 +63,20 @@ object XmlSource {
           } else reader.next() match {
             case XMLStreamConstants.START_ELEMENT =>
               val name = reader.getLocalName
-              if (name == rowTag)
+              if (name == rowTag) {
                 current = Array.fill[Any](colIndex.size)(null)
-              else if (current != null && colIndex.contains(name)) {
+                // attribute-shaped records (the iso-codes / appstream
+                // style: <entry code="AED" name="…"/>) fill columns
+                // from the row tag's attributes; a child ELEMENT of
+                // the same name written later overrides (MaStR-style
+                // child fields stay authoritative)
+                var i = 0
+                while (i < reader.getAttributeCount) {
+                  colIndex.get(reader.getAttributeLocalName(i))
+                    .foreach(ix => current(ix) = reader.getAttributeValue(i))
+                  i += 1
+                }
+              } else if (current != null && colIndex.contains(name)) {
                 field = name; sb.clear()
               }
             case XMLStreamConstants.CHARACTERS =>

@@ -69,6 +69,24 @@ class BenchSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f)
   }
 
+  test("shuffle drift selects >1.5x growth on >=1MB priors, largest " +
+      "first; small priors and missing priors never select") {
+    val prior = Map("big" -> 10.0, "grew" -> 4.0, "tiny" -> 0.2,
+      "shrank" -> 8.0)
+    val current = Map(
+      "big" -> 16.0,    // 1.6x on a 10MB prior -> selected
+      "grew" -> 20.0,   // 5x on a 4MB prior -> selected, largest
+      "tiny" -> 5.0,    // 25x but prior under 1MB -> excluded
+      "shrank" -> 2.0,  // shrank -> excluded
+      "fresh" -> 99.0)  // no prior recording -> excluded
+    val drift = Bench.selectDrift(current, prior)
+    assert(drift == Seq(("grew", 4.0, 20.0), ("big", 10.0, 16.0)),
+      s"drift selection: $drift")
+    // exactly-1.5x is NOT drift (strict >): the alarm can't flap on
+    // a boundary value
+    assert(Bench.selectDrift(Map("q" -> 1.5), Map("q" -> 1.0)).isEmpty)
+  }
+
   test("committed r7 recording actually loads (the gate's reference)") {
     val r7 = Bench.loadRefMap("BENCH_full_r07.json")
     // the r7 overlap gate is defined over ~200 queries; if this file

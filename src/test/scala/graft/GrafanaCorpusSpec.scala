@@ -889,4 +889,266 @@ class GrafanaCorpusSpec extends SparkSpec {
       wipeFixtures()
     }
   }
+
+  test("jao + smard panels produce hand-checked values over " +
+      "reference-shaped fixtures (UNION-dedup CTE, integer-bucket " +
+      "histogram, 15-wide generation mix)") {
+    TimeFuncs.register(spark)
+    wipeFixtures()
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    import spark.implicits._
+    try {
+      spark.sql("CREATE DATABASE IF NOT EXISTS jao")
+      spark.sql("CREATE DATABASE IF NOT EXISTS smard")
+      spark.sql("CREATE DATABASE IF NOT EXISTS entsoe")
+
+      // jao "Resold quantity": the UNION (not UNION ALL) CTE dedups
+      // WHOLE rows across the daily and monthly bid tables — the
+      // identical (1, 1440) row must count ONCE; the resold=0 row is
+      // filtered; distinct nonzero rows from both sides all count.
+      Seq((1.0, 1440.0), (0.0, 720.0), (2.0, 1440.0))
+        .toDF("resoldQuantity", "productMinutesDelivered")
+        .write.mode("overwrite").saveAsTable("jao.bids_daily")
+      Seq((1.0, 1440.0), (3.0, 2880.0), (3.0, 1440.0))
+        .toDF("resoldQuantity", "productMinutesDelivered")
+        .write.mode("overwrite").saveAsTable("jao.bids_monthly")
+      val resold = runPanel(entryWhere("jao", "\"resoldQuantity\" != 0"))
+        .map(_.getLong(0))
+      // distinct nonzero rows: (1,1440) (2,1440) (3,2880) (3,1440)
+      assert(resold == Seq(4L), s"resold-quantity UNION panel: $resold")
+
+      // jao "delivered days": minutes/60/24 buckets the histogram —
+      // two 1-day products collapse into one bucket of count 2, the
+      // 2-day product keeps its own bucket (COUNT counts non-nulls of
+      // the SAME column, so the deduped-union subtlety doesn't apply:
+      // this panel reads bids_monthly directly).
+      val days = runPanel(entryWhere("jao", "GROUP BY \"days\""))
+        .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+      assert(days == Seq((1.0, 2L), (2.0, 1L)),
+        s"delivered-days histogram panel: $days")
+
+      // jao auction-price series: 1h bucket average over the DE-CH
+      // corridor only — the FR-CH corridor and the out-of-window row
+      // must vanish; two in-bucket rows average.
+      Seq(
+        (ts("2024-01-03 00:05:00"), "DE-CH-1", 10.0),
+        (ts("2024-01-03 00:55:00"), "DE-CH-1", 30.0),
+        (ts("2024-01-03 00:10:00"), "FR-CH-1", 999.0),
+        (ts("2023-06-01 00:00:00"), "DE-CH-1", 999.0))
+        .toDF("date", "corridor", "auctionPrice")
+        .write.mode("overwrite").saveAsTable("jao.auctions")
+      val auct = runPanel(entryWhere("jao", "avg(\"auctionPrice\")"))
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+      assert(auct == Seq((ts("2024-01-03 00:00:00"), "DE-CH-1", 20.0)),
+        s"JAO auction price panel: $auct")
+
+      // jao day-ahead overlay: the price column is literally named
+      // "0" (the reference lands the ENTSO-E frame with positional
+      // columns); CH filter + 1h average.
+      Seq(
+        (ts("2024-01-04 00:00:00"), "CH", 40.0),
+        (ts("2024-01-04 00:30:00"), "CH", 60.0),
+        (ts("2024-01-04 00:15:00"), "DE", 999.0))
+        .toDF("index", "country", "0")
+        .write.mode("overwrite")
+        .saveAsTable("entsoe.query_day_ahead_prices")
+      val dayAhead = runPanel(
+          entryWhere("jao", "query_day_ahead_prices"))
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+      assert(dayAhead == Seq((ts("2024-01-04 00:00:00"), "CH", 50.0)),
+        s"jao day-ahead overlay panel: $dayAhead")
+
+      // smard generation fact: avg(mwh*4) per (bucket, commodity) —
+      // the ×4 converts quarter-hour MWh to MW; two in-bucket rows
+      // average AFTER scaling, the out-of-window row vanishes.
+      Seq(
+        (ts("2024-01-05 00:00:00"), "Braunkohle", 100.0),
+        (ts("2024-01-05 00:45:00"), "Braunkohle", 200.0),
+        (ts("2024-01-05 00:30:00"), "Solar", 50.0),
+        (ts("2023-01-01 00:00:00"), "Braunkohle", 999.0))
+        .toDF("timestamp", "commodity_name", "mwh")
+        .write.mode("overwrite").saveAsTable("smard.smard")
+      val gen = runPanel(entryWhere("smard", "smard.smard"))
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+        .sortBy(r => (r._1.getTime, r._2))
+      assert(gen == Seq(
+        (ts("2024-01-05 00:00:00"), "Braunkohle", 600.0),
+        (ts("2024-01-05 00:00:00"), "Solar", 200.0)),
+        s"smard generation panel: $gen")
+
+      // smard's 15-wide ENTSO-E generation mix: every fuel column is
+      // a separate avg over the same 1h bucket (slash/hyphen column
+      // names ride through quoting); fuel i averages 2i from rows
+      // (i, 3i); DE_LU filter and the window drop the poison rows.
+      val fuels = Seq("biomass", "fossil_hard_coal", "geothermal",
+        "nuclear", "fossil_brown_coal/lignite",
+        "fossil_coal-derived_gas", "hydro_run-of-river_and_poundage",
+        "waste", "hydro_pumped_storage", "solar", "wind_offshore",
+        "wind_onshore", "other_renewable", "hydro_water_reservoir",
+        "fossil_gas")
+      def genRow(t: java.sql.Timestamp, c: String, scale: Double) =
+        Row.fromSeq(t +: c +: fuels.indices.map(i => (i + 1) * scale))
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("index",
+          org.apache.spark.sql.types.TimestampType) +:
+        org.apache.spark.sql.types.StructField("country",
+          org.apache.spark.sql.types.StringType) +:
+        fuels.map(f => org.apache.spark.sql.types.StructField(f,
+          org.apache.spark.sql.types.DoubleType)))
+      spark.createDataFrame(java.util.List.of(
+          genRow(ts("2024-01-06 00:10:00"), "DE_LU", 1.0),
+          genRow(ts("2024-01-06 00:50:00"), "DE_LU", 3.0),
+          genRow(ts("2024-01-06 00:20:00"), "FR", 999.0),
+          genRow(ts("2023-03-01 00:00:00"), "DE_LU", 999.0)), schema)
+        .write.mode("overwrite").saveAsTable("entsoe.query_generation")
+      val mix = runPanel(entryWhere("smard", "query_generation"))
+      assert(mix.size == 1, s"generation mix rows: $mix")
+      val row = mix.head
+      assert(row.getTimestamp(0) == ts("2024-01-06 00:00:00"))
+      // select order: biomass, hard_coal, geothermal, nuclear,
+      // lignite, coal-derived gas, run-of-river, waste, pumped
+      // storage (aliased "storage"), solar, offshore, onshore, other
+      // renewable, reservoir, gas — fixture order chosen to match, so
+      // column i+1 averages 2(i+1)
+      val got = (1 to 15).map(row.getDouble)
+      assert(got == (1 to 15).map(_ * 2.0),
+        s"generation mix panel values: $got")
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+      wipeFixtures()
+    }
+  }
+
+  test("entsog + parkendd + refit panels produce hand-checked values " +
+      "(interval_ms algebra, metric concat, raw series, time_bucket + " +
+      "EXTRACT) — all 9 dashboards now carry semantic goldens") {
+    TimeFuncs.register(spark)
+    wipeFixtures()
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    import spark.implicits._
+    try {
+      Seq("entsog", "weather", "parkendd", "londondatastore")
+        .foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
+
+      // physical_flow drives THREE panel shapes: the interval_ms
+      // energy-rate algebra (value/$__interval_ms*1000*60*60 at 1h =
+      // value exactly — the units cancel), the per-direction metric
+      // concat, and a raw (unaggregated) in-window series. operatorkey
+      // must be literally 'DE': the LIKE 'DE%' panel and the
+      // '$operator' = substituted-'DE' panel read the same rows.
+      Seq(
+        (ts("2024-01-10 00:10:00"), 100.0, "DE", "entry", "DE"),
+        (ts("2024-01-10 00:40:00"), 50.0, "DE", "entry", "DE"),
+        (ts("2024-01-10 00:25:00"), 70.0, "DE", "exit", "DE"),
+        (ts("2024-01-10 00:20:00"), 999.0, "FR", "entry", "X"),
+        (ts("2023-06-01 00:00:00"), 999.0, "DE", "entry", "DE"))
+        .toDF("periodfrom", "value", "operatorkey", "directionkey",
+          "pointlabel")
+        .write.mode("overwrite").saveAsTable("entsog.physical_flow")
+      val flow = runPanel(entryWhere("entsog", "value/$__interval_ms"))
+        .map(r => (r.getTimestamp(0), r.getDouble(1)))
+      assert(flow == Seq((ts("2024-01-10 00:00:00"), 150.0)),
+        s"interval_ms flow panel: $flow")
+      val phys = runPanel(entryWhere("entsog", "concat('phys_'"))
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._2)
+      assert(phys == Seq(
+        (ts("2024-01-10 00:00:00"), "phys_entry", 150.0),
+        (ts("2024-01-10 00:00:00"), "phys_exit", 70.0)),
+        s"per-direction flow panel: $phys")
+      val rawPhys = runPanel(entryWhereNot("entsog",
+          "value AS \"Physical\"", "sum(value)"))
+        .map(r => (r.getTimestamp(0), r.getDouble(1)))
+      assert(rawPhys == Seq(
+        (ts("2024-01-10 00:10:00"), 100.0),
+        (ts("2024-01-10 00:25:00"), 70.0),
+        (ts("2024-01-10 00:40:00"), 50.0)),
+        s"raw physical series panel: $rawPhys")
+
+      // allocation: avg per alloc_<direction> metric + its raw twin.
+      Seq(
+        (ts("2024-01-11 00:05:00"), 10.0, "DE", "entry", "DE"),
+        (ts("2024-01-11 00:35:00"), 30.0, "DE", "entry", "DE"),
+        (ts("2023-06-01 00:00:00"), 999.0, "DE", "entry", "DE"))
+        .toDF("periodfrom", "value", "operatorkey", "directionkey",
+          "pointlabel")
+        .write.mode("overwrite").saveAsTable("entsog.allocation")
+      val alloc = runPanel(entryWhere("entsog", "concat('alloc_'"))
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+      assert(alloc == Seq(
+        (ts("2024-01-11 00:00:00"), "alloc_entry", 20.0)),
+        s"allocation metric panel: $alloc")
+
+      // firm technical capacity: sum(index) per operator label.
+      Seq(
+        (ts("2024-01-12 00:00:00"), "OGE", 5.0),
+        (ts("2024-01-12 00:30:00"), "OGE", 7.0),
+        (ts("2023-06-01 00:00:00"), "OGE", 999.0))
+        .toDF("periodfrom", "operatorlabel", "index")
+        .write.mode("overwrite").saveAsTable("entsog.firm_technical")
+      val firm = runPanel(entryWhere("entsog", "firm_technical"))
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+      assert(firm == Seq((ts("2024-01-12 00:00:00"), "OGE", 12.0)),
+        s"firm technical panel: $firm")
+
+      // the entsog map: a constant time-0 coordinate dump.
+      Seq((6.1, 50.8), (7.0, 51.2))
+        .toDF("pointtpmapx", "pointtpmapy")
+        .write.mode("overwrite").saveAsTable("entsog.interconnections")
+      val mapPts = runPanel(entryWhere("entsog", "pointtpmapx"))
+        .map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+      assert(mapPts == Seq((6.1, 50.8), (7.0, 51.2)),
+        s"interconnections map panel: $mapPts")
+
+      // entsog's weather overlay: Kelvin → °C via avg(temp_air-272.15).
+      Seq(
+        (ts("2024-01-13 00:10:00"), 282.15, "DE"),
+        (ts("2024-01-13 00:50:00"), 292.15, "DE"),
+        (ts("2024-01-13 00:20:00"), 999.0, "FR"),
+        (ts("2023-06-01 00:00:00"), 999.0, "DE"))
+        .toDF("time", "temp_air", "nuts_id")
+        .write.mode("overwrite").saveAsTable("weather.ecmwf_eu")
+      val temp = runPanel(entryWhere("entsog", "avg(temp_air-272.15)"))
+        .map(r => (r.getTimestamp(0), r.getDouble(1)))
+      assert(temp == Seq((ts("2024-01-13 00:00:00"), 15.0)),
+        s"temperature overlay panel: $temp")
+
+      // parkendd: free-space average per LIKE-filtered parking id.
+      Seq(
+        (ts("2024-01-14 00:05:00"), "aachen1", 100.0),
+        (ts("2024-01-14 00:55:00"), "aachen1", 200.0),
+        (ts("2024-01-14 00:30:00"), "aachen2", 40.0),
+        (ts("2024-01-14 00:30:00"), "berlin1", 999.0),
+        (ts("2023-06-01 00:00:00"), "aachen1", 999.0))
+        .toDF("datetime", "parking_id", "free")
+        .write.mode("overwrite").saveAsTable("parkendd.timeseries_cleaned")
+      val park = runPanel(entryWhere("parkendd", "aachen%"))
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._2)
+      assert(park == Seq(
+        (ts("2024-01-14 00:00:00"), "aachen1", 150.0),
+        (ts("2024-01-14 00:00:00"), "aachen2", 40.0)),
+        s"parkendd panel: $park")
+
+      // refit: direct time_bucket + EXTRACT(YEAR) — no grafana window
+      // at all, so 2011 and ToU rows are dropped by the query's own
+      // predicates only.
+      Seq(
+        (ts("2012-03-01 10:15:00"), 100.0, "Std"),
+        (ts("2012-03-01 10:45:00"), 200.0, "Std"),
+        (ts("2012-03-01 10:20:00"), 999.0, "ToU"),
+        (ts("2011-03-01 10:20:00"), 999.0, "Std"))
+        .toDF("DateTime", "power", "tariff")
+        .write.mode("overwrite").saveAsTable("londondatastore.consumption")
+      val refit = runPanel(entryWhere("refit", "time_bucket('1 hour'"))
+        .map(r => (r.getTimestamp(0), r.getDouble(1)))
+      assert(refit == Seq((ts("2012-03-01 10:00:00"), 150.0)),
+        s"refit hourly panel: $refit")
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+      wipeFixtures()
+    }
+  }
 }

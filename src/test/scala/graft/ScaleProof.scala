@@ -19,6 +19,10 @@ import org.apache.spark.sql.SparkSession
 object ScaleProof {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional 2nd arg: comma-separated query-name filter for
+    // re-measuring a single fixed operator without the full sweep
+    val onlyNames = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,7 +61,7 @@ object ScaleProof {
     Tables.all.foreach { n =>
       Tables.load(spark, dir, n).write.format("noop").mode("overwrite").save()
     }
-    for (q <- five) {
+    for (q <- five.filter(q => onlyNames.forall(_.contains(q)))) {
       graft.operators.CacheOps.sweep(spark, blocking = true)
       shufRead.reset(); shufWrite.reset(); peakMem.set(0)
       val t0 = System.nanoTime()
@@ -82,7 +86,8 @@ object ScaleProof {
     // measures the SAME stage with the cap off vs biting, proving the
     // knob controls the quadratic term.
     for ((label, cap) <- Seq(("ngram_pairs_uncapped", 1 << 20),
-        ("ngram_pairs_df_capped_100", 100))) {
+        ("ngram_pairs_df_capped_100", 100))
+        if onlyNames.isEmpty) {
       graft.operators.CacheOps.sweep(spark, blocking = true)
       shufRead.reset(); shufWrite.reset(); peakMem.set(0)
       val t0 = System.nanoTime()

@@ -119,6 +119,45 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getString(1) == "2000" && rows(1).isNullAt(2))
   }
 
+  test("readFlatXml wild-fixture interop: iso_4217.xml (attribute-" +
+      "shaped records) matches CPython ElementTree's parse exactly") {
+    // WILD fixture: /usr/share/xml/iso-codes/iso_4217.xml (Debian
+    // iso-codes, LGPL), committed verbatim — an XML written by an
+    // INDEPENDENT producer, records carried as ATTRIBUTES of
+    // self-closing row tags (the shape the MaStR-style child-element
+    // fixtures never exercise), plus a sibling record type
+    // (historic_iso_4217_entry) the rowTag filter must skip. Goldens
+    // computed with CPython 3 xml.etree.ElementTree on the same file:
+    //   entries = root.findall('.//iso_4217_entry')  -> 181
+    //   rows = sorted('|'.join([a.get('letter_code',''),
+    //     a.get('numeric_code',''), a.get('currency_name','')]) ...)
+    //   md5('\n'.join(rows)) = 7bc2430c224013c2aca9e026f4c5a77f
+    //   sum(int(numeric_code)) = 107206
+    val bytes = {
+      val in = getClass.getResourceAsStream("/graft/wild_iso_4217.xml")
+      try in.readAllBytes() finally in.close()
+    }
+    val f = java.nio.file.Files.createTempFile("graft-iso4217", ".xml")
+    java.nio.file.Files.write(f, bytes)
+    val df = XmlSource.readFlatXml(spark, f.toString, "iso_4217_entry",
+      Seq("letter_code", "numeric_code", "currency_name"),
+      charset = "UTF-8")
+    val rows = df.collect().map(r => Seq(0, 1, 2).map(i =>
+      Option(r.getString(i)).getOrElse("")).mkString("|")).sorted
+    assert(rows.length == 181, s"entry count ${rows.length}")
+    assert(rows.head == "AED|784|UAE Dirham" &&
+      rows.last == "ZWL|932|Zimbabwe Dollar")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(md5 == "7bc2430c224013c2aca9e026f4c5a77f",
+      s"row-set md5 $md5 diverges from the ElementTree golden")
+    val numSum = df.collect()
+      .flatMap(r => Option(r.getString(1)))
+      .filter(_.forall(_.isDigit)).map(_.toLong).sum
+    assert(numSum == 107206L, s"numeric_code sum $numSum")
+  }
+
   // ---- S3: native xlsx (zip-of-XML, no POI) ----
 
   test("xlsx round-trip: shared strings, numbers, gaps, na_values") {
