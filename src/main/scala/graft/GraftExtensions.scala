@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSimilarity, HammingDistance}
+import graft.expressions.{CosineSimilarity, HammingDistance, NfcNormalize}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions in the SQL function registry so they are usable
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarityDesc)
     ext.injectFunction(GraftExtensions.hammingDistanceDesc)
+    ext.injectFunction(GraftExtensions.nfcNormalizeDesc)
     ext.injectOptimizerRule(_ => graft.plans.PushTimestampConversionBounds)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthBound)
   }
@@ -50,6 +51,17 @@ object GraftExtensions {
         HammingDistance(children.head, children(1))
       })
 
+  private[graft] val nfcNormalizeDesc
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName,
+        "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "nfc_normalize(str) takes 1 argument")
+        NfcNormalize(children.head)
+      })
+
   /** Register on an already-built session (tests, REPL): SQL functions
     * plus the timestamp-conversion pushdown rule (idempotent). The rule
     * goes through `experimental.extraOptimizations`, which run after
@@ -58,7 +70,8 @@ object GraftExtensions {
     * directly above relations and the conjuncts this rule adds are
     * collected into the scan during physical planning. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(cosineSimilarityDesc, hammingDistanceDesc).foreach {
+    Seq(cosineSimilarityDesc, hammingDistanceDesc, nfcNormalizeDesc)
+      .foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry
           .registerFunction(id, info, builder)

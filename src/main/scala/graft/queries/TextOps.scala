@@ -1339,7 +1339,48 @@ object TextOps {
     Q("q299_script_mix",
       (s, dir) => scriptMix(Tables.load(s, dir, "documents"))
         .orderBy("doc_id"),
-      Some(ScriptMixOracle))
+      Some(ScriptMixOracle)),
+
+    // Unicode NFC normalization census — the corpus-hygiene pass run
+    // before byte-identical dedup or BPE vocabulary training: the same
+    // visible text arrives both precomposed ("é" U+00E9) and
+    // decomposed ("e"+U+0301 combining acute), and an unnormalized
+    // pipeline treats them as distinct strings. The eval arm plants a
+    // decomposed suffix on docs ≡ 0 mod 3 and the precomposed
+    // equivalent elsewhere; the census counts, per source, how many
+    // docs change under NFC and how many chars composition saves.
+    // Kernel: the native [[graft.expressions.NfcNormalize]] expression
+    // (whole-stage codegen, isNormalized fast path — never a UDF);
+    // the oracle is DuckDB's utf8proc-backed nfc_normalize, so the
+    // row pins JDK-vs-utf8proc agreement on UAX #15. One scan, one
+    // |sources|-row hash aggregate.
+    Q("q321_nfc_census",
+      (s, dir) => {
+        import graft.expressions.NfcNormalize.nfcNormalize
+        val dirty = Tables.load(s, dir, "documents")
+          .withColumn("t", concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit(" Cafe\u0301"))
+              .otherwise(lit(" Caf\u00e9"))))
+        dirty
+          .withColumn("norm", nfcNormalize(col("t")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("norm") =!= col("t"), 1L).otherwise(0L))
+              .as("n_denorm"),
+            sum((length(col("t")) - length(col("norm"))).cast("long"))
+              .as("chars_saved"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source,
+            text || CASE WHEN doc_id % 3 = 0
+              THEN ' Cafe' || chr(769) ELSE ' Caf' || chr(233) END AS t
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_denorm,
+          CAST(sum(length(t) - length(nfc_normalize(t))) AS BIGINT)
+            AS chars_saved
+        FROM d GROUP BY 1 ORDER BY 1"""))
   )
 
   /** The q298 per-document computation, factored (like scriptMix) so

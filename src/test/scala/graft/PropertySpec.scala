@@ -156,6 +156,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("nfc_normalize kernel ≡ java.text.Normalizer, codegen + SQL + " +
+      "interpreted, incl. Hangul jamo and combining-mark stacks") {
+    GraftExtensions.register(spark)
+    val cases = Seq(
+      "Cafe\u0301",            // e + combining acute -> \u00e9
+      "Caf\u00e9",             // already precomposed (fast path)
+      "\u1100\u1161\u11a8",  // Hangul jamo -> syllable GAG \uac01
+      "A\u030a\u0301",        // A + ring + acute -> \u00c5 + acute
+      "a\u0301\u0316",        // above mark then below mark
+      "plain ascii", "")
+    val expected = cases.map(s =>
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    val df = cases.toDF("s")
+    df.createOrReplaceTempView("nfc_cases")
+    val gotCol = df.select(graft.expressions.NfcNormalize
+      .nfcNormalize(col("s"))).as[String].collect().toSeq
+    val gotSql = spark.sql("SELECT nfc_normalize(s) FROM nfc_cases")
+      .as[String].collect().toSeq
+    assert(gotCol == expected)
+    assert(gotSql == expected)
+    // interpreted path + the composition actually changed something
+    cases.zip(expected).foreach { case (in, want) =>
+      val got = graft.expressions.NfcNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal(in))
+        .eval(null).toString
+      assert(got == want)
+    }
+    assert(expected.head == "Caf\u00e9" &&
+      expected(2) == "\uac01", "composition must actually compose")
+  }
+
   test("codec routing never throws: random bytes and mutated real payloads") {
     import graft.operators.{MediaCodecs, VideoCodec}
     // contract of the sniff-routing layer (decodeImage/Audio/Video):
