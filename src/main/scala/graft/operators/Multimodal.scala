@@ -145,12 +145,26 @@ object Multimodal {
                     video.map(_.nSamples).getOrElse(0L),
                     if (m.payload.length == 0) 0.0
                     else sum.toDouble / m.payload.length)
-                // lossy WebP: the VP8 entropy layer stays opaque (the
-                // MP4/AVC boundary), but the container census yields
-                // real canvas dims and the ALPH alpha plane decodes
-                // EXACTLY (lossless-coded) — n_units/mean report the
-                // alpha plane when present, else the payload bytes
-                case _ => WebpCodec.census(m.payload) match {
+                // lossy WebP: full VP8 intra decode (r15, Vp8Codec —
+                // byte-exact vs libwebp's WebPDecodeYUV) — stats
+                // report the raw YUV420 planes, the decoder's
+                // reference-pinned surface; files whose VP8 stream
+                // refuses (hostile/truncated) fall through to the
+                // census + exact-ALPH route below
+                case _ => WebpCodec.decodeVp8Planes(m.payload) match {
+                  case Some(p) =>
+                    var psum = 0L
+                    var i = 0
+                    while (i < p.y.length) { psum += (p.y(i) & 0xff); i += 1 }
+                    i = 0
+                    while (i < p.u.length) {
+                      psum += (p.u(i) & 0xff) + (p.v(i) & 0xff); i += 1
+                    }
+                    val nUnits = p.y.length.toLong + p.u.length + p.v.length
+                    MediaStatsRow(m.media_id, m.kind, "webp-lossy",
+                      p.width, p.height, nUnits,
+                      if (nUnits == 0) 0.0 else psum.toDouble / nUnits)
+                  case None => WebpCodec.census(m.payload) match {
                   case Some(c) =>
                     WebpCodec.alphaPlane(m.payload) match {
                       case Some((_, _, plane)) =>
@@ -188,6 +202,7 @@ object Multimodal {
         }
       }
     }
+  }
   }
 
   /** Decode: partition-local batch loop over payloads.

@@ -702,10 +702,25 @@ object WebpCodec {
     }
   }
 
+  /** Lossy (VP8) still decode to raw YUV420 planes — the r15
+    * [[Vp8Codec]] intra decoder, pinned byte-exact against libwebp's
+    * WebPDecodeYUV on both self-encoded and wild fixtures
+    * (Vp8CodecSpec). Planes are the decoder's canonical product; RGB
+    * conversion is a separate, explicitly-chosen step
+    * ([[Vp8Codec.toRgb]]) so the pinned surface stays
+    * reference-comparable. None for non-lossy or undecodable files. */
+  def decodeVp8Planes(bytes: Array[Byte]): Option[Vp8Codec.Planes] = try {
+    if (!sniff(bytes)) return None
+    chunks(bytes).find(_._1 == "VP8 ").flatMap { case (_, o, len) =>
+      Vp8Codec.decode(bytes, o, len)
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Full pixel decode — VP8L payloads only (bare or VP8X-wrapped).
     * Alpha is composited away exactly as the PNG RGBA path does
-    * (dropped; the rgb bytes are the stored values). Lossy VP8 returns
-    * None and takes the census route. */
+    * (dropped; the rgb bytes are the stored values). Lossy VP8 decodes
+    * through [[decodeVp8Planes]] (stats pin the YUV planes against
+    * libwebp; RGB is a conversion choice, not a reference surface). */
   def decode(bytes: Array[Byte]): Option[Image] = {
     if (!sniff(bytes)) return None
     chunks(bytes).find(_._1 == "VP8L").map { case (_, o, len) =>

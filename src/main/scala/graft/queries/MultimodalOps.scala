@@ -1264,18 +1264,23 @@ object MultimodalOps {
     // through the full spec surface (canonical huffman + LZ77 + color
     // cache, predictor/color/subtract-green transforms on the photo
     // file, 4-bit-packed color indexing on the palette file); the two
-    // VP8X lossy files route to the census path where the canvas dims
-    // come from the container and the VP8L-COMPRESSED ALPHA PLANE
-    // decodes exactly (wild_vp8x_alpha.webp is CPython's test-corpus
-    // python.webp verbatim; the lossy-alpha fixture additionally
-    // exercises the spec's vertical alpha unfilter). Every constant
-    // below is libwebp 1.2.4's own decode of the same bytes
-    // (webp_golden.json), and a SECOND independent spec transcription
-    // (scripts/webp_ref.py) reproduces them pixel-exact — one wrong
-    // huffman step, distance-map entry, transform inverse, or filter
-    // reconstruction moves value_sum. The distance map itself was
-    // DERIVED from libwebp by probing (scripts/vp8l_probe.py), not
-    // transcribed from memory.
+    // VP8X LOSSY files now take the full VP8 intra decode (r15,
+    // Vp8Codec: boolean decoder, token trees, WHT/IDCT, all intra
+    // predictors, in-loop deblocking) — their rows pin the RAW YUV420
+    // PLANES, which is exactly what libwebp's WebPDecodeYUV returns
+    // for the same bytes (wild_vp8x_alpha.webp is CPython's
+    // test-corpus python.webp verbatim; their VP8L-compressed/
+    // filtered ALPH planes stay exactly decoded in WebpCodecSpec).
+    // Every constant below is libwebp 1.2.4's own decode of the same
+    // bytes (webp_golden.json / vp8_golden.json via
+    // scripts/vp8_probe.py), and for the VP8L files a SECOND
+    // independent spec transcription (scripts/webp_ref.py) reproduces
+    // them pixel-exact — one wrong huffman step, probability-table
+    // byte, transform inverse, or loop-filter tap moves value_sum.
+    // The VP8L distance map AND the VP8 probability tables were
+    // DERIVED from libwebp by probing/extraction (scripts/
+    // vp8l_probe.py, scripts/vp8_probe.py), not transcribed from
+    // memory.
     Q("q310_webp_wild_decode",
       (s, dir) => {
         import s.implicits._
@@ -1309,12 +1314,12 @@ object MultimodalOps {
           (CAST(2 AS BIGINT), 'webp', CAST(48 AS BIGINT),
             CAST(32 AS BIGINT), CAST(4608 AS BIGINT),
             CAST(530952 AS BIGINT)),
-          (CAST(3 AS BIGINT), 'webp-lossy-alpha', CAST(16 AS BIGINT),
-            CAST(16 AS BIGINT), CAST(256 AS BIGINT),
-            CAST(38971 AS BIGINT)),
-          (CAST(4 AS BIGINT), 'webp-lossy-alpha', CAST(64 AS BIGINT),
-            CAST(48 AS BIGINT), CAST(3072 AS BIGINT),
-            CAST(380928 AS BIGINT)),
+          (CAST(3 AS BIGINT), 'webp-lossy', CAST(16 AS BIGINT),
+            CAST(16 AS BIGINT), CAST(384 AS BIGINT),
+            CAST(40839 AS BIGINT)),
+          (CAST(4 AS BIGINT), 'webp-lossy', CAST(64 AS BIGINT),
+            CAST(48 AS BIGINT), CAST(4608 AS BIGINT),
+            CAST(552186 AS BIGINT)),
           (CAST(5 AS BIGINT), 'webp', CAST(120 AS BIGINT),
             CAST(80 AS BIGINT), CAST(28800 AS BIGINT),
             CAST(3668864 AS BIGINT)),

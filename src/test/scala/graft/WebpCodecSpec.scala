@@ -292,10 +292,13 @@ class WebpCodecSpec extends AnyFunSuite {
     assert(rows(0).dim1 == g1.get("width").asInt)
     assert(rows(0).n_units == g1.get("width").asInt.toLong *
       g1.get("height").asInt * 3)
-    val g2 = golden("wild_vp8x_alpha.webp")
-    assert(rows(1).format == "webp-lossy-alpha")
+    // lossy files take the full VP8 intra decode (r15): stats pin the
+    // raw YUV420 planes — 16x16 luma + 2×8x8 chroma = 384 units, and
+    // the value sum is libwebp's own WebPDecodeYUV sum of the same
+    // bytes (vp8_golden.json, scripts/vp8_probe.py)
+    assert(rows(1).format == "webp-lossy")
     assert(rows(1).dim1 == 16 && rows(1).dim2 == 16)
-    assert(rows(1).n_units == 256L)
-    assert(math.round(rows(1).mean_value * 256) == g2.get("sum_a").asLong)
+    assert(rows(1).n_units == 384L)
+    assert(math.round(rows(1).mean_value * 384) == 40839L)
   }
 }
