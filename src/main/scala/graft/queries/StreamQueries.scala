@@ -977,7 +977,32 @@ object StreamQueries {
       Some(TrainOps.ChatLintPerDocSql + """
         SELECT doc_id, source, CAST(n_turns AS BIGINT) AS n_turns,
           violation, assistant_tokens
-        FROM lint ORDER BY doc_id"""))
+        FROM lint ORDER BY doc_id""")),
+
+    // Streaming twin of q322's format classifier — format ROUTING at
+    // the ingest edge (decide per arriving document whether it goes
+    // to the code / html / markdown / prose pipeline), the same
+    // stateless-projection class as the chat-lint and mojibake twins:
+    // Append mode, zero state rows, batch ≡ stream by construction
+    // because both run the IDENTICAL factored function.
+    Q("q323_stream_format_census",
+      (s, dir) => {
+        val routed = TextOps.formatPerDoc(documentsStream(s, dir))
+          .select(col("doc_id"), col("source"),
+            col("n_html").cast("long").as("n_html"),
+            col("n_code").cast("long").as("n_code"),
+            col("fmt"))
+        s.catalog.dropTempView("q323_sink")
+        StreamOps.withStatePartitions(s, 8) {
+          StreamOps.drainToMemory(routed, "q323_sink",
+            OutputMode.Append())
+        }
+        s.table("q323_sink").orderBy("doc_id")
+      },
+      Some(TextOps.FormatClsCte + """
+        SELECT doc_id, source, CAST(n_html AS BIGINT) AS n_html,
+          CAST(n_code AS BIGINT) AS n_code, fmt
+        FROM cls ORDER BY doc_id"""))
   )
 
   /** Embeddings landing zone (the documentsStream pattern): one

@@ -1386,73 +1386,88 @@ object TextOps {
     // classify each document's dominant serialization (html / code /
     // markdown / prose) from cheap line-shape signals, then census
     // the mix per source. The eval arm wraps docs in a deterministic
-    // format by residue class ((doc_id div 4) mod 4 — decorrelated from
-    // the round-robin source assignment) so every source carries a MIX and
-    // the classifier's priority order is exercised; signals are
-    // regexp_count projections (codegen'd, one scan, one
+    // format by residue class ((doc_id div 4) mod 4 — decorrelated
+    // from the round-robin source assignment) so every source carries
+    // a MIX and the classifier's priority order is exercised; signals
+    // are regexp_count projections (codegen'd, one scan, one
     // |sources×formats|-row aggregate — at 100 TB this is a single
     // pass over the corpus). The oracle mirrors the regex algebra
-    // with DuckDB's regexp_extract_all.
+    // with DuckDB's regexp_extract_all. The per-doc classifier is
+    // factored ([[formatPerDoc]]) so the streaming twin q323 runs the
+    // IDENTICAL function at the ingest edge.
     Q("q322_format_census",
       (s, dir) => {
-        val wrapped = Tables.load(s, dir, "documents")
-          .withColumn("t",
-            when(pmod(floor(col("doc_id") / 4), lit(4)) === 0,
-              concat(lit("# Title\n- first\n- second\n"), col("text")))
-            .when(pmod(floor(col("doc_id") / 4), lit(4)) === 1,
-              concat(lit("def f(x):\n  return {x};\n"), col("text")))
-            .when(pmod(floor(col("doc_id") / 4), lit(4)) === 2,
-              concat(lit("<html><p>"), col("text"), lit("</p></html>")))
-            .otherwise(col("text")))
-        val sig = wrapped
-          .withColumn("n_html",
-            regexp_count(col("t"), lit("<[a-zA-Z/][^>]*>")))
-          .withColumn("n_md",
-            regexp_count(col("t"), lit("(^|\n)[#\\-\\*] ")))
-          .withColumn("n_code",
-            regexp_count(col("t"), lit("[{};]|def |return ")))
-          .withColumn("fmt",
-            when(col("n_html") > 0 &&
-              col("n_html") >= greatest(col("n_md"), col("n_code")),
-              "html")
-            .when(col("n_code") > 0 && col("n_code") >= col("n_md"),
-              "code")
-            .when(col("n_md") > 0, "markdown")
-            .otherwise("prose"))
-        sig.groupBy("source", "fmt")
+        formatPerDoc(Tables.load(s, dir, "documents"))
+          .groupBy("source", "fmt")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_html").cast("long")).as("html_tags"),
             sum(col("n_code").cast("long")).as("code_marks"))
           .orderBy("source", "fmt")
       },
-      Some("""WITH w AS (SELECT source,
-            CASE WHEN (doc_id // 4) % 4 = 0
-                THEN '# Title' || chr(10) || '- first' || chr(10) ||
-                  '- second' || chr(10) || text
-              WHEN (doc_id // 4) % 4 = 1
-                THEN 'def f(x):' || chr(10) || '  return {x};' ||
-                  chr(10) || text
-              WHEN (doc_id // 4) % 4 = 2
-                THEN '<html><p>' || text || '</p></html>'
-              ELSE text END AS t
-          FROM documents),
-        sig AS (SELECT source,
-            len(regexp_extract_all(t, '<[a-zA-Z/][^>]*>')) AS n_html,
-            len(regexp_extract_all(t, '(^|\n)[#\-\*] ')) AS n_md,
-            len(regexp_extract_all(t, '[{};]|def |return ')) AS n_code
-          FROM w),
-        cls AS (SELECT source, n_html, n_code,
-            CASE WHEN n_html > 0 AND n_html >= greatest(n_md, n_code)
-                THEN 'html'
-              WHEN n_code > 0 AND n_code >= n_md THEN 'code'
-              WHEN n_md > 0 THEN 'markdown'
-              ELSE 'prose' END AS fmt
-          FROM sig)
+      Some(FormatClsCte + """
         SELECT source, fmt, count(*) AS n_docs,
           CAST(sum(n_html) AS BIGINT) AS html_tags,
           CAST(sum(n_code) AS BIGINT) AS code_marks
         FROM cls GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
+
+  /** The q322 per-document format classifier, factored (the
+    * mojibakeRepair precedent) so the streaming twin q323 runs the
+    * IDENTICAL stateless projection. */
+  private[queries] def formatPerDoc(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wrapped = docs
+      .withColumn("t",
+        when(pmod(floor(col("doc_id") / 4), lit(4)) === 0,
+          concat(lit("# Title\n- first\n- second\n"), col("text")))
+        .when(pmod(floor(col("doc_id") / 4), lit(4)) === 1,
+          concat(lit("def f(x):\n  return {x};\n"), col("text")))
+        .when(pmod(floor(col("doc_id") / 4), lit(4)) === 2,
+          concat(lit("<html><p>"), col("text"), lit("</p></html>")))
+        .otherwise(col("text")))
+    wrapped
+      .withColumn("n_html",
+        regexp_count(col("t"), lit("<[a-zA-Z/][^>]*>")))
+      .withColumn("n_md",
+        regexp_count(col("t"), lit("(^|\n)[#\\-\\*] ")))
+      .withColumn("n_code",
+        regexp_count(col("t"), lit("[{};]|def |return ")))
+      .withColumn("fmt",
+        when(col("n_html") > 0 &&
+          col("n_html") >= greatest(col("n_md"), col("n_code")), "html")
+        .when(col("n_code") > 0 && col("n_code") >= col("n_md"), "code")
+        .when(col("n_md") > 0, "markdown")
+        .otherwise("prose"))
+      .select("doc_id", "source", "n_html", "n_md", "n_code", "fmt")
+  }
+
+  /** Shared by q322 and its streaming twin q323: the wrap + signal +
+    * classify CTE chain, ending in `cls(doc_id, source, n_html,
+    * n_md, n_code, fmt)`. */
+  private[queries] def FormatClsCte: String =
+    """WITH w AS (SELECT doc_id, source,
+          CASE WHEN (doc_id // 4) % 4 = 0
+              THEN '# Title' || chr(10) || '- first' || chr(10) ||
+                '- second' || chr(10) || text
+            WHEN (doc_id // 4) % 4 = 1
+              THEN 'def f(x):' || chr(10) || '  return {x};' ||
+                chr(10) || text
+            WHEN (doc_id // 4) % 4 = 2
+              THEN '<html><p>' || text || '</p></html>'
+            ELSE text END AS t
+        FROM documents),
+      sig AS (SELECT doc_id, source,
+          len(regexp_extract_all(t, '<[a-zA-Z/][^>]*>')) AS n_html,
+          len(regexp_extract_all(t, '(^|\n)[#\-\*] ')) AS n_md,
+          len(regexp_extract_all(t, '[{};]|def |return ')) AS n_code
+        FROM w),
+      cls AS (SELECT doc_id, source, n_html, n_md, n_code,
+          CASE WHEN n_html > 0 AND n_html >= greatest(n_md, n_code)
+              THEN 'html'
+            WHEN n_code > 0 AND n_code >= n_md THEN 'code'
+            WHEN n_md > 0 THEN 'markdown'
+            ELSE 'prose' END AS fmt
+        FROM sig)"""
 
   /** The q298 per-document computation, factored (like scriptMix) so
     * the streaming twin q309 runs the IDENTICAL function — a pure
