@@ -799,7 +799,8 @@ object WebpCodec {
   def decodeAnimation(
       bytes: Array[Byte]): Option[(AnimCensus, Vector[Image])] = try {
     val c = animCensus(bytes).getOrElse(return None)
-    val full = c.frames.forall(f => f.codec == "VP8L" && f.x == 0 &&
+    val full = c.frames.forall(f =>
+      (f.codec == "VP8L" || f.codec == "VP8") && f.x == 0 &&
       f.y == 0 && f.width == c.canvasWidth && f.height == c.canvasHeight &&
       f.noBlend)
     if (!full) return None
@@ -822,6 +823,45 @@ object WebpCodec {
             i += 1
           }
           frames += Image(w, h, rgb)
+          done = true
+        } else if (tag == "VP8 ") {
+          // lossy frame (r15): full VP8 intra decode; the YUV planes
+          // are the pinned surface (decodeAnimationLossyPlanes), RGB
+          // here uses the documented Vp8Codec.toRgb conversion
+          val p = Vp8Codec.decode(bytes, so + 8, sz)
+            .getOrElse(return None)
+          frames += Vp8Codec.toRgb(p)
+          done = true
+        } else so += 8 + sz + (sz & 1)
+      }
+    }
+    val out = frames.result()
+    if (out.size == c.frames.size) Some((c, out)) else None
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Lossy-frame animation decode at the YUV layer — one
+    * [[Vp8Codec.Planes]] per frame for animations whose frames are
+    * ALL full-canvas non-blending VP8 (the compositing-free class the
+    * video route accepts). This is the reference-comparable surface:
+    * libwebp's WebPDecodeYUV of each frame payload must match these
+    * planes byte-for-byte (WebpCodecSpec, webp_anim_lossy_golden). */
+  def decodeAnimationLossyPlanes(bytes: Array[Byte])
+      : Option[(AnimCensus, Vector[Vp8Codec.Planes])] = try {
+    val c = animCensus(bytes).getOrElse(return None)
+    val full = c.frames.forall(f => f.codec == "VP8" && f.x == 0 &&
+      f.y == 0 && f.width == c.canvasWidth &&
+      f.height == c.canvasHeight && f.noBlend)
+    if (!full) return None
+    val frames = Vector.newBuilder[Vp8Codec.Planes]
+    chunks(bytes).filter(_._1 == "ANMF").foreach { case (_, o, len) =>
+      var so = o + 16
+      var done = false
+      while (!done && so + 8 <= o + len) {
+        val tag = new String(bytes, so, 4, "ISO-8859-1")
+        val sz = u32le(bytes, so + 4).toInt
+        if (tag == "VP8 ") {
+          frames += Vp8Codec.decode(bytes, so + 8, sz)
+            .getOrElse(return None)
           done = true
         } else so += 8 + sz + (sz & 1)
       }

@@ -1451,6 +1451,60 @@ object MultimodalOps {
             movie_duration_ms, encoder_tag, file_bytes)
         ORDER BY track_id""")),
 
+    // Animated WebP with LOSSY (VP8) frames — the class q315's
+    // lossless-frame route could not touch before the r15 Vp8Codec:
+    // wild_anim_lossy.webp is the same independent-muxer construction
+    // (scripts/make_webp_anim_lossy_fixture.py) whose frame payloads
+    // are real libwebp LOSSY encoder output. One row per frame pins
+    // placement/timing/payload size AND the per-plane Y/U/V sums of
+    // the full VP8 intra decode — every sum below is libwebp's own
+    // WebPDecodeYUV of the identical payload (the golden the build
+    // script records; WebpCodecSpec additionally md5-pins the raw
+    // planes). Decode runs in mapPartitions; payloads never shuffle.
+    Q("q324_webp_anim_lossy",
+      (s, dir) => {
+        import s.implicits._
+        s.range(1).as[Long].mapPartitions(_.flatMap { _ =>
+          val in = getClass.getResourceAsStream(
+            "/graft/wild_anim_lossy.webp")
+          val bytes = try in.readAllBytes() finally in.close()
+          val (c, planes) = graft.operators.WebpCodec
+            .decodeAnimationLossyPlanes(bytes)
+            .getOrElse(sys.error("lossy anim fixture refused"))
+          def sum(a: Array[Byte]): Long = {
+            var s0 = 0L; var i = 0
+            while (i < a.length) { s0 += (a(i) & 0xff); i += 1 }
+            s0
+          }
+          c.frames.zip(planes).zipWithIndex.iterator.map {
+            case ((f, p), i) =>
+              (i.toLong, f.durationMs.toLong, f.payloadBytes.toLong,
+                sum(p.y), sum(p.u), sum(p.v),
+                c.canvasWidth.toLong, c.canvasHeight.toLong,
+                c.loopCount.toLong, c.frames.size.toLong)
+          }
+        }).toDF("frame_idx", "duration_ms", "payload_bytes", "y_sum",
+          "u_sum", "v_sum", "canvas_w", "canvas_h", "loop_count",
+          "n_frames")
+          .orderBy("frame_idx")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), CAST(80 AS BIGINT), CAST(502 AS BIGINT),
+            CAST(112894 AS BIGINT), CAST(33229 AS BIGINT),
+            CAST(34008 AS BIGINT), CAST(32 AS BIGINT),
+            CAST(32 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+          (CAST(1 AS BIGINT), CAST(120 AS BIGINT), CAST(522 AS BIGINT),
+            CAST(116997 AS BIGINT), CAST(32501 AS BIGINT),
+            CAST(35601 AS BIGINT), CAST(32 AS BIGINT),
+            CAST(32 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+          (CAST(2 AS BIGINT), CAST(160 AS BIGINT), CAST(622 AS BIGINT),
+            CAST(122298 AS BIGINT), CAST(32025 AS BIGINT),
+            CAST(34740 AS BIGINT), CAST(32 AS BIGINT),
+            CAST(32 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)))
+          AS t(frame_idx, duration_ms, payload_bytes, y_sum, u_sum,
+            v_sum, canvas_w, canvas_h, loop_count, n_frames)
+        ORDER BY frame_idx""")),
+
     // Energy-threshold VAD segmentation — the speech-corpus trimming
     // pass that rides directly on q162's frame features: 32-sample
     // frames → squared-energy gate → maximal runs of active frames

@@ -250,6 +250,18 @@ class PropertySpec extends SparkSpec {
       { // animated WebP: mutations drive the ANMF walk + frame decode
         val in = getClass.getResourceAsStream("/graft/wild_anim.webp")
         try in.readAllBytes() finally in.close()
+      },
+      { // lossy VP8 (r15): mutations drive the boolean decoder, token
+        // trees, partition-size guards and the loop filter — Vp8Codec
+        // must decode-or-refuse, never throw or hang
+        val in = getClass.getResourceAsStream(
+          "/graft/vp8_tex_64x64_q90.webp")
+        try in.readAllBytes() finally in.close()
+      },
+      { // lossy VP8 with segmentation + odd dims
+        val in = getClass.getResourceAsStream(
+          "/graft/vp8_odd_33x17_q40.webp")
+        try in.readAllBytes() finally in.close()
       })
     forAllSampled(for {
       p <- Gen.oneOf(real)
@@ -274,6 +286,10 @@ class PropertySpec extends SparkSpec {
       }
       graft.operators.WebpCodec.census(c).foreach { r =>
         assert(r.width >= 0 && r.height >= 0 && r.chunkTags.nonEmpty)
+      }
+      graft.operators.WebpCodec.decodeVp8Planes(c).foreach { p =>
+        assert(p.y.length == p.width * p.height &&
+          p.u.length == ((p.width + 1) / 2) * ((p.height + 1) / 2))
       }
       // alphaPlane is TOTAL on untrusted bytes (decodeStats calls it
       // raw); a surviving decode must still be a full plane

@@ -274,6 +274,44 @@ class WebpCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("animated WebP with LOSSY frames: per-frame VP8 decode matches " +
+      "libwebp's WebPDecodeYUV of each payload byte-for-byte") {
+    val bytes = res("wild_anim_lossy.webp")
+    val g = {
+      val in = getClass.getResourceAsStream(
+        "/graft/webp_anim_lossy_golden.json")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      om.readTree(try in.readAllBytes() finally in.close())
+    }
+    def md5(a: Array[Byte]) = java.security.MessageDigest
+      .getInstance("MD5").digest(a).map(b => f"${b & 0xff}%02x").mkString
+    val (c, planes) = graft.operators.WebpCodec
+      .decodeAnimationLossyPlanes(bytes)
+      .getOrElse(fail("lossy animation refused"))
+    assert(c.canvasWidth == g.get("canvas_w").asInt &&
+      c.canvasHeight == g.get("canvas_h").asInt &&
+      c.loopCount == g.get("loop_count").asInt)
+    val gf = g.get("frames")
+    assert(planes.size == gf.size())
+    planes.zipWithIndex.foreach { case (p, i) =>
+      assert(md5(p.y) == gf.get(i).get("y_md5").asText(), s"frame $i Y")
+      assert(md5(p.u) == gf.get(i).get("u_md5").asText(), s"frame $i U")
+      assert(md5(p.v) == gf.get(i).get("v_md5").asText(), s"frame $i V")
+      assert(c.frames(i).durationMs ==
+        gf.get(i).get("duration_ms").asInt)
+      assert(c.frames(i).payloadBytes ==
+        gf.get(i).get("payload_bytes").asInt)
+    }
+    // the RGB/video route accepts the same class (conversion is the
+    // documented toRgb choice, not a reference surface)
+    val (_, imgs) = graft.operators.WebpCodec.decodeAnimation(bytes)
+      .getOrElse(fail("video route refused lossy frames"))
+    assert(imgs.size == planes.size &&
+      imgs.forall(im => im.width == c.canvasWidth &&
+        im.height == c.canvasHeight &&
+        im.rgb.length == im.width * im.height * 3))
+  }
+
   test("decodeStats routes webp: VP8L to pixel stats, lossy to " +
       "census-backed alpha stats") {
     val spark = org.apache.spark.sql.SparkSession.builder()
