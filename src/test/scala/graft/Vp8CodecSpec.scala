@@ -14,16 +14,16 @@ import graft.operators.{Vp8Codec, WebpCodec}
   * the comparison (one wrong table byte desynchronizes the boolean
   * decoder and fails everything downstream).
   *
-  * Coverage across the six fixtures: 16×16 single-MB B_PRED, i16 DC/
-  * V modes with second-order luma (WHT), non-multiple-of-16 dims
+  * Coverage across the nine fixtures: 16×16 single-MB B_PRED, i16
+  * DC/V modes with second-order luma (WHT), non-multiple-of-16 dims
   * (33×17 crop), segmentation with per-segment quantizers, skipped
-  * MBs, filter levels 2..60 (both hev tiers), qualities 40..95, and
-  * two WILD files from earlier rounds (incl. CPython's test-corpus
-  * python.webp) rather than only self-encoded streams. Not exercised
-  * by any obtainable fixture: the simple filter profile and multi-
-  * partition token streams (libwebp's simple encoder API emits
-  * neither) — both code paths are spec-visible but unproven, and the
-  * decoder treats them per RFC 6386.
+  * MBs, filter levels 2..60 (both hev tiers), qualities 40..95, two
+  * WILD files from earlier rounds (incl. CPython's test-corpus
+  * python.webp), and — via libwebp's ADVANCED encoder API driven
+  * through ctypes (scripts/vp8_probe_adv.py; the simple API emits
+  * neither) — the SIMPLE loop-filter profile and 4- and 8-way
+  * multi-partition token streams, so every decoder path the
+  * reference encoder can produce is golden-pinned.
   */
 class Vp8CodecSpec extends AnyFunSuite {
 
@@ -46,7 +46,13 @@ class Vp8CodecSpec extends AnyFunSuite {
     ("vp8_tex_64x64_q90", "/graft test resources"),
     ("vp8_flat_16x16_q95", "/graft test resources"),
     ("wild_lossy_alpha", "main resources (r14 wild fixture)"),
-    ("wild_vp8x_alpha", "CPython test corpus python.webp"))
+    ("wild_vp8x_alpha", "CPython test corpus python.webp"),
+    // advanced-API fixtures (scripts/vp8_probe_adv.py): the two paths
+    // the simple encoder API never emits — goldens prove the header
+    // peeker saw simple_filter=true / n_partitions 4 and 8
+    ("vp8_simplefilter_48x48", "SIMPLE loop-filter profile"),
+    ("vp8_4part_64x48", "4 token partitions"),
+    ("vp8_8part_sf_80x48", "8 token partitions + simple filter"))
 
   for ((name, provenance) <- fixtures)
     test(s"$name decodes byte-exact vs libwebp WebPDecodeYUV " +
