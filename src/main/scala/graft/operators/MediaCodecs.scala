@@ -144,8 +144,11 @@ object MediaCodecs {
     sniff(bytes).flatMap {
       case "avi" => tryDecode(("avi", VideoCodec.decode(bytes)))
       case "webp" => // animated WebP whose frames are all full-canvas
-        // non-blending VP8L: each frame IS a canvas state (the
-        // compositing-free class); anything else routes to the census
+        // non-blending VP8L or VP8 (r15): each frame IS a canvas
+        // state (the compositing-free class); lossy frames decode via
+        // Vp8Codec with the documented toRgb conversion — the pinned
+        // YUV surface is decodeAnimationLossyPlanes/q324; anything
+        // else routes to the census
         tryDecode(WebpCodec.decodeAnimation(bytes)).flatten.map {
           case (c, frames) =>
             val fps = math.max(1, math.round(frames.size * 1000.0 /
