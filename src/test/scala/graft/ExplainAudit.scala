@@ -92,7 +92,14 @@ object ExplainAudit {
       // control-plane crossJoin; q314 is a streaming twin (q258 note)
       "q310_webp_wild_decode", "q311_chat_format_lint",
       "q312_fleiss_kappa", "q313_ccnet_buckets",
-      "q316_krippendorff_alpha", "q317_padding_waste")
+      "q316_krippendorff_alpha", "q317_padding_waste",
+      // round 15 — q318 glob scan + label aggregate, q321/q322
+      // single-scan censuses over the new kernels, q323 is a
+      // streaming twin (audited via its batch function inside q322),
+      // q324 mapPartitions decode; q319/q320 are control-plane
+      // (catalog rewrite / driver-built work-list) with no fact scan
+      "q318_tree_scan", "q321_nfc_census", "q322_format_census",
+      "q324_webp_anim_lossy")
     for (q <- qs) {
       // tree-walk audit (PlanAudit): the old text grep printed a cached
       // subtree's plan at every scan site, inflating counts (q306's one
