@@ -87,6 +87,28 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.selectDrift(Map("q" -> 1.5), Map("q" -> 1.0)).isEmpty)
   }
 
+  test("committed BENCH_metrics carries shuffle fields (the drift " +
+      "alarm's baseline)") {
+    // the drift alarm compares against the PRIOR round's committed
+    // recording; if that file loses its shuffle fields (a format
+    // regression in the metrics writer), the alarm silently never
+    // fires — fail loudly here instead, like the r7 guard below
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_metrics.json")))
+    var n = 0; var withShuffle = 0
+    val it = root.fields()
+    while (it.hasNext) {
+      val e = it.next(); n += 1
+      if (e.getValue.has("shuffle_read_mb") &&
+        e.getValue.has("shuffle_write_mb") &&
+        e.getValue.has("peak_task_mem_mb")) withShuffle += 1
+    }
+    assert(n > 300, s"metrics baseline shrank to $n entries")
+    assert(withShuffle == n,
+      s"only $withShuffle of $n metrics rows carry shuffle fields")
+  }
+
   test("committed r7 recording actually loads (the gate's reference)") {
     val r7 = Bench.loadRefMap("BENCH_full_r07.json")
     // the r7 overlap gate is defined over ~200 queries; if this file
