@@ -156,8 +156,13 @@ object Vp8Codec {
     val tag = (buf(off) & 0xff) | ((buf(off + 1) & 0xff) << 8) |
       ((buf(off + 2) & 0xff) << 16)
     val keyframe = (tag & 1) == 0
+    val profile = (tag >>> 1) & 7
     val part0Len = tag >>> 5
     if (!keyframe) return None
+    // the reference rejects profile > 3 outright; profiles 1-3 only
+    // alter INTER reconstruction (bilinear/no-filter motion comp), so
+    // keyframe stills decode identically and stay accepted (r15 ADVICE)
+    if (profile > 3) return None
     if ((buf(off + 3) & 0xff) != 0x9d || (buf(off + 4) & 0xff) != 0x01 ||
       (buf(off + 5) & 0xff) != 0x2a) return None
     val w = ((buf(off + 6) & 0xff) | ((buf(off + 7) & 0xff) << 8)) & 0x3fff
@@ -494,11 +499,14 @@ object Vp8Codec {
     }
 
     // ---- prediction helpers over the padded plane ----
-    // border conventions: above row = 127 at frame top; left col = 129
-    // at frame left; above-left = 129 except at frame top (127)
+    // border conventions: the whole above row at frame top — including
+    // the above-left corner — is 127 (libwebp memsets the top border
+    // row to 127 before the corner is ever written); left col = 129 at
+    // frame left. Below the top row the above-left of the frame's left
+    // column is the left border, 129.
     def pget(p: Array[Byte], stride: Int, x: Int, y: Int,
         maxX: Int): Int =
-      if (y < 0) { if (x < 0) 129 else 127 }
+      if (y < 0) 127
       else if (x < 0) 129
       else if (x >= maxX) p(y * stride + maxX - 1) & 0xff
       else p(y * stride + x) & 0xff

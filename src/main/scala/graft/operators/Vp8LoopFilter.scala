@@ -119,12 +119,16 @@ private[operators] object Vp8LoopFilter {
             if (!segEnabled) baseLevel
             else if (segAbsDelta) segLf(seg)
             else baseLevel + segLf(seg)
-          val l1 = if (l0 < 0) 0 else if (l0 > 63) 63 else l0
+          // single clamp, AFTER the lf deltas are added to the
+          // unclamped segment-adjusted base — an intermediate clamp
+          // diverges from the reference when the segment level leaves
+          // [0,63] and the deltas pull it back (r15 ADVICE)
+          var l = l0
           if (lfDeltaEnabled) {
-            var l = l1 + intraRefDelta
+            l += intraRefDelta
             if (isB) l += bPredModeDelta
-            if (l < 0) 0 else if (l > 63) 63 else l
-          } else l1
+          }
+          if (l < 0) 0 else if (l > 63) 63 else l
         }
         if (level > 0) {
           var interior = level

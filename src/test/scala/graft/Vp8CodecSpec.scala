@@ -45,6 +45,10 @@ class Vp8CodecSpec extends AnyFunSuite {
     ("vp8_odd_33x17_q40", "/graft test resources"),
     ("vp8_tex_64x64_q90", "/graft test resources"),
     ("vp8_flat_16x16_q95", "/graft test resources"),
+    // diagonal gradient: MB(0,0) lands in B_PRED with corner-reading
+    // sub-modes, pinning the above-left frame-border convention (127,
+    // same as the rest of the top border row — r15 ADVICE fix)
+    ("vp8_tlcorner_16x16_q95", "top-left corner border pixel"),
     ("wild_lossy_alpha", "main resources (r14 wild fixture)"),
     ("wild_vp8x_alpha", "CPython test corpus python.webp"),
     // advanced-API fixtures (scripts/vp8_probe_adv.py): the two paths
@@ -100,6 +104,13 @@ class Vp8CodecSpec extends AnyFunSuite {
     // inter-frame bit set -> keyframe-only decoder must refuse
     val inter = good.clone(); inter(o) = (inter(o) | 1).toByte
     assert(WebpCodec.decodeVp8Planes(inter).isEmpty)
+    // invalid profile (version bits 1-3 > 3) -> libwebp refuses; so
+    // must we, instead of silently decoding as profile 0
+    for (prof <- Seq(4, 7)) {
+      val bad = good.clone()
+      bad(o) = ((bad(o) & ~0x0e) | (prof << 1)).toByte
+      assert(WebpCodec.decodeVp8Planes(bad).isEmpty, s"profile $prof")
+    }
     // 16383x16383 claimed dims (268M pixels) must hit the pixel cap
     // before any allocation
     val bomb = good.clone()
