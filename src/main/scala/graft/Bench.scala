@@ -56,6 +56,46 @@ object Bench {
       }
       .sortBy(-_._3)
 
+  /** Wall-drift selection (r15 verdict #1): the q203 class of
+    * regression is wall+heap at FLAT shuffle (codegen-cache × JIT,
+    * persisted-build loss, sort-order change…), which the
+    * shuffle-bytes alarm is blind to by construction. A query drifts
+    * when its min-of-runs seconds, divided by the box-phase factor,
+    * exceeds 1.5× the prior round's recording, on priors ≥1 s (fast
+    * queries jitter past 1.5× on scheduler noise alone).
+    *
+    * `phaseFactor` is curParProbe/priorParProbe clamped to ≥1: a
+    * slower box forgives proportionally, a faster box never AMPLIFIES
+    * a ratio (a query that stayed slow on a faster box is more
+    * suspicious, not less — don't divide by <1). */
+  def selectWallDrift(current: Map[String, Double],
+      prior: Map[String, Double],
+      phaseFactor: Double): Seq[(String, Double, Double)] = {
+    val f = math.max(1.0, phaseFactor)
+    current.toSeq
+      .flatMap { case (k, cur) =>
+        prior.get(k).collect {
+          case p if p >= 1.0 && cur / f > 1.5 * p => (k, p, cur)
+        }
+      }
+      .sortBy(-_._3)
+  }
+
+  /** Heap-drift selection (r15 verdict #1): retained heap (live set
+    * after the last collection) >2× the prior round's recording, on
+    * priors ≥64 MB — below that the number is mostly session baseline
+    * and collector timing, not the query's working set. Heap is not
+    * box-phase-sensitive, so no normalization. */
+  def selectHeapDrift(current: Map[String, Double],
+      prior: Map[String, Double]): Seq[(String, Double, Double)] =
+    current.toSeq
+      .flatMap { case (k, cur) =>
+        prior.get(k).collect {
+          case p if p >= 64.0 && cur > 2.0 * p => (k, p, cur)
+        }
+      }
+      .sortBy(-_._3)
+
   /** Per-query seconds from a committed BENCH_full json (`queries`
     * field). Missing/unparseable file → empty map (first round, or a
     * fresh clone): the re-run pass then simply never triggers. */
@@ -351,11 +391,12 @@ object Bench {
     // control-plane queries jitter) changed PLAN, whatever the clock
     // says. Printed to stderr so the driver log carries the list even
     // though the console JSON stays compact.
-    val priorShuffle: Map[String, Double] = try {
+    val (priorShuffle, priorHeap): (Map[String, Double], Map[String, Double]) = try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_metrics.json")))
       val b = Map.newBuilder[String, Double]
+      val hb = Map.newBuilder[String, Double]
       val it = root.fields()
       while (it.hasNext) {
         val e = it.next()
@@ -363,9 +404,12 @@ object Bench {
         val wr = e.getValue.get("shuffle_write_mb")
         if (rd != null && wr != null)
           b += e.getKey -> (rd.asDouble() + wr.asDouble())
+        val hg = e.getValue.get("heap_after_gc_mb")
+        if (hg != null && hg.isNumber)
+          hb += e.getKey -> hg.asDouble()
       }
-      b.result()
-    } catch { case _: Throwable => Map.empty }
+      (b.result(), hb.result())
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
     val drift = selectDrift(
       results.map { case (k, r) =>
         k -> (mb(r.shufReadB) + mb(r.shufWriteB)) }.toMap,
@@ -373,6 +417,40 @@ object Bench {
     if (drift.nonEmpty)
       System.err.println(s"[bench] SHUFFLE DRIFT >1.5x vs prior round: " +
         drift.map { case (k, p, c) => s"$k ${p}->${c} MB" }.mkString("; "))
+    // Wall + heap drift alarms (r15 verdict #1): the alarm set the
+    // shuffle alarm can't see. Wall priors come from the prior round's
+    // committed BENCH_full (final min-of-runs, same basis as `ok`),
+    // phase-normalized by the ratio of parallel CPU probes — the prior
+    // run's recorded mean vs this run's mean — so a slow box phase is
+    // forgiven instead of flagged. Heap priors come from BENCH_metrics.
+    val priorParProbe: Double = try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = om.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_full.json"))).get("cpu_proxy_par_sec")
+      if (arr != null && arr.isArray && arr.size() > 0) {
+        var s = 0.0; var i = 0
+        while (i < arr.size()) { s += arr.get(i).asDouble(); i += 1 }
+        s / arr.size()
+      } else 0.0
+    } catch { case _: Throwable => 0.0 }
+    val curParProbe = (proxyParPre + proxyParPost) / 2.0
+    val phaseFactor =
+      if (priorParProbe > 0 && curParProbe > 0) curParProbe / priorParProbe
+      else 1.0
+    val wallDrift = selectWallDrift(
+      ok.toMap.map { case (k, r) => k -> r.sec },
+      loadRefMap("BENCH_full.json"), phaseFactor)
+    def d2(x: Double): Double = math.round(x * 100) / 100.0
+    if (wallDrift.nonEmpty)
+      System.err.println(
+        s"[bench] WALL DRIFT >1.5x vs prior round (phase factor ${d2(phaseFactor)}): " +
+        wallDrift.map { case (k, p, c) => s"$k ${d2(p)}->${d2(c)} s" }.mkString("; "))
+    val heapDrift = selectHeapDrift(
+      results.map { case (k, r) => k -> r.heapAfterGc.toDouble }.toMap,
+      priorHeap)
+    if (heapDrift.nonEmpty)
+      System.err.println(s"[bench] HEAP DRIFT >2x vs prior round: " +
+        heapDrift.map { case (k, p, c) => s"$k ${p.toLong}->${c.toLong} MB" }.mkString("; "))
     // Filtered iteration runs must not clobber the committed FULL-run
     // records — divert their file output unless explicitly pointed
     // somewhere (the console JSON is unaffected).
@@ -418,7 +496,7 @@ object Bench {
     }
     val budget = 1700 // chars; sbt's [success] trailer rides in the same tail
     val slowest = ok.sortBy(-_._2.sec)
-    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries_total":${ok.size},"failed":$failedJson,"failed_count":${failed.size},"rerun_count":${reruns.size},"shuffle_drift_count":${drift.size},"gc_sec":${math.round(gcTotal * 10) / 10.0},"cpu_proxy_sec":[${r2(proxyPre)},${r2(proxyPost)}],"cpu_proxy_par_sec":[${r2(proxyParPre)},${r2(proxyParPost)}]$overlapJson,"sf":"$sfDir","full":"BENCH_full.json","queries":"""
+    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries_total":${ok.size},"failed":$failedJson,"failed_count":${failed.size},"rerun_count":${reruns.size},"shuffle_drift_count":${drift.size},"wall_drift_count":${wallDrift.size},"heap_drift_count":${heapDrift.size},"phase_factor":${d2(phaseFactor)},"gc_sec":${math.round(gcTotal * 10) / 10.0},"cpu_proxy_sec":[${r2(proxyPre)},${r2(proxyPost)}],"cpu_proxy_par_sec":[${r2(proxyParPre)},${r2(proxyParPost)}]$overlapJson,"sf":"$sfDir","full":"BENCH_full.json","queries":"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = head.length + 2
     // an HONEST prefix of the slowest ordering: stop at the first

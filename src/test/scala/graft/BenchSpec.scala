@@ -87,6 +87,58 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.selectDrift(Map("q" -> 1.5), Map("q" -> 1.0)).isEmpty)
   }
 
+  test("wall drift: phase-normalized >1.5x on >=1s priors; faster box " +
+      "never amplifies; fast-query jitter and phase slowdowns excluded") {
+    val prior = Map("slow" -> 4.0, "fast" -> 0.4, "steady" -> 10.0,
+      "phased" -> 4.0)
+    val current = Map(
+      "slow" -> 7.0,    // 1.75x at phase 1.0 -> selected
+      "fast" -> 1.2,    // 3x but prior under 1s -> excluded
+      "steady" -> 12.0, // 1.2x -> excluded
+      "fresh" -> 50.0)  // no prior -> excluded
+    val out = Bench.selectWallDrift(current, prior, phaseFactor = 1.0)
+    assert(out == Seq(("slow", 4.0, 7.0)), s"wall drift: $out")
+    // a 1.3x-slower box forgives a 1.7x wall ratio (1.7/1.3 < 1.5)...
+    assert(Bench.selectWallDrift(Map("phased" -> 6.8), prior, 1.3).isEmpty)
+    // ...but a FASTER box (factor <1) is clamped to 1.0, not divided
+    // through — 1.6x wall on a 0.5x box must still trigger, and must
+    // report the same pair as at factor 1.0
+    assert(Bench.selectWallDrift(Map("phased" -> 6.4), prior, 0.5) ==
+      Seq(("phased", 4.0, 6.4)))
+    // exactly-1.5x is NOT drift (strict >, no boundary flap)
+    assert(Bench.selectWallDrift(Map("slow" -> 6.0), prior, 1.0).isEmpty)
+  }
+
+  test("heap drift: >2x retained heap on >=64MB priors, largest first") {
+    val prior = Map("big" -> 400.0, "small" -> 20.0, "flat" -> 500.0,
+      "other" -> 100.0)
+    val current = Map(
+      "big" -> 900.0,   // 2.25x on 400MB -> selected
+      "small" -> 90.0,  // 4.5x but prior under 64MB -> excluded
+      "flat" -> 650.0,  // 1.3x -> excluded
+      "other" -> 2000.0) // 20x -> selected, largest current first
+    val out = Bench.selectHeapDrift(current, prior)
+    assert(out == Seq(("other", 100.0, 2000.0), ("big", 400.0, 900.0)),
+      s"heap drift: $out")
+    // exactly-2x is NOT drift
+    assert(Bench.selectHeapDrift(Map("q" -> 200.0), Map("q" -> 100.0)).isEmpty)
+  }
+
+  test("committed BENCH_metrics carries heap_after_gc_mb (the heap " +
+      "alarm's baseline)") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_metrics.json")))
+    var n = 0; var withHeap = 0
+    val it = root.fields()
+    while (it.hasNext) {
+      val e = it.next(); n += 1
+      if (e.getValue.has("heap_after_gc_mb")) withHeap += 1
+    }
+    assert(withHeap == n,
+      s"only $withHeap of $n metrics rows carry heap_after_gc_mb")
+  }
+
   test("committed BENCH_metrics carries shuffle fields (the drift " +
       "alarm's baseline)") {
     // the drift alarm compares against the PRIOR round's committed
