@@ -73,14 +73,79 @@ def perturb_embeddings():
     print(f"embeddings: {n} -> {n * REPL}")
 
 
+def perturb_events():
+    """10x events with SHIFTED time windows and entity ids (r15 verdict
+    #3): replica k moves ts forward by k*(span+1h) and user_id/event_id
+    into fresh ranges. Time-bucketed aggregates and interval joins then
+    scale linearly in buckets/windows — verbatim replication would
+    instead make every time window 10x denser (interval-join candidate
+    pairs 100x), which measures data degeneracy, not operator scaling;
+    same rationale as the documents near-dup treatment above."""
+    t = pq.read_table(f"{SRC}/events.parquet")
+    n = t.num_rows
+    ids = t.column("event_id").to_pylist()
+    ts = t.column("ts").to_pylist()
+    users = t.column("user_id").to_pylist()
+    etypes = t.column("event_type").to_pylist()
+    values = t.column("value").to_pylist()
+    props = t.column("props").to_pylist()
+    max_id = max(ids)
+    max_user = max(users)
+    import datetime
+    span = max(ts) - min(ts) + datetime.timedelta(hours=1)
+    out = {k: [] for k in t.schema.names}
+    for k in range(REPL):
+        shift = k * span
+        for i in range(n):
+            out["event_id"].append(ids[i] + k * (max_id + 1))
+            out["ts"].append(ts[i] + shift)
+            out["user_id"].append(users[i] + k * (max_user + 1))
+            out["event_type"].append(etypes[i])
+            out["value"].append(values[i])
+            out["props"].append(props[i])
+    schema = pa.schema([(f.name, f.type) for f in t.schema])
+    pq.write_table(pa.table(out, schema=schema), f"{DST}/events.parquet")
+    print(f"events: {n} -> {n * REPL}")
+
+
+def perturb_customer():
+    """10x customer with shifted c_custkey ranges (r15 verdict #3 —
+    the q235_dbscan fact side is CUSTOMER, not events). The DBSCAN
+    lattice derives (x,y) from c_custkey modulo a FIXED 36000x18000
+    box, so 10x points means 10x density at constant area: candidate
+    pairs grow ~density^2 per epsilon-cell. That is the honest hard
+    case for a density clusterer (the area-growing case is the
+    documents-style shifted treatment, which the id->lattice mapping
+    cannot express) — the proof judgment is then pairs-bound growth
+    with grid partitioning holding per-task memory flat."""
+    import pyarrow.compute as pc
+    t = pq.read_table(f"{SRC}/customer.parquet")
+    n = t.num_rows
+    max_id = pc.max(t.column("c_custkey")).as_py()
+    parts = []
+    for k in range(REPL):
+        if k == 0:
+            parts.append(t)
+        else:
+            shifted = t.set_column(
+                t.schema.get_field_index("c_custkey"), "c_custkey",
+                pc.add(t.column("c_custkey"), k * (max_id + 1)))
+            parts.append(shifted)
+    pq.write_table(pa.concat_tables(parts), f"{DST}/customer.parquet")
+    print(f"customer: {n} -> {n * REPL}")
+
+
 def main():
     os.makedirs(DST, exist_ok=True)
     for f in sorted(os.listdir(SRC)):
         if f.endswith(".parquet") and f not in (
-                "documents.parquet", "embeddings.parquet"):
+                "documents.parquet", "embeddings.parquet",
+                "events.parquet", "customer.parquet"):
             shutil.copy(f"{SRC}/{f}", f"{DST}/{f}")
+    perturb_customer()
     perturb_documents()
     perturb_embeddings()
+    perturb_events()
     print("wrote", DST)
 
 

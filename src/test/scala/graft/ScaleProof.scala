@@ -56,7 +56,14 @@ object ScaleProof {
       // raw operators as well)
       "q203_lsh_recall", "q238_incremental_components", "q235_dbscan",
       "q183_jaccard_prefix_join", "q208_label_propagation",
-      "q174_dup_spans")
+      "q174_dup_spans",
+      // r15 verdict #3: the stream/interval-join family — state-shaped
+      // operators where quadratics hide in window density. Real 10x
+      // evidence exists only now that make_scale10 scales `events`
+      // (shifted time windows + entity ids, so windows stay locally
+      // dense and growth is in window COUNT, the production shape).
+      "q122_stream_outer_interval_join", "q166_continuous_aggregate",
+      "q170_stream_continuous_aggregate", "q181_stream_ohlc")
     // prime table file caches so the first query isn't charged IO warmup
     Tables.all.foreach { n =>
       Tables.load(spark, dir, n).write.format("noop").mode("overwrite").save()
