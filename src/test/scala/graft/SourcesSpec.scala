@@ -210,6 +210,75 @@ class SourcesSpec extends SparkSpec {
     assert(df.select("src").distinct().count() == 3)
   }
 
+  test("xlsx independent-writer pin: workbook built by CPython zipfile " +
+      "+ hand-written OOXML (scripts/make_xlsx_fixture.py), goldens " +
+      "from the generator's own arithmetic") {
+    // the one structured source previously proven only on bytes its
+    // own sibling writer produced (r15 verdict #4). The fixture
+    // exercises shapes writeXlsx never emits: default spreadsheetml
+    // namespaces, non-sequential rIds, non-canonical part names
+    // (sheet99.xml) + an absolute rel target, rich-text shared-string
+    // runs, xml:space="preserve", inline strings, booleans, formula
+    // cells with cached values, style-only blanks, r-less cells, an
+    // empty <row/> and gap columns.
+    val path = getClass.getResource("/graft/wild_book.xlsx").getPath
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val g = om.readTree(getClass.getResourceAsStream(
+      "/graft/wild_book_golden.json"))
+
+    assert(XlsxSource.sheetNames(spark, path) == Seq("meta", "data"),
+      "workbook-order sheet listing across non-sequential rIds")
+
+    val df = XlsxSource.readSheet(spark, path, "data").cache()
+    val hdr = (0 until g.get("header").size())
+      .map(i => g.get("header").get(i).asText())
+    assert(df.columns.toSeq == hdr)
+    assert(df.count() == g.get("n_data_rows").asLong,
+      "200 data rows + the trailing empty <row/> as an all-null row")
+
+    val agg = df.selectExpr(
+      "CAST(sum(CAST(mw AS DECIMAL(18,2)) * 4) AS BIGINT) AS mw_quarters",
+      "count(plant) AS plant_nn", "count(note) AS note_nn",
+      "sum(CASE WHEN flag = '1' THEN 1 ELSE 0 END) AS flag_true",
+      "sum(CAST(serial AS BIGINT)) AS serial_sum",
+      "count(extra) AS extra_nn").head()
+    assert(agg.getLong(0) == g.get("mw_sum_quarters").asLong,
+      "exact numeric sum vs the generator's integer arithmetic")
+    assert(agg.getLong(1) == g.get("plant_nonnull").asLong)
+    assert(agg.getLong(2) == g.get("note_nonnull").asLong,
+      "style-only blanks and absent cells both read as null")
+    assert(agg.getLong(3) == g.get("flag_true").asLong)
+    assert(agg.getLong(4) == g.get("serial_sum").asLong,
+      "formula cells surface their cached <v>")
+    assert(agg.getLong(5) == g.get("extra_nonnull").asLong,
+      "gap column present only via r= refs")
+
+    // string fidelity: rich-text run concatenation, preserved trailing
+    // space, unicode
+    def countOf(p: String): Long = df.filter(col("plant") === p).count()
+    assert(countOf(g.get("rich_text_plant").asText()) ==
+      g.get("rich_text_count").asLong)
+    assert(countOf(g.get("trailing_space_plant").asText()) ==
+      g.get("trailing_space_count").asLong)
+    assert(countOf("水力") == g.get("unicode_count").asLong)
+
+    // spot row 0 (an r-less sequential-fallback row)
+    val r0 = df.filter(col("serial").isNotNull)
+      .orderBy(col("serial").cast("long")).head()
+    val g0 = g.get("row0")
+    assert(r0.getAs[String]("plant") == g0.get("plant").asText())
+    assert(r0.getAs[String]("mw") == g0.get("mw").asText())
+    assert(r0.getAs[String]("flag") == g0.get("flag").asText())
+    assert(r0.getAs[String]("serial") == g0.get("serial").asText())
+
+    val meta = XlsxSource.readSheet(spark, path, "meta")
+    assert(meta.count() == g.get("meta_rows").asLong)
+    assert(meta.filter(col("key") === "rows").head()
+      .getAs[String]("value") == "200",
+      "absolute-path rel target (/xl/worksheets/meta7.xml) resolves")
+    df.unpersist()
+  }
+
   test("xlsx colIndex decodes A, Z, AA, BC") {
     assert(XlsxSource.colIndex("A1") == 0)
     assert(XlsxSource.colIndex("Z9") == 25)
