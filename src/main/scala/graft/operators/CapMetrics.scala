@@ -65,6 +65,26 @@ object CapMetrics {
       coalesce(max(w), lit(0L)).as("max_width"))
   }
 
+  /** Truncation-cap variant: the guard KEEPS `cap` rows per over-cap
+    * group (bottom-k truncation) instead of dropping the whole group,
+    * so `dropped_rows` counts only the EXCESS — each row of an
+    * over-cap group of width w contributes (w-cap)/w, so the group
+    * sums to exactly w-cap. `capped_groups` counts groups that were
+    * truncated; same listener, log surface and retention as
+    * [[observeCap]]. */
+  def observeTrunc(df: DataFrame, widthCol: String, cap: Int,
+      tag: String): DataFrame = {
+    install(df.sparkSession)
+    val w = col(widthCol)
+    df.observe(s"graft.cap.$tag.${seq.incrementAndGet()}",
+      count(lit(1)).as("input_rows"),
+      coalesce(round(sum(when(w > cap, (w - cap.toDouble) / w))), lit(0L))
+        .cast("long").as("dropped_rows"),
+      coalesce(round(sum(when(w > cap, lit(1.0) / w))), lit(0L))
+        .cast("long").as("capped_groups"),
+      coalesce(max(w), lit(0L)).as("max_width"))
+  }
+
   /** Collect CollectMetricsExec rows from an EXECUTED plan,
     * descending into AQE's materialized query stages — the stock
     * `qe.observedMetrics` traversal does not reach a CollectMetrics

@@ -312,14 +312,48 @@ object Dedup {
     * `maxDocFreq` does not apply (hot-shingle skew is bounded by
     * `maxBucketWidth` on the band buckets instead, so the verified
     * jaccard is over the FULL shingle universe, not the capped one). */
+  /** True iff `docs` has more than `threshold` rows, WITHOUT a full
+    * corpus scan (r15 verdict #5: the previous `docs.count()` gate
+    * read 100 TB once just to decide how to read it). Catalog/CBO
+    * row-count statistics answer for free when present; otherwise a
+    * bounded take-probe — `executeTake` evaluates partitions
+    * incrementally (1 partition, then 4× scale-ups), so deciding
+    * "more than 20k rows?" against a petabyte corpus reads the first
+    * partition's leading row groups, not the corpus. The probed
+    * projection is a literal, so the columnar scan materializes no
+    * data columns. */
+  private[graft] def exceedsRows(docs: DataFrame,
+      threshold: Long): Boolean =
+    docs.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(n) => n > BigInt(threshold)
+      case None =>
+        val probe = (math.min(threshold, Int.MaxValue - 2L) + 1).toInt
+        docs.select(lit(true)).take(probe).length > threshold
+    }
+
   def nearDupPairsAuto(docs: DataFrame, k: Int, minJaccard: Double,
       maxDocFreq: Int = Int.MaxValue,
       numHashes: Int = 8, bands: Int = 4,
       maxBucketWidth: Int = 1 << 20,
-      exactThreshold: Long = 20000L): DataFrame =
-    if (docs.count() <= exactThreshold)
+      exactThreshold: Long = 20000L,
+      maxShinglesPerDoc: Int = 1 << 16): DataFrame =
+    if (!exceedsRows(docs, exactThreshold))
       ngramJaccardPairs(docs, k, minJaccard, maxDocFreq)
     else {
+      // Expected LSH recall at the flip (r15 verdict #7): with h
+      // hashes in b bands of r = h/b rows, a pair of true jaccard J
+      // collides in ≥1 band with p(J) = 1 - (1 - J^r)^b. Logged once
+      // per dispatch so the operator's only approximation is ON THE
+      // RECORD next to the run that made it; the band-math formula
+      // itself is spec-pinned against measured recall (ScaleSpec).
+      val r = numHashes / bands
+      def recall(j: Double) = 1 - math.pow(1 - math.pow(j, r), bands)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        f"graft.dedup.lsh_dispatch: numHashes=$numHashes bands=$bands " +
+          f"rowsPerBand=$r minJaccard=$minJaccard%.2f expected_recall=[" +
+          f"J=0.5:${recall(0.5)}%.3f J=0.7:${recall(0.7)}%.3f " +
+          f"J=0.9:${recall(0.9)}%.3f J=$minJaccard%.2f:" +
+          f"${recall(minJaccard)}%.3f]")
       // hashed shingle ids: the minhash family is equally valid over
       // the 64-bit ids, the verify arrays intersect longs instead of
       // strings, and the shuffle halves (the ngramJaccardPairs trick)
@@ -328,7 +362,27 @@ object Dedup {
         .persist()
       val cand = minHashLshOnShingles(sh, numHashes, bands,
         maxBucketWidth).select("doc_a", "doc_b")
-      val docArrs = sh.groupBy("doc_id")
+      // BOMB GUARD (r15 verdict #6): the per-doc collect_list was the
+      // one data-dependent allocation without a cap. Keep the BOTTOM
+      // `maxShinglesPerDoc` shingle hashes per doc (row_number over
+      // the hash order — a KMV-style sketch, so an over-cap mega-doc
+      // gets an ESTIMATED jaccard from a uniform subset of its
+      // shingle universe) and truncate BEFORE the collect, so the
+      // built array is bounded by construction; sub-cap docs are
+      // byte-identical to the uncapped path. The max() window rides
+      // the row_number sort (same partitioning and order — no second
+      // sort), and engagement telemetry rides the same pass via
+      // observe ([[CapMetrics.observeTrunc]]: input/excess rows,
+      // truncated docs, max width).
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val counted = sh
+        .withColumn("_rn",
+          row_number().over(byDoc.orderBy(col("shingle"))))
+        .withColumn("_w", max(col("_rn")).over(byDoc))
+      val docArrs = CapMetrics
+        .observeTrunc(counted, "_w", maxShinglesPerDoc, "verify_shingles")
+        .filter(col("_rn") <= maxShinglesPerDoc)
+        .groupBy("doc_id")
         .agg(sort_array(collect_list(col("shingle"))).as("arr"),
           count(lit(1)).as("n"))
       val verified = cand

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Row counts from parquet FOOTER metadata — no data scan.
+  *
+  * A dispatch decision ("is this corpus big enough to sample?") that
+  * runs `df.count()` reads the whole corpus once just to decide how to
+  * read it (r15 verdict #5). Every parquet file's footer already
+  * carries its exact row count; summing footers gives the same number
+  * for a few KB of metadata I/O per file. At cluster scale the footer
+  * reads are distributed (one lightweight task per file batch), so the
+  * probe is proportional to FILE COUNT, not data volume.
+  */
+object ParquetStats {
+
+  /** Exact row count of `df`'s backing parquet files, or None when
+    * the frame is not a pure file-backed scan (in-memory test frames,
+    * post-transform frames whose row count differs from the files').
+    *
+    * CORRECTNESS GUARD: the footer count equals `df.count()` only
+    * when nothing between the scan and `df` changes cardinality —
+    * callers must pass the raw loaded table (projections are fine,
+    * filters are not). We verify the plan has no Filter/Generate/
+    * Aggregate/Join/Sample above the relation before answering. */
+  def footerRowCount(spark: SparkSession, df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val cardinalityPreserving = df.queryExecution.optimizedPlan.collectFirst {
+      case _: Filter => false
+      case _: Aggregate => false
+      case _: Join => false
+      case _: Generate => false
+      case _: Sample => false
+      case _: GlobalLimit => false
+      case _: LocalLimit => false
+      case _: Distinct => false
+      case _: Deduplicate => false
+      case _: Union => false
+    }.isEmpty
+    if (!cardinalityPreserving) return None
+    val files =
+      try df.inputFiles.toSeq
+      catch { case _: Throwable => Seq.empty }
+    if (files.isEmpty || !files.forall(_.contains(".parquet"))) None
+    else {
+      try {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        // distributed footer reads: tasks ∝ files, bytes ∝ footers
+        val slices = math.max(1, math.min(files.size, 64))
+        Some(spark.sparkContext.parallelize(files, slices).map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf.value)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum().toLong)
+      } catch { case _: Throwable => None }
+    }
+  }
+}

@@ -287,4 +287,42 @@ class DedupSpec extends SparkSpec {
                   org.apache.spark.sql.functions.col("text"), " "))))))
         .distinct().count())
   }
+
+  test("verify-stage shingle cap bites on a planted mega-doc without " +
+      "changing sub-cap results (r15 verdict #6)") {
+    import graft.operators.CapMetrics
+    def await(pred: () => Boolean, ms: Long = 10000): Boolean = {
+      val deadline = System.currentTimeMillis() + ms
+      while (!pred() && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      pred()
+    }
+    // two sub-cap near-dup docs + a mega-doc PAIR (identical, so LSH
+    // recall is 1 and truncated KMV sketches still verify at J=1.0)
+    val mega = (0 until 300).map(i => s"m$i").mkString(" ")
+    val corpus = Seq(
+      (0L, base), (1L, base + " extra"),
+      (10L, mega), (11L, mega)).toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.nearDupPairsAuto(corpus, 3,
+        minJaccard = 0.5, exactThreshold = 0L, maxShinglesPerDoc = cap)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    CapMetrics.reset()
+    val uncapped = run(Int.MaxValue)
+    val capped = run(32)
+    // identical result set: sub-cap pair (0,1) byte-identical; the
+    // mega pair survives because both truncated sketches are equal
+    assert(uncapped == capped, s"\nuncapped=$uncapped\ncapped=$capped")
+    assert(capped.map(p => (p._1, p._2)).toSet ==
+      Set((0L, 1L), (10L, 11L)))
+    // and the cap ENGAGED: telemetry recorded the two truncated docs
+    // (298 shingles each, 266 excess rows apiece; the sub-cap docs
+    // carry 18/19 shingles, safely under the 32 cap) on the capped run
+    assert(await(() => CapMetrics.snapshot().exists { case (k, m) =>
+      k.startsWith("graft.cap.verify_shingles") &&
+        m.getAs[Long]("capped_groups") == 2L &&
+        m.getAs[Long]("dropped_rows") == 2L * (298 - 32) &&
+        m.getAs[Long]("max_width") == 298L
+    }), s"cap telemetry missing/wrong: ${CapMetrics.snapshot()}")
+  }
 }

@@ -396,6 +396,90 @@ class ScaleSpec extends SparkSpec {
     assert(norm(lsh) == e)
   }
 
+  test("nearDupPairsAuto's dispatch gate never scans the corpus: the " +
+      "take-probe reads one partition, not all (r15 verdict #5)") {
+    // 10k rows across 16 partitions: the old docs.count() gate ran a
+    // 16-task scan + merge; the bounded probe must answer "more than
+    // 100 rows?" from partition 0 alone (executeTake's incremental
+    // partition evaluation)
+    val docs = spark.range(10000)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", lit("a b c d"), col("id")).as("text"))
+      .repartition(16)
+    val tasks = new java.util.concurrent.atomic.AtomicLong()
+    val jobs = new java.util.concurrent.atomic.AtomicLong()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet()
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobs.incrementAndGet()
+    }
+    docs.count() // materialize the shuffle before listening
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(graft.operators.Dedup.exceedsRows(docs, 100L))
+      assert(!graft.operators.Dedup.exceedsRows(docs, 100000L))
+      // listener bus is async: poll until the probe jobs are counted
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      // over-threshold probe: 1 job, 1 task (partition 0 had 101+
+      // rows). Under-threshold probe must still read everything to be
+      // SURE (incremental 1 -> 4x scale-ups over 16 partitions adds
+      // ~21); a full count would add 17 per call on top.
+      assert(jobs.get() <= 4, s"dispatch ran ${jobs.get()} jobs")
+      assert(tasks.get() <= 26,
+        s"dispatch gate scanned ${tasks.get()} tasks — not bounded")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("footer row count: exact on a parquet-backed table, refused on " +
+      "cardinality-changing plans and in-memory frames") {
+    val docs = Tables.load(spark, sf, "documents")
+    val n = graft.sources.ParquetStats.footerRowCount(spark, docs)
+    assert(n.contains(docs.count()), s"footer count $n != count")
+    // projections keep the footer answer valid; filters must refuse
+    assert(graft.sources.ParquetStats
+      .footerRowCount(spark, docs.select("doc_id")).isDefined)
+    assert(graft.sources.ParquetStats
+      .footerRowCount(spark, docs.filter(col("doc_id") > 10)).isEmpty)
+    assert(graft.sources.ParquetStats
+      .footerRowCount(spark, Seq((1L, "x")).toDF("a", "b")).isEmpty)
+  }
+
+  test("LSH band math: measured candidate recall matches the " +
+      "1-(1-J^r)^b formula the dispatch logs (r15 verdict #7)") {
+    // 300 planted pairs at TRUE jaccard exactly 0.5: docs (2i, 2i+1)
+    // share 16 of their 24 shingle ids (|∩|=16, |∪|=32). Shingle ids
+    // are disjoint across pairs, so no cross-pair candidates pollute
+    // the measurement. With 8 hashes / 4 bands (r=2):
+    // p = 1-(1-0.5^2)^4 = 0.6836; minhash is deterministic (fixed
+    // seeds), so the measured rate is a fixed number — the assertion
+    // pins formula to measurement within the binomial 3-sigma band
+    // (sqrt(p(1-p)/300) ~ 0.027).
+    val nPairs = 300
+    val sh = (0 until nPairs).flatMap { p =>
+      val base = p.toLong * 100
+      val shared = (0 until 16).map(j => (2L * p, base + j)) ++
+        (0 until 16).map(j => (2L * p + 1, base + j))
+      val ua = (16 until 24).map(j => (2L * p, base + j))
+      val ub = (24 until 32).map(j => (2L * p + 1, base + j))
+      shared ++ ua ++ ub
+    }.toDF("doc_id", "shingle")
+    val cand = graft.operators.Dedup
+      .minHashLshOnShingles(sh, numHashes = 8, bands = 4)
+      .filter(col("doc_b") === col("doc_a") + 1 &&
+        col("doc_a") % 2 === 0)
+      .count()
+    val measured = cand.toDouble / nPairs
+    val r = 8 / 4
+    val formula = 1 - math.pow(1 - math.pow(0.5, r), 4)
+    assert(math.abs(measured - formula) < 0.09,
+      f"measured recall $measured%.3f vs band-math $formula%.3f")
+  }
+
   test("annTopK dispatch flips from brute force to IVF at the threshold") {
     val emb = Tables.load(spark, sf, "embeddings")
       .filter(col("vec_id") < 40)
