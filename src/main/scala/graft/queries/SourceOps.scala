@@ -409,6 +409,36 @@ object SourceOps {
       Some("""SELECT CAST(n_regionkey AS BIGINT) AS region_key,
           count(*) AS n_nations, min(n_name) AS first_name,
           CAST(max(n_nationkey) AS BIGINT) AS max_key
-        FROM nation GROUP BY 1 ORDER BY 1"""))
+        FROM nation GROUP BY 1 ORDER BY 1""")),
+
+    // Scan-free cardinality census: every contract table's row count
+    // from parquet FOOTER metadata alone (graft.sources.ParquetStats —
+    // the same probe the dedup/eval dispatch gates use, surfaced as a
+    // catalog operator). The oracle replays it as full count(*) scans,
+    // pinning footer-metadata == data for every table, every round;
+    // at 100 TB this census costs one lightweight task per file while
+    // the oracle's shape would read the lake.
+    Q("q325_footer_cardinality",
+      (s, dir) => {
+        import s.implicits._
+        Tables.all.map { t =>
+          val df = Tables.load(s, dir, t)
+          val n = graft.sources.ParquetStats.footerRowCount(s, df)
+            .getOrElse(df.count()) // non-parquet layouts only
+          (t, n)
+        }.toDF("table_name", "n_rows").orderBy("table_name")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM region
+          UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT) FROM nation
+          UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT) FROM customer
+          UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT) FROM supplier
+          UNION ALL SELECT 'part', CAST(count(*) AS BIGINT) FROM part
+          UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+          UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+          UNION ALL SELECT 'events', CAST(count(*) AS BIGINT) FROM events
+          UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT) FROM documents
+          UNION ALL SELECT 'embeddings', CAST(count(*) AS BIGINT) FROM embeddings
+        ) ORDER BY table_name"""))
   )
 }
