@@ -314,22 +314,12 @@ object Dedup {
     * jaccard is over the FULL shingle universe, not the capped one). */
   /** True iff `docs` has more than `threshold` rows, WITHOUT a full
     * corpus scan (r15 verdict #5: the previous `docs.count()` gate
-    * read 100 TB once just to decide how to read it). Catalog/CBO
-    * row-count statistics answer for free when present; otherwise a
-    * bounded take-probe — `executeTake` evaluates partitions
-    * incrementally (1 partition, then 4× scale-ups), so deciding
-    * "more than 20k rows?" against a petabyte corpus reads the first
-    * partition's leading row groups, not the corpus. The probed
-    * projection is a literal, so the columnar scan materializes no
-    * data columns. */
+    * read 100 TB once just to decide how to read it). Delegates to
+    * the shared routing probe — see
+    * [[graft.sources.ParquetStats.exceedsRows]]. */
   private[graft] def exceedsRows(docs: DataFrame,
       threshold: Long): Boolean =
-    docs.queryExecution.optimizedPlan.stats.rowCount match {
-      case Some(n) => n > BigInt(threshold)
-      case None =>
-        val probe = (math.min(threshold, Int.MaxValue - 2L) + 1).toInt
-        docs.select(lit(true)).take(probe).length > threshold
-    }
+    graft.sources.ParquetStats.exceedsRows(docs, threshold)
 
   def nearDupPairsAuto(docs: DataFrame, k: Int, minJaccard: Double,
       maxDocFreq: Int = Int.MaxValue,

@@ -257,12 +257,14 @@ object Similarity {
     * collections); above it, the [[ivfTopK]] cell-probe index on the
     * supplied coarse quantizer. Identical output contract either way
     * — and with `nProbe` ≥ |centroids| the IVF path is exhaustive, so
-    * the two branches agree exactly (ScaleSpec-proven). The count that
-    * routes is parquet-metadata-cheap on a plain scan. */
+    * the two branches agree exactly (ScaleSpec-proven). Routing uses
+    * the scan-free probe (stats or bounded take —
+    * [[graft.sources.ParquetStats.exceedsRows]]), never a count()
+    * over the collection being routed. */
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       centroids: DataFrame, nProbe: Int,
       broadcastThreshold: Long = 100000L): DataFrame =
-    if (candidates.count() <= broadcastThreshold)
+    if (!graft.sources.ParquetStats.exceedsRows(candidates, broadcastThreshold))
       bruteForceTopK(queries, candidates, k)
     else ivfTopK(candidates, queries, centroids, k, nProbe)
 

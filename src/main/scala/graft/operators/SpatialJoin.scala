@@ -132,7 +132,7 @@ object SpatialJoin {
       refs: DataFrame, refKey: String, refLon: String, refLat: String,
       cellDeg: Double, broadcastThreshold: Long = 10000L): DataFrame = {
     val d2 = sq(col(lonCol) - col(refLon)) + sq(col(latCol) - col(refLat))
-    if (refs.count() <= broadcastThreshold) {
+    if (!graft.sources.ParquetStats.exceedsRows(refs, broadcastThreshold)) {
       points.crossJoin(broadcast(refs))
         .withColumn("_d2", d2)
         .groupBy(pKeys.map(col): _*)
@@ -216,7 +216,7 @@ object SpatialJoin {
           coalesce(col("_hit"),
             col("_swv").cast("double") / col("_sw").cast("double"))
             .as("idw_value"): _*)
-    if (refs.count() <= broadcastThreshold)
+    if (!graft.sources.ParquetStats.exceedsRows(refs, broadcastThreshold))
       aggregate(points.crossJoin(broadcast(refs)))
     else {
       val pts = points

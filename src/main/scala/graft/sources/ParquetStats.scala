@@ -14,6 +14,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ParquetStats {
 
+  /** True iff `df` has more than `threshold` rows, WITHOUT a full
+    * scan: catalog/CBO row-count statistics when present, else a
+    * bounded take-probe — `executeTake` evaluates partitions
+    * incrementally (1 partition, then 4× scale-ups), so deciding
+    * "more than N rows?" against a petabyte table reads the first
+    * partition's leading row groups, not the table. The probed
+    * projection is a literal, so the columnar scan materializes no
+    * data columns. This is the routing probe for every
+    * size-dispatched operator (near-dup, ANN, spatial join): the
+    * alternative, `df.count()`, reads the corpus once just to decide
+    * how to read it. */
+  def exceedsRows(df: DataFrame, threshold: Long): Boolean =
+    df.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(n) => n > BigInt(threshold)
+      case None =>
+        val probe = (math.min(threshold, Int.MaxValue - 2L) + 1).toInt
+        df.select(org.apache.spark.sql.functions.lit(true))
+          .take(probe).length > threshold
+    }
+
   /** Exact row count of `df`'s backing parquet files, or None when
     * the frame is not a pure file-backed scan (in-memory test frames,
     * post-transform frames whose row count differs from the files').
