@@ -38,12 +38,39 @@ object XlsxSource {
     acc - 1
   }
 
-  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+  /** Decompression-bomb guards: a crafted workbook can deflate KBs
+    * into GBs (zip ratios beyond 1000:1), and the previous
+    * readAllBytes would OOM the executor before any row was parsed.
+    * Caps sit far above any real workbook (Excel itself stops at
+    * ~1M rows per sheet) but bound task memory BY CONSTRUCTION. */
+  private val MaxMemberBytes: Long = 512L << 20
+  private val MaxArchiveBytes: Long = 1L << 30
+
+  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] =
+    zipEntries(bytes, MaxMemberBytes, MaxArchiveBytes)
+
+  private[graft] def zipEntries(bytes: Array[Byte], maxMember: Long,
+      maxTotal: Long): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    var total = 0L
+    val out = Map.newBuilder[String, Array[Byte]]
     Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
       .filterNot(_.isDirectory)
-      .map(e => e.getName -> zin.readAllBytes())
-      .toMap
+      .foreach { e =>
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](64 * 1024)
+        var n = zin.read(chunk)
+        while (n >= 0) {
+          total += n
+          require(buf.size() + n <= maxMember && total <= maxTotal,
+            s"xlsx member '${e.getName}' inflates past the bomb guard " +
+              s"(member cap $maxMember B, archive cap $maxTotal B)")
+          buf.write(chunk, 0, n)
+          n = zin.read(chunk)
+        }
+        out += e.getName -> buf.toByteArray
+      }
+    out.result()
   }
 
   private def stax(xml: String) = {

@@ -279,6 +279,49 @@ class SourcesSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("xlsx decompression bomb refuses at the inflation guard, " +
+      "real workbooks pass untouched") {
+    // 8 MB of zeros deflate to ~8 KB; with a 1 MB member cap the
+    // reader must refuse BEFORE inflating the payload, and the
+    // archive-total cap must likewise stop many sub-cap members
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("xl/sharedStrings.xml"))
+      val zeros = new Array[Byte](64 * 1024)
+      for (_ <- 0 until 128) z.write(zeros) // 8 MB inflated
+      z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    assert(bomb.length < 64 * 1024, "fixture must actually be a bomb")
+    val e1 = intercept[IllegalArgumentException] {
+      XlsxSource.zipEntries(bomb, maxMember = 1L << 20,
+        maxTotal = 1L << 30)
+    }
+    assert(e1.getMessage.contains("bomb guard"))
+    // archive-total cap: members individually under the member cap
+    val multi = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      val zeros = new Array[Byte](64 * 1024)
+      for (i <- 0 until 8) {
+        z.putNextEntry(new java.util.zip.ZipEntry(s"xl/part$i.xml"))
+        for (_ <- 0 until 8) z.write(zeros) // 512 KB each, 4 MB total
+        z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      XlsxSource.zipEntries(multi, maxMember = 1L << 20,
+        maxTotal = 2L << 20)
+    }
+    assert(e2.getMessage.contains("bomb guard"))
+    // the default caps are far above real workbooks: the independent
+    // fixture still reads end-to-end
+    val path = getClass.getResource("/graft/wild_book.xlsx").getPath
+    assert(XlsxSource.readSheet(spark, path, "data").count() > 0)
+  }
+
   test("xlsx colIndex decodes A, Z, AA, BC") {
     assert(XlsxSource.colIndex("A1") == 0)
     assert(XlsxSource.colIndex("Z9") == 25)
