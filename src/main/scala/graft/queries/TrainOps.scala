@@ -1072,6 +1072,41 @@ object TrainOps {
           CAST(padded_sum - token_sum AS DOUBLE)
             / CAST(padded_sum AS DOUBLE) AS waste
         FROM (SELECT * FROM bucketed UNION ALL SELECT * FROM flat)
-        ORDER BY scenario, bucket"""))
+        ORDER BY scenario, bucket""")),
+
+    // Concatenation packing (SequencePack): the zero-waste
+    // pretraining layout q317's census prices the alternative of —
+    // docs laid head-to-tail in doc_id order, paged into 512-token
+    // windows; per doc its stream offset, window span and first-window
+    // fill. The offset is a DISTRIBUTED prefix sum (bucket windows +
+    // broadcast offsets, PrefixSum.exclusiveCumsum), so the oracle's
+    // global running-sum window is exactly what the engine avoids.
+    Q("q326_sequence_packing",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("raw_toks"))
+        graft.operators.SequencePack.pack(docs, col("doc_id"),
+            col("raw_toks"), contextLen = 512L, bucketSize = 1024L)
+          .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+            col("win_start"), col("win_end"), col("n_windows"),
+            col("head_fill"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        o AS (SELECT doc_id, n_tokens,
+            CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start FROM d),
+        w AS (SELECT doc_id, n_tokens, tok_start,
+            CAST(floor(tok_start / 512) AS BIGINT) AS win_start,
+            CAST(floor((tok_start + greatest(n_tokens, 1) - 1) / 512)
+              AS BIGINT) AS win_end FROM o)
+        SELECT doc_id, n_tokens, tok_start, win_start, win_end,
+          win_end - win_start + 1 AS n_windows,
+          least(n_tokens, (win_start + 1) * 512 - tok_start) AS head_fill
+        FROM w ORDER BY doc_id"""))
   )
 }

@@ -361,4 +361,46 @@ class TrainOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("SequencePack: exact offsets/spans/head-fill, partition-" +
+      "invariant, and conservation of the token stream") {
+    import spark.implicits._
+    import graft.operators.SequencePack
+    // toks [3,2,4] at C=4: starts [0,3,5]; spans [0-0, 0-1, 1-2];
+    // head_fill [3, 1, 3]
+    val docs = Seq((0L, 3L), (1L, 2L), (2L, 4L)).toDF("doc_id", "toks")
+    val out = SequencePack.pack(docs, col("doc_id"), col("toks"),
+        contextLen = 4L, bucketSize = 2L)
+      .orderBy("doc_id")
+      .select("doc_id", "tok_start", "win_start", "win_end",
+        "n_windows", "head_fill")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (0L, 0L, 0L, 0L, 1L, 3L),
+      (1L, 3L, 0L, 1L, 2L, 1L),
+      (2L, 5L, 1L, 2L, 2L, 3L)))
+    // partition invariance: the distributed prefix sum must not
+    // depend on physical layout
+    val big = spark.range(1000).select(col("id").as("doc_id"),
+      (col("id") % 37 + 1).as("toks"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SequencePack.pack(df, col("doc_id"), col("toks"), 512L, 64L)
+        .orderBy("doc_id").select("doc_id", "tok_start", "win_end")
+        .collect().toSeq
+    assert(run(big.repartition(1)) == run(big.repartition(13)))
+    // conservation: every doc's tokens are accounted for — the last
+    // doc's start + its tokens equals the total stream length
+    val packed = SequencePack.pack(big, col("doc_id"), col("toks"),
+      512L, 64L)
+    val total = packed.agg(max(col("tok_start") + col("n_tokens")))
+      .head().getLong(0)
+    assert(total == big.agg(sum("toks")).head().getLong(0))
+    // scale shape: the only unbounded-orderBy window runs over the
+    // BUCKET AGGREGATES (one row per bucket), never over documents —
+    // doc-level windows are partitioned by the bucket key
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(_psb"),
+      s"doc-level window must partition by bucket:\n$plan")
+  }
 }
