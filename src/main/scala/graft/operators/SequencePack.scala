@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.LongType
   * sum, which runs as [[PrefixSum.exclusiveCumsum]] — per-bucket
   * window functions plus a broadcast of tiny bucket offsets; no
   * single-partition global window, no driver loop. Everything after
-  * the offset is row-local arithmetic, so the operator is one shuffle
-  * (the bucket window's) regardless of corpus size.
+  * the offset is row-local arithmetic, so the operator pays one
+  * data-volume shuffle (the bucket window's) plus a rows-per-bucket
+  * aggregate exchange, regardless of corpus size (ExplainAudit:
+  * hashEx=2, bnlj=0, cartesian=0).
   */
 object SequencePack {
 

@@ -99,7 +99,11 @@ object ExplainAudit {
       // q324 mapPartitions decode; q319/q320 are control-plane
       // (catalog rewrite / driver-built work-list) with no fact scan
       "q318_tree_scan", "q321_nfc_census", "q322_format_census",
-      "q324_webp_anim_lossy")
+      "q324_webp_anim_lossy",
+      // round 16 — q325 is control-plane (driver-side footer reads,
+      // no fact scan) and deliberately not listed; q326's plan is the
+      // two-phase prefix sum (bucket windows + one broadcast)
+      "q326_sequence_packing")
     for (q <- qs) {
       // tree-walk audit (PlanAudit): the old text grep printed a cached
       // subtree's plan at every scan site, inflating counts (q306's one
