@@ -333,7 +333,32 @@ object Bench {
     case class Rerun(first: Double, rerun: Double, probe: Double)
     val firstShotSec = results.collect {
       case (k, r) if !r.sec.isInfinite => k -> r.sec }.toMap
-    val outliers = selectOutliers(firstShotSec, refMap)
+    // Wall-drift candidates join the same suite-end re-run (r16): a
+    // query that looks >1.5× slower than the prior round's committed
+    // recording gets one isolated measurement, so a mid-suite phase
+    // hit SELF-ADJUDICATES inside the artifact — min-of-runs recovers
+    // and the final drift alarm only fires on drifts that survive an
+    // isolated run. (First service round: q237 flagged at 4.24 s
+    // in-suite, measured 1.89 s isolated by hand — this mechanizes
+    // that A/B.) Selection normalizes by the PRE-probe only, the
+    // post-probe not being measured yet; capped so a corrupt prior
+    // file can't double the run.
+    val priorFullMap = loadRefMap("BENCH_full.json")
+    val priorParProbe: Double = try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = om.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_full.json"))).get("cpu_proxy_par_sec")
+      if (arr != null && arr.isArray && arr.size() > 0) {
+        var s = 0.0; var i = 0
+        while (i < arr.size()) { s += arr.get(i).asDouble(); i += 1 }
+        s / arr.size()
+      } else 0.0
+    } catch { case _: Throwable => 0.0 }
+    val driftCandidates = selectWallDrift(firstShotSec, priorFullMap,
+        if (priorParProbe > 0) proxyParPre / priorParProbe else 1.0)
+      .map(_._1).take(10)
+    val outliers =
+      (selectOutliers(firstShotSec, refMap) ++ driftCandidates).distinct
     val reruns: Map[String, Rerun] = outliers.map { name =>
       val probe = cpuProxyParSec()
       graft.operators.CacheOps.sweep(spark, blocking = true)
@@ -423,23 +448,16 @@ object Bench {
     // phase-normalized by the ratio of parallel CPU probes — the prior
     // run's recorded mean vs this run's mean — so a slow box phase is
     // forgiven instead of flagged. Heap priors come from BENCH_metrics.
-    val priorParProbe: Double = try {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val arr = om.readTree(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_full.json"))).get("cpu_proxy_par_sec")
-      if (arr != null && arr.isArray && arr.size() > 0) {
-        var s = 0.0; var i = 0
-        while (i < arr.size()) { s += arr.get(i).asDouble(); i += 1 }
-        s / arr.size()
-      } else 0.0
-    } catch { case _: Throwable => 0.0 }
+    // Because drift candidates were re-run above, `ok` already holds
+    // their isolated mins: only drifts that SURVIVED that measurement
+    // can fire here.
     val curParProbe = (proxyParPre + proxyParPost) / 2.0
     val phaseFactor =
       if (priorParProbe > 0 && curParProbe > 0) curParProbe / priorParProbe
       else 1.0
     val wallDrift = selectWallDrift(
       ok.toMap.map { case (k, r) => k -> r.sec },
-      loadRefMap("BENCH_full.json"), phaseFactor)
+      priorFullMap, phaseFactor)
     def d2(x: Double): Double = math.round(x * 100) / 100.0
     if (wallDrift.nonEmpty)
       System.err.println(
