@@ -639,6 +639,14 @@ object Dedup {
     // sf0.1: 11.4 s as a (pair × shingle) join-aggregate chain vs
     // 2.9 s as array intersection; 409k candidates × ~50-entry arrays
     // is map work, the join-chain form shuffled 21M rows).
+    // Allocation bound: this per-doc array is doc-length-bounded and
+    // deliberately UNCAPPED — the operator's contract is EXACT jaccard
+    // (it is the ground-truth side of q203's recall eval), so KMV
+    // truncation here would corrupt the truth it exists to provide.
+    // The production 100 TB path is nearDupPairsAuto, whose verify
+    // stage carries the maxShinglesPerDoc bomb guard; this exact pass
+    // only runs at sub-dispatch-threshold corpus sizes or when a
+    // caller explicitly asks for exact truth.
     val docArrs = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("shingle"))).as("arr"),
         count(lit(1)).as("n"))
