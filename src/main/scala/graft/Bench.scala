@@ -82,19 +82,33 @@ object Bench {
   }
 
   /** Heap-drift selection (r15 verdict #1): retained heap (live set
-    * after the last collection) >2× the prior round's recording, on
-    * priors ≥64 MB — below that the number is mostly session baseline
-    * and collector timing, not the query's working set. Heap is not
-    * box-phase-sensitive, so no normalization. */
+    * after the last collection) is dominated by the SESSION's plateau
+    * — block storage, code cache, catalog metadata — which moves
+    * wholesale between runs with collector timing (the r16 second
+    * session recorded ~250 MB → ~880 MB across 58 adjacent queries at
+    * identical results; an absolute 2× rule read that as 58 drifts).
+    * Normalize each query by its own round's suite MEDIAN before
+    * comparing: a uniform plateau shift cancels out, while the q203
+    * class (9× on ONE query) still stands far above its prior
+    * relative footprint. Alarm when the median-relative footprint
+    * grew >2× on ≥64 MB priors. */
   def selectHeapDrift(current: Map[String, Double],
-      prior: Map[String, Double]): Seq[(String, Double, Double)] =
-    current.toSeq
+      prior: Map[String, Double]): Seq[(String, Double, Double)] = {
+    def median(m: Map[String, Double]): Double = {
+      val v = m.values.toSeq.sorted
+      if (v.isEmpty) 0.0 else v(v.size / 2)
+    }
+    val mc = median(current)
+    val mp = median(prior)
+    if (mc <= 0 || mp <= 0) Seq.empty
+    else current.toSeq
       .flatMap { case (k, cur) =>
         prior.get(k).collect {
-          case p if p >= 64.0 && cur > 2.0 * p => (k, p, cur)
+          case p if p >= 64.0 && cur / mc > 2.0 * (p / mp) => (k, p, cur)
         }
       }
       .sortBy(-_._3)
+  }
 
   /** Per-query seconds from a committed BENCH_full json (`queries`
     * field). Missing/unparseable file → empty map (first round, or a

@@ -109,19 +109,34 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.selectWallDrift(Map("slow" -> 6.0), prior, 1.0).isEmpty)
   }
 
-  test("heap drift: >2x retained heap on >=64MB priors, largest first") {
-    val prior = Map("big" -> 400.0, "small" -> 20.0, "flat" -> 500.0,
-      "other" -> 100.0)
-    val current = Map(
-      "big" -> 900.0,   // 2.25x on 400MB -> selected
-      "small" -> 90.0,  // 4.5x but prior under 64MB -> excluded
-      "flat" -> 650.0,  // 1.3x -> excluded
-      "other" -> 2000.0) // 20x -> selected, largest current first
-    val out = Bench.selectHeapDrift(current, prior)
-    assert(out == Seq(("other", 100.0, 2000.0), ("big", 400.0, 900.0)),
-      s"heap drift: $out")
-    // exactly-2x is NOT drift
-    assert(Bench.selectHeapDrift(Map("q" -> 200.0), Map("q" -> 100.0)).isEmpty)
+  test("heap drift: median-relative >2x on >=64MB priors; a uniform " +
+      "session plateau shift never alarms, a single blowup does") {
+    // both rounds: median rides the three flat queries, so the
+    // median-relative footprint of a flat query is ~1 in both rounds
+    val prior = Map("a" -> 250.0, "b" -> 250.0, "c" -> 250.0,
+      "small" -> 20.0, "blow" -> 250.0)
+    // the r16 failure mode: EVERY query's retained heap ~3.5x higher
+    // (collector-timing plateau) — zero real drift, zero alarms
+    val plateau = Map("a" -> 880.0, "b" -> 880.0, "c" -> 880.0,
+      "small" -> 70.0, "blow" -> 880.0)
+    assert(Bench.selectHeapDrift(plateau, prior).isEmpty,
+      "uniform plateau shift must not alarm")
+    // the q203 class: one query 9x above the (unchanged) plateau
+    val blowup = Map("a" -> 250.0, "b" -> 250.0, "c" -> 250.0,
+      "small" -> 180.0, "blow" -> 2250.0)
+    val out = Bench.selectHeapDrift(blowup, prior)
+    // 'small' grew 9x too but its prior is under the 64MB floor
+    assert(out == Seq(("blow", 250.0, 2250.0)), s"heap drift: $out")
+    // the blowup survives even WITH a simultaneous plateau shift
+    val both = Map("a" -> 880.0, "b" -> 880.0, "c" -> 880.0,
+      "small" -> 70.0, "blow" -> 7920.0)
+    assert(Bench.selectHeapDrift(both, prior) ==
+      Seq(("blow", 250.0, 7920.0)))
+    // exactly-2x relative is NOT drift (strict >; flat majority pins
+    // the median on both sides)
+    assert(Bench.selectHeapDrift(
+      Map("a" -> 100.0, "b" -> 100.0, "q" -> 200.0),
+      Map("a" -> 100.0, "b" -> 100.0, "q" -> 100.0)).isEmpty)
   }
 
   test("committed BENCH_metrics carries heap_after_gc_mb (the heap " +
