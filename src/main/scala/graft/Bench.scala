@@ -82,32 +82,31 @@ object Bench {
   }
 
   /** Heap-drift selection (r15 verdict #1): retained heap (live set
-    * after the last collection) is dominated by the SESSION's plateau
-    * — block storage, code cache, catalog metadata — which moves
-    * wholesale between runs with collector timing (the r16 second
-    * session recorded ~250 MB → ~880 MB across 58 adjacent queries at
-    * identical results; an absolute 2× rule read that as 58 drifts).
-    * Normalize each query by its own round's suite MEDIAN before
-    * comparing: a uniform plateau shift cancels out, while the q203
-    * class (9× on ONE query) still stands far above its prior
-    * relative footprint. Alarm when the median-relative footprint
-    * grew >2× on ≥64 MB priors. */
+    * after the last collection) is a SESSION statistic — block
+    * storage, code cache, catalog metadata, collector timing — that
+    * both shifts wholesale AND changes positional shape between runs
+    * (r16 measured one session plateauing ~250→880 MB across 58
+    * adjacent queries, the next RAMPING 229→4737 MB through the
+    * alphabet; absolute and median-relative rules each misread those
+    * as mass drift). The robust statistic is the PAIRED growth ratio:
+    * a query alarms only when its own footprint grew >2× its prior
+    * (growth — a shrink is never drift) AND >2× the suite's MEDIAN
+    * growth ratio (a session-wide shift moves the median with it and
+    * cancels). The q203 class — one query 9× while the rest sit at
+    * ~1× — passes both gates. Priors ≥64 MB only. */
   def selectHeapDrift(current: Map[String, Double],
       prior: Map[String, Double]): Seq[(String, Double, Double)] = {
-    def median(m: Map[String, Double]): Double = {
-      val v = m.values.toSeq.sorted
-      if (v.isEmpty) 0.0 else v(v.size / 2)
+    val ratios = current.toSeq.flatMap { case (k, cur) =>
+      prior.get(k).collect { case p if p >= 64.0 => (k, p, cur, cur / p) }
     }
-    val mc = median(current)
-    val mp = median(prior)
-    if (mc <= 0 || mp <= 0) Seq.empty
-    else current.toSeq
-      .flatMap { case (k, cur) =>
-        prior.get(k).collect {
-          case p if p >= 64.0 && cur / mc > 2.0 * (p / mp) => (k, p, cur)
-        }
-      }
-      .sortBy(-_._3)
+    if (ratios.isEmpty) Seq.empty
+    else {
+      val rs = ratios.map(_._4).sorted
+      val med = rs(rs.size / 2)
+      ratios.collect {
+        case (k, p, cur, r) if r > 2.0 && r > 2.0 * med => (k, p, cur)
+      }.sortBy(-_._3)
+    }
   }
 
   /** Per-query seconds from a committed BENCH_full json (`queries`

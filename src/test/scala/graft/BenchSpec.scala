@@ -109,31 +109,39 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.selectWallDrift(Map("slow" -> 6.0), prior, 1.0).isEmpty)
   }
 
-  test("heap drift: median-relative >2x on >=64MB priors; a uniform " +
-      "session plateau shift never alarms, a single blowup does") {
-    // both rounds: median rides the three flat queries, so the
-    // median-relative footprint of a flat query is ~1 in both rounds
+  test("heap drift: paired growth ratio >2x AND >2x the suite's median " +
+      "ratio; session-wide shifts in either direction never alarm") {
     val prior = Map("a" -> 250.0, "b" -> 250.0, "c" -> 250.0,
       "small" -> 20.0, "blow" -> 250.0)
-    // the r16 failure mode: EVERY query's retained heap ~3.5x higher
-    // (collector-timing plateau) — zero real drift, zero alarms
+    // r16 failure mode 1: EVERY query ~3.5x higher (collector-timing
+    // plateau) — the median ratio moves with the shift, zero alarms
     val plateau = Map("a" -> 880.0, "b" -> 880.0, "c" -> 880.0,
       "small" -> 70.0, "blow" -> 880.0)
     assert(Bench.selectHeapDrift(plateau, prior).isEmpty,
       "uniform plateau shift must not alarm")
-    // the q203 class: one query 9x above the (unchanged) plateau
+    // r16 failure mode 2: session-wide SHRINK — a query that merely
+    // stayed flat while the suite shrank is not drift (absolute >2x
+    // gate), and shrunk queries are never drift (growth-only)
+    val shrink = Map("a" -> 80.0, "b" -> 80.0, "c" -> 80.0,
+      "small" -> 6.0, "blow" -> 250.0)
+    assert(Bench.selectHeapDrift(shrink, prior).isEmpty,
+      "session-wide shrink must not alarm the flat query")
+    // the q203 class: one query 9x above an unchanged suite
     val blowup = Map("a" -> 250.0, "b" -> 250.0, "c" -> 250.0,
       "small" -> 180.0, "blow" -> 2250.0)
     val out = Bench.selectHeapDrift(blowup, prior)
     // 'small' grew 9x too but its prior is under the 64MB floor
     assert(out == Seq(("blow", 250.0, 2250.0)), s"heap drift: $out")
-    // the blowup survives even WITH a simultaneous plateau shift
+    // the blowup survives a simultaneous plateau shift (ratio 31x vs
+    // median 3.5x)
     val both = Map("a" -> 880.0, "b" -> 880.0, "c" -> 880.0,
       "small" -> 70.0, "blow" -> 7920.0)
     assert(Bench.selectHeapDrift(both, prior) ==
       Seq(("blow", 250.0, 7920.0)))
-    // exactly-2x relative is NOT drift (strict >; flat majority pins
-    // the median on both sides)
+    // ...and a genuine grower still fires during a session-wide shrink
+    assert(Bench.selectHeapDrift(shrink ++ Map("blow" -> 1250.0), prior)
+      == Seq(("blow", 250.0, 1250.0)))
+    // exactly-2x is NOT drift (strict > on both gates)
     assert(Bench.selectHeapDrift(
       Map("a" -> 100.0, "b" -> 100.0, "q" -> 200.0),
       Map("a" -> 100.0, "b" -> 100.0, "q" -> 100.0)).isEmpty)
