@@ -41,22 +41,24 @@ object ParquetStats {
     * CORRECTNESS GUARD: the footer count equals `df.count()` only
     * when nothing between the scan and `df` changes cardinality —
     * callers must pass the raw loaded table (projections are fine,
-    * filters are not). We verify the plan has no Filter/Generate/
-    * Aggregate/Join/Sample above the relation before answering. */
+    * filters are not). WHITELIST, not blacklist: only plans built
+    * entirely from provably row-preserving nodes (projection, alias,
+    * sort, repartition) over a file relation qualify; any node we
+    * can't vouch for (Filter, Aggregate, Join, Generate, Expand,
+    * MapPartitions, limits, set ops, …) refuses — the caller falls
+    * back to an exact count(), so an unknown node can never produce a
+    * wrong answer, only a slower one. */
   def footerRowCount(spark: SparkSession, df: DataFrame): Option[Long] = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    val cardinalityPreserving = df.queryExecution.optimizedPlan.collectFirst {
-      case _: Filter => false
-      case _: Aggregate => false
-      case _: Join => false
-      case _: Generate => false
-      case _: Sample => false
-      case _: GlobalLimit => false
-      case _: LocalLimit => false
-      case _: Distinct => false
-      case _: Deduplicate => false
-      case _: Union => false
-    }.isEmpty
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val cardinalityPreserving = df.queryExecution.optimizedPlan.collect {
+      case n => n
+    }.forall {
+      case _: Project | _: SubqueryAlias | _: Sort => true
+      case _: RepartitionOperation => true
+      case _: LogicalRelation => true
+      case _ => false
+    }
     if (!cardinalityPreserving) return None
     val files =
       try df.inputFiles.toSeq

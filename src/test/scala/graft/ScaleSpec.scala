@@ -447,6 +447,15 @@ class ScaleSpec extends SparkSpec {
       .footerRowCount(spark, docs.filter(col("doc_id") > 10)).isEmpty)
     assert(graft.sources.ParquetStats
       .footerRowCount(spark, Seq((1L, "x")).toDF("a", "b")).isEmpty)
+    // the guard is a WHITELIST: row-multiplying nodes a blacklist
+    // could forget (Expand from rollup, Union doubling the scan) must
+    // refuse, as must arbitrary unknown nodes
+    assert(graft.sources.ParquetStats.footerRowCount(spark,
+      docs.rollup("lang").count()).isEmpty, "rollup/Expand must refuse")
+    assert(graft.sources.ParquetStats.footerRowCount(spark,
+      docs.union(docs)).isEmpty, "self-union must refuse")
+    assert(graft.sources.ParquetStats.footerRowCount(spark,
+      docs.limit(3)).isEmpty, "limit must refuse")
   }
 
   test("LSH band math: measured candidate recall matches the " +
