@@ -367,8 +367,15 @@ object Bench {
         s / arr.size()
       } else 0.0
     } catch { case _: Throwable => 0.0 }
-    val driftCandidates = selectWallDrift(firstShotSec, priorFullMap,
-        if (priorParProbe > 0) proxyParPre / priorParProbe else 1.0)
+    // Candidate selection is deliberately UN-normalized (factor 1.0,
+    // maximum sensitivity): the final alarm normalizes by the
+    // full-session phase factor, which can come out LOWER than any
+    // pre-run estimate when the box cools mid-suite — r16 session 4:
+    // a pre-probe factor of 1.28 let q267/q268 skip the re-run that
+    // the final 1.22-normalized alarm then flagged. An over-selected
+    // candidate costs one cheap isolated run; an under-selected one
+    // costs a false alarm.
+    val driftCandidates = selectWallDrift(firstShotSec, priorFullMap, 1.0)
       .map(_._1).take(10)
     val outliers =
       (selectOutliers(firstShotSec, refMap) ++ driftCandidates).distinct
