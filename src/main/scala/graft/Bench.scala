@@ -81,33 +81,52 @@ object Bench {
       .sortBy(-_._3)
   }
 
-  /** Heap-drift selection (r15 verdict #1): retained heap (live set
-    * after the last collection) is a SESSION statistic — block
-    * storage, code cache, catalog metadata, collector timing — that
-    * both shifts wholesale AND changes positional shape between runs
-    * (r16 measured one session plateauing ~250→880 MB across 58
-    * adjacent queries, the next RAMPING 229→4737 MB through the
-    * alphabet; absolute and median-relative rules each misread those
-    * as mass drift). The robust statistic is the PAIRED growth ratio:
-    * a query alarms only when its own footprint grew >2× its prior
-    * (growth — a shrink is never drift) AND >2× the suite's MEDIAN
-    * growth ratio (a session-wide shift moves the median with it and
-    * cancels). The q203 class — one query 9× while the rest sit at
-    * ~1× — passes both gates. Priors ≥64 MB only. */
-  def selectHeapDrift(current: Map[String, Double],
-      prior: Map[String, Double]): Seq[(String, Double, Double)] = {
+  /** Paired growth-ratio drift — the robust cross-round memory rule:
+    * a query alarms only when its own value grew >`minRatio`× its
+    * prior AND >2× the suite's MEDIAN growth ratio (a session-wide
+    * shift moves the median with it and cancels), on priors ≥`floor`.
+    * Growth-only: a shrink is never drift. */
+  def pairedGrowthDrift(current: Map[String, Double],
+      prior: Map[String, Double], floor: Double,
+      minRatio: Double): Seq[(String, Double, Double)] = {
     val ratios = current.toSeq.flatMap { case (k, cur) =>
-      prior.get(k).collect { case p if p >= 64.0 => (k, p, cur, cur / p) }
+      prior.get(k).collect {
+        case p if p >= floor => (k, p, cur, cur / p)
+      }
     }
     if (ratios.isEmpty) Seq.empty
     else {
       val rs = ratios.map(_._4).sorted
       val med = rs(rs.size / 2)
       ratios.collect {
-        case (k, p, cur, r) if r > 2.0 && r > 2.0 * med => (k, p, cur)
+        case (k, p, cur, r) if r > minRatio && r > 2.0 * med => (k, p, cur)
       }.sortBy(-_._3)
     }
   }
+
+  /** Heap-drift selection (r15 verdict #1): retained heap (live set
+    * after the last collection) is a SESSION statistic — block
+    * storage, code cache, catalog metadata, collector timing — that
+    * shifts wholesale, RAMPS positionally (one r16 session: 229 MB →
+    * 4.7 GB through the alphabet), and hits contiguous positional
+    * stretches with late-collection clusters measured up to ~3.5× at
+    * identical results. The absolute gate sits at 4× — above the
+    * measured collector-noise band, under half the q203 class (9× on
+    * one query) — on top of the paired median rule. Priors ≥64 MB. */
+  def selectHeapDrift(current: Map[String, Double],
+      prior: Map[String, Double]): Seq[(String, Double, Double)] =
+    pairedGrowthDrift(current, prior, floor = 64.0, minRatio = 4.0)
+
+  /** Peak-task-memory drift: execution memory is QUERY-attributable
+    * (hash maps, sort buffers — what the plan actually allocates), so
+    * unlike retained heap it carries no collector noise: measured
+    * cross-round ratios sit within ±10% of the session's uniform
+    * shift (r16: median 0.50, p95 0.55, max 1.0, zero false fires).
+    * The standard 2× paired gate catches a q203-class working-set
+    * regression directly. Priors ≥32 MB. */
+  def selectTaskMemDrift(current: Map[String, Double],
+      prior: Map[String, Double]): Seq[(String, Double, Double)] =
+    pairedGrowthDrift(current, prior, floor = 32.0, minRatio = 2.0)
 
   /** Per-query seconds from a committed BENCH_full json (`queries`
     * field). Missing/unparseable file → empty map (first round, or a
@@ -436,12 +455,14 @@ object Bench {
     // control-plane queries jitter) changed PLAN, whatever the clock
     // says. Printed to stderr so the driver log carries the list even
     // though the console JSON stays compact.
-    val (priorShuffle, priorHeap): (Map[String, Double], Map[String, Double]) = try {
+    val (priorShuffle, priorHeap, priorTaskMem): (Map[String, Double],
+        Map[String, Double], Map[String, Double]) = try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_metrics.json")))
       val b = Map.newBuilder[String, Double]
       val hb = Map.newBuilder[String, Double]
+      val tb = Map.newBuilder[String, Double]
       val it = root.fields()
       while (it.hasNext) {
         val e = it.next()
@@ -452,9 +473,12 @@ object Bench {
         val hg = e.getValue.get("heap_after_gc_mb")
         if (hg != null && hg.isNumber)
           hb += e.getKey -> hg.asDouble()
+        val tm = e.getValue.get("peak_task_mem_mb")
+        if (tm != null && tm.isNumber)
+          tb += e.getKey -> tm.asDouble()
       }
-      (b.result(), hb.result())
-    } catch { case _: Throwable => (Map.empty, Map.empty) }
+      (b.result(), hb.result(), tb.result())
+    } catch { case _: Throwable => (Map.empty, Map.empty, Map.empty) }
     val drift = selectDrift(
       results.map { case (k, r) =>
         k -> (mb(r.shufReadB) + mb(r.shufWriteB)) }.toMap,
@@ -487,8 +511,17 @@ object Bench {
       results.map { case (k, r) => k -> r.heapAfterGc.toDouble }.toMap,
       priorHeap)
     if (heapDrift.nonEmpty)
-      System.err.println(s"[bench] HEAP DRIFT >2x vs prior round: " +
+      System.err.println(s"[bench] HEAP DRIFT >4x vs prior round: " +
         heapDrift.map { case (k, p, c) => s"$k ${p.toLong}->${c.toLong} MB" }.mkString("; "))
+    // Peak-task-memory drift: the query-attributable memory alarm —
+    // execution memory carries none of retained heap's collector
+    // noise, so the plain 2x paired gate applies.
+    val taskMemDrift = selectTaskMemDrift(
+      results.map { case (k, r) => k -> mb(r.peakMemB) }.toMap,
+      priorTaskMem)
+    if (taskMemDrift.nonEmpty)
+      System.err.println(s"[bench] TASK-MEM DRIFT >2x vs prior round: " +
+        taskMemDrift.map { case (k, p, c) => s"$k ${p}->${c} MB" }.mkString("; "))
     // Filtered iteration runs must not clobber the committed FULL-run
     // records — divert their file output unless explicitly pointed
     // somewhere (the console JSON is unaffected).
@@ -534,7 +567,7 @@ object Bench {
     }
     val budget = 1700 // chars; sbt's [success] trailer rides in the same tail
     val slowest = ok.sortBy(-_._2.sec)
-    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries_total":${ok.size},"failed":$failedJson,"failed_count":${failed.size},"rerun_count":${reruns.size},"shuffle_drift_count":${drift.size},"wall_drift_count":${wallDrift.size},"heap_drift_count":${heapDrift.size},"phase_factor":${d2(phaseFactor)},"gc_sec":${math.round(gcTotal * 10) / 10.0},"cpu_proxy_sec":[${r2(proxyPre)},${r2(proxyPost)}],"cpu_proxy_par_sec":[${r2(proxyParPre)},${r2(proxyParPost)}]$overlapJson,"sf":"$sfDir","full":"BENCH_full.json","queries":"""
+    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries_total":${ok.size},"failed":$failedJson,"failed_count":${failed.size},"rerun_count":${reruns.size},"shuffle_drift_count":${drift.size},"wall_drift_count":${wallDrift.size},"heap_drift_count":${heapDrift.size},"task_mem_drift_count":${taskMemDrift.size},"phase_factor":${d2(phaseFactor)},"gc_sec":${math.round(gcTotal * 10) / 10.0},"cpu_proxy_sec":[${r2(proxyPre)},${r2(proxyPost)}],"cpu_proxy_par_sec":[${r2(proxyParPre)},${r2(proxyParPost)}]$overlapJson,"sf":"$sfDir","full":"BENCH_full.json","queries":"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = head.length + 2
     // an HONEST prefix of the slowest ordering: stop at the first

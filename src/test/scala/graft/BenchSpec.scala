@@ -109,42 +109,67 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.selectWallDrift(Map("slow" -> 6.0), prior, 1.0).isEmpty)
   }
 
-  test("heap drift: paired growth ratio >2x AND >2x the suite's median " +
-      "ratio; session-wide shifts in either direction never alarm") {
+  test("heap drift: paired growth ratio >4x AND >2x the suite median; " +
+      "session shifts, ramps and collector clusters never alarm") {
     val prior = Map("a" -> 250.0, "b" -> 250.0, "c" -> 250.0,
       "small" -> 20.0, "blow" -> 250.0)
-    // r16 failure mode 1: EVERY query ~3.5x higher (collector-timing
-    // plateau) — the median ratio moves with the shift, zero alarms
+    // failure mode 1 (r16 session 2): EVERY query ~3.5x higher
+    // (collector plateau) — the median moves with it, zero alarms
     val plateau = Map("a" -> 880.0, "b" -> 880.0, "c" -> 880.0,
       "small" -> 70.0, "blow" -> 880.0)
     assert(Bench.selectHeapDrift(plateau, prior).isEmpty,
       "uniform plateau shift must not alarm")
-    // r16 failure mode 2: session-wide SHRINK — a query that merely
-    // stayed flat while the suite shrank is not drift (absolute >2x
-    // gate), and shrunk queries are never drift (growth-only)
+    // failure mode 2 (session 3): session-wide SHRINK — flat queries
+    // are not drift (growth-only + absolute gate)
     val shrink = Map("a" -> 80.0, "b" -> 80.0, "c" -> 80.0,
       "small" -> 6.0, "blow" -> 250.0)
-    assert(Bench.selectHeapDrift(shrink, prior).isEmpty,
-      "session-wide shrink must not alarm the flat query")
-    // the q203 class: one query 9x above an unchanged suite
+    assert(Bench.selectHeapDrift(shrink, prior).isEmpty)
+    // failure mode 3 (session 5): a CONTIGUOUS positional cluster at
+    // ~3.3x while the rest sit at 1x — late-collection noise, under
+    // the 4x absolute gate, no alarm
+    val cluster = Map("a" -> 825.0, "b" -> 820.0, "c" -> 250.0,
+      "small" -> 20.0, "blow" -> 250.0)
+    assert(Bench.selectHeapDrift(cluster, prior).isEmpty,
+      "3.3x collector cluster must not alarm")
+    // the q203 class: one query 9x above an unchanged suite -> fires
     val blowup = Map("a" -> 250.0, "b" -> 250.0, "c" -> 250.0,
       "small" -> 180.0, "blow" -> 2250.0)
     val out = Bench.selectHeapDrift(blowup, prior)
     // 'small' grew 9x too but its prior is under the 64MB floor
     assert(out == Seq(("blow", 250.0, 2250.0)), s"heap drift: $out")
-    // the blowup survives a simultaneous plateau shift (ratio 31x vs
-    // median 3.5x)
+    // the blowup survives a simultaneous plateau shift (31x vs 3.5x)
     val both = Map("a" -> 880.0, "b" -> 880.0, "c" -> 880.0,
       "small" -> 70.0, "blow" -> 7920.0)
     assert(Bench.selectHeapDrift(both, prior) ==
       Seq(("blow", 250.0, 7920.0)))
-    // ...and a genuine grower still fires during a session-wide shrink
+    // ...and a 5x grower still fires during a session-wide shrink
     assert(Bench.selectHeapDrift(shrink ++ Map("blow" -> 1250.0), prior)
       == Seq(("blow", 250.0, 1250.0)))
-    // exactly-2x is NOT drift (strict > on both gates)
+    // exactly-4x is NOT drift (strict >)
     assert(Bench.selectHeapDrift(
-      Map("a" -> 100.0, "b" -> 100.0, "q" -> 200.0),
+      Map("a" -> 100.0, "b" -> 100.0, "q" -> 400.0),
       Map("a" -> 100.0, "b" -> 100.0, "q" -> 100.0)).isEmpty)
+  }
+
+  test("task-mem drift: query-attributable 2x paired gate on >=32MB " +
+      "priors; uniform partition-count shifts cancel") {
+    // the r16 observation: a uniform 0.5x shift (prior round ran at
+    // different parallelism) with per-query noise within 10%
+    val prior = Map("a" -> 100.0, "b" -> 200.0, "c" -> 64.0,
+      "tiny" -> 16.0)
+    val uniform = Map("a" -> 52.0, "b" -> 104.0, "c" -> 33.0,
+      "tiny" -> 8.0)
+    assert(Bench.selectTaskMemDrift(uniform, prior).isEmpty)
+    // a real working-set regression: one query 4x while others flat
+    val blown = Map("a" -> 400.0, "b" -> 200.0, "c" -> 64.0,
+      "tiny" -> 160.0)
+    // 'tiny' is 10x but under the 32MB floor
+    assert(Bench.selectTaskMemDrift(blown, prior) ==
+      Seq(("a", 100.0, 400.0)))
+    // exactly-2x is NOT drift
+    assert(Bench.selectTaskMemDrift(
+      Map("a" -> 200.0, "b" -> 200.0, "c" -> 64.0),
+      Map("a" -> 100.0, "b" -> 200.0, "c" -> 64.0)).isEmpty)
   }
 
   test("committed BENCH_metrics carries heap_after_gc_mb (the heap " +
