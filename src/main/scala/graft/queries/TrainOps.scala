@@ -1107,6 +1107,52 @@ object TrainOps {
         SELECT doc_id, n_tokens, tok_start, win_start, win_end,
           win_end - win_start + 1 AS n_windows,
           least(n_tokens, (win_start + 1) * 512 - tok_start) AS head_fill
-        FROM w ORDER BY doc_id"""))
+        FROM w ORDER BY doc_id""")),
+
+    // The per-WINDOW view of the q326 packing — what a training data
+    // loader actually consumes: for each 512-token window, how many
+    // documents touch it, how many START in it (attention-mask reset
+    // points) and how many CONTINUE past it (cross-window fragments).
+    // Spark side explodes each doc's window span (output-linear: one
+    // row per doc-window incidence) and hash-aggregates; the oracle
+    // replays with DuckDB's generate_series unnest.
+    Q("q327_packing_window_census",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("raw_toks"))
+        graft.operators.SequencePack.pack(docs, col("doc_id"),
+            col("raw_toks"), contextLen = 512L, bucketSize = 1024L)
+          .select(col("win_start"), col("win_end"),
+            explode(sequence(col("win_start"), col("win_end")))
+              .as("window_id"))
+          .groupBy("window_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("window_id") === col("win_start"), 1L)
+              .otherwise(0L)).as("n_starting"),
+            sum(when(col("window_id") < col("win_end"), 1L)
+              .otherwise(0L)).as("n_crossing"))
+          .orderBy("window_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        o AS (SELECT doc_id, n_tokens,
+            CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start FROM d),
+        w AS (SELECT doc_id,
+            CAST(floor(tok_start / 512) AS BIGINT) AS win_start,
+            CAST(floor((tok_start + greatest(n_tokens, 1) - 1) / 512)
+              AS BIGINT) AS win_end FROM o),
+        inc AS (SELECT win_start, win_end,
+            unnest(generate_series(win_start, win_end)) AS window_id
+          FROM w)
+        SELECT window_id, count(*) AS n_docs,
+          CAST(sum(CASE WHEN window_id = win_start THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_starting,
+          CAST(sum(CASE WHEN window_id < win_end THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_crossing
+        FROM inc GROUP BY 1 ORDER BY 1"""))
   )
 }

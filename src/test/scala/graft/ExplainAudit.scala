@@ -103,7 +103,7 @@ object ExplainAudit {
       // round 16 — q325 is control-plane (driver-side footer reads,
       // no fact scan) and deliberately not listed; q326's plan is the
       // two-phase prefix sum (bucket windows + one broadcast)
-      "q326_sequence_packing")
+      "q326_sequence_packing", "q327_packing_window_census")
     for (q <- qs) {
       // tree-walk audit (PlanAudit): the old text grep printed a cached
       // subtree's plan at every scan site, inflating counts (q306's one
