@@ -435,6 +435,48 @@ class ScaleSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("exceedsRows: exact plan cardinality answers job-free, never a " +
+      "CBO estimate; thresholds beyond Int range stay correct with " +
+      "O(1) driver memory (r16 ADVICE)") {
+    import graft.sources.ParquetStats
+    val jobs = new java.util.concurrent.atomic.AtomicLong()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // a Range's cardinality is statically exact: a 5-billion-row
+      // frame vs a beyond-Int threshold answers true without any job
+      // (the old probe clamped the threshold at ~2^31 and would have
+      // materialized up to 2^31 rows on the driver)
+      val big = spark.range(5000000000L).toDF("id")
+      assert(ParquetStats.exceedsRows(big, Int.MaxValue.toLong + 5L))
+      assert(!ParquetStats.exceedsRows(big, 5000000000L))
+      // local frames are exact too — including under row-preserving
+      // wrappers the optimizer leaves in place
+      val local = Seq(1, 2, 3).toDF("v")
+      assert(ParquetStats.exceedsRows(local, 2L))
+      assert(!ParquetStats.exceedsRows(local.select(col("v")), 3L))
+      Thread.sleep(200) // listener bus is async
+      assert(jobs.get() == 0,
+        s"exact-cardinality path ran ${jobs.get()} jobs — must be 0")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // a cardinality-CHANGING node over an exact source must fall
+    // through to the probe, not trust any estimate: filter flips the
+    // answer and the probe must reflect the filtered rows
+    val filtered = spark.range(1000).toDF("id").filter(col("id") < 3)
+    assert(!ParquetStats.exceedsRows(filtered, 5L))
+    assert(ParquetStats.exceedsRows(filtered, 2L))
+    // beyond-Int threshold against a real scan: counts to completion
+    // (false), with per-task capped Longs on the driver — not
+    // take(2^31) row materialization
+    val docs = Tables.load(spark, sf, "documents")
+    assert(!ParquetStats.exceedsRows(docs, Long.MaxValue - 1L))
+    assert(ParquetStats.exceedsRows(docs, 1L))
+  }
+
   test("footer row count: exact on a parquet-backed table, refused on " +
       "cardinality-changing plans and in-memory frames") {
     val docs = Tables.load(spark, sf, "documents")
