@@ -25,6 +25,17 @@ object PrefixSum {
     * the phase-2 fan-in: buckets = orderValue / bucketSize. */
   def exclusiveCumsum(df: DataFrame, order: Column, value: Column,
       out: String, bucketSize: Long): DataFrame = {
+    // fail fast on a non-numeric order: the bucket key is
+    // floor(order / bucketSize), which on a string column would
+    // silently produce NULL buckets (one giant "bucket", wrong sums)
+    // instead of an error. A path/shard-ordered corpus derives a
+    // numeric rank first — see [[globalRank]] /
+    // [[SequencePack.packOrdered]].
+    val orderType = df.select(order).schema.head.dataType
+    require(orderType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"exclusiveCumsum order column must be numeric, got $orderType — " +
+        "derive a numeric rank first (PrefixSum.globalRank or " +
+        "SequencePack.packOrdered)")
     val bucketed = df.withColumn("_psb", floor(order / bucketSize))
       .withColumn("_psv", value)
     val wIn = Window.partitionBy("_psb").orderBy(order)
@@ -39,5 +50,46 @@ object PrefixSum {
       .join(broadcast(offsets), "_psb")
       .withColumn(out, col("_pso") + col("_psi"))
       .drop("_psb", "_psv", "_psi", "_pso")
+  }
+
+  /** Dense 0-based global rank in ascending `orderCols` order,
+    * appended as `out` — the numeric total order a string/composite-
+    * keyed corpus (shard, path, …) needs before [[exclusiveCumsum]]
+    * can bucket it.
+    *
+    * Same two-phase scale shape as the cumsum, with the range
+    * partitioner supplying the buckets: rows are range-partitioned on
+    * `orderCols` (distributed sampling picks the boundaries; equal
+    * keys always land in one partition), ranked WITHIN each partition
+    * by a parallel window, and offset by the running sum of
+    * per-partition counts — a global window over |partitions| rows,
+    * broadcast back. No single-task global window, no zipWithIndex
+    * re-partitioning round-trip, no driver loop.
+    *
+    * The rank is a total order consistent with `orderCols`; ties (if
+    * the composite is not unique) are broken arbitrarily within their
+    * partition, so pass a unique composite for a deterministic
+    * layout. */
+  def globalRank(df: DataFrame, orderCols: Seq[Column],
+      out: String, partitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "globalRank needs at least one order column")
+    val n =
+      if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, orderCols: _*)
+      .withColumn("_grp", spark_partition_id())
+    val wOff = Window.orderBy("_grp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // one row per partition: the global window here is over n rows
+    val offsets = parted.groupBy("_grp")
+      .agg(count(lit(1)).as("_gc"))
+      .withColumn("_go", coalesce(sum(col("_gc")).over(wOff), lit(0L)))
+      .select(col("_grp"), col("_go"))
+    val wIn = Window.partitionBy("_grp").orderBy(orderCols: _*)
+    parted
+      .withColumn("_gr", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), "_grp")
+      .withColumn(out, col("_go") + col("_gr") - 1)
+      .drop("_grp", "_gr", "_go")
   }
 }

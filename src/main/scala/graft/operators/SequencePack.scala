@@ -52,4 +52,51 @@ object SequencePack {
       .withColumn("head_fill", least(col("n_tokens"),
         (col("win_start") + 1) * contextLen - col("tok_start")))
   }
+
+  /** [[pack]] for a corpus whose deterministic order is NOT a numeric
+    * column — the common real-world case: a pretraining corpus laid
+    * out by (shard, path) or (source, doc key). `pack`'s prefix sum
+    * buckets by `floor(order / bucketSize)`, which requires a numeric
+    * total order (PrefixSum fails fast otherwise); this derives one —
+    * a dense 0-based [[PrefixSum.globalRank]] over `orderCols`, kept
+    * in the output as `pack_rank` (the layout order a data loader
+    * replays) — then packs in that order. `orderCols` should be a
+    * unique composite (ties get an arbitrary stable-in-run order). */
+  def packOrdered(docs: DataFrame, orderCols: Seq[Column],
+      nTokens: Column, contextLen: Long,
+      bucketSize: Long = 1L << 20): DataFrame = {
+    val ranked = PrefixSum.globalRank(docs, orderCols, "pack_rank")
+    pack(ranked, col("pack_rank"), nTokens, contextLen, bucketSize)
+  }
+
+  /** Explode a per-document window span `[winStart, winEnd]` into one
+    * row per window id, with BOUNDED per-row allocation.
+    *
+    * The naive `explode(sequence(win_start, win_end))` materializes
+    * the whole span as ONE in-memory array before exploding — a
+    * single mega-document spanning millions of context windows
+    * allocates an n_windows-sized array in one row, the same uncapped
+    * data-dependent-allocation class the dedup bomb guards exist to
+    * eliminate (r16 ADVICE). Here the span is paged in two levels:
+    * an outer sequence of chunk indices (size n_windows/chunk + 1)
+    * and an inner sequence of at most `chunk` window ids, so no
+    * single allocation exceeds max(chunk, n_windows/chunk + 1)
+    * elements. At the default chunk of 4096 the outer array only
+    * passes 4096 elements once one document spans >16.7M windows
+    * (~8.6B tokens at a 512 context) — and grows as the square root
+    * thereafter, where the naive form grows linearly. Output is
+    * identical to the naive explode: each window id in the span,
+    * exactly once per document. */
+  def explodeWindowSpan(df: DataFrame, winStart: Column, winEnd: Column,
+      out: String, chunk: Long = 4096L): DataFrame = {
+    require(chunk > 0, s"chunk must be positive: $chunk")
+    df.withColumn("_wsk",
+        explode(sequence(lit(0L),
+          floor((winEnd - winStart) / chunk).cast(LongType))))
+      .withColumn("_ws0", winStart + col("_wsk") * chunk)
+      .withColumn(out,
+        explode(sequence(col("_ws0"),
+          least(winEnd, col("_ws0") + (chunk - 1)))))
+      .drop("_wsk", "_ws0")
+  }
 }

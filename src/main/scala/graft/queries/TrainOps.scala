@@ -1121,11 +1121,15 @@ object TrainOps {
         val docs = Tables.load(s, dir, "documents")
           .select(col("doc_id"),
             size(split(col("text"), " ")).as("raw_toks"))
-        graft.operators.SequencePack.pack(docs, col("doc_id"),
-            col("raw_toks"), contextLen = 512L, bucketSize = 1024L)
-          .select(col("win_start"), col("win_end"),
-            explode(sequence(col("win_start"), col("win_end")))
-              .as("window_id"))
+        val packed = graft.operators.SequencePack.pack(docs,
+            col("doc_id"), col("raw_toks"), contextLen = 512L,
+            bucketSize = 1024L)
+          .select(col("win_start"), col("win_end"))
+        // chunked span explode: per-row allocation bounded at the
+        // chunk size even for a mega-document spanning millions of
+        // windows (SequencePack.explodeWindowSpan scaladoc)
+        graft.operators.SequencePack.explodeWindowSpan(packed,
+            col("win_start"), col("win_end"), "window_id")
           .groupBy("window_id")
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("window_id") === col("win_start"), 1L)
@@ -1153,6 +1157,46 @@ object TrainOps {
             AS BIGINT) AS n_starting,
           CAST(sum(CASE WHEN window_id < win_end THEN 1 ELSE 0 END)
             AS BIGINT) AS n_crossing
-        FROM inc GROUP BY 1 ORDER BY 1"""))
+        FROM inc GROUP BY 1 ORDER BY 1""")),
+
+    // q326 packing for the REAL corpus-order case (r16 verdict #4):
+    // the deterministic layout is a string composite — here
+    // (source, doc_id), the (shard, path) shape of a pretraining
+    // corpus — not a numeric column. SequencePack.packOrdered derives
+    // a dense numeric rank first (PrefixSum.globalRank: range
+    // partitioner + per-partition windows + broadcast offsets — no
+    // single-task global window) and packs in that order; `pack_rank`
+    // rides the output as the layout order a data loader replays.
+    // The oracle replays the rank with a global row_number.
+    Q("q328_packing_by_source",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("raw_toks"))
+        graft.operators.SequencePack.packOrdered(docs,
+            Seq(col("source"), col("doc_id")), col("raw_toks"),
+            contextLen = 512L, bucketSize = 1024L)
+          .select(col("doc_id"), col("source"), col("pack_rank"),
+            col("n_tokens"), col("tok_start"), col("win_start"),
+            col("win_end"), col("n_windows"))
+          .orderBy("pack_rank")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        r AS (SELECT doc_id, source, n_tokens,
+            CAST(row_number() OVER (ORDER BY source, doc_id) - 1
+              AS BIGINT) AS pack_rank FROM d),
+        o AS (SELECT doc_id, source, pack_rank, n_tokens,
+            CAST(coalesce(sum(n_tokens) OVER (ORDER BY pack_rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start FROM r)
+        SELECT doc_id, source, pack_rank, n_tokens, tok_start,
+          CAST(floor(tok_start / 512) AS BIGINT) AS win_start,
+          CAST(floor((tok_start + greatest(n_tokens, 1) - 1) / 512)
+            AS BIGINT) AS win_end,
+          CAST(floor((tok_start + greatest(n_tokens, 1) - 1) / 512)
+            - floor(tok_start / 512) + 1 AS BIGINT) AS n_windows
+        FROM o ORDER BY pack_rank"""))
   )
 }

@@ -103,7 +103,11 @@ object ExplainAudit {
       // round 16 — q325 is control-plane (driver-side footer reads,
       // no fact scan) and deliberately not listed; q326's plan is the
       // two-phase prefix sum (bucket windows + one broadcast)
-      "q326_sequence_packing", "q327_packing_window_census")
+      "q326_sequence_packing", "q327_packing_window_census",
+      // round 17 — q328 adds the rank derivation in front of the
+      // prefix sum: one range exchange + per-partition windows + a
+      // broadcast of per-partition offsets
+      "q328_packing_by_source")
     for (q <- qs) {
       // tree-walk audit (PlanAudit): the old text grep printed a cached
       // subtree's plan at every scan site, inflating counts (q306's one

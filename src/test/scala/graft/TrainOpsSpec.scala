@@ -403,4 +403,85 @@ class TrainOpsSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(_psb"),
       s"doc-level window must partition by bucket:\n$plan")
   }
+
+  test("explodeWindowSpan: identical to the naive span explode across " +
+      "chunk boundaries, with per-row allocation bounded at the chunk") {
+    import spark.implicits._
+    import graft.operators.SequencePack
+    // spans engineered around a chunk of 8: width 1, exactly 8,
+    // 8+1 (straddles one boundary), 3 chunks + remainder, and a
+    // "mega-doc" of 100 windows (13 chunks)
+    val spans = Seq((0L, 0L, 0L), (1L, 5L, 12L), (2L, 16L, 24L),
+      (3L, 30L, 55L), (4L, 100L, 199L)).toDF("doc", "ws", "we")
+    val chunked = SequencePack.explodeWindowSpan(spans, col("ws"),
+        col("we"), "window_id", chunk = 8L)
+      .select("doc", "window_id").orderBy("doc", "window_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = spans.select(col("doc"),
+        explode(sequence(col("ws"), col("we"))).as("window_id"))
+      .orderBy("doc", "window_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(chunked == naive, s"chunked explode diverges")
+    assert(naive.size == 1 + 8 + 9 + 26 + 100)
+    // the allocation bound: every sequence() in the optimized plan is
+    // either the outer chunk-index sequence (span/chunk) or the inner
+    // least()-capped chunk — the UNCAPPED sequence(ws, we) form must
+    // not appear
+    val plan = SequencePack.explodeWindowSpan(spans, col("ws"),
+      col("we"), "window_id", chunk = 8L)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.matches("(?s).*sequence\\(ws#\\d+L?, we#\\d+.*"),
+      s"uncapped full-span sequence survived:\n$plan")
+    // columns kept, helpers dropped
+    val cols = SequencePack.explodeWindowSpan(spans, col("ws"),
+      col("we"), "window_id", chunk = 8L).columns.toSeq
+    assert(cols == Seq("doc", "ws", "we", "window_id"), s"cols: $cols")
+  }
+
+  test("packOrdered: a string-composite corpus order packs correctly " +
+      "(rank = global row order), partition-invariant; a raw string " +
+      "order FAILS FAST instead of silently mis-bucketing") {
+    import spark.implicits._
+    import graft.operators.{PrefixSum, SequencePack}
+    // (shard, path)-shaped order: shard breaks the tie groups, path
+    // unique within — the composite is a unique total order
+    val docs = Seq(
+      ("s1", "a", 3L), ("s0", "z", 2L), ("s1", "b", 4L),
+      ("s0", "a", 5L), ("s2", "a", 1L))
+      .toDF("shard", "path", "toks")
+    val orderCols = Seq(col("shard"), col("path"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SequencePack.packOrdered(df, orderCols, col("toks"),
+          contextLen = 4L, bucketSize = 2L)
+        .orderBy("pack_rank")
+        .select("shard", "path", "pack_rank", "tok_start", "win_start",
+          "win_end")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // expected order: (s0,a,5) (s0,z,2) (s1,a,3) (s1,b,4) (s2,a,1)
+    // starts: 0, 5, 7, 10, 14 at C=4
+    val expected = Seq(
+      ("s0", "a", 0L, 0L, 0L, 1L),
+      ("s0", "z", 1L, 5L, 1L, 1L),
+      ("s1", "a", 2L, 7L, 1L, 2L),
+      ("s1", "b", 3L, 10L, 2L, 3L),
+      ("s2", "a", 4L, 14L, 3L, 3L))
+    assert(run(docs) == expected)
+    // the rank must not depend on physical layout
+    assert(run(docs.repartition(7)) == expected)
+    // globalRank at a partition count smaller than distinct keys
+    // still yields the dense global order
+    val ranked = PrefixSum.globalRank(docs, orderCols, "r",
+        partitions = 2)
+      .orderBy("r").select("shard", "path")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(ranked == expected.map(e => (e._1, e._2)), s"rank: $ranked")
+    // the old failure mode: floor(stringCol / bucket) silently NULLs
+    // every bucket — now an immediate, explanatory error
+    val err = intercept[IllegalArgumentException] {
+      SequencePack.pack(docs, col("path"), col("toks"), 4L, 2L)
+    }
+    assert(err.getMessage.contains("must be numeric") &&
+      err.getMessage.contains("packOrdered"), err.getMessage)
+  }
 }
