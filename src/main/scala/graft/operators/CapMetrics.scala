@@ -36,6 +36,21 @@ object CapMetrics {
   private val seq = new AtomicLong()
 
   private val lastSeen = new ConcurrentHashMap[String, Row]()
+  /** Cumulative per-TAG totals (sequence suffix stripped), summed over
+    * every observation delivered since JVM start: input_rows,
+    * dropped_rows, capped_groups. Monotone counters — a caller (the
+    * bench harness) samples before/after a query and takes the delta,
+    * which is robust to the listener bus's async delivery in a way a
+    * reset/snapshot window is not (a late event after a reset would
+    * double-count into the next window; a late event after a delta
+    * sample merely attributes to the neighbor, the same documented
+    * caveat as the shuffle counters). max_width is deliberately
+    * absent: a max cannot be delta'd. */
+  private val cumTotals =
+    new ConcurrentHashMap[String, Array[java.util.concurrent.atomic.LongAdder]]()
+
+  private def tagOf(name: String): String =
+    name.stripPrefix("graft.cap.").replaceAll("\\.\\d+$", "")
   /** Metric names are sequence-numbered, so retention would otherwise
     * grow monotonically over a long-lived session — bounded for the
     * same reason the rest of this module exists. */
@@ -125,6 +140,11 @@ object CapMetrics {
             if (name.startsWith("graft.cap.")) {
               if (lastSeen.size >= MaxRetained) lastSeen.clear()
               lastSeen.put(name, row)
+              val adders = cumTotals.computeIfAbsent(tagOf(name), _ =>
+                Array.fill(3)(new java.util.concurrent.atomic.LongAdder))
+              adders(0).add(row.getAs[Long]("input_rows"))
+              adders(1).add(row.getAs[Long]("dropped_rows"))
+              adders(2).add(row.getAs[Long]("capped_groups"))
               val dropped = row.getAs[Long]("dropped_rows")
               if (dropped > 0)
                 // log-style surface: at cluster scale this is the
@@ -151,6 +171,16 @@ object CapMetrics {
   def snapshot(): Map[String, Row] = {
     import scala.jdk.CollectionConverters._
     lastSeen.asScala.toMap
+  }
+
+  /** Cumulative (input_rows, dropped_rows, capped_groups) per cap
+    * tag since JVM start — monotone; sample before/after a query and
+    * diff (see [[cumTotals]] scaladoc for why deltas, not resets). */
+  def cumulativeTotals(): Map[String, (Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    cumTotals.asScala.map { case (tag, a) =>
+      tag -> (a(0).sum(), a(1).sum(), a(2).sum())
+    }.toMap
   }
 
   /** Drop retained observations (test isolation). */

@@ -35,6 +35,19 @@ class CapMetricsSpec extends SparkSpec {
     assert(m.getAs[Long]("dropped_rows") === 10L)
     assert(m.getAs[Long]("capped_groups") === 1L)
     assert(m.getAs[Long]("max_width") === 10L)
+    // the cumulative per-tag totals the bench harness delta-samples
+    // (r16 verdict #7): keyed by tag with the sequence suffix
+    // stripped, monotone across observations
+    val before = CapMetrics.cumulativeTotals().getOrElse("docfreq",
+      (0L, 0L, 0L))
+    assert(before._1 >= 12L && before._2 >= 10L && before._3 >= 1L,
+      s"cumulative docfreq totals: $before")
+    assert(Dedup.capDocFreq(df, cap = 3, keyCol = "h").count() === 2)
+    assert(await(() => CapMetrics.cumulativeTotals()("docfreq")._1 >=
+      before._1 + 12L), "second observation did not accumulate")
+    val after = CapMetrics.cumulativeTotals()("docfreq")
+    assert(after._2 == before._2 + 10L && after._3 == before._3 + 1L,
+      s"delta: $before -> $after")
   }
 
   test("minHashLsh bucket cap reports through the same channel and " +
