@@ -104,18 +104,44 @@ object Bench {
     }
   }
 
-  /** Heap-drift selection (r15 verdict #1): retained heap (live set
-    * after the last collection) is a SESSION statistic — block
-    * storage, code cache, catalog metadata, collector timing — that
-    * shifts wholesale, RAMPS positionally (one r16 session: 229 MB →
-    * 4.7 GB through the alphabet), and hits contiguous positional
-    * stretches with late-collection clusters measured up to ~3.5× at
-    * identical results. The absolute gate sits at 4× — above the
-    * measured collector-noise band, under half the q203 class (9× on
-    * one query) — on top of the paired median rule. Priors ≥64 MB. */
+  /** Heap-drift selection (r15 verdict #1, corroboration r16 verdict
+    * #1): retained heap (live set after the last collection) is a
+    * SESSION statistic — block storage, code cache, catalog metadata,
+    * collector timing — that shifts wholesale, RAMPS positionally
+    * (one r16 session: 229 MB → 4.7 GB through the alphabet), hits
+    * contiguous positional stretches with late-collection clusters
+    * measured up to ~3.5× at identical results, and — the r16 driver
+    * capture — PLATEAUS across a contiguous minority of the suite
+    * (86 queries uniformly at 2245–2363 MB, suite median growth 0.99:
+    * the >2×-median cancel assumes a session shift moves >half the
+    * suite, so a 26% plateau sails through both gates). The absolute
+    * gate sits at 4× on top of the paired median rule (priors
+    * ≥64 MB), AND the flag must be corroborated by the
+    * query-attributable memory signal: a real working-set regression
+    * (the q203 class — 9× heap from a plan change) allocates its
+    * growth in EXECUTION memory, so `peak_task_mem_mb` grows with it,
+    * while every observed collector artifact (plateau, ramp, cluster)
+    * leaves task memory flat (r16: all 86 plateau flags had task-mem
+    * ratios within ±10% of the session shift). A flagged query with
+    * no task-mem telemetry at all fails OPEN (can't be exonerated). */
   def selectHeapDrift(current: Map[String, Double],
-      prior: Map[String, Double]): Seq[(String, Double, Double)] =
+      prior: Map[String, Double],
+      curTaskMem: Map[String, Double] = Map.empty,
+      priorTaskMem: Map[String, Double] = Map.empty)
+      : Seq[(String, Double, Double)] =
     pairedGrowthDrift(current, prior, floor = 64.0, minRatio = 4.0)
+      .filter { case (k, _, _) =>
+        (curTaskMem.get(k), priorTaskMem.get(k)) match {
+          // ratio path: task memory must have grown ≥2× too
+          case (Some(c), Some(p)) if p >= 1.0 => c >= 2.0 * p
+          // near-zero prior (control-plane query): corroborated only
+          // if the current ABSOLUTE task footprint is material
+          case (Some(c), Some(_)) => c >= 64.0
+          // no telemetry → fail open: a missing field must not
+          // silently disarm the alarm
+          case _ => true
+        }
+      }
 
   /** Peak-task-memory drift: execution memory is QUERY-attributable
     * (hash maps, sort buffers — what the plan actually allocates), so
@@ -127,6 +153,32 @@ object Bench {
   def selectTaskMemDrift(current: Map[String, Double],
       prior: Map[String, Double]): Seq[(String, Double, Double)] =
     pairedGrowthDrift(current, prior, floor = 32.0, minRatio = 2.0)
+
+  /** Render a per-query cap-engagement map as the `caps` JSON object
+    * in BENCH_metrics: tag → cumulative (input_rows, dropped_rows,
+    * capped_groups) deltas over the query's timed runs. Sorted for a
+    * stable diff; `{}` when no cap observed anything. */
+  def renderCaps(caps: Map[String, (Long, Long, Long)]): String =
+    caps.toSeq.sortBy(_._1).map { case (tag, (i, d, g)) =>
+      s""""$tag":{"input_rows":$i,"dropped_rows":$d,"capped_groups":$g}"""
+    }.mkString("{", ",", "}")
+
+  /** One numeric field per query from a BENCH_metrics-shaped json
+    * (top-level map of query → metrics object). Queries missing the
+    * field are skipped; a missing/unparseable file → empty map. */
+  def parseMetricsField(json: Array[Byte],
+      field: String): Map[String, Double] = try {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(json)
+    val b = Map.newBuilder[String, Double]
+    val it = root.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val v = e.getValue.get(field)
+      if (v != null && v.isNumber) b += e.getKey -> v.asDouble()
+    }
+    b.result()
+  } catch { case _: Throwable => Map.empty }
 
   /** Per-query seconds from a committed BENCH_full json (`queries`
     * field). Missing/unparseable file → empty map (first round, or a
@@ -318,8 +370,18 @@ object Bench {
     case class Run(sec: Double, gc: Double, leakedRdds: Int,
       leakedBytes: Long, heapMb: Long, heapAfterGc: Long,
       shufReadB: Long, shufWriteB: Long, peakMemB: Long)
+    // Cap-engagement telemetry per query (r16 verdict #7): the
+    // CapMetrics truncation counters previously surfaced only as
+    // stderr lines; riding BENCH_metrics lets a later round notice a
+    // bomb-guard cap silently biting on real data. Cumulative per-tag
+    // counters sampled as deltas around each query — totals cover
+    // BOTH timed runs; the listener bus is async, so a tail can land
+    // on the successor (same caveat as the shuffle counters).
+    val capsByQuery =
+      scala.collection.mutable.Map.empty[String, Map[String, (Long, Long, Long)]]
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        val caps0 = graft.operators.CapMetrics.cumulativeTotals()
         // a failed run records +Inf so min() only ever reports the time
         // of a SUCCESSFUL execution; a query failing on every run
         // surfaces as "failed" in the JSON instead of a bogus fast time
@@ -345,6 +407,12 @@ object Bench {
             heapAfterGcMb(),
             shufRead.sum() - sr0, shufWrite.sum() - sw0,
             peakTaskMem.get())
+        }
+        val caps1 = graft.operators.CapMetrics.cumulativeTotals()
+        capsByQuery(name) = caps1.flatMap { case (tag, (i1, d1, g1)) =>
+          val (i0, d0, g0) = caps0.getOrElse(tag, (0L, 0L, 0L))
+          val delta = (i1 - i0, d1 - d0, g1 - g0)
+          if (delta == (0L, 0L, 0L)) None else Some(tag -> delta)
         }
         name -> runs.minBy(_.sec)
     }
@@ -447,7 +515,8 @@ object Bench {
     // be 0 for a hygienic operator), and heap in use after it.
     def mb(b: Long): Double = math.round(b / 1048.576) / 1000.0
     val metrics = results.map { case (k, r) =>
-      s""""$k":{"sec":${if (r.sec.isInfinite) -1 else r.sec},"gc_sec":${r.gc},"leaked_rdds":${r.leakedRdds},"leaked_bytes":${r.leakedBytes},"heap_mb":${r.heapMb},"heap_after_gc_mb":${r.heapAfterGc},"shuffle_read_mb":${mb(r.shufReadB)},"shuffle_write_mb":${mb(r.shufWriteB)},"peak_task_mem_mb":${mb(r.peakMemB)}}"""
+      val caps = renderCaps(capsByQuery.getOrElse(k, Map.empty))
+      s""""$k":{"sec":${if (r.sec.isInfinite) -1 else r.sec},"gc_sec":${r.gc},"leaked_rdds":${r.leakedRdds},"leaked_bytes":${r.leakedBytes},"heap_mb":${r.heapMb},"heap_after_gc_mb":${r.heapAfterGc},"shuffle_read_mb":${mb(r.shufReadB)},"shuffle_write_mb":${mb(r.shufWriteB)},"peak_task_mem_mb":${mb(r.peakMemB)},"caps":$caps}"""
     }.mkString("{", ",", "}")
 
     // Shuffle-drift alarm vs the prior round's committed recording: a
@@ -507,18 +576,22 @@ object Bench {
       System.err.println(
         s"[bench] WALL DRIFT >1.5x vs prior round (phase factor ${d2(phaseFactor)}): " +
         wallDrift.map { case (k, p, c) => s"$k ${d2(p)}->${d2(c)} s" }.mkString("; "))
+    // heap drift is task-mem-corroborated (r16 verdict #1): the 86
+    // flags in the r16 artifact were one collector plateau the median
+    // cancel couldn't absorb — execution memory is the signal that
+    // separates a real working-set regression from session noise
+    val curTaskMem =
+      results.map { case (k, r) => k -> mb(r.peakMemB) }.toMap
     val heapDrift = selectHeapDrift(
       results.map { case (k, r) => k -> r.heapAfterGc.toDouble }.toMap,
-      priorHeap)
+      priorHeap, curTaskMem, priorTaskMem)
     if (heapDrift.nonEmpty)
-      System.err.println(s"[bench] HEAP DRIFT >4x vs prior round: " +
+      System.err.println(s"[bench] HEAP DRIFT >4x (task-mem corroborated) vs prior round: " +
         heapDrift.map { case (k, p, c) => s"$k ${p.toLong}->${c.toLong} MB" }.mkString("; "))
     // Peak-task-memory drift: the query-attributable memory alarm —
     // execution memory carries none of retained heap's collector
     // noise, so the plain 2x paired gate applies.
-    val taskMemDrift = selectTaskMemDrift(
-      results.map { case (k, r) => k -> mb(r.peakMemB) }.toMap,
-      priorTaskMem)
+    val taskMemDrift = selectTaskMemDrift(curTaskMem, priorTaskMem)
     if (taskMemDrift.nonEmpty)
       System.err.println(s"[bench] TASK-MEM DRIFT >2x vs prior round: " +
         taskMemDrift.map { case (k, p, c) => s"$k ${p}->${c} MB" }.mkString("; "))

@@ -151,6 +151,74 @@ class BenchSpec extends AnyFunSuite {
       Map("a" -> 100.0, "b" -> 100.0, "q" -> 100.0)).isEmpty)
   }
 
+  test("heap drift is task-mem corroborated: flat execution memory " +
+      "exonerates a retained-heap flag; growth or absence does not") {
+    val prior = Map("a" -> 250.0, "b" -> 250.0, "c" -> 250.0,
+      "blow" -> 250.0)
+    val blowup = Map("a" -> 250.0, "b" -> 250.0, "c" -> 250.0,
+      "blow" -> 2250.0)
+    val tmPrior = Map("a" -> 100.0, "b" -> 100.0, "c" -> 100.0,
+      "blow" -> 100.0)
+    // a real q203-class regression allocates in execution memory:
+    // task-mem grew 9x alongside heap -> fires
+    assert(Bench.selectHeapDrift(blowup, prior,
+      tmPrior ++ Map("blow" -> 900.0), tmPrior) ==
+      Seq(("blow", 250.0, 2250.0)))
+    // collector plateau signature: heap 9x but task-mem FLAT -> quiet
+    assert(Bench.selectHeapDrift(blowup, prior, tmPrior, tmPrior).isEmpty,
+      "flat task memory must exonerate a retained-heap flag")
+    // near-zero task-mem prior (control-plane query): corroborated
+    // only by a material absolute footprint
+    assert(Bench.selectHeapDrift(blowup, prior,
+      tmPrior ++ Map("blow" -> 8.0), tmPrior ++ Map("blow" -> 0.0))
+      .isEmpty)
+    assert(Bench.selectHeapDrift(blowup, prior,
+      tmPrior ++ Map("blow" -> 128.0), tmPrior ++ Map("blow" -> 0.0)) ==
+      Seq(("blow", 250.0, 2250.0)))
+    // no task-mem telemetry at all -> fail OPEN (a format regression
+    // in the metrics writer must not silently disarm the alarm)
+    assert(Bench.selectHeapDrift(blowup, prior) ==
+      Seq(("blow", 250.0, 2250.0)))
+  }
+
+  test("the real r16 86-flag plateau metrics are a non-trigger " +
+      "(committed driver capture replayed verbatim)") {
+    // the r16 artifact of record carried heap_drift_count=86: one
+    // alphabetically-contiguous collector plateau (uniform
+    // 2245-2363 MB band, suite median growth 0.99) covering 26% of
+    // the suite — too narrow for the >2x-median cancel, task-mem and
+    // wall drift both 0 on the same capture. These are the two
+    // committed BENCH_metrics files that produced it, verbatim.
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/bench/$name")
+      assert(in != null, s"missing fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val priorB = res("BENCH_metrics_r15.json")
+    val curB = res("BENCH_metrics_r16.json")
+    val heapPrior = Bench.parseMetricsField(priorB, "heap_after_gc_mb")
+    val heapCur = Bench.parseMetricsField(curB, "heap_after_gc_mb")
+    val tmPrior = Bench.parseMetricsField(priorB, "peak_task_mem_mb")
+    val tmCur = Bench.parseMetricsField(curB, "peak_task_mem_mb")
+    assert(heapPrior.size > 300 && tmPrior.size > 300,
+      s"fixture shrank: ${heapPrior.size}/${tmPrior.size} entries")
+    // pin that the fixture really is the 86-flag scenario: the
+    // UNCORROBORATED rule (what ran in r16) flags exactly 86
+    val raw = Bench.pairedGrowthDrift(heapCur, heapPrior,
+      floor = 64.0, minRatio = 4.0)
+    assert(raw.size == 86, s"fixture no longer reproduces: ${raw.size}")
+    // ...and the corroborated alarm clears every one of them
+    val out = Bench.selectHeapDrift(heapCur, heapPrior, tmCur, tmPrior)
+    assert(out.isEmpty, s"plateau still alarms: ${out.take(5)}")
+    // the same fixture must NOT mask a real regression: plant the
+    // q203-class blowup (9x heap, 9x task-mem) on top of the plateau
+    val k = "q203_lsh_recall"
+    val planted = Bench.selectHeapDrift(
+      heapCur + (k -> heapPrior(k) * 9.0), heapPrior,
+      tmCur + (k -> (tmPrior(k) max 32.0) * 9.0), tmPrior)
+    assert(planted.map(_._1) == Seq(k), s"planted blowup: $planted")
+  }
+
   test("task-mem drift: query-attributable 2x paired gate on >=32MB " +
       "priors; uniform partition-count shifts cancel") {
     // the r16 observation: a uniform 0.5x shift (prior round ran at
@@ -207,6 +275,33 @@ class BenchSpec extends AnyFunSuite {
     assert(n > 300, s"metrics baseline shrank to $n entries")
     assert(withShuffle == n,
       s"only $withShuffle of $n metrics rows carry shuffle fields")
+  }
+
+  test("renderCaps: stable tag-sorted JSON; empty map renders {}") {
+    assert(Bench.renderCaps(Map.empty) == "{}")
+    val json = Bench.renderCaps(Map(
+      "minhash" -> ((100L, 3L, 1L)), "docfreq" -> ((12L, 10L, 1L))))
+    assert(json ==
+      """{"docfreq":{"input_rows":12,"dropped_rows":10,"capped_groups":1},"minhash":{"input_rows":100,"dropped_rows":3,"capped_groups":1}}""")
+    // must parse as JSON (the metrics file is machine-read next round)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(om.readTree(json).get("docfreq").get("dropped_rows")
+      .asLong() == 10L)
+  }
+
+  test("committed BENCH_metrics carries the caps field (the cap-" +
+      "engagement telemetry's baseline)") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_metrics.json")))
+    var n = 0; var withCaps = 0
+    val it = root.fields()
+    while (it.hasNext) {
+      val e = it.next(); n += 1
+      if (e.getValue.has("caps")) withCaps += 1
+    }
+    assert(withCaps == n,
+      s"only $withCaps of $n metrics rows carry the caps field")
   }
 
   test("committed r7 recording actually loads (the gate's reference)") {
