@@ -4,6 +4,8 @@ import java.io.FileOutputStream
 import java.nio.file.Files
 import java.util.zip.{GZIPOutputStream, ZipEntry, ZipOutputStream}
 
+import org.apache.spark.sql.functions.col
+
 import graft.sources.ArchiveSource
 
 class ArchiveSpec extends SparkSpec {
@@ -101,5 +103,57 @@ class ArchiveSpec extends SparkSpec {
     val df = ArchiveSource.sevenZMemberCsv(spark, make7z(), "House_1.csv")
     assert(df.columns.toSeq == Seq("id", "w"))
     assert(df.count() == 2)
+  }
+
+  // ---- independent-writer fixtures (r16 verdict #5): bytes the JVM
+  // stack did NOT produce. Every fixture above is written by
+  // java.util.zip or commons-compress — the same code family that
+  // reads it, so a shared misreading of the format would round-trip
+  // invisibly. scripts/make_archive_fixtures.py builds these from
+  // the reference C bzip2 binary and a hand-assembled 7z container
+  // (pure-Python struct from the public 7zFormat.txt layout).
+
+  private def golden(): com.fasterxml.jackson.databind.JsonNode = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    om.readTree(getClass.getResourceAsStream(
+      "/graft/wild_archive_golden.json"))
+  }
+
+  test("wild bz2: multi-stream bytes from the system bzip2 binary " +
+      "(reference C libbz2, not commons-compress) decode completely") {
+    val path = getClass.getResource("/graft/wild_multi.csv.bz2").getPath
+    val got = ArchiveSource.bz2Lines(spark, path)
+      .select("line").as[String].collect().toSeq.sorted
+    val g = golden().get("bz2_lines")
+    val want = (0 until g.size()).map(g.get(_).asText()).sorted
+    assert(got == want, s"bz2 lines: $got")
+    // the multi-stream trap specifically: a reader that stops at the
+    // first stream's end-of-stream magic sees only stream 1's rows
+    assert(got.count(_ == "id,load") == 2,
+      "second bz2 stream was silently dropped")
+  }
+
+  test("wild 7z: a hand-assembled store-codec container (no 7z " +
+      "library wrote any header byte) lists and decodes byte-exact") {
+    val path = getClass.getResource("/graft/wild_store.7z").getPath
+    val lines = ArchiveSource.sevenZLines(spark, path)
+    val g = golden().get("sevenz_members")
+    val wantMembers = {
+      val it = g.fieldNames(); val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result().toSet
+    }
+    assert(lines.select("member").distinct().as[String].collect()
+      .toSet == wantMembers)
+    for (m <- wantMembers) {
+      val got = lines.filter(col("member") === m)
+        .select("line").as[String].collect().toSeq
+      val arr = g.get(m)
+      val want = (0 until arr.size()).map(arr.get(_).asText())
+      assert(got.sorted == want.sorted, s"$m: $got")
+    }
+    val csv = ArchiveSource.sevenZMemberCsv(spark, path, "meters_a.csv")
+    assert(csv.columns.toSeq == Seq("id", "kwh"))
+    assert(csv.count() == 2)
   }
 }
