@@ -16,8 +16,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/scale10"
-REPL = 10
+# SCALE_DST/SCALE_REPL env overrides: the r16 verdict's 30x spot-proof
+# (q235 density) reuses this script at REPL=30 -> /tmp/scale30
+DST = os.environ.get("SCALE_DST", "/tmp/scale10")
+REPL = int(os.environ.get("SCALE_REPL", "10"))
 
 
 def perturb_documents():
