@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic epoch shuffling — the data-loader permutation for
+  * multi-epoch pretraining, computed WITHOUT shuffling any data.
+  *
+  * A training run revisits the corpus every epoch in a fresh
+  * "random" order that must be (a) a true permutation — every doc
+  * exactly once, (b) reproducible from (seed, epoch) alone for
+  * restartability, and (c) cheap at 100 TB. Materializing
+  * `orderBy(rand(seed))` is a full global sort of the corpus per
+  * epoch; this instead uses the classic affine bijection on a dense
+  * index domain: `pos = (a·idx + b) mod n` with gcd(a, n) = 1 is an
+  * exact permutation of [0, n), so every document's epoch position —
+  * and therefore its batch id — is ROW-LOCAL arithmetic: zero
+  * shuffle, zero sort, nothing moves until a consumer groups by
+  * batch. The multiplier is a fixed large prime (a coprime stride
+  * walks the corpus far from arrival order); the offset rotates with
+  * the epoch so epochs differ. An affine walk is weaker than a
+  * cryptographic permutation (it has a constant stride structure);
+  * for loader-grade decorrelation of arrival order it is the
+  * standard tool, and a Feistel round could slot behind the same
+  * contract if needed.
+  *
+  * Beyond-reference surface (the reference has no training layer);
+  * complements q326/q328 (packing), q249/q301 (shards), q100 (epoch
+  * mixture). Reference behavior studied at
+  * NOWUM/open-energy-data-server (no equivalent operator).
+  */
+object EpochShuffle {
+
+  /** Default multiplier: prime, far from any power of two, and small
+    * enough that a·idx stays in Long for corpora under ~9.2e12 docs. */
+  val DefaultA = 1000003L
+
+  /** Epoch-`epoch` position and batch id for each row, appended as
+    * `epoch_pos` / `batch_id`. `idx` must be a DENSE index in
+    * [0, n) — the natural doc_id of an ingested corpus, or a
+    * [[PrefixSum.globalRank]] for anything else (same contract as
+    * SequencePack, same remedy). gcd(a, n) = 1 is REQUIRED for the
+    * bijection and checked here; with the default prime multiplier it
+    * only fails when n is a multiple of that prime, in which case
+    * pass e.g. a+2's next coprime. */
+  def assign(df: DataFrame, idx: Column, n: Long, epoch: Int,
+      batchSize: Long, a: Long = DefaultA): DataFrame = {
+    require(n > 0, s"corpus size must be positive: $n")
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    require(BigInt(a).gcd(BigInt(n)) == 1,
+      s"multiplier $a shares a factor with corpus size $n — the affine " +
+        "map would not be a bijection; pick a coprime multiplier")
+    require(a > 0 && a <= Long.MaxValue / math.max(n - 1, 1),
+      s"a*idx would overflow Long for a=$a, n=$n")
+    val b = java.lang.Long.remainderUnsigned(
+      // epoch offset: a second prime keeps consecutive epochs'
+      // offsets far apart; the exact value is immaterial, only
+      // determinism and epoch-distinctness matter
+      epoch.toLong * 7919L, n)
+    df.withColumn("epoch_pos", (lit(a) * idx + lit(b)) % n)
+      .withColumn("batch_id", floor(col("epoch_pos") / batchSize))
+  }
+}

@@ -1197,6 +1197,96 @@ object TrainOps {
             AS BIGINT) AS win_end,
           CAST(floor((tok_start + greatest(n_tokens, 1) - 1) / 512)
             - floor(tok_start / 512) + 1 AS BIGINT) AS n_windows
-        FROM o ORDER BY pack_rank"""))
+        FROM o ORDER BY pack_rank""")),
+
+    // Deterministic epoch shuffle (EpochShuffle): the data-loader
+    // permutation for multi-epoch pretraining as row-local arithmetic
+    // — pos = (a·doc_id + b) mod n is an exact bijection of the dense
+    // id domain (gcd(a,n)=1, driver-checked), so epoch order and
+    // batch assignment cost ZERO shuffle (materializing
+    // orderBy(rand()) is a full global sort per epoch). The census
+    // groups the epoch-3 batches and reports the interleaving quality
+    // a loader cares about: docs per batch, distinct sources/langs
+    // mixed into each batch, token load. The oracle replays the
+    // affine map in SQL with n from a scalar count.
+    Q("q329_epoch_shuffle",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+        // control-plane: exact corpus size from footer metadata when
+        // file-backed, one count() otherwise
+        val n = graft.sources.ParquetStats.footerRowCount(s, docs)
+          .getOrElse(docs.count())
+        graft.operators.EpochShuffle.assign(docs, col("doc_id"), n,
+            epoch = 3, batchSize = 64L)
+          .groupBy("batch_id")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("toks")).as("tok_sum"),
+            min(col("epoch_pos")).as("pos_lo"),
+            max(col("epoch_pos")).as("pos_hi"))
+          .orderBy("batch_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, lang,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM documents),
+        p AS (SELECT *,
+            (1000003 * doc_id + 23757) %
+              (SELECT count(*) FROM documents) AS epoch_pos FROM d),
+        b AS (SELECT *, CAST(floor(epoch_pos / 64) AS BIGINT)
+            AS batch_id FROM p)
+        SELECT batch_id, count(*) AS n_docs,
+          CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(sum(toks) AS BIGINT) AS tok_sum,
+          min(epoch_pos) AS pos_lo, max(epoch_pos) AS pos_hi
+        FROM b GROUP BY batch_id ORDER BY batch_id""")),
+
+    // Length-grouped batching: sorting the corpus by token length
+    // before cutting fixed-size batches is the standard
+    // padding-minimizing layout for non-packed (padded) training and
+    // inference batching. Spark derives the length order with the
+    // same distributed rank as q328 (range partitioner + local
+    // windows — no single-task sort) and compares per-batch padding
+    // waste (n·max(len) − Σlen) against arrival-order batching of the
+    // same batch size; the oracle replays both with global windows.
+    Q("q330_length_batching",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+        val byLen = graft.operators.PrefixSum.globalRank(docs,
+            Seq(col("toks"), col("doc_id")), "r")
+          .withColumn("scenario", lit("length_sorted"))
+          .withColumn("batch_id", floor(col("r") / 64))
+        val arrival = docs
+          .withColumn("scenario", lit("arrival"))
+          .withColumn("batch_id", floor(col("doc_id") / 64))
+        byLen.select("scenario", "batch_id", "toks")
+          .unionByName(arrival.select("scenario", "batch_id", "toks"))
+          .groupBy("scenario", "batch_id")
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("toks")).as("max_toks"),
+            sum(col("toks")).as("tok_sum"))
+          .withColumn("waste",
+            col("n_docs") * col("max_toks") - col("tok_sum"))
+          .orderBy("scenario", "batch_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM documents),
+        ls AS (SELECT 'length_sorted' AS scenario,
+            CAST(floor((row_number() OVER (ORDER BY toks, doc_id) - 1)
+              / 64) AS BIGINT) AS batch_id, toks FROM d),
+        ar AS (SELECT 'arrival' AS scenario,
+            CAST(floor(doc_id / 64) AS BIGINT) AS batch_id, toks FROM d),
+        u AS (SELECT * FROM ls UNION ALL SELECT * FROM ar)
+        SELECT scenario, batch_id, count(*) AS n_docs,
+          max(toks) AS max_toks, CAST(sum(toks) AS BIGINT) AS tok_sum,
+          CAST(count(*) * max(toks) - sum(toks) AS BIGINT) AS waste
+        FROM u GROUP BY scenario, batch_id
+        ORDER BY scenario, batch_id"""))
   )
 }

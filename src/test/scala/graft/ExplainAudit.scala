@@ -106,8 +106,11 @@ object ExplainAudit {
       "q326_sequence_packing", "q327_packing_window_census",
       // round 17 — q328 adds the rank derivation in front of the
       // prefix sum: one range exchange + per-partition windows + a
-      // broadcast of per-partition offsets
-      "q328_packing_by_source")
+      // broadcast of per-partition offsets; q329's permutation is
+      // row-local (the only exchange is the census groupBy); q330 is
+      // the q328 rank machinery + one union + one aggregate
+      "q328_packing_by_source", "q329_epoch_shuffle",
+      "q330_length_batching")
     for (q <- qs) {
       // tree-walk audit (PlanAudit): the old text grep printed a cached
       // subtree's plan at every scan site, inflating counts (q306's one

@@ -438,6 +438,48 @@ class TrainOpsSpec extends SparkSpec {
     assert(cols == Seq("doc", "ws", "we", "window_id"), s"cols: $cols")
   }
 
+  test("EpochShuffle: an exact bijection per epoch, epochs differ, " +
+      "coprime violation fails fast, and the map is shuffle-free") {
+    import spark.implicits._
+    import graft.operators.EpochShuffle
+    val n = 257L // prime-sized corpus: coprime with the multiplier
+    val docs = spark.range(n).toDF("doc_id")
+    def positions(epoch: Int) =
+      EpochShuffle.assign(docs, col("doc_id"), n, epoch, batchSize = 32L)
+        .select("epoch_pos").as[Long].collect().toSeq
+    val e0 = positions(0)
+    // bijection: every position in [0, n) exactly once
+    assert(e0.sorted == (0L until n), "epoch 0 is not a permutation")
+    assert(positions(7).sorted == (0L until n))
+    // epochs are distinct orders (affine offset rotates with epoch)
+    assert(e0 != positions(1))
+    // determinism: same (seed, epoch) -> same order
+    assert(positions(3) == positions(3))
+    // decorrelation from arrival order: the stride walk must not be
+    // close to identity — no long run of consecutive ids mapping to
+    // consecutive positions
+    val byId = EpochShuffle.assign(docs, col("doc_id"), n, 0, 32L)
+      .orderBy("doc_id").select("epoch_pos").as[Long].collect()
+    val adjacent = byId.sliding(2).count(p => p(1) - p(0) == 1)
+    assert(adjacent < 5, s"$adjacent adjacent pairs kept arrival order")
+    // gcd(a, n) != 1 would silently lose docs — must refuse instead
+    val err = intercept[IllegalArgumentException] {
+      EpochShuffle.assign(docs, col("doc_id"), EpochShuffle.DefaultA * 2,
+        0, 32L)
+    }
+    assert(err.getMessage.contains("bijection"), err.getMessage)
+    // shuffle-free: the assignment itself adds NO exchange to the plan
+    val plan = EpochShuffle.assign(docs, col("doc_id"), n, 0, 32L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"epoch assignment must be row-local:\n$plan")
+    // batches: all full except possibly the last
+    val sizes = EpochShuffle.assign(docs, col("doc_id"), n, 0, 32L)
+      .groupBy("batch_id").count().orderBy("batch_id")
+      .select("count").as[Long].collect().toSeq
+    assert(sizes.init.forall(_ == 32L) && sizes.last == n % 32)
+  }
+
   test("packOrdered: a string-composite corpus order packs correctly " +
       "(rank = global row order), partition-invariant; a raw string " +
       "order FAILS FAST instead of silently mis-bucketing") {
