@@ -33,4 +33,26 @@ class PrefixSumSpec extends SparkSpec {
       .orderBy("k").select("c").collect().map(_.getLong(0))
     assert(got.toSeq == Seq(0L, 5L, 12L))
   }
+
+  test("globalRank matches the single-partition global row_number on " +
+      "random composite keys, at several partition counts") {
+    val rnd = new Random(11)
+    // composite (string, long) keys, shuffled arrival, duplicates in
+    // the first component so ranking spans range-boundary ties
+    val rows = rnd.shuffle((0L until 500L).map { i =>
+      (s"s${rnd.nextInt(7)}", i, rnd.nextInt(100))
+    })
+    val df = rows.toDF("grp", "id", "x").repartition(9)
+    val naive = df.withColumn("r",
+        row_number().over(Window.orderBy("grp", "id")) - 1)
+      .orderBy("grp", "id").select("grp", "id", "r")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong))
+    for (parts <- Seq(1, 4, 64)) { // fewer, comparable, more than keys/rows
+      val got = PrefixSum.globalRank(df, Seq(col("grp"), col("id")),
+          "r", partitions = parts)
+        .orderBy("grp", "id").select("grp", "id", "r")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == naive.toSeq, s"partitions=$parts diverged")
+    }
+  }
 }

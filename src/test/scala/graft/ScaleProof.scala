@@ -63,7 +63,15 @@ object ScaleProof {
       // (shifted time windows + entity ids, so windows stay locally
       // dense and growth is in window COUNT, the production shape).
       "q122_stream_outer_interval_join", "q166_continuous_aggregate",
-      "q170_stream_continuous_aggregate", "q181_stream_ohlc")
+      "q170_stream_continuous_aggregate", "q181_stream_ohlc",
+      // r17: the training-layout family — the distributed prefix sum
+      // (q326), the rank-derived variants (q328/q330) and the
+      // shuffle-free epoch permutation (q329). The scale question is
+      // whether the two-phase prefix sum / rank stays linear as the
+      // corpus grows 10x (the single-task global window it replaces
+      // would bend here first).
+      "q326_sequence_packing", "q328_packing_by_source",
+      "q329_epoch_shuffle", "q330_length_batching")
     // prime table file caches so the first query isn't charged IO warmup
     Tables.all.foreach { n =>
       Tables.load(spark, dir, n).write.format("noop").mode("overwrite").save()
