@@ -16,6 +16,10 @@ fixtures (the same JVM stack that reads them). This script produces:
       FilesInfo with UTF-16LE names). No 7z library involved, so every
       header byte comes from this file's own arithmetic.
 
+  wild_members.zip — a CPython-zipfile archive with a UTF-8-flagged
+      non-ASCII member name, deflate compression and a directory
+      entry — shapes the java.util.zip writer fixtures never emit.
+
   wild_archive_golden.json — expected member names and line contents,
       pinned by ArchiveSpec.
 
@@ -158,21 +162,44 @@ SEVENZ_MEMBERS = [
 ]
 
 
+# ----------------------------------------------------------------- zip
+
+ZIP_MEMBERS = [
+    # UTF-8-flagged non-ASCII name, deflate — shapes the JVM writer
+    # fixtures never produce
+    ("straße_1.csv", "id,v\n1,1.5\n2,2.5\n"),
+    ("plain.csv", "id,v\n3,9.0\n"),
+]
+
+
+def make_zip(path):
+    import zipfile
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("data/", "")  # directory entry
+        for name, text in ZIP_MEMBERS:
+            z.writestr(name, text)
+
+
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     make_bz2(OUT / "wild_multi.csv.bz2")
     make_7z(OUT / "wild_store.7z", SEVENZ_MEMBERS)
+    make_zip(OUT / "wild_members.zip")
     golden = {
         "bz2_lines": [l for s in BZ2_STREAMS for l in s.splitlines()],
         "sevenz_members": {
             name: data.decode().splitlines()
             for name, data in SEVENZ_MEMBERS
         },
+        "zip_members": {
+            name: text.splitlines() for name, text in ZIP_MEMBERS
+        },
     }
     (OUT / "wild_archive_golden.json").write_text(
         json.dumps(golden, indent=1, sort_keys=True) + "\n")
     print("wrote", OUT / "wild_multi.csv.bz2")
     print("wrote", OUT / "wild_store.7z")
+    print("wrote", OUT / "wild_members.zip")
     print("wrote", OUT / "wild_archive_golden.json")
 
 

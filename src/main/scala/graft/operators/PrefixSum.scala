@@ -76,20 +76,33 @@ object PrefixSum {
     val n =
       if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // ONE data-volume exchange: the range repartition. The local rank
+    // is NOT a Window.partitionBy(partition id) — that would re-
+    // shuffle the whole corpus by a key that already equals its
+    // physical partition (measured: it doubled q328's shuffle volume
+    // and left an 11-node duplicate subtree in the audit). Instead a
+    // partition-local sort (no exchange) plus
+    // monotonically_increasing_id, whose (partition << 33 | row)
+    // layout makes `mid - min(mid per partition)` exactly the local
+    // row index; per-partition counts and min-mids are a partial-
+    // aggregate exchange of |partitions| tiny rows, running-summed
+    // (a global window over n rows) and broadcast back. Duplicate
+    // evaluation of the two branches is safe: range boundaries are
+    // deterministically sampled, the local sort is total on a unique
+    // composite, and min(mid)/count are tie-order-invariant.
     val parted = df.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
       .withColumn("_grp", spark_partition_id())
+      .withColumn("_mid", monotonically_increasing_id())
     val wOff = Window.orderBy("_grp")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // one row per partition: the global window here is over n rows
     val offsets = parted.groupBy("_grp")
-      .agg(count(lit(1)).as("_gc"))
+      .agg(count(lit(1)).as("_gc"), min(col("_mid")).as("_gm"))
       .withColumn("_go", coalesce(sum(col("_gc")).over(wOff), lit(0L)))
-      .select(col("_grp"), col("_go"))
-    val wIn = Window.partitionBy("_grp").orderBy(orderCols: _*)
+      .select(col("_grp"), col("_gm"), col("_go"))
     parted
-      .withColumn("_gr", row_number().over(wIn).cast("long"))
       .join(broadcast(offsets), "_grp")
-      .withColumn(out, col("_go") + col("_gr") - 1)
-      .drop("_grp", "_gr", "_go")
+      .withColumn(out, col("_go") + (col("_mid") - col("_gm")))
+      .drop("_grp", "_mid", "_gm", "_go")
   }
 }

@@ -156,4 +156,28 @@ class ArchiveSpec extends SparkSpec {
     assert(csv.columns.toSeq == Seq("id", "kwh"))
     assert(csv.count() == 2)
   }
+
+  test("wild zip: CPython-zipfile bytes (UTF-8-flagged non-ASCII " +
+      "name, deflate, directory entry) decode completely") {
+    val path = getClass.getResource("/graft/wild_members.zip").getPath
+    val lines = ArchiveSource.zipLines(spark, path)
+    val g = golden().get("zip_members")
+    val wantMembers = {
+      val it = g.fieldNames(); val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result().toSet
+    }
+    assert(wantMembers.exists(_.contains("straße")),
+      "fixture must carry the non-ASCII member name")
+    // the empty data/ directory entry contributes no line rows
+    assert(lines.select("member").distinct().as[String].collect()
+      .toSet == wantMembers)
+    for (m <- wantMembers) {
+      val got = lines.filter(col("member") === m)
+        .select("line").as[String].collect().toSeq.sorted
+      val arr = g.get(m)
+      val want = (0 until arr.size()).map(arr.get(_).asText()).sorted
+      assert(got == want, s"$m: $got")
+    }
+  }
 }
