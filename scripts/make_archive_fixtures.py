@@ -162,6 +162,35 @@ SEVENZ_MEMBERS = [
 ]
 
 
+# ------------------------------------------------------------------ gz
+
+GZ_STREAMS = [
+    "id,x\n1,5.5\n2,7.0\n",
+    "id,x\n3,2.25\n",
+]
+
+
+def make_gz(path):
+    """Multi-member gz from the system gzip binary: member 1 carries
+    an FNAME header field (gzip -N on a named file), member 2 is
+    plain — the cat/pigz concatenation shape. java.util.zip's
+    GZIPInputStream must skip the FNAME bytes and continue past the
+    first member's trailer."""
+    import tempfile
+    blob = b""
+    with tempfile.TemporaryDirectory() as d:
+        for i, chunk in enumerate(GZ_STREAMS):
+            tmp = pathlib.Path(d) / f"member{i}.csv"
+            tmp.write_bytes(chunk.encode())
+            args = ["gzip", "-c"] + (["-N"] if i == 0 else []) + [str(tmp)]
+            p = subprocess.run(args, capture_output=True, check=True)
+            blob += p.stdout
+    path.write_bytes(blob)
+    p = subprocess.run(["gzip", "-dc"], input=blob,
+                       capture_output=True, check=True)
+    assert p.stdout.decode() == "".join(GZ_STREAMS)
+
+
 # ----------------------------------------------------------------- zip
 
 ZIP_MEMBERS = [
@@ -183,10 +212,12 @@ def make_zip(path):
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     make_bz2(OUT / "wild_multi.csv.bz2")
+    make_gz(OUT / "wild_multi.csv.gz")
     make_7z(OUT / "wild_store.7z", SEVENZ_MEMBERS)
     make_zip(OUT / "wild_members.zip")
     golden = {
         "bz2_lines": [l for s in BZ2_STREAMS for l in s.splitlines()],
+        "gz_lines": [l for s in GZ_STREAMS for l in s.splitlines()],
         "sevenz_members": {
             name: data.decode().splitlines()
             for name, data in SEVENZ_MEMBERS
@@ -198,6 +229,7 @@ def main():
     (OUT / "wild_archive_golden.json").write_text(
         json.dumps(golden, indent=1, sort_keys=True) + "\n")
     print("wrote", OUT / "wild_multi.csv.bz2")
+    print("wrote", OUT / "wild_multi.csv.gz")
     print("wrote", OUT / "wild_store.7z")
     print("wrote", OUT / "wild_members.zip")
     print("wrote", OUT / "wild_archive_golden.json")

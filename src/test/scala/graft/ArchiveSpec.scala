@@ -133,6 +133,22 @@ class ArchiveSpec extends SparkSpec {
       "second bz2 stream was silently dropped")
   }
 
+  test("wild gz: multi-member bytes from the system gzip binary " +
+      "(FNAME header on member 1, cat/pigz concatenation) decode " +
+      "completely") {
+    val path = getClass.getResource("/graft/wild_multi.csv.gz").getPath
+    val got = ArchiveSource.gzipLines(spark, path)
+      .select("line").as[String].collect().toSeq.sorted
+    val g = golden().get("gz_lines")
+    val want = (0 until g.size()).map(g.get(_).asText()).sorted
+    assert(got == want, s"gz lines: $got")
+    // the two traps specifically: a reader that chokes on the FNAME
+    // field loses member 1; one that stops at the first trailer
+    // loses member 2
+    assert(got.count(_ == "id,x") == 2,
+      "one of the gz members was silently dropped")
+  }
+
   test("wild 7z: a hand-assembled store-codec container (no 7z " +
       "library wrote any header byte) lists and decodes byte-exact") {
     val path = getClass.getResource("/graft/wild_store.7z").getPath
