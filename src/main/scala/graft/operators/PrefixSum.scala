@@ -76,33 +76,62 @@ object PrefixSum {
     val n =
       if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    // ONE data-volume exchange: the range repartition. The local rank
-    // is NOT a Window.partitionBy(partition id) — that would re-
-    // shuffle the whole corpus by a key that already equals its
-    // physical partition (measured: it doubled q328's shuffle volume
-    // and left an 11-node duplicate subtree in the audit). Instead a
-    // partition-local sort (no exchange) plus
-    // monotonically_increasing_id, whose (partition << 33 | row)
-    // layout makes `mid - min(mid per partition)` exactly the local
-    // row index; per-partition counts and min-mids are a partial-
-    // aggregate exchange of |partitions| tiny rows, running-summed
-    // (a global window over n rows) and broadcast back. Duplicate
-    // evaluation of the two branches is safe: range boundaries are
-    // deterministically sampled, the local sort is total on a unique
-    // composite, and min(mid)/count are tie-order-invariant.
-    val parted = df.repartitionByRange(n, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .withColumn("_grp", spark_partition_id())
-      .withColumn("_mid", monotonically_increasing_id())
-    val wOff = Window.orderBy("_grp")
+    // ONE data-volume exchange. The natural two-branch formulation
+    // (repartitionByRange feeding both a per-partition count and a
+    // per-partition rank) shuffles the corpus TWICE: Spark does not
+    // reuse a range exchange across an unpersisted diamond (measured:
+    // ReusedExchange=0, rangepartitioning=2 — for the window- AND the
+    // partition-id-based variants). So the bucket function is made
+    // EXPLICIT instead of borrowed from the range partitioner:
+    // sampled splitter keys (a pruned scan of just the order columns,
+    // fraction sized from the footer row count — free on parquet),
+    // and bucket(key) = #splitters ≤ key via order-consistent struct
+    // comparisons. An explicit bucket is a pure row-local function of
+    // the data, so the count branch becomes a narrow pruned
+    // aggregation (map-side combine to ≤n rows — no data shuffle at
+    // all) and only the rank branch pays the one hash exchange on the
+    // bucket key. Sample quality affects only balance, never
+    // correctness: counts are exact per bucket, equal keys always
+    // compare identically (no tie-splitting across buckets), and a
+    // null-keyed row or splitter degrades to a coarser bucket, still
+    // order-consistent with nulls-first.
+    val key = struct(orderCols: _*)
+    val total = graft.sources.ParquetStats
+      .footerRowCount(df.sparkSession, df)
+      .getOrElse(df.count())
+    val target = n.toLong * 20
+    val fraction =
+      if (total <= target) 1.0 else target.toDouble / total
+    val sampled = df.select(key.as("_k"))
+      .sample(withReplacement = false, fraction, seed = 42)
+      .orderBy("_k").collect()
+    // every (sample.size / n)-th sampled key becomes a splitter
+    val splitters =
+      if (sampled.length < 2 || n <= 1) Array.empty[org.apache.spark.sql.Row]
+      else (1 until n).map { i =>
+        sampled(((i.toLong * sampled.length) / n).toInt
+          .min(sampled.length - 1))
+      }.distinct.toArray
+    def structLit(r: org.apache.spark.sql.Row): Column = {
+      val s = r.getStruct(0)
+      struct(orderCols.indices.map(i => lit(s.get(i))): _*)
+    }
+    val bucket = splitters.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(key >= structLit(b), 1).otherwise(0)
+    }
+    val wOff = Window.orderBy("_bk")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parted.groupBy("_grp")
-      .agg(count(lit(1)).as("_gc"), min(col("_mid")).as("_gm"))
+    // narrow branch: scans ONLY the order columns, combines map-side
+    // to ≤n rows, running-sums them (a global window over n rows)
+    val offsets = df.groupBy(bucket.as("_bk"))
+      .agg(count(lit(1)).as("_gc"))
       .withColumn("_go", coalesce(sum(col("_gc")).over(wOff), lit(0L)))
-      .select(col("_grp"), col("_gm"), col("_go"))
-    parted
-      .join(broadcast(offsets), "_grp")
-      .withColumn(out, col("_go") + (col("_mid") - col("_gm")))
-      .drop("_grp", "_mid", "_gm", "_go")
+      .select(col("_bk"), col("_go"))
+    val wIn = Window.partitionBy("_bk").orderBy(orderCols: _*)
+    df.withColumn("_bk", bucket)
+      .withColumn("_gr", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), "_bk")
+      .withColumn(out, col("_go") + col("_gr") - 1)
+      .drop("_bk", "_gr", "_go")
   }
 }
