@@ -52,49 +52,35 @@ object PrefixSum {
       .drop("_psb", "_psv", "_psi", "_pso")
   }
 
-  /** Dense 0-based global rank in ascending `orderCols` order,
-    * appended as `out` — the numeric total order a string/composite-
-    * keyed corpus (shard, path, …) needs before [[exclusiveCumsum]]
-    * can bucket it.
+  /** Order-consistent bucket column over `orderCols` — the explicit
+    * replacement for borrowing buckets from a range partitioner.
     *
-    * Same two-phase scale shape as the cumsum, with the range
-    * partitioner supplying the buckets: rows are range-partitioned on
-    * `orderCols` (distributed sampling picks the boundaries; equal
-    * keys always land in one partition), ranked WITHIN each partition
-    * by a parallel window, and offset by the running sum of
-    * per-partition counts — a global window over |partitions| rows,
-    * broadcast back. No single-task global window, no zipWithIndex
-    * re-partitioning round-trip, no driver loop.
-    *
-    * The rank is a total order consistent with `orderCols`; ties (if
-    * the composite is not unique) are broken arbitrarily within their
-    * partition, so pass a unique composite for a deterministic
-    * layout. */
-  def globalRank(df: DataFrame, orderCols: Seq[Column],
-      out: String, partitions: Int = 0): DataFrame = {
-    require(orderCols.nonEmpty, "globalRank needs at least one order column")
+    * The natural two-branch rank formulation (repartitionByRange
+    * feeding both a per-partition count and a per-partition rank)
+    * shuffles the corpus TWICE: Spark does not reuse a range exchange
+    * across an unpersisted diamond (measured: ReusedExchange=0,
+    * rangepartitioning=2 — for the window- AND the partition-id-based
+    * variants). So the bucket function is made EXPLICIT: sampled
+    * splitter keys (a pruned scan of just the order columns, sample
+    * fraction sized from the footer row count — free on parquet), and
+    * bucket(key) = #splitters ≤ key via order-consistent struct
+    * comparisons. An explicit bucket is a pure row-local function of
+    * the data: any branch that needs per-bucket statistics becomes a
+    * narrow pruned aggregation (map-side combine to ≤partitions rows,
+    * no data shuffle), and only the branch that orders rows pays a
+    * hash exchange on the bucket. Sample quality affects only
+    * balance, never correctness: per-bucket statistics are exact,
+    * equal keys always compare identically (no tie-splitting across
+    * buckets), and a null-keyed row or splitter degrades to a coarser
+    * bucket, still order-consistent with nulls-first. Per-row cost is
+    * O(partitions) struct comparisons — fine for the hundreds-of-
+    * buckets regime this targets. */
+  def orderBuckets(df: DataFrame, orderCols: Seq[Column],
+      partitions: Int = 0): Column = {
+    require(orderCols.nonEmpty, "orderBuckets needs at least one order column")
     val n =
       if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    // ONE data-volume exchange. The natural two-branch formulation
-    // (repartitionByRange feeding both a per-partition count and a
-    // per-partition rank) shuffles the corpus TWICE: Spark does not
-    // reuse a range exchange across an unpersisted diamond (measured:
-    // ReusedExchange=0, rangepartitioning=2 — for the window- AND the
-    // partition-id-based variants). So the bucket function is made
-    // EXPLICIT instead of borrowed from the range partitioner:
-    // sampled splitter keys (a pruned scan of just the order columns,
-    // fraction sized from the footer row count — free on parquet),
-    // and bucket(key) = #splitters ≤ key via order-consistent struct
-    // comparisons. An explicit bucket is a pure row-local function of
-    // the data, so the count branch becomes a narrow pruned
-    // aggregation (map-side combine to ≤n rows — no data shuffle at
-    // all) and only the rank branch pays the one hash exchange on the
-    // bucket key. Sample quality affects only balance, never
-    // correctness: counts are exact per bucket, equal keys always
-    // compare identically (no tie-splitting across buckets), and a
-    // null-keyed row or splitter degrades to a coarser bucket, still
-    // order-consistent with nulls-first.
     val key = struct(orderCols: _*)
     val total = graft.sources.ParquetStats
       .footerRowCount(df.sparkSession, df)
@@ -116,9 +102,24 @@ object PrefixSum {
       val s = r.getStruct(0)
       struct(orderCols.indices.map(i => lit(s.get(i))): _*)
     }
-    val bucket = splitters.foldLeft(lit(0)) { (acc, b) =>
+    splitters.foldLeft(lit(0)) { (acc, b) =>
       acc + when(key >= structLit(b), 1).otherwise(0)
     }
+  }
+
+  /** Dense 0-based global rank in ascending `orderCols` order,
+    * appended as `out` — the numeric total order a string/composite-
+    * keyed corpus (shard, path, …) needs before [[exclusiveCumsum]]
+    * can bucket it. Built on [[orderBuckets]]: ONE data-volume
+    * exchange (the per-bucket rank window), a narrow pruned count
+    * aggregation, and a broadcast of ≤partitions offsets.
+    *
+    * The rank is a total order consistent with `orderCols`; ties (if
+    * the composite is not unique) are broken arbitrarily within their
+    * bucket, so pass a unique composite for a deterministic layout. */
+  def globalRank(df: DataFrame, orderCols: Seq[Column],
+      out: String, partitions: Int = 0): DataFrame = {
+    val bucket = orderBuckets(df, orderCols, partitions)
     val wOff = Window.orderBy("_bk")
       .rowsBetween(Window.unboundedPreceding, -1)
     // narrow branch: scans ONLY the order columns, combines map-side

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -41,9 +42,14 @@ object SequencePack {
       contextLen: Long, bucketSize: Long = 1L << 20): DataFrame = {
     require(contextLen > 0, s"contextLen must be positive: $contextLen")
     val withToks = docs.withColumn("n_tokens", nTokens.cast(LongType))
-    PrefixSum.exclusiveCumsum(withToks, orderCol, col("n_tokens"),
-        "tok_start", bucketSize)
-      .withColumn("win_start",
+    withSpanCols(PrefixSum.exclusiveCumsum(withToks, orderCol,
+      col("n_tokens"), "tok_start", bucketSize), contextLen)
+  }
+
+  /** The window-span columns derived row-locally from `tok_start` /
+    * `n_tokens` — shared by every packing entry point. */
+  private def withSpanCols(df: DataFrame, contextLen: Long): DataFrame =
+    df.withColumn("win_start",
         floor(col("tok_start") / contextLen))
       .withColumn("win_end",
         floor((col("tok_start") + greatest(col("n_tokens"), lit(1L)) -
@@ -51,22 +57,52 @@ object SequencePack {
       .withColumn("n_windows", col("win_end") - col("win_start") + 1)
       .withColumn("head_fill", least(col("n_tokens"),
         (col("win_start") + 1) * contextLen - col("tok_start")))
-  }
 
   /** [[pack]] for a corpus whose deterministic order is NOT a numeric
     * column — the common real-world case: a pretraining corpus laid
     * out by (shard, path) or (source, doc key). `pack`'s prefix sum
     * buckets by `floor(order / bucketSize)`, which requires a numeric
     * total order (PrefixSum fails fast otherwise); this derives one —
-    * a dense 0-based [[PrefixSum.globalRank]] over `orderCols`, kept
-    * in the output as `pack_rank` (the layout order a data loader
-    * replays) — then packs in that order. `orderCols` should be a
-    * unique composite (ties get an arbitrary stable-in-run order). */
+    * a dense 0-based rank over `orderCols`, kept in the output as
+    * `pack_rank` (the layout order a data loader replays) — and packs
+    * in that order. `orderCols` should be a unique composite (ties
+    * get an arbitrary stable-in-run order).
+    *
+    * FUSED, not globalRank-then-pack: chaining the two operators
+    * re-evaluates the whole rank subtree inside the cumsum's offsets
+    * branch (audit: a 10-node duplicate subtree). Both the rank and
+    * the token offset are per-bucket prefix sums over the SAME
+    * [[PrefixSum.orderBuckets]] bucketing, so one window pass yields
+    * both: the narrow branch aggregates per-bucket (count, token sum)
+    * from a pruned scan — no data shuffle — and the one data-volume
+    * hash exchange carries the per-bucket row_number AND running
+    * token sum together. `bucketSize` does not apply (the bucket
+    * count is the partition fan-in). */
   def packOrdered(docs: DataFrame, orderCols: Seq[Column],
       nTokens: Column, contextLen: Long,
-      bucketSize: Long = 1L << 20): DataFrame = {
-    val ranked = PrefixSum.globalRank(docs, orderCols, "pack_rank")
-    pack(ranked, col("pack_rank"), nTokens, contextLen, bucketSize)
+      partitions: Int = 0): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive: $contextLen")
+    val bucket = PrefixSum.orderBuckets(docs, orderCols, partitions)
+    val withToks = docs.withColumn("n_tokens", nTokens.cast(LongType))
+    val wOff = Window.orderBy("_bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // narrow branch: per-bucket doc counts and token sums from a
+    // pruned scan, running-summed over ≤partitions rows
+    val offsets = withToks.groupBy(bucket.as("_bk"))
+      .agg(count(lit(1)).as("_gc"), sum(col("n_tokens")).as("_gt"))
+      .withColumn("_go", coalesce(sum(col("_gc")).over(wOff), lit(0L)))
+      .withColumn("_to", coalesce(sum(col("_gt")).over(wOff), lit(0L)))
+      .select(col("_bk"), col("_go"), col("_to"))
+    val wIn = Window.partitionBy("_bk").orderBy(orderCols: _*)
+    val packed = withToks.withColumn("_bk", bucket)
+      .withColumn("_gr", row_number().over(wIn).cast("long"))
+      .withColumn("_lt", coalesce(sum(col("n_tokens")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(offsets), "_bk")
+      .withColumn("pack_rank", col("_go") + col("_gr") - 1)
+      .withColumn("tok_start", col("_to") + col("_lt"))
+      .drop("_bk", "_gr", "_lt", "_go", "_to")
+    withSpanCols(packed, contextLen)
   }
 
   /** Explode a per-document window span `[winStart, winEnd]` into one

@@ -1175,7 +1175,7 @@ object TrainOps {
             size(split(col("text"), " ")).as("raw_toks"))
         graft.operators.SequencePack.packOrdered(docs,
             Seq(col("source"), col("doc_id")), col("raw_toks"),
-            contextLen = 512L, bucketSize = 1024L)
+            contextLen = 512L)
           .select(col("doc_id"), col("source"), col("pack_rank"),
             col("n_tokens"), col("tok_start"), col("win_start"),
             col("win_end"), col("n_windows"))

@@ -494,7 +494,7 @@ class TrainOpsSpec extends SparkSpec {
     val orderCols = Seq(col("shard"), col("path"))
     def run(df: org.apache.spark.sql.DataFrame) =
       SequencePack.packOrdered(df, orderCols, col("toks"),
-          contextLen = 4L, bucketSize = 2L)
+          contextLen = 4L, partitions = 3)
         .orderBy("pack_rank")
         .select("shard", "path", "pack_rank", "tok_start", "win_start",
           "win_end")
