@@ -98,9 +98,14 @@ object PrefixSum {
         sampled(((i.toLong * sampled.length) / n).toInt
           .min(sampled.length - 1))
       }.distinct.toArray
+    // each splitter field is cast to its key field's type: a sampled
+    // NULL otherwise becomes a VOID-typed literal and the struct
+    // comparison fails analysis (caught by the null-key spec)
+    val keyTypes = df.select(orderCols: _*).schema.map(_.dataType)
     def structLit(r: org.apache.spark.sql.Row): Column = {
       val s = r.getStruct(0)
-      struct(orderCols.indices.map(i => lit(s.get(i))): _*)
+      struct(orderCols.indices.map(i =>
+        lit(s.get(i)).cast(keyTypes(i))): _*)
     }
     splitters.foldLeft(lit(0)) { (acc, b) =>
       acc + when(key >= structLit(b), 1).otherwise(0)

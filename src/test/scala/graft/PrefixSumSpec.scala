@@ -55,4 +55,27 @@ class PrefixSumSpec extends SparkSpec {
       assert(got.toSeq == naive.toSeq, s"partitions=$parts diverged")
     }
   }
+
+  test("globalRank: null order keys rank first (orderBy semantics), " +
+      "through null-valued splitter comparisons") {
+    // nulls in the first order component: the splitter comparison
+    // struct >= struct is NULL for these rows, so they all land in
+    // bucket 0 — which is exactly where nulls-first ordering puts
+    // them; a sampled splitter can itself carry the null
+    val rows = (0L until 200L).map { i =>
+      (if (i % 5 == 0) null else s"g${i % 11}", i)
+    }
+    val df = rows.toDF("grp", "id").repartition(5)
+    val got = PrefixSum.globalRank(df, Seq(col("grp"), col("id")),
+        "r", partitions = 8)
+      .orderBy("r").select("grp", "id")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+    val want = df.withColumn("r",
+        row_number().over(Window.orderBy("grp", "id")) - 1)
+      .orderBy("r").select("grp", "id")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+    // nulls occupy the first ranks
+    assert(got.take(40).forall(_._1.isEmpty))
+  }
 }
