@@ -50,8 +50,12 @@ object EpochShuffle {
     require(BigInt(a).gcd(BigInt(n)) == 1,
       s"multiplier $a shares a factor with corpus size $n — the affine " +
         "map would not be a bijection; pick a coprime multiplier")
-    require(a > 0 && a <= Long.MaxValue / math.max(n - 1, 1),
-      s"a*idx would overflow Long for a=$a, n=$n")
+    // the guard must bound a*(n-1) + b for b up to n-1, not just
+    // a*(n-1): at the extreme boundary a*idx + b could pass
+    // Long.MaxValue and Spark's signed % would yield a NEGATIVE
+    // epoch_pos, silently breaking the bijection (r17 ADVICE)
+    require(a > 0 && a <= (Long.MaxValue - (n - 1)) / math.max(n - 1, 1),
+      s"a*idx + b would overflow Long for a=$a, n=$n")
     val b = java.lang.Long.remainderUnsigned(
       // epoch offset: a second prime keeps consecutive epochs'
       // offsets far apart; the exact value is immaterial, only

@@ -61,20 +61,30 @@ object PrefixSum {
     * across an unpersisted diamond (measured: ReusedExchange=0,
     * rangepartitioning=2 — for the window- AND the partition-id-based
     * variants). So the bucket function is made EXPLICIT: sampled
-    * splitter keys (a pruned scan of just the order columns, sample
-    * fraction sized from the footer row count — free on parquet), and
-    * bucket(key) = #splitters ≤ key via order-consistent struct
-    * comparisons. An explicit bucket is a pure row-local function of
-    * the data: any branch that needs per-bucket statistics becomes a
-    * narrow pruned aggregation (map-side combine to ≤partitions rows,
-    * no data shuffle), and only the branch that orders rows pays a
-    * hash exchange on the bucket. Sample quality affects only
-    * balance, never correctness: per-bucket statistics are exact,
-    * equal keys always compare identically (no tie-splitting across
-    * buckets), and a null-keyed row or splitter degrades to a coarser
-    * bucket, still order-consistent with nulls-first. Per-row cost is
-    * O(partitions) struct comparisons — fine for the hundreds-of-
-    * buckets regime this targets. */
+    * splitter keys from a pruned scan of just the order columns, and
+    * bucket(key) = #splitters ≤ key — computed by ONE binary search
+    * per row against the broadcast sorted splitter array
+    * ([[graft.expressions.SearchSortedCount]]): O(log buckets) struct
+    * comparisons and constant generated-code size, so the per-row
+    * cost no longer grows with the bucket fan-in (the previous
+    * when-chain paid O(buckets) comparisons per row — fine at
+    * hundreds of buckets, dominant at the ~10⁵ task-sized buckets a
+    * 100 TB corpus needs). An explicit bucket is a pure row-local
+    * function of the data: any branch that needs per-bucket
+    * statistics becomes a narrow pruned aggregation (map-side combine
+    * to ≤partitions rows, no data shuffle), and only the branch that
+    * orders rows pays a hash exchange on the bucket.
+    *
+    * Sampling: parquet-backed frames size a Bernoulli fraction from
+    * the footer row count (metadata-only); anything else falls back
+    * to a per-partition RESERVOIR sample — one pruned pass, bounded
+    * driver rows (≤ target + partitions) — instead of the previous
+    * `df.count()`, which silently read the corpus twice just to size
+    * the fraction. Sample quality affects only balance, never
+    * correctness: per-bucket statistics are exact, equal keys always
+    * compare identically (no tie-splitting across buckets), and a
+    * null-keyed row or splitter degrades to a coarser bucket, still
+    * order-consistent with nulls-first. */
   def orderBuckets(df: DataFrame, orderCols: Seq[Column],
       partitions: Int = 0): Column = {
     require(orderCols.nonEmpty, "orderBuckets needs at least one order column")
@@ -82,34 +92,73 @@ object PrefixSum {
       if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val key = struct(orderCols: _*)
-    val total = graft.sources.ParquetStats
-      .footerRowCount(df.sparkSession, df)
-      .getOrElse(df.count())
+    val keyDf = df.select(key.as("_k"))
+    val keyType =
+      keyDf.schema.head.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     val target = n.toLong * 20
-    val fraction =
-      if (total <= target) 1.0 else target.toDouble / total
-    val sampled = df.select(key.as("_k"))
-      .sample(withReplacement = false, fraction, seed = 42)
-      .orderBy("_k").collect()
-    // every (sample.size / n)-th sampled key becomes a splitter
-    val splitters =
-      if (sampled.length < 2 || n <= 1) Array.empty[org.apache.spark.sql.Row]
-      else (1 until n).map { i =>
-        sampled(((i.toLong * sampled.length) / n).toInt
-          .min(sampled.length - 1))
-      }.distinct.toArray
-    // each splitter field is cast to its key field's type: a sampled
-    // NULL otherwise becomes a VOID-typed literal and the struct
-    // comparison fails analysis (caught by the null-key spec)
-    val keyTypes = df.select(orderCols: _*).schema.map(_.dataType)
-    def structLit(r: org.apache.spark.sql.Row): Column = {
-      val s = r.getStruct(0)
-      struct(orderCols.indices.map(i =>
-        lit(s.get(i)).cast(keyTypes(i))): _*)
+    val sampled: Array[org.apache.spark.sql.Row] =
+      graft.sources.ParquetStats.footerRowCount(df.sparkSession, df) match {
+        case Some(total) =>
+          val fraction =
+            if (total <= target) 1.0 else target.toDouble / total
+          keyDf.sample(withReplacement = false, fraction, seed = 42).collect()
+        case None =>
+          // per-partition reservoir: deterministic (xorshift seeded by
+          // partition id), one pruned pass, ≤ quota rows per partition
+          // on the driver — no count() pre-pass (r17 verdict #5)
+          val rdd = keyDf.rdd
+          val parts = rdd.getNumPartitions
+          if (parts == 0) Array.empty
+          else {
+            val quota = math.max(1L, target / parts).toInt
+            rdd.mapPartitionsWithIndex { (pid, it) =>
+              val res = new Array[org.apache.spark.sql.Row](quota)
+              var seen = 0L
+              var state = 0x9e3779b97f4a7c15L ^ (pid + 1) * 0xbf58476d1ce4e5b9L
+              def nextLong(): Long = {
+                state ^= state >>> 12; state ^= state << 25
+                state ^= state >>> 27; state * 0x2545f4914f6cdd1dL
+              }
+              while (it.hasNext) {
+                val r = it.next()
+                if (seen < quota) res(seen.toInt) = r
+                else {
+                  val j = java.lang.Long.remainderUnsigned(nextLong(), seen + 1)
+                  if (j < quota) res(j.toInt) = r
+                }
+                seen += 1
+              }
+              res.iterator.take(math.min(seen, quota.toLong).toInt)
+            }.collect()
+          }
+      }
+    if (sampled.length < 2 || n <= 1) return lit(0)
+    // driver-side: convert the ≤ target+partitions sampled keys to
+    // catalyst rows, sort by the SAME interpreted struct ordering the
+    // search expression compares with (nulls first), and dedupe so
+    // the binary-search count is strictly monotone in the key
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(keyType)
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(keyType)
+    val internal = sampled.map(r =>
+      conv(r.getStruct(0))
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].copy())
+    java.util.Arrays.sort(internal, ord)
+    // every (sample.size / n)-th sorted key becomes a splitter
+    val picked = (1 until n).map { i =>
+      internal(((i.toLong * internal.length) / n).toInt
+        .min(internal.length - 1))
     }
-    splitters.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(key >= structLit(b), 1).otherwise(0)
+    val splitters = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    picked.foreach { r =>
+      if (splitters.isEmpty || ord.compare(splitters.last, r) != 0)
+        splitters += r
     }
+    if (splitters.isEmpty) lit(0)
+    else graft.expressions.SearchSortedCount
+      .bucketOf(key, splitters.toArray, keyType)
   }
 
   /** Dense 0-based global rank in ascending `orderCols` order,

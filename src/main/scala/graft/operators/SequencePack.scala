@@ -126,13 +126,19 @@ object SequencePack {
   def explodeWindowSpan(df: DataFrame, winStart: Column, winEnd: Column,
       out: String, chunk: Long = 4096L): DataFrame = {
     require(chunk > 0, s"chunk must be positive: $chunk")
-    df.withColumn("_wsk",
-        explode(sequence(lit(0L),
-          floor((winEnd - winStart) / chunk).cast(LongType))))
+    // chunk count via INTEGER division (`div`), not floor(a / b):
+    // Spark's Divide promotes longs to Double, and beyond ~2^53
+    // windows the rounded quotient can come out one too high — the
+    // last _ws0 then exceeds winEnd and sequence(start, stop) with
+    // start > stop emits a DESCENDING sequence: duplicate,
+    // out-of-span window ids instead of an error (r17 ADVICE)
+    df.withColumn("_wsd", winEnd - winStart)
+      .withColumn("_wsk",
+        explode(sequence(lit(0L), expr(s"_wsd div $chunk"))))
       .withColumn("_ws0", winStart + col("_wsk") * chunk)
       .withColumn(out,
         explode(sequence(col("_ws0"),
           least(winEnd, col("_ws0") + (chunk - 1)))))
-      .drop("_wsk", "_ws0")
+      .drop("_wsd", "_wsk", "_ws0")
   }
 }
