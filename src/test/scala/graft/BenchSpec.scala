@@ -109,6 +109,88 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.selectWallDrift(Map("slow" -> 6.0), prior, 1.0).isEmpty)
   }
 
+  test("wall drift is corroborated: the real r17 trio (flat shuffle, " +
+      "flat task-mem, ~1s moves) is a non-trigger; planted real " +
+      "regressions still fire (r17 verdict #2)") {
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/bench/$name")
+      assert(in != null, s"missing fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val priorB = res("BENCH_metrics_r16.json")
+    val curB = res("BENCH_metrics_r17.json")
+    val shufOf = (b: Array[Byte]) => {
+      val rd = Bench.parseMetricsField(b, "shuffle_read_mb")
+      val wr = Bench.parseMetricsField(b, "shuffle_write_mb")
+      rd.map { case (k, v) => k -> (v + wr.getOrElse(k, 0.0)) }
+    }
+    val (shufPrior, shufCur) = (shufOf(priorB), shufOf(curB))
+    val tmPrior = Bench.parseMetricsField(priorB, "peak_task_mem_mb")
+    val tmCur = Bench.parseMetricsField(curB, "peak_task_mem_mb")
+    // the official BENCH_r17 artifact (committed stderr tail): three
+    // wall flags at phase factor 0.97, every one with BYTE-IDENTICAL
+    // shuffle and task-mem telemetry across the rounds — the third
+    // consecutive round of adjudicated-as-noise ratio-only flags
+    val wallPrior = Map("q237_frequent_pairs" -> 1.16,
+      "q108_rolling_range_window" -> 1.12, "q225_pagerank" -> 1.2)
+    val wallCur = Map("q237_frequent_pairs" -> 2.19,
+      "q108_rolling_range_window" -> 1.95, "q225_pagerank" -> 1.91)
+    // pin that the fixture is the 3-flag scenario under the old rule
+    val raw = Bench.selectWallDrift(wallCur, wallPrior, 0.97)
+    assert(raw.size == 3, s"fixture no longer reproduces: $raw")
+    // ...and the corroborated alarm clears all three
+    val out = Bench.selectWallDrift(wallCur, wallPrior, 0.97,
+      shufCur, shufPrior, tmCur, tmPrior)
+    assert(out.isEmpty, s"trio still alarms: $out")
+    // full-suite replay on the committed metrics recordings (main-
+    // pass seconds): the corroborated rule is silent end to end
+    val secPrior = Bench.parseMetricsField(priorB, "sec")
+    val secCur = Bench.parseMetricsField(curB, "sec")
+    val full = Bench.selectWallDrift(secCur, secPrior, 0.97,
+      shufCur, shufPrior, tmCur, tmPrior)
+    assert(full.isEmpty, s"full replay alarms: $full")
+    // planted regression 1 — big CPU-only move, plan telemetry flat:
+    // a 2x slowdown on a 3s query moves 3s, far past the ~1s noise
+    // window, so flat shuffle/task-mem must NOT exonerate it
+    val k = "q238_incremental_components"
+    val cpuOnly = Bench.selectWallDrift(
+      secCur + (k -> secPrior(k) * 2.0), secPrior, 0.97,
+      shufCur, shufPrior, tmCur, tmPrior)
+    assert(cpuOnly.map(_._1) == Seq(k), s"planted CPU blowup: $cpuOnly")
+    // planted regression 2 — a short-query move INSIDE the noise
+    // window but with grown shuffle (a plan change): fires
+    val j = "q237_frequent_pairs"
+    val planChange = Bench.selectWallDrift(wallCur, wallPrior, 0.97,
+      shufCur + (j -> shufPrior(j) * 2.5), shufPrior, tmCur, tmPrior)
+    assert(planChange.map(_._1) == Seq(j), s"planted plan change: $planChange")
+    // planted regression 3 — same, but the working set grew instead
+    val memChange = Bench.selectWallDrift(wallCur, wallPrior, 0.97,
+      shufCur, shufPrior, tmCur + (j -> 200.0), tmPrior)
+    assert(memChange.map(_._1) == Seq(j), s"planted mem change: $memChange")
+    // missing telemetry fails OPEN: with no corroborating maps at
+    // all, the trio flags exactly as the old rule did
+    assert(Bench.selectWallDrift(wallCur, wallPrior, 0.97).size == 3)
+  }
+
+  test("heap ceiling: a driver-side blowup (>12x AND >4GiB) fires " +
+      "with task memory flat — the corroboration blind spot is " +
+      "bounded (r17 ADVICE)") {
+    val prior = Map("a" -> 250.0, "b" -> 250.0, "c" -> 250.0,
+      "blow" -> 300.0)
+    val tm = Map("a" -> 100.0, "b" -> 100.0, "c" -> 100.0,
+      "blow" -> 100.0)
+    // oversized collected splitters / broadcast blowup signature:
+    // retained heap 15x to 4.5 GiB, execution memory untouched
+    val blowup = Map("a" -> 250.0, "b" -> 250.0, "c" -> 250.0,
+      "blow" -> 4500.0)
+    assert(Bench.selectHeapDrift(blowup, prior, tm, tm) ==
+      Seq(("blow", 300.0, 4500.0)))
+    // under either bound the task-mem exoneration still applies:
+    // 10x to 3 GiB with flat task-mem stays quiet (collector regime)
+    assert(Bench.selectHeapDrift(
+      blowup + ("blow" -> 3000.0), prior, tm, tm).isEmpty)
+  }
+
   test("heap drift: paired growth ratio >4x AND >2x the suite median; " +
       "session shifts, ramps and collector clusters never alarm") {
     val prior = Map("a" -> 250.0, "b" -> 250.0, "c" -> 250.0,
@@ -287,6 +369,12 @@ class BenchSpec extends AnyFunSuite {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     assert(om.readTree(json).get("docfreq").get("dropped_rows")
       .asLong() == 10L)
+    // a hostile tag (quote/backslash/control) must stay inside its
+    // string — corrupt caps JSON would silently break every parse-
+    // based gate next round (r17 ADVICE)
+    val weird = Bench.renderCaps(Map("a\"b\\c\nd" -> ((1L, 2L, 3L))))
+    val node = om.readTree(weird)
+    assert(node.get("a\"b\\c\nd").get("dropped_rows").asLong() == 2L)
   }
 
   test("committed BENCH_metrics carries the caps field (the cap-" +
