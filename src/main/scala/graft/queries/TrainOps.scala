@@ -1287,6 +1287,80 @@ object TrainOps {
           max(toks) AS max_toks, CAST(sum(toks) AS BIGINT) AS tok_sum,
           CAST(count(*) * max(toks) - sum(toks) AS BIGINT) AS waste
         FROM u GROUP BY scenario, batch_id
-        ORDER BY scenario, batch_id"""))
+        ORDER BY scenario, batch_id""")),
+
+    // q329's keyed upgrade (r17 verdict #7): the affine map's
+    // constant stride correlates batch composition with doc_id
+    // arithmetic; the 3-round Feistel network over the smallest
+    // even-bit domain ≥ n (cycle-walking the out-of-range outputs
+    // back into [0, n)) is an exact keyed bijection with no such
+    // structure — still row-local, still ZERO shuffle. The oracle
+    // replays the walk literally: same round keys from the same
+    // (seed=42, epoch=1) derivation, same multiply-shift round
+    // function on BIGINTs, the cycle walk as a recursive CTE (one
+    // level per re-permute; DuckDB stops when no row has x ≥ n).
+    Q("q331_feistel_epoch_shuffle",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+        // control-plane: exact corpus size from footer metadata when
+        // file-backed, one count() otherwise
+        val n = graft.sources.ParquetStats.footerRowCount(s, docs)
+          .getOrElse(docs.count())
+        graft.operators.EpochShuffle.assignFeistel(docs, col("doc_id"),
+            n, epoch = 1, batchSize = 64L, seed = 42L)
+          .groupBy("batch_id")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("toks")).as("tok_sum"),
+            min(col("epoch_pos")).as("pos_lo"),
+            max(col("epoch_pos")).as("pos_hi"))
+          .orderBy("batch_id")
+      },
+      Some("""WITH RECURSIVE
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        hh AS (SELECT n, (SELECT min(g.h)
+            FROM generate_series(1, 31) AS g(h)
+            WHERE power(2, 2 * g.h) >= cnt.n) AS h FROM cnt),
+        par AS (SELECT n, h,
+            (CAST(1 AS BIGINT) << h) - 1 AS m,
+            ((1 + 1) * 7919 + 42 * 104729 + 1 * 40503) & 65535 AS k1,
+            ((1 + 1) * 7919 + 42 * 104729 + 2 * 40503) & 65535 AS k2,
+            ((1 + 1) * 7919 + 42 * 104729 + 3 * 40503) & 65535 AS k3
+          FROM hh),
+        d AS (SELECT doc_id, source, lang,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM documents),
+        w(doc_id, x) AS (
+          SELECT s.doc_id, (s.l3 << s.h) | s.r3 FROM (
+            SELECT d.doc_id, p.h,
+              d.doc_id >> p.h AS l0, d.doc_id & p.m AS r0,
+              xor(l0, (((r0 + p.k1) * 2654435761) >> 13) & p.m) AS r1,
+              xor(r0, (((r1 + p.k2) * 2654435761) >> 13) & p.m) AS r2,
+              xor(r1, (((r2 + p.k3) * 2654435761) >> 13) & p.m) AS r3,
+              r2 AS l3
+            FROM d, par p) s
+          UNION ALL
+          SELECT s.doc_id, (s.l3 << s.h) | s.r3 FROM (
+            SELECT w.doc_id, p.h,
+              w.x >> p.h AS l0, w.x & p.m AS r0,
+              xor(l0, (((r0 + p.k1) * 2654435761) >> 13) & p.m) AS r1,
+              xor(r0, (((r1 + p.k2) * 2654435761) >> 13) & p.m) AS r2,
+              xor(r1, (((r2 + p.k3) * 2654435761) >> 13) & p.m) AS r3,
+              r2 AS l3
+            FROM w, par p WHERE w.x >= p.n) s),
+        pos AS (SELECT doc_id, x AS epoch_pos FROM w
+          WHERE x < (SELECT n FROM par)),
+        b AS (SELECT d.source, d.lang, d.toks, pos.epoch_pos,
+            CAST(floor(pos.epoch_pos / 64) AS BIGINT) AS batch_id
+          FROM d JOIN pos USING (doc_id))
+        SELECT batch_id, count(*) AS n_docs,
+          CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(sum(toks) AS BIGINT) AS tok_sum,
+          min(epoch_pos) AS pos_lo, max(epoch_pos) AS pos_hi
+        FROM b GROUP BY batch_id ORDER BY batch_id"""))
   )
 }

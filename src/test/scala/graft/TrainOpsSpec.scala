@@ -480,6 +480,61 @@ class TrainOpsSpec extends SparkSpec {
     assert(sizes.init.forall(_ == 32L) && sizes.last == n % 32)
   }
 
+  test("EpochShuffle Feistel: exact bijection on adversarial n (prime, " +
+      "2^k, multiple of the affine default), keyed epochs, zero " +
+      "shuffle (r17 verdict #7)") {
+    import spark.implicits._
+    import graft.operators.EpochShuffle
+    // prime (cycle-walking active), power of 4 (no walking at all),
+    // and 2 x 1000003 — the n where the affine DEFAULT fails fast;
+    // the Feistel map has no coprimality precondition
+    for (n <- Seq(257L, 4096L, 2000006L)) {
+      val docs = spark.range(n).toDF("doc_id")
+      val pos = EpochShuffle.assignFeistel(docs, col("doc_id"), n,
+        epoch = 1, batchSize = 64L)
+      val row = pos.agg(count(lit(1)), countDistinct(col("epoch_pos")),
+        min(col("epoch_pos")), max(col("epoch_pos"))).head()
+      assert(row.getLong(0) == n && row.getLong(1) == n &&
+        row.getLong(2) == 0L && row.getLong(3) == n - 1,
+        s"n=$n: not a bijection of [0, n)")
+    }
+    // the affine default REFUSES this n; Feistel covers it
+    intercept[IllegalArgumentException] {
+      EpochShuffle.assign(spark.range(6).toDF("doc_id"), col("doc_id"),
+        EpochShuffle.DefaultA * 2, 0, 32L)
+    }
+    val n = 257L
+    val docs = spark.range(n).toDF("doc_id")
+    def positions(epoch: Int, seed: Long = 42L) =
+      EpochShuffle.assignFeistel(docs, col("doc_id"), n, epoch, 32L, seed)
+        .orderBy("doc_id").select("epoch_pos").as[Long].collect().toSeq
+    val e1 = positions(1)
+    assert(e1.sorted == (0L until n), "epoch 1 is not a permutation")
+    // keyed: epoch and seed both change the order; same key repeats
+    assert(e1 != positions(2))
+    assert(e1 != positions(1, seed = 43L))
+    assert(e1 == positions(1))
+    // no constant-stride structure: consecutive ids must not map to
+    // constant position deltas (the affine map's signature — there,
+    // ALL n-1 adjacent deltas are equal)
+    val deltas = e1.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(deltas.distinct.size > n / 4,
+      s"only ${deltas.distinct.size} distinct strides — affine-like")
+    // shuffle-free: row-local arithmetic, no exchange in the plan
+    val plan = EpochShuffle.assignFeistel(docs, col("doc_id"), n, 1, 32L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"feistel assignment must be row-local:\n$plan")
+    // out-of-domain input (contract: dense [0, n)) is rejected, not
+    // walked into an unrelated orbit
+    val bad = intercept[Exception] {
+      EpochShuffle.assignFeistel(
+        spark.range(300L, 400000L).toDF("doc_id"), col("doc_id"),
+        257L, 1, 32L).collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("packOrdered: a string-composite corpus order packs correctly " +
       "(rank = global row order), partition-invariant; a raw string " +
       "order FAILS FAST instead of silently mis-bucketing") {
