@@ -202,6 +202,20 @@ object Bench {
       prior: Map[String, Double]): Seq[(String, Double, Double)] =
     pairedGrowthDrift(current, prior, floor = 32.0, minRatio = 2.0)
 
+  /** Per-tag cap-counter movement between two [[graft.operators
+    * .CapMetrics.cumulativeTotals]] samples — the bench harness's
+    * per-query delta (tags that didn't move are dropped). Extracted
+    * so the planted-engagement spec exercises the SAME wiring the
+    * artifact rides (r17 verdict #3). */
+  def capsDelta(before: Map[String, (Long, Long, Long)],
+      after: Map[String, (Long, Long, Long)])
+      : Map[String, (Long, Long, Long)] =
+    after.flatMap { case (tag, (i1, d1, g1)) =>
+      val (i0, d0, g0) = before.getOrElse(tag, (0L, 0L, 0L))
+      val delta = (i1 - i0, d1 - d0, g1 - g0)
+      if (delta == (0L, 0L, 0L)) None else Some(tag -> delta)
+    }
+
   /** Render a per-query cap-engagement map as the `caps` JSON object
     * in BENCH_metrics: tag → cumulative (input_rows, dropped_rows,
     * capped_groups) deltas over the query's timed runs. Sorted for a
@@ -466,11 +480,7 @@ object Bench {
             peakTaskMem.get())
         }
         val caps1 = graft.operators.CapMetrics.cumulativeTotals()
-        capsByQuery(name) = caps1.flatMap { case (tag, (i1, d1, g1)) =>
-          val (i0, d0, g0) = caps0.getOrElse(tag, (0L, 0L, 0L))
-          val delta = (i1 - i0, d1 - d0, g1 - g0)
-          if (delta == (0L, 0L, 0L)) None else Some(tag -> delta)
-        }
+        capsByQuery(name) = capsDelta(caps0, caps1)
         name -> runs.minBy(_.sec)
     }
 

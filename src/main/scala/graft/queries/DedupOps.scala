@@ -964,5 +964,45 @@ object DedupOps {
               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_share
         FROM f JOIN canon USING (fp)
         GROUP BY 1 ORDER BY source"""))
+  ,
+
+    // Hot-shingle cap census with the cap ENGAGED on the real corpus
+    // (r17 verdict #3): every other cap site runs far above fixture
+    // frequencies, so three rounds of BENCH_metrics showed
+    // dropped_rows=0 and no artifact ever proved the truncation
+    // counters count. This query runs capDocFreq at maxDocFreq=6 —
+    // BELOW the corpus's hottest boilerplate shingles at every SF
+    // (max doc-freq: 9 at sf0.001, 7 at sf0.01, 25 at sf0.1) — so the
+    // committed bench recording carries a provably NONZERO
+    // caps.docfreq.dropped_rows, and the oracle expresses the cap
+    // itself (per-shingle doc-frequency filter), keeping the result
+    // hash-exact under truncation. The census is what an operator
+    // reads after a capped dedup pass: per document, how many of its
+    // distinct shingles survived and how many were dropped as hot.
+    Q("q332_capped_shingle_census",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sh = Dedup.shingleSets(docs, K)
+        val kept = Dedup.capDocFreq(sh, cap = 6, keyCol = "shingle")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+        Dedup.shingleSets(docs, K)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_shingles") - coalesce(col("n_kept"), lit(0L)))
+              .as("n_hot_dropped"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleCte,
+        f AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        kept AS (SELECT sh.doc_id FROM sh JOIN f USING (shingle)
+          WHERE f.df <= 6),
+        k AS (SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY 1),
+        tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1)
+        SELECT tot.doc_id, tot.n_shingles,
+          coalesce(k.n_kept, 0) AS n_kept,
+          tot.n_shingles - coalesce(k.n_kept, 0) AS n_hot_dropped
+        FROM tot LEFT JOIN k USING (doc_id) ORDER BY tot.doc_id"""))
   )
 }
