@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   * the epoch so epochs differ. An affine walk is weaker than a
   * cryptographic permutation (it has a constant stride structure);
   * for loader-grade decorrelation of arrival order it is the
-  * standard tool, and a Feistel round could slot behind the same
-  * contract if needed.
+  * standard tool; [[assignFeistel]] offers the keyed, stride-free
+  * permutation behind the same contract for sampling-sensitive
+  * consumers (ablations, data-order studies).
   *
   * Beyond-reference surface (the reference has no training layer);
   * complements q326/q328 (packing), q249/q301 (shards), q100 (epoch
