@@ -1361,6 +1361,57 @@ object TrainOps {
           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
           CAST(sum(toks) AS BIGINT) AS tok_sum,
           min(epoch_pos) AS pos_lo, max(epoch_pos) AS pos_hi
-        FROM b GROUP BY batch_id ORDER BY batch_id"""))
+        FROM b GROUP BY batch_id ORDER BY batch_id""")),
+
+    // Token-budget curation cut — "keep the best documents until the
+    // token budget": the standard quality-filtered corpus assembly
+    // step (a pretraining run buys N tokens, not N documents). Order
+    // by quality (here lexical diversity: distinct-word ratio —
+    // IEEE-exact on both engines, it is one division of two small
+    // ints), take documents while the running token total BEFORE the
+    // doc stays under the budget (half the corpus's tokens, carried
+    // as a broadcast scalar so the whole query is ONE distributed
+    // plan). Rank and running total come FUSED from packOrdered's
+    // single window pass (chaining globalRank then exclusiveCumsum
+    // re-evaluates the rank subtree in the cumsum's offsets branch —
+    // audited: a 10-node duplicate; the fused form is dup=0 with ONE
+    // data exchange): per-bucket windows over binary-search
+    // splitters + a broadcast of bucket offsets, no single-task
+    // global window at any corpus size. The span columns packOrdered
+    // derives are pruned by the projection (never computed). Oracle
+    // replays rank and cumsum with global windows.
+    Q("q333_token_budget_cut",
+      (s, dir) => {
+        val ws = split(col("text"), " ")
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(ws).cast("long").as("toks"),
+            (size(array_distinct(ws)).cast("double") /
+              size(ws).cast("double")).as("quality"))
+        val packed = graft.operators.SequencePack.packOrdered(docs,
+          Seq(-col("quality"), col("doc_id")), col("toks"),
+          contextLen = 1L)
+        val total = docs.agg(sum(col("toks")).as("total_toks"))
+        packed.crossJoin(broadcast(total))
+          .filter(col("tok_start") * 2 < col("total_toks"))
+          .select(col("doc_id"), col("source"), col("toks"),
+            col("quality"), col("pack_rank").as("q_rank"),
+            col("tok_start").as("cum_before"))
+          .orderBy("q_rank")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            string_split(text, ' ') AS w FROM documents),
+        s AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS toks,
+            CAST(len(list_distinct(w)) AS DOUBLE) /
+              CAST(len(w) AS DOUBLE) AS quality FROM d),
+        r AS (SELECT *, CAST(row_number() OVER
+            (ORDER BY quality DESC, doc_id) - 1 AS BIGINT) AS q_rank
+          FROM s),
+        c AS (SELECT *, CAST(coalesce(sum(toks) OVER (ORDER BY q_rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cum_before FROM r)
+        SELECT doc_id, source, toks, quality, q_rank, cum_before
+        FROM c WHERE cum_before * 2 < (SELECT sum(toks) FROM s)
+        ORDER BY q_rank"""))
   )
 }

@@ -110,7 +110,13 @@ object ExplainAudit {
       // row-local (the only exchange is the census groupBy); q330 is
       // the q328 rank machinery + one union + one aggregate
       "q328_packing_by_source", "q329_epoch_shuffle",
-      "q330_length_batching")
+      "q330_length_batching",
+      // round 18 — q331 is q329 with the Feistel kernel (row-local,
+      // census groupBy is the only exchange); q332 is one width
+      // window + two doc aggregates; q333 is the q328 rank + prefix
+      // sum + a 1-row broadcast budget scalar (documented crossJoin)
+      "q331_feistel_epoch_shuffle", "q332_capped_shingle_census",
+      "q333_token_budget_cut")
     for (q <- qs) {
       // tree-walk audit (PlanAudit): the old text grep printed a cached
       // subtree's plan at every scan site, inflating counts (q306's one
