@@ -469,6 +469,12 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             Double.PositiveInfinity
           }
+          // drain the async listener bus BEFORE sampling any counter:
+          // shuffle/task-mem/cap events still in flight would land on
+          // the next query's window (r18: a full cap observation of
+          // q332's second run was attributed to q333 before this)
+          org.apache.spark.graft.ListenerBridge
+            .drain(spark.sparkContext, 5000)
           val infos = spark.sparkContext.getRDDStorageInfo
           val leaked = infos.map(i => i.memSize + i.diskSize).sum
           storageWatermark = math.max(storageWatermark, leaked)

@@ -87,7 +87,8 @@ object ScaleProof {
         n
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(600) // let the async listener bus drain
+      org.apache.spark.graft.ListenerBridge
+        .drain(spark.sparkContext, 5000) // deterministic, not a sleep
       println(f"PROOF $q rows=$rows sec=$sec%.2f " +
         f"shuffle_read_mb=${shufRead.sum() / 1048576.0}%.1f " +
         f"shuffle_write_mb=${shufWrite.sum() / 1048576.0}%.1f " +
@@ -111,7 +112,7 @@ object ScaleProof {
         .ngramJaccardPairs(docs, 3, minJaccard = 0.3, maxDocFreq = cap)
         .count()
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(600)
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 5000)
       println(f"PROOF $label rows=$n sec=$sec%.2f " +
         f"shuffle_read_mb=${shufRead.sum() / 1048576.0}%.1f " +
         f"shuffle_write_mb=${shufWrite.sum() / 1048576.0}%.1f " +
