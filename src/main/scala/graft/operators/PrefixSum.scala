@@ -95,7 +95,13 @@ object PrefixSum {
     val keyDf = df.select(key.as("_k"))
     val keyType =
       keyDf.schema.head.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
-    val target = n.toLong * 20
+    // 20 samples per bucket, capped at 1e6 total — the same driver-
+    // memory bound Spark's own RangePartitioner applies to its
+    // splitter sample (core/Partitioner.scala): at the ~1e5-bucket
+    // regime an uncapped 20/bucket collect would hold 2M keys on the
+    // driver; past the cap, buckets get fewer samples each (balance
+    // degrades gracefully, correctness never depends on the sample)
+    val target = math.min(n.toLong * 20, 1000000L)
     val sampled: Array[org.apache.spark.sql.Row] =
       graft.sources.ParquetStats.footerRowCount(df.sparkSession, df) match {
         case Some(total) =>

@@ -75,6 +75,20 @@ object SplitterMicroBench {
           s"error=${e.getClass.getSimpleName}")
       }
     }
+
+    // the END-TO-END layout pass at high fan-in: globalRank (splitter
+    // sample + binary-search buckets + per-bucket windows + broadcast
+    // offsets) must not degrade as the bucket count climbs toward the
+    // task-sized-bucket regime of a 100 TB corpus
+    for (parts <- Seq(32, 2048, 16384)) {
+      val runs = (0 until 3).map { _ =>
+        time(graft.operators.PrefixSum
+          .globalRank(df, Seq(col("k")), "r", partitions = parts)
+          .write.format("noop").mode("overwrite").save())
+      }
+      println(f"MICRO variant=globalRank partitions=$parts " +
+        f"sec=${runs.min}%.2f runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+    }
     spark.stop()
   }
 }
