@@ -581,4 +581,29 @@ class TrainOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("must be numeric") &&
       err.getMessage.contains("packOrdered"), err.getMessage)
   }
+
+  test("packOrdered plan shape: zero range exchanges, the bucket is " +
+      "the binary-search expression, one data-bearing hash exchange") {
+    import graft.operators.SequencePack
+    val df = spark.range(50000)
+      .select((col("id") % 97).cast("string").as("shard"),
+        col("id").as("path"), (col("id") % 13 + 1).as("toks"))
+    val out = SequencePack.packOrdered(df,
+      Seq(col("shard"), col("path")), col("toks"), contextLen = 512L)
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan.toString
+    // the r17 range-exchange-diamond fix must survive the r18 rewrite:
+    // the explicit bucket never reintroduces a range partitioner
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"range exchange crept back into packOrdered:\n$plan")
+    // and the bucket is the broadcast binary search, not a when-chain
+    assert(plan.toLowerCase.contains("searchsortedcount"),
+      "bucket expression missing from the executed plan")
+    val counts = PlanAudit.audit(out.queryExecution.executedPlan)
+    // dup<=1: the narrow offsets branch re-scans the same LEAF (two
+    // prunes of one scan — cheap by design); anything larger means
+    // the rank subtree is being computed twice again (the r17 find)
+    assert(counts.hashExchanges <= 2 && counts.largestDupSubtree <= 1,
+      s"packOrdered plan regressed: $counts")
+  }
 }
