@@ -71,7 +71,11 @@ object ScaleProof {
       // corpus grows 10x (the single-task global window it replaces
       // would bend here first).
       "q326_sequence_packing", "q328_packing_by_source",
-      "q329_epoch_shuffle", "q330_length_batching")
+      "q329_epoch_shuffle", "q330_length_batching",
+      // r18: the Feistel epoch permutation (cycle-walking must stay
+      // row-local at corpus scale) and the fused rank+cumsum budget
+      // cut (the q328 machinery under a different consumer)
+      "q331_feistel_epoch_shuffle", "q333_token_budget_cut")
     // prime table file caches so the first query isn't charged IO warmup
     Tables.all.foreach { n =>
       Tables.load(spark, dir, n).write.format("noop").mode("overwrite").save()
