@@ -91,23 +91,24 @@ case class FeistelPermute(child: Expression, n: Long, half: Int,
       val l = ctx.freshName("l")
       val r = ctx.freshName("r")
       val t = ctx.freshName("t")
-      val f = ctx.freshName("f")
-      val i = ctx.freshName("i")
-      val ks = ctx.freshName("ks")
+      // rounds unrolled with the keys as literals: this is the hot
+      // row-local path — no per-row array allocation, no loop
+      val rounds = keys.map { k =>
+        s"""$t = $r;
+           $r = $l ^ (((($r + ${k}L) * 2654435761L) >>> 13) & ${mask}L);
+           $l = $t;"""
+      }.mkString("\n")
       s"""
         if ($x < 0L || $x >= ${domain}L) {
           throw new IllegalArgumentException("feistel_permute input " + $x +
             " outside the dense domain [0, ${domain})");
         }
-        final long[] $ks = {${keys.mkString("L, ")}L};
         long $y = $x;
+        long $l; long $r; long $t;
         do {
-          long $l = $y >>> $half;
-          long $r = $y & ${mask}L;
-          for (int $i = 0; $i < 3; $i++) {
-            long $f = ((($r + $ks[$i]) * 2654435761L) >>> 13) & ${mask}L;
-            long $t = $r; $r = $l ^ $f; $l = $t;
-          }
+          $l = $y >>> $half;
+          $r = $y & ${mask}L;
+          $rounds
           $y = ($l << $half) | $r;
         } while ($y >= ${n}L);
         ${ev.value} = $y;
