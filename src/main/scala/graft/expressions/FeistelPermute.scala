@@ -38,8 +38,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * would walk an unrelated orbit (possibly forever) — rejected per
   * row instead of looping.
   */
+// keys is Seq[Long], NOT Array[Long]: an array field makes case-class
+// equality reference-based, silently defeating semanticEquals /
+// subexpression reuse between independently built instances (the
+// SearchSortedCount caveat class); a 3-element Seq compares by value
 case class FeistelPermute(child: Expression, n: Long, half: Int,
-    keys: Array[Long]) extends UnaryExpression {
+    keys: Seq[Long]) extends UnaryExpression {
 
   require(n > 0, s"domain size must be positive: $n")
   require(half >= 1 && half <= 31, s"half-width out of range: $half")
@@ -121,7 +125,7 @@ case class FeistelPermute(child: Expression, n: Long, half: Int,
 
 object FeistelPermute {
   /** Column-level API: the [0, n)-preserving permutation of `idx`. */
-  def permute(idx: Column, n: Long, half: Int, keys: Array[Long]): Column =
+  def permute(idx: Column, n: Long, half: Int, keys: Seq[Long]): Column =
     ColumnBridge.column(
       FeistelPermute(ColumnBridge.expression(idx), n, half, keys))
 }

@@ -34,10 +34,14 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * deduplicated; [[graft.operators.PrefixSum.orderBuckets]] sorts and
   * dedupes on the driver before constructing this.
   *
-  * Array-field case-class caveat: `splitters` compares by reference,
-  * so two independently-built instances never compare equal — callers
-  * that want subexpression reuse must reuse the one Column (which
-  * both orderBuckets call sites do).
+  * Equality is CONTENT-based (r18 verdict watch #3): the generated
+  * case-class equals would compare the `splitters` array by
+  * reference, so two independently-built instances over the same data
+  * would never compare equal — silently defeating semanticEquals and
+  * subexpression elimination for any caller that doesn't reuse the
+  * one Column object. equals/hashCode below compare the splitter rows
+  * elementwise under the key ordering instead, so equal splitter
+  * content IS expression equality whatever object built it.
   */
 case class SearchSortedCount(child: Expression,
     splitters: Array[InternalRow], keyType: StructType)
@@ -89,6 +93,32 @@ case class SearchSortedCount(child: Expression,
 
   override protected def withNewChildInternal(
       newChild: Expression): SearchSortedCount = copy(child = newChild)
+
+  // content-based equality (see class scaladoc): elementwise splitter
+  // comparison under the key ordering — the ordering the search
+  // itself uses, so "equal" means "same bucket function"
+  override def equals(other: Any): Boolean = other match {
+    case s: SearchSortedCount =>
+      child == s.child && keyType == s.keyType &&
+        splitters.length == s.splitters.length && {
+          var i = 0
+          var same = true
+          while (same && i < splitters.length) {
+            same = ordering.compare(splitters(i), s.splitters(i)) == 0
+            i += 1
+          }
+          same
+        }
+    case _ => false
+  }
+
+  // equal objects must hash equal: hash the identity-independent
+  // fields only (hashing rows via the ordering isn't available; a
+  // length+type+child hash is legal and collision-cheap — equality
+  // does the elementwise work)
+  override def hashCode(): Int =
+    java.util.Objects.hash(classOf[SearchSortedCount], child, keyType,
+      Integer.valueOf(splitters.length))
 }
 
 object SearchSortedCount {

@@ -63,7 +63,11 @@ object EpochShuffle {
       // determinism and epoch-distinctness matter
       epoch.toLong * 7919L, n)
     df.withColumn("epoch_pos", (lit(a) * idx + lit(b)) % n)
-      .withColumn("batch_id", floor(col("epoch_pos") / batchSize))
+      // integer division, NOT floor(x / y): Spark's `/` on longs is
+      // double division, lossy past 2^53 while epoch_pos ranges up to
+      // n-1 ≤ 2^62 (the explodeWindowSpan rounded-quotient class; the
+      // oracle rounds identically so verification can't catch it)
+      .withColumn("batch_id", expr(s"epoch_pos div ${batchSize}L"))
   }
 
   /** [[assign]] with a 3-round Feistel permutation instead of the
@@ -97,7 +101,8 @@ object EpochShuffle {
     }
     df.withColumn("epoch_pos",
         graft.expressions.FeistelPermute.permute(idx.cast("long"), n,
-          half, keys))
-      .withColumn("batch_id", floor(col("epoch_pos") / batchSize))
+          half, keys.toIndexedSeq))
+      // integer division — same 2^53 rationale as [[assign]]
+      .withColumn("batch_id", expr(s"epoch_pos div ${batchSize}L"))
   }
 }

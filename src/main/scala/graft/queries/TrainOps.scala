@@ -1235,8 +1235,7 @@ object TrainOps {
         p AS (SELECT *,
             (1000003 * doc_id + 23757) %
               (SELECT count(*) FROM documents) AS epoch_pos FROM d),
-        b AS (SELECT *, CAST(floor(epoch_pos / 64) AS BIGINT)
-            AS batch_id FROM p)
+        b AS (SELECT *, (epoch_pos // 64) AS batch_id FROM p)
         SELECT batch_id, count(*) AS n_docs,
           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
@@ -1354,7 +1353,7 @@ object TrainOps {
         pos AS (SELECT doc_id, x AS epoch_pos FROM w
           WHERE x < (SELECT n FROM par)),
         b AS (SELECT d.source, d.lang, d.toks, pos.epoch_pos,
-            CAST(floor(pos.epoch_pos / 64) AS BIGINT) AS batch_id
+            (pos.epoch_pos // 64) AS batch_id
           FROM d JOIN pos USING (doc_id))
         SELECT batch_id, count(*) AS n_docs,
           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,

@@ -21,5 +21,13 @@ object ListenerBridge {
     try {
       sc.listenerBus.waitUntilEmpty(timeoutMs)
       true
-    } catch { case _: Throwable => false }
+    } catch {
+      // NOT a blanket Throwable: an OOM or linkage error must
+      // propagate, and a swallowed interrupt would lose the thread's
+      // interrupt status — re-set it so the caller's next blocking
+      // call still sees the cancellation
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt(); false
+      case scala.util.control.NonFatal(_) => false
+    }
 }

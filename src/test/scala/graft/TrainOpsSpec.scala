@@ -533,6 +533,35 @@ class TrainOpsSpec extends SparkSpec {
         257L, 1, 32L).collect()
     }
     assert(bad.getMessage != null)
+    // batch_id is INTEGER division (r18 ADVICE: floor(x / y) is double
+    // division, lossy past 2^53 while n advertises up to 2^62) — both
+    // assignment flavors, value and type pinned
+    for (assigned <- Seq(
+        EpochShuffle.assign(docs, col("doc_id"), n, 0, 32L),
+        EpochShuffle.assignFeistel(docs, col("doc_id"), n, 0, 32L))) {
+      assert(assigned.schema("batch_id").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val mismatch = assigned.filter(
+        col("batch_id") * 32L + pmod(col("epoch_pos"), lit(32L))
+          =!= col("epoch_pos")).count()
+      assert(mismatch == 0L, "batch_id is not the exact integer quotient")
+    }
+  }
+
+  test("FeistelPermute equality is value-based: independently built " +
+      "instances with identical keys compare equal (r18 ADVICE)") {
+    import graft.expressions.FeistelPermute
+    // a Literal child isolates the keys-field concern (an unresolved
+    // Column child carries construction-site Origins that never
+    // compare equal — wrapper noise, not keys semantics)
+    def mk() = FeistelPermute(
+      org.apache.spark.sql.catalyst.expressions.Literal(5L),
+      1000L, 5, Array.tabulate(3)(i => (i * 31 + 7).toLong).toIndexedSeq)
+    assert(mk() == mk(), "identical keys must give equal expressions")
+    assert(mk().hashCode == mk().hashCode)
+    assert(mk().semanticEquals(mk()))
+    val other = mk().copy(keys = Seq(1L, 2L, 3L))
+    assert(mk() != other)
   }
 
   test("packOrdered: a string-composite corpus order packs correctly " +
