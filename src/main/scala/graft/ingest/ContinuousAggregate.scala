@@ -104,7 +104,7 @@ final class ContinuousAggregate(
         } finally b.unpersist()
         ()
       }
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamOps.timedDrain(q.start())
+    ()
   }
 }

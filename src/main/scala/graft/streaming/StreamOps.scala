@@ -14,6 +14,58 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamOps {
 
+  /** Cumulative drain-phase telemetry (r18 verdict #6): the streaming
+    * twins re-run the full micro-batch lifecycle — query start,
+    * offset-log/WAL commits, state-store open/commit per partition,
+    * trigger scheduling — inside every timed measurement, and the
+    * bench's wall alarm can't tell that overhead from the operator's
+    * own work (q122's 1.47× driver-to-driver move with flat shuffle
+    * and task-mem was unadjudicable from the artifact alone). Each
+    * drain records its total wall (start → termination) and the
+    * data-plane portion: the sum of `durationMs("addBatch")` across
+    * the drain's micro-batches, which is the time actually spent
+    * executing the query's plan on data. `drain_sec − exec_sec` is
+    * lifecycle overhead the operator does not control. Sampled as
+    * per-query deltas by the bench (same pattern as CapMetrics) into
+    * a `stream` field in BENCH_metrics, so a wall move on a streaming
+    * twin is adjudicable from the artifact: exec flat + drain moved =
+    * trigger/lifecycle noise, exec moved = the plan itself. */
+  object DrainStats {
+    private val drains = new java.util.concurrent.atomic.LongAdder
+    private val wallNs = new java.util.concurrent.atomic.LongAdder
+    private val execMs = new java.util.concurrent.atomic.LongAdder
+
+    private[streaming] def record(wallNanos: Long,
+        q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      drains.increment()
+      wallNs.add(wallNanos)
+      // recentProgress holds the last 100 updates — far above any
+      // AvailableNow drain's batch count here
+      execMs.add(q.recentProgress.map { p =>
+        val d = p.durationMs.get("addBatch")
+        if (d == null) 0L else d.longValue
+      }.sum)
+    }
+
+    /** (drains, total wall sec, total addBatch sec) since JVM start —
+      * callers diff two samples, so only deltas are meaningful. */
+    def cumulative(): (Long, Double, Double) =
+      (drains.sum(), wallNs.sum() / 1e9, execMs.sum() / 1e3)
+  }
+
+  /** Start a streaming query, await termination, and record the drain
+    * in [[DrainStats]] — synchronous, so a per-query telemetry window
+    * always contains its own drains. */
+  private[graft] def timedDrain(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val t0 = System.nanoTime()
+    val q = start
+    q.awaitTermination()
+    DrainStats.record(System.nanoTime() - t0, q)
+    q
+  }
+
   /** Per-key resume state for [[runningWatermark]]. */
   final case class KeyState(userId: Long, maxTs: Long, n: Long)
 
@@ -198,12 +250,12 @@ object StreamOps {
     * everything currently in the source and stops (AvailableNow). */
   def drainToMemory(df: DataFrame, name: String,
       outputMode: OutputMode = OutputMode.Append()): Unit = {
-    val q = df.writeStream
+    timedDrain(df.writeStream
       .format("memory").queryName(name)
       .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
+    ()
   }
 
   /** Drain like [[drainToMemory]] but also return, per committed
@@ -217,12 +269,11 @@ object StreamOps {
     * advances the watermark mid-run, so nothing would evict. */
   def drainToMemoryWithStateCounts(df: DataFrame, name: String,
       outputMode: OutputMode = OutputMode.Append()): Seq[Long] = {
-    val q = df.writeStream
+    val q = timedDrain(df.writeStream
       .format("memory").queryName(name)
       .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
     q.recentProgress.toSeq
       .filter(_.stateOperators.nonEmpty)
       .map(p => p.stateOperators.map(_.numRowsTotal).sum)
@@ -318,7 +369,7 @@ object StreamOps {
         fs.delete(old, true)
         ()
       }
-      .start()
-    q.awaitTermination()
+    timedDrain(q.start())
+    ()
   }
 }

@@ -301,6 +301,108 @@ class BenchSpec extends AnyFunSuite {
     assert(planted.map(_._1) == Seq(k), s"planted blowup: $planted")
   }
 
+  test("the real r18 133-flag ceiling plateau replays: old rule 133 " +
+      "per-query flags, split rule 0 per-query + 1 session plateau " +
+      "(committed driver capture replayed verbatim)") {
+    // the r18 artifact of record carried heap_drift_count=133: the
+    // r18-added absolute ceiling (>12x AND >4 GiB, calibrated on the
+    // r16 plateau max of 2363 MB) fired on a suite-wide collector
+    // plateau — a 5332-5798 MB band over alphabetical positions
+    // 101-251 (max positional gap 7), task-mem dead flat, values
+    // recovering to ~2 GB later in the suite. These are the two
+    // committed BENCH_metrics files that produced it, verbatim:
+    // the prior the driver compared against is the BUILDER'S closing
+    // bench of the r18 tree (commit d2c78dc — NOT the r17 driver
+    // capture, which is the separate BENCH_metrics_r17.json fixture
+    // the wall-trio test replays), the current is what the driver
+    // wrote (commit 0f0d31a).
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/bench/$name")
+      assert(in != null, s"missing fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val priorB = res("BENCH_metrics_r18_prior.json")
+    val curB = res("BENCH_metrics_r18.json")
+    val heapPrior = Bench.parseMetricsField(priorB, "heap_after_gc_mb")
+    val heapCur = Bench.parseMetricsField(curB, "heap_after_gc_mb")
+    val tmPrior = Bench.parseMetricsField(priorB, "peak_task_mem_mb")
+    val tmCur = Bench.parseMetricsField(curB, "peak_task_mem_mb")
+    assert(heapPrior.size >= 333 && tmPrior.size >= 333,
+      s"fixture shrank: ${heapPrior.size}/${tmPrior.size} entries")
+    // pin that the fixture really is the 133-flag scenario, and that
+    // every flag took the uncorroborated CEILING path (task-mem was
+    // flat — the corroborated ratio path fired on none of them)
+    val flags = Bench.selectHeapDrift(heapCur, heapPrior, tmCur, tmPrior)
+    assert(flags.size == 133, s"fixture no longer reproduces: ${flags.size}")
+    assert(flags.forall { case (_, p, c) => Bench.heapCeiling(p, c) },
+      "a flag passed the corroborated path — not the r18 scenario")
+    // the split rule: run order is alphabetical (Bench sorts selected
+    // queries by name) — the 133 collapse to ONE session plateau
+    val order = heapCur.keys.toSeq.sorted
+    val (perQuery, plateaus) = Bench.splitHeapPlateau(flags, order)
+    assert(perQuery.isEmpty, s"per-query flags survive: ${perQuery.take(5)}")
+    assert(plateaus.size == 1, s"plateau runs: ${plateaus.size}")
+    assert(plateaus.head.size == 133)
+    // the same fixture must NOT mask a real driver blowup: plant a
+    // 13x/12 GiB retained-heap regression (task-mem flat — the
+    // driver-side signature) on a query INSIDE the plateau's
+    // positional stretch but far off its value band. It chains with
+    // no neighbor (5798*0.85 > 5332*1.15 fails against 12288) and
+    // fires individually while the 133 still cancel.
+    val k = "q21_dedup_exact"
+    assert(flags.exists(_._1 == k), "planted key must sit in the plateau")
+    val plantedFlags = Bench.selectHeapDrift(
+      heapCur + (k -> 12288.0), heapPrior, tmCur, tmPrior)
+    val (perQ2, plat2) = Bench.splitHeapPlateau(plantedFlags, order)
+    assert(perQ2.map(_._1) == Seq(k), s"planted blowup: $perQ2")
+    assert(plat2.size >= 1 && plat2.map(_.size).sum == 132,
+      s"plateau broke: ${plat2.map(_.size)}")
+  }
+
+  test("heap plateau split: a lone 13x/5GiB ceiling flag fires " +
+      "individually; >=8 tight-band contiguous flags cancel to one " +
+      "session plateau; corroborated flags never join a plateau") {
+    val order = (0 until 40).map(i => f"q$i%02d")
+    def flat(v: Double) = order.map(_ -> v).toMap
+    // a single driver blowup among flat neighbors: 13x to 5.2 GiB
+    val lone = Seq(("q17", 400.0, 5200.0))
+    val (p1, runs1) = Bench.splitHeapPlateau(lone, order)
+    assert(p1 == lone && runs1.isEmpty,
+      "an isolated ceiling flag must still fire per-query")
+    // eight contiguous flags in a +-4% band -> one plateau, zero
+    // per-query
+    val plateau = (10 until 18).map { i =>
+      (f"q$i%02d", 400.0, 5300.0 + 40 * (i - 10)) }
+    val (p2, runs2) = Bench.splitHeapPlateau(plateau, order)
+    assert(p2.isEmpty && runs2.map(_.size) == Seq(8), s"$p2 / $runs2")
+    // seven is below minRun: still per-query
+    val (p3, runs3) = Bench.splitHeapPlateau(plateau.take(7), order)
+    assert(p3.size == 7 && runs3.isEmpty)
+    // a value >18% off the band splits the chain and fires alone
+    val mixed = plateau :+ (("q18", 500.0, 12000.0))
+    val (p4, runs4) = Bench.splitHeapPlateau(mixed, order)
+    assert(p4.map(_._1) == Seq("q18") && runs4.map(_.size) == Seq(8),
+      s"$p4 / $runs4")
+    // a positional gap past maxGap (20) splits the chain even inside
+    // the band: 6 + 6 tight flags 25 positions apart stay per-query
+    val farApart = (0 until 6).map(i => (f"q$i%02d", 400.0, 5300.0)) ++
+      (31 until 37).map(i => (f"q$i%02d", 400.0, 5300.0))
+    val orderLong = (0 until 40).map(i => f"q$i%02d")
+    val (p5, runs5) = Bench.splitHeapPlateau(farApart, orderLong)
+    assert(p5.size == 12 && runs5.isEmpty, s"$p5 / $runs5")
+    // a CORROBORATED flag (under the ceiling) inside the band's
+    // positions never joins the plateau — task-mem growth is a
+    // query-attributable signature
+    val withCorrob = plateau :+ (("q19", 800.0, 3300.0))
+    val (p6, runs6) = Bench.splitHeapPlateau(withCorrob, order)
+    assert(p6.map(_._1) == Seq("q19") && runs6.map(_.size) == Seq(8))
+    // a flag with no position in the order fails open to per-query
+    val (p7, runs7) = Bench.splitHeapPlateau(
+      plateau :+ (("q_unknown", 400.0, 5400.0)), order)
+    assert(p7.map(_._1) == Seq("q_unknown") && runs7.map(_.size) == Seq(8))
+    assert(flat(0.0).size == order.size) // keep helper used
+  }
+
   test("task-mem drift: query-attributable 2x paired gate on >=32MB " +
       "priors; uniform partition-count shifts cancel") {
     // the r16 observation: a uniform 0.5x shift (prior round ran at
@@ -399,5 +501,19 @@ class BenchSpec extends AnyFunSuite {
     // loudly here instead
     assert(r7.size > 150, s"r7 reference shrank to ${r7.size} entries")
     assert(r7.contains("q1_time_bucket_agg"))
+  }
+
+  test("committed frozen r18 anchor loads and covers the 133 post-r7 " +
+      "queries (the second overlap gate's reference)") {
+    val r18 = Bench.loadRefMap("BENCH_full_r18.json")
+    val r7 = Bench.loadRefMap("BENCH_full_r07.json")
+    assert(r18.size >= 333, s"r18 anchor shrank to ${r18.size} entries")
+    // the anchor exists precisely for the queries r7 does not cover —
+    // their outlier selection and overlap ratio previously tracked a
+    // MOVING prior (r18 verdict #7)
+    val post = r18.keySet -- r7.keySet
+    assert(post.size >= 133, s"post-r7 coverage shrank to ${post.size}")
+    assert(r18.contains("q331_feistel_epoch_shuffle") &&
+      r18.contains("q250_curation_pipeline"))
   }
 }

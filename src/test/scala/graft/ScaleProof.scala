@@ -99,6 +99,30 @@ object ScaleProof {
         f"peak_task_mem_mb=${peakMem.get() / 1048576.0}%.1f")
     }
 
+    // Graph-family edge normalization probe (r18 verdict #5): the
+    // near-dup scale corpora inflate the graph queries' EDGE input
+    // super-linearly in the replication factor BY CONSTRUCTION —
+    // replica texts are near-dups of each other, so an R-fold corpus
+    // grows each duplicate cluster to R members and its pairwise
+    // edges to ~R²/2. The honest judgment for q208/q238 is therefore
+    // wall-per-EDGE, not per-doc; this probe records the LSH pair
+    // count (q208's exact edge input: same K/NumHashes/Bands, cap
+    // off) so the PROOF rows can state that normalization.
+    if (onlyNames.exists(_.contains("lsh_edges"))) {
+      graft.operators.CacheOps.sweep(spark, blocking = true)
+      shufRead.reset(); shufWrite.reset(); peakMem.set(0)
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dedup
+        .minHashLsh(Tables.load(spark, dir, "documents"), 3, 8, 4)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 5000)
+      println(f"PROOF lsh_edges rows=$n sec=$sec%.2f " +
+        f"shuffle_read_mb=${shufRead.sum() / 1048576.0}%.1f " +
+        f"shuffle_write_mb=${shufWrite.sum() / 1048576.0}%.1f " +
+        f"peak_task_mem_mb=${peakMem.get() / 1048576.0}%.1f")
+    }
+
     // q250's stage-1 bend isolated: inverted-index jaccard candidate
     // pairs are Σ df² per shingle, so 10× near-replication grows them
     // ~100×. maxDocFreq is the designed cap (drops shingles hotter
