@@ -116,7 +116,12 @@ object ExplainAudit {
       // window + two doc aggregates; q333 is the q328 rank + prefix
       // sum + a 1-row broadcast budget scalar (documented crossJoin)
       "q331_feistel_epoch_shuffle", "q332_capped_shingle_census",
-      "q333_token_budget_cut")
+      "q333_token_budget_cut",
+      // round 19 — q334 is q24's LSH self-join with the bucket cap
+      // ENGAGED: the width window rides the join's own (band, bkey)
+      // hash partitioning, so the audit shape must equal q24's
+      // (no extra exchange for the cap, no cartesian)
+      "q334_capped_lsh_pairs")
     for (q <- qs) {
       // tree-walk audit (PlanAudit): the old text grep printed a cached
       // subtree's plan at every scan site, inflating counts (q306's one
