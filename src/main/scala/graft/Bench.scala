@@ -415,6 +415,45 @@ object Bench {
       val ts = times.asScala.toSeq
       ts.sum / ts.size
     }
+    // I/O-phase probe (round 19): the CPU probes can't see a host
+    // I/O squeeze, and the fs-write query family (q31/q32/q33/q319 —
+    // real partitioned parquet appends to scratch dirs) moves
+    // COHERENTLY with one: this round's closing bench had the family
+    // at 1.6–3.8x prior with shuffle byte-identical, CPU phase 1.4,
+    // and disk-light queries recovering with the probe while the
+    // ingest family stayed elevated in isolated re-runs. A fixed
+    // small write+fsync loop — 64 × 64 KiB files, each force(true)d,
+    // then deleted — sampled before and after the suite puts the I/O
+    // axis in the artifact (`io_proxy_sec`), so an fs-family wall
+    // move is adjudicable the same way a CPU phase is. Deliberately
+    // NOT a normalizer (same policy as the phase factor's candidate
+    // selection: probes adjudicate, they don't silently forgive).
+    def ioProxySec(): Double = {
+      import java.nio.file.Files
+      val dir = Files.createTempDirectory("graft-ioprobe")
+      val buf = java.nio.ByteBuffer.allocate(65536)
+      val t0 = System.nanoTime()
+      try {
+        var i = 0
+        while (i < 64) {
+          val p = dir.resolve(s"f$i")
+          val ch = java.nio.channels.FileChannel.open(p,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try { buf.rewind(); ch.write(buf); ch.force(true) }
+          finally ch.close()
+          i += 1
+        }
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        try {
+          val s = Files.list(dir)
+          try s.forEach(p => Files.deleteIfExists(p)) finally s.close()
+          Files.deleteIfExists(dir)
+        } catch { case _: Throwable => () }
+      }
+    }
+
     // Per-query shuffle/memory telemetry (r14 verdict #3): a plan
     // regression like r14's q203 (2.6× wall, 9× heap) should be
     // flagged by the artifact itself, not found by a judge diffing
@@ -442,6 +481,7 @@ object Bench {
 
     val proxyPre = cpuProxySec()
     val proxyParPre = cpuProxyParSec()
+    val ioPre = ioProxySec()
 
     // warmup: touch the parquet reader, shuffle machinery and the noop
     // sink once so the first measured query doesn't pay init costs
@@ -659,6 +699,7 @@ object Bench {
 
     val proxyPost = cpuProxySec()
     val proxyParPost = cpuProxyParSec()
+    val ioPost = ioProxySec()
     val failed = results.collect { case (k, r) if r.sec.isInfinite => k }
     // gate numbers are min-of-runs (main-pass min, improved by any
     // re-run); first-shot rides alongside in the `rerun` field
@@ -677,7 +718,7 @@ object Bench {
     }.mkString("{", ",", "}")
     // failed_count rides next to value so a partial total (failures
     // excluded from the sum) can't be mistaken for a comparable full run
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"rerun":$rerunJson,"gc_sec":$gcTotal,"storage_watermark_mb":${storageWatermark / (1024 * 1024)},"cpu_proxy_sec":[$proxyPre,$proxyPost],"cpu_proxy_par_sec":[$proxyParPre,$proxyParPost],"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"rerun":$rerunJson,"gc_sec":$gcTotal,"storage_watermark_mb":${storageWatermark / (1024 * 1024)},"cpu_proxy_sec":[$proxyPre,$proxyPost],"cpu_proxy_par_sec":[$proxyParPre,$proxyParPost],"io_proxy_sec":[$ioPre,$ioPost],"sf":"$sfDir"}"""
     // (drift detail is in stderr + BENCH_metrics; the count rides the
     // compact line so a regression is visible in the artifact itself)
     // Side-channel telemetry (separate file — the driver's console tail
@@ -842,7 +883,7 @@ object Bench {
       overlapField("r18", r18Map.view.filterKeys(k => !r7Map.contains(k)).toMap)
     val budget = 1700 // chars; sbt's [success] trailer rides in the same tail
     val slowest = ok.sortBy(-_._2.sec)
-    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries_total":${ok.size},"failed":$failedJson,"failed_count":${failed.size},"rerun_count":${reruns.size},"shuffle_drift_count":${drift.size},"wall_drift_count":${wallDrift.size},"heap_drift_count":${heapDrift.size},"heap_plateau_count":${heapPlateaus.size},"task_mem_drift_count":${taskMemDrift.size},"phase_factor":${d2(phaseFactor)},"gc_sec":${math.round(gcTotal * 10) / 10.0},"cpu_proxy_sec":[${r2(proxyPre)},${r2(proxyPost)}],"cpu_proxy_par_sec":[${r2(proxyParPre)},${r2(proxyParPost)}]$overlapJson,"sf":"$sfDir","full":"BENCH_full.json","queries":"""
+    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries_total":${ok.size},"failed":$failedJson,"failed_count":${failed.size},"rerun_count":${reruns.size},"shuffle_drift_count":${drift.size},"wall_drift_count":${wallDrift.size},"heap_drift_count":${heapDrift.size},"heap_plateau_count":${heapPlateaus.size},"task_mem_drift_count":${taskMemDrift.size},"phase_factor":${d2(phaseFactor)},"gc_sec":${math.round(gcTotal * 10) / 10.0},"cpu_proxy_sec":[${r2(proxyPre)},${r2(proxyPost)}],"cpu_proxy_par_sec":[${r2(proxyParPre)},${r2(proxyParPost)}],"io_proxy_sec":[${r2(ioPre)},${r2(ioPost)}]$overlapJson,"sf":"$sfDir","full":"BENCH_full.json","queries":"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = head.length + 2
     // an HONEST prefix of the slowest ordering: stop at the first
