@@ -49,7 +49,9 @@ object Dsir {
     * DataFrame (map-side only). */
   def occurrences(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column): DataFrame =
-    docs
+    // spread before the bigram explode — single-row-group corpora
+    // otherwise tokenize serially (round 19, see ScanSpread)
+    graft.sources.ScanSpread.spread(docs)
       .select(col(idCol), isTarget.as("is_t"),
         split(trim(col(textCol)), "\\s+").as("ws"))
       .select(col(idCol), col("is_t"),

@@ -36,7 +36,12 @@ object KCenter {
   def select(emb: DataFrame, k: Int): DataFrame = {
     require(k >= 1)
     val spark = emb.sparkSession
-    val vecs = emb.select(col("vec_id"), col("embedding")).cache()
+    // spread before caching: the cached frame inherits the scan's
+    // partitioning, so a single-row-group table would otherwise run
+    // every round's min-distance projection on ONE task (round 19,
+    // see ScanSpread); identity when the input already scans wide
+    val vecs = graft.sources.ScanSpread
+      .spread(emb.select(col("vec_id"), col("embedding"))).cache()
 
     def longForm(df: DataFrame, id: String): DataFrame =
       df.select(col("vec_id").as(id),

@@ -72,8 +72,13 @@ object KMeans {
     * the centroid update (k×dim output rows) shuffles, keyed on
     * (cluster, dim). The exploded vector form that update needs is
     * cached once rather than re-derived per iteration. */
-  def fitAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  def fitAssign(emb0: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1)
+    // spread the vector scan before the per-row distance kernels: a
+    // single-row-group embeddings table otherwise evaluates every
+    // iteration's k decimal-exact distances on ONE task (round 19,
+    // see ScanSpread); identity when the input already scans wide
+    val emb = graft.sources.ScanSpread.spread(emb0)
     val ev = longForm(emb, "vec_id").cache()
     // single-row broadcast side: [(cid, carr), ...]
     def gather(centArr: DataFrame): DataFrame =
@@ -105,8 +110,9 @@ object KMeans {
     * centroid-silhouette input (a = dist to own centroid, b = dist to
     * the nearest other) — still one map-side projection per row, no
     * extra shuffle: a sorted struct array replaces the struct-min. */
-  def fitAssignTop2(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  def fitAssignTop2(emb0: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1)
+    val emb = graft.sources.ScanSpread.spread(emb0) // see fitAssign
     val ev = longForm(emb, "vec_id").cache()
     def gather(centArr: DataFrame): DataFrame =
       centArr.agg(collect_list(struct(col("cid"), col("carr")))

@@ -43,6 +43,9 @@ object Multimodal {
   def packMedia(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // NOT spread (round 19): the packed payloads are tiny and the
+    // A/B showed the repair exchange costs more than the serial
+    // decode saves on every consumer (see OPTIMIZATION_r19.md)
     docs.select(
         col("doc_id").as("media_id"),
         when(col("doc_id") % 3 === 0, "image")
@@ -65,6 +68,10 @@ object Multimodal {
   def packEncodedMedia(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // NOT spread (round 19): these 16×8/256-sample payloads decode in
+    // microseconds — the same-JVM A/B measured the repair exchange as
+    // a net loss on all ten packEncodedMedia consumers (1.2–2.0×);
+    // the HEAVY codecs (mp3/video) spread at their own call sites
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
         (id % 3).toInt match {

@@ -312,7 +312,8 @@ object CurateOps {
         val bi = array_distinct(when(size(ws) >= 2,
           TextFuncs.shingles(col("text"), 2))
           .otherwise(array().cast("array<string>")))
-        val d = Tables.load(s, dir, "documents")
+        val d = graft.sources.ScanSpread
+          .spread(Tables.load(s, dir, "documents"))
           .select(col("doc_id"), uni.as("u"), bi.as("b"))
         val a = d.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id").as("id_a"),
@@ -418,7 +419,7 @@ object CurateOps {
               .cast(DoubleType) / lit(25.0)))
           .otherwise(array(size(array_distinct(ws)).cast(DoubleType) /
             n.cast(DoubleType)))
-        Tables.load(s, dir, "documents")
+        graft.sources.ScanSpread.spread(Tables.load(s, dir, "documents"))
           .select(col("doc_id"), wins.as("wins"))
           .select(col("doc_id"),
             size(col("wins")).cast(LongType).as("n_windows"),

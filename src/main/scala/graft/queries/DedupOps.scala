@@ -833,7 +833,8 @@ object DedupOps {
             i => substring(
               md5(concat_ws(" ", slice(toks, i + 1, lit(Kg)))), 1, 16)))
           .otherwise(array().cast("array<string>"))
-        val d = Tables.load(s, dir, "documents")
+        val d = graft.sources.ScanSpread
+          .spread(Tables.load(s, dir, "documents"))
           .select(col("doc_id"), grams.as("hs"))
           .withColumn("m", size(col("hs")))
         val fps = when(col("m") >= W,

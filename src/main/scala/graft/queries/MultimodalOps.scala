@@ -424,7 +424,8 @@ object MultimodalOps {
       (s, dir) => {
         import s.implicits._
         val colors = Array(40, 70, 100, 135, 165, 200, 230)
-        val media = Tables.load(s, dir, "documents")
+        val media = graft.sources.ScanSpread
+          .spread(Tables.load(s, dir, "documents"))
           .select(col("doc_id")).as[Long].mapPartitions { ids =>
             ids.map { id =>
               val c = colors(((id % 7 + 7) % 7).toInt)
@@ -568,7 +569,8 @@ object MultimodalOps {
     Q("q219_mp3_audio",
       (s, dir) => {
         import s.implicits._
-        val media = Tables.load(s, dir, "documents")
+        val media = graft.sources.ScanSpread
+          .spread(Tables.load(s, dir, "documents"))
           .filter(col("doc_id") % 3 === 0)
           .select(col("doc_id")).as[Long].mapPartitions { ids =>
             ids.map { id =>
@@ -612,7 +614,8 @@ object MultimodalOps {
       (s, dir) => {
         import s.implicits._
         val colors = Array(40, 70, 100, 135, 165, 200, 230)
-        val media = Tables.load(s, dir, "documents")
+        val media = graft.sources.ScanSpread
+          .spread(Tables.load(s, dir, "documents"))
           .filter(col("doc_id") % 3 === 2)
           .select(col("doc_id")).as[Long].mapPartitions { ids =>
             ids.map { id =>
@@ -673,7 +676,8 @@ object MultimodalOps {
       (s, dir) => {
         import s.implicits._
         val colors = Array(40, 70, 100, 135, 165, 200, 230)
-        val media = Tables.load(s, dir, "documents")
+        val media = graft.sources.ScanSpread
+          .spread(Tables.load(s, dir, "documents"))
           .filter(col("doc_id") % 3 === 1)
           .select(col("doc_id")).as[Long].mapPartitions { ids =>
             ids.map { id =>
@@ -747,7 +751,8 @@ object MultimodalOps {
       (s, dir) => {
         import s.implicits._
         val colors = Array(40, 70, 100, 135, 165, 200, 230)
-        val media = Tables.load(s, dir, "documents")
+        val media = graft.sources.ScanSpread
+          .spread(Tables.load(s, dir, "documents"))
           .filter(col("doc_id") % 3 === 0)
           .select(col("doc_id")).as[Long].mapPartitions { ids =>
             ids.map { id =>
@@ -805,7 +810,8 @@ object MultimodalOps {
       (s, dir) => {
         import s.implicits._
         val colors = Array(40, 70, 100, 135, 165, 200, 230)
-        val media = Tables.load(s, dir, "documents")
+        val media = graft.sources.ScanSpread
+          .spread(Tables.load(s, dir, "documents"))
           .filter(col("doc_id") % 3 === 1)
           .select(col("doc_id")).as[Long].mapPartitions { ids =>
             ids.map { id =>

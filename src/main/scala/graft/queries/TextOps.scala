@@ -102,7 +102,7 @@ object TextOps {
     // are what the oracle checks.
     Q("q20_lang_id",
       (s, dir) => {
-        Tables.load(s, dir, "documents")
+        graft.sources.ScanSpread.spread(Tables.load(s, dir, "documents"))
           .select(
             col("doc_id"), col("lang"),
             langId(col("text"), langMarkers).as("pred_lang"))
@@ -272,7 +272,8 @@ object TextOps {
     // natural text); the operator, not the constants, is the point.
     Q("q72_repetition_quality",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
+        val docs = graft.sources.ScanSpread
+          .spread(Tables.load(s, dir, "documents"))
         val words = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("w"))
         val ws = words.groupBy("doc_id").agg(
@@ -977,7 +978,7 @@ object TextOps {
     // broadcast literal the same way).
     Q("q178_linear_quality_score",
       (s, dir) => {
-        Tables.load(s, dir, "documents")
+        graft.sources.ScanSpread.spread(Tables.load(s, dir, "documents"))
           .select(col("doc_id"), qualityLogit.as("logit_milli"))
           .withColumn("keep", col("logit_milli") > 0L)
           .orderBy("doc_id")
@@ -1322,7 +1323,8 @@ object TextOps {
     // length differences): one scan, no shuffle, no UDF, no encoding
     // library — the shape that survives 100 TB.
     Q("q298_mojibake_repair",
-      (s, dir) => mojibakeRepair(Tables.load(s, dir, "documents"))
+      (s, dir) => mojibakeRepair(graft.sources.ScanSpread
+          .spread(Tables.load(s, dir, "documents")))
         .orderBy("doc_id"),
       Some(MojibakeOracle)),
 
@@ -1337,7 +1339,8 @@ object TextOps {
     // (count, fixed script order); the oracle mirrors the ranges with
     // RE2 \x{...} classes.
     Q("q299_script_mix",
-      (s, dir) => scriptMix(Tables.load(s, dir, "documents"))
+      (s, dir) => scriptMix(graft.sources.ScanSpread
+          .spread(Tables.load(s, dir, "documents")))
         .orderBy("doc_id"),
       Some(ScriptMixOracle)),
 

@@ -87,7 +87,7 @@ object TrainOps {
     * gram construction. */
   def docGrams(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val d = df
+    val d = graft.sources.ScanSpread.spread(df)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 5)
     d.select(col("doc_id"),
@@ -751,7 +751,7 @@ object TrainOps {
           i => when(i % 21 === 0,
             concat(sentinel(i), lit(" "), tokAt(i)))
             .otherwise(tokAt(i)))
-        Tables.load(s, dir, "documents")
+        graft.sources.ScanSpread.spread(Tables.load(s, dir, "documents"))
           .select(col("doc_id"),
             size(toks).cast(LongType).as("n_tokens"),
             size(filter(idx, i => masked(i))).cast(LongType)

@@ -121,7 +121,8 @@ object WindowOps {
     // training): unigram + bigram frequencies, top 20 by count.
     Q("q48_vocab_ngrams",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
+        val docs = graft.sources.ScanSpread
+          .spread(Tables.load(s, dir, "documents"))
         val words = docs.select(
           explode(split(col("text"), " ")).as("gram"))
         val bigrams = docs.select(explode(
