@@ -51,33 +51,47 @@ object ConnectedComponents {
       nodes: Option[DataFrame] = None, maxRounds: Int = 50): DataFrame = {
     val spark = edges.sparkSession
 
-    // canonical (big, small) long pairs, no self-loops, no dups
-    var e = edges
-      .select(col(src).cast(LongType).as("u"), col(dst).cast(LongType).as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint()
-
     // Convergence check: (count, Σ xxhash64(u,v) as decimal) — two
     // scalars per round, never the edge data. A checksum collision
     // between consecutive DIFFERENT edge sets needs equal counts AND an
     // exact 64-bit sum collision (~2⁻⁶⁴) — accepted; the alternative
     // (set-difference) is an extra shuffle per round.
-    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(
-        count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v"))
-          .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO))).head()
-      (r.getLong(0), r.getDecimal(1))
+    // Round 19: the checksum RIDES the checkpoint materialization as
+    // an observe() aggregate instead of running as its own job — one
+    // action per round instead of two (a CC call was 2·rounds+2 jobs
+    // of which half were 10–40 ms checksum re-reads of the cached
+    // blocks; at cluster scale the saved job is a full extra pass of
+    // the round's edge set through the scheduler). Same two scalars,
+    // same collision odds. ObserveFusionSpec pins that the metrics are
+    // populated by the checkpoint's own materialization job.
+    var obsRound = 0
+    def checkpointWithChecksum(df: DataFrame)
+        : (DataFrame, (Long, java.math.BigDecimal)) = {
+      obsRound += 1
+      val name = s"graft_cc_cs_$obsRound"
+      val obs = df.observe(name,
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("s"))
+      val cp = obs.localCheckpoint()
+      val row = obs.queryExecution.observedMetrics(name)
+      (cp, (row.getLong(0), row.getDecimal(1)))
     }
+
+    // canonical (big, small) long pairs, no self-loops, no dups
+    val (e0, cs0) = checkpointWithChecksum(edges
+      .select(col(src).cast(LongType).as("u"), col(dst).cast(LongType).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct())
+    var e = e0
     // BigDecimal.equals is scale-sensitive; compare numerically
     def same(a: (Long, java.math.BigDecimal),
         b: (Long, java.math.BigDecimal)): Boolean =
       a._1 == b._1 && a._2.compareTo(b._2) == 0
 
-    var prev = checksum(e)
+    var prev = cs0
     var round = 0
     var converged = prev._1 == 0L
     while (!converged && round < maxRounds) {
@@ -97,15 +111,13 @@ object ConnectedComponents {
       // small-star: edges are now all (big, small); for every node u,
       // link its smaller neighbors (and u itself) to the minimum.
       val sMins = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = ls.join(sMins, "u")
+      val (ss, cur) = checkpointWithChecksum(ls.join(sMins, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(sMins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
 
-      val cur = checksum(ss)
       converged = same(cur, prev)
       prev = cur
       // ss is materialized (eager checkpoint) and checksummed — the

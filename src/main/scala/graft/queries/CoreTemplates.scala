@@ -40,7 +40,8 @@ object CoreTemplates {
     // 15-way avg generation mix; TPC-H Q1 shape).
     Q("q2_wide_agg",
       (s, dir) => {
-        val li = Tables.load(s, dir, "lineitem")
+        val li = graft.sources.ScanSpread
+          .spread(Tables.load(s, dir, "lineitem"))
         li.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),

@@ -477,7 +477,7 @@ ORDER BY bucket_ts"""
     // explicitly on both sides (the engines' ASC defaults differ).
     Q("q84_rollup_agg",
       (s, dir) => {
-        Tables.load(s, dir, "lineitem")
+        graft.sources.ScanSpread.spread(Tables.load(s, dir, "lineitem"))
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(grouping_id().cast("long").as("gid"),
             count(lit(1)).as("n"),
