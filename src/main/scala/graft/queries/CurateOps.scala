@@ -419,12 +419,15 @@ object CurateOps {
               .cast(DoubleType) / lit(25.0)))
           .otherwise(array(size(array_distinct(ws)).cast(DoubleType) /
             n.cast(DoubleType)))
-        graft.sources.ScanSpread.spread(Tables.load(s, dir, "documents"))
+        // sortedSpread (round 19 §3): one explicit range exchange
+        // parallelizes the single-row-group scan, presents the order,
+        // and keeps the window-TTR transform out of the range sample
+        graft.sources.ScanSpread
+          .sortedSpread(Tables.load(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"), wins.as("wins"))
           .select(col("doc_id"),
             size(col("wins")).cast(LongType).as("n_windows"),
             exactArrayMean(col("wins")).as("mattr"))
-          .orderBy("doc_id")
       },
       Some("""WITH wn AS (SELECT doc_id, string_split(text, ' ') AS ws,
             len(string_split(text, ' ')) AS n FROM documents),

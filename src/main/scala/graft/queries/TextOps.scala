@@ -54,13 +54,18 @@ object TextOps {
     // Token counting + length stats per document.
     Q("q18_text_stats",
       (s, dir) => {
-        Tables.load(s, dir, "documents")
+        // sortedSpread (round 19 §3): one explicit range exchange
+        // presents the order, keeps the heavy projection out of the
+        // range-boundary sample pass, and pins the partition count so
+        // AQE can't coalesce the projection onto one task — rows and
+        // order identical to project-then-orderBy (SortFirstAB)
+        graft.sources.ScanSpread
+          .sortedSpread(Tables.load(s, dir, "documents"), col("doc_id"))
           .select(
             col("doc_id"),
             tokenCount(col("text")).cast("long").as("n_tokens"),
             length(col("text")).cast("long").as("len_chars"),
             avgWordLen(col("text")).as("avg_word_len"))
-          .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -76,12 +81,12 @@ object TextOps {
       (s, dir) => {
         val ratio = stopwordRatio(col("text"), stopwords)
         val nTok = tokenCount(col("text"))
-        Tables.load(s, dir, "documents")
+        graft.sources.ScanSpread // sortedSpread — see q18
+          .sortedSpread(Tables.load(s, dir, "documents"), col("doc_id"))
           .select(
             col("doc_id"), col("lang"),
             ratio.as("stop_ratio"),
             (nTok >= 20 && nTok <= 95 && ratio < lit(0.5)).as("keep"))
-          .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id, lang,
           CAST(len(list_filter(string_split(text, ' '),
@@ -102,11 +107,11 @@ object TextOps {
     // are what the oracle checks.
     Q("q20_lang_id",
       (s, dir) => {
-        graft.sources.ScanSpread.spread(Tables.load(s, dir, "documents"))
+        graft.sources.ScanSpread // sortedSpread — see q18
+          .sortedSpread(Tables.load(s, dir, "documents"), col("doc_id"))
           .select(
             col("doc_id"), col("lang"),
             langId(col("text"), langMarkers).as("pred_lang"))
-          .orderBy("doc_id")
       },
       Some {
         val padded = "' ' || text || ' '"
@@ -978,10 +983,10 @@ object TextOps {
     // broadcast literal the same way).
     Q("q178_linear_quality_score",
       (s, dir) => {
-        graft.sources.ScanSpread.spread(Tables.load(s, dir, "documents"))
+        graft.sources.ScanSpread // sortedSpread — see q18
+          .sortedSpread(Tables.load(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"), qualityLogit.as("logit_milli"))
           .withColumn("keep", col("logit_milli") > 0L)
-          .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id,
           $qualityLogitSql AS logit_milli,
@@ -999,13 +1004,13 @@ object TextOps {
       (s, dir) => {
         val cleaned = trim(regexp_replace(regexp_replace(
           lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
-        Tables.load(s, dir, "documents")
+        graft.sources.ScanSpread // sortedSpread — see q18
+          .sortedSpread(Tables.load(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"),
             md5(cleaned).as("clean_fp"),
             length(col("text")).cast("long").as("len_before"),
             length(cleaned).cast("long").as("len_after"),
             size(split(cleaned, " ")).cast("long").as("n_words_after"))
-          .orderBy("doc_id")
       },
       Some("""WITH c AS (SELECT doc_id, text,
             trim(regexp_replace(regexp_replace(lower(text),

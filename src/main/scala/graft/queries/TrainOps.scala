@@ -751,7 +751,11 @@ object TrainOps {
           i => when(i % 21 === 0,
             concat(sentinel(i), lit(" "), tokAt(i)))
             .otherwise(tokAt(i)))
-        graft.sources.ScanSpread.spread(Tables.load(s, dir, "documents"))
+        // sortedSpread (round 19 §3): one explicit range exchange
+        // replaces the spread repair, presents the order, and keeps
+        // the span-corruption HOFs out of the range sample pass
+        graft.sources.ScanSpread
+          .sortedSpread(Tables.load(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"),
             size(toks).cast(LongType).as("n_tokens"),
             size(filter(idx, i => masked(i))).cast(LongType)
@@ -760,7 +764,6 @@ object TrainOps {
               .cast(LongType).as("n_spans"),
             array_join(inputArr, " ").as("inputs"),
             array_join(targetArr, " ").as("targets"))
-          .orderBy("doc_id")
       },
       Some("""WITH d AS (SELECT doc_id,
             string_split(text, ' ') AS toks,

@@ -946,8 +946,9 @@ object VectorOps {
           .orderBy(col("d"), col("cand_id"))
         // both retrievals are consumed twice (overlap + top-1):
         // persist the 50-row frames or each pass executes twice
-        val exact = emb.select(col("vec_id").as("cand_id"),
-            col("embedding"))
+        val exact = graft.sources.ScanSpread
+          .spread(emb.select(col("vec_id").as("cand_id"),
+            col("embedding")))
           .crossJoin(broadcast(qset))
           .filter(col("cand_id") =!= col("query_id"))
           .select(col("query_id"), col("cand_id"), sq.as("d"))

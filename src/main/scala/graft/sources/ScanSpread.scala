@@ -33,6 +33,27 @@ import org.apache.spark.sql.DataFrame
   */
 object ScanSpread {
 
+  /** Presentation sort for a map-only pipeline over a narrow scan
+    * (round 19 §3): `sortedSpread(df, keys)(heavy…)` ≡
+    * `df.select(keys ++ heavy…).orderBy(keys)` in rows AND order, but
+    *  - the range partitioner's boundary SAMPLE pass touches only the
+    *    raw child, never the heavy projection (a plain orderBy above
+    *    the projection re-executes it once per sample pass), and
+    *  - the range partition count is EXPLICIT (default parallelism),
+    *    which AQE respects — a plain orderBy's exchange gets coalesced
+    *    to one partition at small volumes and serializes the heavy
+    *    projection that sits above it.
+    * The count derives from the session (scale-adaptive), not a
+    * constant; at cluster scale it is the executor core count — the
+    * same magnitude AQE would pick for a result-sized sort. */
+  def sortedSpread(df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (par <= 1) df.orderBy(keys: _*)
+    else df.repartitionByRange(par, keys: _*)
+      .sortWithinPartitions(keys: _*)
+  }
+
   /** `df`, repartitioned to the session's default parallelism iff its
     * backing file layout cannot reach that parallelism on its own. */
   def spread(df: DataFrame): DataFrame = {
