@@ -34,6 +34,9 @@ object Dbscan {
   def run(pts: DataFrame, idCol: String, xCol: String, yCol: String,
       eps: Long, minPts: Int): DataFrame = {
     require(eps > 0 && minPts >= 1, s"bad eps=$eps minPts=$minPts")
+    // NOT spread (round 19): the cell compute is light and the A/B
+    // measured the repair exchange as a 1.23× loss here — q235's cost
+    // is its stage count (grid join + CC + border logic), not the scan
     val p = pts.select(col(idCol).cast("long").as("id"),
         col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
       .withColumn("cx", floor(col("x").cast("double") / eps).cast("long"))
