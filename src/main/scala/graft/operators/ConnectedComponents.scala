@@ -61,20 +61,52 @@ object ConnectedComponents {
     // action per round instead of two (a CC call was 2·rounds+2 jobs
     // of which half were 10–40 ms checksum re-reads of the cached
     // blocks; at cluster scale the saved job is a full extra pass of
-    // the round's edge set through the scheduler). Same two scalars,
-    // same collision odds. ObserveFusionSpec pins that the metrics are
-    // populated by the checkpoint's own materialization job.
+    // the round's edge set through the scheduler). Same two scalars;
+    // one caveat vs the old exact separate-job aggregate: observe()
+    // metrics are accumulator-backed, and accumulator updates can be
+    // applied more than once under shuffle-map-stage resubmission
+    // (fetch failure) or partial stage retries on a real cluster with
+    // executor loss. The worst realistic effect is a perturbed
+    // (count, sum) pair that fails to MATCH the previous round —
+    // costing one extra (cheap, converged) round — never a silent
+    // false convergence, which would need the perturbed pair to
+    // exactly equal the previous round's. ObserveFusionSpec pins that
+    // the metrics are populated by the checkpoint's own
+    // materialization job; the count==0 degenerate case is guarded
+    // below because an UNPOPULATED metrics row is Row(0, 0) (the
+    // accumulator's initial buffer), not an exception — without the
+    // guard a Spark behavior change would read as instant convergence
+    // and return wrong components silently.
+    // Session kill-switch (A/B rig, the ScanSpread pattern): when
+    // disabled the checksum runs as its own exact aggregate job over
+    // the checkpointed blocks — the pre-r19 form.
+    val observeFused = spark.conf
+      .get("spark.graft.cc.observe.enabled", "true") == "true"
     var obsRound = 0
     def checkpointWithChecksum(df: DataFrame)
         : (DataFrame, (Long, java.math.BigDecimal)) = {
+      val cs = coalesce(
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("s")
+      if (!observeFused) {
+        val cp = df.localCheckpoint()
+        val row = cp.agg(count(lit(1)).as("n"), cs).head()
+        return (cp, (row.getLong(0), row.getDecimal(1)))
+      }
       obsRound += 1
       val name = s"graft_cc_cs_$obsRound"
-      val obs = df.observe(name,
-        count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO)).as("s"))
+      val obs = df.observe(name, count(lit(1)).as("n"), cs)
       val cp = obs.localCheckpoint()
       val row = obs.queryExecution.observedMetrics(name)
+      // Degenerate-zero guard: Row(0, 0) is ALSO what an unpopulated
+      // observe() yields (CollectMetricsExec evaluates its initial
+      // buffer if no task ever updated it). A genuine empty edge set
+      // is cheap to confirm on the materialized checkpoint; a
+      // metrics-population regression fails loudly here instead of
+      // mis-converging.
+      if (row.getLong(0) == 0L)
+        require(cp.isEmpty,
+          "observe() metrics not populated by checkpoint materialization")
       (cp, (row.getLong(0), row.getDecimal(1)))
     }
 
@@ -94,11 +126,17 @@ object ConnectedComponents {
     var prev = cs0
     var round = 0
     var converged = prev._1 == 0L
-    while (!converged && round < maxRounds) {
-      // large-star: for every node u (over BOTH edge directions), link
-      // each larger neighbor v > u to m = min(N(u) ∪ {u}).
-      val sym = e.select(col("u"), col("v"))
-        .union(e.select(col("v").as("u"), col("u").as("v")))
+
+    // One alternating round: large-star (for every node u over BOTH
+    // edge directions, link each larger neighbor v > u to
+    // m = min(N(u) ∪ {u})), then small-star (edges are now all
+    // (big, small); for every node u, link its smaller neighbors and
+    // u itself to the minimum). `ls.distinct()` is kept deliberately:
+    // it is the collapse point for a hot node's duplicated (v, m)
+    // rows — the skew guard at 100 TB.
+    def oneRound(in: DataFrame): DataFrame = {
+      val sym = in.select(col("u"), col("v"))
+        .union(in.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u")
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
@@ -107,27 +145,73 @@ object ConnectedComponents {
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-
-      // small-star: edges are now all (big, small); for every node u,
-      // link its smaller neighbors (and u itself) to the minimum.
       val sMins = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val (ss, cur) = checkpointWithChecksum(ls.join(sMins, "u")
+      ls.join(sMins, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(sMins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct())
+        .distinct()
+    }
 
-      converged = same(cur, prev)
-      prev = cur
-      // ss is materialized (eager checkpoint) and checksummed — the
-      // previous round's blocks can never be read again. Release them
-      // NOW so live storage is one round, not `round` rounds (the
-      // round-10 bench showed orphaned per-round checkpoints piling
-      // up across CC-family queries until a GC trough).
-      CacheOps.releaseCheckpoint(e)
-      e = ss
-      round += 1
+    // Rounds per checkpoint (experiment knob, default 1): with k > 1,
+    // k rounds build lazily with an observe() between each and ONE
+    // localCheckpoint materializes them all — k× fewer actions, at the
+    // cost of the inner rounds' subtrees appearing multiple times in
+    // the fused plan (the self-union; ReuseExchange collapses the
+    // exchange-rooted copies). Per-round convergence granularity is
+    // preserved: every fused round's (count, checksum) is read from
+    // the one materialization.
+    val fusedRounds = if (!observeFused) 1
+      else math.max(1, spark.conf
+        .get("spark.graft.cc.fusedrounds", "1").toInt)
+    def csAgg = coalesce(
+      sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+      lit(java.math.BigDecimal.ZERO)).as("s")
+    while (!converged && round < maxRounds) {
+      if (fusedRounds <= 1) {
+        val (ss, cur) = checkpointWithChecksum(oneRound(e))
+        converged = same(cur, prev)
+        prev = cur
+        // ss is materialized (eager checkpoint) and checksummed — the
+        // previous round's blocks can never be read again. Release
+        // them NOW so live storage is one round, not `round` rounds
+        // (the round-10 bench showed orphaned per-round checkpoints
+        // piling up across CC-family queries until a GC trough).
+        CacheOps.releaseCheckpoint(e)
+        e = ss
+        round += 1
+      } else {
+        val k = math.min(fusedRounds, maxRounds - round)
+        var cur = e
+        val names = (1 to k).map { _ =>
+          obsRound += 1
+          val name = s"graft_cc_cs_$obsRound"
+          cur = oneRound(cur)
+            .observe(name, count(lit(1)).as("n"), csAgg)
+          name
+        }
+        val cp = cur.localCheckpoint()
+        val css = names.map { n =>
+          val r = cur.queryExecution.observedMetrics(n)
+          (r.getLong(0), r.getDecimal(1))
+        }
+        // A nonempty edge set can never become empty mid-iteration
+        // (small-star always re-emits the sMins stars), so ANY zero
+        // count here is either a genuinely empty input or an
+        // unpopulated metric (inner CollectMetrics dropped by an
+        // exchange-reuse rewrite) — confirm on the materialized data
+        // rather than mis-converge on Row(0, 0) pairs.
+        if (css.exists(_._1 == 0L))
+          require(cp.isEmpty,
+            "observe() metrics not populated in fused CC rounds")
+        CacheOps.releaseCheckpoint(e)
+        e = cp
+        var p = prev
+        css.foreach { c => if (same(c, p)) converged = true; p = c }
+        prev = css.last
+        round += k
+      }
     }
     require(converged,
       s"connected components did not converge in $maxRounds rounds")

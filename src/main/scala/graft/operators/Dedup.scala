@@ -53,12 +53,17 @@ object Dedup {
     * is for vocab n-grams, not dedup keys, and the SQL oracles'
     * range-based shingling emits nothing for short docs; without this
     * filter the two sides would diverge on sub-k-word documents. */
-  def shingleSets(docs: DataFrame, k: Int): DataFrame =
+  def shingleSets(docs: DataFrame, k: Int,
+      spread: Boolean = true): DataFrame =
     // spread the scan BEFORE the shingle explode: a single-row-group
     // corpus otherwise runs the whole explode+hash pipeline on one
     // task (round-19 A/B at sf0.1: 1.40 s serial vs 0.22 s spread);
-    // identity whenever the file layout already scans wide
-    graft.sources.ScanSpread.spread(docs)
+    // identity whenever the file layout already scans wide.
+    // `spread = false` is the callsite opt-out for consumers whose
+    // input is a SMALL file-backed slice (q110's benchmark split:
+    // 10 % of docs) where the repair exchange costs more than the
+    // serial shingle work it parallelizes (round-20 A/B).
+    (if (spread) graft.sources.ScanSpread.spread(docs) else docs)
       .filter(size(split(col("text"), " ")) >= k)
       .select(col("doc_id"),
         explode(array_distinct(TextFuncs.shingles(col("text"), k)))
@@ -80,10 +85,10 @@ object Dedup {
     * no shingles and are absent from the report (same convention as
     * [[shingleSets]] / the SQL oracles). */
   def contaminationReport(train: DataFrame, benchmark: DataFrame,
-      k: Int): DataFrame = {
-    val t = shingleSets(train, k)
+      k: Int, spread: Boolean = true): DataFrame = {
+    val t = shingleSets(train, k, spread)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val b = shingleSets(benchmark, k)
+    val b = shingleSets(benchmark, k, spread)
       .select(xxhash64(col("shingle")).as("h")).distinct()
       .withColumn("hit", lit(1))
     t.join(b, Seq("h"), "left")

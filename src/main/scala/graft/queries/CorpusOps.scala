@@ -346,8 +346,16 @@ object CorpusOps {
         val train = ded.filter(col("doc_id") % 10 =!= 0)
         val bench = docs.filter(col("doc_id") % 10 === 0)
           .select("doc_id", "text")
+        // spread = false (round 20): this report's train side is the
+        // in-memory dedup output (the repair is identity there) and
+        // its benchmark side a 10 % slice — the only exchange the flag
+        // adds is on that small slice, and the driver measured q110 at
+        // 0.84× carrying it (r19 VERDICT item 4). q71's report keeps
+        // the default: its train side is the file-backed 90 % split,
+        // where the spread pays.
         val contam = graft.operators.Dedup
-          .contaminationReport(train.select("doc_id", "text"), bench, 3)
+          .contaminationReport(train.select("doc_id", "text"), bench, 3,
+            spread = false)
           .select(col("doc_id"), col("contamination_rate"))
         // sub-3-word docs have no shingles, hence no report row: kept
         val clean = train.join(contam, Seq("doc_id"), "left")

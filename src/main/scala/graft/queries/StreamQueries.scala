@@ -29,11 +29,6 @@ object StreamQueries {
     * dataset regenerated in place lands fresh instead of silently
     * reusing a stale copy, and two distinct dirs can never collide
     * into one landing zone. */
-  /** `singleFile` lands the copy as ONE parquet file, pinning the
-    * AvailableNow drain to a single micro-batch — required when the
-    * query's batch-parity depends on no state expiring mid-drain
-    * (q79's dedup: a key re-arriving after its watermark-expired state
-    * would re-emit under multi-batch chunking). */
   /** Sanitized source path + content fingerprint (file count, max
     * mtime, total bytes) of the STREAMED table's parquet: the key
     * under which a dataset STATE gets its landing/state/checkpoint
@@ -54,17 +49,64 @@ object StreamQueries {
     s"$sanitized-$fingerprint"
   }
 
+  /** Landing-zone fan-out (round 20): a twin whose per-batch map work
+    * is row-local-HEAVY reads a landing of `cap` parquet files instead
+    * of one, so the micro-batch's scan (and the map pipeline on it)
+    * runs `cap`-wide instead of as ONE task — the streaming form of
+    * the ScanSpread serial-scan repair (guide §2.5/§6). Batch COUNTS
+    * are unchanged: every consumer drains with `Trigger.AvailableNow`
+    * and no per-trigger file limit, which takes ALL available files in
+    * a single micro-batch (pinned by StreamingSpec "multi-file landing
+    * zone drains as ONE batch"), so the single-batch parity arguments
+    * (q79's dedup state, the Update-mode sinks' one-emission-per-key)
+    * are untouched by the layout.
+    *
+    * Measured same-JVM (StreamAB, sf0.1/local[32], median of 3): the
+    * fan pays ONLY where the per-doc work is heavy — q282 docGrams
+    * 0.89×, q236 Dsir occurrences 0.90× — and LOSES a fixed ~0.1–0.2 s
+    * per drain everywhere else (q258 1.28×, q323 1.21×, q302 1.13×,
+    * q314 1.11×, q290 1.37×, q112 1.37×, q63 1.08×, q73 1.05×; fan=4
+    * loses the same as fan=16, so the cost is per-batch multi-task
+    * overhead, not task count). The same decision rule as ScanSpread's
+    * call sites: fan out the heavy funnels, never as a blanket layout.
+    * Events twins therefore stay single-file (cap = 1 below). */
+  private def landingFanOut(s: org.apache.spark.sql.SparkSession,
+      cap: Int): Int = {
+    // session override — the same-JVM A/B lever (StreamAB): arms pick
+    // their layout (1 = the old single-file landing) in one session;
+    // each layout keys its own landing dir, so arms never mix. The
+    // override REPLACES the call site's cap (test lever only — above 8
+    // it would split q170's maxFilesPerTrigger=8 drain into several
+    // triggers).
+    val c = s.conf.get("spark.graft.stream.landing.fanout", "")
+      match {
+        case "" => cap
+        case v => v.toInt
+      }
+    math.max(1, math.min(c, s.sparkContext.defaultParallelism))
+  }
+
+  /** Shared events landing dir (also read by q170): name carries the
+    * layout tag so a relayout can never silently reuse a stale copy.
+    * Single-file (measured: every events twin is state/lifecycle-bound,
+    * the fan only added per-batch task overhead); the A/B conf can
+    * still raise it to 8 — q170 reads this landing with
+    * maxFilesPerTrigger = 8, so 8 files stay one trigger there. */
+  private def eventsLandingDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): java.io.File = {
+    val n = landingFanOut(s, 1)
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-q53-landing-${datasetKey(dir)}-p$n")
+  }
+
   private def eventsStream(s: org.apache.spark.sql.SparkSession,
-      dir: String, singleFile: Boolean = false)
-      : org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame = {
     val ev = Tables.load(s, dir, "events")
-    val landingDir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-q53-landing-${datasetKey(dir)}" +
-        (if (singleFile) "-1f" else ""))
+    val landingDir = eventsLandingDir(s, dir)
     val landing = landingDir.toString
     if (!new java.io.File(landingDir, "_SUCCESS").exists()) {
-      val w = if (singleFile) ev.coalesce(1) else ev
+      val n = landingFanOut(s, 1)
+      val w = if (n == 1) ev.coalesce(1) else ev.repartition(n)
       w.write.mode("overwrite").parquet(landing)
     }
     StreamOps.landingZone(s, landing, ev.schema)
@@ -196,7 +238,7 @@ object StreamQueries {
     // equals batch DISTINCT, which is the oracle.
     Q("q79_stream_dedup",
       (s, dir) => {
-        val stream = eventsStream(s, dir, singleFile = true)
+        val stream = eventsStream(s, dir)
         val dedup = StreamOps.dedupRevisions(
             stream.select(col("user_id"), col("event_type"), col("ts")),
             "ts", "1 hour", Seq("user_id", "event_type"))
@@ -240,13 +282,15 @@ object StreamQueries {
     // final state table hash-matches the batch latest-per-key oracle;
     // the checkpoint makes a second invocation a zero-batch no-op that
     // leaves the state untouched (idempotent resume). State/checkpoint
-    // dirs are keyed by source path + content fingerprint, like the
+    // dirs are keyed by source path + content fingerprint PLUS the
+    // landing LAYOUT tag (the file-source checkpoint embeds landing
+    // file paths, so a relayout must key a fresh checkpoint), like the
     // landing zone.
     Q("q121_stream_merge_sink",
       (s, dir) => {
         val stream = eventsStream(s, dir)
         val base = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft-q121-${datasetKey(dir)}")
+          s"graft-q121-${datasetKey(dir)}-p${landingFanOut(s, 1)}")
         StreamOps.mergeLatestSink(s, stream,
           new java.io.File(base, "state").toString,
           new java.io.File(base, "checkpoint").toString)
@@ -330,12 +374,12 @@ object StreamQueries {
     // forever, where exact streaming COUNT(DISTINCT) state grows with
     // every new member. The k-min merge is order-insensitive, so the
     // drained result equals the batch sketch — hash-checked against
-    // the same SQL oracle as q114. The single-file landing pins one
+    // the same SQL oracle as q114. The one-batch AvailableNow drain pins one
     // emission per key (Update semantics emit per batch).
     Q("q127_stream_kmv_sketch",
       (s, dir) => {
         val k = 8
-        val hashed = eventsStream(s, dir, singleFile = true)
+        val hashed = eventsStream(s, dir)
           .selectExpr("event_type AS grp",
             "(user_id * 2654435761) % 4294967296 AS h")
         val sk = StreamOps.kmvSketchStream(s, hashed, k)
@@ -368,12 +412,12 @@ object StreamQueries {
     // inside a streaming groupBy — k (value, id) pairs per key
     // forever, map-side partials per micro-batch, truncation commutes
     // with merge so the drained state equals the batch top-k no
-    // matter the chunking). Single-file landing pins one Update
+    // matter the chunking). The one-batch AvailableNow drain pins one Update
     // emission per key; hash-checked against the same rank-window
     // oracle as q109.
     Q("q144_stream_topk",
       (s, dir) => {
-        val stream = eventsStream(s, dir, singleFile = true)
+        val stream = eventsStream(s, dir)
         val agg = stream.groupBy("event_type")
           .agg(graft.expressions.TopKAggregate
             .topK(col("value"), col("event_id"), 3).as("top"))
@@ -474,7 +518,7 @@ object StreamQueries {
       (s, dir) => {
         val dec = org.apache.spark.sql.types.DecimalType(38, 12)
         val cutTs = "2024-01-16 00:00:00"
-        val stream = eventsStream(s, dir, singleFile = true)
+        val stream = eventsStream(s, dir)
           .select(col("event_type"),
             floor(col("value") / 10.0).cast("long").as("bin"),
             (col("ts") < to_timestamp(lit(cutTs))).as("in_a"))
@@ -537,7 +581,7 @@ object StreamQueries {
     // verbatim.
     Q("q169_stream_hll",
       (s, dir) => {
-        val regs = eventsStream(s, dir, singleFile = true)
+        val regs = eventsStream(s, dir)
           .withColumn("a", expr(
             "(user_id * 2654435761 + ascii(event_type) * 1000003)" +
               " % 4294967296"))
@@ -600,11 +644,13 @@ object StreamQueries {
     Q("q170_stream_continuous_aggregate",
       (s, dir) => {
         val ev = Tables.load(s, dir, "events")
-        val landingDir = new java.io.File(
-          sys.props("java.io.tmpdir"),
-          s"graft-q53-landing-${datasetKey(dir)}")
+        // shared with eventsStream: ≤ 8 files, so maxFilesPerTrigger=8
+        // below still drains in the same number of triggers as the
+        // old single-file layout
+        val landingDir = eventsLandingDir(s, dir)
         if (!new java.io.File(landingDir, "_SUCCESS").exists())
-          ev.write.mode("overwrite").parquet(landingDir.toString)
+          ev.repartition(landingFanOut(s, 8))
+            .write.mode("overwrite").parquet(landingDir.toString)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 8)
           .parquet(landingDir.toString)
@@ -693,7 +739,7 @@ object StreamQueries {
         val KnuthA = 2654435761L
         val M32 = 4294967296L
         val n = 40
-        val stream = eventsStream(s, dir, singleFile = true)
+        val stream = eventsStream(s, dir)
         val agg = stream.groupBy()
           .agg(graft.expressions.TopKAggregate.bottomK(
             expr(s"CAST((event_id * $KnuthA) % $M32 AS DOUBLE)"),
@@ -730,7 +776,7 @@ object StreamQueries {
         val SampleA = 2246822519L
         val M32 = 4294967296L
         val k = 10
-        val stream = eventsStream(s, dir, singleFile = true)
+        val stream = eventsStream(s, dir)
         val agg = stream
           .selectExpr("event_type",
             "CAST(abs(CAST(value * 100 AS DECIMAL(28,0))) + 1 AS DOUBLE)" +
@@ -774,7 +820,7 @@ object StreamQueries {
     Q("q236_stream_dsir",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val stream = documentsStream(s, dir)
+        val stream = documentsStream(s, dir, cap = 16)
         val countsS = graft.operators.Dsir.bucketCounts(
           graft.operators.Dsir.occurrences(stream, "doc_id", "text",
             col("lang") === "en"))
@@ -838,7 +884,7 @@ object StreamQueries {
         val train = TrainOps.docGrams(docs)
           .filter(col("doc_id") % 10 < 8)
           .select("gram").distinct().withColumn("seen", lit(1))
-        val streamG = TrainOps.docGrams(documentsStream(s, dir))
+        val streamG = TrainOps.docGrams(documentsStream(s, dir, cap = 16))
           .filter(col("doc_id") % 10 >= 8)
         val nov = streamG.join(train, Seq("gram"), "left")
           .groupBy("doc_id")
@@ -1005,33 +1051,45 @@ object StreamQueries {
         FROM cls ORDER BY doc_id"""))
   )
 
-  /** Embeddings landing zone (the documentsStream pattern): one
-    * parquet file so the drain is a single micro-batch. */
+  /** Embeddings landing zone (the documentsStream pattern):
+    * single-file — StreamAB measured the fan a 1.37× LOSS on q290
+    * (its cost is the per-batch broadcast + Update-mode state, not
+    * the scan). */
   private def embeddingsStream(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
+    val n = landingFanOut(s, 1)
     val landingDir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft-q290-landing-${datasetKey(dir, "embeddings")}")
+      s"graft-q290-landing-${datasetKey(dir, "embeddings")}-p$n")
     val landing = landingDir.toString
     if (!new java.io.File(landingDir, "_SUCCESS").exists()) {
-      emb.coalesce(1).write.mode("overwrite").parquet(landing)
+      val w = if (n == 1) emb.coalesce(1) else emb.repartition(n)
+      w.write.mode("overwrite").parquet(landing)
     }
     StreamOps.landingZone(s, landing, emb.schema)
   }
 
-  /** Documents landing zone (the eventsStream pattern): one parquet
-    * file so the drain is a single micro-batch — the memory sink in
-    * Update mode would otherwise hold one row per (bucket, batch). */
+  /** Documents landing zone (the eventsStream pattern): one
+    * micro-batch under AvailableNow regardless of file count (the
+    * memory sink in Update mode holds one row per (key, BATCH) — the
+    * batch count, unchanged here, is what the parity arguments pin,
+    * not the file count). `cap` picks the layout per twin: the heavy
+    * per-doc pipelines (q236 Dsir occurrences, q282 docGrams) read
+    * the fanned landing and scan in parallel; the light scorers keep
+    * the single-file copy (see [[landingFanOut]] for the measured
+    * split). */
   private def documentsStream(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String, cap: Int = 1): org.apache.spark.sql.DataFrame = {
     val docs = Tables.load(s, dir, "documents")
+    val n = landingFanOut(s, cap)
     val landingDir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft-q236-landing-${datasetKey(dir, "documents")}")
+      s"graft-q236-landing-${datasetKey(dir, "documents")}-p$n")
     val landing = landingDir.toString
     if (!new java.io.File(landingDir, "_SUCCESS").exists()) {
-      docs.coalesce(1).write.mode("overwrite").parquet(landing)
+      val w = if (n == 1) docs.coalesce(1) else docs.repartition(n)
+      w.write.mode("overwrite").parquet(landing)
     }
     StreamOps.landingZone(s, landing, docs.schema)
   }

@@ -48,7 +48,13 @@ object ScanSpread {
     * same magnitude AQE would pick for a result-sized sort. */
   def sortedSpread(df: DataFrame,
       keys: org.apache.spark.sql.Column*): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spark = df.sparkSession
+    // honor the same session kill-switch as spread(): disabling
+    // scanspread must restore the pre-rewrite plan (a plain global
+    // orderBy) so a same-JVM A/B can isolate this rewrite too
+    if (spark.conf.get("spark.graft.scanspread.enabled", "true") != "true")
+      return df.orderBy(keys: _*)
+    val par = spark.sparkContext.defaultParallelism
     if (par <= 1) df.orderBy(keys: _*)
     else df.repartitionByRange(par, keys: _*)
       .sortWithinPartitions(keys: _*)
@@ -68,7 +74,18 @@ object ScanSpread {
       try df.inputFiles
       catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
     // no backing files (in-memory / already-shuffled frames), or
-    // enough file-level parallelism already: identity
+    // enough file-level parallelism already: identity.
+    // Both identity gates are byte/file-count PROXIES with known blind
+    // spots where the repair fails to fire (perf-only, never wrong
+    // results): (a) `files.length >= par` can pass for many tiny files
+    // that FileSourceScanExec then bin-packs (maxPartitionBytes /
+    // openCostInBytes) into fewer than `par` tasks; (b) the split
+    // estimate below passes for one huge file whose actual parquet
+    // parallelism is its ROW-GROUP count — a single-row-group multi-GB
+    // file still scans serially. The exact planned partition count
+    // would need df.rdd.getNumPartitions (a physical planning pass per
+    // call site); the proxies are free and correct for every layout in
+    // the corpus, so the residual risk is accepted and documented.
     if (files.isEmpty || files.length >= par) return df
     // bounded driver work: at most (par - 1) file statuses
     val conf = spark.sessionState.newHadoopConf()

@@ -4,10 +4,12 @@ import org.apache.spark.sql.functions._
 /** Pins the round-19 CC checksum fusion: an observe() aggregate is
   * populated by the localCheckpoint materialization job itself (no
   * separate action), and the fused checksum equals the standalone
-  * aggregate. If a Spark upgrade ever stops populating observed
-  * metrics on checkpoint materialization, ConnectedComponents would
-  * throw (NoSuchElementException on the metrics map) rather than
-  * mis-converge — this spec makes that failure loud at test time. */
+  * aggregate. NOTE an unpopulated observe() does NOT throw — the
+  * metrics map still resolves and yields the accumulator's initial
+  * buffer, Row(0, ZERO) — so ConnectedComponents guards the
+  * count == 0 case at runtime (cross-checks cp.isEmpty) rather than
+  * relying on an exception; this spec makes a population regression
+  * loud at test time, the runtime guard makes it loud in production. */
 class ObserveFusionSpec extends SparkSpec {
 
   test("localCheckpoint populates observe() metrics (CC checksum rides it)") {

@@ -12,6 +12,31 @@ class StreamingSpec extends SparkSpec {
   private def landing(): String =
     Files.createTempDirectory("stream-landing").toString
 
+  test("multi-file landing zone drains as ONE batch under AvailableNow") {
+    // Pins the round-20 landing fan-out contract: with no
+    // maxFilesPerTrigger, an AvailableNow drain takes EVERY available
+    // file in a single micro-batch — so fanning the landing zone out
+    // to k files parallelizes each batch's scan without changing any
+    // twin's batch count (the q79 dedup-state and Update-mode
+    // one-emission-per-key parity arguments all rest on this).
+    val dir = landing()
+    val ev = Tables.load(spark, sf, "events")
+    ev.repartition(8).write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == 8, s"expected 8 landing files, got $files")
+    val stream = StreamOps.landingZone(spark, dir, ev.schema)
+    val q = stream.writeStream.format("memory").queryName("onebatch")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches == 1,
+      s"multi-file landing drained in $batches batches, expected 1")
+    assert(spark.table("onebatch").count() == ev.count())
+  }
+
   test("landing-zone stream + bucketed agg matches the batch result") {
     val dir = landing()
     val ev = Tables.load(spark, sf, "events")
