@@ -34,9 +34,10 @@ object Dbscan {
   def run(pts: DataFrame, idCol: String, xCol: String, yCol: String,
       eps: Long, minPts: Int): DataFrame = {
     require(eps > 0 && minPts >= 1, s"bad eps=$eps minPts=$minPts")
-    // NOT spread (round 19): the cell compute is light and the A/B
-    // measured the repair exchange as a 1.23× loss here — q235's cost
-    // is its stage count (grid join + CC + border logic), not the scan
+    // NOT spread (re-measured round 20 on the restructured shape:
+    // SpreadAB 1.22×, matching r19's 1.23× loss) — the cell compute is
+    // light and q235's wall is stage scheduling/planning across the
+    // grid join + CC rounds + border logic, not the scan task
     val p = pts.select(col(idCol).cast("long").as("id"),
         col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
       .withColumn("cx", floor(col("x").cast("double") / eps).cast("long"))
@@ -65,9 +66,23 @@ object Dbscan {
       .filter(coalesce(col("n"), lit(0L)) >= minPts)
       .select("id")
       .persist()
-    val coreEdges = pairs
-      .join(core.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
-      .join(core.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+    // One flagged pass over pairs feeds BOTH the core-core edge set
+    // and the border candidates below — the r19 shape joined pairs
+    // against core four times (two left_semi + two left) to derive
+    // the same flags twice (r20; guide §2.4 shared work). core ids
+    // are unique by construction, so a left join + flag filter is
+    // row-for-row the left_semi.
+    val isCore = core.withColumn("is_core", lit(true))
+    val marked = pairs
+      .join(isCore.select(col("id").as("u"),
+        col("is_core").as("uc")), Seq("u"), "left")
+      .join(isCore.select(col("id").as("v"),
+        col("is_core").as("vc")), Seq("v"), "left")
+      .persist()
+    val coreEdges = marked
+      .filter(coalesce(col("uc"), lit(false)) &&
+        coalesce(col("vc"), lit(false)))
+      .select(col("u"), col("v"))
     // Grid contraction before CC: two cores in the same (ε/√2)-cell
     // are provably within ε (cell diagonal² = 2·(ε/√2)² ≤ ε²), hence
     // directly connected — contract each such cell to its min-id core
@@ -100,13 +115,8 @@ object Dbscan {
     val comp = coreToRep
       .join(compRep.withColumnRenamed("node", "rep"), Seq("rep"))
       .select(col("id"), col("component").as("cluster"))
-    // border candidates: pairs with exactly one core end
-    val isCore = core.withColumn("is_core", lit(true))
-    val marked = pairs
-      .join(isCore.select(col("id").as("u"),
-        col("is_core").as("uc")), Seq("u"), "left")
-      .join(isCore.select(col("id").as("v"),
-        col("is_core").as("vc")), Seq("v"), "left")
+    // border candidates: pairs with exactly one core end (from the
+    // same flagged pass as coreEdges)
     val bc = marked
       .filter(coalesce(col("vc"), lit(false)) &&
         !coalesce(col("uc"), lit(false)))
@@ -133,7 +143,7 @@ object Dbscan {
         col("bcluster").as("cluster"), lit(false).as("is_core")))
     val labeled = CacheOps.sealThen(combined) {
       CacheOps.releaseCheckpointExcept(combined, pts)
-      Seq(p, pairs, core, coreToRep).foreach(_.unpersist(false))
+      Seq(p, pairs, core, coreToRep, marked).foreach(_.unpersist(false))
     }
     pts.select(col(idCol).cast("long").as("id"))
       .join(labeled, Seq("id"), "left")
