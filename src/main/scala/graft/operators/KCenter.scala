@@ -57,15 +57,11 @@ object KCenter {
         .agg(collect_list(struct(col("cid"), col("carr"))).as("cents"))
 
     // min over centers of the exact decimal squared L2 — the KMeans
-    // assign kernel with min-distance instead of argmin
-    val minDist = expr(
-      """array_min(transform(cents, ct ->
-           CAST(aggregate(
-             zip_with(embedding, ct.carr, (x, c) ->
-               CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
-                 AS DECIMAL(18,9))),
-             CAST(0 AS DECIMAL(28,9)),
-             (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE)))""")
+    // assign kernel with min-distance instead of argmin (round 20:
+    // compiled DecimalFold kernel, semantics pinned by DecimalFoldSpec)
+    val minDist = array_min(transform(col("cents"), ct =>
+      graft.expressions.DecimalFold
+        .sqDist(col("embedding"), ct.getField("carr"))))
 
     val seed = vecs.agg(min(col("vec_id"))).head().getLong(0)
     var chosen = Seq(seed)

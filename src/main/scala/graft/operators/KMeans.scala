@@ -43,16 +43,15 @@ object KMeans {
     * centroid is an exact left-fold over DECIMAL(18,9) terms (decimal
     * addition is associative, so the fold equals the shuffled sum the
     * oracle computes in any order), and the (d, cid) struct-min picks
-    * the lexicographic argmin — all inside one Project, no shuffle. */
-  private def assignExpr: Column = expr(
-    """array_min(transform(cents, ct -> struct(
-         CAST(aggregate(
-           zip_with(embedding, ct.carr, (x, c) ->
-             CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
-               AS DECIMAL(18,9))),
-           CAST(0 AS DECIMAL(28,9)),
-           (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE) AS d,
-         ct.cid AS cid)))""")
+    * the lexicographic argmin — all inside one Project, no shuffle.
+    * Round 20: the fold runs as the compiled DecimalFold kernel
+    * instead of the interpreted aggregate(zip_with(…)) HOF —
+    * bit-identical semantics pinned by DecimalFoldSpec. */
+  private def assignExpr: Column =
+    array_min(transform(col("cents"), ct => struct(
+      graft.expressions.DecimalFold
+        .sqDist(col("embedding"), ct.getField("carr")).as("d"),
+      ct.getField("cid").as("cid"))))
 
   /** (cid, carr) array-form centroids from (cid, i, c) long form. */
   private def toArrayForm(cent: DataFrame): DataFrame =
@@ -133,14 +132,10 @@ object KMeans {
     val top2 = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"),
-        expr("""slice(array_sort(transform(cents, ct -> struct(
-             CAST(aggregate(
-               zip_with(embedding, ct.carr, (x, c) ->
-                 CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
-                   AS DECIMAL(18,9))),
-               CAST(0 AS DECIMAL(28,9)),
-               (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE) AS d,
-             ct.cid AS cid))), 1, 2)""").as("top2"))
+        slice(array_sort(transform(col("cents"), ct => struct(
+          graft.expressions.DecimalFold
+            .sqDist(col("embedding"), ct.getField("carr")).as("d"),
+          ct.getField("cid").as("cid")))), 1, 2).as("top2"))
       .select(col("vec_id"),
         col("top2")(0).getField("cid").as("cluster"),
         col("top2")(0).getField("d").as("dist"),

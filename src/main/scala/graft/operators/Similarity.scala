@@ -30,14 +30,12 @@ object Similarity {
   private val accDec = DecimalType(28, 9)
 
   /** Oracle-exact dot product of two float-array columns: per-term
-    * double products quantized to DECIMAL(18,9), summed exactly. */
+    * double products quantized to DECIMAL(18,9), summed exactly.
+    * Round 20: compiled kernel (graft.expressions.DecimalFold) — the
+    * HOF form ran interpreted per term; bit-identical semantics pinned
+    * by DecimalFoldSpec. */
   def exactDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b,
-        (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(termDec)),
-      lit(java.math.BigDecimal.ZERO).cast(accDec),
-      (acc, v) => (acc + v).cast(accDec))
-      .cast(DoubleType)
+    graft.expressions.DecimalFold.dot(a, b)
 
   /** Oracle-exact cosine (decimal dot and norms, double combine). */
   def exactCosine(a: Column, b: Column): Column =

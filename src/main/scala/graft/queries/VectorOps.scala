@@ -933,15 +933,10 @@ object VectorOps {
         val qset = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"),
             col("embedding").as("qe"))
-        val sq = expr(
-          """CAST(aggregate(
-               zip_with(embedding, qe, (x, c) ->
-                 CAST((CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) *
-                   (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))
-                   AS DECIMAL(18,9))),
-               CAST(0 AS DECIMAL(28,9)),
-               (acc, t) -> CAST(acc + t AS DECIMAL(28,9)))
-             AS DOUBLE)""")
+        // round 20: compiled DecimalFold kernel replaces the
+        // interpreted aggregate(zip_with(…)) HOF (DecimalFoldSpec)
+        val sq = graft.expressions.DecimalFold
+          .sqDist(col("embedding"), col("qe"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("d"), col("cand_id"))
         // both retrievals are consumed twice (overlap + top-1):
