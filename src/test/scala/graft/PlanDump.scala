@@ -36,6 +36,13 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.register(spark)
+    // PLANDUMP_CONF="k=v,k=v" — session confs for the dump run; the
+    // round-20 kill-switches (decimalfold/scanspread/cc.observe) let
+    // one binary produce both the before and the after plan
+    sys.env.get("PLANDUMP_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
 
     // every SQL execution during the query body, in completion order
